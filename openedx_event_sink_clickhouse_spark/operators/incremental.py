@@ -1,0 +1,77 @@
+"""Incremental-load operators: watermark aggregate (A1) and
+change-detection (A2) — the semantic core of the reference's sink pipeline.
+
+The reference issues ONE ClickHouse round-trip PER candidate item:
+``SELECT max(time_last_dumped) FROM {table} WHERE {unique_key} = '{id}'``
+(``sinks/base_sink.py:314-335``), then compares in Python
+(``sinks/course_published.py:154-198``). That is O(items) network calls.
+
+Spark-first design: both sides are DataFrames, so the whole decision
+collapses into one set-oriented plan —
+
+    watermarks = sink.groupBy(key).agg(max(ts))          # A1, map-side partial agg
+    candidates LEFT JOIN watermarks ON key               # broadcast if small
+    WHERE last_dump IS NULL OR modified > last_dump      # A2
+
+At 100 TB the watermark side is |distinct keys| rows (tiny relative to the
+fact table) — Catalyst/AQE broadcasts it, so the fact side streams through
+map tasks with zero shuffle. This is the single biggest semantic win of
+the rewrite (SURVEY.md §3 EP3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def watermarks(sink_df: DataFrame, key: str, ts_col: str,
+               watermark_col: str = "last_dump") -> DataFrame:
+    """A1 (set-oriented) — per-entity high-water mark over the sink table.
+
+    Replaces the per-item filtered ``max()`` of ``base_sink.py:314-335``.
+    A partial (map-side) max runs before the shuffle, so the shuffled data
+    is one row per key per map task.
+    """
+    return sink_df.groupBy(key).agg(F.max(ts_col).alias(watermark_col))
+
+
+def watermark_for(sink_df: DataFrame, key: str, key_value, ts_col: str) -> DataFrame:
+    """A1 (point form, parity with the reference's one-entity query):
+    ``SELECT max(ts) WHERE key = value``. Filter is pushed to the scan."""
+    return (sink_df.filter(F.col(key) == key_value)
+            .agg(F.max(ts_col).alias("last_dump")))
+
+
+def detect_changes(candidates: DataFrame, sink_df: DataFrame, key: str,
+                   modified_col: str, sink_ts_col: str,
+                   with_reason: bool = False) -> DataFrame:
+    """A2 — rows to dump: never dumped, or modified after their watermark.
+
+    Mirrors ``should_dump_item`` (``course_published.py:154-198``) tri-state:
+    no previous dump → dump; ``modified`` newer → dump; else skip. The
+    reference also treats a NULL ``modified`` as "dump" (it can't prove
+    freshness); we keep that with a coalesce-to-dump.
+
+    ``with_reason=True`` adds the reference's human-readable reason string
+    (consumed by the backfill CLI's ``(obj, should_dump, reason)`` tuples,
+    ``management/commands/dump_data_to_clickhouse.py:29-81``).
+    """
+    wm = watermarks(sink_df, key, sink_ts_col)
+    joined = candidates.join(wm, on=key, how="left")
+    never = F.col("last_dump").isNull()
+    newer = F.col(modified_col).isNull() | (F.col(modified_col) > F.col("last_dump"))
+    out = joined.filter(never | newer)
+    if with_reason:
+        out = out.withColumn(
+            "dump_reason",
+            F.when(never, F.lit("Item is not present in ClickHouse"))
+             .otherwise(F.concat(F.lit("Item was modified after last dump at "),
+                                 F.col("last_dump").cast("string"))),
+        )
+    return out.drop("last_dump")
+
+
+def change_predicate(modified_col: Column, last_dump: Column) -> Column:
+    """The bare A2 predicate, reusable inside other plans."""
+    return last_dump.isNull() | modified_col.isNull() | (modified_col > last_dump)
