@@ -1,0 +1,323 @@
+"""Query registry: every implemented operator as a named
+``(spark, sf_dir) -> DataFrame`` callable plus its DuckDB oracle SQL.
+
+``__spark_entry__.queries()``/``oracle_sql()`` are thin views over this.
+Each entry exercises one operator from SURVEY.md §2 (or one greenfield
+extension) against the driver's synthetic tables. Column aliases are kept
+identical between the Spark plan and the SQL so the driver's
+order-insensitive value-hash comparison is meaningful.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.derivations import (
+    deterministic_dump_id,
+    deterministic_dump_id_sql,
+    json_pack,
+    bool_flag,
+    member_flag,
+    normalize_apostrophes,
+    strip_branch_and_version,
+)
+from .operators import joins, scans
+from .operators.incremental import watermarks
+from .plans.pipelines import flagship_events_incremental
+from .session import tune_session
+from .sources.tables import load_table
+
+# Cutoff splitting events into "already dumped" vs "new" for the flagship
+# incremental-load scenario (events span 2024-01; early cutoff ≈ 1/3 new).
+FLAGSHIP_CUTOFF = "2024-01-05 00:00:00"
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+        REGISTRY[name] = (wrapped, sql)
+        return wrapped
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, name, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Flagship (EP3 pipeline: A1 + A2 + P1-P5 composed)
+# --------------------------------------------------------------------------
+
+@register("flagship_incremental_dump", f"""
+WITH wm AS (
+  SELECT user_id AS entity_id, max(ts) AS last_dump
+  FROM events WHERE ts < TIMESTAMP '{FLAGSHIP_CUTOFF}'
+  GROUP BY user_id
+)
+SELECT
+  e.event_id, e.user_id, e.event_type, e.ts AS modified,
+  json_object('event_type', e.event_type, 'value', e.value,
+              'props', e.props) AS event_data_json,
+  {deterministic_dump_id_sql('e.event_id')} AS dump_id,
+  TIMESTAMP '{FLAGSHIP_CUTOFF}' AS time_last_dumped
+FROM events e
+LEFT JOIN wm ON e.user_id = wm.entity_id
+WHERE wm.last_dump IS NULL OR e.ts > wm.last_dump
+""")
+def _flagship(spark, sf_dir):
+    return flagship_events_incremental(_t(spark, sf_dir, "events"), FLAGSHIP_CUTOFF)
+
+
+# --------------------------------------------------------------------------
+# S1-S6: scans & filters (base_sink.py:159-167,220-224,284-306)
+# --------------------------------------------------------------------------
+
+@register("s1_full_scan", "SELECT * FROM nation")
+def _s1(spark, sf_dir):
+    return scans.full_scan(_t(spark, sf_dir, "nation"))
+
+
+@register("s2_range_scan",
+          "SELECT * FROM orders WHERE o_orderkey > 1200")
+def _s2(spark, sf_dir):
+    return scans.range_scan(_t(spark, sf_dir, "orders"), "o_orderkey", 1200)
+
+
+@register("s3_in_list_filter",
+          "SELECT * FROM customer WHERE c_custkey IN (1, 5, 7, 11, 42)")
+def _s3(spark, sf_dir):
+    return scans.in_list(_t(spark, sf_dir, "customer"), "c_custkey", [1, 5, 7, 11, 42])
+
+
+@register("s4_not_in_filter",
+          "SELECT * FROM supplier WHERE s_suppkey NOT IN (1, 2, 3)")
+def _s4(spark, sf_dir):
+    return scans.not_in_list(_t(spark, sf_dir, "supplier"), "s_suppkey", [1, 2, 3])
+
+
+@register("s5_limit_after_filter", """
+SELECT * FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_orderkey LIMIT 50
+""")
+def _s5(spark, sf_dir):
+    # L1 semantics: limit applies AFTER the eligibility filter
+    # (dump_data_to_clickhouse.py:70-74); ordered so the top-n is stable.
+    filtered = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return scans.limited(filtered, 50, order_by="o_orderkey")
+
+
+@register("s6_point_lookup", "SELECT * FROM part WHERE p_partkey = 42")
+def _s6(spark, sf_dir):
+    return scans.point_lookup(_t(spark, sf_dir, "part"), "p_partkey", 42)
+
+
+# --------------------------------------------------------------------------
+# S7-S9: joins (user_profile_sink.py:18-19, external_id_sink.py:18-19,
+# utils.py:62-68)
+# --------------------------------------------------------------------------
+
+@register("s7_dim_enrich_join", """
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name AS nation_name
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+""")
+def _s7(spark, sf_dir):
+    out = joins.enrich(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"),
+                       "c_nationkey", "n_nationkey", {"n_name": "nation_name"})
+    return out.select("c_custkey", "c_name", "c_acctbal", "nation_name")
+
+
+@register("s8_double_dim_join", """
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name, r.r_name AS region_name
+FROM supplier s
+LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+""")
+def _s8(spark, sf_dir):
+    step1 = joins.enrich(_t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"),
+                         "s_nationkey", "n_nationkey",
+                         {"n_name": "nation_name", "n_regionkey": "n_regionkey"})
+    step2 = joins.enrich(step1, _t(spark, sf_dir, "region"),
+                         "n_regionkey", "r_regionkey", {"r_name": "region_name"})
+    return step2.select("s_suppkey", "s_name", "nation_name", "region_name")
+
+
+@register("s9_parent_child_expand", """
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderdate
+FROM lineitem l
+JOIN (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F') o
+  ON l.l_orderkey = o.o_orderkey
+""")
+def _s9(spark, sf_dir):
+    parents = (_t(spark, sf_dir, "orders")
+               .filter(F.col("o_orderstatus") == "F")
+               .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"))
+    out = joins.expand_children(parents, _t(spark, sf_dir, "lineitem"), "l_orderkey")
+    return out.select("l_orderkey", "l_linenumber", "l_quantity", "o_orderdate")
+
+
+# --------------------------------------------------------------------------
+# P1-P8: projection & derived columns (serializers.py, course_published.py)
+# --------------------------------------------------------------------------
+
+@register("p1_projection_rename", """
+SELECT o_orderkey AS pk, o_orderdate AS course_start,
+       o_orderpriority AS priority, o_totalprice AS total
+FROM orders
+""")
+def _p1(spark, sf_dir):
+    # P1: fixed column list + rename via source= (serializers.py:44-66).
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderdate").alias("course_start"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("total"),
+    )
+
+
+@register("p2_p3_dump_metadata", f"""
+SELECT o_orderkey,
+       {deterministic_dump_id_sql('o_orderkey')} AS dump_id,
+       TIMESTAMP '2024-02-01 00:00:00' AS time_last_dumped
+FROM orders
+""")
+def _p2(spark, sf_dir):
+    # P2/P3 oracle-checkable form: dump_id derived from the key, ingest
+    # time pinned. Production paths use uuid4-per-batch + now() via
+    # functions.derivations.dump_id_expr / ingest_timestamp.
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        deterministic_dump_id(F.col("o_orderkey")).alias("dump_id"),
+        F.lit("2024-02-01 00:00:00").cast("timestamp").alias("time_last_dumped"),
+    )
+
+
+@register("p4_json_pack", """
+SELECT p_partkey,
+       json_object('brand', p_brand, 'type', p_type, 'size', p_size,
+                   'retail_price', p_retailprice) AS part_data_json
+FROM part
+""")
+def _p4(spark, sf_dir):
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        json_pack(brand=F.col("p_brand"), type=F.col("p_type"),
+                  size=F.col("p_size"),
+                  retail_price=F.col("p_retailprice")).alias("part_data_json"),
+    )
+
+
+@register("p5_casts_flags", """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS returned_flag,
+       CAST(l_quantity AS BIGINT) AS quantity_int,
+       CAST(l_orderkey AS VARCHAR) AS orderkey_str
+FROM lineitem
+""")
+def _p5(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        bool_flag(F.col("l_returnflag") == "R").alias("returned_flag"),
+        F.col("l_quantity").cast("bigint").alias("quantity_int"),
+        F.col("l_orderkey").cast("string").alias("orderkey_str"),
+    )
+
+
+@register("p6_string_normalize", """
+SELECT c_custkey,
+       replace('it’s ' || c_name, '’', '''') AS display_name
+FROM customer
+""")
+def _p6(spark, sf_dir):
+    # P6: typographic-apostrophe normalization (course_published.py:119),
+    # exercised on a synthesized display name containing one.
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        normalize_apostrophes(
+            F.concat(F.lit("it’s "), F.col("c_name"))).alias("display_name"),
+    )
+
+
+@register("p7_strip_branch_version", """
+SELECT o_orderkey,
+       regexp_replace(
+         'block-v1:org+course+run+type@vertical+branch@draft+version@abc'
+           || CAST(o_orderkey AS VARCHAR) || '+block@b' || CAST(o_orderkey AS VARCHAR),
+         '\\+(branch|version)@[^+]*', '', 'g') AS location
+FROM orders
+""")
+def _p7(spark, sf_dir):
+    # P7: canonical usage key (course_published.py:129-137) over
+    # synthesized locations carrying branch+version decorations.
+    raw = F.concat(
+        F.lit("block-v1:org+course+run+type@vertical+branch@draft+version@abc"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("+block@b"), F.col("o_orderkey").cast("string"))
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", strip_branch_and_version(raw).alias("location"))
+
+
+@register("p8_member_flag", """
+SELECT event_id, event_type,
+       CASE WHEN event_type IN ('error', 'purchase') THEN 1 ELSE 0 END AS flagged
+FROM events
+""")
+def _p8(spark, sf_dir):
+    # P8: DETACHED_XBLOCK_TYPES-style set membership (utils.py:50-59).
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", "event_type",
+                     member_flag(F.col("event_type"), ("error", "purchase"))
+                     .alias("flagged"))
+
+
+# --------------------------------------------------------------------------
+# A1/A3: aggregates (base_sink.py:314-335, user_retire.py:33-34)
+# --------------------------------------------------------------------------
+
+@register("a1_watermarks", """
+SELECT user_id AS entity_id, max(ts) AS last_dump
+FROM events GROUP BY user_id
+""")
+def _a1(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumnRenamed("user_id", "entity_id")
+    return watermarks(ev, "entity_id", "ts")
+
+
+@register("a3_distinct_sorted_ids",
+          "SELECT DISTINCT user_id FROM events")
+def _a3(spark, sf_dir):
+    # user_retire.py:33-34 builds a sorted distinct id set; the sort is a
+    # presentation detail (hash compare is order-insensitive).
+    return _t(spark, sf_dir, "events").select("user_id").distinct()
+
+
+# --------------------------------------------------------------------------
+# D1: PII retirement delete-as-anti-join (user_retire.py:23-49)
+# --------------------------------------------------------------------------
+
+RETIRED_USER_IDS = (3, 17, 42, 99)
+
+
+@register("d1_retire_users", f"""
+SELECT * FROM events
+WHERE user_id NOT IN ({", ".join(map(str, RETIRED_USER_IDS))})
+""")
+def _d1(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    retired = spark.createDataFrame([(i,) for i in RETIRED_USER_IDS], ["user_id"])
+    return scans.semi_join_ids(ev, "user_id", retired, anti=True)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
