@@ -49,9 +49,9 @@ def detect_changes(candidates: DataFrame, sink_df: DataFrame, key: str,
     """A2 — rows to dump: never dumped, or modified after their watermark.
 
     Mirrors ``should_dump_item`` (``course_published.py:154-198``) tri-state:
-    no previous dump → dump; ``modified`` newer → dump; else skip. The
-    reference also treats a NULL ``modified`` as "dump" (it can't prove
-    freshness); we keep that with a coalesce-to-dump.
+    never dumped → dump (even with NULL ``modified``); dumped before but
+    NULL ``modified`` → SKIP ("No last modified date", lines 174-177);
+    ``modified`` strictly newer → dump; equal/older → skip.
 
     ``with_reason=True`` adds the reference's human-readable reason string
     (consumed by the backfill CLI's ``(obj, should_dump, reason)`` tuples,
@@ -60,7 +60,7 @@ def detect_changes(candidates: DataFrame, sink_df: DataFrame, key: str,
     wm = watermarks(sink_df, key, sink_ts_col)
     joined = candidates.join(wm, on=key, how="left")
     never = F.col("last_dump").isNull()
-    newer = F.col(modified_col).isNull() | (F.col(modified_col) > F.col("last_dump"))
+    newer = F.col(modified_col) > F.col("last_dump")  # NULL-safe: NULL → skip
     out = joined.filter(never | newer)
     if with_reason:
         out = out.withColumn(
@@ -74,4 +74,4 @@ def detect_changes(candidates: DataFrame, sink_df: DataFrame, key: str,
 
 def change_predicate(modified_col: Column, last_dump: Column) -> Column:
     """The bare A2 predicate, reusable inside other plans."""
-    return last_dump.isNull() | modified_col.isNull() | (modified_col > last_dump)
+    return last_dump.isNull() | (modified_col > last_dump)

@@ -278,6 +278,82 @@ def _p8(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# T1-T3: hierarchy operators (course_published.py:47-94, base_sink.py:184-203)
+# --------------------------------------------------------------------------
+
+@register("t1_tree_ordinals", """
+WITH totals AS (
+  SELECT event_id, user_id, event_type,
+    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      OVER w AS sec_total,
+    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      OVER w AS sub_total,
+    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      OVER w AS unit_total
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, event_type,
+  CAST(sec_total AS INT) AS section,
+  CAST(sub_total - coalesce(
+    last_value(CASE WHEN event_type = 'signup' THEN sub_total END IGNORE NULLS)
+      OVER w, 0) AS INT) AS subsection,
+  CAST(unit_total - coalesce(
+    last_value(CASE WHEN event_type IN ('signup', 'view') THEN unit_total END
+               IGNORE NULLS) OVER w, 0) AS INT) AS unit
+FROM totals
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def _t1(spark, sf_dir):
+    # T1 exercised on the events stream: each user's event history is a
+    # "course tree" where signup opens a section, view a subsection, click
+    # a unit — same counter semantics as course_published.py:75-87.
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    from .operators.tree import tree_ordinals
+    return tree_ordinals(ev, partition_key="user_id", order_col="event_id",
+                         type_col="event_type", section_type="signup",
+                         subsection_type="view", unit_type="click")
+
+
+@register("t2_last_wins_dedup", """
+SELECT user_id, event_type, event_id, ts, value, props
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY event_id DESC) = 1
+""")
+def _t2(spark, sf_dir):
+    # T2: later traversal index wins (course_published.py:90-94) — here
+    # the latest event per (user, type).
+    from .operators.tree import last_wins_dedup
+    return last_wins_dedup(_t(spark, sf_dir, "events"),
+                           ["user_id", "event_type"], "event_id")
+
+
+@register("t3_fan_out_metadata", f"""
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+       {deterministic_dump_id_sql('o.o_orderkey')} AS dump_id,
+       o.o_orderdate AS time_last_dumped
+FROM lineitem l
+JOIN (SELECT o_orderkey, o_orderdate FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+""")
+def _t3(spark, sf_dir):
+    # T3: children inherit the parent dump's lineage metadata
+    # (base_sink.py:184-203); dump_id made deterministic for the oracle.
+    from .operators.tree import fan_out
+    parents = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        deterministic_dump_id(F.col("o_orderkey")).alias("dump_id"),
+        F.col("o_orderdate").alias("time_last_dumped"))
+    children = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+    return fan_out(parents, children, "l_orderkey",
+                   {"dump_id": "dump_id", "time_last_dumped": "time_last_dumped"})
+
+
+# --------------------------------------------------------------------------
 # A1/A3: aggregates (base_sink.py:314-335, user_retire.py:33-34)
 # --------------------------------------------------------------------------
 

@@ -47,19 +47,21 @@ def test_watermark_point_form(spark):
 
 def test_change_detection_truth_table(spark):
     # Mirrors should_dump_item's tri-state (course_published.py:154-198):
-    # never dumped -> dump; modified after watermark -> dump;
-    # modified at/before watermark -> skip; NULL modified -> dump.
+    # never dumped -> dump (even with NULL modified); modified after
+    # watermark -> dump; at/before -> skip; dumped + NULL modified -> skip
+    # ("No last modified date in CourseOverview", lines 174-177).
     candidates = spark.createDataFrame([
         Row(key="new", modified=T0),     # no watermark -> dump
+        Row(key="new2", modified=None),  # no watermark, no mtime -> dump
         Row(key="a", modified=T2),       # newer -> dump
         Row(key="a", modified=T1),       # equal -> skip
         Row(key="b", modified=T0),       # older -> skip
-        Row(key="b", modified=None),     # unknown mtime -> dump
+        Row(key="b", modified=None),     # dumped + unknown mtime -> skip
     ])
     out = detect_changes(candidates, _sink(spark), "key", "modified",
                          "time_last_dumped", with_reason=True)
     got = {(r["key"], r["modified"]) for r in out.collect()}
-    assert got == {("new", T0), ("a", T2), ("b", None)}
+    assert got == {("new", T0), ("new2", None), ("a", T2)}
     reasons = {r["key"]: r["dump_reason"] for r in out.collect()}
     assert reasons["new"] == "Item is not present in ClickHouse"
     assert reasons["a"].startswith("Item was modified after last dump at")
