@@ -391,6 +391,63 @@ def _d1(spark, sf_dir):
     return scans.semi_join_ids(ev, "user_id", retired, anti=True)
 
 
+# --------------------------------------------------------------------------
+# Streaming window aggregates (streaming/windows.py) — oracle-checked in
+# their batch form; stream-mode parity is pinned in tests/test_streaming.py
+# --------------------------------------------------------------------------
+
+@register("stream_tumbling_stats", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS value_sum
+FROM events GROUP BY 1, 2
+""")
+def _w1(spark, sf_dir):
+    from .streaming.windows import tumbling_event_stats
+    return tumbling_event_stats(_t(spark, sf_dir, "events"))
+
+
+@register("stream_sliding_counts", """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS b30, event_type FROM events
+), slots AS (
+  SELECT b30 AS window_start, event_type FROM b
+  UNION ALL
+  SELECT b30 - INTERVAL '30 minutes' AS window_start, event_type FROM b
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM slots GROUP BY 1, 2
+""")
+def _w2(spark, sf_dir):
+    # width 2× slide → every event lands in exactly two windows, which is
+    # what the UNION ALL oracle enumerates.
+    from .streaming.windows import sliding_event_stats
+    return sliding_event_stats(_t(spark, sf_dir, "events"))
+
+
+@register("stream_session_stats", """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER uw IS NULL
+                OR ts - lag(ts) OVER uw >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW uw AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS first_event, max(ts) AS last_event,
+       count(*) AS n_events, round(sum(value), 6) AS value_sum
+FROM sessions GROUP BY user_id, sid
+""")
+def _w3(spark, sf_dir):
+    # Spark session_window closes at gap ≥ 30 min (the window spans
+    # [start, last+gap)), hence the >= in the gaps-and-islands oracle.
+    from .streaming.windows import session_event_stats
+    return session_event_stats(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

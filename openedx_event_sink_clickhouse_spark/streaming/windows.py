@@ -1,0 +1,70 @@
+"""Watermarked window aggregates over the event stream.
+
+The reference has no windowed analytics (its "watermark" is a per-entity
+high-water mark, A1/A2); these are the greenfield stream operators the
+north star asks for. Each works UNCHANGED on a batch DataFrame (the
+registry's oracle-checked form) and on a streaming DataFrame (watermark
+attached only when ``df.isStreaming``), because Spark's ``window``/
+``session_window`` are plan-level constructs, not stream-only.
+
+Scale: tumbling/sliding aggs are hash aggregations keyed by
+(window, event_type) — partial aggregation map-side, tiny shuffled state.
+Session windows keep per-user state; state store size is bounded by the
+watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_watermark(events: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    return events.withWatermark(ts_col, delay) if events.isStreaming else events
+
+
+def tumbling_event_stats(events: DataFrame, ts_col: str = "ts",
+                         width: str = "1 hour",
+                         watermark_delay: str = "1 hour") -> DataFrame:
+    """Per (tumbling window, event_type): count + value sum."""
+    ev = _maybe_watermark(events, ts_col, watermark_delay)
+    win = F.window(F.col(ts_col), width)
+    return (ev.groupBy(win.alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("value_sum"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "value_sum"))
+
+
+def sliding_event_stats(events: DataFrame, ts_col: str = "ts",
+                        width: str = "1 hour", slide: str = "30 minutes",
+                        watermark_delay: str = "1 hour") -> DataFrame:
+    """Per (sliding window, event_type) event counts — each event lands in
+    width/slide overlapping windows."""
+    ev = _maybe_watermark(events, ts_col, watermark_delay)
+    win = F.window(F.col(ts_col), width, slide)
+    return (ev.groupBy(win.alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events"))
+
+
+def session_event_stats(events: DataFrame, ts_col: str = "ts",
+                        gap: str = "30 minutes",
+                        watermark_delay: str = "1 hour") -> DataFrame:
+    """Per-user session windows (gap-based): events / value sum / bounds.
+
+    Streaming: ``session_window`` + watermark = Spark's stateful session
+    operator. Batch: the same expression compiles to a sort-based
+    aggregation — and equals the classic gaps-and-islands SQL, which is
+    what the DuckDB oracle uses.
+    """
+    ev = _maybe_watermark(events, ts_col, watermark_delay)
+    win = F.session_window(F.col(ts_col), gap)
+    return (ev.groupBy(win.alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("value_sum"),
+                 F.min(ts_col).alias("first_event"),
+                 F.max(ts_col).alias("last_event"))
+            .select("user_id", "first_event", "last_event", "n_events",
+                    "value_sum"))

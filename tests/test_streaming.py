@@ -1,0 +1,107 @@
+"""F1 streaming layer: foreachBatch dispatch reusing batch pipelines, and
+stream-mode window aggregates matching their batch form (the registry's
+oracle-checked shape)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+from openedx_event_sink_clickhouse_spark.streaming.dispatch import (
+    dispatch_batch,
+    run_dispatch_stream,
+)
+from openedx_event_sink_clickhouse_spark.streaming.windows import (
+    session_event_stats,
+    tumbling_event_stats,
+)
+
+PUBLISH_SCHEMA = "model string, object_id string, ts timestamp"
+
+
+def test_dispatch_batch_routes_and_dedups(spark, tmp_path):
+    batch = spark.createDataFrame(
+        [("course_overviews", "c1"), ("course_overviews", "c1"),  # dup → 1 dump
+         ("course_overviews", "c2"), ("user_profile", "u9"),
+         ("unknown_model", "x1")],
+        ["model", "object_id"])
+    calls, unknown = {}, []
+    handlers = {
+        "course_overviews": lambda ids: calls.setdefault(
+            "course_overviews", sorted(r[0] for r in ids.collect())),
+        "user_profile": lambda ids: calls.setdefault(
+            "user_profile", sorted(r[0] for r in ids.collect())),
+    }
+    dispatch_batch(batch, handlers, on_unknown=unknown.append)
+    assert calls == {"course_overviews": ["c1", "c2"], "user_profile": ["u9"]}
+    assert unknown == ["unknown_model"]
+
+
+def test_run_dispatch_stream_end_to_end(spark, tmp_path):
+    # publish events arrive as files (the test stand-in for kafka); the
+    # stream drains with availableNow and hands micro-batches to the same
+    # handlers the batch path uses (signals.py → tasks.py replacement).
+    src = tmp_path / "publish"
+    src.mkdir()
+    spark.createDataFrame(
+        [("course_overviews", "c1"), ("user_profile", "u1"),
+         ("course_overviews", "c2")],
+        ["model", "object_id"],
+    ).withColumn("ts", F.current_timestamp()).write.parquet(str(src / "b0"))
+
+    out = tmp_path / "handled"
+    out.mkdir()
+
+    def make_handler(model):
+        def handler(ids):
+            rows = sorted(r[0] for r in ids.collect())
+            with open(out / f"{model}.json", "w", encoding="utf-8") as f:
+                json.dump(rows, f)
+        return handler
+
+    stream = (spark.readStream.schema(PUBLISH_SCHEMA)
+              .parquet(str(src / "*")))
+    q = run_dispatch_stream(
+        stream,
+        {m: make_handler(m) for m in ("course_overviews", "user_profile")},
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    got = {p[:-5]: json.load(open(out / p, encoding="utf-8"))
+           for p in os.listdir(out)}
+    assert got == {"course_overviews": ["c1", "c2"], "user_profile": ["u1"]}
+
+
+def _collect_stream(spark, df, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stats_stream_equals_batch(spark, sf_dir, tmp_path):
+    # (source testdata is TIMESTAMP(NANOS); rewrite via the batch loader so
+    # the stream reader sees standard µs timestamps)
+    events = load_table(spark, "events", sf_dir)
+    events.write.parquet(str(tmp_path / "ev"))
+    batch = {tuple(r) for r in tumbling_event_stats(events).collect()}
+    stream_src = (spark.readStream.schema(events.schema)
+                  .parquet(str(tmp_path / "ev")))
+    got = {tuple(r) for r in
+           _collect_stream(spark, tumbling_event_stats(stream_src),
+                           "tumbling_mem").collect()}
+    assert got == batch
+
+
+def test_session_stats_stream_equals_batch(spark, sf_dir, tmp_path):
+    events = load_table(spark, "events", sf_dir)
+    events.write.parquet(str(tmp_path / "ev"))
+    batch = {tuple(r) for r in session_event_stats(events).collect()}
+    stream_src = (spark.readStream.schema(events.schema)
+                  .parquet(str(tmp_path / "ev")))
+    got = {tuple(r) for r in
+           _collect_stream(spark, session_event_stats(stream_src),
+                           "session_mem").collect()}
+    assert got == batch
