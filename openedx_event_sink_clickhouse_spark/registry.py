@@ -24,6 +24,7 @@ from .functions.derivations import (
     normalize_apostrophes,
     strip_branch_and_version,
 )
+from .functions.text import shingles_sql
 from .operators import joins, scans
 from .operators.incremental import watermarks
 from .plans.pipelines import flagship_events_incremental
@@ -389,6 +390,142 @@ def _d1(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     retired = spark.createDataFrame([(i,) for i in RETIRED_USER_IDS], ["user_id"])
     return scans.semi_join_ids(ev, "user_id", retired, anti=True)
+
+
+# --------------------------------------------------------------------------
+# Dedup suite (operators/dedup.py) — training-data-pipeline extensions
+# --------------------------------------------------------------------------
+
+def _minhash_sql_exprs(num_hashes=12, bands=4, rows=3):
+    from .functions.hashes import md5_hash32_sql
+    mins = ", ".join(
+        f"list_min(list_transform(sh, x -> {md5_hash32_sql('x', s)}))"
+        for s in range(num_hashes))
+    band_hashes = ", ".join(
+        "md5(" + " || ',' || ".join(
+            f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows))
+        + ")" for b in range(bands))
+    return mins, band_hashes
+
+
+@register("dedup_exact", """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""")
+def _dd1(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_MINS, _BANDS = _minhash_sql_exprs()
+
+@register("dedup_minhash_lsh", f"""
+WITH base AS (
+  SELECT doc_id AS id, {shingles_sql('text')} AS sh
+  FROM documents
+), nonempty AS (
+  SELECT * FROM base WHERE len(sh) > 0
+), sigs AS (
+  SELECT id, sh, [{_MINS}] AS sig FROM nonempty
+), banded AS (
+  SELECT id, sh, unnest([{_BANDS}]) AS band_hash,
+         unnest(generate_series(0, 3)) AS band_idx
+  FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.id < b.id
+)
+SELECT p.id_a, p.id_b,
+       round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+             len(list_distinct(x.sh || y.sh)), 6) AS jaccard_sim
+FROM pairs p
+JOIN nonempty x ON p.id_a = x.id
+JOIN nonempty y ON p.id_b = y.id
+WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+      len(list_distinct(x.sh || y.sh)) >= 0.6
+""")
+def _dd2(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@register("dedup_simhash", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+), h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(w || '#0'), 1, 8) AS BIGINT) AS hv
+  FROM toks
+), bits AS (
+  SELECT doc_id, j, sum(2 * ((hv >> j) & 1) - 1) AS tally
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) js
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN tally > 0 THEN (CAST(1 AS BIGINT) << j)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""")
+def _dd3(spark, sf_dir):
+    from .operators.dedup import simhash
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash_pairs", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+), h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(w || '#0'), 1, 8) AS BIGINT) AS hv
+  FROM toks
+), bits AS (
+  SELECT doc_id, j, sum(2 * ((hv >> j) & 1) - 1) AS tally
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) js
+  GROUP BY doc_id, j
+), sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN tally > 0 THEN (CAST(1 AS BIGINT) << j)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, simhash,
+         unnest(generate_series(0, 3)) AS band_idx,
+         unnest([simhash & 255, (simhash >> 8) & 255,
+                 (simhash >> 16) & 255, (simhash >> 24) & 255]) AS band_val
+  FROM sigs
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")
+def _dd4(spark, sf_dir):
+    # Banding is a pigeonhole-exact candidate filter here (hamming ≤ 3
+    # over 4 bands ⇒ ≥ 1 identical band), so the SQL twin reproduces the
+    # pair set exactly.
+    from .operators.dedup import simhash, simhash_near_pairs
+    sigs = simhash(_t(spark, sf_dir, "documents"))
+    return simhash_near_pairs(sigs, max_hamming=3)
+
+
+@register("dedup_ngram_jaccard", f"""
+WITH base AS (
+  SELECT doc_id, {shingles_sql('text')} AS sh
+  FROM documents
+), nonempty AS (SELECT * FROM base WHERE len(sh) > 0),
+probe AS (SELECT sh AS psh FROM nonempty WHERE doc_id = 0)
+SELECT d.doc_id,
+       round(len(list_intersect(d.sh, probe.psh))::DOUBLE /
+             len(list_distinct(d.sh || probe.psh)), 6) AS jaccard_sim
+FROM nonempty d, probe
+WHERE d.doc_id <> 0
+""")
+def _dd5(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_vs_probe
+    return ngram_jaccard_vs_probe(_t(spark, sf_dir, "documents"), probe_id=0)
 
 
 # --------------------------------------------------------------------------

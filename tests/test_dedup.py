@@ -1,0 +1,69 @@
+"""Dedup operator behavior on planted duplicates (the oracle gate checks
+value parity; these pin semantics: dups found, non-dups not)."""
+
+from __future__ import annotations
+
+from openedx_event_sink_clickhouse_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_vs_probe,
+    simhash,
+    simhash_near_pairs,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun light")
+NEAR = BASE.replace("lazy", "sleepy")          # one-word edit → near-dup
+OTHER = ("completely different content about spark partitions shuffles "
+         "joins aggregates windows and catalyst optimizer rules for scale")
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER)],
+        ["doc_id", "text"])
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    out = {r["keep_id"]: r["n_copies"]
+           for r in exact_dedup(_docs(spark)).collect()}
+    assert out[0] == 2          # docs 0 and 1 collapse, min id kept
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
+             for r in minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0            # exact dup → jaccard 1
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5   # near-dup caught
+    assert not any(3 in p for p in pairs)  # unrelated doc never paired
+
+
+def test_simhash_near_pairs_and_distance(spark):
+    sigs = simhash(_docs(spark))
+    by_id = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert by_id[0] == by_id[1]            # identical text → identical sig
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_pairs(sigs, max_hamming=8).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 8
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_ngram_jaccard_vs_probe_ranks_near_dup_first(spark):
+    sims = {r["doc_id"]: r["jaccard_sim"]
+            for r in ngram_jaccard_vs_probe(_docs(spark), probe_id=0).collect()}
+    assert sims[1] == 1.0
+    assert sims[1] > sims[2] > sims[3]
+
+
+def test_minhash_lsh_skew_guard_drops_degenerate_buckets(spark):
+    # 50 identical docs → every band bucket has 50 members; max_bucket=10
+    # must suppress the quadratic blow-up (0 pairs), while the default
+    # keeps them (50·49/2 pairs).
+    docs = spark.createDataFrame([(i, BASE) for i in range(50)],
+                                 ["doc_id", "text"])
+    full = minhash_lsh_pairs(docs, threshold=0.9, max_bucket=None)
+    assert full.count() == 50 * 49 // 2
+    guarded = minhash_lsh_pairs(docs, threshold=0.9, max_bucket=10)
+    assert guarded.count() == 0
