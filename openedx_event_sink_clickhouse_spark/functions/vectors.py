@@ -1,0 +1,39 @@
+"""Vector math as Column expressions over ``array<double>``.
+
+``zip_with`` + ``aggregate`` keep the dot product inside whole-stage
+codegen — no UDF, no Arrow transfer. Verified bit-identical to DuckDB's
+``list_dot_product`` (both sum left-to-right in double), which is what
+makes cosine results oracle-checkable without tolerance bands.
+
+Embeddings arrive as ``array<float>``; ALWAYS cast to double before any
+arithmetic (float accumulation diverges between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`cosine` (operands must already be DOUBLE[])."""
+    return (f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b})))")

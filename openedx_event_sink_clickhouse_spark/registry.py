@@ -529,6 +529,87 @@ def _dd5(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Similarity search over embeddings (operators/similarity.py)
+# --------------------------------------------------------------------------
+
+def _cos_sql(a: str, b: str) -> str:
+    from .functions.vectors import cosine_sql
+    return cosine_sql(a, b)
+
+
+@register("sim_cosine_topk", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+SELECT vec_id, round(c, 6) AS cosine_sim FROM (
+  SELECT e.vec_id, {_cos_sql('e.v', 'p.pv')} AS c
+  FROM e, p WHERE e.vec_id <> 0
+) t ORDER BY c DESC, vec_id LIMIT 20
+""")
+def _sim1(spark, sf_dir):
+    from .operators.similarity import brute_force_topk
+    return brute_force_topk(_t(spark, sf_dir, "embeddings"), probe_id=0, k=20)
+
+
+@register("sim_neardup_pairs", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+SELECT id_a, id_b, round(c, 6) AS cosine_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql('a.v', 'b.v')} AS c
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+) t WHERE c >= 0.3
+""")
+def _sim2(spark, sf_dir):
+    from .operators.similarity import cosine_neardup_pairs
+    return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@register("sim_ivf_topk", f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),
+assign AS (
+  SELECT id, v, cid AS centroid FROM (
+    SELECT e.id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM e CROSS JOIN c) t
+  WHERE rn = 1
+), p AS (SELECT v AS pv, centroid AS pc FROM assign WHERE id = 0)
+SELECT id AS vec_id, round(c2, 6) AS cosine_sim FROM (
+  SELECT a.id, {_cos_sql('a.v', 'p.pv')} AS c2
+  FROM assign a, p WHERE a.centroid = p.pc AND a.id <> 0) t
+ORDER BY c2 DESC, id LIMIT 20
+""")
+def _sim3(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), probe_id=0, k=20,
+                    n_centroids=16)
+
+
+def _srp_oracle_sql(num_planes: int = 6, dim: int = 64) -> str:
+    from .operators.similarity import srp_planes
+    planes = srp_planes(num_planes, dim)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane!r}) > 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p, plane in enumerate(planes))
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (SELECT id, v, {bucket} AS bucket FROM e),
+p AS (SELECT v AS pv, bucket AS pb FROM sigs WHERE id = 0)
+SELECT id AS vec_id, round(c, 6) AS cosine_sim FROM (
+  SELECT s.id, {_cos_sql('s.v', 'p.pv')} AS c
+  FROM sigs s, p WHERE s.bucket = p.pb AND s.id <> 0) t
+ORDER BY c DESC, id LIMIT 20
+"""
+
+
+@register("sim_lsh_bucket_topk", _srp_oracle_sql())
+def _sim4(spark, sf_dir):
+    from .operators.similarity import srp_bucket_topk
+    return srp_bucket_topk(_t(spark, sf_dir, "embeddings"), probe_id=0, k=20,
+                           num_planes=6)
+
+
+# --------------------------------------------------------------------------
 # Streaming window aggregates (streaming/windows.py) — oracle-checked in
 # their batch form; stream-mode parity is pinned in tests/test_streaming.py
 # --------------------------------------------------------------------------
