@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced to full materialization with a cheap count-style
+action (``df.foreach`` would serialize rows to Python; ``count()`` after a
+``cache``-free plan measures the whole pipeline JVM-side). Timings are
+wall-clock per query, one warm-up of the session (not of the queries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+HEADLINE = [
+    "flagship_incremental_dump",   # A1+A2+P1-P5 incremental-dump pipeline
+    "t1_tree_ordinals",            # stateful tree-ordinal windows
+    "t3_fan_out_metadata",         # parent->child fan-out join
+    "p5_casts_flags",              # projection over lineitem (largest table)
+    "d1_retire_users",             # anti-join bulk delete
+    "dedup_exact",                 # exact dedup groupBy
+    "dedup_minhash_lsh",           # MinHash+LSH near-dup
+    "sim_cosine_topk",             # brute-force cosine top-k
+    "stream_tumbling_stats",       # windowed event aggregates
+    "text_quality_signals",        # text-analysis suite over documents
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as ent
+
+    qmap = ent.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -666,6 +666,127 @@ def _w3(spark, sf_dir):
     return session_event_stats(_t(spark, sf_dir, "events"))
 
 
+# --------------------------------------------------------------------------
+# Text analysis over documents (operators/textstats.py) — greenfield
+# training-data-pipeline layer (quality / lang-ID / tokens / fingerprints)
+# --------------------------------------------------------------------------
+
+def _stopword_in_list() -> str:
+    from .operators.textstats import STOPWORDS
+    return ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register("text_quality_signals", f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents
+)
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(w) AS n_words,
+  round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 6)
+    AS avg_word_len,
+  round((length(text) -
+         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+        / length(text), 6) AS punct_ratio,
+  round(len(list_filter(w, x -> x IN ({_stopword_in_list()})))::DOUBLE
+        / len(w), 6) AS stopword_ratio,
+  round(len(list_distinct(w))::DOUBLE / len(w), 6) AS uniq_word_ratio
+FROM base
+""")
+def _tx1(spark, sf_dir):
+    from .operators.textstats import quality_signals
+    return quality_signals(_t(spark, sf_dir, "documents"))
+
+
+@register("text_token_counts", r"""
+SELECT doc_id,
+  len(string_split(lower(text), ' ')) AS ws_tokens,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+    AS bpe_tokens
+FROM documents
+""")
+def _tx2(spark, sf_dir):
+    from .operators.textstats import token_counts
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle_sql() -> str:
+    from .operators.textstats import LANG_MARKERS
+    score_cols = ",\n  ".join(
+        "len(list_filter(w, x -> x IN ({vals}))) AS score_{lang}".format(
+            vals=", ".join(f"'{m}'" for m in marks), lang=lang)
+        for lang, marks in LANG_MARKERS.items())
+    best = "greatest(" + ", ".join(f"score_{l}" for l in LANG_MARKERS) + ")"
+    pred = "'und'"
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = (f"CASE WHEN best > 0 AND score_{lang} = best "
+                f"THEN '{lang}' ELSE {pred} END")
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents
+), scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+  {score_cols}
+  FROM base
+), withbest AS (
+  SELECT *, {best} AS best FROM scored
+)
+SELECT doc_id, labeled_lang,
+  {', '.join(f'score_{l}' for l in LANG_MARKERS)},
+  {pred} AS predicted_lang
+FROM withbest
+"""
+
+
+@register("text_language_id", _lang_id_oracle_sql())
+def _tx3(spark, sf_dir):
+    from .operators.textstats import language_id
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def _fingerprint_oracle_sql() -> str:
+    from .functions.hashes import md5_hash64_sql
+    sh = shingles_sql("text", 5).replace("list_distinct(", "(", 1)
+    h = md5_hash64_sql("x")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(lower(text), ' ')) >= 5
+              THEN {sh} ELSE [] END AS sh
+  FROM documents
+), hashed AS (
+  SELECT doc_id, list_sort(list_transform(sh, x -> {h})) AS hs FROM base
+)
+SELECT doc_id, hs[1] AS fingerprint64, hs[1:4] AS sketch FROM hashed
+"""
+
+
+@register("text_fingerprints", _fingerprint_oracle_sql())
+def _tx4(spark, sf_dir):
+    from .operators.textstats import fingerprints
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _corpus_profile_oracle_sql() -> str:
+    lid = _lang_id_oracle_sql()
+    return f"""
+WITH lid AS ({lid}),
+q AS ({REGISTRY['text_quality_signals'][1]})
+SELECT lid.predicted_lang, count(*) AS n_docs,
+  round(avg(q.n_words), 6) AS avg_n_words,
+  round(avg(q.stopword_ratio), 6) AS avg_stopword_ratio,
+  round(avg(q.uniq_word_ratio), 6) AS avg_uniq_word_ratio
+FROM q JOIN lid USING (doc_id)
+GROUP BY lid.predicted_lang
+"""
+
+
+@register("text_corpus_language_profile", _corpus_profile_oracle_sql())
+def _tx5(spark, sf_dir):
+    from .operators.textstats import corpus_language_profile
+    return corpus_language_profile(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

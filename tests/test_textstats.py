@@ -1,0 +1,82 @@
+"""Text-analysis operator tests: hand-computed goldens on tiny fixtures
+plus structural checks on the driver corpus. Mirrors the reference's
+golden-row test style (test_utils/helpers.py:240-289) at DataFrame level.
+"""
+
+from __future__ import annotations
+
+from openedx_event_sink_clickhouse_spark.operators.textstats import (
+    corpus_language_profile,
+    fingerprints,
+    language_id,
+    quality_signals,
+    token_counts,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_quality_signals_golden(spark):
+    df = _docs(spark, [(1, "The cat, and a dog!", "en")])
+    r = quality_signals(df).collect()[0]
+    # words: [the, cat,, and, a, dog!] -> 5 tokens, 15 word chars
+    assert r.n_chars == 19
+    assert r.n_words == 5
+    assert r.avg_word_len == 3.0
+    # non-[a-z0-9 ] chars: ',' and '!' -> 2/19
+    assert r.punct_ratio == round(2 / 19, 6)
+    # stopwords among tokens: the, and, a  ("cat," has the comma attached)
+    assert r.stopword_ratio == round(3 / 5, 6)
+    assert r.uniq_word_ratio == 1.0
+
+
+def test_token_counts_golden(spark):
+    df = _docs(spark, [(1, "ab1 c-d  e", "en")])
+    r = token_counts(df).collect()[0]
+    # whitespace split on single spaces: [ab1, c-d, '', e]
+    assert r.ws_tokens == 4
+    # regex runs: ab|1|c|-|d|e
+    assert r.bpe_tokens == 6
+
+
+def test_language_id_markers_and_tiebreak(spark):
+    df = _docs(spark, [
+        (1, "der hund und die katze ist da", "de"),
+        (2, "xyzzy qwerty", "zz"),          # no markers -> und
+        (3, "the la", "mix"),               # en==fr tie -> en (priority order)
+    ])
+    out = {r.doc_id: r for r in language_id(df).collect()}
+    assert out[1].predicted_lang == "de" and out[1].score_de == 4
+    assert out[2].predicted_lang == "und"
+    assert out[3].predicted_lang == "en"
+    assert out[3].score_en == out[3].score_fr == 1
+
+
+def test_fingerprints_shared_passage(spark):
+    shared = "one two three four five six seven"
+    df = _docs(spark, [
+        (1, shared + " tail a", "en"),
+        (2, "head b " + shared, "en"),
+        (3, "completely different words here now ok", "en"),
+    ])
+    out = {r.doc_id: r for r in fingerprints(df).collect()}
+    # docs 1 and 2 share 5-gram shingles from the common passage, so their
+    # sketches overlap; doc 3 shares nothing.
+    assert set(out[1].sketch) & set(out[2].sketch)
+    assert not set(out[1].sketch) & set(out[3].sketch)
+    assert out[1].fingerprint64 == min(out[1].sketch)
+
+
+def test_fingerprints_short_doc_null_safe(spark):
+    df = _docs(spark, [(1, "too short", "en")])
+    r = fingerprints(df).collect()[0]
+    assert r.fingerprint64 is None
+    assert r.sketch == []
+
+
+def test_corpus_profile_partitions_all_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = corpus_language_profile(docs).collect()
+    assert sum(r.n_docs for r in prof) == docs.count()
