@@ -55,6 +55,11 @@ def main() -> None:
     import __spark_entry__ as ent
 
     qmap = ent.queries()
+    # Warm the JVM (codegen, parquet footer reads, shuffle machinery) so
+    # per-query timings measure the plan, not first-query JIT.
+    qmap["s1_full_scan"](spark, sf_dir).count()
+    qmap["a1_watermarks"](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap.get(name)

@@ -28,11 +28,35 @@ from pyspark.sql import functions as F
 
 from ..functions.text import distinct_shingles
 
-# MinHash/LSH defaults: 12 hashes in 4 bands × 3 rows → catches
-# jaccard ≳ 0.6 with high probability ((1-(1-s^3)^4) ≈ 0.9 at s=0.8)
-NUM_HASHES = 12
-NUM_BANDS = 4
-ROWS_PER_BAND = 3
+# MinHash/LSH defaults: 16 hashes in 8 bands × 2 rows → threshold curve
+# centered near (1/b)^(1/r) ≈ 0.35 with P(caught) = 1-(1-s^2)^8 ≈ 0.995
+# at s = 0.7 — robust for the ≥ 0.5-0.6 thresholds the dedup queries use
+# (the exact-jaccard verify step discards the extra low-sim candidates).
+NUM_HASHES = 16
+NUM_BANDS = 8
+ROWS_PER_BAND = 2
+
+# Universal-hash families over ONE md5 base hash per shingle: family i is
+# h_i(x) = (a_i·md5_32(x) + b_i) mod MERSENNE31. One md5 per shingle
+# instead of NUM_HASHES (12× less hashing — md5 dominates the signature
+# cost); a_i < 2^30 and md5_32 < 2^32 keep a·h < 2^62, no BIGINT overflow
+# in either Spark or the DuckDB oracle. Constants from a fixed LCG so both
+# engines share them verbatim.
+MERSENNE31 = (1 << 31) - 1
+
+
+def _lcg_params(n: int = NUM_HASHES) -> list[tuple[int, int]]:
+    x, out = 1234567891, []
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 62)
+        a = (x >> 16) % ((1 << 30) - 1) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 62)
+        b = (x >> 16) % MERSENNE31
+        out.append((a, b))
+    return out
+
+
+MINHASH_PARAMS: list[tuple[int, int]] = _lcg_params()
 
 
 def _hash32_expr(x: str, seed: int) -> str:
@@ -63,13 +87,32 @@ def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
     return out.filter(F.size("shingles") > 0)
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = NUM_HASHES) -> Column:
-    """MinHash signature as an array<bigint> column — num_hashes
-    independent md5 families, each ``min`` taken inside one array
-    expression (no explode, no shuffle)."""
-    mins = [F.expr(f"array_min(transform(shingles, x -> {_hash32_expr('x', s)}))")
-            for s in range(num_hashes)]
+def shingle_hashes(shingle_col: Column) -> Column:
+    """One md5-derived 32-bit base hash per shingle (array<bigint>).
+    Materialize this as its own column so the md5 pass runs once; the
+    affine families in :func:`minhash_signature` are arithmetic over it.
+    (Higher-order array functions are outside whole-stage codegen and get
+    no common-subexpression elimination — inlining the md5 transform into
+    each family would recompute it NUM_HASHES times.)"""
+    return F.transform(shingle_col, _base32)
+
+
+def minhash_signature(hash_col: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """MinHash signature as an array<bigint> column over the base-hash
+    array from :func:`shingle_hashes`: family i is min over
+    (a_i·h + b_i) mod 2^31−1 — pure arithmetic, no further hashing."""
+    def family(a: int, b: int):
+        # single-parameter lambda: PySpark would misread a second default
+        # argument as the (element, index) two-arg transform form
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)
+
+    mins = [F.array_min(F.transform(hash_col, family(a, b)))
+            for a, b in MINHASH_PARAMS[:num_hashes]]
     return F.array(*mins)
+
+
+def _base32(x: Column) -> Column:
+    return F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
 
 
 def lsh_bands(sig_col: Column, num_bands: int = NUM_BANDS,
@@ -105,11 +148,21 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     join from going quadratic at scale; dropped buckets only lose pairs
     that other bands will usually still catch.
     """
+    from pyspark import StorageLevel
+
     base = (with_shingles(docs, text_col, n)
             .select(F.col(id_col).alias("id"), "shingles"))
-    sigs = base.select(
-        "id", "shingles",
-        lsh_bands(minhash_signature(F.col("shingles"))).alias("bands"))
+    # Shingling + hashing is the expensive narrow stage and is consumed by
+    # three downstream subplans (bucket-skew guard, pair join, jaccard
+    # verify) — persist it once instead of recomputing per subplan. At
+    # cluster scale MEMORY_AND_DISK spills instead of evicting; the
+    # persisted projection is (id, shingles, bands), a small multiple of
+    # the text itself.
+    sigs = (base
+            .withColumn("hv", shingle_hashes(F.col("shingles")))
+            .select("id", "shingles",
+                    lsh_bands(minhash_signature(F.col("hv"))).alias("bands"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
     buckets = sigs.select(
         "id", F.posexplode("bands").alias("band_idx", "band_hash"))
     if max_bucket is not None:
@@ -122,9 +175,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
              .filter(F.col("a.id") < F.col("b.id"))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .distinct())
-    left = base.select(F.col("id").alias("id_a"),
+    left = sigs.select(F.col("id").alias("id_a"),
                        F.col("shingles").alias("sh_a"))
-    right = base.select(F.col("id").alias("id_b"),
+    right = sigs.select(F.col("id").alias("id_b"),
                         F.col("shingles").alias("sh_b"))
     return (pairs.join(left, "id_a").join(right, "id_b")
             .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))

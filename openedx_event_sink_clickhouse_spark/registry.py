@@ -397,10 +397,12 @@ def _d1(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def _minhash_sql_exprs(num_hashes=12, bands=4, rows=3):
-    from .functions.hashes import md5_hash32_sql
+    # Mirrors operators/dedup.py: one md5 base hash per shingle (the `hv`
+    # CTE column), then affine universal-hash families (a·h+b) mod 2^31−1.
+    from .operators.dedup import MERSENNE31, MINHASH_PARAMS
     mins = ", ".join(
-        f"list_min(list_transform(sh, x -> {md5_hash32_sql('x', s)}))"
-        for s in range(num_hashes))
+        f"list_min(list_transform(hv, h -> (h * {a} + {b}) % {MERSENNE31}))"
+        for a, b in MINHASH_PARAMS[:num_hashes])
     band_hashes = ", ".join(
         "md5(" + " || ',' || ".join(
             f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows))
@@ -418,7 +420,7 @@ def _dd1(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-_MINS, _BANDS = _minhash_sql_exprs()
+_MINS, _BANDS = _minhash_sql_exprs(num_hashes=16, bands=8, rows=2)
 
 @register("dedup_minhash_lsh", f"""
 WITH base AS (
@@ -426,11 +428,16 @@ WITH base AS (
   FROM documents
 ), nonempty AS (
   SELECT * FROM base WHERE len(sh) > 0
+), hashed AS (
+  SELECT id, sh,
+         list_transform(sh, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT))
+           AS hv
+  FROM nonempty
 ), sigs AS (
-  SELECT id, sh, [{_MINS}] AS sig FROM nonempty
+  SELECT id, sh, [{_MINS}] AS sig FROM hashed
 ), banded AS (
   SELECT id, sh, unnest([{_BANDS}]) AS band_hash,
-         unnest(generate_series(0, 3)) AS band_idx
+         unnest(generate_series(0, 7)) AS band_idx
   FROM sigs
 ), pairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
