@@ -1,0 +1,258 @@
+"""Multimodal column operators: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas UDF
+pipelines (``mapInPandas``).
+
+Greenfield relative to the reference (SURVEY.md §2 "does NOT have" note) —
+this is the 100 TB training-data path where payloads dwarf text:
+
+- **Schema**: one row per asset — ``(media_id, kind, content: binary,
+  meta: struct)``. Metadata is a typed struct (not JSON) so Catalyst can
+  prune/push down on it WITHOUT touching the binary payload; a scan that
+  filters on ``meta.width`` must never deserialize ``content``.
+- **Partitioning**: payload rows are large and skew-prone; callers bound
+  Arrow batch size with ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  (set by :func:`tune_for_media`) so one batch of big videos can't OOM an
+  executor python worker.
+- **Decode stubs**: the real decoders (PIL/cv2/soundfile) are not in this
+  container. Each op probes for the library and otherwise uses a
+  DETERMINISTIC FAKE decode of our synthetic payload format (documented
+  below) — the Spark-side plumbing (schemas, UDF signatures, batch
+  iteration, column pruning) is real and tested either way;
+  ``strict=True`` surfaces ``NotImplementedError`` instead of the fake.
+
+Synthetic payload format (deterministic, built from the driver's
+``documents`` table): ``content = utf-8 bytes of the document text``;
+``meta.width/height`` derived from ``n_chars``. A fake "pixel" is one
+byte. This keeps every operator runnable and oracle-checkable (byte ==
+character, so DuckDB can recompute histograms/samples from the text).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("content", T.BinaryType()),
+    T.StructField("meta", MEDIA_META),
+])
+
+FEATURE_BINS = 16
+
+
+def tune_for_media(spark: SparkSession,
+                   max_records_per_batch: int = 64) -> SparkSession:
+    """Bound Arrow batch size so a batch of large payloads fits executor
+    memory — the media-path analog of ``maxPartitionBytes`` sizing."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(max_records_per_batch))
+    return spark
+
+
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def media_table(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from ``documents``: payload =
+    utf-8 text bytes, typed metadata from the text stats. Pure Column
+    exprs — the binary column is born JVM-side, no Python in the loop."""
+    n = F.length("text")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            (n % 64 + 16).cast("int").alias("width"),
+            (n % 48 + 12).cast("int").alias("height"),
+            (n * 10).cast("long").alias("duration_ms"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit("synthetic/v1").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _map_in_pandas(media: DataFrame, fn: Callable, schema: T.StructType,
+                   needs: list[str]) -> DataFrame:
+    """Common harness: prune to the needed columns BEFORE the Python
+    boundary (Arrow ships only ``needs``), then mapInPandas."""
+    return media.select(*needs).mapInPandas(fn, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Decode / feature extract
+# ---------------------------------------------------------------------------
+
+DECODE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("checksum", T.LongType()),
+])
+
+
+def decode_stats(media: DataFrame, strict: bool = False) -> DataFrame:
+    """'Decode' each payload to (n_bytes, checksum). With a real codec lib
+    this would be pixel-buffer stats; the fake reads the raw bytes. The
+    checksum (sum of byte values mod 2^31) is cheap, deterministic, and
+    DuckDB-recomputable."""
+    use_real = _has_pil()
+    if strict and not use_real:
+        raise NotImplementedError(
+            "real image decode requires PIL/cv2 (not in this container); "
+            "call with strict=False for the deterministic fake")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_bytes": content.map(len).astype("int32"),
+                "checksum": content.map(
+                    lambda b: sum(b) % (1 << 31)).astype("int64"),
+            })
+
+    return _map_in_pandas(media, fn, DECODE_SCHEMA, ["media_id", "content"])
+
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+])
+
+
+def byte_histogram_features(media: DataFrame,
+                            bins: int = FEATURE_BINS) -> DataFrame:
+    """Feature extraction: normalized byte histogram (``bins`` buckets of
+    ``byte // (256/bins)``) as ``array<double>`` — the stand-in for an
+    image-embedding model, with the exact mapInPandas shape a real model
+    UDF would use (numpy over Arrow batches, vectorized per batch)."""
+    import numpy as np
+    width = 256 // bins
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for buf in pdf["content"]:
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * bins)
+                    continue
+                hist = np.bincount(arr // width, minlength=bins)[:bins]
+                feats.append((hist / arr.size).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "features": feats})
+
+    out = _map_in_pandas(media, fn, FEATURES_SCHEMA, ["media_id", "content"])
+    # Round JVM-side: numpy rounds half-to-even, SQL engines round
+    # half-up — F.round keeps the result oracle-comparable.
+    return out.select("media_id",
+                      F.transform("features",
+                                  lambda x: F.round(x, 6)).alias("features"))
+
+
+# ---------------------------------------------------------------------------
+# Resize / frame sample
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("content", T.BinaryType()),
+    T.StructField("meta", MEDIA_META),
+])
+
+
+def resize(media: DataFrame, target_w: int = 32, target_h: int = 24,
+           strict: bool = False) -> DataFrame:
+    """Resize stub: with PIL this would decode→resample→re-encode; the
+    fake nearest-neighbor samples the byte stream down to
+    ``target_w·target_h`` bytes and rewrites ``meta`` accordingly —
+    exercising the binary-in/binary-out UDF shape and metadata rewrite."""
+    if strict and not _has_pil():
+        raise NotImplementedError(
+            "real resize requires PIL (not in this container); "
+            "call with strict=False for the deterministic fake")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        size = target_w * target_h
+        for pdf in batches:
+            out_content, out_meta = [], []
+            for buf, meta in zip(pdf["content"], pdf["meta"]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                idx = (np.arange(size) * max(arr.size, 1) // size) % max(arr.size, 1)
+                out_content.append(arr[idx].tobytes() if arr.size else b"")
+                m = dict(meta)
+                m["width"], m["height"] = target_w, target_h
+                out_meta.append(m)
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": out_content, "meta": out_meta})
+
+    return _map_in_pandas(media, fn, RESIZE_SCHEMA,
+                          ["media_id", "content", "meta"])
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def frame_sample(media: DataFrame, every_n: int = 4,
+                 frame_bytes: int = 16, strict: bool = False) -> DataFrame:
+    """Frame sampling stub (1 row in → N frame rows out, the fan-out UDF
+    shape): treat the payload as ``frame_bytes``-sized frames, keep every
+    ``every_n``-th. Real impl would seek keyframes via cv2/ffmpeg."""
+    if strict and not _has_pil():
+        raise NotImplementedError(
+            "real frame sampling requires cv2/ffmpeg (not in this "
+            "container); call with strict=False for the deterministic fake")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(buf)
+                n_frames = len(data) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(data[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(idxs, dtype="int32"),
+                                "frame": pd.Series(frames, dtype=object)})
+
+    return _map_in_pandas(media, fn, FRAME_SCHEMA, ["media_id", "content"])
+
+
+def media_meta_summary(media: DataFrame) -> DataFrame:
+    """Metadata-only rollup per kind — MUST run without touching
+    ``content`` (struct-field pruning keeps the scan payload-free; the
+    test pins that with .explain)."""
+    return (media
+            .groupBy("kind")
+            .agg(F.count("*").alias("n_assets"),
+                 F.max(F.col("meta.width")).alias("max_width"),
+                 F.round(F.avg(F.col("meta.duration_ms")), 6)
+                  .alias("avg_duration_ms")))

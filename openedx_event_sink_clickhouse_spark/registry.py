@@ -794,6 +794,98 @@ def _tx5(spark, sf_dir):
     return corpus_language_profile(_t(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# Multimodal columns (operators/multimodal.py) — binary payload + typed
+# metadata; decode/feature/resize/frame-sample as Arrow-batched Pandas UDF
+# pipelines over a deterministic synthetic payload (utf-8 text bytes, pure
+# ASCII, so DuckDB recomputes every byte-level result from characters).
+# --------------------------------------------------------------------------
+
+_MEDIA_CTE = """
+m AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         text,
+         length(text) AS n,
+         regexp_extract_all(text, '.') AS chars
+  FROM documents
+)"""
+
+
+def _media(spark, sf_dir):
+    from .operators.multimodal import media_table
+    return media_table(_t(spark, sf_dir, "documents"))
+
+
+@register("mm_decode_stats", f"""
+WITH {_MEDIA_CTE}
+SELECT media_id, n AS n_bytes,
+       list_sum(list_transform(chars, c -> ord(c))) % 2147483648 AS checksum
+FROM m
+""")
+def _mm1(spark, sf_dir):
+    from .operators.multimodal import decode_stats
+    return decode_stats(_media(spark, sf_dir))
+
+
+@register("mm_byte_histogram", f"""
+WITH {_MEDIA_CTE}
+SELECT media_id,
+       list_transform(generate_series(0, 15), b ->
+         round(len(list_filter(chars, c -> ord(c) // 16 = b))::DOUBLE / n, 6))
+         AS features
+FROM m
+""")
+def _mm2(spark, sf_dir):
+    from .operators.multimodal import byte_histogram_features
+    return byte_histogram_features(_media(spark, sf_dir))
+
+
+@register("mm_frame_sample", f"""
+WITH {_MEDIA_CTE},
+frames AS (
+  SELECT media_id, text,
+         unnest(generate_series(0, n // 16 - 1, 4)) AS frame_idx
+  FROM m
+)
+SELECT media_id, frame_idx,
+       CAST(substr(text, frame_idx * 16 + 1, 16) AS BLOB) AS frame
+FROM frames
+""")
+def _mm3(spark, sf_dir):
+    from .operators.multimodal import frame_sample
+    return frame_sample(_media(spark, sf_dir), every_n=4, frame_bytes=16)
+
+
+@register("mm_resize", f"""
+WITH {_MEDIA_CTE}
+SELECT media_id,
+       CAST(array_to_string(list_transform(generate_series(0, 767),
+              i -> substr(text, ((i * n) // 768 % n) + 1, 1)), '') AS BLOB)
+         AS content,
+       32 AS width, 24 AS height
+FROM m
+""")
+def _mm4(spark, sf_dir):
+    from .operators.multimodal import resize
+    out = resize(_media(spark, sf_dir), target_w=32, target_h=24)
+    return out.select("media_id", "content",
+                      F.col("meta.width").alias("width"),
+                      F.col("meta.height").alias("height"))
+
+
+@register("mm_meta_summary", f"""
+WITH {_MEDIA_CTE}
+SELECT kind, count(*) AS n_assets,
+       max(n % 64 + 16) AS max_width,
+       round(avg(n * 10), 6) AS avg_duration_ms
+FROM m GROUP BY kind
+""")
+def _mm5(spark, sf_dir):
+    from .operators.multimodal import media_meta_summary
+    return media_meta_summary(_media(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

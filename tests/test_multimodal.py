@@ -1,0 +1,98 @@
+"""Multimodal pipeline tests: the Spark-side plumbing contracts (schemas,
+Arrow batch shape, column pruning, fan-out, strict-mode stubs) that stay
+true when the fake decoders are swapped for real ones."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from openedx_event_sink_clickhouse_spark.operators.multimodal import (
+    FEATURE_BINS,
+    MEDIA_SCHEMA,
+    byte_histogram_features,
+    decode_stats,
+    frame_sample,
+    media_meta_summary,
+    media_table,
+    resize,
+    tune_for_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return media_table(docs)
+
+
+def test_media_table_schema_and_kinds(media):
+    # names+types must match the declared contract (nullability flags are
+    # derivation-dependent and not part of it)
+    def shape(schema):
+        return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    assert shape(media.schema) == shape(MEDIA_SCHEMA)
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_decode_stats_match_payload(media):
+    row = (decode_stats(media).join(media, "media_id")
+           .select("n_bytes", "checksum", "content").first())
+    assert row.n_bytes == len(row.content)
+    assert row.checksum == sum(row.content) % (1 << 31)
+
+
+def test_byte_histogram_is_normalized(media):
+    feats = byte_histogram_features(media).collect()
+    for r in feats:
+        assert len(r.features) == FEATURE_BINS
+        assert abs(sum(r.features) - 1.0) < 1e-4
+
+
+def test_resize_rewrites_payload_and_meta(media):
+    out = resize(media, target_w=8, target_h=4).collect()
+    for r in out:
+        assert len(r.content) == 8 * 4
+        assert r.meta.width == 8 and r.meta.height == 4
+        assert r.meta.codec == "synthetic/v1"  # untouched fields survive
+
+
+def test_frame_sample_fan_out(media):
+    frames = frame_sample(media, every_n=2, frame_bytes=8)
+    src = {r.media_id: r.content for r in media.collect()}
+    got = frames.collect()
+    assert all(len(r.frame) == 8 for r in got)
+    one = next(r for r in got if r.frame_idx == 0)
+    assert bytes(one.frame) == bytes(src[one.media_id][:8])
+    # fan-out count: every 2nd full frame
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.media_id, 0)
+        by_id[r.media_id] += 1
+    mid, n = next(iter(by_id.items()))
+    n_frames = len(src[mid]) // 8
+    assert n == len(range(0, n_frames, 2))
+
+
+def test_meta_summary_never_reads_payload(media):
+    plan = media_meta_summary(media)._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan  # struct pruning kept the scan payload-free
+
+
+def test_strict_mode_raises_without_codec_libs(media):
+    for fn in (decode_stats, resize, frame_sample):
+        with pytest.raises(NotImplementedError):
+            fn(media, strict=True)
+
+
+def test_arrow_batch_bound(spark, media):
+    tune_for_media(spark, max_records_per_batch=16)
+    try:
+        assert spark.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch") == "16"
+        # pipeline still correct under small batches
+        assert decode_stats(media).count() == media.count()
+    finally:
+        tune_for_media(spark, max_records_per_batch=64)
