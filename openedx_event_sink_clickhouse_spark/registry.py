@@ -794,6 +794,34 @@ def _tx5(spark, sf_dir):
     return corpus_language_profile(_t(spark, sf_dir, "documents"))
 
 
+# Stateful streaming gate (streaming/stateful.py) — genuinely
+# non-SQL-expressible (per-entity state store across micro-batches), so
+# registered WITHOUT an oracle: the driver records the rows-only check.
+# Cross-batch state semantics are pinned in tests/test_stateful_stream.py.
+@register("stream_stateful_incremental_gate", None)
+def _wstate(spark, sf_dir):
+    import tempfile
+    import uuid
+    from .streaming.stateful import EVENT_SCHEMA, incremental_dump_stream
+
+    # file streaming source needs a DIRECTORY; glob-filter to the events
+    # table and apply the same ns→us timestamp conversion as load_table
+    raw_schema = ("event_id long, ts long, user_id long, "
+                  "event_type string, value double, props string")
+    src = (spark.readStream.schema(raw_schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    gated = incremental_dump_stream(
+        src.select(*[f.name for f in EVENT_SCHEMA.fields]))
+    name = f"gate_{uuid.uuid4().hex[:8]}"
+    q = (gated.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="ckpt_gate_"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # --------------------------------------------------------------------------
 # Multimodal columns (operators/multimodal.py) — binary payload + typed
 # metadata; decode/feature/resize/frame-sample as Arrow-batched Pandas UDF

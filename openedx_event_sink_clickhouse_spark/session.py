@@ -48,6 +48,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable defaults to an externally
     created session (the driver harness hands us its own SparkSession)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # runtime-settable; the driver's vanilla session defaults to 200 —
+    # size to the local core count (AQE coalesces below it anyway)
+    spark.conf.set("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator: per-entity incremental-dump
+gate as ``applyInPandasWithState``.
+
+The reference implements its incremental load as ONE ClickHouse
+``SELECT max(time_last_dumped) ... WHERE unique_key = id`` round-trip per
+candidate item (base_sink.py:314-335, course_published.py:154-198 —
+the per-row watermark anti-pattern SURVEY.md §3/EP3 calls out). The batch
+rewrite collapses that to a groupBy-max + anti-join
+(``operators/incremental.py``); THIS module is the streaming-native form:
+the high-water mark lives in Spark's state store, partitioned by entity,
+so deciding "has this entity changed since its last dump?" costs zero
+sink round-trips and zero joins — state is co-partitioned with the
+stream shuffle.
+
+Semantics (matches ``should_dump_item``): an event passes iff the
+entity has no stored watermark (never dumped) or ``ts`` strictly exceeds
+it; the watermark then advances to the max ``ts`` seen. At-least-once
+with checkpointing: replaying a micro-batch re-emits, downstream sinks
+stay idempotent via dump_id versioning (serializers.py:25-31 parity).
+
+Scale: state is O(distinct entities), spread across
+``spark.sql.shuffle.partitions`` state-store partitions — at 100 TB the
+knobs are RocksDB state store + partition count, not operator shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+WATERMARK_STATE = T.StructType([
+    T.StructField("last_dump", T.TimestampType()),
+])
+
+
+def incremental_dump_stream(events: DataFrame, key_col: str = "user_id",
+                            ts_col: str = "ts",
+                            output_schema: T.StructType = EVENT_SCHEMA,
+                            ) -> DataFrame:
+    """Streaming incremental-dump gate: keep only rows newer than their
+    entity's stored high-water mark, advancing the mark per micro-batch.
+
+    Streaming-only (applyInPandasWithState rejects batch inputs in
+    Spark 4): the batch form of the same semantics is
+    ``operators.incremental.change_detection``. Here the watermark
+    survives in the state store between micro-batches instead of being
+    recomputed from the sink.
+    """
+    cols = [f.name for f in output_schema.fields]
+
+    def gate(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        max_seen = last
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            # strictly-newer-than-watermark filter; the mark is fixed for
+            # the whole micro-batch (reference semantics: one watermark
+            # read per dump decision, course_published.py:165)
+            out = pdf if last is None else pdf[ts > pd.Timestamp(last)]
+            if len(ts):
+                batch_max = ts.max().to_pydatetime()
+                max_seen = batch_max if max_seen is None or \
+                    batch_max > max_seen else max_seen
+            if len(out):
+                yield out[cols]
+        if max_seen is not None:
+            state.update((max_seen,))
+
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(
+                gate,
+                outputStructType=output_schema,
+                stateStructType=WATERMARK_STATE,
+                outputMode="append",
+                timeoutConf="NoTimeout"))

@@ -1,0 +1,72 @@
+"""applyInPandasWithState incremental-dump gate: the per-entity
+high-water mark must live in the state store ACROSS micro-batches —
+batch 2 re-delivering old events for an already-dumped entity emits
+nothing, strictly-newer events pass, new entities pass whole."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import shutil
+
+from openedx_event_sink_clickhouse_spark.streaming.stateful import (
+    EVENT_SCHEMA,
+    incremental_dump_stream,
+)
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+BATCH1 = [
+    (1, _ts(0), 100, "view", 1.0, "{}"),
+    (2, _ts(5), 100, "view", 1.0, "{}"),
+    (3, _ts(10), 200, "buy", 2.0, "{}"),
+]
+BATCH2 = [
+    (4, _ts(5), 100, "view", 1.0, "{}"),   # ≤ A's watermark → suppressed
+    (5, _ts(20), 100, "view", 1.0, "{}"),  # newer → passes
+    (6, _ts(10), 200, "buy", 2.0, "{}"),   # equal to B's mark → suppressed
+    (7, _ts(0), 300, "view", 3.0, "{}"),   # new entity → passes
+]
+
+
+def _write_stream_file(spark, rows, src_dir, stage_dir, mtime):
+    df = spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1)
+    df.write.mode("overwrite").parquet(stage_dir)
+    part = glob.glob(f"{stage_dir}/part-*.parquet")[0]
+    dest = os.path.join(src_dir, f"batch_{mtime}.parquet")
+    shutil.copy(part, dest)
+    os.utime(dest, (mtime, mtime))  # file source orders by mtime
+    return dest
+
+
+def test_watermark_state_survives_micro_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_stream_file(spark, BATCH1, src, str(tmp_path / "s1"), 1_000)
+    _write_stream_file(spark, BATCH2, src, str(tmp_path / "s2"), 2_000)
+
+    stream = (spark.readStream.schema(EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    gated = incremental_dump_stream(stream)
+    q = (gated.writeStream.format("memory").queryName("gated")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r.event_id for r in spark.sql("SELECT * FROM gated").collect()}
+    assert got == {1, 2, 3, 5, 7}
+
+
+def test_batch_input_rejected(spark):
+    # applyInPandasWithState is streaming-only in Spark 4; the batch form
+    # of the same semantics is operators.incremental.change_detection —
+    # pin the failure mode so the split stays intentional.
+    import pytest
+    from pyspark.errors.exceptions.captured import UnsupportedOperationException
+    df = spark.createDataFrame(BATCH1, EVENT_SCHEMA)
+    with pytest.raises(UnsupportedOperationException):
+        incremental_dump_stream(df).collect()
