@@ -79,11 +79,25 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
                  F.count("*").alias("n_copies")))
 
 
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the input
+    arrives in fewer splits (the small-file case: one parquet file = one
+    task would serialize a CPU-heavy narrow stage onto one core). At real
+    scale inputs already have more splits than cores and this no-ops —
+    the repartition cost is only ever paid when it buys parallelism."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
                   min_words: int | None = None) -> DataFrame:
     """Attach the distinct word-n-gram shingle set (drops docs too short
-    to have any n-gram)."""
-    out = docs.withColumn("shingles", distinct_shingles(F.col(text_col), n))
+    to have any n-gram). Shingling + hashing is CPU-bound per row, so the
+    input is first spread across all cores."""
+    out = (ensure_min_parallelism(docs)
+           .withColumn("shingles", distinct_shingles(F.col(text_col), n)))
     return out.filter(F.size("shingles") > 0)
 
 
