@@ -794,6 +794,28 @@ def _tx5(spark, sf_dir):
     return corpus_language_profile(_t(spark, sf_dir, "documents"))
 
 
+# Skew-safe salted aggregate (operators/skew.py): 3-value grouping key
+# over the biggest table — the hot-key shape where one reduce task would
+# otherwise absorb a third of the table. Values must equal the plain
+# GROUP BY (salting is a physical rewrite, not a semantic one).
+@register("skew_salted_agg", """
+SELECT l_returnflag,
+       round(sum(l_quantity), 6) AS sum_qty,
+       count(*) AS n_rows,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""")
+def _skew1(spark, sf_dir):
+    from .operators.skew import salted_aggregate
+    out = salted_aggregate(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag",
+        {"sum_qty": ("sum", "l_quantity"),
+         "n_rows": ("count", "l_orderkey"),
+         "max_price": ("max", "l_extendedprice")},
+        buckets=16, salt_from="l_orderkey")
+    return out.withColumn("sum_qty", F.round("sum_qty", 6))
+
+
 # Stateful streaming gate (streaming/stateful.py) — genuinely
 # non-SQL-expressible (per-entity state store across micro-batches), so
 # registered WITHOUT an oracle: the driver records the rows-only check.

@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the properties that make these plans
+survive a 100× scale-up, pinned via explain output so a refactor can't
+silently regress them — filters reaching the parquet scan, small dims
+broadcast, aggregates partially aggregated map-side, payload columns
+pruned. (SURVEY.md §4: these are Catalyst-built-ins the code must not
+accidentally defeat.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from openedx_event_sink_clickhouse_spark import registry
+from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    return {name: fn for name, fn in registry.queries().items()}
+
+
+def test_range_scan_filter_reaches_parquet(q, spark, sf_dir):
+    plan = plan_of(q["s2_range_scan"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,1200)]" in plan
+
+
+def test_point_lookup_filter_reaches_parquet(q, spark, sf_dir):
+    plan = plan_of(q["s6_point_lookup"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(p_partkey), EqualTo(p_partkey,42)]" in plan
+
+
+def test_dim_join_broadcasts_small_side(q, spark, sf_dir):
+    plan = plan_of(q["s7_dim_enrich_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_projection_prunes_scan_columns(q, spark, sf_dir):
+    # p1 projects 4 of orders' 9 columns; the scan schema must shrink
+    plan = plan_of(q["p1_projection_rename"](spark, sf_dir))
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "o_comment" not in scan and "o_clerk" not in scan
+
+
+def test_watermark_agg_is_partial(q, spark, sf_dir):
+    # A1: map-side partial HashAggregate before the exchange, final after
+    plan = plan_of(q["a1_watermarks"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_max" in plan
+
+
+def test_flagship_joins_broadcast_watermarks(q, spark, sf_dir):
+    plan = plan_of(q["flagship_incremental_dump"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+
+
+def test_retire_delete_is_broadcast_anti_join(q, spark, sf_dir):
+    plan = plan_of(q["d1_retire_users"](spark, sf_dir))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_tree_ordinals_single_shuffle(q, spark, sf_dir):
+    # T1's stacked window functions must share ONE partitioning — a
+    # second Exchange would mean the window specs diverged
+    plan = plan_of(q["t1_tree_ordinals"](spark, sf_dir))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_aggregates_stay_whole_stage_codegen(q, spark, sf_dir):
+    df = q["stream_tumbling_stats"](spark, sf_dir)
+    df.collect()  # AQE finalizes THIS QueryExecution only on execution
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    # whole-stage-codegen spans render as "*(n)" in the final plan
+    assert "*(1)" in plan, plan
