@@ -1,0 +1,67 @@
+"""As-of (time-travel) join — for each left row, the latest right row
+with ``right.ts <= left.ts`` per key.
+
+Spark has no ASOF JOIN operator (DuckDB/Pandas do); the naive rewrite —
+range join + row_number — explodes to O(|L|·|R|) per key before pruning.
+This implementation is the scalable union-sort form:
+
+    union(left tagged 1, right tagged 0)
+      → window last(value, ignorenulls) over
+          (partition by key order by ts, tag rows unbounded preceding..current)
+      → keep left rows
+
+One shuffle on the key, linear scan within each partition — the same
+merge-scan shape a native as-of join executes, expressed in pure Catalyst
+operators (window over union). Equal timestamps: the right row sorts
+first (tag 0 < 1), so a right row AT the left row's timestamp matches —
+DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics, which the oracle
+pins.
+
+Reference relevance: the reference's watermark lookup (base_sink.py:
+314-335) is the degenerate "latest right row per key" case; the as-of
+generalization is what an event pipeline needs to enrich each event with
+the most recent prior state snapshot (price, config, model version).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str, right_ts: str,
+              value_cols: list[str], prefix: str = "asof_") -> DataFrame:
+    """Left as-of join: every ``left`` row, plus ``prefix``-named copies
+    of ``value_cols`` (and ``prefix+right_ts``) from the latest ``right``
+    row at-or-before its timestamp. Rows with no prior right row keep
+    NULLs (left-outer semantics)."""
+    out_vals = {c: f"{prefix}{c}" for c in [right_ts, *value_cols]}
+
+    l_tagged = left.withColumn("_ts", F.col(left_ts)) \
+                   .withColumn("_side", F.lit(1))
+    for c in out_vals.values():
+        l_tagged = l_tagged.withColumn(c, F.lit(None))
+
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).alias(c) for c in left.columns if c != key],
+        F.col(right_ts).alias(out_vals[right_ts]),
+        *[F.col(c).alias(out_vals[c]) for c in value_cols],
+    )
+    # align column order/names for the union (left has `key` twice via
+    # left.columns — select once each by position below)
+    cols = [key, "_ts", "_side"] + \
+           [c for c in left.columns if c != key] + list(out_vals.values())
+    unioned = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
+
+    w = (Window.partitionBy(key).orderBy("_ts", "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = unioned.select(
+        *[c for c in cols if c not in out_vals.values()],
+        *[F.last(c, ignorenulls=True).over(w).alias(c)
+          for c in out_vals.values()])
+    return (filled.filter(F.col("_side") == 1)
+            .drop("_ts", "_side"))

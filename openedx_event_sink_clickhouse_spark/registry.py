@@ -794,6 +794,28 @@ def _tx5(spark, sf_dir):
     return corpus_language_profile(_t(spark, sf_dir, "documents"))
 
 
+# As-of join (operators/asof.py): enrich every event with the user's
+# most recent at-or-before purchase — oracle is DuckDB's NATIVE ASOF
+# JOIN, pinning the merge-scan semantics (ties: right-at-timestamp wins).
+@register("asof_last_purchase", """
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value,
+       p.ts AS asof_ts, p.value AS asof_value
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""")
+def _asof1(spark, sf_dir):
+    from .operators.asof import asof_join
+    events = _t(spark, sf_dir, "events")
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "value"))
+    out = asof_join(events, purchases, "user_id", "ts", "ts", ["value"])
+    return out.select("event_id", "user_id", "ts", "event_type", "value",
+                      "asof_ts", "asof_value")
+
+
 # Skew-safe salted aggregate (operators/skew.py): 3-value grouping key
 # over the biggest table — the hot-key shape where one reduce task would
 # otherwise absorb a third of the table. Values must equal the plain
