@@ -32,6 +32,10 @@ HEADLINE = [
     "sim_cosine_topk",             # brute-force cosine top-k
     "stream_tumbling_stats",       # windowed event aggregates
     "text_quality_signals",        # text-analysis suite over documents
+    "asof_last_purchase",          # as-of join (union+window merge scan)
+    "range_join_post_purchase",    # bucketed interval join
+    "skew_salted_agg",             # two-phase salted aggregate
+    "mm_byte_histogram",           # Arrow-batched pandas UDF pipeline
 ]
 
 

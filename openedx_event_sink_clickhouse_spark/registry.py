@@ -816,6 +816,33 @@ def _asof1(spark, sf_dir):
                       "asof_ts", "asof_value")
 
 
+# Bucketed range join (operators/rangejoin.py): events within one hour
+# AFTER the same user's purchase — the oracle is the plain inequality
+# join; the Spark plan must be a hash join on (user, bucket), never a
+# nested-loop (pinned in tests/test_rangejoin.py).
+@register("range_join_post_purchase", """
+WITH p AS (
+  SELECT user_id, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       p.p_ts, p.p_value
+FROM events e JOIN p
+  ON e.user_id = p.user_id
+ AND e.ts >= p.p_ts AND e.ts <= p.p_ts + INTERVAL '1 hour'
+""")
+def _range1(spark, sf_dir):
+    from .operators.rangejoin import range_join
+    events = _t(spark, sf_dir, "events")
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("p_ts"),
+                         F.col("value").alias("p_value"))
+                 .withColumn("p_end", F.col("p_ts") + F.expr("INTERVAL 1 HOUR")))
+    out = range_join(events, purchases, "user_id", "ts", "p_ts", "p_end")
+    return out.select("event_id", "user_id", "ts", "event_type",
+                      "p_ts", "p_value")
+
+
 # Skew-safe salted aggregate (operators/skew.py): 3-value grouping key
 # over the biggest table — the hot-key shape where one reduce task would
 # otherwise absorb a third of the table. Values must equal the plain
