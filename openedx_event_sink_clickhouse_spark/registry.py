@@ -794,6 +794,63 @@ def _tx5(spark, sf_dir):
     return corpus_language_profile(_t(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# General analytic surface beyond the reference (rollup, per-group top-k,
+# approximate distinct) — the ops an analytics engine is expected to have
+# even though the reference never issues them (SURVEY.md §2 honesty note).
+# --------------------------------------------------------------------------
+
+@register("agg_rollup_events", """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n_events, round(sum(value), 6) AS value_sum,
+       CAST(grouping(event_type) AS INT) AS g_type,
+       CAST(grouping(date_trunc('day', ts)) AS INT) AS g_day
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+""")
+def _roll1(spark, sf_dir):
+    # ROLLUP is one shuffle with grouping-set expansion map-side — the
+    # hierarchy rollup (type, day) → (type) → () in a single pass.
+    e = _t(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
+    return (e.rollup("event_type", "day")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("value_sum"),
+                 F.grouping("event_type").cast("int").alias("g_type"),
+                 F.grouping("day").cast("int").alias("g_day")))
+
+
+@register("topk_events_per_user", """
+SELECT user_id, event_id, value, rnk FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events
+) WHERE rnk <= 3
+""")
+def _topk1(spark, sf_dir):
+    # per-group top-k: rank window + filter — Spark pushes the k-limit
+    # into the sort via WindowGroupLimit (no full per-group sort at scale)
+    from pyspark.sql import Window
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.desc("value"), F.asc("event_id")))
+    return (_t(spark, sf_dir, "events")
+            .select("user_id", "event_id", "value",
+                    F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= 3))
+
+
+# Approximate distinct (HLL++): sketch values are engine-specific, so no
+# value-level oracle — the driver records rows-only; the ±5% error bound
+# vs exact is pinned in tests/test_analytics.py.
+@register("approx_distinct_users", None)
+def _apx1(spark, sf_dir):
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                  .alias("approx_users"),
+                 F.count("*").alias("n_events")))
+
+
 # As-of join (operators/asof.py): enrich every event with the user's
 # most recent at-or-before purchase — oracle is DuckDB's NATIVE ASOF
 # JOIN, pinning the merge-scan semantics (ties: right-at-timestamp wins).
