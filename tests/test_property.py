@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis): the custom operators vs brute-force
+reference implementations on randomized inputs. Sizes are bounded and
+examples capped so each property stays a few seconds; Spark work is
+wide-schema-free so the round trips stay cheap."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from openedx_event_sink_clickhouse_spark.operators.asof import asof_join
+from openedx_event_sink_clickhouse_spark.operators.rangejoin import range_join
+from openedx_event_sink_clickhouse_spark.operators.skew import salted_aggregate
+
+BASE = dt.datetime(2024, 1, 1)
+
+_PROP = dict(max_examples=12, deadline=None,
+             suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def _dt(minutes: int) -> dt.datetime:
+    return BASE + dt.timedelta(minutes=int(minutes))
+
+
+rows_left = st.lists(
+    st.tuples(st.integers(0, 3),            # key
+              st.integers(0, 500)),         # ts minutes
+    min_size=1, max_size=30)
+rows_right = st.lists(
+    st.tuples(st.integers(0, 3),
+              st.integers(0, 500),
+              st.floats(-100, 100, allow_nan=False)),
+    min_size=0, max_size=20)
+
+
+@given(rows_left, rows_right)
+@settings(**_PROP)
+def test_asof_matches_pandas_merge_asof(spark, lefts, rights):
+    left = spark.createDataFrame(
+        [(i, f"k{k}", _dt(m)) for i, (k, m) in enumerate(lefts)],
+        "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(f"k{k}", _dt(m), v) for k, m, v in rights] or
+        [("__none__", _dt(0), 0.0)],
+        "k string, rts timestamp, price double")
+
+    got = {r.id: (r.asof_rts, r.asof_price) for r in
+           asof_join(left, right, "k", "ts", "rts", ["price"]).collect()}
+
+    # brute-force reference: latest right at-or-before, ties → max value
+    # is irrelevant because (k, rts) duplicates keep last-sorted; emulate
+    # pandas merge_asof per key
+    rdf = pd.DataFrame([(f"k{k}", _dt(m), v) for k, m, v in rights] or
+                       [("__none__", _dt(0), 0.0)],
+                       columns=["k", "rts", "price"])
+    for i, (k, m) in enumerate(lefts):
+        sub = rdf[(rdf.k == f"k{k}") & (rdf.rts <= _dt(m))]
+        if sub.empty:
+            assert got[i] == (None, None)
+        else:
+            best = sub.sort_values(["rts"]).iloc[-1]
+            assert got[i][0] == best.rts.to_pydatetime()
+            # value ambiguity when duplicate (k, rts): accept any of them
+            cands = set(sub[sub.rts == best.rts].price)
+            assert got[i][1] in cands
+
+
+@given(rows_left, rows_right, st.integers(60, 7200))
+@settings(**_PROP)
+def test_range_join_matches_bruteforce(spark, lefts, rights, bucket_secs):
+    left = spark.createDataFrame(
+        [(i, f"k{k}", _dt(m)) for i, (k, m) in enumerate(lefts)],
+        "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(j, f"k{k}", _dt(m), _dt(m + 30)) for j, (k, m, _) in enumerate(rights)]
+        or [(0, "__none__", _dt(0), _dt(0))],
+        "rid long, k string, start timestamp, end timestamp")
+
+    got = sorted((r.id, r.rid) for r in
+                 range_join(left, right, "k", "ts", "start", "end",
+                            bucket_secs=bucket_secs).collect())
+    expected = sorted(
+        (i, j)
+        for i, (k, m) in enumerate(lefts)
+        for j, (rk, rm, _) in enumerate(rights)
+        if k == rk and rm <= m <= rm + 30)
+    assert got == expected
+
+
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(-50, 50)),
+                min_size=1, max_size=40),
+       st.integers(2, 16))
+@settings(**_PROP)
+def test_salted_agg_matches_plain(spark, rows, buckets):
+    df = spark.createDataFrame([(f"g{g}", v) for g, v in rows],
+                               "g string, v long")
+    got = {r.g: (r.s, r.n) for r in salted_aggregate(
+        df, "g", {"s": ("sum", "v"), "n": ("count", "v")},
+        buckets=buckets, salt_from="v").collect()}
+    expected = {}
+    for g, v in rows:
+        s, n = expected.get(f"g{g}", (0, 0))
+        expected[f"g{g}"] = (s + v, n + 1)
+    assert got == expected
