@@ -245,6 +245,45 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id",
             .filter(F.col("hamming") <= max_hamming))
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Cluster near-dup pairs into duplicate groups: every node labeled
+    with the smallest reachable id (= cluster id). Returns
+    (doc_id, cluster_id, is_survivor) for every node that appears in a
+    pair; the survivor is the cluster's minimum id.
+
+    Min-label propagation to fixpoint: each round joins labels to the
+    (symmetrized) edge list and takes the elementwise min — O(diameter)
+    rounds, each one small shuffle over the PAIR set (not the corpus;
+    near-dup graphs are tiny relative to the input). The driver-side loop
+    checks convergence with a count — at larger diameters swap in the
+    alternating-star variant, same join primitives.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))).cache()
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))).cache()
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels, edges.dst == labels.id)
+                        .groupBy("src").agg(F.min("label").alias("nlabel")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.id == neighbor_min.src, "left")
+                      .select(F.col("id"),
+                              F.least("label", "nlabel").alias("label"))
+                      ).cache()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"),
+                         (F.col("id") == F.col("label")).alias("is_survivor"))
+
+
 def ngram_jaccard_vs_probe(docs: DataFrame, probe_id, text_col: str = "text",
                            id_col: str = "doc_id", n: int = 3,
                            min_sim: float = 0.0) -> DataFrame:

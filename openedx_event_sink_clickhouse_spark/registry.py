@@ -535,6 +535,42 @@ def _dd5(spark, sf_dir):
     return ngram_jaccard_vs_probe(_t(spark, sf_dir, "documents"), probe_id=0)
 
 
+def _cluster_oracle_sql() -> str:
+    # the minhash pair query embedded as a CTE; cluster id = min reachable
+    # node via a recursive transitive closure (DuckDB WITH RECURSIVE)
+    return f"""
+WITH RECURSIVE
+pairs AS ({REGISTRY['dedup_minhash_lsh'][1]}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT id AS doc_id, min(label) AS cluster_id,
+       (id = min(label)) AS is_survivor
+FROM reach GROUP BY id
+"""
+
+
+@register("dedup_clusters", None)  # oracle attached below (needs minhash SQL)
+def _ddc(spark, sf_dir):
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+    return connected_components(pairs)
+
+
+# attach after definition: the oracle embeds dedup_minhash_lsh's SQL,
+# which must already be registered
+REGISTRY["dedup_clusters"] = (REGISTRY["dedup_clusters"][0],
+                              _cluster_oracle_sql())
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings (operators/similarity.py)
 # --------------------------------------------------------------------------

@@ -67,3 +67,18 @@ def test_minhash_lsh_skew_guard_drops_degenerate_buckets(spark):
     assert full.count() == 50 * 49 // 2
     guarded = minhash_lsh_pairs(docs, threshold=0.9, max_bucket=10)
     assert guarded.count() == 0
+
+
+def test_connected_components_clusters_and_survivors(spark):
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+    # two components: {1,2,3,9} (path 9-1-2-3) and {5,6}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 9), (5, 6)], "id_a long, id_b long")
+    out = {r.doc_id: (r.cluster_id, r.is_survivor)
+           for r in connected_components(pairs).collect()}
+    assert {k for k, v in out.items() if v[0] == 1} == {1, 2, 3, 9}
+    assert {k for k, v in out.items() if v[0] == 5} == {5, 6}
+    assert [k for k, v in out.items() if v[1]] == [1, 5] or \
+           sorted(k for k, v in out.items() if v[1]) == [1, 5]
