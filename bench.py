@@ -36,6 +36,8 @@ HEADLINE = [
     "range_join_post_purchase",    # bucketed interval join
     "skew_salted_agg",             # two-phase salted aggregate
     "mm_byte_histogram",           # Arrow-batched pandas UDF pipeline
+    "tpch_q1",                     # agg-heavy scan (engine generality)
+    "tpch_q3",                     # join + agg + top-k
 ]
 
 

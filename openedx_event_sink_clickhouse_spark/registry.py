@@ -887,6 +887,96 @@ def _apx1(spark, sf_dir):
                  F.count("*").alias("n_events")))
 
 
+# TPC-H q1/q3/q6 over the driver's tables: standard engine-generality
+# probes (agg-heavy scan, join+agg+top-k, selective filter-agg) so the
+# bench is comparable to published numbers. Not reference parity —
+# general analytic capability.
+
+@register("tpch_q1", """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 6) AS sum_qty,
+  round(sum(l_extendedprice), 6) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+    AS sum_charge,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_extendedprice), 6) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def _q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00")
+                      .cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+                 F.round(F.sum(disc), 6).alias("sum_disc_price"),
+                 F.round(F.sum(disc * (1 + F.col("l_tax"))), 6)
+                  .alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+@register("tpch_q3", """
+SELECT l.l_orderkey,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+  o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""")
+def _q3(spark, sf_dir):
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = (_t(spark, sf_dir, "customer")
+         .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") < cutoff)
+         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > cutoff)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 6).alias("revenue"))
+            .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+            .limit(10)
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"))
+
+
+@register("tpch_q6", """
+SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def _q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")) &
+        (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")) &
+        (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) &
+        (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6)
+             .alias("revenue")))
+
+
 # As-of join (operators/asof.py): enrich every event with the user's
 # most recent at-or-before purchase — oracle is DuckDB's NATIVE ASOF
 # JOIN, pinning the merge-scan semantics (ties: right-at-timestamp wins).
