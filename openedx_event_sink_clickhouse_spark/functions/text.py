@@ -25,16 +25,28 @@ def ngrams(words_col: Column, n: int = 3) -> Column:
     """Word n-grams built with ``transform(sequence(...))`` — the shingle
     list stays one array cell per document (no explode, no row blow-up).
 
+    The words array is let-bound through a single-element ``transform``
+    before the per-gram lambda touches it. Without that binding, Catalyst's
+    projection collapse inlines the upstream ``split(lower(text))`` into
+    every ``element_at`` INSIDE the gram lambda, and higher-order-function
+    bodies get no common-subexpression elimination — each gram would
+    re-split the whole document (O(words²) per doc; measured 40× slower
+    on the sf0.1 corpus). A lambda variable is evaluated once, giving
+    O(words) regardless of what expression feeds this function.
+
     Guarded for docs shorter than n words: Spark's ``sequence(0, -k)``
     counts DOWN (unlike DuckDB's empty list), which would drive
     ``element_at`` out of bounds."""
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words_col) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(words_col, i + k + 1)
-                                     for k in range(n)]),
-    )
-    return F.when(F.size(words_col) >= n, grams) \
-            .otherwise(F.array().cast("array<string>"))
+    def gram_list(w: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + k + 1)
+                                         for k in range(n)]),
+        )
+        return F.when(F.size(w) >= n, grams) \
+                .otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(words_col), gram_list), 1)
 
 
 def distinct_shingles(text: Column, n: int = 3) -> Column:

@@ -95,10 +95,17 @@ def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
                   min_words: int | None = None) -> DataFrame:
     """Attach the distinct word-n-gram shingle set (drops docs too short
     to have any n-gram). Shingling + hashing is CPU-bound per row, so the
-    input is first spread across all cores."""
-    out = (ensure_min_parallelism(docs)
-           .withColumn("shingles", distinct_shingles(F.col(text_col), n)))
-    return out.filter(F.size("shingles") > 0)
+    input is first spread across all cores.
+
+    The short-doc filter tests ``size(words) >= n`` — equivalent to
+    ``size(shingles) > 0`` (an n-word doc always yields ≥ 1 distinct
+    gram) but evaluated on the cheap split, so the Filter node never
+    re-computes the full shingle expression."""
+    min_words = n if min_words is None else min_words
+    from ..functions.text import words
+    return (ensure_min_parallelism(docs)
+            .filter(F.size(words(F.col(text_col))) >= min_words)
+            .withColumn("shingles", distinct_shingles(F.col(text_col), n)))
 
 
 def shingle_hashes(shingle_col: Column) -> Column:
