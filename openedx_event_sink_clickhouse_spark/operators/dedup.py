@@ -187,10 +187,14 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     buckets = sigs.select(
         "id", F.posexplode("bands").alias("band_idx", "band_hash"))
     if max_bucket is not None:
-        counts = (buckets.groupBy("band_idx", "band_hash")
-                  .agg(F.count("*").alias("_n"))
-                  .filter(F.col("_n") <= max_bucket).drop("_n"))
-        buckets = buckets.join(counts, ["band_idx", "band_hash"])
+        # Bucket-size skew guard as a window count, not groupBy+join-back:
+        # the window shuffles buckets on (band_idx, band_hash) ONCE and the
+        # self-join below hash-joins on the same keys, so both join children
+        # reuse that exchange — no second shuffle of the bucket stream.
+        from pyspark.sql import Window
+        w = Window.partitionBy("band_idx", "band_hash")
+        buckets = (buckets.withColumn("_n", F.count("*").over(w))
+                   .filter(F.col("_n") <= max_bucket).drop("_n"))
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (a.join(b, ["band_idx", "band_hash"])
              .filter(F.col("a.id") < F.col("b.id"))
