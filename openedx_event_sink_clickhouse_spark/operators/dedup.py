@@ -121,15 +121,31 @@ def shingle_hashes(shingle_col: Column) -> Column:
 def minhash_signature(hash_col: Column, num_hashes: int = NUM_HASHES) -> Column:
     """MinHash signature as an array<bigint> column over the base-hash
     array from :func:`shingle_hashes`: family i is min over
-    (a_i·h + b_i) mod 2^31−1 — pure arithmetic, no further hashing."""
-    def family(a: int, b: int):
-        # single-parameter lambda: PySpark would misread a second default
-        # argument as the (element, index) two-arg transform form
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)
+    (a_i·h + b_i) mod 2^31−1 — pure arithmetic, no further hashing.
 
-    mins = [F.array_min(F.transform(hash_col, family(a, b)))
-            for a, b in MINHASH_PARAMS[:num_hashes]]
-    return F.array(*mins)
+    Single ``aggregate`` pass holding all ``num_hashes`` running minima in
+    the accumulator array, instead of ``num_hashes`` separate
+    transform+array_min expressions. One pass means the base-hash input
+    expression is evaluated exactly once even after projection collapse
+    inlines it (HOF bodies get no CSE — see :func:`..functions.text.ngrams`
+    for the same trap), and the per-element cost is one multiply-add-mod
+    per family with no intermediate arrays."""
+    a_arr = F.array(*[F.lit(a) for a, _ in MINHASH_PARAMS[:num_hashes]])
+    b_arr = F.array(*[F.lit(b) for _, b in MINHASH_PARAMS[:num_hashes]])
+    init = F.array_repeat(F.lit(MERSENNE31).cast("bigint"), num_hashes)
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.aggregate(
+        hash_col, init,
+        lambda acc, h: F.zip_with(
+            acc, idx,
+            lambda m, i: F.least(
+                m, (h * F.element_at(a_arr, i.cast("int") + 1)
+                    + F.element_at(b_arr, i.cast("int") + 1))
+                % F.lit(MERSENNE31))))
+    # Empty input must keep the legacy per-family NULL (array_min([]) is
+    # NULL), not the sentinel init values.
+    return F.when(F.size(hash_col) > 0, sig) \
+            .otherwise(F.array_repeat(F.lit(None).cast("bigint"), num_hashes))
 
 
 def _base32(x: Column) -> Column:
@@ -139,13 +155,20 @@ def _base32(x: Column) -> Column:
 def lsh_bands(sig_col: Column, num_bands: int = NUM_BANDS,
               rows_per_band: int = ROWS_PER_BAND) -> Column:
     """Band digests: md5 of each r-row slice of the signature. Docs share
-    a bucket iff a band matches exactly."""
-    bands = []
-    for b in range(num_bands):
-        vals = [F.element_at(sig_col, b * rows_per_band + r + 1).cast("string")
-                for r in range(rows_per_band)]
-        bands.append(F.md5(F.concat_ws(",", *vals)))
-    return F.array(*bands)
+    a bucket iff a band matches exactly.
+
+    The signature is let-bound through a one-element ``transform`` so the
+    (expensive, aggregate-based) signature expression is evaluated once,
+    not once per band slot it is sliced into."""
+    def bands_of(sig: Column) -> Column:
+        bands = []
+        for b in range(num_bands):
+            vals = [F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)]
+            bands.append(F.md5(F.concat_ws(",", *vals)))
+        return F.array(*bands)
+
+    return F.element_at(F.transform(F.array(sig_col), bands_of), 1)
 
 
 def jaccard(a: Column, b: Column, scale: int = 6) -> Column:
