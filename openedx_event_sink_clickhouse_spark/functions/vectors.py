@@ -32,6 +32,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with the operands' L2 norms precomputed as columns.
+
+    Bit-identical to :func:`cosine` (same operations in the same order —
+    the norm subtrees are merely hoisted), but lets self-join/ANN
+    operators pay the norm aggregate once per VECTOR instead of once per
+    PAIR: per candidate pair only the dot-product pass remains."""
+    return dot(a, b) / (na * nb)
+
+
 def cosine_sql(a: str, b: str) -> str:
     """DuckDB twin of :func:`cosine` (operands must already be DOUBLE[])."""
     return (f"list_dot_product({a}, {b}) / "

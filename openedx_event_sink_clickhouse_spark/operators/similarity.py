@@ -26,24 +26,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashes import md5_hash32
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, cosine_with_norms, l2_norm
 
 
 def _probe(emb: DataFrame, probe_id, id_col: str, vec_col: str) -> DataFrame:
     return (emb.filter(F.col(id_col) == probe_id)
-            .select(as_double(F.col(vec_col)).alias("probe_vec")))
+            .select(as_double(F.col(vec_col)).alias("probe_vec"),
+                    l2_norm(as_double(F.col(vec_col))).alias("probe_norm")))
 
 
 def brute_force_topk(emb: DataFrame, probe_id, k: int = 20,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      ) -> DataFrame:
     """Exact cosine top-k vs one probe vector. Broadcast of a single row;
-    ranking ties broken by id for determinism."""
+    ranking ties broken by id for determinism. The probe's norm ships in
+    the broadcast, so the corpus pass runs two array aggregates per row
+    (dot + own norm), not three."""
     scored = (emb.filter(F.col(id_col) != probe_id)
+              .select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
               .crossJoin(F.broadcast(_probe(emb, probe_id, id_col, vec_col)))
               .select(F.col(id_col),
-                      cosine(as_double(F.col(vec_col)),
-                             F.col("probe_vec")).alias("_cos")))
+                      cosine_with_norms(F.col("v"), F.col("probe_vec"),
+                                        l2_norm(F.col("v")),
+                                        F.col("probe_norm")).alias("_cos")))
     return (scored.orderBy(F.desc("_cos"), id_col).limit(k)
             .select(id_col, F.round("_cos", 6).alias("cosine_sim")))
 
@@ -55,11 +60,15 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float,
     coarse key so the self-join is per-block instead of full cross —
     the same blocking pattern IVF/LSH generalize. Returns
     (id_a, id_b, cosine_sim)."""
-    base = emb.select(F.col(id_col).alias("id"),
-                      as_double(F.col(vec_col)).alias("v"),
+    v = as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"),
+                      l2_norm(v).alias("nv"),
                       F.col(block_col).alias("blk"))
     a, b = base.alias("a"), base.alias("b")
-    sim = cosine(F.col("a.v"), F.col("b.v"))
+    # Norms hoisted to once per vector (bit-identical hoist): each
+    # candidate pair costs one dot-product pass, not three aggregates.
+    sim = cosine_with_norms(F.col("a.v"), F.col("b.v"),
+                            F.col("a.nv"), F.col("b.nv"))
     return (a.join(b, (F.col("a.blk") == F.col("b.blk")) &
                       (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
@@ -78,17 +87,21 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16, id_col: str = "vec_id",
     computed at ingest and stored as a partition column — queries then
     prune to one cell for free.
     """
-    base = emb.select(F.col(id_col).alias("id"),
-                      as_double(F.col(vec_col)).alias("v"))
+    v = as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"),
+                      l2_norm(v).alias("nv"))
     cents = (base.filter(F.col("id") < n_centroids)
-             .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+             .select(F.col("id").alias("cid"), F.col("v").alias("cv"),
+                     F.col("nv").alias("cnv")))
     scored = (base.crossJoin(F.broadcast(cents))
-              .select("id", "v", "cid",
-                      cosine(F.col("v"), F.col("cv")).alias("_cos")))
+              .select("id", "v", "nv", "cid",
+                      cosine_with_norms(F.col("v"), F.col("cv"),
+                                        F.col("nv"), F.col("cnv"))
+                      .alias("_cos")))
     w = Window.partitionBy("id").orderBy(F.desc("_cos"), F.col("cid"))
     return (scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select("id", "v", F.col("cid").alias("centroid")))
+            .select("id", "v", "nv", F.col("cid").alias("centroid")))
 
 
 def ivf_topk(emb: DataFrame, probe_id, k: int = 20, n_centroids: int = 16,
@@ -98,13 +111,15 @@ def ivf_topk(emb: DataFrame, probe_id, k: int = 20, n_centroids: int = 16,
     assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
     probe = (assigned.filter(F.col("id") == probe_id)
              .select(F.col("v").alias("probe_vec"),
+                     F.col("nv").alias("probe_norm"),
                      F.col("centroid").alias("probe_centroid")))
     cell = (assigned.crossJoin(F.broadcast(probe))
             .filter((F.col("centroid") == F.col("probe_centroid")) &
                     (F.col("id") != probe_id)))
     scored = cell.select(
         F.col("id").alias(id_col),
-        cosine(F.col("v"), F.col("probe_vec")).alias("_cos"))
+        cosine_with_norms(F.col("v"), F.col("probe_vec"),
+                          F.col("nv"), F.col("probe_norm")).alias("_cos"))
     return (scored.orderBy(F.desc("_cos"), id_col).limit(k)
             .select(id_col, F.round("_cos", 6).alias("cosine_sim")))
 
@@ -148,16 +163,20 @@ def srp_bucket_topk(emb: DataFrame, probe_id, k: int = 20,
     scanned; recall tunable via fewer planes / multiple tables."""
     dim = len(emb.select(vec_col).first()[0])
     planes = srp_planes(num_planes, dim)
-    base = emb.select(F.col(id_col).alias("id"),
-                      as_double(F.col(vec_col)).alias("v"))
+    v = as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"),
+                      l2_norm(v).alias("nv"))
     sigs = base.withColumn("bucket", srp_signature(F.col("v"), planes))
     probe = (sigs.filter(F.col("id") == probe_id)
              .select(F.col("v").alias("probe_vec"),
+                     F.col("nv").alias("probe_norm"),
                      F.col("bucket").alias("probe_bucket")))
     cell = (sigs.join(F.broadcast(probe),
                       (F.col("bucket") == F.col("probe_bucket")) &
                       (F.col("id") != probe_id)))
     scored = cell.select(F.col("id").alias(id_col),
-                         cosine(F.col("v"), F.col("probe_vec")).alias("_cos"))
+                         cosine_with_norms(F.col("v"), F.col("probe_vec"),
+                                           F.col("nv"), F.col("probe_norm"))
+                         .alias("_cos"))
     return (scored.orderBy(F.desc("_cos"), id_col).limit(k)
             .select(id_col, F.round("_cos", 6).alias("cosine_sim")))
