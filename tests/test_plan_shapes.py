@@ -79,3 +79,57 @@ def test_aggregates_stay_whole_stage_codegen(q, spark, sf_dir):
     assert "isFinalPlan=true" in plan
     # whole-stage-codegen spans render as "*(n)" in the final plan
     assert "*(1)" in plan, plan
+
+
+# --- TPC-H probe plan shapes ---------------------------------------------
+
+def test_q5_star_join_broadcasts_all_dims(q, spark, sf_dir):
+    # q5's only shuffle-worthy join is lineitem><orders; customer/
+    # supplier/nation/region must all ride broadcasts, never sort-merge.
+    plan = plan_of(q["tpch_q5"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q4_exists_is_left_semi(q, spark, sf_dir):
+    # EXISTS must plan as a semi join (no exploded intermediate), with the
+    # correlated shipdate predicate riding on the join itself.
+    plan = plan_of(q["tpch_q4"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q22_not_exists_is_anti_join_no_collect(q, spark, sf_dir):
+    # NOT EXISTS -> anti join; the scalar avg subquery is a broadcast
+    # nested-loop of a 1-row aggregate, not a driver-side collect.
+    plan = plan_of(q["tpch_q22"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q6_filters_push_to_scan(q, spark, sf_dir):
+    plan = plan_of(q["tpch_q6"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    scan = plan[plan.index("PushedFilters"):].splitlines()[0]
+    assert "l_discount" in scan and "l_quantity" in scan
+
+
+def test_q18_having_filter_broadcasts(q, spark, sf_dir):
+    # The HAVING-filtered big-orders set is tiny -> must broadcast back
+    # onto orders rather than shuffling orders.
+    plan = plan_of(q["tpch_q18"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_agg_is_partial_before_exchange(q, spark, sf_dir):
+    plan = plan_of(q["tpch_q1"](spark, sf_dir))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_minhash_lsh_caches_bucket_stream(q, spark, sf_dir):
+    # A self-join's children are independent subplans, so both sides of
+    # the band candidate join must read the skew-guarded bucket stream
+    # from cache (InMemoryTableScan) — neither side may re-run the
+    # explode+window chain from the signature stage.
+    df = q["dedup_minhash_lsh"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan
