@@ -105,3 +105,31 @@ def test_salted_agg_matches_plain(spark, rows, buckets):
         s, n = expected.get(f"g{g}", (0, 0))
         expected[f"g{g}"] = (s + v, n + 1)
     assert got == expected
+
+
+# --- text shingling (let-bound HOF rewrite) vs Python reference -----------
+
+texts = st.lists(
+    st.text(alphabet="ab X", min_size=0, max_size=40),
+    min_size=1, max_size=20)
+
+
+@given(texts, st.integers(1, 4))
+@settings(**_PROP)
+def test_shingles_match_python_reference(spark, docs, n):
+    from openedx_event_sink_clickhouse_spark.functions.text import (
+        distinct_shingles, words)
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    got = {r.doc_id: r.s for r in
+           df.select("doc_id",
+                     distinct_shingles(F.col("text"), n).alias("s")).collect()}
+
+    for i, t in enumerate(docs):
+        ws = t.lower().split(" ")  # Spark split semantics: '' -> ['']
+        grams = [" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)] \
+            if len(ws) >= n else []
+        expect = list(dict.fromkeys(grams))  # array_distinct keeps order
+        assert got[i] == expect, (t, n, got[i], expect)
