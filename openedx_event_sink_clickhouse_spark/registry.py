@@ -1776,6 +1776,45 @@ def _q17(spark, sf_dir):
                  .alias("avg_yearly")))
 
 
+@register("stream_debounce_dedup", """
+SELECT DISTINCT user_id, event_type,
+       date_trunc('minute', ts) AS ts_bucket
+FROM events
+""")
+def _sd(spark, sf_dir):
+    # Batch form of the streaming debounce (dropDuplicatesWithinWatermark
+    # in stream mode — bounded state, keys aged out past the watermark;
+    # stream==batch parity pinned in tests/test_streaming.py).
+    from .streaming.windows import debounce_dedup
+    return debounce_dedup(_t(spark, sf_dir, "events"))
+
+
+@register("agg_percentiles_lineitem", """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS price_p95,
+       round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def _pct(spark, sf_dir):
+    # Exact interpolated percentiles (Spark `percentile` == DuckDB
+    # `quantile_cont`, verified bit-identical on this data). Exact
+    # percentile sorts each group; the 100 TB path swaps in
+    # approx_percentile (t-digest, mergeable map-side) with the same
+    # plan shape — kept exact here so the oracle hash-matches.
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6)
+                 .alias("price_p50"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6)
+                 .alias("price_p95"),
+                 F.round(F.expr("percentile(l_quantity, 0.5)"), 6)
+                 .alias("qty_p50"),
+                 F.count("*").alias("n_rows"))
+            .orderBy("l_returnflag"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

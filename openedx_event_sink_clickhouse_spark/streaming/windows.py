@@ -68,3 +68,27 @@ def session_event_stats(events: DataFrame, ts_col: str = "ts",
                  F.max(ts_col).alias("last_event"))
             .select("user_id", "first_event", "last_event", "n_events",
                     "value_sum"))
+
+
+def debounce_dedup(events: DataFrame, keys: list[str] | None = None,
+                   ts_col: str = "ts", bucket: str = "minute",
+                   watermark_delay: str = "1 hour") -> DataFrame:
+    """Debounce duplicate events: one row per (keys…, ts bucket).
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — Spark's bounded-state
+    streaming dedup; state for a key is dropped once the watermark passes
+    it, so memory is O(keys within the watermark horizon), not O(stream).
+    Batch: the same keys through ``dropDuplicates`` (equals SELECT
+    DISTINCT, which is the DuckDB oracle form).
+
+    Output is the key tuple only — which *source row* survives a
+    duplicate group is execution-order-dependent in both engines, so only
+    the key set is deterministic and comparable.
+    """
+    keys = keys or ["user_id", "event_type"]
+    keyed = events.select(*keys, F.date_trunc(bucket, F.col(ts_col))
+                          .alias("ts_bucket"))
+    if keyed.isStreaming:
+        return keyed.withWatermark("ts_bucket", watermark_delay) \
+                    .dropDuplicatesWithinWatermark()
+    return keyed.dropDuplicates()

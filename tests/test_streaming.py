@@ -105,3 +105,23 @@ def test_session_stats_stream_equals_batch(spark, sf_dir, tmp_path):
            _collect_stream(spark, session_event_stats(stream_src),
                            "session_mem").collect()}
     assert got == batch
+
+
+def test_debounce_dedup_stream_equals_batch(spark, sf_dir, tmp_path):
+    # dropDuplicatesWithinWatermark emits each key once per watermark
+    # horizon; with availableNow over a bounded source the emitted key
+    # set must equal batch SELECT DISTINCT. (Append mode — dedup state
+    # is not a "result table" to be re-output, unlike the aggs above.)
+    from openedx_event_sink_clickhouse_spark.streaming.windows import (
+        debounce_dedup)
+    events = load_table(spark, "events", sf_dir)
+    events.write.parquet(str(tmp_path / "ev"))
+    batch = {tuple(r) for r in debounce_dedup(events).collect()}
+    stream_src = (spark.readStream.schema(events.schema)
+                  .parquet(str(tmp_path / "ev")))
+    q = (debounce_dedup(stream_src).writeStream.format("memory")
+         .queryName("debounce_mem").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM debounce_mem").collect()}
+    assert got == batch
