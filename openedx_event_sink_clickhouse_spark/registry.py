@@ -1815,6 +1815,57 @@ def _pct(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+@register("pivot_status_by_priority", """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS status_f,
+       count(*) FILTER (o_orderstatus = 'O') AS status_o,
+       count(*) FILTER (o_orderstatus = 'P') AS status_p,
+       round(sum(o_totalprice), 6) AS total_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def _pivot(spark, sf_dir):
+    # Relational pivot. Values are DECLARED (not discovered), so the plan
+    # is one pass — Spark needs no extra distinct-scan job to enumerate
+    # the pivot columns, which is the difference between 1 and 2 reads of
+    # the fact table at scale.
+    o = _t(spark, sf_dir, "orders")
+    piv = (o.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["F", "O", "P"])
+           .agg(F.count(F.lit(1)))
+           .withColumnsRenamed({"F": "status_f", "O": "status_o",
+                                "P": "status_p"}))
+    totals = (o.groupBy("o_orderpriority")
+              .agg(F.round(F.sum("o_totalprice"), 6).alias("total_price")))
+    return (piv.join(totals, "o_orderpriority")
+            .select("o_orderpriority",
+                    F.coalesce("status_f", F.lit(0)).alias("status_f"),
+                    F.coalesce("status_o", F.lit(0)).alias("status_o"),
+                    F.coalesce("status_p", F.lit(0)).alias("status_p"),
+                    "total_price")
+            .orderBy("o_orderpriority"))
+
+
+@register("json_extract_props", """
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def _json_extract(spark, sf_dir):
+    # Semi-structured escape hatch, read side (the write side is
+    # p4_json_pack): get_json_object is a JVM-side SIMD-friendly path
+    # scan, no UDF, and the extraction runs inside the partial aggregate
+    # — the JSON string never survives past the map side.
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.avg(k), 6).alias("avg_k"),
+                 F.max(k).alias("max_k"))
+            .orderBy("event_type"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
