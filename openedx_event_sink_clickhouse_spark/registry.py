@@ -1866,6 +1866,208 @@ def _json_extract(spark, sf_dir):
             .orderBy("event_type"))
 
 
+# --- TPC-H round 4: the five queries whose canonical forms need absent
+# columns (partsupp / commitdate / receiptdate), adapted to preserve each
+# one's distinctive PLAN SHAPE over the available schema. Adaptations
+# noted per query; with these, all 22 TPC-H shapes are exercised.
+
+@register("tpch_q2", """
+WITH pl AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eu AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+       FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'EUROPE'),
+cand AS (SELECT p.p_partkey, p.p_name, eu.s_name, eu.s_acctbal, eu.n_name,
+                max(eu.s_acctbal) OVER (PARTITION BY p.p_partkey) AS best
+         FROM part p JOIN pl ON p.p_partkey = pl.l_partkey
+         JOIN eu ON pl.l_suppkey = eu.s_suppkey
+         WHERE p.p_size <= 10)
+SELECT p_partkey, p_name, s_name, round(s_acctbal, 6) AS s_acctbal, n_name
+FROM cand WHERE s_acctbal = best
+ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100
+""")
+def _q2(spark, sf_dir):
+    # q2 adapted (no partsupp/ps_supplycost): "best supplier per part" is
+    # the max-acctbal EUROPE supplier that ever shipped the part. The
+    # shape is q2's point: a correlated per-group extremum, decorrelated
+    # into one window over the candidate set instead of a re-aggregating
+    # subquery per row.
+    pl = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct())
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name",
+                                             "s_acctbal", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name",
+                                           "n_regionkey")
+    r = (_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+         .select("r_regionkey"))
+    eu = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+          .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    p = (_t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+         .select("p_partkey", "p_name"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("p_partkey")
+    return (pl.join(F.broadcast(p), pl.l_partkey == p.p_partkey)
+            .join(F.broadcast(eu), pl.l_suppkey == eu.s_suppkey)
+            .withColumn("best", F.max("s_acctbal").over(w))
+            .filter(F.col("s_acctbal") == F.col("best"))
+            .select("p_partkey", "p_name", "s_name",
+                    F.round("s_acctbal", 6).alias("s_acctbal"), "n_name")
+            .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name").limit(100))
+
+
+@register("tpch_q11", """
+WITH sup_nation AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'),
+val AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+  FROM lineitem JOIN sup_nation ON l_suppkey = s_suppkey
+  GROUP BY l_partkey)
+SELECT l_partkey AS p_partkey, round(value, 6) AS part_value
+FROM val
+WHERE value > (SELECT 0.001 * sum(value) FROM val)
+ORDER BY part_value DESC, p_partkey
+""")
+def _q11(spark, sf_dir):
+    # q11 adapted (no partsupp): "important stock" = shipped value per
+    # part for one nation's suppliers, kept if above a fraction of that
+    # nation's total. The HAVING-vs-global-scalar shape: the val
+    # aggregate feeds both sides; the scalar total is a 1-row broadcast
+    # (never a driver collect), so val is computed once and reused.
+    sup = (_t(spark, sf_dir, "supplier")
+           .join(F.broadcast(_t(spark, sf_dir, "nation")
+                             .filter(F.col("n_name") == "NATION_3")),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+           .groupBy("l_partkey")
+           .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                .alias("value")))
+    total = val.agg((0.001 * F.sum("value")).alias("cut"))
+    return (val.crossJoin(F.broadcast(total))
+            .filter(F.col("value") > F.col("cut"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.round("value", 6).alias("part_value"))
+            .orderBy(F.desc("part_value"), "p_partkey"))
+
+
+@register("tpch_q16", """
+WITH pl AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT pl.l_suppkey) AS supplier_cnt
+FROM part p JOIN pl ON p.p_partkey = pl.l_partkey
+WHERE p.p_size IN (1, 5, 10, 15, 20)
+  AND pl.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                           WHERE s_suppkey % 7 = 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""")
+def _q16(spark, sf_dir):
+    # q16 adapted (no partsupp; no comment column for the complaints
+    # LIKE, so the excluded-supplier set is a deterministic modulo
+    # stand-in). Shape: distinct part-supplier pairs, anti-join against
+    # the blacklist, count-distinct per part attribute.
+    pl = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct())
+    bad = (_t(spark, sf_dir, "supplier")
+           .filter(F.col("s_suppkey") % 7 == 0).select("s_suppkey"))
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_size").isin(1, 5, 10, 15, 20))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    return (pl.join(F.broadcast(bad), pl.l_suppkey == bad.s_suppkey,
+                    "left_anti")
+            .join(F.broadcast(p), pl.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+@register("tpch_q20", """
+WITH gp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%rod%'),
+sq AS (SELECT l_suppkey, sum(l_quantity) AS qty
+       FROM lineitem JOIN gp ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY l_suppkey)
+SELECT s.s_name, n.n_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM sq WHERE qty > 100)
+ORDER BY s.s_name
+""")
+def _q20(spark, sf_dir):
+    # q20 adapted (no partsupp/ps_availqty): suppliers who moved > 100
+    # units of LIKE-matched parts in 1997. The nested-semi-join chain is
+    # the shape: parts -> shipped-quantity aggregate -> supplier
+    # membership, each level collapsing before joining upward.
+    gp = (_t(spark, sf_dir, "part")
+          .filter(F.col("p_name").like("%rod%")).select("p_partkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >=
+                   F.lit("1997-01-01 00:00:00").cast("timestamp")) &
+                  (F.col("l_shipdate") <
+                   F.lit("1998-01-01 00:00:00").cast("timestamp")))
+          .select("l_partkey", "l_suppkey", "l_quantity"))
+    sq = (li.join(F.broadcast(gp), li.l_partkey == gp.p_partkey)
+          .groupBy("l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+          .filter(F.col("qty") > 100).select("l_suppkey"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name",
+                                             "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (s.join(F.broadcast(sq), s.s_suppkey == sq.l_suppkey,
+                   "left_semi")
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_name", "n_name").orderBy("s_name"))
+
+
+@register("tpch_q21", """
+WITH l AS (SELECT l.l_orderkey, l.l_suppkey,
+                  (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderstatus = 'F')
+SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM l l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 50
+""")
+def _q21(spark, sf_dir):
+    # q21 adapted (lateness = shipped > 60 days after order date, since
+    # commitdate/receiptdate are absent). The oracle keeps the canonical
+    # EXISTS / NOT-EXISTS self-join pair; the Spark plan collapses both
+    # into ONE per-order aggregate — sole-late-supplier on a multi-
+    # supplier order — turning three passes over the fact into one
+    # shuffle. Same result, certified by the hash match.
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
+                                              "l_shipdate")
+    l = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .select("l_orderkey", "l_suppkey",
+                 (F.col("l_shipdate") >
+                  F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+                 .alias("late")))
+    per_order = (l.groupBy("l_orderkey")
+                 .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+                      F.count_distinct(
+                          F.when(F.col("late"), F.col("l_suppkey")))
+                      .alias("n_late"),
+                      F.max(F.when(F.col("late"), F.col("l_suppkey")))
+                      .alias("late_supp")))
+    waits = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (waits.join(F.broadcast(s), waits.late_supp == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count_distinct("l_orderkey").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name").limit(50))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
