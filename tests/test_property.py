@@ -133,3 +133,30 @@ def test_shingles_match_python_reference(spark, docs, n):
             if len(ws) >= n else []
         expect = list(dict.fromkeys(grams))  # array_distinct keeps order
         assert got[i] == expect, (t, n, got[i], expect)
+
+
+# --- fused MinHash signature vs Python reference --------------------------
+
+@given(st.lists(st.lists(st.text(alphabet="abc", min_size=1, max_size=6),
+                         min_size=0, max_size=15),
+                min_size=1, max_size=8))
+@settings(**_PROP)
+def test_minhash_signature_matches_python_reference(spark, shingle_sets):
+    import hashlib
+    import pyspark.sql.functions as F
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        MERSENNE31, MINHASH_PARAMS, minhash_signature, shingle_hashes)
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(shingle_sets)],
+        "id long, shingles array<string>")
+    got = {r.id: r.sig for r in
+           df.select("id", minhash_signature(
+               shingle_hashes(F.col("shingles"))).alias("sig")).collect()}
+
+    for i, shingles in enumerate(shingle_sets):
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+              for s in shingles]
+        expect = [min(((h * a + b) % MERSENNE31 for h in hs), default=None)
+                  for a, b in MINHASH_PARAMS]
+        assert got[i] == expect, (shingles, got[i], expect)
