@@ -2068,6 +2068,30 @@ def _q21(spark, sf_dir):
             .orderBy(F.desc("numwait"), "s_name").limit(50))
 
 
+@register("text_top_ngrams", f"""
+WITH grams AS (
+  SELECT unnest({shingles_sql('text', 2)}) AS gram
+  FROM documents
+)
+SELECT gram, count(*) AS n_docs
+FROM grams GROUP BY gram
+ORDER BY n_docs DESC, gram LIMIT 50
+""")
+def _top_ngrams(spark, sf_dir):
+    # Corpus n-gram frequency: the one text op that genuinely needs the
+    # explode (per-gram rows for a global count). DISTINCT per doc first
+    # (set semantics: n_docs counts documents containing the gram), so
+    # the exploded stream is bounded by vocabulary × docs, then one
+    # partial-aggregated groupBy and TakeOrderedAndProject for the top-k
+    # — never a full sort of the vocabulary.
+    from .functions.text import distinct_shingles
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(F.explode(distinct_shingles(F.col("text"), 2))
+                        .alias("gram"))
+            .groupBy("gram").agg(F.count("*").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), "gram").limit(50))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
