@@ -124,6 +124,40 @@ def ivf_topk(emb: DataFrame, probe_id, k: int = 20, n_centroids: int = 16,
             .select(id_col, F.round("_cos", 6).alias("cosine_sim")))
 
 
+def multi_probe_topk(emb: DataFrame, n_probes: int = 10, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     ) -> DataFrame:
+    """Batch ANN workload: exact cosine top-k for EVERY probe in a probe
+    set (ids < n_probes) against the rest of the corpus. Returns
+    (probe_id, vec_id, rank, cosine_sim).
+
+    Plan: probe set (with precomputed norms) broadcasts; the corpus
+    streams through one map pass scoring all probes per row; per-probe
+    ranking is a window partitioned BY PROBE — k small and n_probes
+    bounded, so state per window is tiny and the only shuffle is
+    (probe_id)-partitioned scored candidates. At 100 TB with millions of
+    probes this flips to the IVF/LSH-bucketed plans; the window shape is
+    unchanged."""
+    base = emb.select(F.col(id_col).alias("id"),
+                      as_double(F.col(vec_col)).alias("v"))
+    probes = (base.filter(F.col("id") < n_probes)
+              .select(F.col("id").alias("probe_id"),
+                      F.col("v").alias("pv"),
+                      l2_norm(F.col("v")).alias("pn")))
+    corpus = (base.filter(F.col("id") >= n_probes)
+              .withColumn("nv", l2_norm(F.col("v"))))
+    scored = (corpus.crossJoin(F.broadcast(probes))
+              .select("probe_id", F.col("id").alias(id_col),
+                      cosine_with_norms(F.col("v"), F.col("pv"),
+                                        F.col("nv"), F.col("pn"))
+                      .alias("_cos")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("_cos"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", id_col, "rank",
+                    F.round("_cos", 6).alias("cosine_sim")))
+
+
 def srp_planes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic random hyperplanes: component (p, d) is an md5-derived
     uniform in [-1, 1). Plain Python — these are plan-time constants

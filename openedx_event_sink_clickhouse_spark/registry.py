@@ -2092,6 +2092,26 @@ def _top_ngrams(spark, sf_dir):
             .orderBy(F.desc("n_docs"), "gram").limit(50))
 
 
+@register("sim_multi_probe_topk", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT p.probe_id, e.vec_id, {_cos_sql('e.v', 'p.pv')} AS c
+  FROM e, p WHERE e.vec_id >= 10),
+ranked AS (
+  SELECT probe_id, vec_id, c,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY c DESC, vec_id) AS rank
+  FROM scored)
+SELECT probe_id, vec_id, rank, round(c, 6) AS cosine_sim
+FROM ranked WHERE rank <= 5
+""")
+def _sim_multi(spark, sf_dir):
+    from .operators.similarity import multi_probe_topk
+    return multi_probe_topk(_t(spark, sf_dir, "embeddings"),
+                            n_probes=10, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
