@@ -1,0 +1,51 @@
+"""Generate PLANS.md: formatted physical plans for the headline queries
+at sf0.001, so plan quality (pushdown, broadcast, partial aggregation,
+codegen spans) is auditable without running Spark.
+
+Run: python tools/gen_plans.py > PLANS.md
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SHOW = [
+    "flagship_incremental_dump",
+    "t1_tree_ordinals",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "asof_last_purchase",
+    "skew_salted_agg",
+    "tpch_q5",
+    "tpch_q21",
+]
+
+SF = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    from openedx_event_sink_clickhouse_spark import registry
+    from openedx_event_sink_clickhouse_spark.session import get_spark
+
+    spark = get_spark("plans", master="local[4]",
+                      extra_conf={"spark.sql.shuffle.partitions": "4"})
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    print("# PLANS — headline physical plans (auto-generated)\n")
+    print("`.explain('formatted')` at sf0.001, local[4]. What to look for:"
+          " `PushedFilters`/`ReadSchema` (pushdown + pruning), "
+          "`BroadcastHashJoin` on dims, `partial_*` aggregates before "
+          "exchanges, `WholeStageCodegen` spans, single exchanges under "
+          "stacked windows. Regenerate: "
+          "`python tools/gen_plans.py > PLANS.md`\n")
+    for name in SHOW:
+        df = qs[name](spark, SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        print(f"## {name}\n\n```\n{plan}```\n")
+
+
+if __name__ == "__main__":
+    main()
