@@ -125,3 +125,41 @@ def test_debounce_dedup_stream_equals_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM debounce_mem").collect()}
     assert got == batch
+
+
+def test_stream_stream_range_join_equals_batch(spark, sf_dir, tmp_path):
+    # Stream-stream interval join (watermarks both sides + time-range
+    # condition = bounded state) must produce exactly the rows of the
+    # batch bucketed range_join on the same data.
+    from openedx_event_sink_clickhouse_spark.operators.rangejoin import (
+        range_join)
+    from openedx_event_sink_clickhouse_spark.streaming.windows import (
+        stream_range_join)
+
+    events = load_table(spark, "events", sf_dir)
+    events.write.parquet(str(tmp_path / "ev"))
+
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("p_ts"),
+                         F.col("value").alias("p_value")))
+    batch = range_join(
+        events, purchases.withColumn(
+            "p_end", F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "user_id", "ts", "p_ts", "p_end")
+    batch_rows = {tuple(r) for r in batch.select(
+        "event_id", "user_id", "ts", "event_type", "p_ts", "p_value"
+    ).collect()}
+
+    src = spark.readStream.schema(events.schema).parquet(str(tmp_path / "ev"))
+    p_stream = (src.filter(F.col("event_type") == "purchase")
+                .select("user_id", F.col("ts").alias("p_ts"),
+                        F.col("value").alias("p_value")))
+    joined = stream_range_join(src, p_stream, "user_id", "ts", "p_ts",
+                               "1 hour")
+    q = (joined.select("event_id", "user_id", "ts", "event_type",
+                       "p_ts", "p_value")
+         .writeStream.format("memory").queryName("ssj_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssj_mem").collect()}
+    assert got == batch_rows
