@@ -33,8 +33,24 @@ class _ParquetSink:
     def __init__(self, path: str):
         self.path = path
 
-    def insert_df(self, df, table: str, throttle_secs: float = 0.0) -> None:
-        df.write.mode("append").parquet(f"{self.path}/{table}")
+    def insert_df(self, df, table: str, throttle_secs: float = 0.0,
+                  max_rows_per_post: int | None = None) -> int:
+        # parquet files are the "POSTs" here; maxRecordsPerFile gives the
+        # same rows-per-batch bound without a count pass
+        writer = df.write.mode("append")
+        if max_rows_per_post:
+            writer = writer.option("maxRecordsPerFile", max_rows_per_post)
+        out = f"{self.path}/{table}"
+        before = self._rows(df.sparkSession, out)
+        writer.parquet(out)
+        return self._rows(df.sparkSession, out) - before
+
+    @staticmethod
+    def _rows(spark, path: str) -> int:
+        try:
+            return spark.read.parquet(path).count()
+        except Exception:  # noqa: BLE001 — first write: dir doesn't exist
+            return 0
 
 
 def build_parser() -> argparse.ArgumentParser:

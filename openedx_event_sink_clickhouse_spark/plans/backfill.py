@@ -113,12 +113,11 @@ def run_backfill(source: DataFrame, sink_history: DataFrame | None, sink,
     batch = select_dump_batch(classified, key, opts)
     if serializer is not None:
         batch = serializer(batch)
-    n = batch.count()
-    if n == 0:
-        return 0
-    # rows-per-POST ≈ batch_size via partition sizing (S5: Spark partitions
-    # replace client-side pagination)
-    partitions = max(1, -(-n // opts.batch_size))
-    sink.insert_df(batch.repartition(partitions), table,
-                   throttle_secs=opts.sleep_time)
-    return n
+    # Single pass: the sink chunks each partition into batch_size-row
+    # POSTs (S5) and counts rows in the same action — no separate
+    # count() scan and no repartition-by-count shuffle. The REBALANCE
+    # hint lets AQE right-size partitions (split skewed, merge tiny)
+    # without knowing the row count up front.
+    return sink.insert_df(batch.hint("rebalance"), table,
+                          throttle_secs=opts.sleep_time,
+                          max_rows_per_post=opts.batch_size)

@@ -8,11 +8,14 @@ retirement is ``ALTER TABLE {db}.{table} DELETE WHERE user_id in (...)``
 per PII table (``sinks/user_retire.py:39-49``).
 
 Spark execution model:
-- ``insert_df`` ships the work to executors via ``foreachPartition`` — one
-  HTTP streaming INSERT per partition, so throughput scales with the
-  cluster and the driver never materializes rows. Spark task retry gives
-  at-least-once; the dump_id-versioned append schema (reference
-  ``serializers.py:25-31``) makes replays idempotent-by-versioning.
+- ``insert_df`` ships the work to executors via ``foreachPartition`` —
+  HTTP streaming INSERTs per partition (optionally chunked to
+  ``max_rows_per_post`` rows each, the reference's S5 batch size), so
+  throughput scales with the cluster and the driver never materializes
+  rows; the row count comes back through an accumulator in the same
+  action. Spark task retry gives at-least-once; the dump_id-versioned
+  append schema (reference ``serializers.py:25-31``) makes replays
+  idempotent-by-versioning.
 - ``delete_where`` is a control-plane mutation: one driver-side request
   per table, mirroring the reference exactly.
 
@@ -87,27 +90,44 @@ class ClickHouseSink:
         return params
 
     def insert_df(self, df: DataFrame, table: str, columns: list[str] | None = None,
-                  throttle_secs: float = 0.0) -> None:
-        """Bulk INSERT, one streaming POST per partition (executor-side).
+                  throttle_secs: float = 0.0,
+                  max_rows_per_post: int | None = None) -> int:
+        """Bulk INSERT, streaming POSTs from the executors; returns the
+        number of rows sent (accumulator-counted inside the same action,
+        so callers need no separate ``count()`` pass over the batch).
 
         ``throttle_secs`` is the reference's inter-batch sleep
-        (L2, ``dump_data_to_clickhouse.py:68,158-163``) applied per
-        partition-POST; size partitions (repartition / maxPartitionBytes)
-        to pick the rows-per-POST batch size.
+        (L2, ``dump_data_to_clickhouse.py:68,158-163``) applied per POST.
+        ``max_rows_per_post`` chunks WITHIN each partition (the
+        reference's rows-per-insert batch size, S5) — partition sizing
+        controls parallelism, the chunk size controls POST payloads, and
+        neither requires knowing the total row count up front.
         """
         params = self._insert_query(table)
         cfg, transport = self.config, self.transport
+        acc = df.sparkSession.sparkContext.accumulator(0)
 
         def send_partition(lines: Iterable) -> None:
-            body = "\n".join(row["csv_line"] for row in lines)
-            if not body:
-                return
-            transport("POST", cfg.url, params, (body + "\n").encode("utf-8"),
-                      (cfg.username, cfg.password), cfg.timeout_secs)
-            if throttle_secs:
-                time.sleep(throttle_secs)
+            def post(buf: list) -> None:
+                if not buf:
+                    return
+                body = "\n".join(buf) + "\n"
+                transport("POST", cfg.url, params, body.encode("utf-8"),
+                          (cfg.username, cfg.password), cfg.timeout_secs)
+                acc.add(len(buf))
+                if throttle_secs:
+                    time.sleep(throttle_secs)
+
+            buf: list = []
+            for row in lines:
+                buf.append(row["csv_line"])
+                if max_rows_per_post and len(buf) >= max_rows_per_post:
+                    post(buf)
+                    buf = []
+            post(buf)
 
         encode_csv_lines(df, columns).foreachPartition(send_partition)
+        return acc.value
 
     def delete_where_user_ids(self, user_ids: Iterable, pii_tables: list[str]) -> list[str]:
         """D1 — PII retirement. Builds the exact reference mutation per

@@ -185,8 +185,10 @@ def test_run_backfill_end_to_end(spark, backfill_frames, tmp_path):
     assert n == 8  # odd-modified (1,3,5) + never-dumped (6..10)
     posts = [c for c in read_captures(str(tmp_path)) if c["data"]]
     assert sum(c["data"].count("\n") for c in posts) == 8
-    # batch_size=4 → ceil(8/4)=2 partitions → 2 POSTs
-    assert len(posts) == 2
+    # S5 batching invariant: no POST exceeds batch_size rows (the count
+    # comes back from the SAME action — no separate count() pass)
+    assert all(c["data"].count("\n") <= 4 for c in posts)
+    assert len(posts) >= 2
 
 
 def test_force_dump_reason(spark, backfill_frames):
