@@ -26,6 +26,20 @@ def _encode_field(col: Column, dtype: T.DataType) -> Column:
         return F.when(col, "True").otherwise("False")
     if isinstance(dtype, NUMERIC_TYPES):
         return col.cast("string")
+    if isinstance(dtype, T.TimestampType):
+        # reference wire format is str(tz-aware datetime):
+        # "YYYY-MM-DD HH:MM:SS[.ffffff]+00:00" — fractional part omitted
+        # when zero, exactly like Python str() (the watermark reader
+        # round-trips this via fromisoformat, base_sink.py:328-335).
+        # Session timezone is pinned UTC (session.py), so +00:00 is exact.
+        base = F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+        micro = F.date_format(col, "SSSSSS")
+        s = F.concat(base,
+                     F.when(micro != "000000", F.concat(F.lit("."), micro))
+                      .otherwise(F.lit("")),
+                     F.lit("+00:00"))
+        s = F.coalesce(s, F.lit(""))
+        return F.concat(F.lit('"'), s, F.lit('"'))
     # non-numeric → always quoted, embedded quotes doubled; NULL → ""
     s = F.coalesce(col.cast("string"), F.lit(""))
     return F.concat(F.lit('"'), F.regexp_replace(s, '"', '""'), F.lit('"'))

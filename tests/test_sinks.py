@@ -205,3 +205,24 @@ def test_force_dump_reason(spark, backfill_frames):
                             opts=BackfillOptions(ids=[1, 2, 3], skip_ids=[2],
                                                  force=True))
     assert {r["pk"] for r in out2.collect()} == {1, 3}
+
+
+def test_timestamp_wire_format_matches_python_str(spark):
+    # Reference datetime wire format = str(tz-aware datetime)
+    # ("2023-05-03 15:47:39.331024+00:00", base_sink.py:331 comment);
+    # fractional seconds omitted when zero, exactly like Python str().
+    import datetime as dt
+    rows = [
+        (dt.datetime(2023, 5, 3, 15, 47, 39, 331024),),
+        (dt.datetime(2024, 1, 1, 0, 0, 0, 0),),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = sorted(r["csv_line"] for r in encode_csv_lines(df).collect())
+    expected = sorted([
+        '"' + str(dt.datetime(2023, 5, 3, 15, 47, 39, 331024,
+                              tzinfo=dt.timezone.utc)) + '"',
+        '"' + str(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)) + '"',
+        '""',
+    ])
+    assert got == expected
