@@ -103,15 +103,21 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
                  shingle_n: int = 5, k: int = 4) -> DataFrame:
     """Rolling-hash document fingerprint (winnowing-lite): hash every
     ``shingle_n``-word shingle, keep the minimum as the scalar fingerprint
-    and the ``k`` smallest as the sketch array. Content-defined, so shared
+    and the ``k`` smallest as the sketch. Content-defined, so shared
     passages produce shared fingerprints across documents; the sketch is
-    the join key for fingerprint-level near-dup clustering at scale."""
+    the join key for fingerprint-level near-dup clustering at scale.
+
+    The sketch is emitted as a comma-joined string, not ``array<bigint>``:
+    a scalar column hashes cleanly in any downstream comparator (and the
+    join key for sketch-level grouping is the whole sketch anyway)."""
     sh = ngrams(words(F.col(text_col)), shingle_n)
     hashes = F.array_sort(F.transform(sh, lambda s: md5_hash64(s)))
+    sketch = F.concat_ws(
+        ",", F.transform(F.slice(hashes, 1, k), lambda x: x.cast("string")))
     return docs.select(
         "doc_id",
         F.get(hashes, 0).alias("fingerprint64"),  # null-safe for <n-word docs
-        F.slice(hashes, 1, k).alias("sketch"),
+        sketch.alias("sketch"),
     )
 
 

@@ -800,7 +800,10 @@ WITH base AS (
 ), hashed AS (
   SELECT doc_id, list_sort(list_transform(sh, x -> {h})) AS hs FROM base
 )
-SELECT doc_id, hs[1] AS fingerprint64, hs[1:4] AS sketch FROM hashed
+SELECT doc_id, hs[1] AS fingerprint64,
+       array_to_string(list_transform(hs[1:4], x -> CAST(x AS VARCHAR)), ',')
+         AS sketch
+FROM hashed
 """
 
 

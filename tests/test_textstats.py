@@ -63,17 +63,19 @@ def test_fingerprints_shared_passage(spark):
     ])
     out = {r.doc_id: r for r in fingerprints(df).collect()}
     # docs 1 and 2 share 5-gram shingles from the common passage, so their
-    # sketches overlap; doc 3 shares nothing.
-    assert set(out[1].sketch) & set(out[2].sketch)
-    assert not set(out[1].sketch) & set(out[3].sketch)
-    assert out[1].fingerprint64 == min(out[1].sketch)
+    # sketches overlap; doc 3 shares nothing. Sketch is a comma-joined
+    # string of the k smallest shingle hashes.
+    sk = {i: set(int(x) for x in out[i].sketch.split(",")) for i in (1, 2, 3)}
+    assert sk[1] & sk[2]
+    assert not sk[1] & sk[3]
+    assert out[1].fingerprint64 == min(sk[1])
 
 
 def test_fingerprints_short_doc_null_safe(spark):
     df = _docs(spark, [(1, "too short", "en")])
     r = fingerprints(df).collect()[0]
     assert r.fingerprint64 is None
-    assert r.sketch == []
+    assert r.sketch == ""
 
 
 def test_corpus_profile_partitions_all_docs(spark, sf_dir):
