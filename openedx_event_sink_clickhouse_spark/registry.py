@@ -393,6 +393,143 @@ def _d1(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# EP2 serializers: user_profile / external_id field-for-field parity
+# (serializers.py:34-66,69-86; joins user_profile_sink.py:18-19,
+# external_id_sink.py:18-19). Driver tables stand in for the source
+# models: customer → user_profile/auth_user, orders → external_id,
+# region → external_id_type. The synthesized source columns are mirrored
+# verbatim in the oracle so the serializer projection + joins are what is
+# actually under test.
+# --------------------------------------------------------------------------
+
+DUMP_TS = "2024-02-01 00:00:00"
+
+
+def _profile_sources(spark, sf_dir):
+    """customer → (profiles, users) with the reference model's columns."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    idx3 = (k % 3 + 1).cast("int")
+    profiles = c.select(
+        k.alias("id"),
+        k.alias("user_id"),
+        F.col("c_name").alias("name"),
+        F.to_json(F.struct(F.col("c_mktsegment").alias("mktsegment")))
+         .alias("meta"),
+        F.lit("course.xml").alias("courseware"),
+        F.element_at(F.array(F.lit("en"), F.lit("es"), F.lit("fr")), idx3)
+         .alias("language"),
+        F.lower("c_mktsegment").alias("location"),
+        (F.lit(1950) + k % 50).cast("int").alias("year_of_birth"),
+        F.element_at(F.array(F.lit("m"), F.lit("f"), F.lit("o")), idx3)
+         .alias("gender"),
+        F.element_at(F.array(F.lit("hs"), F.lit("a"), F.lit("b"),
+                             F.lit("m"), F.lit("p")),
+                     (k % 5 + 1).cast("int")).alias("level_of_education"),
+        F.concat(k.cast("string"), F.lit(" Main St")).alias("mailing_address"),
+        F.concat(F.lit("city-"), (k % 97).cast("string")).alias("city"),
+        F.concat(F.lit("country-"), F.col("c_nationkey").cast("string"))
+         .alias("country"),
+        F.concat(F.lit("state-"), (F.col("c_nationkey") % 10).cast("string"))
+         .alias("state"),
+        F.concat(F.lit("learn "), F.lower("c_mktsegment")).alias("goals"),
+        F.concat(F.lit("bio of "), F.col("c_name")).alias("bio"),
+        F.when(k % 4 == 0, F.lit("2023-05-01 00:00:00").cast("timestamp"))
+         .alias("profile_image_uploaded_at"),
+        F.concat(F.lit("+1-555-"), k.cast("string")).alias("phone_number"),
+    )
+    users = c.select(
+        k.alias("id"),
+        F.concat(F.lit("user"), k.cast("string"), F.lit("@example.com"))
+         .alias("email"),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("_")))
+         .alias("username"),
+    )
+    return profiles, users
+
+
+@register("serialize_user_profile", f"""
+WITH profiles AS (
+  SELECT c_custkey AS id, c_custkey AS user_id, c_name AS name,
+    json_object('mktsegment', c_mktsegment) AS meta,
+    'course.xml' AS courseware,
+    (['en','es','fr'])[(c_custkey % 3 + 1)] AS language,
+    lower(c_mktsegment) AS location,
+    CAST(1950 + c_custkey % 50 AS INT) AS year_of_birth,
+    (['m','f','o'])[(c_custkey % 3 + 1)] AS gender,
+    (['hs','a','b','m','p'])[(c_custkey % 5 + 1)] AS level_of_education,
+    CAST(c_custkey AS VARCHAR) || ' Main St' AS mailing_address,
+    'city-' || CAST(c_custkey % 97 AS VARCHAR) AS city,
+    'country-' || CAST(c_nationkey AS VARCHAR) AS country,
+    'state-' || CAST(c_nationkey % 10 AS VARCHAR) AS state,
+    'learn ' || lower(c_mktsegment) AS goals,
+    'bio of ' || c_name AS bio,
+    CASE WHEN c_custkey % 4 = 0 THEN TIMESTAMP '2023-05-01 00:00:00'
+         END AS profile_image_uploaded_at,
+    '+1-555-' || CAST(c_custkey AS VARCHAR) AS phone_number
+  FROM customer
+), users AS (
+  SELECT c_custkey AS id,
+         'user' || CAST(c_custkey AS VARCHAR) || '@example.com' AS email
+  FROM customer
+)
+SELECT p.id, p.user_id, p.name, u.email, p.meta, p.courseware, p.language,
+       p.location, p.year_of_birth, p.gender, p.level_of_education,
+       p.mailing_address, p.city, p.country, p.state, p.goals, p.bio,
+       p.profile_image_uploaded_at, p.phone_number,
+       {deterministic_dump_id_sql('p.id')} AS dump_id,
+       TIMESTAMP '{DUMP_TS}' AS time_last_dumped
+FROM profiles p LEFT JOIN users u ON p.user_id = u.id
+""")
+def _ep2_profile(spark, sf_dir):
+    from .plans.user_sinks import serialize_user_profile
+    profiles, users = _profile_sources(spark, sf_dir)
+    return serialize_user_profile(
+        profiles, users.select("id", "email"),
+        deterministic_dump_id(F.col("id")),
+        F.lit(DUMP_TS).cast("timestamp"))
+
+
+@register("serialize_external_id", f"""
+WITH ext AS (
+  SELECT {deterministic_dump_id_sql('o_orderkey')} AS external_user_id,
+         o_custkey AS user_id, o_orderkey % 5 AS external_id_type_id,
+         o_orderkey
+  FROM orders
+), users AS (
+  SELECT c_custkey AS id,
+         lower(replace(c_name, '#', '_')) AS username
+  FROM customer
+), id_types AS (
+  SELECT r_regionkey AS id, lower(r_name) AS name FROM region
+)
+SELECT e.external_user_id, t.name AS external_id_type, u.username, e.user_id,
+       {deterministic_dump_id_sql('e.o_orderkey')} AS dump_id,
+       TIMESTAMP '{DUMP_TS}' AS time_last_dumped
+FROM ext e
+LEFT JOIN users u ON e.user_id = u.id
+LEFT JOIN id_types t ON e.external_id_type_id = t.id
+""")
+def _ep2_external(spark, sf_dir):
+    from .plans.user_sinks import serialize_external_id
+    o = _t(spark, sf_dir, "orders")
+    ext = o.select(
+        deterministic_dump_id(F.col("o_orderkey")).alias("external_user_id"),
+        F.col("o_custkey").alias("user_id"),
+        (F.col("o_orderkey") % 5).alias("external_id_type_id"),
+        F.col("o_orderkey"),
+    )
+    _, users = _profile_sources(spark, sf_dir)
+    id_types = (_t(spark, sf_dir, "region")
+                .select(F.col("r_regionkey").alias("id"),
+                        F.lower("r_name").alias("name")))
+    return serialize_external_id(
+        ext, users.select("id", "username"), id_types,
+        deterministic_dump_id(F.col("o_orderkey")),
+        F.lit(DUMP_TS).cast("timestamp"))
+
+
+# --------------------------------------------------------------------------
 # Dedup suite (operators/dedup.py) — training-data-pipeline extensions
 # --------------------------------------------------------------------------
 
