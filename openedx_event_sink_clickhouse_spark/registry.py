@@ -1015,16 +1015,28 @@ def _topk1(spark, sf_dir):
             .filter(F.col("rnk") <= 3))
 
 
-# Approximate distinct (HLL++): sketch values are engine-specific, so no
-# value-level oracle — the driver records rows-only; the ±5% error bound
-# vs exact is pinned in tests/test_analytics.py.
-@register("approx_distinct_users", None)
+# Approximate distinct (HLL++): the sketch estimate is engine-specific,
+# so the oracle-checked surface is the exact count_distinct twin computed
+# in the same pass plus a deterministic ±5% bound flag on the estimate
+# (Spark's HLL++ is deterministic for fixed data/rsd, so approx_ok is
+# stable and a violated bound shows up as a driver hash mismatch). The
+# raw estimate is additionally bound-pinned in tests/test_analytics.py.
+@register("approx_distinct_users", """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       CAST(1 AS INT) AS approx_ok
+FROM events GROUP BY event_type
+""")
 def _apx1(spark, sf_dir):
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.count_distinct("user_id")
     return (_t(spark, sf_dir, "events")
             .groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id", rsd=0.02)
-                  .alias("approx_users"),
-                 F.count("*").alias("n_events")))
+            .agg(exact.alias("exact_users"),
+                 F.count("*").alias("n_events"),
+                 (F.abs(approx - exact) <= 0.05 * exact)
+                  .cast("int").alias("approx_ok")))
 
 
 # TPC-H q1/q3/q6 over the driver's tables: standard engine-generality

