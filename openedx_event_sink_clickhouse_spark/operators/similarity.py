@@ -54,45 +54,92 @@ def brute_force_topk(emb: DataFrame, probe_id, k: int = 20,
 
 
 def cosine_neardup_pairs(emb: DataFrame, threshold: float,
-                         block_col: str = "label", id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
-    """Embedding near-dup pairs with cosine ≥ threshold, blocked on a
-    coarse key so the self-join is per-block instead of full cross —
-    the same blocking pattern IVF/LSH generalize. Returns
-    (id_a, id_b, cosine_sim)."""
+                         block_col: str | None = None, id_col: str = "vec_id",
+                         vec_col: str = "embedding", num_planes: int = 6,
+                         num_tables: int = 2, dim: int | None = None,
+                         ) -> DataFrame:
+    """Embedding near-dup pairs with cosine ≥ threshold, blocked so the
+    self-join is per-bucket instead of full cross. Returns
+    (id_a, id_b, cosine_sim), id_a < id_b.
+
+    Blocking key: by default an UNSUPERVISED sign-random-projection bucket
+    (``num_tables`` independent plane sets, OR-amplified — candidates
+    match in ANY table), since real corpora carry no labels. Pass
+    ``block_col`` to block on a supervised column instead.
+
+    Plan shape mirrors :func:`~.dedup.minhash_lsh_pairs`: signatures are a
+    narrow map pass; the (table_idx, bucket) self-join is the only shuffle
+    and is O(candidates); candidates are verified with exact cosine. At
+    100 TB this is the bucketed form that never goes quadratic; recall is
+    tuned by ``num_planes`` (bucket size) × ``num_tables`` (OR tries).
+    """
     v = as_double(F.col(vec_col))
     base = emb.select(F.col(id_col).alias("id"), v.alias("v"),
                       l2_norm(v).alias("nv"),
-                      F.col(block_col).alias("blk"))
-    a, b = base.alias("a"), base.alias("b")
-    # Norms hoisted to once per vector (bit-identical hoist): each
-    # candidate pair costs one dot-product pass, not three aggregates.
-    sim = cosine_with_norms(F.col("a.v"), F.col("b.v"),
-                            F.col("a.nv"), F.col("b.nv"))
-    return (a.join(b, (F.col("a.blk") == F.col("b.blk")) &
-                      (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    sim.alias("_cos"))
+                      *( [F.col(block_col).alias("blk")] if block_col else [] ))
+    if block_col is not None:
+        # Norms hoisted to once per vector (bit-identical hoist): each
+        # candidate pair costs one dot-product pass, not three aggregates.
+        sim = cosine_with_norms(F.col("a.v"), F.col("b.v"),
+                                F.col("a.nv"), F.col("b.nv"))
+        a, b = base.alias("a"), base.alias("b")
+        return (a.join(b, (F.col("a.blk") == F.col("b.blk")) &
+                          (F.col("a.id") < F.col("b.id")))
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"), sim.alias("_cos"))
+                .filter(F.col("_cos") >= threshold)
+                .select("id_a", "id_b",
+                        F.round("_cos", 6).alias("cosine_sim")))
+    dim = _vec_dim(emb, vec_col, dim)
+    tables = [srp_planes(num_planes, dim, table=t) for t in range(num_tables)]
+    sigs = base.withColumn(
+        "buckets", F.array(*[srp_signature(F.col("v"), p) for p in tables]))
+    # Candidate stream is (id, table_idx, bucket) ONLY — the 64-dim
+    # vectors never ride the bucket shuffle; they re-join onto the
+    # (much smaller) deduped candidate pair set for the verify pass.
+    buckets = sigs.select(
+        "id", F.posexplode("buckets").alias("table_idx", "bucket"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (a.join(b, ["table_idx", "bucket"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    va = sigs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                     F.col("nv").alias("nv_a"))
+    vb = sigs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                     F.col("nv").alias("nv_b"))
+    verify = cosine_with_norms(F.col("v_a"), F.col("v_b"),
+                               F.col("nv_a"), F.col("nv_b"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("_cos", verify)
             .filter(F.col("_cos") >= threshold)
             .select("id_a", "id_b", F.round("_cos", 6).alias("cosine_sim")))
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = 16, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-    """Assign every vector to its max-cosine coarse centroid (centroid set
-    = the first ``n_centroids`` vectors by id). Returns (id, v, centroid).
-
-    Plan: corpus ⋈ broadcast(centroids) → per-vector argmax via one
-    window; the corpus is scanned once. At scale the assignment is
-    computed at ingest and stored as a partition column — queries then
-    prune to one cell for free.
-    """
+def _vec_base(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     v = as_double(F.col(vec_col))
-    base = emb.select(F.col(id_col).alias("id"), v.alias("v"),
+    return emb.select(F.col(id_col).alias("id"), v.alias("v"),
                       l2_norm(v).alias("nv"))
-    cents = (base.filter(F.col("id") < n_centroids)
-             .select(F.col("id").alias("cid"), F.col("v").alias("cv"),
-                     F.col("nv").alias("cnv")))
+
+
+def _centroid_frame(base: DataFrame, n_centroids: int,
+                    centroids: list[list[float]] | None) -> DataFrame:
+    """Centroid set as a (cid, cv, cnv) frame. ``centroids=None`` uses the
+    first ``n_centroids`` vectors by id (deterministic, so the DuckDB
+    oracle can reproduce the partitioning); pass :func:`kmeans_centroids`
+    output for the production-quality split."""
+    if centroids is None:
+        return (base.filter(F.col("id") < n_centroids)
+                .select(F.col("id").cast("int").alias("cid"),
+                        F.col("v").alias("cv"), F.col("nv").alias("cnv")))
+    spark = base.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cdf = spark.createDataFrame(rows, "cid int, cv array<double>")
+    return cdf.select("cid", "cv", l2_norm(F.col("cv")).alias("cnv"))
+
+
+def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-vector max-cosine centroid via broadcast + argmax window."""
     scored = (base.crossJoin(F.broadcast(cents))
               .select("id", "v", "nv", "cid",
                       cosine_with_norms(F.col("v"), F.col("cv"),
@@ -104,19 +151,76 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16, id_col: str = "vec_id",
             .select("id", "v", "nv", F.col("cid").alias("centroid")))
 
 
+def ivf_assign(emb: DataFrame, n_centroids: int = 16, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               centroids: list[list[float]] | None = None) -> DataFrame:
+    """Assign every vector to its max-cosine coarse centroid. Returns
+    (id, v, nv, centroid).
+
+    Plan: corpus ⋈ broadcast(centroids) → per-vector argmax via one
+    window; the corpus is scanned once. At scale the assignment is
+    computed at ingest and stored as a partition column — queries then
+    prune to one cell for free.
+    """
+    base = _vec_base(emb, id_col, vec_col)
+    return _assign(base, _centroid_frame(base, n_centroids, centroids))
+
+
+def kmeans_centroids(emb: DataFrame, k: int = 16, n_iter: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dim: int | None = None) -> list[list[float]]:
+    """Spherical k-means (Lloyd's iterations) centroid fit for IVF.
+
+    Deterministic: init = first ``k`` vectors by id; assignment argmax
+    ties break by cid. Each round is one broadcast-assign pass plus ONE
+    groupBy computing all ``dim`` per-component means as separate
+    aggregates (no posexplode — the shuffle carries k×dim doubles).
+    The k×dim model is collected per round — that is the k-means
+    communication pattern, not a driver-side data loop; at 100 TB swap
+    the full passes for a fixed-size sample with the same plan.
+    Empty clusters keep their previous centroid."""
+    dim = _vec_dim(emb, vec_col, dim)
+    base = _vec_base(emb, id_col, vec_col).persist()
+    try:
+        cents = [r["v"] for r in
+                 base.filter(F.col("id") < k).orderBy("id").collect()]
+        for _ in range(n_iter):
+            assigned = _assign(base, _centroid_frame(base, k, cents))
+            stats = (assigned.groupBy("centroid")
+                     .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}")
+                            for i in range(dim)]))
+            got = {r["centroid"]: [r[f"c{i}"] for i in range(dim)]
+                   for r in stats.collect()}
+            cents = [got.get(i, cents[i]) for i in range(len(cents))]
+        return cents
+    finally:
+        base.unpersist()
+
+
 def ivf_topk(emb: DataFrame, probe_id, k: int = 20, n_centroids: int = 16,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF search: exact cosine top-k within the probe's centroid cell
-    (nprobe=1). Scans ~1/n_centroids of the corpus."""
-    assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
-    probe = (assigned.filter(F.col("id") == probe_id)
+             nprobe: int = 1, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF search: exact cosine top-k within the ``nprobe`` centroid cells
+    nearest the probe. Scans ~nprobe/n_centroids of the corpus; recall
+    rises with nprobe (and with k-means centroids via ``centroids``)."""
+    base = _vec_base(emb, id_col, vec_col)
+    cents = _centroid_frame(base, n_centroids, centroids)
+    assigned = _assign(base, cents)
+    probe = (base.filter(F.col("id") == probe_id)
              .select(F.col("v").alias("probe_vec"),
-                     F.col("nv").alias("probe_norm"),
-                     F.col("centroid").alias("probe_centroid")))
-    cell = (assigned.crossJoin(F.broadcast(probe))
-            .filter((F.col("centroid") == F.col("probe_centroid")) &
-                    (F.col("id") != probe_id)))
-    scored = cell.select(
+                     F.col("nv").alias("probe_norm")))
+    cells = (cents.crossJoin(F.broadcast(probe))
+             .select("cid", "probe_vec", "probe_norm",
+                     cosine_with_norms(F.col("cv"), F.col("probe_vec"),
+                                       F.col("cnv"), F.col("probe_norm"))
+                     .alias("_ccos"))
+             .orderBy(F.desc("_ccos"), "cid").limit(nprobe)
+             .select(F.col("cid").alias("centroid"),
+                     "probe_vec", "probe_norm"))
+    cand = (assigned.join(F.broadcast(cells), "centroid")
+            .filter(F.col("id") != probe_id))
+    scored = cand.select(
         F.col("id").alias(id_col),
         cosine_with_norms(F.col("v"), F.col("probe_vec"),
                           F.col("nv"), F.col("probe_norm")).alias("_cos"))
@@ -158,16 +262,29 @@ def multi_probe_topk(emb: DataFrame, n_probes: int = 10, k: int = 5,
                     F.round("_cos", 6).alias("cosine_sim")))
 
 
-def srp_planes(num_planes: int, dim: int) -> list[list[float]]:
+def _vec_dim(emb: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Resolve the embedding dimensionality. Callers should pass ``dim``
+    (the schema's array type carries no length) so plan construction stays
+    action-free; the ``.first()`` fallback exists for exploratory use and
+    runs ONE row-limited job at plan-build time."""
+    if dim is not None:
+        return dim
+    return len(emb.select(vec_col).first()[0])
+
+
+def srp_planes(num_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """Deterministic random hyperplanes: component (p, d) is an md5-derived
     uniform in [-1, 1). Plain Python — these are plan-time constants
-    embedded as literals in both engines."""
+    embedded as literals in both engines. ``table`` seeds independent
+    plane sets for multi-table (OR-amplified) LSH; table 0 preserves the
+    original single-table constants."""
     import hashlib
     out = []
     for p in range(num_planes):
         row = []
         for d in range(dim):
-            h = int(hashlib.md5(f"plane{p}:{d}".encode()).hexdigest()[:8], 16)
+            key = f"plane{p}:{d}" if table == 0 else f"t{table}:plane{p}:{d}"
+            h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
             row.append(h / 2**31 - 1.0)
         out.append(row)
     return out
@@ -190,24 +307,35 @@ def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def srp_bucket_topk(emb: DataFrame, probe_id, k: int = 20,
-                    num_planes: int = 8, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    num_planes: int = 8, num_tables: int = 1,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int | None = None) -> DataFrame:
     """LSH-bucketed ANN: exact cosine top-k among vectors sharing the
-    probe's sign-random-projection bucket. ~1/2^num_planes of the corpus
-    scanned; recall tunable via fewer planes / multiple tables."""
-    dim = len(emb.select(vec_col).first()[0])
-    planes = srp_planes(num_planes, dim)
+    probe's sign-random-projection bucket in ANY of ``num_tables``
+    independent plane sets (OR-amplification). ~num_tables/2^num_planes
+    of the corpus scanned; recall rises with more tables, candidate cost
+    with fewer planes — the standard LSH knob pair.
+
+    One map pass computes all tables' signatures; the probe row (with its
+    bucket array) broadcasts, and the candidate filter is a positional
+    any-match over the two bucket arrays — no shuffle at any scale."""
+    dim = _vec_dim(emb, vec_col, dim)
+    tables = [srp_planes(num_planes, dim, table=t) for t in range(num_tables)]
     v = as_double(F.col(vec_col))
     base = emb.select(F.col(id_col).alias("id"), v.alias("v"),
                       l2_norm(v).alias("nv"))
-    sigs = base.withColumn("bucket", srp_signature(F.col("v"), planes))
+    sigs = base.withColumn(
+        "buckets", F.array(*[srp_signature(F.col("v"), p) for p in tables]))
     probe = (sigs.filter(F.col("id") == probe_id)
              .select(F.col("v").alias("probe_vec"),
                      F.col("nv").alias("probe_norm"),
-                     F.col("bucket").alias("probe_bucket")))
+                     F.col("buckets").alias("probe_buckets")))
+    any_match = F.exists(
+        F.zip_with(F.col("buckets"), F.col("probe_buckets"),
+                   lambda a, b: a == b),
+        lambda x: x)
     cell = (sigs.join(F.broadcast(probe),
-                      (F.col("bucket") == F.col("probe_bucket")) &
-                      (F.col("id") != probe_id)))
+                      any_match & (F.col("id") != probe_id)))
     scored = cell.select(F.col("id").alias(id_col),
                          cosine_with_norms(F.col("v"), F.col("probe_vec"),
                                            F.col("nv"), F.col("probe_norm"))

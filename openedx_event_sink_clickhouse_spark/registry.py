@@ -730,16 +730,47 @@ def _sim1(spark, sf_dir):
     return brute_force_topk(_t(spark, sf_dir, "embeddings"), probe_id=0, k=20)
 
 
-@register("sim_neardup_pairs", f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+EMB_DIM = 64  # driver embeddings table dimensionality (TESTDATA.md)
+
+
+def _srp_bucket_exprs(num_planes: int, dim: int, num_tables: int,
+                      vec: str = "v") -> list[str]:
+    """One DuckDB bucket expression per LSH table, mirroring
+    operators/similarity.srp_signature over srp_planes(table=t)."""
+    from .operators.similarity import srp_planes
+    out = []
+    for t in range(num_tables):
+        planes = srp_planes(num_planes, dim, table=t)
+        out.append(" + ".join(
+            f"(CASE WHEN list_dot_product({vec}, {plane!r}) > 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+            for p, plane in enumerate(planes)))
+    return out
+
+
+def _srp_neardup_oracle_sql(num_planes: int = 6, num_tables: int = 2,
+                            threshold: float = 0.3) -> str:
+    bks = _srp_bucket_exprs(num_planes, EMB_DIM, num_tables)
+    sig_cols = ", ".join(f"{b} AS b{t}" for t, b in enumerate(bks))
+    any_match = " OR ".join(f"a.b{t} = b.b{t}" for t in range(num_tables))
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (SELECT id, v, {sig_cols} FROM e)
 SELECT id_a, id_b, round(c, 6) AS cosine_sim FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql('a.v', 'b.v')} AS c
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-) t WHERE c >= 0.3
-""")
+  SELECT a.id AS id_a, b.id AS id_b, {_cos_sql('a.v', 'b.v')} AS c
+  FROM sigs a JOIN sigs b ON a.id < b.id AND ({any_match})
+) t WHERE c >= {threshold}
+"""
+
+
+@register("sim_neardup_pairs", _srp_neardup_oracle_sql())
 def _sim2(spark, sf_dir):
+    # Unsupervised blocking: SRP buckets (2 OR-amplified tables), exact
+    # cosine verify — no label column needed (real corpora have none).
     from .operators.similarity import cosine_neardup_pairs
-    return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"),
+                                threshold=0.3, num_planes=6, num_tables=2,
+                                dim=EMB_DIM)
 
 
 @register("sim_ivf_topk", f"""
@@ -764,29 +795,29 @@ def _sim3(spark, sf_dir):
                     n_centroids=16)
 
 
-def _srp_oracle_sql(num_planes: int = 6, dim: int = 64) -> str:
-    from .operators.similarity import srp_planes
-    planes = srp_planes(num_planes, dim)
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {plane!r}) > 0 "
-        f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
-        for p, plane in enumerate(planes))
+def _srp_oracle_sql(num_planes: int = 6, num_tables: int = 2) -> str:
+    bks = _srp_bucket_exprs(num_planes, EMB_DIM, num_tables)
+    sig_cols = ", ".join(f"{b} AS b{t}" for t, b in enumerate(bks))
+    any_match = " OR ".join(f"s.b{t} = p.pb{t}" for t in range(num_tables))
+    probe_cols = ", ".join(f"b{t} AS pb{t}" for t in range(num_tables))
     return f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-sigs AS (SELECT id, v, {bucket} AS bucket FROM e),
-p AS (SELECT v AS pv, bucket AS pb FROM sigs WHERE id = 0)
+sigs AS (SELECT id, v, {sig_cols} FROM e),
+p AS (SELECT v AS pv, {probe_cols} FROM sigs WHERE id = 0)
 SELECT id AS vec_id, round(c, 6) AS cosine_sim FROM (
   SELECT s.id, {_cos_sql('s.v', 'p.pv')} AS c
-  FROM sigs s, p WHERE s.bucket = p.pb AND s.id <> 0) t
+  FROM sigs s, p WHERE ({any_match}) AND s.id <> 0) t
 ORDER BY c DESC, id LIMIT 20
 """
 
 
 @register("sim_lsh_bucket_topk", _srp_oracle_sql())
 def _sim4(spark, sf_dir):
+    # OR-amplified multi-table SRP: candidates match the probe's bucket
+    # in ANY table; dim passed explicitly so plan build is action-free.
     from .operators.similarity import srp_bucket_topk
     return srp_bucket_topk(_t(spark, sf_dir, "embeddings"), probe_id=0, k=20,
-                           num_planes=6)
+                           num_planes=6, num_tables=2, dim=EMB_DIM)
 
 
 # --------------------------------------------------------------------------

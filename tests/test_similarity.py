@@ -5,11 +5,14 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from openedx_event_sink_clickhouse_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
     ivf_assign,
     ivf_topk,
+    kmeans_centroids,
     srp_bucket_topk,
     srp_planes,
 )
@@ -67,9 +70,80 @@ def test_srp_planes_deterministic():
 def test_neardup_pairs_blocked_by_label(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     labels = {r["vec_id"]: r["label"] for r in emb.collect()}
-    pairs = cosine_neardup_pairs(emb, threshold=0.2).collect()
+    pairs = cosine_neardup_pairs(emb, threshold=0.2, block_col="label").collect()
     assert len(pairs) > 0
     for r in pairs:
         assert labels[r["id_a"]] == labels[r["id_b"]]
         assert r["id_a"] < r["id_b"]
         assert r["cosine_sim"] >= 0.2
+
+
+def test_neardup_pairs_srp_blocking_unsupervised(spark, sf_dir):
+    # Default blocking needs no label column: SRP buckets, OR-amplified.
+    emb = _emb(spark, sf_dir).drop("label")
+    pairs = cosine_neardup_pairs(emb, threshold=0.2, num_planes=4,
+                                 num_tables=4, dim=64).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine_sim"] >= 0.2
+    assert len({(r["id_a"], r["id_b"]) for r in pairs}) == len(pairs)
+
+
+def test_neardup_pair_recall_rises_with_tables(spark, sf_dir):
+    # Pair-recall property: true pairs = cosine >= t over the full cross
+    # (label blocking with one shared label = exhaustive on a slice).
+    emb = _emb(spark, sf_dir).filter("vec_id < 200")
+    truth = {(r["id_a"], r["id_b"]) for r in
+             cosine_neardup_pairs(emb.withColumn("label", F.lit(1)),
+                                  threshold=0.25,
+                                  block_col="label").collect()}
+    assert truth
+    def caught(num_tables):
+        got = {(r["id_a"], r["id_b"]) for r in
+               cosine_neardup_pairs(emb, threshold=0.25, num_planes=3,
+                                    num_tables=num_tables, dim=64).collect()}
+        assert got <= truth  # exact-verify step admits no false pairs
+        return len(got & truth) / len(truth)
+    r1, r4, r16 = caught(1), caught(4), caught(16)
+    assert r1 <= r4 <= r16
+    assert r16 >= 0.9
+
+
+def _recall_at_k(emb, probes, fn, k=10):
+    out = []
+    for p in probes:
+        truth = {r["vec_id"] for r in brute_force_topk(emb, p, k).collect()}
+        got = {r["vec_id"] for r in fn(p).collect()}
+        out.append(len(truth & got) / k)
+    return sum(out) / len(out)
+
+
+def test_kmeans_ivf_recall(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    probes = [0, 7, 123, 400]
+    cents = kmeans_centroids(emb, k=16, n_iter=8, dim=64)
+    assert len(cents) == 16 and all(len(c) == 64 for c in cents)
+    rec = _recall_at_k(
+        emb, probes,
+        lambda p: ivf_topk(emb, p, k=10, n_centroids=16, nprobe=8,
+                           centroids=cents))
+    assert rec >= 0.9, rec
+    # ...while actually pruning: the nprobe=8 cells hold well under the
+    # full corpus (recall at ~half the scan cost).
+    cand = ivf_topk(emb, 0, k=500, n_centroids=16, nprobe=8,
+                    centroids=cents).count()
+    assert cand < 0.6 * emb.count()
+
+
+def test_multi_table_srp_recall(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    probes = [0, 7, 123, 400]
+    def rec(num_tables):
+        return _recall_at_k(
+            emb, probes,
+            lambda p: srp_bucket_topk(emb, p, k=10, num_planes=3,
+                                      num_tables=num_tables, dim=64))
+    single, multi = rec(1), rec(16)
+    assert single < 0.9          # the r1 single-table recall gap is real
+    assert multi >= 0.9, multi   # OR-amplification closes it
