@@ -36,21 +36,20 @@ class _ParquetSink:
     def insert_df(self, df, table: str, throttle_secs: float = 0.0,
                   max_rows_per_post: int | None = None) -> int:
         # parquet files are the "POSTs" here; maxRecordsPerFile gives the
-        # same rows-per-batch bound without a count pass
-        writer = df.write.mode("append")
+        # same rows-per-batch bound without a count pass. Row count comes
+        # from an Observation riding the write action itself (JVM-side,
+        # zero extra passes) — no O(table) re-scan, and concurrent
+        # appends to the same path can't skew the number.
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        writer = df.observe(obs, F.count(F.lit(1)).alias("rows")) \
+                   .write.mode("append")
         if max_rows_per_post:
             writer = writer.option("maxRecordsPerFile", max_rows_per_post)
-        out = f"{self.path}/{table}"
-        before = self._rows(df.sparkSession, out)
-        writer.parquet(out)
-        return self._rows(df.sparkSession, out) - before
-
-    @staticmethod
-    def _rows(spark, path: str) -> int:
-        try:
-            return spark.read.parquet(path).count()
-        except Exception:  # noqa: BLE001 — first write: dir doesn't exist
-            return 0
+        writer.parquet(f"{self.path}/{table}")
+        return obs.get["rows"]
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -100,8 +100,10 @@ def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
     The short-doc filter tests ``size(words) >= n`` — equivalent to
     ``size(shingles) > 0`` (an n-word doc always yields ≥ 1 distinct
     gram) but evaluated on the cheap split, so the Filter node never
-    re-computes the full shingle expression."""
-    min_words = n if min_words is None else min_words
+    re-computes the full shingle expression. ``min_words`` below ``n``
+    is clamped to ``n`` — that equivalence (and the docstring's "drops
+    docs too short to have any n-gram") must hold for any argument."""
+    min_words = n if min_words is None else max(min_words, n)
     from ..functions.text import words
     return (ensure_min_parallelism(docs)
             .filter(F.size(words(F.col(text_col))) >= min_words)
@@ -191,6 +193,13 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     (a stop-shingle shared by everything) — the skew guard that keeps the
     join from going quadratic at scale; dropped buckets only lose pairs
     that other bands will usually still catch.
+
+    Cache lifecycle: two intermediate frames (signatures, bucket stream)
+    are persisted MEMORY_AND_DISK because three downstream subplans read
+    each. They stay pinned after the returned plan materializes — the
+    CALLER owns their lifecycle; long-lived sessions issuing many
+    independent pair jobs should ``spark.catalog.clearCache()`` between
+    them (bench.py does), or the pinned blocks accumulate until eviction.
     """
     from pyspark import StorageLevel
 
@@ -285,7 +294,8 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 20,
+                         checkpoint_every: int = 5) -> DataFrame:
     """Cluster near-dup pairs into duplicate groups: every node labeled
     with the smallest reachable id (= cluster id). Returns
     (doc_id, cluster_id, is_survivor) for every node that appears in a
@@ -295,22 +305,32 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     (symmetrized) edge list and takes the elementwise min — O(diameter)
     rounds, each one small shuffle over the PAIR set (not the corpus;
     near-dup graphs are tiny relative to the input). The driver-side loop
-    checks convergence with a count — at larger diameters swap in the
-    alternating-star variant, same join primitives.
+    checks convergence with a count; every ``checkpoint_every`` rounds the
+    label frame is ``localCheckpoint``-ed so lineage (and with it planning
+    cost and stack depth) stays bounded at high cluster diameters instead
+    of growing one join-layer per round.
     """
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b).alias("src"),
                                  F.col(id_a).alias("dst")))).cache()
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))).cache()
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src").agg(F.min("label").alias("nlabel")))
         new_labels = (labels.join(neighbor_min,
                                   labels.id == neighbor_min.src, "left")
                       .select(F.col("id"),
-                              F.least("label", "nlabel").alias("label"))
-                      ).cache()
+                              F.least("label", "nlabel").alias("label")))
+        if (i + 1) % checkpoint_every == 0:
+            # Truncate lineage: the checkpointed frame's plan is a leaf,
+            # so round i+1 plans against O(checkpoint_every) join layers,
+            # never O(i). (localCheckpoint = executor-local blocks; at
+            # cluster scale use reliable checkpoint() for fault tolerance
+            # on very long chains.)
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.label") != F.col("o.label")).count())

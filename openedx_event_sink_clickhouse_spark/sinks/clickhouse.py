@@ -102,6 +102,14 @@ class ClickHouseSink:
         reference's rows-per-insert batch size, S5) — partition sizing
         controls parallelism, the chunk size controls POST payloads, and
         neither requires knowing the total row count up front.
+
+        Delivery/count semantics: the return value counts LOGICAL rows
+        exactly once (Spark folds accumulator updates from re-run tasks),
+        but the POSTs themselves are at-least-once per chunk — a task
+        failing mid-partition re-sends chunks it already POSTed, at finer
+        grain than the one-POST-per-partition mode. Downstream dedup by
+        ``dump_id`` versioning keeps such replays idempotent; do not read
+        the return value as "rows landed exactly once".
         """
         params = self._insert_query(table)
         cfg, transport = self.config, self.transport

@@ -82,3 +82,21 @@ def test_connected_components_clusters_and_survivors(spark):
     assert {k for k, v in out.items() if v[0] == 5} == {5, 6}
     assert [k for k, v in out.items() if v[1]] == [1, 5] or \
            sorted(k for k, v in out.items() if v[1]) == [1, 5]
+
+
+def test_connected_components_long_chain_bounded_lineage(spark):
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+    # Diameter-30 path graph: the min label needs ~29 propagation rounds
+    # to reach the far end. The periodic localCheckpoint keeps each
+    # round's plan O(checkpoint_every) join layers deep — without it the
+    # later rounds re-plan a 30-deep join pyramid.
+    n = 31
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    out = connected_components(pairs, max_iter=40, checkpoint_every=5)
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r.cluster_id for r in rows} == {0}
+    assert [r.doc_id for r in rows if r.is_survivor] == [0]
