@@ -7,12 +7,18 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from openedx_event_sink_clickhouse_spark.sources.tables import load_table
 from openedx_event_sink_clickhouse_spark.streaming.dispatch import (
     dispatch_batch,
     run_dispatch_stream,
+)
+from openedx_event_sink_clickhouse_spark.streaming.sources import (
+    KAFKA_WIRE_SCHEMA,
+    decode_kafka_publish_events,
+    file_publish_stream,
 )
 from openedx_event_sink_clickhouse_spark.streaming.windows import (
     session_event_stats,
@@ -40,17 +46,44 @@ def test_dispatch_batch_routes_and_dedups(spark, tmp_path):
     assert unknown == ["unknown_model"]
 
 
-def test_run_dispatch_stream_end_to_end(spark, tmp_path):
-    # publish events arrive as files (the test stand-in for kafka); the
-    # stream drains with availableNow and hands micro-batches to the same
-    # handlers the batch path uses (signals.py → tasks.py replacement).
+PUBLISH_ROWS = [("course_overviews", "c1"), ("user_profile", "u1"),
+                ("course_overviews", "c2")]
+
+
+def _file_source(spark, src_dir):
+    # publish events arrive as files (backfill/catch-up shape)
+    spark.createDataFrame(PUBLISH_ROWS, ["model", "object_id"]) \
+        .withColumn("ts", F.current_timestamp()) \
+        .write.parquet(str(src_dir / "b0"))
+    return file_publish_stream(spark, str(src_dir / "*"))
+
+
+def _kafka_wire_source(spark, src_dir):
+    # broker stand-in: files carrying the EXACT schema spark's kafka
+    # source emits, drained through the same decoder the real connector
+    # would feed — swapping in format("kafka") changes only the reader.
+    rows = [(None, json.dumps({"model": m, "object_id": o}).encode("utf-8"),
+             "publish", 0, i) for i, (m, o) in enumerate(PUBLISH_ROWS)]
+    spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, "
+              "offset bigint") \
+        .withColumn("timestamp", F.current_timestamp()) \
+        .withColumn("timestampType", F.lit(0)) \
+        .write.parquet(str(src_dir / "b0"))
+    raw = (spark.readStream.schema(KAFKA_WIRE_SCHEMA)
+           .parquet(str(src_dir / "*")))
+    return decode_kafka_publish_events(raw)
+
+
+@pytest.mark.parametrize("make_source", [_file_source, _kafka_wire_source],
+                         ids=["file", "kafka_wire"])
+def test_run_dispatch_stream_end_to_end(spark, tmp_path, make_source):
+    # the stream drains with availableNow and hands micro-batches to the
+    # same handlers the batch path uses (signals.py → tasks.py
+    # replacement); the dispatcher is source-shape-agnostic.
     src = tmp_path / "publish"
     src.mkdir()
-    spark.createDataFrame(
-        [("course_overviews", "c1"), ("user_profile", "u1"),
-         ("course_overviews", "c2")],
-        ["model", "object_id"],
-    ).withColumn("ts", F.current_timestamp()).write.parquet(str(src / "b0"))
+    stream = make_source(spark, src)
 
     out = tmp_path / "handled"
     out.mkdir()
@@ -62,8 +95,6 @@ def test_run_dispatch_stream_end_to_end(spark, tmp_path):
                 json.dump(rows, f)
         return handler
 
-    stream = (spark.readStream.schema(PUBLISH_SCHEMA)
-              .parquet(str(src / "*")))
     q = run_dispatch_stream(
         stream,
         {m: make_handler(m) for m in ("course_overviews", "user_profile")},
@@ -72,6 +103,23 @@ def test_run_dispatch_stream_end_to_end(spark, tmp_path):
     got = {p[:-5]: json.load(open(out / p, encoding="utf-8"))
            for p in os.listdir(out)}
     assert got == {"course_overviews": ["c1", "c2"], "user_profile": ["u1"]}
+
+
+def test_kafka_decode_corrupt_values_dead_letter(spark):
+    rows = [(None, b'{"model": "user_profile", "object_id": "u1"}',
+             "publish", 0, 0),
+            (None, b"not json at all", "publish", 0, 1)]
+    df = spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, "
+              "offset bigint") \
+        .withColumn("timestamp", F.current_timestamp()) \
+        .withColumn("timestampType", F.lit(0))
+    out = decode_kafka_publish_events(df, corrupt_col="raw_value").collect()
+    ok = [r for r in out if r["model"] is not None]
+    bad = [r for r in out if r["model"] is None]
+    assert [(r["model"], r["object_id"]) for r in ok] == \
+        [("user_profile", "u1")]
+    assert [r["raw_value"] for r in bad] == ["not json at all"]
 
 
 def _collect_stream(spark, df, name):
