@@ -27,17 +27,37 @@ HEADLINE = [
     "t3_fan_out_metadata",         # parent->child fan-out join
     "p5_casts_flags",              # projection over lineitem (largest table)
     "d1_retire_users",             # anti-join bulk delete
+    "serialize_user_profile",      # EP2 join + wide projection
+    "serialize_external_id",       # EP2 double dim join
     "dedup_exact",                 # exact dedup groupBy
     "dedup_minhash_lsh",           # MinHash+LSH near-dup
+    "dedup_simhash_pairs",         # simhash banding self-join
     "sim_cosine_topk",             # brute-force cosine top-k
+    "sim_neardup_pairs",           # SRP-blocked embedding near-dup
+    "sim_ivf_topk",                # IVF cell-pruned top-k
+    "sim_lsh_bucket_topk",         # multi-table SRP top-k
     "stream_tumbling_stats",       # windowed event aggregates
+    "stream_session_stats",        # session windows (gaps-and-islands)
     "text_quality_signals",        # text-analysis suite over documents
+    "text_fingerprints",           # shingle-hash sketches
     "asof_last_purchase",          # as-of join (union+window merge scan)
     "range_join_post_purchase",    # bucketed interval join
     "skew_salted_agg",             # two-phase salted aggregate
+    "agg_rollup_events",           # grouping-set rollup
+    "topk_events_per_user",        # per-group top-k window
+    "window_running_total",        # running-sum window
     "mm_byte_histogram",           # Arrow-batched pandas UDF pipeline
-    "tpch_q1",                     # agg-heavy scan (engine generality)
+    "mm_decode_stats",             # multimodal decode mapInPandas
+    "mm_meta_summary",             # metadata rollup (content-pruned)
+    # TPC-H probe set: engine-generality regression watch
+    "tpch_q1",                     # agg-heavy scan
     "tpch_q3",                     # join + agg + top-k
+    "tpch_q5",                     # 6-way join star
+    "tpch_q6",                     # selective filter-agg
+    "tpch_q9",                     # multi-join + agg over lineitem
+    "tpch_q13",                    # outer join + count distribution
+    "tpch_q18",                    # large IN-subquery + agg
+    "tpch_q21",                    # multi-exists/anti semi-joins
 ]
 
 

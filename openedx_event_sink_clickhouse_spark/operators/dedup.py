@@ -263,7 +263,10 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sig = (f"aggregate(zip_with({tallies}, sequence(0, {bits - 1}), "
            f"(t, j) -> if(t > 0, shiftleft(cast(1 as bigint), j), "
            f"cast(0 as bigint))), cast(0 as bigint), (acc, x) -> acc + x)")
-    return docs.select(F.col(id_col), F.expr(sig).alias("simhash"))
+    # The tally aggregates are interpreted HOFs (no codegen) and dominate
+    # the cost — spread small single-split inputs across cores first.
+    return ensure_min_parallelism(docs).select(
+        F.col(id_col), F.expr(sig).alias("simhash"))
 
 
 def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id",

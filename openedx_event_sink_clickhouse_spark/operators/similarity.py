@@ -92,7 +92,10 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float,
                         F.round("_cos", 6).alias("cosine_sim")))
     dim = _vec_dim(emb, vec_col, dim)
     tables = [srp_planes(num_planes, dim, table=t) for t in range(num_tables)]
-    sigs = base.withColumn(
+    # Signature dot products are interpreted HOFs — spread small
+    # single-split inputs across cores before the CPU-heavy pass.
+    from .dedup import ensure_min_parallelism
+    sigs = ensure_min_parallelism(base).withColumn(
         "buckets", F.array(*[srp_signature(F.col("v"), p) for p in tables]))
     # Candidate stream is (id, table_idx, bucket) ONLY — the 64-dim
     # vectors never ride the bucket shuffle; they re-join onto the

@@ -16,6 +16,9 @@ SHOW = [
     "t1_tree_ordinals",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "sim_neardup_pairs",
+    "sim_lsh_bucket_topk",
+    "serialize_user_profile",
     "asof_last_purchase",
     "skew_salted_agg",
     "tpch_q5",
