@@ -1,0 +1,190 @@
+"""Corpus-curation operators — the filter/scrub/decontaminate/sample/pack
+stages a training-data pipeline runs between ingest and tokenization.
+
+Greenfield relative to the reference (it has no text layer; SURVEY.md §2
+"categories the reference does NOT have"), designed per the north-star
+brief alongside dedup (``operators/dedup.py``) and quality signals
+(``operators/textstats.py``). Everything is pure Column expressions or
+broadcast semi-joins — no Python in any hot path, and each stage is a
+map-only pass or a single bounded shuffle:
+
+- :func:`quality_filter` — C4/Gopher-style rule stack over the quality
+  signals: keep/drop + FIRST violated reason code. Map-only.
+- :func:`scrub_pii` — regex redaction (emails, phone numbers, SSNs) with
+  per-kind counts. Map-only.
+- :func:`decontaminate` — flag documents sharing any ``n``-gram with a
+  benchmark set (train/test leakage guard). Benchmark gram set is tiny
+  relative to the corpus → broadcast semi-join; the corpus never
+  shuffles.
+- :func:`sample_corpus` — deterministic hash-Bernoulli sampling, optional
+  per-stratum rates. Map-only, reproducible across runs/engines (md5
+  uniform, not ``rand()``).
+- :func:`pack_sequences` — greedy contiguous packing of documents into
+  fixed token-budget bins, per shard. One window sort per shard;
+  shards are independent so packing parallelizes.
+- :func:`corpus_mix` — token share per (lang, source) for mix planning.
+  One low-cardinality rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import ngrams, words
+from ..functions.hashes import md5_hash64
+from .textstats import quality_signals
+
+# Default rule thresholds, tuned to fire on the driver corpus (words
+# 10-99, uniq ratio 0.28-1.0) — callers override per corpus.
+QUALITY_RULES = {
+    "min_words": 20,
+    "max_words": 95,
+    "min_uniq_word_ratio": 0.35,
+    "max_punct_ratio": 0.20,
+}
+
+# Redaction patterns: conservative RE2/Java-compatible classes so the
+# Spark and DuckDB regex engines agree byte-for-byte.
+PII_PATTERNS = (
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", "\\+[0-9][0-9() .-]{6,}[0-9]", "<PHONE>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+)
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text",
+                   rules: dict | None = None) -> DataFrame:
+    """Keep/drop decision per document with the FIRST violated rule as
+    the reason code (C4/Gopher-style filtering: length bounds, repetition,
+    punctuation density). Returns (doc_id, n_words, uniq_word_ratio,
+    punct_ratio, keep, reason); ``reason`` is NULL for kept docs.
+
+    Rule order is the audit order — deterministic reasons make drop-rate
+    dashboards per reason stable across runs."""
+    r = {**QUALITY_RULES, **(rules or {})}
+    q = quality_signals(docs, text_col)
+    reason = (
+        F.when(F.col("n_words") < r["min_words"], F.lit("too_short"))
+         .when(F.col("n_words") > r["max_words"], F.lit("too_long"))
+         .when(F.col("uniq_word_ratio") < r["min_uniq_word_ratio"],
+               F.lit("repetitive"))
+         .when(F.col("punct_ratio") > r["max_punct_ratio"],
+               F.lit("punct_heavy")))
+    return q.select(
+        "doc_id", "n_words", "uniq_word_ratio", "punct_ratio",
+        F.when(reason.isNull(), 1).otherwise(0).cast("int").alias("keep"),
+        reason.alias("reason"))
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text",
+              patterns=PII_PATTERNS) -> DataFrame:
+    """Redact PII spans in place and count them per kind. Returns
+    (doc_id, scrubbed_text, n_<kind>... ). Patterns apply in order to the
+    progressively-redacted text (an email inside a phone-like digit run
+    is counted once, by the earlier rule)."""
+    scrubbed: Column = F.col(text_col)
+    counts = []
+    for kind, pat, repl in patterns:
+        counts.append(F.regexp_count(scrubbed, F.lit(pat))
+                       .cast("int").alias(f"n_{kind}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select("doc_id", scrubbed.alias("scrubbed_text"), *counts)
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", n: int = 8,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Train/test leakage guard: flag corpus docs sharing ANY word
+    ``n``-gram with the benchmark set. Returns every corpus doc as
+    (doc_id, contaminated, n_shared_grams).
+
+    Plan: benchmark grams (distinct, hashed) are the SMALL side →
+    broadcast inner join against the corpus' exploded gram stream, then a
+    per-doc count; corpus docs without matches come back via a left join
+    of the doc id spine onto the hit counts. The corpus shuffles only its
+    (doc_id) hit stream — O(matches), not O(corpus)."""
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        g = F.array_distinct(ngrams(words(F.col(text_col)), n))
+        return (df.select(F.col(id_col).alias("id"),
+                          F.explode(F.transform(g, lambda x: md5_hash64(x)))
+                           .alias("gh")))
+
+    bench_grams = F.broadcast(gram_hashes(benchmark).select("gh").distinct())
+    hits = (gram_hashes(docs).join(bench_grams, "gh")
+            .groupBy("id")
+            .agg(F.count_distinct("gh").alias("n_shared_grams")))
+    spine = docs.select(F.col(id_col).alias("id"))
+    return (spine.join(hits, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.when(F.col("n_shared_grams").isNotNull(), 1)
+                     .otherwise(0).cast("int").alias("contaminated"),
+                    F.coalesce("n_shared_grams", F.lit(0))
+                     .alias("n_shared_grams")))
+
+
+def _hash_uniform(key: Column) -> Column:
+    """Deterministic uniform in [0, 1) from a row key — md5-derived so
+    sampling is reproducible across runs AND engines (never rand())."""
+    return (F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+            .cast("double") / F.lit(float(1 << 32)))
+
+
+def sample_corpus(docs: DataFrame, rate: float,
+                  strat_col: str | None = None,
+                  strat_rates: dict[str, float] | None = None,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic Bernoulli sample: keep iff md5-uniform(id) < rate.
+    With ``strat_col``/``strat_rates``, per-stratum rates (e.g. upsample
+    low-resource languages) fall back to ``rate`` for unlisted strata.
+    Map-only; the same ids are kept on every run and engine."""
+    threshold: Column = F.lit(rate)
+    if strat_col is not None and strat_rates:
+        for value, r in strat_rates.items():
+            threshold = F.when(F.col(strat_col) == value, F.lit(r)) \
+                         .otherwise(threshold)
+    return docs.filter(_hash_uniform(F.col(id_col)) < threshold)
+
+
+def pack_sequences(docs: DataFrame, token_budget: int = 512,
+                   shard_col: str = "lang", text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Greedy contiguous packing: within each shard, documents (ordered by
+    id for determinism) are concatenated into bins of ``token_budget``
+    whitespace tokens; a doc starts a new bin when it would overflow.
+    Returns (doc_id, shard, n_tokens, bin_id, bin_offset).
+
+    The classic sequence-packing pre-step for fixed-context training.
+    One window sort per shard; shards are independent, so the packing
+    parallelizes across the cluster and no global order is imposed.
+    Docs longer than the budget get a bin of their own (never split —
+    chunk upstream if splitting is wanted)."""
+    toks = F.size(words(F.col(text_col)))
+    w = (Window.partitionBy(shard_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    # bin = how many full budgets precede this doc's START offset; greedy
+    # contiguous chunking (each bin may undershoot, never overshoot,
+    # except single docs over budget).
+    cum = F.sum(toks).over(w)
+    start = cum - toks
+    return docs.select(
+        F.col(id_col),
+        F.col(shard_col).alias("shard"),
+        toks.alias("n_tokens"),
+        F.floor(start / token_budget).cast("bigint").alias("bin_id"),
+        (start % token_budget).cast("bigint").alias("bin_offset"))
+
+
+def corpus_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token share per (lang, source) — the mix-planning rollup. One
+    low-cardinality partial-aggregated shuffle; the share denominator is
+    a 1-row broadcast window, not a driver round-trip."""
+    toks = F.size(words(F.col(text_col)))
+    agg = (docs.groupBy("lang", "source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(toks).alias("n_tokens")))
+    total = Window.partitionBy()
+    return agg.select(
+        "lang", "source", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6)
+         .alias("token_share"))

@@ -2296,6 +2296,164 @@ def _sim_multi(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Corpus curation (operators/curation.py) — filter / scrub / decontaminate
+# / sample / pack / mix, the pipeline stages between ingest and training.
+# --------------------------------------------------------------------------
+
+_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents
+), q AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    round(len(list_distinct(w))::DOUBLE / len(w), 6) AS uniq_word_ratio,
+    round((length(text) -
+           length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+          / length(text), 6) AS punct_ratio
+  FROM base
+), r AS (
+  SELECT *,
+    CASE WHEN n_words < 20 THEN 'too_short'
+         WHEN n_words > 95 THEN 'too_long'
+         WHEN uniq_word_ratio < 0.35 THEN 'repetitive'
+         WHEN punct_ratio > 0.20 THEN 'punct_heavy' END AS reason
+  FROM q
+)
+SELECT doc_id, n_words, uniq_word_ratio, punct_ratio,
+       CAST(CASE WHEN reason IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+       reason
+FROM r
+"""
+
+
+@register("cur_quality_filter", _QUALITY_SQL)
+def _cur1(spark, sf_dir):
+    from .operators.curation import quality_filter
+    return quality_filter(_t(spark, sf_dir, "documents"))
+
+
+# Synthetic PII injected deterministically (the driver corpus carries
+# none), so the redaction regexes + counts are what is under test.
+_PII_SUFFIX_SPARK = lambda: F.concat(  # noqa: E731
+    F.lit(" contact user"), F.col("doc_id").cast("string"),
+    F.lit("@example.com or +1-555-01"), F.col("doc_id").cast("string"),
+    F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789"))
+     .otherwise(F.lit("")))
+
+_PII_SUFFIX_SQL = ("' contact user' || CAST(doc_id AS VARCHAR) || "
+                   "'@example.com or +1-555-01' || CAST(doc_id AS VARCHAR) || "
+                   "CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' "
+                   "ELSE '' END")
+
+_EMAIL_PAT = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_PAT = "\\+[0-9][0-9() .-]{6,}[0-9]"
+_SSN_PAT = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+@register("cur_scrub_pii", f"""
+WITH injected AS (
+  SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents
+), s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS n_email,
+    regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g') AS text
+  FROM injected
+), s2 AS (
+  SELECT doc_id, n_email,
+    len(regexp_extract_all(text, '{_PHONE_PAT}')) AS n_phone,
+    regexp_replace(text, '{_PHONE_PAT}', '<PHONE>', 'g') AS text
+  FROM s1
+)
+SELECT doc_id,
+  regexp_replace(text, '{_SSN_PAT}', '<SSN>', 'g') AS scrubbed_text,
+  CAST(n_email AS INT) AS n_email, CAST(n_phone AS INT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '{_SSN_PAT}')) AS INT) AS n_ssn
+FROM s2
+""")
+def _cur2(spark, sf_dir):
+    from .operators.curation import scrub_pii
+    injected = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), _PII_SUFFIX_SPARK()))
+    return scrub_pii(injected)
+
+
+def _gram8_sql(n: int = 8) -> str:
+    return shingles_sql("text", n)
+
+
+@register("cur_decontaminate", f"""
+WITH cg AS (
+  SELECT doc_id AS id, unnest({_gram8_sql()}) AS gram FROM documents
+), bg AS (
+  SELECT DISTINCT unnest({_gram8_sql()}) AS gram FROM documents
+  WHERE doc_id < 5
+), hits AS (
+  SELECT id, count(DISTINCT gram) AS n_shared_grams
+  FROM cg JOIN bg USING (gram) GROUP BY id
+)
+SELECT d.doc_id,
+  CAST(CASE WHEN h.n_shared_grams IS NOT NULL THEN 1 ELSE 0 END AS INT)
+    AS contaminated,
+  coalesce(h.n_shared_grams, 0) AS n_shared_grams
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
+""")
+def _cur3(spark, sf_dir):
+    from .operators.curation import decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(docs, docs.filter(F.col("doc_id") < 5), n=8)
+
+
+@register("cur_sample_stratified", """
+SELECT doc_id, lang FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      / 4294967296.0
+      < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END
+""")
+def _cur4(spark, sf_dir):
+    from .operators.curation import sample_corpus
+    return sample_corpus(_t(spark, sf_dir, "documents"), rate=0.2,
+                         strat_col="lang", strat_rates={"en": 0.5}) \
+        .select("doc_id", "lang")
+
+
+@register("cur_pack_sequences", """
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(lower(text), ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, lang AS shard, n_tokens,
+       CAST(floor(start / 512.0) AS BIGINT) AS bin_id,
+       CAST(start % 512 AS BIGINT) AS bin_offset
+FROM c
+""")
+def _cur5(spark, sf_dir):
+    from .operators.curation import pack_sequences
+    return pack_sequences(_t(spark, sf_dir, "documents"), token_budget=512,
+                          shard_col="lang")
+
+
+@register("cur_corpus_mix", """
+WITH a AS (
+  SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_tokens,
+       round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6)
+         AS token_share
+FROM a
+""")
+def _cur6(spark, sf_dir):
+    from .operators.curation import corpus_mix
+    return corpus_mix(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries (CORRECTNESS_r01 cut there), so every SURVEY §2
 # operator, the EP2 serializers, and every greenfield family's

@@ -1,0 +1,118 @@
+"""Corpus-curation operators: filter reason codes, PII redaction,
+decontamination semantics, deterministic sampling, sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openedx_event_sink_clickhouse_spark.operators.curation import (
+    corpus_mix,
+    decontaminate,
+    pack_sequences,
+    quality_filter,
+    sample_corpus,
+    scrub_pii,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+def test_quality_filter_reason_codes(spark):
+    long_text = " ".join(f"w{i}" for i in range(120))
+    repetitive = " ".join(["spam"] * 40)
+    good = " ".join(f"word{i}" for i in range(50))
+    df = _docs(spark, [
+        (1, "too short", "en", "s"),
+        (2, long_text, "en", "s"),
+        (3, repetitive, "en", "s"),
+        (4, good, "en", "s"),
+    ])
+    out = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert (out[1].keep, out[1].reason) == (0, "too_short")
+    assert (out[2].keep, out[2].reason) == (0, "too_long")
+    assert (out[3].keep, out[3].reason) == (0, "repetitive")
+    assert (out[4].keep, out[4].reason) == (1, None)
+
+
+def test_quality_filter_first_reason_wins(spark):
+    # a 5-word repetitive doc violates too_short AND repetitive; the
+    # rule order pins the reported reason
+    df = _docs(spark, [(1, "x x x x x", "en", "s")])
+    r = quality_filter(df).collect()[0]
+    assert r.reason == "too_short"
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = _docs(spark, [
+        (1, "mail a@b.com and b@c.org call +1-555-0100 ssn 123-45-6789",
+         "en", "s"),
+        (2, "nothing sensitive here", "en", "s"),
+    ])
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert out[1].n_email == 2 and out[1].n_phone == 1 and out[1].n_ssn == 1
+    s = out[1].scrubbed_text
+    assert "<EMAIL>" in s and "<PHONE>" in s and "<SSN>" in s
+    assert "a@b.com" not in s and "0100" not in s and "45-6789" not in s
+    assert out[2].scrubbed_text == "nothing sensitive here"
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ssn) == (0, 0, 0)
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    shared = " ".join(f"tok{i}" for i in range(8))  # one exact 8-gram
+    bench = _docs(spark, [(100, shared + " plus benchmark tail", "en", "s")])
+    corpus = _docs(spark, [
+        (1, "front matter " + shared, "en", "s"),       # contaminated
+        (2, " ".join(f"clean{i}" for i in range(12)), "en", "s"),
+        (3, "too short", "en", "s"),                    # < 8 words: clean
+    ])
+    out = {r.doc_id: r for r in decontaminate(corpus, bench, n=8).collect()}
+    assert out[1].contaminated == 1 and out[1].n_shared_grams >= 1
+    assert out[2].contaminated == 0 and out[2].n_shared_grams == 0
+    assert out[3].contaminated == 0
+    assert len(out) == 3  # every corpus doc comes back, matched or not
+
+
+def test_sample_corpus_deterministic_and_stratified(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(r.doc_id for r in sample_corpus(docs, 0.3).collect())
+    b = sorted(r.doc_id for r in sample_corpus(docs, 0.3).collect())
+    assert a == b and 0 < len(a) < docs.count()
+    # rate monotonicity: a lower rate keeps a subset of a higher rate
+    small = set(r.doc_id for r in sample_corpus(docs, 0.1).collect())
+    assert small <= set(a)
+    # stratified: en oversampled relative to the rest
+    strat = sample_corpus(docs, 0.1, strat_col="lang",
+                          strat_rates={"en": 0.9})
+    frac = {r["lang"]: r["frac"] for r in
+            strat.groupBy("lang").count()
+            .join(docs.groupBy("lang").agg(F.count("*").alias("n")), "lang")
+            .select("lang", (F.col("count") / F.col("n")).alias("frac"))
+            .collect()}
+    assert frac["en"] > 0.7
+    assert all(v < 0.3 for k, v in frac.items() if k != "en")
+
+
+def test_pack_sequences_budget_and_continuity(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(100)), "en", "s")
+            for i in range(10)]  # 10 docs x 100 tokens, budget 256
+    out = sorted(pack_sequences(_docs(spark, rows), token_budget=256)
+                 .collect(), key=lambda r: r.doc_id)
+    # greedy contiguous: start offsets 0,100,...,900; bin = floor(start/256)
+    assert [r.bin_id for r in out] == [0, 0, 0, 1, 1, 1, 2, 2, 3, 3]
+    assert all(r.bin_offset == (100 * r.doc_id) % 256 for r in out)
+    # bins never exceed budget except single over-budget docs (none here):
+    from collections import defaultdict
+    per_bin = defaultdict(int)
+    for r in out:
+        per_bin[r.bin_id] += r.n_tokens
+    assert all(v <= 3 * 100 for v in per_bin.values())
+
+
+def test_corpus_mix_shares_sum_to_one(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = corpus_mix(docs).collect()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+    assert all(r.n_tokens > 0 for r in rows)
