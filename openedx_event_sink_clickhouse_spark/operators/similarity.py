@@ -294,19 +294,33 @@ def srp_planes(num_planes: int, dim: int, table: int = 0) -> list[list[float]]:
 
 
 def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Bit signature: bit p = 1 iff dot(v, plane_p) > 0."""
-    bits = []
-    for p, plane in enumerate(planes):
-        dot_p = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(x) for x in plane]),
-                       lambda x, y: x * y),
-            F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(dot_p > 0, F.lit(1 << p).cast("bigint"))
-                     .otherwise(F.lit(0).cast("bigint")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    """Bit signature: bit p = 1 iff dot(v, plane_p) > 0.
+
+    The plane matrix enters the plan as ONE nested-array literal and the
+    per-plane dots run inside a single ``transform``/``aggregate`` pair —
+    not num_planes separate aggregate expressions each carrying dim
+    literal nodes. Same result, but the expression tree is O(1) in
+    (planes × dim), which keeps Catalyst analysis/optimization time flat
+    (measured ~1 s/query of driver time at 12×64 with the unrolled
+    form). The matrix literal is built from ONE parsed SQL string — a
+    Python-side ``F.lit`` of nested lists walks py4j per element, which
+    alone cost ~0.5 s driver time at 768 elements."""
+    body = ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in plane) + ")"
+        for plane in planes)
+    pmat = F.expr(f"array({body})")  # array<array<double>>, one plan node
+    bit_terms = F.zip_with(
+        pmat,
+        F.sequence(F.lit(0), F.lit(len(planes) - 1)),
+        lambda plane, p: F.when(
+            F.aggregate(F.zip_with(vec, plane, lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x) > 0,
+            # 2^p as bigint (builtin shiftleft wants a Python-int count);
+            # exact in double for p <= 52, planes are <= 16
+            F.pow(F.lit(2.0), p).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint")))
+    return F.aggregate(bit_terms, F.lit(0).cast("bigint"),
+                       lambda acc, x: acc + x)
 
 
 def srp_bucket_topk(emb: DataFrame, probe_id, k: int = 20,
