@@ -346,6 +346,26 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          (F.col("id") == F.col("label")).alias("is_survivor"))
 
 
+def dedup_corpus(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 3,
+                 threshold: float = 0.6) -> DataFrame:
+    """End-to-end near-dup removal — the full dedup flow composed:
+    MinHash-LSH pair mining → connected-component clustering → drop every
+    cluster member except its minimum-id survivor. Returns the surviving
+    rows of ``docs`` unchanged.
+
+    The final prune is a left-anti join against the loser id set; losers
+    are O(duplicates), tiny relative to the corpus, so AQE plans it as a
+    broadcast anti-join and the corpus never shuffles in this stage
+    (the only corpus-wide work remains the LSH band shuffle upstream).
+    """
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, n, threshold)
+    clusters = connected_components(pairs)
+    losers = (clusters.filter(~F.col("is_survivor"))
+              .select(F.col("doc_id").alias(id_col)))
+    return docs.join(losers, id_col, "left_anti")
+
+
 def ngram_jaccard_vs_probe(docs: DataFrame, probe_id, text_col: str = "text",
                            id_col: str = "doc_id", n: int = 3,
                            min_sim: float = 0.0) -> DataFrame:

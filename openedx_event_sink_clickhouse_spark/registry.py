@@ -708,6 +708,22 @@ REGISTRY["dedup_clusters"] = (REGISTRY["dedup_clusters"][0],
                               _cluster_oracle_sql())
 
 
+@register("dedup_survivors", None)  # oracle attached below (reuses clusters)
+def _dds(spark, sf_dir):
+    # End-to-end dedup: the corpus rows that survive pair mining +
+    # clustering + survivor pruning (the composed production flow).
+    from .operators.dedup import dedup_corpus
+    return dedup_corpus(_t(spark, sf_dir, "documents"), threshold=0.6) \
+        .select("doc_id", "lang", "source")
+
+
+REGISTRY["dedup_survivors"] = (REGISTRY["dedup_survivors"][0], f"""
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM ({_cluster_oracle_sql()}) c WHERE NOT c.is_survivor)
+""")
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings (operators/similarity.py)
 # --------------------------------------------------------------------------

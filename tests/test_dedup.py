@@ -84,6 +84,18 @@ def test_connected_components_clusters_and_survivors(spark):
            sorted(k for k, v in out.items() if v[1]) == [1, 5]
 
 
+def test_dedup_corpus_keeps_one_survivor_per_cluster(spark):
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        dedup_corpus,
+    )
+    kept = sorted(r.doc_id for r in dedup_corpus(_docs(spark)).collect())
+    # docs 0/1/2 form one near-dup cluster -> min id 0 survives; doc 3
+    # is untouched; surviving rows keep their full original columns.
+    assert kept == [0, 3]
+    row = dedup_corpus(_docs(spark)).filter("doc_id = 3").collect()[0]
+    assert row.text == OTHER
+
+
 def test_connected_components_long_chain_bounded_lineage(spark):
     from openedx_event_sink_clickhouse_spark.operators.dedup import (
         connected_components,
