@@ -133,3 +133,50 @@ def test_minhash_lsh_caches_bucket_stream(q, spark, sf_dir):
     df = q["dedup_minhash_lsh"](spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_serializer_joins_broadcast_dims(q, spark, sf_dir):
+    # EP2 prefetch joins: every dim (auth_user, id-type) broadcasts; the
+    # fact side must never sort-merge.
+    for name in ("serialize_user_profile", "serialize_external_id"):
+        plan = plan_of(q[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_decontaminate_benchmark_side_broadcasts(q, spark, sf_dir):
+    # The benchmark gram set is the declared-small side; the corpus gram
+    # stream must stream past a broadcast, not shuffle for a merge join.
+    plan = plan_of(q["cur_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_srp_neardup_candidates_are_narrow(q, spark, sf_dir):
+    # The exploded (id, table_idx, bucket) candidate stream feeding the
+    # band self-join must NOT carry the 64-dim embedding array — vectors
+    # re-enter only via the verify joins against the deduped pairs.
+    plan = plan_of(q["sim_neardup_pairs"](spark, sf_dir))
+    gen_lines = [ln for ln in plan.splitlines() if "Generate posexplode" in ln]
+    assert gen_lines, plan
+    for ln in gen_lines:
+        assert " v#" not in ln and "embedding#" not in ln, ln
+    # and the pair-dedup exchange partitions on ids only
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "v#" not in ln and "embedding#" not in ln, ln
+
+
+def test_scrub_and_filter_are_map_only(q, spark, sf_dir):
+    # Curation map stages: no exchange anywhere in the plan.
+    for name in ("cur_scrub_pii", "cur_quality_filter",
+                 "cur_sample_stratified"):
+        plan = plan_of(q[name](spark, sf_dir))
+        assert "Exchange" not in plan, name
+
+
+def test_pack_sequences_single_shard_shuffle(q, spark, sf_dir):
+    # One exchange: the per-shard window partitioning. No global sort.
+    plan = plan_of(q["cur_pack_sequences"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()
