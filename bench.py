@@ -116,6 +116,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_queries": len(timings),  # r1 headline was 16 queries; r2 is 35
         "sf": sf,
     }))
     spark.stop()

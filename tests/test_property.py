@@ -160,3 +160,32 @@ def test_minhash_signature_matches_python_reference(spark, shingle_sets):
         expect = [min(((h * a + b) % MERSENNE31 for h in hs), default=None)
                   for a, b in MINHASH_PARAMS]
         assert got[i] == expect, (shingles, got[i], expect)
+
+
+pack_docs = st.lists(st.integers(1, 40),   # token count per doc
+                     min_size=1, max_size=25)
+
+
+@given(pack_docs, st.integers(8, 64))
+@settings(**_PROP)
+def test_pack_sequences_invariants(spark, token_counts, budget):
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        pack_sequences,
+    )
+    rows = [(i, " ".join(["w"] * n), "en", "s")
+            for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = sorted(pack_sequences(df, token_budget=budget).collect(),
+                 key=lambda r: r.doc_id)
+    # token counts survive; start offsets are the running sum; bin ids are
+    # the greedy floor(start/budget) and therefore non-decreasing.
+    assert [r.n_tokens for r in out] == token_counts
+    start = 0
+    prev_bin = 0
+    for r in out:
+        assert r.bin_id == start // budget
+        assert r.bin_offset == start % budget
+        assert r.bin_id >= prev_bin
+        prev_bin = r.bin_id
+        start += r.n_tokens

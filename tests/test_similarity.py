@@ -136,6 +136,23 @@ def test_kmeans_ivf_recall(spark, sf_dir):
     assert cand < 0.6 * emb.count()
 
 
+def test_ivf_assignment_prunes_partitions_at_rest(spark, sf_dir, tmp_path):
+    # The 100 TB story: assignment computed at ingest and stored as a
+    # partition column means a cell query prunes the scan to one
+    # directory — pinned here end-to-end through parquet.
+    emb = _emb(spark, sf_dir)
+    assigned = ivf_assign(emb, n_centroids=8)
+    out = str(tmp_path / "ivf")
+    assigned.select("id", "v", "centroid").write \
+        .partitionBy("centroid").parquet(out)
+    cell = spark.read.parquet(out).filter(F.col("centroid") == 3)
+    plan = cell._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(centroid" in plan
+    # the pruned scan returns exactly the cell's members
+    expect = assigned.filter(F.col("centroid") == 3).count()
+    assert cell.count() == expect > 0
+
+
 def test_multi_table_srp_recall(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     probes = [0, 7, 123, 400]
