@@ -129,6 +129,25 @@ def _collect_stream(spark, df, name):
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def test_quality_filter_runs_on_streams(spark, sf_dir, tmp_path):
+    # Curation map stages are stateless Column expressions, so the SAME
+    # function runs unchanged on a stream — the filter-at-ingest shape a
+    # streaming corpus pipeline needs (no separate streaming codepath).
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        quality_filter)
+    docs = load_table(spark, "documents", sf_dir)
+    docs.write.parquet(str(tmp_path / "docs"))
+    batch = {tuple(r) for r in quality_filter(docs).collect()}
+    stream_src = (spark.readStream.schema(docs.schema)
+                  .parquet(str(tmp_path / "docs")))
+    q = (quality_filter(stream_src).writeStream.format("memory")
+         .queryName("qf_mem").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM qf_mem").collect()}
+    assert got == batch
+
+
 def test_tumbling_stats_stream_equals_batch(spark, sf_dir, tmp_path):
     # (source testdata is TIMESTAMP(NANOS); rewrite via the batch loader so
     # the stream reader sees standard µs timestamps)
