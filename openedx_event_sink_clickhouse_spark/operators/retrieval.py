@@ -1,0 +1,88 @@
+"""Keyword retrieval over the ``documents`` table — the lexical
+complement to vector similarity (``operators/similarity.py``) in a
+training-data / RAG pipeline: inverted-index build and BM25 ranking.
+
+Greenfield (the reference has no text layer). Both operators are
+declarative and oracle-checkable:
+
+- :func:`inverted_index` — token → sorted posting list + document
+  frequency. The classic index-build batch job: one explode, one
+  groupBy; at 100 TB the postings shuffle is partitioned by term and
+  each posting list aggregates map-side first.
+- :func:`bm25_topk` — Okapi BM25 ranking of documents for a bag of
+  query terms. The corpus is filtered to query-term postings FIRST
+  (an ``isin`` over a handful of terms — pushdown-friendly and
+  O(matching postings), not O(corpus)); document lengths and the
+  corpus constants (N, avgdl) join in as 1-row/tiny broadcasts. All
+  double math with explicit rounding so the DuckDB twin matches
+  bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import words
+
+# Okapi BM25 defaults.
+K1 = 1.2
+B = 0.75
+
+
+def _doc_terms(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exploded (doc, term, tf) with per-doc length alongside."""
+    toks = words(F.col(text_col))
+    return (docs
+            .select(F.col(id_col).alias("doc_id"),
+                    F.size(toks).alias("dl"),
+                    F.explode(toks).alias("term"))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count("*").alias("tf")))
+
+
+def inverted_index(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Token → (df, postings) where postings is the sorted doc-id list.
+    Returns (term, doc_freq, postings_csv). The posting list is emitted
+    as a comma-joined string — scalar columns survive any downstream
+    comparator, and index consumers parse postings anyway."""
+    terms = _doc_terms(docs, text_col, id_col)
+    return (terms.groupBy("term")
+            .agg(F.count("*").alias("doc_freq"),
+                 F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("doc_id")),
+                     lambda x: x.cast("string"))).alias("postings_csv")))
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = K1, b: float = B) -> DataFrame:
+    """Okapi BM25 top-k documents for a bag of query terms. Returns
+    (doc_id, bm25), ranked desc, ties broken by id.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
+    score(d) = Σ_t idf·tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+
+    Plan: postings filtered to the query terms before any aggregation
+    (O(query postings)); df per term and the corpus constants (N, avgdl)
+    are tiny aggregates broadcast back in; final ranking is
+    TakeOrderedAndProject."""
+    terms = _doc_terms(docs, text_col, id_col)
+    hits = terms.filter(F.col("term").isin(query_terms))
+    consts = docs.select(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(words(F.col(text_col)))).alias("avgdl"))
+    df_per_term = hits.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(1.0) +
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_term = (F.col("tf") * (k1 + 1)) / \
+        (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (hits
+              .join(F.broadcast(df_per_term), "term")
+              .crossJoin(F.broadcast(consts))
+              .select("doc_id", (idf * tf_term).alias("_s"))
+              .groupBy("doc_id")
+              .agg(F.sum("_s").alias("_score")))
+    return (scored.orderBy(F.desc("_score"), "doc_id").limit(k)
+            .select("doc_id", F.round("_score", 6).alias("bm25")))

@@ -2470,6 +2470,66 @@ def _cur6(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Keyword retrieval (operators/retrieval.py): inverted index + BM25 —
+# the lexical complement to the sim_* vector family.
+# --------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("the", "data", "model")
+
+
+@register("ret_inverted_index", """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term
+)
+SELECT term, count(*) AS doc_freq,
+       array_to_string(list_transform(list_sort(list(doc_id)),
+                                      x -> CAST(x AS VARCHAR)), ',')
+         AS postings_csv
+FROM tf GROUP BY term
+""")
+def _ret1(spark, sf_dir):
+    from .operators.retrieval import inverted_index
+    return inverted_index(_t(spark, sf_dir, "documents"))
+
+
+@register("ret_bm25_topk", f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM toks GROUP BY doc_id, dl, term
+), hits AS (
+  SELECT * FROM tf
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+), consts AS (
+  SELECT count(*) AS n_docs,
+         avg(len(string_split(lower(text), ' '))) AS avgdl
+  FROM documents
+), dfs AS (
+  SELECT term, count(*) AS df FROM hits GROUP BY term
+), scored AS (
+  SELECT h.doc_id,
+    sum(ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+        * (h.tf * (1.2 + 1)) /
+          (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / c.avgdl))) AS s
+  FROM hits h JOIN dfs d USING (term) CROSS JOIN consts c
+  GROUP BY h.doc_id
+)
+SELECT doc_id, round(s, 6) AS bm25 FROM scored
+ORDER BY s DESC, doc_id LIMIT 10
+""")
+def _ret2(spark, sf_dir):
+    from .operators.retrieval import bm25_topk
+    return bm25_topk(_t(spark, sf_dir, "documents"),
+                     list(BM25_QUERY_TERMS), k=10)
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries (CORRECTNESS_r01 cut there), so every SURVEY §2
 # operator, the EP2 serializers, and every greenfield family's

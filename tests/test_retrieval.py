@@ -1,0 +1,50 @@
+"""Keyword retrieval semantics: posting lists, BM25 ranking behavior
+(tf saturation, idf rare-term preference, length normalization)."""
+
+from __future__ import annotations
+
+from openedx_event_sink_clickhouse_spark.operators.retrieval import (
+    bm25_topk,
+    inverted_index,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_inverted_index_postings_sorted_and_counted(spark):
+    df = _docs(spark, [
+        (3, "apple banana"),
+        (1, "apple cherry apple"),
+        (2, "banana"),
+    ])
+    out = {r.term: r for r in inverted_index(df).collect()}
+    assert out["apple"].doc_freq == 2          # per-doc, not per-occurrence
+    assert out["apple"].postings_csv == "1,3"  # sorted doc ids
+    assert out["banana"].postings_csv == "2,3"
+    assert out["cherry"].doc_freq == 1
+
+
+def test_bm25_prefers_rare_terms_and_saturates_tf(spark):
+    df = _docs(spark, [
+        (1, "common rare filler filler"),     # has the rare term
+        (2, "common common filler filler"),   # only common, tf=2
+        (3, "common filler filler filler"),
+        (4, "filler words only here now"),
+    ])
+    got = bm25_topk(df, ["common", "rare"], k=4).collect()
+    ranks = [r.doc_id for r in got]
+    # doc 1 matches the rare term (high idf) -> outranks tf-heavy doc 2
+    assert ranks[0] == 1
+    assert set(ranks) == {1, 2, 3}            # doc 4 matches nothing
+    scores = {r.doc_id: r.bm25 for r in got}
+    assert scores[2] > scores[3]              # higher tf still helps
+
+
+def test_bm25_length_normalization(spark):
+    short = "term filler"
+    long_ = "term " + " ".join(["filler"] * 40)
+    df = _docs(spark, [(1, short), (2, long_)])
+    scores = {r.doc_id: r.bm25 for r in bm25_topk(df, ["term"], k=2).collect()}
+    assert scores[1] > scores[2]              # same tf, shorter doc wins
