@@ -175,6 +175,47 @@ def pack_sequences(docs: DataFrame, token_budget: int = 512,
         (start % token_budget).cast("bigint").alias("bin_offset"))
 
 
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token-window chunks (the
+    RAG/context-window pre-step): chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens), stride = chunk_tokens − overlap.
+    Returns (doc_id, chunk_idx, n_tokens, chunk_text); every doc yields
+    ≥1 chunk, the last chunk may be short, and no chunk starts past the
+    end of the text.
+
+    One ``transform(sequence)`` builds the chunk list per doc (array
+    cell, no row blow-up until the final explode), so the fan-out is
+    exactly n_chunks rows and the token array is let-bound — computed
+    once per doc, not once per chunk."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    def chunks_of(w: Column) -> Column:
+        n = F.size(w)
+        # number of stride-starts that still fall inside the text
+        n_chunks = F.greatest(
+            F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"))
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("chunk_idx"),
+                F.concat_ws(" ", F.slice(w, i * stride + 1, chunk_tokens))
+                 .alias("chunk_text")))
+
+    w_bound = F.element_at(
+        F.transform(F.array(words(F.col(text_col))), chunks_of), 1)
+    return (docs
+            .select(F.col(id_col), F.explode(w_bound).alias("c"))
+            .select(id_col,
+                    F.col("c.chunk_idx").alias("chunk_idx"),
+                    F.size(F.split(F.col("c.chunk_text"), " "))
+                     .alias("n_tokens"),
+                    F.col("c.chunk_text").alias("chunk_text")))
+
+
 def corpus_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Token share per (lang, source) — the mix-planning rollup. One
     low-cardinality partial-aggregated shuffle; the share denominator is

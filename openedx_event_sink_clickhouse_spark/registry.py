@@ -2469,6 +2469,59 @@ def _cur6(spark, sf_dir):
     return corpus_mix(_t(spark, sf_dir, "documents"))
 
 
+@register("sim_quantized_topk", f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT id, v, list_min(v) AS mn,
+         CASE WHEN list_max(v) > list_min(v)
+              THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS sc
+  FROM e
+), d AS (
+  SELECT id, list_transform(v, x -> mn + floor((x - mn) / sc + 0.5) * sc)
+           AS dv
+  FROM s
+), p AS (SELECT dv AS pdv FROM d WHERE id = 0),
+coarse AS (
+  SELECT d.id FROM d, p WHERE d.id <> 0
+  ORDER BY {_cos_sql('d.dv', 'p.pdv')} DESC, d.id LIMIT 30
+), pe AS (SELECT v AS pv FROM e WHERE id = 0)
+SELECT id AS vec_id, round(c, 6) AS cosine_sim FROM (
+  SELECT e.id, {_cos_sql('e.v', 'pe.pv')} AS c
+  FROM e JOIN coarse USING (id), pe) t
+ORDER BY c DESC, id LIMIT 10
+""")
+def _simq(spark, sf_dir):
+    # uint8 quantized coarse scan (4x fewer bytes) + exact rescore of the
+    # 3k-candidate shortlist — the memory-bound ANN pattern at 100 TB.
+    from .operators.similarity import quantized_cosine_topk
+    return quantized_cosine_topk(_t(spark, sf_dir, "embeddings"),
+                                 probe_id=0, k=10, rescore_factor=3)
+
+
+@register("cur_chunk_documents", """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), n AS (
+  SELECT doc_id, w,
+         greatest(1, CAST(ceil((len(w) - 16) / 48.0) AS INT)) AS n_chunks
+  FROM w
+), c AS (
+  SELECT doc_id, w,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM n
+)
+SELECT doc_id, chunk_idx,
+       len(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS n_tokens,
+       array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+         AS chunk_text
+FROM c
+""")
+def _curchunk(spark, sf_dir):
+    from .operators.curation import chunk_documents
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           chunk_tokens=64, overlap=16)
+
+
 # --------------------------------------------------------------------------
 # Keyword retrieval (operators/retrieval.py): inverted index + BM25 —
 # the lexical complement to the sim_* vector family.

@@ -111,6 +111,27 @@ def test_pack_sequences_budget_and_continuity(spark):
     assert all(v <= 3 * 100 for v in per_bin.values())
 
 
+def test_chunk_documents_overlap_and_coverage(spark):
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        chunk_documents,
+    )
+    toks = [f"t{i}" for i in range(100)]
+    df = _docs(spark, [(1, " ".join(toks), "en", "s"), (2, "tiny", "en", "s")])
+    out = sorted(chunk_documents(df, chunk_tokens=40, overlap=10).collect(),
+                 key=lambda r: (r.doc_id, r.chunk_idx))
+    d1 = [r for r in out if r.doc_id == 1]
+    # stride 30 over 100 tokens -> ceil(90/30)=3 chunks: [0:40) [30:70) [60:100)
+    assert [r.chunk_idx for r in d1] == [0, 1, 2]
+    assert d1[0].chunk_text.split(" ") == toks[0:40]
+    assert d1[1].chunk_text.split(" ") == toks[30:70]
+    assert d1[2].chunk_text.split(" ") == toks[60:100]
+    # consecutive chunks share exactly `overlap` tokens
+    assert d1[0].chunk_text.split(" ")[-10:] == d1[1].chunk_text.split(" ")[:10]
+    # a short doc still yields one (short) chunk
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "tiny" and d2[0].n_tokens == 1
+
+
 def test_corpus_mix_shares_sum_to_one(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     rows = corpus_mix(docs).collect()

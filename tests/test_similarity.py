@@ -136,6 +136,38 @@ def test_kmeans_ivf_recall(spark, sf_dir):
     assert cand < 0.6 * emb.count()
 
 
+def test_quantization_roundtrip_error_bounded(spark, sf_dir):
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    emb = _emb(spark, sf_dir).limit(50)
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    q = {r.id: r for r in quantize_embeddings(emb).collect()}
+    for vid, vec in orig.items():
+        row = q[vid]
+        assert all(0 <= c <= 255 for c in row.codes)
+        scale = (row.mx - row.mn) / 255.0 if row.mx > row.mn else 1.0
+        for x, c in zip(vec, row.codes):
+            assert abs((row.mn + c * scale) - x) <= scale / 2 + 1e-9
+
+
+def test_quantized_topk_scores_are_exact_and_close_to_brute(spark, sf_dir):
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        quantized_cosine_topk,
+    )
+    emb = _emb(spark, sf_dir)
+    bf = {r.vec_id: r.cosine_sim
+          for r in brute_force_topk(emb, 0, k=500).collect()}
+    got = quantized_cosine_topk(emb, 0, k=10, rescore_factor=3).collect()
+    assert len(got) == 10
+    for r in got:
+        # returned scores are exact full-precision cosines
+        assert math.isclose(bf[r.vec_id], r.cosine_sim, abs_tol=1e-9)
+    # the 8-bit coarse pass + 3x rescore recovers most of the true top-10
+    truth = {r.vec_id for r in brute_force_topk(emb, 0, k=10).collect()}
+    assert len(truth & {r.vec_id for r in got}) >= 8
+
+
 def test_ivf_assignment_prunes_partitions_at_rest(spark, sf_dir, tmp_path):
     # The 100 TB story: assignment computed at ingest and stored as a
     # partition column means a cell query prunes the scan to one
