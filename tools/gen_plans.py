@@ -18,7 +18,10 @@ SHOW = [
     "sim_cosine_topk",
     "sim_neardup_pairs",
     "sim_lsh_bucket_topk",
+    "sim_quantized_topk",
     "serialize_user_profile",
+    "ret_bm25_topk",
+    "cur_decontaminate",
     "asof_last_purchase",
     "skew_salted_agg",
     "tpch_q5",
