@@ -46,6 +46,14 @@ HEADLINE = [
     "agg_rollup_events",           # grouping-set rollup
     "topk_events_per_user",        # per-group top-k window
     "window_running_total",        # running-sum window
+    "dedup_survivors",             # end-to-end dedup (pairs+CC+prune)
+    "sim_quantized_topk",          # uint8 coarse scan + exact rescore
+    "ret_inverted_index",          # posting-list build
+    "ret_bm25_topk",               # lexical ranking
+    "cur_quality_filter",          # rule-stack filtering
+    "cur_decontaminate",           # benchmark n-gram leakage guard
+    "cur_pack_sequences",          # token-budget packing window
+    "cur_chunk_documents",         # overlapping context-window chunks
     "mm_byte_histogram",           # Arrow-batched pandas UDF pipeline
     "mm_decode_stats",             # multimodal decode mapInPandas
     "mm_meta_summary",             # metadata rollup (content-pruned)

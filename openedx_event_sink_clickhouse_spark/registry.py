@@ -2610,8 +2610,8 @@ _PRIORITY = [
     "sim_lsh_bucket_topk", "sim_multi_probe_topk",
     "text_quality_signals", "text_token_counts", "text_language_id",
     "text_fingerprints", "text_top_ngrams",
-    "mm_decode_stats", "mm_byte_histogram", "mm_frame_sample", "mm_resize",
-    "mm_meta_summary",
+    "mm_decode_stats", "mm_byte_histogram", "mm_meta_summary",
+    "cur_quality_filter", "ret_bm25_topk",
     "stream_tumbling_stats", "stream_debounce_dedup",
     "window_running_total",
     "approx_distinct_users",
