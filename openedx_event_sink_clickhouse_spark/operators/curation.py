@@ -22,6 +22,9 @@ map-only pass or a single bounded shuffle:
 - :func:`pack_sequences` — greedy contiguous packing of documents into
   fixed token-budget bins, per shard. One window sort per shard;
   shards are independent so packing parallelizes.
+- :func:`repetition_signals` — Gopher-style duplicate word/bigram
+  fractions + per-doc top bigram. Map-only fractions; the mode needs
+  one bounded explode/agg pass.
 - :func:`corpus_mix` — token share per (lang, source) for mix planning.
   One low-cardinality rollup.
 """
@@ -214,6 +217,53 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
                     F.size(F.split(F.col("c.chunk_text"), " "))
                      .alias("n_tokens"),
                     F.col("c.chunk_text").alias("chunk_text")))
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition metrics per document — the signals behind
+    "drop docs dominated by repeated phrases" rules (Rae et al. 2021 §A1.1
+    use duplicate line/n-gram fractions; this corpus is single-line, so
+    the word/bigram forms carry the same signal). Returns
+    (doc_id, n_words, dup_word_frac, dup_bigram_frac, top_bigram,
+    top_bigram_frac); ``top_bigram`` is NULL for sub-2-word docs.
+
+    Plan: the duplicate fractions are pure array expressions on the doc
+    spine (map-only — never exploded). Only the per-doc MODE (most
+    frequent bigram) needs per-gram rows: explode → partial-aggregated
+    groupBy (doc_id, gram) → row_number window per doc (ties broken
+    lexicographically for cross-engine determinism) → 1:1 sort-merge
+    join back to the spine. Both shuffles key on doc_id±gram, so skew is
+    bounded by the longest single document, not the corpus."""
+    ws = words(F.col(text_col))
+    grams = ngrams(ws, 2)
+    spine = docs.select(
+        F.col(id_col),
+        F.size(ws).alias("n_words"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(ws)) / F.size(ws), 6)
+         .alias("dup_word_frac"),
+        F.size(grams).alias("_n_bigrams"),
+        F.size(F.array_distinct(grams)).alias("_n_uniq_bigrams"))
+    gram_rows = docs.select(
+        F.col(id_col), F.explode(ngrams(words(F.col(text_col)), 2))
+                        .alias("gram"))
+    cnts = (gram_rows.groupBy(id_col, "gram")
+            .agg(F.count("*").alias("_cnt")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cnt"), "gram")
+    top = (cnts.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .select(id_col, F.col("gram").alias("top_bigram"), "_cnt"))
+    return (spine.join(top, id_col, "left")
+            .select(
+                id_col, "n_words", "dup_word_frac",
+                F.round(F.when(F.col("_n_bigrams") > 0,
+                               F.lit(1.0) - F.col("_n_uniq_bigrams")
+                               / F.col("_n_bigrams"))
+                         .otherwise(F.lit(0.0)), 6).alias("dup_bigram_frac"),
+                "top_bigram",
+                F.round(F.coalesce(F.col("_cnt") / F.col("_n_bigrams"),
+                                   F.lit(0.0)), 6)
+                 .alias("top_bigram_frac")))
 
 
 def corpus_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -2522,6 +2522,44 @@ def _curchunk(spark, sf_dir):
                            chunk_tokens=64, overlap=16)
 
 
+@register("cur_repetition_signals", """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), sp AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         round(1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6)
+           AS dup_word_frac,
+         list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1]) AS g
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(g) AS gram FROM sp
+), c AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM e GROUP BY doc_id, gram
+), r AS (
+  SELECT doc_id, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram) AS rn
+  FROM c
+)
+SELECT sp.doc_id, sp.n_words, sp.dup_word_frac,
+       round(CASE WHEN len(g) > 0
+                  THEN 1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_bigram_frac,
+       r.gram AS top_bigram,
+       round(coalesce(r.cnt / CAST(len(g) AS DOUBLE), 0.0), 6)
+         AS top_bigram_frac
+FROM sp LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (doc_id)
+""")
+def _currep(spark, sf_dir):
+    # Gopher-style repetition metrics: duplicate word/bigram fractions are
+    # map-only array exprs; only the per-doc top bigram (mode) pays an
+    # explode + partial-agg + per-doc window, then a 1:1 join back.
+    from .operators.curation import repetition_signals
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Keyword retrieval (operators/retrieval.py): inverted index + BM25 —
 # the lexical complement to the sim_* vector family.

@@ -137,3 +137,27 @@ def test_corpus_mix_shares_sum_to_one(spark, sf_dir):
     rows = corpus_mix(docs).collect()
     assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
     assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_repetition_signals_known_values(spark):
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        repetition_signals,
+    )
+    df = _docs(spark, [
+        (1, "a b a b a b", "en", "s"),     # bigrams: "a b"x3, "b a"x2
+        (2, "x y z w", "en", "s"),          # all unique
+        (3, "solo", "en", "s"),             # sub-2-word: no bigrams
+    ])
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    r1 = out[1]
+    assert r1.n_words == 6
+    assert abs(r1.dup_word_frac - (1 - 2 / 6)) < 1e-6
+    assert abs(r1.dup_bigram_frac - (1 - 2 / 5)) < 1e-6
+    assert r1.top_bigram == "a b" and abs(r1.top_bigram_frac - 3 / 5) < 1e-6
+    r2 = out[2]
+    assert r2.dup_word_frac == 0.0 and r2.dup_bigram_frac == 0.0
+    # tie on count (all bigrams once) -> lexicographically smallest wins
+    assert r2.top_bigram == "x y"
+    r3 = out[3]
+    assert r3.top_bigram is None and r3.top_bigram_frac == 0.0
+    assert r3.dup_bigram_frac == 0.0
