@@ -119,6 +119,29 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float,
             .select("id_a", "id_b", F.round("_cos", 6).alias("cosine_sim")))
 
 
+def semantic_dedup(emb: DataFrame, threshold: float = 0.3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   num_planes: int = 6, num_tables: int = 2,
+                   dim: int | None = None) -> DataFrame:
+    """SemDeDup-style embedding-level dedup (Abbas et al. 2023): drop
+    every member of a semantic-duplicate cluster except its minimum-id
+    survivor. Returns the surviving rows of ``emb`` unchanged.
+
+    Composed from the same scale-safe stages as the text flow
+    (:func:`~.dedup.dedup_corpus`): SRP-bucketed cosine pairs (the only
+    corpus-wide shuffle, O(candidates) — never all-pairs) →
+    min-label-propagation connected components over the PAIR set →
+    left-anti prune of the loser ids. Losers are O(duplicates) ≪ corpus,
+    so AQE broadcasts the anti-join and the corpus never re-shuffles."""
+    from .dedup import connected_components
+    pairs = cosine_neardup_pairs(emb, threshold, None, id_col, vec_col,
+                                 num_planes, num_tables, dim)
+    clusters = connected_components(pairs)
+    losers = (clusters.filter(~F.col("is_survivor"))
+              .select(F.col("doc_id").alias(id_col)))
+    return emb.join(losers, id_col, "left_anti")
+
+
 def _vec_base(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     v = as_double(F.col(vec_col))
     return emb.select(F.col(id_col).alias("id"), v.alias("v"),

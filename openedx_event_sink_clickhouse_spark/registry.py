@@ -789,6 +789,35 @@ def _sim2(spark, sf_dir):
                                 dim=EMB_DIM)
 
 
+@register("sim_semantic_dedup", f"""
+WITH RECURSIVE
+pairs AS ({_srp_neardup_oracle_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+),
+losers AS (
+  SELECT id FROM reach GROUP BY id HAVING id <> min(label)
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM losers)
+""")
+def _simsd(spark, sf_dir):
+    # SemDeDup-style flow: SRP-blocked cosine pairs -> connected
+    # components -> min-id survivor prune, all on the embedding table.
+    from .operators.similarity import semantic_dedup
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.3,
+                          num_planes=6, num_tables=2, dim=EMB_DIM) \
+        .select("vec_id", "label")
+
+
 @register("sim_ivf_topk", f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),

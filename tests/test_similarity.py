@@ -196,3 +196,30 @@ def test_multi_table_srp_recall(spark, sf_dir):
     single, multi = rec(1), rec(16)
     assert single < 0.9          # the r1 single-table recall gap is real
     assert multi >= 0.9, multi   # OR-amplification closes it
+
+
+def test_semantic_dedup_survivors_partition(spark, sf_dir):
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    emb = _emb(spark, sf_dir)
+    survivors = semantic_dedup(emb, threshold=0.3, dim=64)
+    pairs = cosine_neardup_pairs(emb, threshold=0.3, dim=64)
+    clusters = {r.doc_id: r for r in connected_components(pairs).collect()}
+    kept = {r.vec_id for r in survivors.select("vec_id").collect()}
+    total = emb.count()
+    # every non-survivor cluster member is dropped; everything else kept
+    losers = {i for i, r in clusters.items() if not r.is_survivor}
+    assert losers and kept == {
+        r.vec_id for r in emb.select("vec_id").collect()} - losers
+    assert len(kept) == total - len(losers)
+    # each cluster keeps exactly its min-id member
+    by_cluster = {}
+    for i, r in clusters.items():
+        by_cluster.setdefault(r.cluster_id, []).append(i)
+    for cid, members in by_cluster.items():
+        assert min(members) in kept
+        assert all(m not in kept for m in members if m != min(members))
