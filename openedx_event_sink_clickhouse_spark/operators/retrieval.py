@@ -16,6 +16,10 @@ declarative and oracle-checkable:
   corpus constants (N, avgdl) join in as 1-row/tiny broadcasts. All
   double math with explicit rounding so the DuckDB twin matches
   bit-for-bit.
+- :func:`hybrid_rrf_topk` — reciprocal-rank fusion of the BM25 and
+  exact-cosine rankings. Each candidate list is already a top-k
+  (TakeOrderedAndProject); fusion is a tiny full-outer join + rank
+  windows over tens of rows.
 """
 
 from __future__ import annotations
@@ -53,6 +57,42 @@ def inverted_index(docs: DataFrame, text_col: str = "text",
                  F.concat_ws(",", F.transform(
                      F.array_sort(F.collect_list("doc_id")),
                      lambda x: x.cast("string"))).alias("postings_csv")))
+
+
+def hybrid_rrf_topk(docs: DataFrame, emb: DataFrame,
+                    query_terms: list[str], probe_id, k: int = 10,
+                    lex_pool: int = 10, vec_pool: int = 20,
+                    rrf_c: int = 60, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+    the BM25 lexical ranking and the exact-cosine vector ranking,
+    ``rrf = Σ 1/(c + rank)`` over the lists a doc appears in. Returns
+    (doc_id, rrf_score, lex_rank, vec_rank); absent-side ranks are NULL.
+
+    Ranks are assigned on the ROUNDED candidate scores with id
+    tie-breaks, so the fusion is reproducible across engines. The
+    rank windows are unpartitioned but run over the top-``pool``
+    candidate lists (tens of rows — each pool is already reduced via
+    TakeOrderedAndProject), never the corpus; the fusion join is a
+    tiny full-outer over the two pools."""
+    from .similarity import brute_force_topk
+    lex = bm25_topk(docs, query_terms, k=lex_pool, text_col=text_col,
+                    id_col=id_col)
+    vec = brute_force_topk(emb, probe_id, k=vec_pool)
+    wl = Window.orderBy(F.desc("bm25"), "doc_id")
+    wv = Window.orderBy(F.desc("cosine_sim"), "vec_id")
+    lr = lex.select(F.col("doc_id").alias("lid"),
+                    F.row_number().over(wl).alias("lex_rank"))
+    vr = vec.select(F.col("vec_id").alias("vid"),
+                    F.row_number().over(wv).alias("vec_rank"))
+    rrf = (F.coalesce(F.lit(1.0) / (rrf_c + F.col("lex_rank")), F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (rrf_c + F.col("vec_rank")), F.lit(0.0)))
+    return (lr.join(vr, lr.lid == vr.vid, "full_outer")
+            .select(F.coalesce("lid", "vid").alias("doc_id"),
+                    rrf.alias("_rrf"), "lex_rank", "vec_rank")
+            .orderBy(F.desc("_rrf"), "doc_id").limit(k)
+            .select("doc_id", F.round("_rrf", 6).alias("rrf_score"),
+                    "lex_rank", "vec_rank"))
 
 
 def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,

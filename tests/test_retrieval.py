@@ -48,3 +48,39 @@ def test_bm25_length_normalization(spark):
     df = _docs(spark, [(1, short), (2, long_)])
     scores = {r.doc_id: r.bm25 for r in bm25_topk(df, ["term"], k=2).collect()}
     assert scores[1] > scores[2]              # same tf, shorter doc wins
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir):
+    from openedx_event_sink_clickhouse_spark.operators.retrieval import (
+        hybrid_rrf_topk,
+    )
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    terms = ["the", "data", "model"]
+    out = hybrid_rrf_topk(docs, emb, terms, probe_id=0, k=10,
+                          lex_pool=10, vec_pool=20).collect()
+    assert len(out) == 10
+    scores = [r.rrf_score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # rrf = sum of 1/(60+rank) over the lists the doc appears in
+    for r in out:
+        expect = sum(1.0 / (60 + rk) for rk in (r.lex_rank, r.vec_rank)
+                     if rk is not None)
+        assert abs(r.rrf_score - expect) < 1e-6
+    # vec ranks agree with the standalone cosine ranking
+    vec_ids = [r.vec_id for r in
+               brute_force_topk(emb, probe_id=0, k=20).collect()]
+    for r in out:
+        if r.vec_rank is not None:
+            assert vec_ids[r.vec_rank - 1] == r.doc_id
+    # a doc present in both lists outranks one present in neither list's
+    # top spots with comparable single-list rank
+    both = [r for r in out if r.lex_rank and r.vec_rank]
+    single = [r for r in out if (r.lex_rank is None) ^ (r.vec_rank is None)]
+    if both and single:
+        assert max(r.rrf_score for r in both) > min(
+            r.rrf_score for r in single)
