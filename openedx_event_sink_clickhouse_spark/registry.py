@@ -1060,6 +1060,37 @@ SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
 FROM events
 GROUP BY ROLLUP (event_type, date_trunc('day', ts))
 """)
+@register("evt_sessionize", """
+WITH x AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), s AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(prev)) > 1800
+            THEN 1 ELSE 0 END AS is_start
+  FROM x
+), a AS (
+  SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM s
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+         AS duration_s,
+       round(sum(value), 6) AS value_sum
+FROM a GROUP BY user_id, session_seq
+""")
+def _sess1(spark, sf_dir):
+    # Batch gaps-and-islands sessionization: lag + running-sum share one
+    # Exchange+Sort; the rollup reuses the user clustering. The batch
+    # twin of stream_session_stats (same 30-min gap).
+    from .operators.sessions import session_stats
+    return session_stats(_t(spark, sf_dir, "events"), gap_s=1800)
+
+
 def _roll1(spark, sf_dir):
     # ROLLUP is one shuffle with grouping-set expansion map-side — the
     # hierarchy rollup (type, day) → (type) → () in a single pass.
