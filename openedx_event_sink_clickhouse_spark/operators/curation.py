@@ -266,6 +266,33 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
                  .alias("top_bigram_frac")))
 
 
+def negative_samples(docs: DataFrame, k: int = 4,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic negative sampling for contrastive-pair training
+    data: each anchor doc draws ``k`` pseudo-random OTHER doc ids.
+    Returns (doc_id, neg_idx, neg_id), ``k`` rows per anchor.
+
+    Draws are md5-derived (``hash(id:i) mod N``, bump-by-one on a self
+    hit) so the sample is reproducible across runs, engines, and task
+    retries — the same reason :func:`sample_corpus` never uses
+    ``rand()``. Requires contiguous ids 0..N-1 (the testdata layout; for
+    sparse ids join the draw against a zipWithIndex-style spine). The
+    corpus count rides in as a 1-row broadcast and the fan-out is a
+    per-row ``explode(sequence)`` — map-only, no shuffle at any N."""
+    n = docs.select(F.count("*").alias("_n"))
+    pairs = (docs.select(F.col(id_col))
+             .crossJoin(F.broadcast(n))
+             .select(id_col, "_n",
+                     F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                      .alias("neg_idx")))
+    h = md5_hash64(F.concat_ws(":", F.col(id_col), F.col("neg_idx")))
+    cand = h % F.col("_n")
+    neg = F.when(cand == F.col(id_col), (cand + 1) % F.col("_n")) \
+           .otherwise(cand)
+    return pairs.select(id_col, "neg_idx",
+                        neg.cast("bigint").alias("neg_id"))
+
+
 def corpus_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Token share per (lang, source) — the mix-planning rollup. One
     low-cardinality partial-aggregated shuffle; the share denominator is

@@ -121,6 +121,28 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
     )
 
 
+def tokenize_ids(docs: DataFrame, vocab_size: int = 32768,
+                 text_col: str = "text") -> DataFrame:
+    """Hashing-trick tokenization: every whitespace token maps to a
+    deterministic id in [0, vocab_size) via ``md5(token) mod V`` — the
+    feature-hashing vocabulary (no trained merges, no OOV). Returns
+    (doc_id, n_tokens, token_ids_csv); ids are comma-joined so the
+    output stays scalar for any downstream comparator.
+
+    Map-only: one ``transform`` over the token array per doc (the array
+    is the lambda input, so the split evaluates once — no O(words²)
+    re-tokenization). A trained BPE would need a Python tokenizer via
+    ``mapInPandas``; the Spark-side shape (schema, batching, pruning)
+    would match ``operators/multimodal.py``'s decode pattern."""
+    toks = words(F.col(text_col))
+    ids = F.transform(
+        toks, lambda t: (md5_hash64(t) % vocab_size).cast("string"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.concat_ws(",", ids).alias("token_ids_csv"))
+
+
 def corpus_language_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus rollup: documents / mean quality metrics per predicted
     language. One partial-aggregated shuffle on a low-cardinality key."""

@@ -1026,6 +1026,23 @@ def _tx4(spark, sf_dir):
     return fingerprints(_t(spark, sf_dir, "documents"))
 
 
+@register("text_tokenize_ids", """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+)
+SELECT doc_id, len(w) AS n_tokens,
+       array_to_string(list_transform(w, t ->
+         CAST(CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 32768
+              AS VARCHAR)), ',') AS token_ids_csv
+FROM w
+""")
+def _tx6(spark, sf_dir):
+    # Hashing-trick token ids (md5 mod V): the deterministic stand-in for
+    # a trained BPE; map-only, one transform over the token array.
+    from .operators.textstats import tokenize_ids
+    return tokenize_ids(_t(spark, sf_dir, "documents"))
+
+
 def _corpus_profile_oracle_sql() -> str:
     lid = _lang_id_oracle_sql()
     return f"""
@@ -2580,6 +2597,29 @@ def _curchunk(spark, sf_dir):
     from .operators.curation import chunk_documents
     return chunk_documents(_t(spark, sf_dir, "documents"),
                            chunk_tokens=64, overlap=16)
+
+
+@register("cur_negative_samples", """
+WITH n AS (SELECT count(*) AS n FROM documents),
+p AS (
+  SELECT doc_id, unnest(generate_series(0, 3)) AS neg_idx FROM documents
+), h AS (
+  SELECT doc_id, neg_idx, n.n,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                 || CAST(neg_idx AS VARCHAR)), 1, 15)
+              AS BIGINT) % n.n AS cand
+  FROM p, n
+)
+SELECT doc_id, neg_idx,
+       CAST(CASE WHEN cand = doc_id THEN (cand + 1) % n
+                 ELSE cand END AS BIGINT) AS neg_id
+FROM h
+""")
+def _curneg(spark, sf_dir):
+    # Deterministic contrastive negatives: md5(id:i) mod N with a
+    # bump-by-one self-hit guard; corpus count is a 1-row broadcast.
+    from .operators.curation import negative_samples
+    return negative_samples(_t(spark, sf_dir, "documents"), k=4)
 
 
 @register("cur_repetition_signals", """

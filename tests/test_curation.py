@@ -161,3 +161,18 @@ def test_repetition_signals_known_values(spark):
     r3 = out[3]
     assert r3.top_bigram is None and r3.top_bigram_frac == 0.0
     assert r3.dup_bigram_frac == 0.0
+
+
+def test_negative_samples_deterministic_and_valid(spark):
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        negative_samples,
+    )
+    df = _docs(spark, [(i, f"doc {i}", "en", "s") for i in range(10)])
+    out = negative_samples(df, k=3).collect()
+    assert len(out) == 30
+    for r in out:
+        assert 0 <= r.neg_id < 10
+        assert r.neg_id != r.doc_id          # self-hit guard
+    # reproducible across invocations (no rand())
+    again = negative_samples(df, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

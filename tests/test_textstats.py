@@ -82,3 +82,18 @@ def test_corpus_profile_partitions_all_docs(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     prof = corpus_language_profile(docs).collect()
     assert sum(r.n_docs for r in prof) == docs.count()
+
+
+def test_tokenize_ids_hashing_trick(spark):
+    from openedx_event_sink_clickhouse_spark.operators.textstats import (
+        tokenize_ids,
+    )
+    df = spark.createDataFrame(
+        [(1, "Spam spam eggs"), (2, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in tokenize_ids(df, vocab_size=100).collect()}
+    ids1 = out[1].token_ids_csv.split(",")
+    assert out[1].n_tokens == 3 and len(ids1) == 3
+    # same (lowercased) token -> same id; all ids within the vocab
+    assert ids1[0] == ids1[1] != ids1[2]
+    assert all(0 <= int(i) < 100 for i in ids1)
