@@ -381,3 +381,69 @@ def ngram_jaccard_vs_probe(docs: DataFrame, probe_id, text_col: str = "text",
                    jaccard(F.col("shingles"),
                            F.col("probe_shingles")).alias("jaccard_sim")))
     return out.filter(F.col("jaccard_sim") > min_sim) if min_sim > 0 else out
+
+
+def duplicate_spans(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8,
+                    min_occurrences: int = 2) -> DataFrame:
+    """Exact duplicate-substring coverage per document — suffix-array
+    dedup semantics (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better") re-expressed as rolling k-token gram
+    matching, which Spark can run as hash aggregates instead of a global
+    suffix sort.
+
+    A token position is *duplicated* when the k-token gram starting there
+    occurs ``min_occurrences``+ times corpus-wide (across documents or
+    repeated within one). Overlapping duplicated spans merge, so the
+    coverage count never double-counts a token. Returns one row per doc:
+    (doc_id, n_tokens, n_dup_spans, dup_tokens, dup_token_frac).
+
+    Plan shape: tokenize + rolling gram hashes are ONE narrow map pass
+    (the gram array is built without exploding, and each position ships
+    as a 63-bit md5-derived hash — gram text never rides a shuffle).
+    Then: (1) hash aggregate on gh with map-side partial count → the
+    repeated-gram set; (2) the position stream joins it — repeated grams
+    are rare in a healthy corpus, so AQE turns this into a broadcast
+    probe; (3) interval merge is the gaps-and-islands pattern
+    (cf. operators/sessions.py) — both windows share one
+    (id, pos)-ordered Exchange+Sort. Nothing is ever quadratic; total
+    cost is two narrow shuffles plus one window pass over only the
+    duplicated positions.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashes import md5_hash64
+    from ..functions.text import ngrams, words
+
+    toks = ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("id"),
+        F.size(words(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.transform(ngrams(words(F.col(text_col)), k),
+                    lambda g: md5_hash64(g)).alias("gh"))
+    pos = toks.select("id", F.posexplode("gh").alias("pos", "gh"))
+    dups = (pos.groupBy("gh").count()
+            .filter(F.col("count") >= min_occurrences).select("gh"))
+    dpos = pos.join(dups, "gh").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = dpos.withColumn(
+        "is_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+                   .otherwise(0))
+    isl = marked.withColumn(
+        "island", F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    cov = (isl.groupBy("id", "island")
+           .agg((F.max(F.col("pos") + k) - F.min("pos")).alias("covered")))
+    perdoc = (cov.groupBy("id")
+              .agg(F.count("*").alias("n_dup_spans"),
+                   F.sum("covered").cast("long").alias("dup_tokens")))
+    return (toks.select("id", "n_tokens").join(perdoc, "id", "left")
+            .select(F.col("id").alias(id_col), "n_tokens",
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+                     .alias("n_dup_spans"),
+                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                     .alias("dup_tokens"),
+                    F.round(F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                            / F.col("n_tokens"), 6)
+                     .alias("dup_token_frac")))

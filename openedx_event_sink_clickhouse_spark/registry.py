@@ -1069,14 +1069,6 @@ def _tx5(spark, sf_dir):
 # even though the reference never issues them (SURVEY.md §2 honesty note).
 # --------------------------------------------------------------------------
 
-@register("agg_rollup_events", """
-SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-       count(*) AS n_events, round(sum(value), 6) AS value_sum,
-       CAST(grouping(event_type) AS INT) AS g_type,
-       CAST(grouping(date_trunc('day', ts)) AS INT) AS g_day
-FROM events
-GROUP BY ROLLUP (event_type, date_trunc('day', ts))
-""")
 @register("evt_sessionize", """
 WITH x AS (
   SELECT user_id, event_id, ts, value,
@@ -1108,6 +1100,14 @@ def _sess1(spark, sf_dir):
     return session_stats(_t(spark, sf_dir, "events"), gap_s=1800)
 
 
+@register("agg_rollup_events", """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n_events, round(sum(value), 6) AS value_sum,
+       CAST(grouping(event_type) AS INT) AS g_type,
+       CAST(grouping(date_trunc('day', ts)) AS INT) AS g_day
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+""")
 def _roll1(spark, sf_dir):
     # ROLLUP is one shuffle with grouping-set expansion map-side — the
     # hierarchy rollup (type, day) → (type) → () in a single pass.
@@ -2756,6 +2756,66 @@ REGISTRY["ret_hybrid_rrf"] = (
     REGISTRY["ret_hybrid_rrf"][1]
     .replace("{LEX}", REGISTRY["ret_bm25_topk"][1])
     .replace("{VEC}", REGISTRY["sim_cosine_topk"][1]))
+
+
+# --------------------------------------------------------------------------
+# Exact duplicate-substring coverage (operators/dedup.py:duplicate_spans) —
+# suffix-array dedup semantics (Lee et al. 2021) as rolling k-gram matching.
+# --------------------------------------------------------------------------
+
+_DUPSPAN_K = 8
+
+
+def _dupspan_oracle_sql(k: int = _DUPSPAN_K, min_occ: int = 2) -> str:
+    from .functions.hashes import md5_hash64_sql
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(k))
+    gh = md5_hash64_sql(f"({gram})")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+pos0 AS (
+  SELECT doc_id, unnest(generate_series(1, len(w) - {k - 1})) AS i, w
+  FROM toks WHERE len(w) >= {k}
+),
+g AS (SELECT doc_id, i - 1 AS pos, {gh} AS gh FROM pos0),
+dups AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= {min_occ}),
+dpos AS (SELECT g.doc_id, g.pos FROM g JOIN dups USING (gh)),
+marked AS (
+  SELECT doc_id, pos,
+    CASE WHEN max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      OR pos > max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS is_new
+  FROM dpos),
+isl AS (
+  SELECT doc_id, pos, sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked),
+cov AS (SELECT doc_id, island, max(pos + {k}) - min(pos) AS covered
+        FROM isl GROUP BY 1, 2),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+         CAST(sum(covered) AS BIGINT) AS dup_tokens
+  FROM cov GROUP BY 1)
+SELECT t.doc_id, t.n_tokens,
+       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / t.n_tokens, 6)
+         AS dup_token_frac
+FROM toks t LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+@register("dedup_duplicate_spans", _dupspan_oracle_sql())
+def _dupspan(spark, sf_dir):
+    # Per-doc duplicated-substring coverage: positions whose 8-token gram
+    # repeats corpus-wide, merged into maximal spans (gaps-and-islands).
+    from .operators.dedup import duplicate_spans
+    return duplicate_spans(_t(spark, sf_dir, "documents"), k=_DUPSPAN_K)
 
 
 # --------------------------------------------------------------------------

@@ -112,3 +112,37 @@ def test_connected_components_long_chain_bounded_lineage(spark):
     assert len(rows) == n
     assert {r.cluster_id for r in rows} == {0}
     assert [r.doc_id for r in rows if r.is_survivor] == [0]
+
+
+def test_duplicate_spans_merges_overlaps_and_counts_coverage(spark):
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        duplicate_spans,
+    )
+    # Docs 0 and 1 share the 6-token run "a b c d e f" (positions 0..5 in
+    # doc 0, 2..7 in doc 1); doc 2 is unrelated. k=4 → dup grams at three
+    # consecutive starts per doc, merging into ONE span of 6 tokens.
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f x y z w"),
+         (1, "q r a b c d e f s t"),
+         (2, "m n o p m2 n2 o2 p2 m3 n3")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in duplicate_spans(docs, k=4).collect()}
+    for d in (0, 1):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["dup_tokens"] == 6
+        assert out[d]["dup_token_frac"] == 0.6
+    assert out[2]["n_dup_spans"] == 0 and out[2]["dup_tokens"] == 0
+    assert out[2]["n_tokens"] == 10
+
+
+def test_duplicate_spans_counts_within_doc_repeats(spark):
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        duplicate_spans,
+    )
+    # One doc repeating the same 4-token phrase twice: both occurrences
+    # are duplicated positions, but they don't overlap → two spans.
+    docs = spark.createDataFrame(
+        [(0, "u v w x gap1 gap2 u v w x tail1 tail2")], ["doc_id", "text"])
+    row = duplicate_spans(docs, k=4).collect()[0]
+    assert row["n_dup_spans"] == 2
+    assert row["dup_tokens"] == 8
