@@ -445,3 +445,73 @@ def srp_bucket_topk(emb: DataFrame, probe_id, k: int = 20,
                          .alias("_cos"))
     return (scored.orderBy(F.desc("_cos"), id_col).limit(k)
             .select(id_col, F.round("_cos", 6).alias("cosine_sim")))
+
+
+def ivf_batch_topk(emb: DataFrame, n_probes: int = 10, k: int = 10,
+                   n_centroids: int = 16, nprobe: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF search for a whole probe SET (ids < ``n_probes``) at once:
+    each probe scans only its ``nprobe`` nearest centroid cells of the
+    corpus (ids ≥ ``n_probes``). Returns (probe_id, vec_id, rank,
+    cosine_sim) — the batched counterpart of :func:`ivf_topk`, sharing
+    its corpus/probe split with :func:`multi_probe_topk` so the two are
+    directly comparable.
+
+    Plan: the corpus is centroid-assigned once (broadcast + argmax
+    window); probe→cell routing is a tiny probes×centroids broadcast
+    pass; candidates come from ONE equi-join on the centroid id — the
+    corpus never cross-joins the probe set, so cost scales with
+    nprobe/n_centroids of the corpus per probe, not with corpus×probes.
+    """
+    base = _vec_base(emb, id_col, vec_col)
+    cents = _centroid_frame(base, n_centroids, centroids)
+    corpus = _assign(base.filter(F.col("id") >= n_probes), cents)
+    probes = (base.filter(F.col("id") < n_probes)
+              .select(F.col("id").alias("probe_id"),
+                      F.col("v").alias("pv"), F.col("nv").alias("pn")))
+    wcell = Window.partitionBy("probe_id").orderBy(F.desc("_ccos"),
+                                                   F.col("cid"))
+    cells = (probes.crossJoin(F.broadcast(cents))
+             .select("probe_id", "pv", "pn", "cid",
+                     cosine_with_norms(F.col("pv"), F.col("cv"),
+                                       F.col("pn"), F.col("cnv"))
+                     .alias("_ccos"))
+             .withColumn("_rn", F.row_number().over(wcell))
+             .filter(F.col("_rn") <= nprobe)
+             .select("probe_id", "pv", "pn",
+                     F.col("cid").alias("centroid")))
+    scored = (corpus.join(F.broadcast(cells), "centroid")
+              .select("probe_id", F.col("id").alias(id_col),
+                      cosine_with_norms(F.col("v"), F.col("pv"),
+                                        F.col("nv"), F.col("pn"))
+                      .alias("_cos")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("_cos"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", id_col, "rank",
+                    F.round("_cos", 6).alias("cosine_sim")))
+
+
+def ivf_recall(emb: DataFrame, n_probes: int = 10, k: int = 10,
+               n_centroids: int = 16, nprobe: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids: list[list[float]] | None = None) -> DataFrame:
+    """Measured recall@k of the IVF index against the exact scan, per
+    probe — the ANN quality metric made a first-class query instead of a
+    test-only assertion. Returns (probe_id, n_hits, recall_at_k).
+
+    Both sides share the same probe/corpus split; the compare is a tiny
+    (n_probes × k)-row join, so the cost is just the two searches.
+    """
+    exact = multi_probe_topk(emb, n_probes, k, id_col, vec_col)
+    approx = ivf_batch_topk(emb, n_probes, k, n_centroids, nprobe,
+                            id_col, vec_col, centroids)
+    hit = (approx.select("probe_id", id_col).withColumn("_hit", F.lit(1)))
+    return (exact.select("probe_id", id_col)
+            .join(hit, ["probe_id", id_col], "left")
+            .groupBy("probe_id")
+            .agg(F.count("_hit").alias("n_hits"))
+            .select("probe_id", "n_hits",
+                    F.round(F.col("n_hits").cast("double") / k, 6)
+                    .alias("recall_at_k")))

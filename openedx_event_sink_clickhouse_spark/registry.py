@@ -2819,6 +2819,62 @@ def _dupspan(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# ANN recall as a first-class query (operators/similarity.py:ivf_recall):
+# measured recall@k of the IVF index vs the exact scan, per probe.
+# --------------------------------------------------------------------------
+
+_RECALL_NP, _RECALL_K, _RECALL_NC, _RECALL_NPROBE = 10, 10, 16, 2
+
+
+@register("sim_ivf_recall", f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT id AS cid, v AS cv FROM e WHERE id < {_RECALL_NC}),
+assign AS (
+  SELECT id, v, cid AS centroid FROM (
+    SELECT e.id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM e CROSS JOIN c WHERE e.id >= {_RECALL_NP}) t
+  WHERE rn = 1
+),
+pc AS (
+  SELECT pid, cid, pv FROM (
+    SELECT p.id AS pid, c.cid, p.v AS pv,
+           row_number() OVER (PARTITION BY p.id
+                              ORDER BY {_cos_sql('p.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM e p CROSS JOIN c WHERE p.id < {_RECALL_NP}) t
+  WHERE rn <= {_RECALL_NPROBE}
+),
+approx AS (
+  SELECT pid, id FROM (
+    SELECT pc.pid, a.id,
+           row_number() OVER (PARTITION BY pc.pid
+                              ORDER BY {_cos_sql('a.v', 'pc.pv')} DESC, a.id) AS rn
+    FROM assign a JOIN pc ON a.centroid = pc.cid) t
+  WHERE rn <= {_RECALL_K}
+),
+exact AS (
+  SELECT pid, id FROM (
+    SELECT p.id AS pid, x.id,
+           row_number() OVER (PARTITION BY p.id
+                              ORDER BY {_cos_sql('x.v', 'p.v')} DESC, x.id) AS rn
+    FROM e x CROSS JOIN e p
+    WHERE p.id < {_RECALL_NP} AND x.id >= {_RECALL_NP}) t
+  WHERE rn <= {_RECALL_K}
+)
+SELECT x.pid AS probe_id, CAST(count(a.id) AS BIGINT) AS n_hits,
+       round(CAST(count(a.id) AS DOUBLE) / {_RECALL_K}, 6) AS recall_at_k
+FROM exact x LEFT JOIN approx a ON x.pid = a.pid AND x.id = a.id
+GROUP BY x.pid
+""")
+def _simrec(spark, sf_dir):
+    from .operators.similarity import ivf_recall
+    return ivf_recall(_t(spark, sf_dir, "embeddings"), n_probes=_RECALL_NP,
+                      k=_RECALL_K, n_centroids=_RECALL_NC,
+                      nprobe=_RECALL_NPROBE)
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries (CORRECTNESS_r01 cut there), so every SURVEY §2
 # operator, the EP2 serializers, and every greenfield family's

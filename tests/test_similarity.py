@@ -223,3 +223,34 @@ def test_semantic_dedup_survivors_partition(spark, sf_dir):
     for cid, members in by_cluster.items():
         assert min(members) in kept
         assert all(m not in kept for m in members if m != min(members))
+
+
+def test_ivf_batch_topk_full_scan_equals_exact(spark, sf_dir):
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        ivf_batch_topk,
+        multi_probe_topk,
+    )
+    emb = _emb(spark, sf_dir)
+    # nprobe = n_centroids → every cell scanned → batched IVF must equal
+    # the exact multi-probe scan, probe for probe, rank for rank.
+    exact = {(r["probe_id"], r["rank"]): r["vec_id"]
+             for r in multi_probe_topk(emb, n_probes=5, k=8).collect()}
+    full = {(r["probe_id"], r["rank"]): r["vec_id"]
+            for r in ivf_batch_topk(emb, n_probes=5, k=8, n_centroids=16,
+                                    nprobe=16).collect()}
+    assert full == exact
+
+
+def test_ivf_recall_rises_with_nprobe_and_hits_one_at_full_scan(spark, sf_dir):
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        ivf_recall,
+    )
+    emb = _emb(spark, sf_dir)
+    def avg(nprobe):
+        rows = ivf_recall(emb, n_probes=8, k=10, n_centroids=16,
+                          nprobe=nprobe).collect()
+        assert len(rows) == 8
+        return sum(r["recall_at_k"] for r in rows) / len(rows)
+    r1, r4, r16 = avg(1), avg(4), avg(16)
+    assert r1 <= r4 <= r16
+    assert r16 == 1.0
