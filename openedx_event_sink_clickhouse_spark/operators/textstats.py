@@ -156,3 +156,36 @@ def corpus_language_profile(docs: DataFrame, text_col: str = "text") -> DataFram
               F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
               F.round(F.avg("uniq_word_ratio"), 6).alias("avg_uniq_word_ratio"))
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram language-model score against the corpus's own
+    word distribution — the cheap importance/quality signal behind
+    DSIR-style data selection and perplexity filtering (a doc of rare
+    words scores low-probability → high perplexity). Returns
+    (doc_id, n_tokens, avg_logprob, unigram_ppl) where ``unigram_ppl`` =
+    exp(-avg ln p(word)).
+
+    Plan shape: the word-frequency model is one hash aggregate on the
+    exploded token stream (map-side partials soak up the Zipf skew — hot
+    words pre-reduce in every task before the shuffle). Scoring
+    broadcasts the model back onto the token stream (vocabulary ≪
+    corpus; if a web-scale vocab outgrows the broadcast threshold the
+    same plan degrades gracefully to a shuffle join on ``word``), then
+    one groupBy(doc) aggregate. Two narrow shuffles total; the document
+    text itself never shuffles.
+    """
+    tok = docs.select(F.col(id_col).alias("id"),
+                      F.explode(words(F.col(text_col))).alias("word"))
+    freq = tok.groupBy("word").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("n"))
+    scored = (tok.join(F.broadcast(freq), "word")
+              .crossJoin(F.broadcast(tot))
+              .select("id", F.log(F.col("c") / F.col("n")).alias("lp")))
+    return (scored.groupBy("id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg("lp"), 6).alias("avg_logprob"),
+                 F.round(F.exp(-F.avg("lp")), 6).alias("unigram_ppl"))
+            .select(F.col("id").alias(id_col), "n_tokens",
+                    "avg_logprob", "unigram_ppl"))

@@ -2874,6 +2874,28 @@ def _simrec(spark, sf_dir):
                       nprobe=_RECALL_NPROBE)
 
 
+@register("text_unigram_logprob", """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+tok AS (SELECT doc_id, unnest(w) AS word FROM toks),
+freq AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+scored AS (
+  SELECT t.doc_id, ln(f.c / tot.n) AS lp
+  FROM tok t JOIN freq f USING (word) CROSS JOIN tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lp), 6) AS avg_logprob,
+       round(exp(-avg(lp)), 6) AS unigram_ppl
+FROM scored GROUP BY doc_id
+""")
+def _tx_lp(spark, sf_dir):
+    # Self-referential unigram LM score (DSIR-style importance signal):
+    # rare-word docs → low avg log-prob → high unigram perplexity.
+    from .operators.textstats import unigram_logprob
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries (CORRECTNESS_r01 cut there), so every SURVEY §2

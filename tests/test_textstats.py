@@ -97,3 +97,33 @@ def test_tokenize_ids_hashing_trick(spark):
     # same (lowercased) token -> same id; all ids within the vocab
     assert ids1[0] == ids1[1] != ids1[2]
     assert all(0 <= int(i) < 100 for i in ids1)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from openedx_event_sink_clickhouse_spark.operators.textstats import (
+        unigram_logprob,
+    )
+    # Corpus counts: a:2, b:2 over 4 tokens → p = 0.5 everywhere, so
+    # every doc's avg log-prob is ln(0.5) and unigram_ppl is exactly 2.
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert out[0]["n_tokens"] == 3 and out[1]["n_tokens"] == 1
+    for r in out.values():
+        assert r["avg_logprob"] == round(math.log(0.5), 6)
+        assert r["unigram_ppl"] == 2.0
+
+
+def test_unigram_logprob_rare_words_raise_perplexity(spark):
+    from openedx_event_sink_clickhouse_spark.operators.textstats import (
+        unigram_logprob,
+    )
+    # Doc 1 is all hapaxes; doc 0 repeats the dominant word — the rare
+    # doc must score strictly higher perplexity.
+    docs = spark.createDataFrame(
+        [(0, "x x x x x x"), (1, "q r s t u v")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["unigram_ppl"]
+           for r in unigram_logprob(docs).collect()}
+    assert out[1] > out[0]
