@@ -306,3 +306,58 @@ def corpus_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "lang", "source", "n_docs", "n_tokens",
         F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6)
          .alias("token_share"))
+
+
+def clean_lines(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", sep: str = "\n",
+                min_line_words: int = 3,
+                blocklist: tuple[str, ...] = (),
+                max_line_occurrences: int | None = None) -> DataFrame:
+    """C4-style line-level cleaning: split each document into lines, drop
+    boilerplate lines, reassemble the survivors in order. A line is
+    dropped when it has fewer than ``min_line_words`` words, contains any
+    ``blocklist`` substring, or (with ``max_line_occurrences``) repeats
+    corpus-wide more than that many times — the cookie-banner /
+    nav-header rule. Returns (doc_id, n_lines, n_kept, cleaned_text).
+
+    ``sep`` is a literal separator (regex-escaped before Spark's
+    ``split``) used for both splitting and reassembly. Occurrence counts
+    are taken over ALL lines, before the per-line rules, so a frequent
+    line is recognized as boilerplate even where it also fails other
+    rules.
+
+    Plan shape: posexplode is the only row expansion; the corpus-wide
+    occurrence count is a window over the line's md5 (one shuffle on a
+    narrow hash key — the line text itself rides exactly one shuffle,
+    into the per-doc reassembly groupBy). Per-doc order is restored by
+    sorting the collected (pos, line) structs, so reassembly is
+    deterministic regardless of shuffle order. With
+    ``max_line_occurrences=None`` the corpus-wide window is skipped
+    entirely and the pass stays explode → filter → groupBy.
+    """
+    import re
+
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep), -1))
+         .alias("pos", "line"))
+    rule = F.size(F.split(F.col("line"), " ", -1)) >= min_line_words
+    for term in blocklist:
+        rule = rule & ~F.col("line").contains(term)
+    if max_line_occurrences is not None:
+        w = Window.partitionBy(F.md5(F.col("line")))
+        lines = lines.withColumn("_occ", F.count("*").over(w))
+        rule = rule & (F.col("_occ") <= max_line_occurrences)
+    flagged = lines.withColumn("keep", rule)
+    packed = F.sort_array(F.collect_list(
+        F.struct(F.col("pos"), F.col("line"), F.col("keep"))))
+    return (flagged.groupBy("id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.filter(packed, lambda x: x["keep"]),
+                         lambda x: x["line"]),
+                     sep).alias("cleaned_text"))
+            .select(F.col("id").alias(id_col), "n_lines", "n_kept",
+                    "cleaned_text"))

@@ -2896,6 +2896,34 @@ def _tx_lp(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+@register("cur_clean_lines", """
+WITH d AS (SELECT doc_id, string_split(text, ' a ') AS l FROM documents),
+x AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM d),
+f AS (SELECT doc_id, i - 1 AS pos, l[i] AS line FROM x),
+o AS (SELECT f.*, count(*) OVER (PARTITION BY md5(line)) AS occ FROM f),
+k AS (
+  SELECT doc_id, pos, line,
+         (len(string_split(line, ' ')) >= 3
+          AND NOT contains(line, 'slow')
+          AND occ <= 2) AS keep
+  FROM o)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(line, ' a ' ORDER BY pos) FILTER (WHERE keep),
+                '') AS cleaned_text
+FROM k GROUP BY doc_id
+""")
+def _cur_cl(spark, sf_dir):
+    # C4-style line cleaning demo: the synthetic corpus has no newlines,
+    # so the stop-word 'a' stands in as the line delimiter. Rules: ≥3
+    # words per line, no 'slow' (blocklist stand-in), and lines repeated
+    # >2× corpus-wide are boilerplate.
+    from .operators.curation import clean_lines
+    return clean_lines(_t(spark, sf_dir, "documents"), sep=" a ",
+                       min_line_words=3, blocklist=("slow",),
+                       max_line_occurrences=2)
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries (CORRECTNESS_r01 cut there), so every SURVEY §2

@@ -176,3 +176,40 @@ def test_negative_samples_deterministic_and_valid(spark):
     # reproducible across invocations (no rand())
     again = negative_samples(df, k=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_clean_lines_rules_and_order(spark):
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        clean_lines,
+    )
+    banner = "accept all cookies now"
+    docs = spark.createDataFrame(
+        [(0, f"keep me here\nno\n{banner}\njavascript required today\nalso keep this"),
+         (1, f"{banner}\nanother good line"),
+         (2, f"{banner}\nok")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in clean_lines(
+        docs, min_line_words=3, blocklist=("javascript",),
+        max_line_occurrences=2).collect()}
+    # Doc 0: 'no' fails min words, 'javascript…' is blocklisted, banner
+    # appears in 3 docs > max 2 → dropped; survivors keep their order.
+    assert out[0]["cleaned_text"] == "keep me here\nalso keep this"
+    assert out[0]["n_lines"] == 5 and out[0]["n_kept"] == 2
+    assert out[1]["cleaned_text"] == "another good line"
+    # Doc 2 loses everything → empty text, still one output row.
+    assert out[2]["cleaned_text"] == "" and out[2]["n_kept"] == 0
+
+
+def test_clean_lines_map_only_without_occurrence_cap(spark):
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        clean_lines,
+    )
+    docs = spark.createDataFrame(
+        [(0, "one two three\nshort")], ["doc_id", "text"])
+    out = clean_lines(docs, min_line_words=2).collect()[0]
+    assert out["cleaned_text"] == "one two three"
+    # No corpus-wide cap requested → the plan must not contain the
+    # md5-partitioned occurrence window.
+    plan = clean_lines(docs, min_line_words=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "md5" not in plan.lower()
