@@ -1,0 +1,97 @@
+"""Product-analytics operators over the event stream: ordered funnels
+and cohort retention. Greenfield relative to the reference (its event
+layer only dispatches per-entity dumps — SURVEY.md §2 honesty note);
+these are the aggregate shapes an analytics consumer of the sink's
+event tables runs next.
+
+Both are pure DataFrame compositions — conditional min-aggregates,
+broadcast step-joins, and one low-cardinality rollup — no windows over
+the full stream and no per-user state, so they hold at 100 TB: every
+stage shuffles at most the one-row-per-user reduction, never raw events
+more than once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(events: DataFrame, steps: list[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel conversion: a user reaches step *i* when an event
+    of type ``steps[i]`` occurs STRICTLY AFTER the timestamp at which
+    they reached step *i-1* (earliest-completion semantics: each stage
+    keeps the user's minimum qualifying timestamp). Returns one row per
+    step: (step_idx, step, n_users, conversion) with ``conversion``
+    relative to step 1.
+
+    Plan shape: stage *i* filters the event scan to one type (predicate
+    pushdown prunes the rest), joins the previous stage's
+    one-row-per-user frame — O(users) ≪ O(events), so AQE broadcasts
+    it — and reduces to min(ts) per user. N steps = N filtered scans of
+    the type-pruned event stream; no self-join of the full stream, no
+    per-user event-list state.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    reached = (events.filter(F.col(type_col) == steps[0])
+               .groupBy(user_col)
+               .agg(F.min(ts_col).alias("_t")))
+    stages = [reached]
+    for step in steps[1:]:
+        nxt = (events.filter(F.col(type_col) == step)
+               .join(stages[-1].select(user_col, F.col("_t").alias("_prev")),
+                     user_col)
+               .filter(F.col(ts_col) > F.col("_prev"))
+               .groupBy(user_col)
+               .agg(F.min(ts_col).alias("_t")))
+        stages.append(nxt)
+    spark = events.sparkSession
+    counts = None
+    for i, (step, st) in enumerate(zip(steps, stages), start=1):
+        row = st.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).alias("step_idx"), F.lit(step).alias("step"),
+            F.col("n_users"))
+        counts = row if counts is None else counts.unionByName(row)
+    base = counts.filter(F.col("step_idx") == 1).select(
+        F.col("n_users").alias("_base"))
+    return (counts.crossJoin(F.broadcast(base))
+            .select("step_idx", "step", "n_users",
+                    F.round(F.col("n_users").cast("double") / F.col("_base"),
+                            6).alias("conversion")))
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the week of their
+    first event; a cohort member is *active* in week-offset *k* when
+    they have any event in the k-th week after their cohort week.
+    Returns (cohort_week, week_offset, n_active, retention) where
+    ``retention`` is n_active / cohort size.
+
+    Plan shape: first-seen is one groupBy(user) min — the only pass over
+    raw events; activity reduces to distinct (user, week) before joining
+    the per-user cohort frame (broadcast: O(users)); the final rollup is
+    tiny (weeks × offsets). Week arithmetic is epoch-exact on truncated
+    timestamps, so the offset math is engine-independent.
+    """
+    week = lambda c: F.date_trunc("week", c)  # noqa: E731
+    first = (events.groupBy(user_col)
+             .agg(week(F.min(ts_col)).alias("cohort_week")))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").alias("_cohort_size"))
+    act = (events.select(F.col(user_col), week(F.col(ts_col)).alias("w"))
+           .distinct())
+    offs = (act.join(F.broadcast(first), user_col)
+            .select("cohort_week",
+                    ((F.col("w").cast("long")
+                      - F.col("cohort_week").cast("long")) / 604800)
+                    .cast("int").alias("week_offset")))
+    return (offs.groupBy("cohort_week", "week_offset")
+            .agg(F.count("*").alias("n_active"))
+            .join(F.broadcast(sizes), "cohort_week")
+            .select("cohort_week", "week_offset", "n_active",
+                    F.round(F.col("n_active").cast("double")
+                            / F.col("_cohort_size"), 6).alias("retention")))

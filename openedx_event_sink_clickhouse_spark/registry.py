@@ -2925,6 +2925,60 @@ def _cur_cl(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Product analytics over the event stream (operators/funnel.py): ordered
+# funnels and weekly cohort retention.
+# --------------------------------------------------------------------------
+
+@register("evt_funnel", """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+c AS (
+  SELECT 1 AS step_idx, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users
+  FROM s1
+  UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3),
+b AS (SELECT n_users AS base FROM c WHERE step_idx = 1)
+SELECT step_idx, step, n_users,
+       round(CAST(n_users AS DOUBLE) / base, 6) AS conversion
+FROM c, b
+""")
+def _fun1(spark, sf_dir):
+    # Ordered view→click→purchase funnel, earliest-completion semantics.
+    from .operators.funnel import funnel
+    return funnel(_t(spark, sf_dir, "events"),
+                  ["view", "click", "purchase"])
+
+
+@register("evt_cohort_retention", """
+WITH f AS (SELECT user_id,
+                  CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+                    AS cohort_week
+           FROM events GROUP BY 1),
+sz AS (SELECT cohort_week, count(*) AS n FROM f GROUP BY 1),
+a AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS w FROM events),
+o AS (SELECT f.cohort_week,
+             CAST((epoch(a.w) - epoch(f.cohort_week)) / 604800 AS INT)
+               AS week_offset
+      FROM a JOIN f USING (user_id)),
+g AS (SELECT cohort_week, week_offset,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM o GROUP BY 1, 2)
+SELECT g.cohort_week, g.week_offset, g.n_active,
+       round(CAST(n_active AS DOUBLE) / sz.n, 6) AS retention
+FROM g JOIN sz USING (cohort_week)
+""")
+def _fun2(spark, sf_dir):
+    # Weekly cohorts by first-seen week; activity = any event that week.
+    from .operators.funnel import cohort_retention
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries (CORRECTNESS_r01 cut there), so every SURVEY §2
 # operator, the EP2 serializers, and every greenfield family's

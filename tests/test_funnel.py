@@ -1,0 +1,65 @@
+"""Funnel + cohort-retention semantics on hand-computed fixtures (the
+oracle gate checks value parity at sf0.01; these pin the ordering and
+cohorting rules)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from openedx_event_sink_clickhouse_spark.operators.funnel import (
+    cohort_retention,
+    funnel,
+)
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # u1 completes the whole funnel in order.
+        (1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        # u2 purchased BEFORE clicking -> reaches click, not purchase.
+        (2, _ts(1), "purchase"), (2, _ts(2), "view"), (2, _ts(3), "click"),
+        # u3 never viewed -> not even step 1 despite clicking.
+        (3, _ts(1), "click"),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["step"]: r for r in
+           funnel(events, ["view", "click", "purchase"]).collect()}
+    assert out["view"]["n_users"] == 2
+    assert out["click"]["n_users"] == 2
+    assert out["purchase"]["n_users"] == 1
+    assert out["view"]["conversion"] == 1.0
+    assert out["purchase"]["conversion"] == 0.5
+    assert [out[s]["step_idx"] for s in ("view", "click", "purchase")] \
+        == [1, 2, 3]
+
+
+def test_funnel_earliest_completion_uses_min_timestamps(spark):
+    # Later re-views must not reset progress: u1's click@2 follows the
+    # FIRST view@1, so the funnel counts it even though a second view
+    # lands at day 5.
+    rows = [(1, _ts(1), "view"), (1, _ts(5), "view"), (1, _ts(2), "click")]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["step"]: r["n_users"]
+           for r in funnel(events, ["view", "click"]).collect()}
+    assert out == {"view": 1, "click": 1}
+
+
+def test_cohort_retention_weekly_offsets(spark):
+    # 2024-01-01 is a Monday: days 1-7 = week 0, days 8-14 = week 1.
+    rows = [
+        (1, _ts(1), "view"), (1, _ts(9), "view"),   # cohort w0, active w0+w1
+        (2, _ts(2), "view"),                        # cohort w0, active w0
+        (3, _ts(8), "view"),                        # cohort w1, active w1
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {(r["cohort_week"].day, r["week_offset"]):
+           (r["n_active"], r["retention"])
+           for r in cohort_retention(events).collect()}
+    assert out[(1, 0)] == (2, 1.0)     # both w0 users active in week 0
+    assert out[(1, 1)] == (1, 0.5)     # only u1 returns in week 1
+    assert out[(8, 0)] == (1, 1.0)
+    assert len(out) == 3
