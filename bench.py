@@ -57,6 +57,12 @@ HEADLINE = [
     "mm_byte_histogram",           # Arrow-batched pandas UDF pipeline
     "mm_decode_stats",             # multimodal decode mapInPandas
     "mm_meta_summary",             # metadata rollup (content-pruned)
+    "dedup_duplicate_spans",       # rolling k-gram span coverage
+    "sim_ivf_recall",              # batched IVF + exact scan + compare
+    "text_unigram_logprob",        # corpus LM build + broadcast scoring
+    "cur_clean_lines",             # line explode + occurrence window
+    "evt_funnel",                  # stepwise conditional min-aggregates
+    "evt_cohort_retention",        # first-seen cohorts + weekly offsets
     # TPC-H probe set: engine-generality regression watch
     "tpch_q1",                     # agg-heavy scan
     "tpch_q3",                     # join + agg + top-k

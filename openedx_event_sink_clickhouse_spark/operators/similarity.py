@@ -508,8 +508,10 @@ def ivf_recall(emb: DataFrame, n_probes: int = 10, k: int = 10,
     approx = ivf_batch_topk(emb, n_probes, k, n_centroids, nprobe,
                             id_col, vec_col, centroids)
     hit = (approx.select("probe_id", id_col).withColumn("_hit", F.lit(1)))
+    # The compare join is (n_probes × k) rows a side — broadcast it
+    # explicitly so the static plan never falls back to sort-merge.
     return (exact.select("probe_id", id_col)
-            .join(hit, ["probe_id", id_col], "left")
+            .join(F.broadcast(hit), ["probe_id", id_col], "left")
             .groupBy("probe_id")
             .agg(F.count("_hit").alias("n_hits"))
             .select("probe_id", "n_hits",

@@ -3000,17 +3000,18 @@ _PRIORITY = [
     "t1_tree_ordinals", "t2_last_wins_dedup", "t3_fan_out_metadata",
     "a1_watermarks", "a3_distinct_sorted_ids", "d1_retire_users",
     "serialize_user_profile", "serialize_external_id",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_clusters",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_duplicate_spans",
+    "dedup_clusters",
     "sim_cosine_topk", "sim_neardup_pairs", "sim_ivf_topk",
-    "sim_lsh_bucket_topk", "sim_multi_probe_topk",
-    "text_quality_signals", "text_token_counts", "text_language_id",
-    "text_fingerprints", "text_top_ngrams",
+    "sim_ivf_recall",
+    "text_quality_signals", "text_language_id",
+    "text_fingerprints", "text_unigram_logprob",
     "mm_decode_stats", "mm_byte_histogram", "mm_meta_summary",
-    "cur_quality_filter", "ret_bm25_topk",
+    "cur_quality_filter", "cur_clean_lines", "ret_bm25_topk",
     "stream_tumbling_stats", "stream_debounce_dedup",
     "window_running_total",
     "approx_distinct_users",
+    "evt_funnel", "evt_cohort_retention", "tpch_q1",
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

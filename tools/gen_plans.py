@@ -26,6 +26,12 @@ SHOW = [
     "skew_salted_agg",
     "tpch_q5",
     "tpch_q21",
+    "dedup_duplicate_spans",
+    "sim_ivf_recall",
+    "text_unigram_logprob",
+    "cur_clean_lines",
+    "evt_funnel",
+    "evt_cohort_retention",
 ]
 
 SF = "/root/testdata/sf0.001"
