@@ -58,10 +58,19 @@ def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
     cf_z = clustering_factor(file_pruning_stats(zord, cols), cols)
     # Naive layout: every file spans everything.
     assert cf_naive > 0.9
-    # Z-order beats naive by a wide margin and the one-column sort too
-    # (the sort's day-span stays full-width in every file).
+    # Z-order beats naive by a wide margin.
     assert cf_z < 0.5 * cf_naive
-    assert cf_z < cf_sort
+    # Volume alone can't separate z-order from a one-column sort (a
+    # perfect sort already reaches ~1/num_files volume), so assert the
+    # property that matters: the sorted layout is blind on the second
+    # column (every file spans ~all days) while z-order prunes on BOTH
+    # columns at once.
+    day_sort = clustering_factor(file_pruning_stats(bysort, cols), ["day"])
+    day_z = clustering_factor(file_pruning_stats(zord, cols), ["day"])
+    uid_z = clustering_factor(file_pruning_stats(zord, cols), ["user_id"])
+    assert day_sort > 0.9
+    assert day_z < 0.8 * day_sort
+    assert uid_z < 0.8
     # Row parity: layout must never change content.
     assert spark.read.parquet(zord).count() == ev.count()
 
