@@ -28,12 +28,14 @@ def sessionize(events: DataFrame, gap_s: int = 1800,
     Ordering ties on ``ts`` are broken by ``id_col`` so the running
     numbering is total-ordered and reproducible across engines. Gap
     arithmetic is on floor-epoch-seconds (matches DuckDB's
-    ``floor(epoch(ts))``, and Spark's ``cast(ts as long)``)."""
+    ``floor(epoch(ts))``); ``unix_timestamp()`` is used instead of
+    ``cast(ts as long)`` because it accepts both TIMESTAMP and
+    TIMESTAMP_NTZ inputs under Spark 4."""
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     prev = F.lag(ts_col).over(w)
     is_start = F.when(
         prev.isNull()
-        | (F.col(ts_col).cast("long") - prev.cast("long") > gap_s),
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_s),
         1).otherwise(0)
     seq = F.sum("is_start").over(
         w.rowsBetween(Window.unboundedPreceding, 0))
@@ -54,7 +56,7 @@ def session_stats(events: DataFrame, gap_s: int = 1800,
             .agg(F.count("*").alias("n_events"),
                  F.min(ts_col).alias("session_start"),
                  F.max(ts_col).alias("session_end"),
-                 (F.max(F.col(ts_col).cast("long"))
-                  - F.min(F.col(ts_col).cast("long")))
+                 (F.max(F.unix_timestamp(F.col(ts_col)))
+                  - F.min(F.unix_timestamp(F.col(ts_col))))
                  .alias("duration_s"),
                  F.round(F.sum(value_col), 6).alias("value_sum")))

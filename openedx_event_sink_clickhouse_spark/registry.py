@@ -1340,7 +1340,9 @@ def _wstate(spark, sf_dir):
                   "event_type string, value double, props string")
     src = (spark.readStream.schema(raw_schema)
            .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+           .withColumn(
+               "ts",
+               F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")))
     gated = incremental_dump_stream(
         src.select(*[f.name for f in EVENT_SCHEMA.fields]))
     name = f"gate_{uuid.uuid4().hex[:8]}"

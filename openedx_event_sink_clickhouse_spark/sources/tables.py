@@ -43,10 +43,27 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin UTC here (not only in get_spark): the driver hands us a vanilla
+    # session, and the NTZ→LTZ timestamp cast below is value-identical
+    # only when the session TZ is UTC (DuckDB treats the same values as
+    # UTC-epoch).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in NANO_TS_COLUMNS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if c not in df.columns:
+            continue
+        dt = dict(df.dtypes)[c]
+        if dt == "bigint":
+            # Older readers surface TIMESTAMP(NANOS) as raw int64 under the
+            # legacy conf: truncate ns→µs ourselves (same truncation DuckDB
+            # applies) and land on session-TZ TIMESTAMP.
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp"))
+        elif dt == "timestamp_ntz":
+            # Spark 4.1.2 maps TIMESTAMP(NANOS) to TIMESTAMP_NTZ directly.
+            # NTZ breaks cast-to-long epoch math and withWatermark; under
+            # the pinned UTC session TZ the NTZ→LTZ cast is value-identical.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
