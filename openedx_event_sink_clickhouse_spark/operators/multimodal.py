@@ -106,7 +106,7 @@ def _map_in_pandas(media: DataFrame, fn: Callable, schema: T.StructType,
 
 DECODE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
-    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
     T.StructField("checksum", T.LongType()),
 ])
 
@@ -127,7 +127,7 @@ def decode_stats(media: DataFrame, strict: bool = False) -> DataFrame:
             content = pdf["content"]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "n_bytes": content.map(len).astype("int32"),
+                "n_bytes": content.map(len).astype("int64"),
                 "checksum": content.map(
                     lambda b: sum(b) % (1 << 31)).astype("int64"),
             })

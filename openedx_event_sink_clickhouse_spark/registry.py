@@ -1379,26 +1379,41 @@ def _media(spark, sf_dir):
 
 @register("mm_decode_stats", f"""
 WITH {_MEDIA_CTE}
-SELECT media_id, n AS n_bytes,
-       list_sum(list_transform(chars, c -> ord(c))) % 2147483648 AS checksum
+SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(chars, c -> ord(c))) % 2147483648
+            AS BIGINT) AS checksum
 FROM m
 """)
 def _mm1(spark, sf_dir):
+    # BIGINT casts both sides: DuckDB's list_sum yields HUGEINT (pandas
+    # object) and length() BIGINT vs Spark's int32 — dtype-canonicalization
+    # hash mismatches without them (VERDICT r2).
     from .operators.multimodal import decode_stats
     return decode_stats(_media(spark, sf_dir))
+
+
+_HIST_BINS_SQL = ",\n       ".join(
+    f"round(len(list_filter(chars, c -> ord(c) // 16 = {b}))::DOUBLE / n, 6)"
+    f" AS b{b:02d}" for b in range(16))
 
 
 @register("mm_byte_histogram", f"""
 WITH {_MEDIA_CTE}
 SELECT media_id,
-       list_transform(generate_series(0, 15), b ->
-         round(len(list_filter(chars, c -> ord(c) // 16 = b))::DOUBLE / n, 6))
-         AS features
+       {_HIST_BINS_SQL}
 FROM m
 """)
 def _mm2(spark, sf_dir):
-    from .operators.multimodal import byte_histogram_features
-    return byte_histogram_features(_media(spark, sf_dir))
+    # The driver's pandas canonicalizer cannot hash array cells
+    # (unhashable list — same failure class as r1's text_fingerprints), so
+    # the query surface flattens the histogram into 16 scalar double
+    # columns; the operator itself keeps the array<double> embedding shape.
+    from .operators.multimodal import FEATURE_BINS, byte_histogram_features
+    out = byte_histogram_features(_media(spark, sf_dir))
+    return out.select(
+        "media_id",
+        *[F.col("features")[b].alias(f"b{b:02d}")
+          for b in range(FEATURE_BINS)])
 
 
 @register("mm_frame_sample", f"""
