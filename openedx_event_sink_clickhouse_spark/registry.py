@@ -2997,38 +2997,37 @@ def _fun2(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
-# registry entries (CORRECTNESS_r01 cut there), so every SURVEY §2
-# operator, the EP2 serializers, and every greenfield family's
-# representatives register ahead of the long tail (remaining TPC-H probes,
-# extra window/setops/pivot shapes — all still covered by
-# tools/check_correctness.py, which runs the full registry). Entries
-# changed or added this round sit inside the window so the contract file
-# records them.
+# registry entries, so the window ROTATES each round: round 3 fills it
+# with the 45 queries never graded in CORRECTNESS_r01/r02 (TPC-H tail,
+# window/setops/pivot/json shapes, the rest of curation/retrieval/
+# similarity, mm_resize/mm_frame_sample, evt_sessionize, stateful gate)
+# plus 5 keepers — the flagship, both multimodal rows fixed this round, a
+# scan canary, and sim_cosine_topk (r2 bench-regression watch). Union of
+# r1+r2+r3 windows = all 110 registered queries driver-graded.
+# tools/check_correctness.py still runs the full registry every round.
 # --------------------------------------------------------------------------
 
 _PRIORITY = [
     "flagship_incremental_dump",
-    "s1_full_scan", "s2_range_scan", "s3_in_list_filter", "s4_not_in_filter",
-    "s5_limit_after_filter", "s6_point_lookup", "s7_dim_enrich_join",
-    "s8_double_dim_join", "s9_parent_child_expand",
-    "p1_projection_rename", "p2_p3_dump_metadata", "p4_json_pack",
-    "p5_casts_flags", "p6_string_normalize", "p7_strip_branch_version",
-    "p8_member_flag",
-    "t1_tree_ordinals", "t2_last_wins_dedup", "t3_fan_out_metadata",
-    "a1_watermarks", "a3_distinct_sorted_ids", "d1_retire_users",
-    "serialize_user_profile", "serialize_external_id",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_duplicate_spans",
-    "dedup_clusters",
-    "sim_cosine_topk", "sim_neardup_pairs", "sim_ivf_topk",
-    "sim_ivf_recall",
-    "text_quality_signals", "text_language_id",
-    "text_fingerprints", "text_unigram_logprob",
-    "mm_decode_stats", "mm_byte_histogram", "mm_meta_summary",
-    "cur_quality_filter", "cur_clean_lines", "ret_bm25_topk",
-    "stream_tumbling_stats", "stream_debounce_dedup",
-    "window_running_total",
-    "approx_distinct_users",
-    "evt_funnel", "evt_cohort_retention", "tpch_q1",
+    "s1_full_scan", "mm_decode_stats", "mm_byte_histogram",
+    "sim_cosine_topk",
+    # -- never graded in r1/r2 from here on --
+    "evt_sessionize", "dedup_survivors", "sim_semantic_dedup",
+    "sim_multi_probe_topk", "sim_quantized_topk",
+    "text_tokenize_ids", "text_top_ngrams",
+    "mm_resize", "mm_frame_sample",
+    "cur_scrub_pii", "cur_decontaminate", "cur_sample_stratified",
+    "cur_pack_sequences", "cur_corpus_mix", "cur_chunk_documents",
+    "cur_negative_samples", "cur_repetition_signals",
+    "ret_inverted_index", "ret_hybrid_rrf",
+    "stream_stateful_incremental_gate",
+    "window_lag_gap_days", "setops_building_finished", "agg_cube_orders",
+    "agg_percentiles_lineitem", "pivot_status_by_priority",
+    "json_extract_props",
+    "tpch_q2", "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q20", "tpch_q21", "tpch_q22",
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
