@@ -73,9 +73,13 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
 
     Plan shape: first-seen is one groupBy(user) min — the only pass over
     raw events; activity reduces to distinct (user, week) before joining
-    the per-user cohort frame (broadcast: O(users)); the final rollup is
-    tiny (weeks × offsets). Week arithmetic is epoch-exact on truncated
-    timestamps, so the offset math is engine-independent.
+    the per-user cohort frame. That frame is O(users), so it gets NO
+    broadcast hint — AQE broadcasts it when it fits and falls back to a
+    shuffle join on user_id when it doesn't (a forced hint would attempt
+    the broadcast regardless and OOM at 10^8+ users). The final rollup is
+    tiny (weeks × offsets); ``sizes`` is O(weeks) and safe to broadcast.
+    Week arithmetic is epoch-exact on truncated timestamps, so the offset
+    math is engine-independent.
     """
     week = lambda c: F.date_trunc("week", c)  # noqa: E731
     first = (events.groupBy(user_col)
@@ -84,7 +88,7 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
         F.count("*").alias("_cohort_size"))
     act = (events.select(F.col(user_col), week(F.col(ts_col)).alias("w"))
            .distinct())
-    offs = (act.join(F.broadcast(first), user_col)
+    offs = (act.join(first, user_col)
             .select("cohort_week",
                     ((F.col("w").cast("long")
                       - F.col("cohort_week").cast("long")) / 604800)

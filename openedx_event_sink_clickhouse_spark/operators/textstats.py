@@ -169,18 +169,20 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
 
     Plan shape: the word-frequency model is one hash aggregate on the
     exploded token stream (map-side partials soak up the Zipf skew — hot
-    words pre-reduce in every task before the shuffle). Scoring
-    broadcasts the model back onto the token stream (vocabulary ≪
-    corpus; if a web-scale vocab outgrows the broadcast threshold the
-    same plan degrades gracefully to a shuffle join on ``word``), then
-    one groupBy(doc) aggregate. Two narrow shuffles total; the document
-    text itself never shuffles.
+    words pre-reduce in every task before the shuffle). Scoring joins the
+    model back onto the token stream WITHOUT a broadcast hint: a hint
+    would force the attempt even on a web-scale vocabulary (an explicit
+    hint never "degrades gracefully" — Spark obeys it); unhinted, AQE
+    broadcasts the vocab while it fits under the threshold and otherwise
+    plans a shuffle join on ``word``. Then one groupBy(doc) aggregate.
+    The 1-row total remains an explicit broadcast. The document text
+    itself never shuffles.
     """
     tok = docs.select(F.col(id_col).alias("id"),
                       F.explode(words(F.col(text_col))).alias("word"))
     freq = tok.groupBy("word").agg(F.count("*").alias("c"))
     tot = freq.agg(F.sum("c").cast("double").alias("n"))
-    scored = (tok.join(F.broadcast(freq), "word")
+    scored = (tok.join(freq, "word")
               .crossJoin(F.broadcast(tot))
               .select("id", F.log(F.col("c") / F.col("n")).alias("lp")))
     return (scored.groupBy("id")

@@ -180,3 +180,26 @@ def test_pack_sequences_single_shard_shuffle(q, spark, sf_dir):
     plan = plan_of(q["cur_pack_sequences"](spark, sf_dir))
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" not in plan.lower()
+
+
+def _n_broadcast_hints(df) -> int:
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
+def test_cohort_retention_user_frame_join_unforced(q, spark, sf_dir):
+    # The per-user cohort frame is O(users): its join must carry NO
+    # broadcast hint (a hint forces the attempt at any size; unhinted,
+    # AQE broadcasts only while it fits). The only hint left is the
+    # O(weeks) sizes frame.
+    df = q["evt_cohort_retention"](spark, sf_dir)
+    assert _n_broadcast_hints(df) == 1
+    # At test scale AQE should still CHOOSE a broadcast for the user
+    # frame — strategy picked by the planner, not forced by us.
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_unigram_logprob_vocab_join_unforced(q, spark, sf_dir):
+    # The vocabulary frequency model is corpus-sized: no hint on its
+    # join; the single remaining hint is the 1-row total.
+    df = q["text_unigram_logprob"](spark, sf_dir)
+    assert _n_broadcast_hints(df) == 1
