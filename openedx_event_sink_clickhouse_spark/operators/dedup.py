@@ -188,58 +188,50 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     jaccard ≥ threshold. Returns (id_a, id_b, jaccard_sim), id_a < id_b.
 
     Plan shape: docs → (id, shingles, bands) [narrow] → explode bands
-    [×NUM_BANDS] → self-join on (band_idx, band_hash) [the ONLY shuffle]
-    → distinct pairs → verify. ``max_bucket`` drops degenerate buckets
-    (a stop-shingle shared by everything) — the skew guard that keeps the
-    join from going quadratic at scale; dropped buckets only lose pairs
-    that other bands will usually still catch.
+    [×NUM_BANDS] → groupBy (band_idx, band_hash) collecting the bucket's
+    sorted id set [the ONLY corpus-wide shuffle] → expand each bucket's
+    in-bucket pairs with array ``transform``s [narrow] → distinct pairs →
+    verify. ``max_bucket`` drops degenerate buckets (a stop-shingle
+    shared by everything) as a plain size filter on the grouped row — the
+    skew guard that keeps pair expansion from going quadratic at scale
+    and bounds per-group state at ``max_bucket`` ids; dropped buckets
+    only lose pairs that other bands will usually still catch.
 
-    Cache lifecycle: two intermediate frames (signatures, bucket stream)
-    are persisted MEMORY_AND_DISK because three downstream subplans read
-    each. They stay pinned after the returned plan materializes — the
-    CALLER owns their lifecycle; long-lived sessions issuing many
-    independent pair jobs should ``spark.catalog.clearCache()`` between
-    them (bench.py does), or the pinned blocks accumulate until eviction.
+    Nothing is persisted: grouping buckets (instead of self-joining the
+    bucket stream) means every frame is consumed by exactly one
+    downstream subplan except the shingle projection, which the two
+    verify joins recompute as a narrow map over the parquet scan. At
+    corpus scale recomputing a narrow stage is cheaper than pinning a
+    corpus-sized projection in executor memory — and no blocks stay
+    pinned after the returned plan materializes.
     """
-    from pyspark import StorageLevel
-
     base = (with_shingles(docs, text_col, n)
             .select(F.col(id_col).alias("id"), "shingles"))
-    # Shingling + hashing is the expensive narrow stage and is consumed by
-    # three downstream subplans (bucket-skew guard, pair join, jaccard
-    # verify) — persist it once instead of recomputing per subplan. At
-    # cluster scale MEMORY_AND_DISK spills instead of evicting; the
-    # persisted projection is (id, shingles, bands), a small multiple of
-    # the text itself.
     sigs = (base
             .withColumn("hv", shingle_hashes(F.col("shingles")))
-            .select("id", "shingles",
-                    lsh_bands(minhash_signature(F.col("hv"))).alias("bands"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+            .select("id",
+                    lsh_bands(minhash_signature(F.col("hv"))).alias("bands")))
     buckets = sigs.select(
         "id", F.posexplode("bands").alias("band_idx", "band_hash"))
+    grouped = (buckets.groupBy("band_idx", "band_hash")
+               .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+               .filter(F.size("ids") >= 2))
     if max_bucket is not None:
-        # Bucket-size skew guard as a window count, not groupBy+join-back:
-        # one shuffle of the bucket stream on (band_idx, band_hash).
-        from pyspark.sql import Window
-        w = Window.partitionBy("band_idx", "band_hash")
-        buckets = (buckets.withColumn("_n", F.count("*").over(w))
-                   .filter(F.col("_n") <= max_bucket).drop("_n"))
-    # Persist the (id, band_idx, band_hash) stream: a self-join's two
-    # children are independent subplans, so without this each side re-runs
-    # the explode+window from the signature cache (measured 2× the pair-
-    # stage cost). The persisted projection is 3 narrow columns ×
-    # NUM_BANDS rows per doc — MEMORY_AND_DISK spills rather than evicts
-    # at scale.
-    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    pairs = (a.join(b, ["band_idx", "band_hash"])
-             .filter(F.col("a.id") < F.col("b.id"))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    # In-bucket pair expansion: ids is sorted ascending, so pairing each
+    # element with its suffix yields exactly the id_a < id_b pairs.
+    pair_structs = F.flatten(F.transform(
+        "ids",
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2),
+                    F.greatest(F.size("ids") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    pairs = (grouped.select(F.explode(pair_structs).alias("p"))
+             .select("p.id_a", "p.id_b")
              .distinct())
-    left = sigs.select(F.col("id").alias("id_a"),
+    left = base.select(F.col("id").alias("id_a"),
                        F.col("shingles").alias("sh_a"))
-    right = sigs.select(F.col("id").alias("id_b"),
+    right = base.select(F.col("id").alias("id_b"),
                         F.col("shingles").alias("sh_b"))
     return (pairs.join(left, "id_a").join(right, "id_b")
             .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))

@@ -53,9 +53,11 @@ def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
     write_zordered(ev, zord, ["user_id", "day"], num_files=8)
 
     cols = ["user_id", "day"]
+    stats_sort = file_pruning_stats(bysort, cols)
+    stats_z = file_pruning_stats(zord, cols)
     cf_naive = clustering_factor(file_pruning_stats(naive, cols), cols)
-    cf_sort = clustering_factor(file_pruning_stats(bysort, cols), cols)
-    cf_z = clustering_factor(file_pruning_stats(zord, cols), cols)
+    cf_sort = clustering_factor(stats_sort, cols)
+    cf_z = clustering_factor(stats_z, cols)
     # Naive layout: every file spans everything.
     assert cf_naive > 0.9
     # Z-order beats naive by a wide margin.
@@ -65,9 +67,9 @@ def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
     # property that matters: the sorted layout is blind on the second
     # column (every file spans ~all days) while z-order prunes on BOTH
     # columns at once.
-    day_sort = clustering_factor(file_pruning_stats(bysort, cols), ["day"])
-    day_z = clustering_factor(file_pruning_stats(zord, cols), ["day"])
-    uid_z = clustering_factor(file_pruning_stats(zord, cols), ["user_id"])
+    day_sort = clustering_factor(stats_sort, ["day"])
+    day_z = clustering_factor(stats_z, ["day"])
+    uid_z = clustering_factor(stats_z, ["user_id"])
     assert day_sort > 0.9
     assert day_z < 0.8 * day_sort
     assert uid_z < 0.8

@@ -125,14 +125,19 @@ def test_q1_agg_is_partial_before_exchange(q, spark, sf_dir):
     assert "partial_sum" in plan  # map-side combine before the shuffle
 
 
-def test_minhash_lsh_caches_bucket_stream(q, spark, sf_dir):
-    # A self-join's children are independent subplans, so both sides of
-    # the band candidate join must read the skew-guarded bucket stream
-    # from cache (InMemoryTableScan) — neither side may re-run the
-    # explode+window chain from the signature stage.
+def test_minhash_lsh_leaves_no_pinned_blocks(q, spark, sf_dir):
+    # Pair mining groups each band bucket once (no bucket self-join), so
+    # the plan needs NO persisted intermediates: after materialization no
+    # cached blocks may remain pinned (long-lived sessions issuing many
+    # pair jobs must not accumulate storage). Also pin the plan shape:
+    # no InMemoryTableScan, exactly one corpus-wide Exchange feeding the
+    # bucket groupBy before the (tiny) pair-side shuffles.
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     df = q["dedup_minhash_lsh"](spark, sf_dir)
-    plan = plan_of(df)
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    df.count()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert after - before == set()
+    assert "InMemoryTableScan" not in plan_of(df)
 
 
 def test_serializer_joins_broadcast_dims(q, spark, sf_dir):
