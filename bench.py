@@ -123,6 +123,17 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        # Session hygiene: a query that leaves blocks pinned (persist
+        # without unpersist) taxes every LATER query's timing via heap
+        # pressure/GC — the r2 sim_cosine_topk 4x "regression" was exactly
+        # this (LSH persists). Fail loudly instead of drifting silently.
+        leaked = spark.sparkContext._jsc.getPersistentRDDs()
+        if leaked.size() > 0:
+            print(f"# WARNING: {name} leaked {leaked.size()} pinned RDDs; "
+                  "unpersisting", file=sys.stderr)
+            spark.catalog.clearCache()
+            for rid in list(leaked.keySet()):
+                leaked.get(rid).unpersist(False)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
