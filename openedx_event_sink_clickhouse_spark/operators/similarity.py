@@ -364,41 +364,199 @@ def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
         mn.alias("mn"), mx.alias("mx"))
 
 
+def quantized_codes_table(emb: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """The codes-at-rest frame backing :func:`quantized_cosine_topk`:
+    (id, codes, mn, sc, sum_c, dn) where ``dn`` is the norm of the
+    DEQUANTIZED vector and ``sum_c`` the integer code sum. With these two
+    scalars materialized, coarse cosine needs only an integer dot product
+    per pair (see the affine identity in quantized_cosine_topk) — no
+    per-element dequantization at query time."""
+    q = quantize_embeddings(emb, id_col, vec_col)
+    sc = F.when(F.col("mx") > F.col("mn"),
+                (F.col("mx") - F.col("mn")) / F.lit(255.0)).otherwise(F.lit(1.0))
+    d = F.size("codes").cast("double")
+    sum_c = F.aggregate("codes", F.lit(0).cast("bigint"),
+                        lambda acc, c: acc + c.cast("bigint"))
+    sum_c2 = F.aggregate("codes", F.lit(0).cast("bigint"),
+                         lambda acc, c: acc + (c * c).cast("bigint"))
+    return (q.select("id", "codes", "mn", sc.alias("sc"),
+                     sum_c.alias("sum_c"), sum_c2.alias("sum_c2"))
+            .select("id", "codes", "mn", "sc", "sum_c",
+                    F.sqrt(d * F.col("mn") * F.col("mn")
+                           + F.lit(2.0) * F.col("mn") * F.col("sc")
+                           * F.col("sum_c").cast("double")
+                           + F.col("sc") * F.col("sc")
+                           * F.col("sum_c2").cast("double")).alias("dn")))
+
+
+def write_quantized_codes(emb: DataFrame, path: str,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> None:
+    """Materialize the uint8 codes (+ scalar stats) as a slim parquet
+    table — the at-rest layout that makes the quantized scan actually
+    cheap: the coarse pass reads THIS table only, never the
+    full-precision embeddings. Codes are packed into ONE binary cell per
+    vector (exactly dim bytes): a list column would hand the scan one
+    Python object per element after Arrow, while a binary column crosses
+    as flat bytes that a batch decodes with a single
+    ``frombuffer(...).reshape(n, dim)`` — the difference between an
+    object loop and a SIMD matmul downstream. Rewrite whenever the
+    source embedding table changes (codes are content-derived, so this
+    is an idempotent layout job like ``sources/layout.py`` compaction)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("codes", T.BinaryType()),
+                           T.StructField("mn", T.DoubleType()),
+                           T.StructField("sc", T.DoubleType()),
+                           T.StructField("sum_c", T.LongType()),
+                           T.StructField("dn", T.DoubleType())])
+
+    def pack(batches):
+        for pdf in batches:
+            out = pdf[["id", "mn", "sc", "sum_c", "dn"]].copy()
+            out.insert(1, "codes", pdf["codes"].map(
+                lambda a: np.asarray(a, dtype=np.uint8).tobytes()))
+            yield out
+
+    (quantized_codes_table(emb, id_col, vec_col)
+     .mapInPandas(pack, schema)
+     .write.mode("overwrite").parquet(path))
+
+
 def quantized_cosine_topk(emb: DataFrame, probe_id, k: int = 10,
                           rescore_factor: int = 3,
                           id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
-    """Quantized-scan + exact-rescore ANN: rank all vectors by cosine
-    over DEQUANTIZED uint8 codes (the cheap approximate scan a quantized
-    corpus affords), keep the top ``rescore_factor``·k candidates, then
-    re-rank those exactly on the full-precision vectors. Returns
-    (vec_id, cosine_sim) — exact scores for the returned rows.
+                          vec_col: str = "embedding",
+                          codes: DataFrame | None = None,
+                          vectorized: bool = True) -> DataFrame:
+    """Quantized-scan + exact-rescore ANN: rank all vectors by cosine of
+    their DEQUANTIZED uint8 codes, keep the top ``rescore_factor``·k
+    candidates, then re-rank those exactly on the full-precision vectors.
+    Returns (vec_id, cosine_sim) — exact scores for the returned rows.
 
-    At scale the approximate pass reads 1/4 the bytes (and the codes
-    column can live in its own slim parquet); the rescore touches only
-    O(k) full vectors. Both passes are broadcast-probe map scans with
-    TakeOrderedAndProject — zero shuffles."""
-    deq = quantize_embeddings(emb, id_col, vec_col).select(
-        "id",
-        F.transform(F.col("codes"),
-                    lambda c: F.col("mn") + c.cast("double") *
-                    F.when(F.col("mx") > F.col("mn"),
-                           (F.col("mx") - F.col("mn")) / F.lit(255.0))
-                     .otherwise(F.lit(1.0))).alias("dv"))
-    probe_q = (deq.filter(F.col("id") == probe_id)
-               .select(F.col("dv").alias("pdv"),
-                       l2_norm(F.col("dv")).alias("pdn")))
-    coarse = (deq.filter(F.col("id") != probe_id)
-              .crossJoin(F.broadcast(probe_q))
-              .select(F.col("id"),
-                      cosine_with_norms(F.col("dv"), F.col("pdv"),
-                                        l2_norm(F.col("dv")), F.col("pdn"))
-                      .alias("_qcos"))
-              .orderBy(F.desc("_qcos"), "id").limit(rescore_factor * k)
-              .select("id"))
+    The coarse pass never dequantizes: with per-vector (mn, sc, sum_c,
+    dn) materialized alongside the codes, the dequantized dot product
+    decomposes as
+
+        dot(dv_a, dv_p) = d·mn_a·mn_p + mn_a·s_p·Σq + mn_p·s_a·Σc
+                          + s_a·s_p·Σ(c_i·q_i)
+
+    so the only per-pair work is the INTEGER dot Σ(c_i·q_i); everything
+    else is scalar arithmetic on per-row/probe constants. Cosine then
+    divides by the stored dequantized norms — the same scores as
+    dequantize-then-cosine, at integer-scan cost.
+
+    Pass ``codes`` (from :func:`write_quantized_codes` read back, or
+    :func:`quantized_codes_table` inline) to score against codes at
+    rest — the intended shape: the coarse pass scans ONLY the slim codes
+    table (~1 byte/element at rest vs 8 for doubles); the full-precision
+    ``emb`` is touched for the O(rescore_factor·k) candidate rows alone,
+    as id-pushdown point lookups.
+
+    ``vectorized=True`` (default) runs the coarse scan as an
+    Arrow-batched ``mapInPandas``: the integer dot is one uint8 numpy
+    matmul per batch — SIMD where an interpreted HOF ``aggregate`` walks
+    an expression tree per element. Two bounded driver actions anchor the
+    pipeline (the 1-row probe fetch and the rescore_factor·k candidate
+    ids — the same coordinator-side footprint as IVF's centroid model),
+    matching how an ANN query coordinator actually works. With
+    ``vectorized=False`` the whole plan stays lazy/JVM-side (HOF
+    integer dot, broadcast-join rescore) — use that under pure-SQL
+    constraints."""
+    if codes is None:
+        codes = quantized_codes_table(emb, id_col, vec_col)
+    n_cand = rescore_factor * k
     base = _vec_base(emb, id_col, vec_col)
     probe = (base.filter(F.col("id") == probe_id)
              .select(F.col("v").alias("pv"), F.col("nv").alias("pn")))
+
+    if vectorized:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        prow = codes.filter(F.col("id") == probe_id).collect()[0]
+        qc = (np.frombuffer(prow.codes, dtype=np.uint8)
+              if isinstance(prow.codes, (bytes, bytearray))
+              else np.asarray(prow.codes, dtype=np.uint8)).astype(np.int64)
+        pmn, psc = float(prow.mn), float(prow.sc)
+        psum, pdn = float(prow.sum_c), float(prow.dn)
+        dim = len(qc)
+        schema = T.StructType([T.StructField("id", T.LongType()),
+                               T.StructField("_qcos", T.DoubleType())])
+
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                col = pdf["codes"]
+                if isinstance(col.iloc[0], (bytes, bytearray)):
+                    mat = (np.frombuffer(b"".join(col), dtype=np.uint8)
+                           .astype(np.int64).reshape(-1, dim))
+                else:
+                    mat = np.stack(col.map(
+                        lambda a: np.asarray(a, dtype=np.int64)))
+                idot = mat @ qc
+                mn = pdf["mn"].to_numpy()
+                sc = pdf["sc"].to_numpy()
+                q = ((dim * mn * pmn + mn * psc * psum
+                      + pmn * sc * pdf["sum_c"].to_numpy().astype("float64")
+                      + sc * psc * idot)
+                     / (pdf["dn"].to_numpy() * pdn))
+                ids = pdf["id"].to_numpy()
+                # Per-batch top-n_cand prune (global top ⊆ union of batch
+                # tops) so only ~n_cand rows/batch cross Arrow back;
+                # lexsort keeps the engine-wide (-score, id) tie-break
+                # exact at the cut.
+                if len(q) > n_cand:
+                    keep = np.lexsort((ids, -q))[:n_cand]
+                    ids, q = ids[keep], q[keep]
+                yield pd.DataFrame({"id": ids, "_qcos": q})
+
+        coarse = (codes.filter(F.col("id") != probe_id)
+                  .select("id", "codes", "mn", "sc", "sum_c", "dn")
+                  .mapInPandas(fn, schema=schema)
+                  .orderBy(F.desc("_qcos"), "id").limit(n_cand))
+        cand_ids = [r.id for r in coarse.collect()]
+        exact = (base.filter(F.col("id").isin(cand_ids))
+                 .crossJoin(F.broadcast(probe))
+                 .select(F.col("id").alias(id_col),
+                         cosine_with_norms(F.col("v"), F.col("pv"),
+                                           F.col("nv"), F.col("pn"))
+                         .alias("_cos")))
+        return (exact.orderBy(F.desc("_cos"), id_col).limit(k)
+                .select(id_col, F.round("_cos", 6).alias("cosine_sim")))
+
+    from pyspark.sql import types as T
+    if isinstance(codes.schema["codes"].dataType, T.BinaryType):
+        raise ValueError(
+            "binary-packed codes require vectorized=True; the JVM HOF "
+            "path scores array-typed codes (quantized_codes_table)")
+    probe_q = (codes.filter(F.col("id") == probe_id)
+               .select(F.col("codes").alias("qc"), F.col("mn").alias("pmn"),
+                       F.col("sc").alias("psc"),
+                       F.col("sum_c").alias("psum"),
+                       F.col("dn").alias("pdn")))
+    d = F.size("codes").cast("double")
+    # cast BEFORE multiplying: codes at rest are smallint and Spark's
+    # smallint*smallint stays smallint (255*255 would overflow)
+    idot = F.aggregate(
+        F.zip_with("codes", "qc", lambda a, b: a.cast("bigint") * b),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x).cast("double")
+    dot = (d * F.col("mn") * F.col("pmn")
+           + F.col("mn") * F.col("psc") * F.col("psum").cast("double")
+           + F.col("pmn") * F.col("sc") * F.col("sum_c").cast("double")
+           + F.col("sc") * F.col("psc") * idot)
+    coarse = (codes.filter(F.col("id") != probe_id)
+              .crossJoin(F.broadcast(probe_q))
+              .select(F.col("id"),
+                      (dot / (F.col("dn") * F.col("pdn"))).alias("_qcos"))
+              .orderBy(F.desc("_qcos"), "id").limit(n_cand)
+              .select("id"))
     exact = (base.join(F.broadcast(coarse), "id")
              .crossJoin(F.broadcast(probe))
              .select(F.col("id").alias(id_col),

