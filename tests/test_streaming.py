@@ -230,3 +230,70 @@ def test_stream_stream_range_join_equals_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
     got = {tuple(r) for r in spark.sql("SELECT * FROM ssj_mem").collect()}
     assert got == batch_rows
+
+
+def test_scrub_pii_runs_on_streams(spark, sf_dir, tmp_path):
+    # Round-2 curation: PII scrubbing is a stateless regex Column stack,
+    # so the batch function runs unchanged on a stream (same
+    # filter-at-ingest shape as quality_filter above).
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        scrub_pii)
+    docs = load_table(spark, "documents", sf_dir)
+    docs.write.parquet(str(tmp_path / "docs"))
+    batch = {tuple(r) for r in scrub_pii(docs).collect()}
+    stream_src = (spark.readStream.schema(docs.schema)
+                  .parquet(str(tmp_path / "docs")))
+    q = (scrub_pii(stream_src).writeStream.format("memory")
+         .queryName("pii_mem").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM pii_mem").collect()}
+    assert got == batch
+
+
+def test_exact_dedup_stream_equals_batch(spark, sf_dir, tmp_path):
+    # Round-2 dedup on a stream: exact_dedup is a plain streaming
+    # aggregation (groupBy digest + min/count), so complete-mode output
+    # over a bounded source must equal the batch result — streaming
+    # exact dedup with NO separate codepath. (State is per-digest and
+    # mergeable; at scale a production run would age it with a
+    # watermark on an ingest-time column.)
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        exact_dedup)
+    docs = load_table(spark, "documents", sf_dir)
+    docs.write.parquet(str(tmp_path / "docs"))
+    batch = {tuple(r) for r in exact_dedup(docs).collect()}
+    stream_src = (spark.readStream.schema(docs.schema)
+                  .parquet(str(tmp_path / "docs")))
+    got = {tuple(r) for r in
+           _collect_stream(spark, exact_dedup(stream_src),
+                           "xdedup_mem").collect()}
+    assert got == batch
+
+
+def test_clean_lines_stream_via_foreach_batch(spark, sf_dir, tmp_path):
+    # Round-2 curation with corpus-global state (the boilerplate
+    # occurrence cap) is NOT expressible as an append-mode stream — the
+    # supported shape is foreachBatch, where each micro-batch is a
+    # bounded DataFrame and the SAME batch operator runs on it (the
+    # dispatch pattern streaming/dispatch.py uses). With the bounded
+    # source arriving as one availableNow micro-batch, stream output
+    # must equal the batch run exactly.
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        clean_lines)
+    docs = load_table(spark, "documents", sf_dir)
+    docs.coalesce(1).write.parquet(str(tmp_path / "docs"))
+    kw = dict(min_line_words=2, max_line_occurrences=5)
+    batch = {tuple(r) for r in clean_lines(docs, **kw).collect()}
+    out: list = []
+    stream_src = (spark.readStream.schema(docs.schema)
+                  .parquet(str(tmp_path / "docs")))
+
+    def handle(bdf, epoch_id):
+        out.extend(tuple(r) for r in clean_lines(bdf, **kw).collect())
+
+    q = (stream_src.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert set(out) == batch and len(out) == len(batch)
