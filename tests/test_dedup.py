@@ -112,6 +112,60 @@ def test_connected_components_long_chain_bounded_lineage(spark):
     assert len(rows) == n
     assert {r.cluster_id for r in rows} == {0}
     assert [r.doc_id for r in rows if r.is_survivor] == [0]
+    # Bounded plan size: ~29 propagation rounds ran, but the returned
+    # frame's lineage must be rooted at the last localCheckpoint — at
+    # most checkpoint_every join layers deep, not one per round.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") <= 2 * 5, plan
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    # Property check against a Python union-find oracle on an irregular
+    # graph (chains + stars + cross links, fixed seed): min-label
+    # propagation must produce exactly the oracle's components, with the
+    # component minimum as both label and survivor.
+    import random
+
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+    rng = random.Random(20260813)
+    edges = []
+    # 40-node chain (diameter pressure beyond one checkpoint period)
+    edges += [(i, i + 1) for i in range(100, 139)]
+    # stars
+    edges += [(200, 200 + j) for j in range(1, 12)]
+    edges += [(300, 300 + j) for j in range(1, 6)]
+    # random extra links inside a block, some bridging
+    nodes = [100 + i for i in range(40)] + [200 + j for j in range(12)]
+    edges += [tuple(sorted(rng.sample(nodes, 2))) for _ in range(15)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: (r.cluster_id, r.is_survivor)
+           for r in connected_components(
+               pairs, max_iter=60, checkpoint_every=4).collect()}
+    assert set(got) == set(want)
+    for node, root in want.items():
+        assert got[node] == (root, node == root), node
 
 
 def test_duplicate_spans_merges_overlaps_and_counts_coverage(spark):
