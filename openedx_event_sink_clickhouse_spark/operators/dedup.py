@@ -333,6 +333,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    # The returned plan reads only the final label frame (cached or
+    # checkpointed above); the edge cache is loop-internal state and can
+    # be released now. The labels block itself stays pinned until the
+    # caller materializes — the one unavoidable handle (callers that run
+    # many clusterings should clearCache between them; bench.py's leak
+    # guard enforces this loudly).
+    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"),
                          (F.col("id") == F.col("label")).alias("is_survivor"))
