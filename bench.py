@@ -52,6 +52,7 @@ HEADLINE = [
     "ret_bm25_topk",               # lexical ranking
     "cur_quality_filter",          # rule-stack filtering
     "cur_decontaminate",           # benchmark n-gram leakage guard
+    "cur_decontaminate_bloom",     # fixed-memory bloom leakage guard
     "cur_pack_sequences",          # token-budget packing window
     "cur_chunk_documents",         # overlapping context-window chunks
     "mm_byte_histogram",           # Arrow-batched pandas UDF pipeline

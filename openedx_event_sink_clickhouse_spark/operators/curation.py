@@ -126,6 +126,75 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                      .alias("n_shared_grams")))
 
 
+def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", n: int = 8,
+                        id_col: str = "doc_id",
+                        m_bits: int = 1 << 20, k: int = 4) -> DataFrame:
+    """Bloom-filter decontamination — the fixed-memory form of
+    :func:`decontaminate` for when the benchmark gram set itself is too
+    large to broadcast as a join table. The benchmark grams fold into an
+    ``m_bits``-bit Bloom filter (``k`` md5-derived probe positions per
+    gram, bit-packed 63 bits per BIGINT word by a ``bit_or`` aggregate —
+    ≤ m_bits/63 rows REGARDLESS of benchmark size, and mergeable across
+    shards/streams); the corpus probes it map-side via a broadcast join
+    on the word index. Returns (doc_id, contaminated, bloom_flagged,
+    n_bloom_grams): ``contaminated`` is the exact verdict,
+    ``bloom_flagged`` the filter's — a superset by construction
+    (false-positive rate ≈ (1-e^{-kn/m})^k; false negatives impossible),
+    so ``bloom_flagged >= contaminated`` on every row.
+
+    Everything is deterministic Column math (md5 positions, no native
+    bloom expression), so the oracle replicates the filter bit-for-bit —
+    the approximate path is hash-checked exactly, not just bounded.
+
+    Why 63-bit words: both engines store BIGINT; a shift into bit 63
+    overflows DuckDB's checked ``<<``, so words pack bits 0..62."""
+    def doc_grams(df: DataFrame) -> DataFrame:
+        g = F.array_distinct(ngrams(words(F.col(text_col)), n))
+        return (df.select(F.col(id_col).alias("id"), F.explode(g).alias("gram")))
+
+    def probe_positions(df: DataFrame) -> DataFrame:
+        # double hashing: pos_i = (h1 + i*h2) mod m, h2 forced odd
+        from ..functions.hashes import md5_hash32
+        h1 = md5_hash32(F.col("gram"), seed=101)
+        h2 = md5_hash32(F.col("gram"), seed=202)
+        pos = F.explode(F.array(*[
+            ((h1 + F.lit(i) * (h2 * 2 + 1)) % F.lit(m_bits)).alias(f"p{i}")
+            for i in range(k)])).alias("pos")
+        return df.select("*", pos)
+
+    bench = (probe_positions(
+        doc_grams(benchmark).select("gram").distinct())
+        .select(F.expr("pos div 63").alias("widx"),
+                F.expr("shiftleft(1L, cast(pos % 63 as int))").alias("m")))
+    words_tbl = (bench.groupBy("widx").agg(F.expr("bit_or(m)").alias("word")))
+
+    cg = doc_grams(docs)
+    probes = (probe_positions(cg)
+              .select("id", "gram",
+                      F.expr("pos div 63").alias("widx"),
+                      F.expr("shiftleft(1L, cast(pos % 63 as int))").alias("m"))
+              .join(F.broadcast(words_tbl), "widx", "left")
+              .select("id", "gram",
+                      F.when(F.col("word").isNotNull()
+                             & (F.col("word").bitwiseAND(F.col("m")) != 0),
+                             1).otherwise(0).alias("hit")))
+    per_gram = (probes.groupBy("id", "gram")
+                .agg(F.min("hit").alias("contained")))
+    bloom_doc = (per_gram.groupBy("id")
+                 .agg(F.max("contained").alias("bloom_flagged"),
+                      F.sum("contained").alias("n_bloom_grams")))
+    exact = decontaminate(docs, benchmark, text_col, n, id_col) \
+        .select(F.col(id_col).alias("id"), "contaminated")
+    return (exact.join(bloom_doc, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.col("contaminated").cast("int").alias("contaminated"),
+                    F.coalesce("bloom_flagged", F.lit(0)).cast("int")
+                     .alias("bloom_flagged"),
+                    F.coalesce("n_bloom_grams", F.lit(0)).cast("bigint")
+                     .alias("n_bloom_grams")))
+
+
 def _hash_uniform(key: Column) -> Column:
     """Deterministic uniform in [0, 1) from a row key — md5-derived so
     sampling is reproducible across runs AND engines (never rand())."""

@@ -2513,6 +2513,66 @@ def _cur3(spark, sf_dir):
     return decontaminate(docs, docs.filter(F.col("doc_id") < 5), n=8)
 
 
+def _bloom_oracle_sql(m_bits: int = 1 << 20, k: int = 4) -> str:
+    from .functions.hashes import md5_hash32_sql
+    h1 = md5_hash32_sql("gram", 101)
+    h2 = md5_hash32_sql("gram", 202)
+    return f"""
+WITH cgd AS (
+  SELECT DISTINCT doc_id AS id, unnest({_gram8_sql()}) AS gram
+  FROM documents
+), bg AS (
+  SELECT DISTINCT unnest({_gram8_sql()}) AS gram FROM documents
+  WHERE doc_id < 5
+), bpos AS (
+  SELECT DISTINCT ((h1 + i * (h2 * 2 + 1)) % {m_bits}) AS pos
+  FROM (SELECT {h1} AS h1, {h2} AS h2 FROM bg),
+       (SELECT unnest(generate_series(0, {k - 1})) AS i)
+), wt AS (
+  SELECT pos // 63 AS widx,
+         bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+  FROM bpos GROUP BY 1
+), cp AS (
+  SELECT id, gram, ((h1 + i * (h2 * 2 + 1)) % {m_bits}) AS pos
+  FROM (SELECT id, gram, {h1} AS h1, {h2} AS h2 FROM cgd),
+       (SELECT unnest(generate_series(0, {k - 1})) AS i)
+), hits AS (
+  SELECT cp.id, cp.gram,
+    CASE WHEN w.word IS NOT NULL
+          AND (w.word & (1::BIGINT << CAST(cp.pos % 63 AS INT))) != 0
+         THEN 1 ELSE 0 END AS hit
+  FROM cp LEFT JOIN wt w ON cp.pos // 63 = w.widx
+), pg AS (
+  SELECT id, gram, min(hit) AS contained FROM hits GROUP BY id, gram
+), bd AS (
+  SELECT id, max(contained) AS bloom_flagged,
+         sum(contained) AS n_bloom
+  FROM pg GROUP BY id
+), eh AS (
+  SELECT id, count(DISTINCT gram) AS n
+  FROM cgd JOIN bg USING (gram) GROUP BY id
+)
+SELECT d.doc_id,
+  CAST(CASE WHEN eh.n IS NOT NULL THEN 1 ELSE 0 END AS INT) AS contaminated,
+  CAST(coalesce(bd.bloom_flagged, 0) AS INT) AS bloom_flagged,
+  CAST(coalesce(bd.n_bloom, 0) AS BIGINT) AS n_bloom_grams
+FROM documents d
+LEFT JOIN eh ON d.doc_id = eh.id
+LEFT JOIN bd ON d.doc_id = bd.id
+"""
+
+
+# The bloom filter is pure deterministic Column math (md5 double-hash
+# positions, bit_or-packed 63-bit words), so the oracle rebuilds the
+# SAME filter and the approximate path is hash-checked EXACTLY — false
+# positives and all — not merely bounded like approx_distinct_users.
+@register("cur_decontaminate_bloom", _bloom_oracle_sql())
+def _cur3b(spark, sf_dir):
+    from .operators.curation import decontaminate_bloom
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate_bloom(docs, docs.filter(F.col("doc_id") < 5), n=8)
+
+
 @register("cur_sample_stratified", """
 SELECT doc_id, lang FROM documents
 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)

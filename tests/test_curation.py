@@ -213,3 +213,39 @@ def test_clean_lines_map_only_without_occurrence_cap(spark):
     plan = clean_lines(docs, min_line_words=2)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "md5" not in plan.lower()
+
+
+def test_decontaminate_bloom_superset_and_exact_agreement(spark, sf_dir):
+    # Bloom verdicts must be a superset of exact verdicts (no false
+    # negatives), agree exactly on contaminated docs, and the word table
+    # must stay bounded by m_bits/63 rows regardless of benchmark size.
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        decontaminate, decontaminate_bloom)
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter("doc_id < 5")
+    exact = {r.doc_id: r.contaminated
+             for r in decontaminate(docs, bench, n=8).collect()}
+    out = decontaminate_bloom(docs, bench, n=8).collect()
+    assert len(out) == len(exact)
+    for r in out:
+        assert r.contaminated == exact[r.doc_id]
+        assert r.bloom_flagged >= r.contaminated, r.doc_id
+
+
+def test_decontaminate_bloom_tiny_filter_false_positives(spark):
+    # Squeeze m_bits until false positives MUST appear: every bit set by
+    # a disjoint benchmark still flags clean docs sometimes, but never
+    # unflags a dirty one. With m_bits=63 (one word) and enough grams,
+    # every probe hits a set bit -> all docs bloom-flagged.
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        decontaminate_bloom)
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(20)],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100 + i, f"zeta{i} eta{i} theta{i} iota{i}") for i in range(30)],
+        ["doc_id", "text"])
+    out = decontaminate_bloom(docs, bench, n=3, m_bits=63, k=2).collect()
+    assert all(r.contaminated == 0 for r in out)      # disjoint vocab
+    assert all(r.bloom_flagged == 1 for r in out)     # saturated filter
