@@ -191,3 +191,55 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
                  F.round(F.exp(-F.avg("lp")), 6).alias("unigram_ppl"))
             .select(F.col("id").alias(id_col), "n_tokens",
                     "avg_logprob", "unigram_ppl"))
+
+
+def dsir_importance(docs: DataFrame, target: DataFrame,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """DSIR-style importance weights: score every corpus document by how
+    much more likely its words are under the TARGET distribution (the
+    domain you want more of) than under the corpus's own — per-doc
+    avg_w [ln p_target(w) − ln p_corpus(w)]. Positive ⇒ target-like;
+    selection keeps the highest-weight docs (or samples ∝ weight).
+    Returns (doc_id, n_tokens, avg_log_ratio, importance_weight) with
+    ``importance_weight = exp(avg_log_ratio)``.
+
+    Both unigram models use add-one smoothing over the SHARED vocabulary
+    (the union of corpus and target words), so target-OOV words get a
+    finite penalty instead of −∞ and the ratio is defined everywhere:
+    p(w) = (c_w + 1) / (N + V).
+
+    Plan shape: one hash aggregate per distribution (the target side is
+    benchmark-scale); a full-outer merge of the two frequency tables
+    forms the shared vocab — that merged model joins the corpus token
+    stream UNHINTED (AQE broadcasts while it fits, shuffle-joins on
+    ``word`` beyond — same reasoning as :func:`unigram_logprob`); the
+    scalar (N_c, N_t, V) ride one broadcast 1-row frame. The corpus text
+    never shuffles; everything downstream of the token explode is
+    narrow-key aggregates."""
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(F.col(id_col).alias("id"),
+                         F.explode(words(F.col(text_col))).alias("word"))
+
+    ctok = toks(docs)
+    cfreq = ctok.groupBy("word").agg(F.count("*").alias("cc"))
+    tfreq = toks(target).groupBy("word").agg(F.count("*").alias("tc"))
+    vocab = (cfreq.join(tfreq, "word", "full_outer")
+             .select("word",
+                     F.coalesce("cc", F.lit(0)).alias("cc"),
+                     F.coalesce("tc", F.lit(0)).alias("tc")))
+    consts = vocab.agg(
+        F.sum("cc").cast("double").alias("nc"),
+        F.sum("tc").cast("double").alias("nt"),
+        F.count("*").cast("double").alias("v"))
+    lr = (F.log((F.col("tc") + 1) / (F.col("nt") + F.col("v")))
+          - F.log((F.col("cc") + 1) / (F.col("nc") + F.col("v"))))
+    scored = (ctok.join(vocab, "word")
+              .crossJoin(F.broadcast(consts))
+              .select("id", lr.alias("lr")))
+    return (scored.groupBy("id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg("lr"), 6).alias("avg_log_ratio"),
+                 F.round(F.exp(F.avg("lr")), 6).alias("importance_weight"))
+            .select(F.col("id").alias(id_col), "n_tokens",
+                    "avg_log_ratio", "importance_weight"))

@@ -2987,6 +2987,42 @@ def _tx_lp(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+@register("text_dsir_importance", """
+WITH ct AS (
+  SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+), tt AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word
+  FROM documents WHERE lang = 'en'
+), cf AS (SELECT word, count(*) AS cc FROM ct GROUP BY word),
+tf AS (SELECT word, count(*) AS tc FROM tt GROUP BY word),
+vocab AS (
+  SELECT coalesce(cf.word, tf.word) AS word,
+         coalesce(cc, 0) AS cc, coalesce(tc, 0) AS tc
+  FROM cf FULL OUTER JOIN tf ON cf.word = tf.word
+), consts AS (
+  SELECT CAST(sum(cc) AS DOUBLE) AS nc, CAST(sum(tc) AS DOUBLE) AS nt,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM vocab
+), scored AS (
+  SELECT ct.id,
+         ln((v2.tc + 1) / (c.nt + c.v)) - ln((v2.cc + 1) / (c.nc + c.v))
+           AS lr
+  FROM ct JOIN vocab v2 USING (word) CROSS JOIN consts c
+)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lr), 6) AS avg_log_ratio,
+       round(exp(avg(lr)), 6) AS importance_weight
+FROM scored GROUP BY id
+""")
+def _tx_dsir(spark, sf_dir):
+    # Importance weights vs an in-corpus target domain (lang='en'):
+    # add-one-smoothed unigram log-ratio, the DSIR selection signal.
+    from .operators.textstats import dsir_importance
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance(docs, docs.filter(F.col("lang") == "en"))
+
+
 @register("cur_clean_lines", """
 WITH d AS (SELECT doc_id, string_split(text, ' a ') AS l FROM documents),
 x AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM d),

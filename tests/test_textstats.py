@@ -127,3 +127,40 @@ def test_unigram_logprob_rare_words_raise_perplexity(spark):
     out = {r["doc_id"]: r["unigram_ppl"]
            for r in unigram_logprob(docs).collect()}
     assert out[1] > out[0]
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from openedx_event_sink_clickhouse_spark.operators.textstats import (
+        dsir_importance,
+    )
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma alpha beta"),
+         (1, "delta epsilon zeta delta epsilon"),
+         (2, "alpha beta alpha beta gamma")],
+        ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [(9, "alpha beta gamma beta alpha")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in dsir_importance(docs, target).collect()}
+    assert len(out) == 3
+    # Target-vocabulary docs outscore the disjoint-vocabulary doc.
+    assert out[0].importance_weight > out[1].importance_weight
+    assert out[2].importance_weight > out[1].importance_weight
+    # Target-like docs land above 1 (more likely under target),
+    # disjoint docs below.
+    assert out[0].avg_log_ratio > 0 > out[1].avg_log_ratio
+
+
+def test_dsir_importance_smoothing_handles_oov(spark):
+    # A word absent from BOTH models never occurs in the token stream;
+    # a word absent only from the target must get a finite penalty.
+    from openedx_event_sink_clickhouse_spark.operators.textstats import (
+        dsir_importance,
+    )
+    docs = spark.createDataFrame([(0, "only corpus words")],
+                                 ["doc_id", "text"])
+    target = spark.createDataFrame([(9, "unrelated target text")],
+                                   ["doc_id", "text"])
+    row = dsir_importance(docs, target).collect()[0]
+    import math
+    assert math.isfinite(row.avg_log_ratio)
+    assert row.importance_weight > 0
