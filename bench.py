@@ -61,6 +61,7 @@ HEADLINE = [
     "dedup_duplicate_spans",       # rolling k-gram span coverage
     "sim_ivf_recall",              # batched IVF + exact scan + compare
     "text_unigram_logprob",        # corpus LM build + broadcast scoring
+    "text_dsir_importance",        # two-LM log-ratio importance weights
     "cur_clean_lines",             # line explode + occurrence window
     "evt_funnel",                  # stepwise conditional min-aggregates
     "evt_cohort_retention",        # first-seen cohorts + weekly offsets
