@@ -2108,6 +2108,41 @@ def _pct(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+# Approx twin of agg_percentiles_lineitem, same pattern as
+# approx_distinct_users: the oracle checks the exact columns by value and
+# the sketch via a bound flag that both engines emit as 1 — here the
+# GK-sketch estimate must land inside the exact [p-1%, p+1%] rank
+# envelope (accuracy=10000 guarantees ≤0.01% rank error, so the 1% check
+# has 100× slack; a violated bound flips the flag and fails the hash).
+# At 100 TB the sketch is the only viable plan: mergeable map-side
+# partials instead of a per-group sort.
+@register("agg_approx_percentiles", """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+       count(*) AS n_rows,
+       CAST(1 AS INT) AS approx_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def _pctx(spark, sf_dir):
+    ap = "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+    lo50, hi50 = ("percentile(l_extendedprice, 0.49)",
+                  "percentile(l_extendedprice, 0.51)")
+    lo95, hi95 = ("percentile(l_extendedprice, 0.94)",
+                  "percentile(l_extendedprice, 0.96)")
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6)
+                 .alias("exact_p50"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6)
+                 .alias("exact_p95"),
+                 F.count("*").alias("n_rows"),
+                 ((F.expr(f"{ap}[0]").between(F.expr(lo50), F.expr(hi50)))
+                  & (F.expr(f"{ap}[1]").between(F.expr(lo95), F.expr(hi95))))
+                 .cast("int").alias("approx_ok"))
+            .orderBy("l_returnflag"))
+
+
 @register("pivot_status_by_priority", """
 SELECT o_orderpriority,
        count(*) FILTER (o_orderstatus = 'F') AS status_f,
