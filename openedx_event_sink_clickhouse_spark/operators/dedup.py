@@ -299,38 +299,44 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     Min-label propagation to fixpoint: each round joins labels to the
     (symmetrized) edge list and takes the elementwise min — O(diameter)
     rounds, each one small shuffle over the PAIR set (not the corpus;
-    near-dup graphs are tiny relative to the input). The driver-side loop
-    checks convergence with a count; every ``checkpoint_every`` rounds the
-    label frame is ``localCheckpoint``-ed so lineage (and with it planning
-    cost and stack depth) stays bounded at high cluster diameters instead
-    of growing one join-layer per round.
+    near-dup graphs are tiny relative to the input). Convergence is read
+    off the SAME frame the round already computes (a ``_changed`` flag
+    on the label update — no extra compare join); every
+    ``checkpoint_every`` rounds the label frame is ``localCheckpoint``-ed
+    so lineage (and with it planning cost and stack depth) stays bounded
+    at high cluster diameters instead of growing one join-layer per
+    round.
     """
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b).alias("src"),
                                  F.col(id_a).alias("dst")))).cache()
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))).cache()
+    pinned = labels  # the exact frame holding this round's cached blocks
     for i in range(max_iter):
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src").agg(F.min("label").alias("nlabel")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels.id == neighbor_min.src, "left")
-                      .select(F.col("id"),
-                              F.least("label", "nlabel").alias("label")))
+        stepped = (labels.join(neighbor_min,
+                               labels.id == neighbor_min.src, "left")
+                   .select(F.col("id"),
+                           F.least("label", "nlabel").alias("label"),
+                           (F.col("nlabel") < F.col("label"))
+                           .alias("_changed")))
         if (i + 1) % checkpoint_every == 0:
             # Truncate lineage: the checkpointed frame's plan is a leaf,
             # so round i+1 plans against O(checkpoint_every) join layers,
             # never O(i). (localCheckpoint = executor-local blocks; at
             # cluster scale use reliable checkpoint() for fault tolerance
             # on very long chains.)
-            new_labels = new_labels.localCheckpoint(eager=True)
+            stepped = stepped.localCheckpoint(eager=True)
         else:
-            new_labels = new_labels.cache()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels.unpersist()
-        labels = new_labels
+            stepped = stepped.cache()
+        # The convergence count doubles as the materialization action for
+        # this round's cache/checkpoint — no separate compare join.
+        changed = stepped.filter(F.col("_changed")).count()
+        pinned.unpersist()
+        pinned = stepped
+        labels = stepped.drop("_changed")
         if changed == 0:
             break
     # The returned plan reads only the final label frame (cached or
