@@ -254,6 +254,62 @@ def ivf_topk(emb: DataFrame, probe_id, k: int = 20, n_centroids: int = 16,
             .select(id_col, F.round("_cos", 6).alias("cosine_sim")))
 
 
+def write_ivf_partitioned(emb: DataFrame, path: str, n_centroids: int = 16,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          centroids: list[list[float]] | None = None) -> None:
+    """Materialize the corpus PARTITIONED BY its IVF cell — the at-rest
+    layout behind 'assignment is computed at ingest and stored as a
+    partition column' (ivf_assign's scale story, made real). Each cell
+    becomes a parquet partition directory, so a probe that searches
+    ``nprobe`` cells prunes the other ``n_centroids - nprobe`` at FILE
+    level: the bytes are never opened, which is the whole point of IVF
+    on a 100 TB corpus. Idempotent layout job, like
+    ``write_quantized_codes``."""
+    base = _vec_base(emb, id_col, vec_col)
+    assigned = _assign(base, _centroid_frame(base, n_centroids, centroids))
+    (assigned.select(F.col("id"), F.col("v"),
+                     F.col("centroid").alias("cell"))
+     .write.partitionBy("cell").mode("overwrite").parquet(path))
+
+
+def ivf_topk_partitioned(spark, path: str, probe_vec: list[float],
+                         centroids: list[list[float]], k: int = 20,
+                         nprobe: int = 1,
+                         exclude_id=None) -> DataFrame:
+    """IVF search against a cell-partitioned corpus
+    (:func:`write_ivf_partitioned`): the coordinator ranks cells by
+    probe-to-centroid cosine in plain Python (the centroid model is
+    k×dim — coordinator-resident by design, as in every ANN system),
+    then the scan filters ``cell IN (top nprobe)`` — a PARTITION filter,
+    so Spark lists and reads only those directories. Exact cosine top-k
+    within the probed cells; same results as :func:`ivf_topk` with the
+    same centroid model."""
+    import math
+
+    pn = math.sqrt(sum(x * x for x in probe_vec))
+
+    def cos(c):
+        cn = math.sqrt(sum(x * x for x in c))
+        d = sum(a * b for a, b in zip(probe_vec, c))
+        return d / (cn * pn) if cn and pn else 0.0
+
+    ranked = sorted(enumerate(centroids), key=lambda t: (-cos(t[1]), t[0]))
+    cells = [cid for cid, _ in ranked[:nprobe]]
+
+    body = ",".join(f"{float(x)!r}D" for x in probe_vec)
+    pv = F.expr(f"array({body})")
+    df = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    if exclude_id is not None:
+        df = df.filter(F.col("id") != exclude_id)
+    scored = df.select(
+        F.col("id").alias("vec_id"),
+        cosine_with_norms(F.col("v"), pv, l2_norm(F.col("v")),
+                          F.lit(float(pn))).alias("_cos"))
+    return (scored.orderBy(F.desc("_cos"), "vec_id").limit(k)
+            .select("vec_id", F.round("_cos", 6).alias("cosine_sim")))
+
+
 def multi_probe_topk(emb: DataFrame, n_probes: int = 10, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      ) -> DataFrame:

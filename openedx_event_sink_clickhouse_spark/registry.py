@@ -840,6 +840,45 @@ def _sim3(spark, sf_dir):
                     n_centroids=16)
 
 
+@register("sim_ivf_partitioned", f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),
+assign AS (
+  SELECT id, v, cid AS centroid FROM (
+    SELECT e.id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM e CROSS JOIN c) t
+  WHERE rn = 1
+), p AS (SELECT v AS pv, centroid AS pc FROM assign WHERE id = 0)
+SELECT id AS vec_id, round(c2, 6) AS cosine_sim FROM (
+  SELECT a.id, {_cos_sql('a.v', 'p.pv')} AS c2
+  FROM assign a, p WHERE a.centroid = p.pc AND a.id <> 0) t
+ORDER BY c2 DESC, id LIMIT 20
+""")
+def _sim3p(spark, sf_dir):
+    # Same IVF search, but against the CELL-PARTITIONED corpus at rest:
+    # the scan carries a partition filter (cell IN probed), so unprobed
+    # cells are pruned at file level — the real 100 TB read path the
+    # in-memory sim_ivf_topk only narrates. Results identical (same
+    # deterministic first-16 centroid model, nprobe=1 = probe's cell).
+    import hashlib
+    import os as _os
+
+    from .operators.similarity import (ivf_topk_partitioned,
+                                       write_ivf_partitioned)
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_ivfpart_v1_{tag}"
+    if not _os.path.isdir(path):
+        write_ivf_partitioned(emb, path, n_centroids=16)
+    model = [r.embedding for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()]
+    probe_vec = model[0]
+    return ivf_topk_partitioned(spark, path, probe_vec, model, k=20,
+                                nprobe=1, exclude_id=0)
+
+
 def _srp_oracle_sql(num_planes: int = 6, num_tables: int = 2) -> str:
     bks = _srp_bucket_exprs(num_planes, EMB_DIM, num_tables)
     sig_cols = ", ".join(f"{b} AS b{t}" for t, b in enumerate(bks))

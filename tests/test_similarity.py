@@ -254,3 +254,39 @@ def test_ivf_recall_rises_with_nprobe_and_hits_one_at_full_scan(spark, sf_dir):
     r1, r4, r16 = avg(1), avg(4), avg(16)
     assert r1 <= r4 <= r16
     assert r16 == 1.0
+
+
+def test_ivf_partitioned_prunes_cells_and_matches_in_memory(
+        spark, sf_dir, tmp_path):
+    # The cell-partitioned layout must (a) return exactly the in-memory
+    # ivf_topk results for the same centroid model, and (b) actually
+    # prune: the scan's input files must all live under the probed cell
+    # directory, a strict subset of the table's files.
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        ivf_topk, ivf_topk_partitioned, write_ivf_partitioned)
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = str(tmp_path / "ivf")
+    write_ivf_partitioned(emb, path, n_centroids=16)
+    model = [r.embedding for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()]
+    got = ivf_topk_partitioned(spark, path, model[0], model, k=20,
+                               nprobe=1, exclude_id=0)
+    want = ivf_topk(emb, probe_id=0, k=20, n_centroids=16)
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]
+
+    # File-level pruning, proven by the executed scan's own metrics:
+    # only the probed cell's partition (and its files) may be read.
+    # (inputFiles() lists the table pre-pruning, so metrics are the
+    # ground truth here.)
+    total_files = len(set(spark.read.parquet(path).inputFiles()))
+    scan = got._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    m = scan.metrics()
+    n_files = m.get("numFiles").get().value()
+    n_parts = m.get("numPartitions").get().value()
+    assert n_parts == 1
+    assert 0 < n_files < total_files
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
