@@ -3185,15 +3185,18 @@ def _fun2(spark, sf_dir):
 # with the 45 queries never graded in CORRECTNESS_r01/r02 (TPC-H tail,
 # window/setops/pivot/json shapes, the rest of curation/retrieval/
 # similarity, mm_resize/mm_frame_sample, evt_sessionize, stateful gate)
-# plus 5 keepers — the flagship, both multimodal rows fixed this round, a
-# scan canary, and sim_cosine_topk (r2 bench-regression watch). Union of
-# r1+r2+r3 windows = all 110 registered queries driver-graded.
+# plus 5 keepers — the flagship, both multimodal rows fixed this round,
+# sim_cosine_topk (r2 bench-regression watch), and one round-3 addition
+# (cur_decontaminate_bloom). Union of r1+r2+r3 windows = all 110
+# pre-round-3 queries driver-graded; the other round-3 additions
+# (text_dsir_importance, agg_approx_percentiles, sim_ivf_partitioned)
+# rotate in next round and are local-checker-green meanwhile.
 # tools/check_correctness.py still runs the full registry every round.
 # --------------------------------------------------------------------------
 
 _PRIORITY = [
     "flagship_incremental_dump",
-    "s1_full_scan", "mm_decode_stats", "mm_byte_histogram",
+    "cur_decontaminate_bloom", "mm_decode_stats", "mm_byte_histogram",
     "sim_cosine_topk",
     # -- never graded in r1/r2 from here on --
     "evt_sessionize", "dedup_survivors", "sim_semantic_dedup",
