@@ -79,6 +79,34 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
                  F.count("*").alias("n_copies")))
 
 
+def incremental_exact_dedup(incoming: DataFrame, seen: DataFrame | None,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup — the production shape: a new batch of
+    documents checked against the HISTORICAL digest set, not the whole
+    corpus re-deduped. Returns the incoming rows that survive, i.e. not
+    seen before AND first (lowest id) among their in-batch copies:
+    (doc_id, content_hash, is_new_content).
+
+    ``seen`` is a 1-column (content_hash) frame — the running digest
+    table a pipeline maintains at rest (append each batch's survivor
+    hashes). Plan: in-batch dedup is one digest groupBy of the BATCH
+    (not the corpus); the history check is a left-anti join against the
+    digest table, which at 100 TB is digest-bucketed so the join
+    co-locates without shuffling the history. ``seen=None`` means cold
+    start (everything is new content)."""
+    hashed = incoming.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    firsts = (hashed.groupBy("content_hash")
+              .agg(F.min(id_col).alias(id_col)))
+    if seen is not None:
+        firsts = firsts.join(
+            seen.select(F.col("content_hash")).distinct(),
+            "content_hash", "left_anti")
+    return firsts.select(id_col, "content_hash",
+                         F.lit(1).cast("int").alias("is_new_content"))
+
+
 def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the input
     arrives in fewer splits (the small-file case: one parquet file = one

@@ -557,6 +557,32 @@ def _dd1(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+@register("dedup_incremental", """
+WITH seen AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents
+  WHERE doc_id < 100
+), incoming AS (
+  SELECT doc_id, md5(text) AS content_hash FROM documents
+  WHERE doc_id >= 100
+), firsts AS (
+  SELECT content_hash, min(doc_id) AS doc_id
+  FROM incoming GROUP BY content_hash
+)
+SELECT f.doc_id, f.content_hash, CAST(1 AS INT) AS is_new_content
+FROM firsts f LEFT JOIN seen s USING (content_hash)
+WHERE s.content_hash IS NULL
+""")
+def _dd1i(spark, sf_dir):
+    # Incremental shape: docs >= 100 arrive as the new batch, checked
+    # against the digest table of docs < 100 (the at-rest history).
+    from .operators.dedup import incremental_exact_dedup
+    docs = _t(spark, sf_dir, "documents")
+    seen = (docs.filter(F.col("doc_id") < 100)
+            .select(F.md5("text").alias("content_hash")))
+    return incremental_exact_dedup(docs.filter(F.col("doc_id") >= 100),
+                                   seen)
+
+
 _MINS, _BANDS = _minhash_sql_exprs(num_hashes=16, bands=8, rows=2)
 
 @register("dedup_minhash_lsh", f"""

@@ -297,3 +297,83 @@ def test_clean_lines_stream_via_foreach_batch(spark, sf_dir, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert set(out) == batch and len(out) == len(batch)
+
+
+def test_incremental_dedup_stream_maintains_digest_state(spark, sf_dir,
+                                                         tmp_path):
+    # The production incremental-dedup loop: each micro-batch is checked
+    # against the digest table built from every PRIOR batch (foreachBatch
+    # + an at-rest digest parquet that each batch appends to). Feeding
+    # the corpus as two files/batches must admit each content exactly
+    # once, matching batch-mode exact dedup's survivor set.
+    import os
+
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        exact_dedup, incremental_exact_dedup)
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    docs = load_table(spark, "documents", sf_dir)
+    half = docs.count() // 2
+    (tmp_path / "in").mkdir()
+    for tag, cond in (("a", F.col("doc_id") < half),
+                      ("b", F.col("doc_id") >= half)):
+        stage = str(tmp_path / f"stage_{tag}")
+        docs.filter(cond).coalesce(1).write.parquet(stage)
+        part = _glob.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, str(tmp_path / "in" / f"{tag}.parquet"))
+        _time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    digests = str(tmp_path / "digests")
+    survivors: list = []
+
+    def handle(bdf, epoch_id):
+        seen = (spark.read.parquet(digests)
+                if os.path.isdir(digests) else None)
+        out = incremental_exact_dedup(bdf, seen)
+        rows = out.collect()
+        survivors.extend((r.doc_id, r.content_hash) for r in rows)
+        (spark.createDataFrame([(h,) for _, h in
+                                [(r.doc_id, r.content_hash) for r in rows]],
+                               "content_hash string")
+         .write.mode("append").parquet(digests))
+
+    src = (spark.readStream.schema(docs.schema)
+           .option("maxFilesPerTrigger", "1")
+           .parquet(str(tmp_path / "in")))
+    q = (src.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    want = {r.keep_id for r in exact_dedup(docs).collect()}
+    got_ids = [i for i, _ in survivors]
+    assert len(got_ids) == len(set(got_ids))
+    # Batch order follows file order (a.parquet = low ids first), so the
+    # stream's first-seen winner equals batch min-id per digest.
+    assert set(got_ids) == want
+
+
+def test_bm25_runs_per_batch_via_foreach_batch(spark, sf_dir, tmp_path):
+    # Retrieval on streams: (re)indexing is a per-batch bounded job —
+    # the SAME bm25_topk runs inside foreachBatch (index freshness =
+    # micro-batch cadence). One availableNow batch must equal the batch
+    # run exactly.
+    from openedx_event_sink_clickhouse_spark.operators.retrieval import (
+        bm25_topk)
+    docs = load_table(spark, "documents", sf_dir)
+    docs.coalesce(1).write.parquet(str(tmp_path / "docs"))
+    batch = [tuple(r) for r in bm25_topk(docs, "data model spark").collect()]
+    out: list = []
+
+    def handle(bdf, epoch_id):
+        out.extend(tuple(r) for r in
+                   bm25_topk(bdf, "data model spark").collect())
+
+    src = (spark.readStream.schema(docs.schema)
+           .parquet(str(tmp_path / "docs")))
+    q = (src.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert out == batch
