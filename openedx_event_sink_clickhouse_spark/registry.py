@@ -1489,27 +1489,36 @@ frames AS (
   FROM m
 )
 SELECT media_id, frame_idx,
-       CAST(substr(text, frame_idx * 16 + 1, 16) AS BLOB) AS frame
+       substr(text, frame_idx * 16 + 1, 16) AS frame
 FROM frames
 """)
 def _mm3(spark, sf_dir):
+    # The operator emits binary frames; the query surface decodes them to
+    # string (payloads are ASCII by construction) so the driver's pandas
+    # canonicalizer sees a plain scalar dtype on both sides — the same
+    # defensive stringify as mm_byte_histogram/text_fingerprints.
     from .operators.multimodal import frame_sample
-    return frame_sample(_media(spark, sf_dir), every_n=4, frame_bytes=16)
+    out = frame_sample(_media(spark, sf_dir), every_n=4, frame_bytes=16)
+    return out.select("media_id", "frame_idx",
+                      F.decode("frame", "utf-8").alias("frame"))
 
 
 @register("mm_resize", f"""
 WITH {_MEDIA_CTE}
 SELECT media_id,
-       CAST(array_to_string(list_transform(generate_series(0, 767),
-              i -> substr(text, ((i * n) // 768 % n) + 1, 1)), '') AS BLOB)
+       array_to_string(list_transform(generate_series(0, 767),
+              i -> substr(text, ((i * n) // 768 % n) + 1, 1)), '')
          AS content,
        32 AS width, 24 AS height
 FROM m
 """)
 def _mm4(spark, sf_dir):
+    # Binary content decoded to string at the query surface (ASCII by
+    # construction) — see _mm3's canonicalizer note.
     from .operators.multimodal import resize
     out = resize(_media(spark, sf_dir), target_w=32, target_h=24)
-    return out.select("media_id", "content",
+    return out.select("media_id",
+                      F.decode("content", "utf-8").alias("content"),
                       F.col("meta.width").alias("width"),
                       F.col("meta.height").alias("height"))
 
