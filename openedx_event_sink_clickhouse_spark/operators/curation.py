@@ -377,6 +377,39 @@ def corpus_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
          .alias("token_share"))
 
 
+def mix_plan(docs: DataFrame, alpha: float = 0.5,
+             strat_col: str = "lang",
+             text_col: str = "text") -> DataFrame:
+    """Temperature-based mix rebalancing plan: given per-stratum token
+    shares p_i, the target mix is p_i^α renormalized (α<1 upsamples the
+    tail — the standard multilingual temperature trick; α=1 keeps the
+    natural mix, α→0 approaches uniform). Returns per stratum
+    (stratum, n_tokens, token_share, target_share, sample_rate) where
+    ``sample_rate`` is the downsample-only Bernoulli rate achieving the
+    target mix: rate_i ∝ target_i / share_i, normalized so the most
+    upweighted stratum keeps everything (rates in (0, 1] — feed them to
+    :func:`sample_corpus` ``strat_rates``).
+
+    Plan shape: one low-cardinality groupBy; the renormalization sums
+    are 1-row window aggregates over the stratum rollup (strata ≪
+    corpus), so nothing about this touches the corpus twice."""
+    toks = F.size(words(F.col(text_col)))
+    agg = (docs.groupBy(F.col(strat_col).alias("stratum"))
+           .agg(F.sum(toks).cast("bigint").alias("n_tokens")))
+    total = Window.partitionBy()
+    share = (F.col("n_tokens").cast("double")
+             / F.sum("n_tokens").over(total))
+    powed = F.pow(share, F.lit(float(alpha)))
+    target = powed / F.sum(powed).over(total)
+    ratio = target / share
+    rate = ratio / F.max(ratio).over(total)
+    return (agg.select("stratum", "n_tokens",
+                       F.round(share, 6).alias("token_share"),
+                       F.round(target, 6).alias("target_share"),
+                       F.round(rate, 6).alias("sample_rate"))
+            .orderBy("stratum"))
+
+
 def clean_lines(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", sep: str = "\n",
                 min_line_words: int = 3,

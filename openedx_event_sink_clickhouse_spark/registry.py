@@ -2732,6 +2732,36 @@ def _cur6(spark, sf_dir):
     return corpus_mix(_t(spark, sf_dir, "documents"))
 
 
+@register("cur_mix_plan", """
+WITH a AS (
+  SELECT lang AS stratum,
+         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang
+), b AS (
+  SELECT stratum, n_tokens,
+         n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS share
+  FROM a
+), c AS (
+  SELECT stratum, n_tokens, share,
+         pow(share, 0.5) / sum(pow(share, 0.5)) OVER () AS target
+  FROM b
+), d AS (
+  SELECT stratum, n_tokens, share, target,
+         (target / share) / max(target / share) OVER () AS rate
+  FROM c
+)
+SELECT stratum, n_tokens, round(share, 6) AS token_share,
+       round(target, 6) AS target_share, round(rate, 6) AS sample_rate
+FROM d ORDER BY stratum
+""")
+def _cur6b(spark, sf_dir):
+    # Temperature rebalancing plan at α=0.5: upsample-the-tail target
+    # mix + downsample-only per-stratum rates for sample_corpus.
+    from .operators.curation import mix_plan
+    return mix_plan(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
 @register("sim_quantized_topk", f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 s AS (

@@ -249,3 +249,25 @@ def test_decontaminate_bloom_tiny_filter_false_positives(spark):
     out = decontaminate_bloom(docs, bench, n=3, m_bits=63, k=2).collect()
     assert all(r.contaminated == 0 for r in out)      # disjoint vocab
     assert all(r.bloom_flagged == 1 for r in out)     # saturated filter
+
+
+def test_mix_plan_temperature_rebalances_toward_tail(spark, sf_dir):
+    # α=0.5 must close the gap between head and tail strata: the target
+    # share of the largest stratum shrinks, the smallest grows, rates are
+    # downsample-only (max == 1), and the target mix still sums to 1.
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        mix_plan)
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    docs = load_table(spark, "documents", sf_dir)
+    rows = mix_plan(docs, alpha=0.5).collect()
+    assert abs(sum(r.target_share for r in rows) - 1.0) < 1e-4
+    head = max(rows, key=lambda r: r.token_share)
+    tail = min(rows, key=lambda r: r.token_share)
+    assert head.target_share < head.token_share
+    assert tail.target_share > tail.token_share
+    assert max(r.sample_rate for r in rows) == 1.0
+    assert all(0 < r.sample_rate <= 1.0 for r in rows)
+    # α=1 is the identity plan: every rate 1, target == natural share.
+    for r in mix_plan(docs, alpha=1.0).collect():
+        assert r.sample_rate == 1.0
+        assert abs(r.target_share - r.token_share) < 2e-6
