@@ -62,6 +62,7 @@ HEADLINE = [
     "sim_ivf_recall",              # batched IVF + exact scan + compare
     "text_unigram_logprob",        # corpus LM build + broadcast scoring
     "text_dsir_importance",        # two-LM log-ratio importance weights
+    "text_bpe_stats",              # real BPE train + Arrow-batched encode
     "cur_clean_lines",             # line explode + occurrence window
     "evt_funnel",                  # stepwise conditional min-aggregates
     "evt_cohort_retention",        # first-seen cohorts + weekly offsets

@@ -3126,6 +3126,19 @@ def _tx_lp(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+# Real BPE (trainer + encoder, operators/bpe.py) — the iterative merge
+# loop is the textbook non-SQL-expressible op, so this registers WITHOUT
+# an oracle (driver records the rows-only check); the algorithm itself is
+# pinned by hand-computed merges + determinism + compression properties
+# in tests/test_bpe.py.
+@register("text_bpe_stats", None)
+def _tx_bpe(spark, sf_dir):
+    from .operators.bpe import bpe_encode_stats, bpe_train
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=60, max_vocab=3000)
+    return bpe_encode_stats(docs, merges)
+
+
 @register("text_dsir_importance", """
 WITH ct AS (
   SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS word
