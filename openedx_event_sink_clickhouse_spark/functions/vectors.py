@@ -28,8 +28,15 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _safe_cos(num: Column, den: Column) -> Column:
+    # Zero-norm guard: a zero vector would divide by zero — an ANSI-mode
+    # runtime error (Spark 4 default), NaN otherwise. Score it 0.0; for
+    # every nonzero denominator the value is bit-unchanged.
+    return F.when(den != 0.0, num / den).otherwise(F.lit(0.0))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return _safe_cos(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
@@ -39,7 +46,7 @@ def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     the norm subtrees are merely hoisted), but lets self-join/ANN
     operators pay the norm aggregate once per VECTOR instead of once per
     PAIR: per candidate pair only the dot-product pass remains."""
-    return dot(a, b) / (na * nb)
+    return _safe_cos(dot(a, b), na * nb)
 
 
 def cosine_sql(a: str, b: str) -> str:

@@ -488,7 +488,8 @@ def quantized_cosine_topk(emb: DataFrame, probe_id, k: int = 10,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           codes: DataFrame | None = None,
-                          vectorized: bool = True) -> DataFrame:
+                          vectorized: bool = True,
+                          probe_vec: list[float] | None = None) -> DataFrame:
     """Quantized-scan + exact-rescore ANN: rank all vectors by cosine of
     their DEQUANTIZED uint8 codes, keep the top ``rescore_factor``·k
     candidates, then re-rank those exactly on the full-precision vectors.
@@ -516,12 +517,24 @@ def quantized_cosine_topk(emb: DataFrame, probe_id, k: int = 10,
     ``vectorized=True`` (default) runs the coarse scan as an
     Arrow-batched ``mapInPandas``: the integer dot is one uint8 numpy
     matmul per batch — SIMD where an interpreted HOF ``aggregate`` walks
-    an expression tree per element. Two bounded driver actions anchor the
-    pipeline (the 1-row probe fetch and the rescore_factor·k candidate
-    ids — the same coordinator-side footprint as IVF's centroid model),
-    matching how an ANN query coordinator actually works. With
-    ``vectorized=False`` the whole plan stays lazy/JVM-side (HOF
-    integer dot, broadcast-join rescore) — use that under pure-SQL
+    an expression tree per element. The whole pipeline is ONE driver
+    action — no ``collect()`` anywhere, so there are no sequential
+    Python→JVM job round-trips (the r2/r3 fixed-overhead tax). An
+    absent probe id yields an EMPTY result, matching
+    :func:`brute_force_topk` semantics; a zero-norm vector scores 0.0
+    instead of NaN (guarded division).
+
+    Pass ``probe_vec`` (the query vector as plain floats — how an ANN
+    coordinator actually receives a query, cf. :func:`ivf_topk_partitioned`)
+    for the minimum-barrier plan: the probe is quantized DRIVER-side
+    (identical IEEE op order to :func:`quantize_embeddings`, so the codes
+    match the at-rest table bit-exactly) and embedded as plan constants,
+    leaving exactly TWO sequential barriers — the coarse-shortlist
+    broadcast and the final rescore scan — the same barrier count as
+    brute force. Without ``probe_vec`` the probe's code row is fetched
+    in-plan via a 1-row broadcast cross-join (one extra barrier, still
+    zero collects). With ``vectorized=False`` the plan is pure JVM SQL
+    (HOF integer dot, broadcast-join rescore) — use that under pure-SQL
     constraints."""
     if codes is None:
         codes = quantized_codes_table(emb, id_col, vec_col)
@@ -531,54 +544,132 @@ def quantized_cosine_topk(emb: DataFrame, probe_id, k: int = 10,
              .select(F.col("v").alias("pv"), F.col("nv").alias("pn")))
 
     if vectorized:
+        import math
+
         import numpy as np
         import pandas as pd
         from pyspark.sql import types as T
 
-        prow = codes.filter(F.col("id") == probe_id).collect()[0]
-        qc = (np.frombuffer(prow.codes, dtype=np.uint8)
-              if isinstance(prow.codes, (bytes, bytearray))
-              else np.asarray(prow.codes, dtype=np.uint8)).astype(np.int64)
-        pmn, psc = float(prow.mn), float(prow.sc)
-        psum, pdn = float(prow.sum_c), float(prow.dn)
-        dim = len(qc)
         schema = T.StructType([T.StructField("id", T.LongType()),
                                T.StructField("_qcos", T.DoubleType())])
 
-        def fn(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                col = pdf["codes"]
-                if isinstance(col.iloc[0], (bytes, bytearray)):
-                    mat = (np.frombuffer(b"".join(col), dtype=np.uint8)
-                           .astype(np.int64).reshape(-1, dim))
-                else:
-                    mat = np.stack(col.map(
-                        lambda a: np.asarray(a, dtype=np.int64)))
-                idot = mat @ qc
-                mn = pdf["mn"].to_numpy()
-                sc = pdf["sc"].to_numpy()
-                q = ((dim * mn * pmn + mn * psc * psum
-                      + pmn * sc * pdf["sum_c"].to_numpy().astype("float64")
-                      + sc * psc * idot)
-                     / (pdf["dn"].to_numpy() * pdn))
-                ids = pdf["id"].to_numpy()
-                # Per-batch top-n_cand prune (global top ⊆ union of batch
-                # tops) so only ~n_cand rows/batch cross Arrow back;
-                # lexsort keeps the engine-wide (-score, id) tie-break
-                # exact at the cut.
-                if len(q) > n_cand:
-                    keep = np.lexsort((ids, -q))[:n_cand]
-                    ids, q = ids[keep], q[keep]
-                yield pd.DataFrame({"id": ids, "_qcos": q})
+        def scorer(probe_consts):
+            """Coarse scorer over Arrow batches. ``probe_consts`` is
+            either the (qc, pmn, psc, psum, pdn) tuple (probe_vec path:
+            plain closure constants, no probe columns in the input) or
+            None (constants decoded from the broadcast-joined p_* columns
+            of the first batch)."""
 
+            def fn(batches):
+                if probe_consts is not None:
+                    qc, pmn, psc, psum, pdn = probe_consts
+                    dim = len(qc)
+                else:
+                    qc = None
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    if qc is None:
+                        # Probe constants are identical on every row of
+                        # the 1-row broadcast join — decode once per task.
+                        praw = pdf["p_codes"].iloc[0]
+                        qc = (np.frombuffer(praw, dtype=np.uint8)
+                              if isinstance(praw, (bytes, bytearray))
+                              else np.asarray(praw, dtype=np.uint8)
+                              ).astype(np.int64)
+                        pmn = float(pdf["p_mn"].iloc[0])
+                        psc = float(pdf["p_sc"].iloc[0])
+                        psum = float(pdf["p_sum"].iloc[0])
+                        pdn = float(pdf["p_dn"].iloc[0])
+                        dim = len(qc)
+                    col = pdf["codes"]
+                    if isinstance(col.iloc[0], (bytes, bytearray)):
+                        mat = (np.frombuffer(b"".join(col), dtype=np.uint8)
+                               .astype(np.int64).reshape(-1, dim))
+                    else:
+                        mat = np.stack(col.map(
+                            lambda a: np.asarray(a, dtype=np.int64)))
+                    idot = mat @ qc
+                    mn = pdf["mn"].to_numpy()
+                    sc = pdf["sc"].to_numpy()
+                    num = (dim * mn * pmn + mn * psc * psum
+                           + pmn * sc
+                           * pdf["sum_c"].to_numpy().astype("float64")
+                           + sc * psc * idot)
+                    den = pdf["dn"].to_numpy() * pdn
+                    # Zero-norm guard: an all-constant vector has dn == 0;
+                    # score it 0.0 rather than letting NaN/Inf corrupt the
+                    # lexsort ordering.
+                    q = np.divide(num, den, out=np.zeros_like(num),
+                                  where=den > 0)
+                    ids = pdf["id"].to_numpy()
+                    # Per-batch top-n_cand prune (global top ⊆ union of
+                    # batch tops) so only ~n_cand rows/batch cross Arrow
+                    # back; lexsort keeps the engine-wide (-score, id)
+                    # tie-break exact at the cut.
+                    if len(q) > n_cand:
+                        keep = np.lexsort((ids, -q))[:n_cand]
+                        ids, q = ids[keep], q[keep]
+                    yield pd.DataFrame({"id": ids, "_qcos": q})
+
+            return fn
+
+        if probe_vec is not None:
+            # Driver-side probe quantization, bit-identical to
+            # quantize_embeddings/quantized_codes_table: same IEEE ops in
+            # the same order, on Python doubles.
+            pv = [float(x) for x in probe_vec]
+            pmn, pmx = min(pv), max(pv)
+            psc = (pmx - pmn) / 255.0 if pmx > pmn else 1.0
+            pcodes = [int(math.floor((x - pmn) / psc + 0.5)) for x in pv]
+            psum = psum2 = 0
+            for c in pcodes:
+                psum += c
+            for c in pcodes:
+                psum2 += c * c
+            d = float(len(pcodes))
+            pdn = math.sqrt(d * pmn * pmn + 2.0 * pmn * psc * float(psum)
+                            + psc * psc * float(psum2))
+            acc = 0.0
+            for x in pv:            # sequential fold, matches l2_norm
+                acc = acc + x * x
+            pn = math.sqrt(acc)
+            qc = np.asarray(pcodes, dtype=np.int64)
+
+            coarse = (codes.filter(F.col("id") != probe_id)
+                      .select("id", "codes", "mn", "sc", "sum_c", "dn")
+                      .mapInPandas(scorer((qc, pmn, psc, psum, pdn)),
+                                   schema=schema)
+                      .orderBy(F.desc("_qcos"), "id").limit(n_cand)
+                      .select(F.col("id").alias(id_col)))
+            # Probe as ONE parsed literal array (repr round-trips doubles
+            # exactly; a py4j-built F.lit per element walks the gateway) —
+            # the rescore computes vectors/norms AFTER the broadcast join,
+            # i.e. for the O(rescore_factor·k) candidates only.
+            plit = F.expr(
+                "array(" + ",".join(f"{x!r}D" for x in pv) + ")")
+            cand_v = as_double(F.col(vec_col))
+            exact = (emb.join(F.broadcast(coarse), id_col)
+                     .select(F.col(id_col),
+                             cosine_with_norms(cand_v, plit,
+                                               l2_norm(cand_v),
+                                               F.lit(pn)).alias("_cos")))
+            return (exact.orderBy(F.desc("_cos"), id_col).limit(k)
+                    .select(id_col, F.round("_cos", 6).alias("cosine_sim")))
+
+        probe_codes = (codes.filter(F.col("id") == probe_id)
+                       .select(F.col("codes").alias("p_codes"),
+                               F.col("mn").alias("p_mn"),
+                               F.col("sc").alias("p_sc"),
+                               F.col("sum_c").alias("p_sum"),
+                               F.col("dn").alias("p_dn")))
         coarse = (codes.filter(F.col("id") != probe_id)
                   .select("id", "codes", "mn", "sc", "sum_c", "dn")
-                  .mapInPandas(fn, schema=schema)
-                  .orderBy(F.desc("_qcos"), "id").limit(n_cand))
-        cand_ids = [r.id for r in coarse.collect()]
-        exact = (base.filter(F.col("id").isin(cand_ids))
+                  .crossJoin(F.broadcast(probe_codes))
+                  .mapInPandas(scorer(None), schema=schema)
+                  .orderBy(F.desc("_qcos"), "id").limit(n_cand)
+                  .select("id"))
+        exact = (base.join(F.broadcast(coarse), "id")
                  .crossJoin(F.broadcast(probe))
                  .select(F.col("id").alias(id_col),
                          cosine_with_norms(F.col("v"), F.col("pv"),
@@ -607,10 +698,12 @@ def quantized_cosine_topk(emb: DataFrame, probe_id, k: int = 10,
            + F.col("mn") * F.col("psc") * F.col("psum").cast("double")
            + F.col("pmn") * F.col("sc") * F.col("sum_c").cast("double")
            + F.col("sc") * F.col("psc") * idot)
+    den = F.col("dn") * F.col("pdn")
     coarse = (codes.filter(F.col("id") != probe_id)
               .crossJoin(F.broadcast(probe_q))
               .select(F.col("id"),
-                      (dot / (F.col("dn") * F.col("pdn"))).alias("_qcos"))
+                      F.when(den > 0, dot / den).otherwise(F.lit(0.0))
+                      .alias("_qcos"))
               .orderBy(F.desc("_qcos"), "id").limit(n_cand)
               .select("id"))
     exact = (base.join(F.broadcast(coarse), "id")
@@ -705,6 +798,92 @@ def ivf_batch_topk(emb: DataFrame, n_probes: int = 10, k: int = 10,
             .filter(F.col("rank") <= k)
             .select("probe_id", id_col, "rank",
                     F.round("_cos", 6).alias("cosine_sim")))
+
+
+def quantized_shortlist_recall(emb: DataFrame, n_probes: int = 8,
+                               k: int = 10, rescore_factor: int = 3,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Recall@k of the QUANTIZED coarse shortlist per probe — the number
+    that bounds what :func:`quantized_cosine_topk`'s exact rescore can
+    recover: of the true (full-precision) top-k, how many survive into
+    the top ``rescore_factor·k`` by dequantized cosine. Returns
+    (probe_id, n_hits, recall_at_k) for probes ids < ``n_probes``
+    against the corpus ids ≥ ``n_probes`` (the :func:`ivf_recall`
+    split, so the ANN quality metrics are directly comparable).
+
+    Scores are computed dequantize-then-cosine with the oracle's exact
+    operation order (bit-identical to DuckDB), so the shortlist CUT —
+    which recall reads directly, unlike the production query where a 5x
+    margin absorbs near-ties — is engine-independent. The production
+    integer-dot form is the same scores in exact arithmetic
+    (the affine identity in :func:`quantized_cosine_topk`)."""
+    n_cand = rescore_factor * k
+    q = quantize_embeddings(emb, id_col, vec_col)
+    sc = F.when(F.col("mx") > F.col("mn"),
+                (F.col("mx") - F.col("mn")) / F.lit(255.0)) \
+         .otherwise(F.lit(1.0))
+    dv = F.transform(
+        "codes", lambda c: F.col("mn") + c.cast("double") * F.col("sc"))
+    deq = (q.withColumn("sc", sc).select("id", dv.alias("dv"))
+           .withColumn("dn", l2_norm(F.col("dv"))))
+    probes = (deq.filter(F.col("id") < n_probes)
+              .select(F.col("id").alias("probe_id"),
+                      F.col("dv").alias("pdv"), F.col("dn").alias("pdn")))
+    corpus = deq.filter(F.col("id") >= n_probes)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("_qcos"), "id")
+    shortlist = (corpus.crossJoin(F.broadcast(probes))
+                 .select("probe_id", "id",
+                         cosine_with_norms(F.col("dv"), F.col("pdv"),
+                                           F.col("dn"), F.col("pdn"))
+                         .alias("_qcos"))
+                 .withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= n_cand)
+                 .select("probe_id", F.col("id").alias(id_col),
+                         F.lit(1).alias("_hit")))
+    exact = multi_probe_topk(emb, n_probes, k, id_col, vec_col)
+    return (exact.select("probe_id", id_col)
+            .join(F.broadcast(shortlist), ["probe_id", id_col], "left")
+            .groupBy("probe_id")
+            .agg(F.count("_hit").alias("n_hits"))
+            .select("probe_id", "n_hits",
+                    F.round(F.col("n_hits").cast("double") / k, 6)
+                    .alias("recall_at_k")))
+
+
+def ivf_recall_curve(emb: DataFrame, nprobes: tuple[int, ...] = (1, 2, 4),
+                     n_probes: int = 6, k: int = 10, n_centroids: int = 8,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     centroids: list[list[float]] | None = None) -> DataFrame:
+    """The multi-probe recall CURVE: mean recall@k across the probe set
+    for each ``nprobe`` — the measurement behind IVF's core tuning
+    trade (probe more cells → recall rises, scan cost rises linearly).
+    Returns one row per nprobe: (nprobe, mean_recall).
+
+    One exact reference (``multi_probe_topk``) compared against one
+    ``ivf_batch_topk`` per nprobe; compare joins are (probes × k) rows
+    and broadcast. The per-branch subplans are narrow map passes over
+    the corpus scan — recomputed per branch rather than pinned, per the
+    engine's no-persist rule."""
+    exact = multi_probe_topk(emb, n_probes, k, id_col, vec_col) \
+        .select("probe_id", id_col)
+    denom = float(n_probes * k)
+    parts = []
+    for np_ in nprobes:
+        approx = ivf_batch_topk(emb, n_probes, k, n_centroids, np_,
+                                id_col, vec_col, centroids)
+        hit = (approx.select("probe_id", id_col)
+               .withColumn("_hit", F.lit(1)))
+        parts.append(
+            exact.join(F.broadcast(hit), ["probe_id", id_col], "left")
+            .agg((F.count("_hit").cast("double") / F.lit(denom))
+                 .alias("_r"))
+            .select(F.lit(np_).cast("int").alias("nprobe"),
+                    F.round("_r", 6).alias("mean_recall")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("nprobe")
 
 
 def ivf_recall(emb: DataFrame, n_probes: int = 10, k: int = 10,

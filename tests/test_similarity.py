@@ -168,6 +168,52 @@ def test_quantized_topk_scores_are_exact_and_close_to_brute(spark, sf_dir):
     assert len(truth & {r.vec_id for r in got}) >= 8
 
 
+def test_quantized_topk_probe_vec_path_matches_in_plan_probe(spark, sf_dir):
+    # The coordinator-API path (probe_vec supplied, probe quantized
+    # driver-side, two-barrier plan) must return EXACTLY what the
+    # in-plan probe fetch returns: driver-side quantization replicates
+    # quantize_embeddings' IEEE op order bit-for-bit.
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        quantized_cosine_topk,
+    )
+    emb = _emb(spark, sf_dir)
+    pv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    via_plan = quantized_cosine_topk(emb, 0, k=10, rescore_factor=3).collect()
+    via_vec = quantized_cosine_topk(emb, 0, k=10, rescore_factor=3,
+                                    probe_vec=pv).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in via_plan] == \
+        [(r.vec_id, r.cosine_sim) for r in via_vec]
+
+
+def test_quantized_topk_zero_norm_vector_scores_zero_not_nan(spark):
+    # An all-constant vector dequantizes to dn == 0; guarded division
+    # must score it 0.0 so NaN/Inf never corrupts the shortlist order.
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        quantized_cosine_topk,
+    )
+    rows = [(0, [1.0, 2.0, 3.0, 4.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),      # zero vector: dn == 0
+            (2, [1.0, 2.0, 3.0, 5.0]),
+            (3, [4.0, 3.0, 2.0, 1.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for kwargs in ({}, {"probe_vec": rows[0][1]}, {"vectorized": False}):
+        got = {r.vec_id: r.cosine_sim
+               for r in quantized_cosine_topk(
+                   emb, 0, k=3, rescore_factor=1, **kwargs).collect()}
+        assert not any(math.isnan(v) or math.isinf(v) for v in got.values())
+
+
+def test_quantized_topk_absent_probe_yields_empty(spark):
+    # Matching brute_force_topk semantics: no probe row -> empty result,
+    # not an IndexError from a driver-side fetch.
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        quantized_cosine_topk,
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [2.0, 1.0])], ["vec_id", "embedding"])
+    assert quantized_cosine_topk(emb, probe_id=99, k=2).count() == 0
+
+
 def test_ivf_assignment_prunes_partitions_at_rest(spark, sf_dir, tmp_path):
     # The 100 TB story: assignment computed at ingest and stored as a
     # partition column means a cell query prunes the scan to one
