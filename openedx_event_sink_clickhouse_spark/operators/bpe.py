@@ -8,9 +8,10 @@ Training follows the classic word-frequency formulation (Sennrich et al.
 is ONE Spark aggregate over the corpus. The (vocab-bounded, not
 corpus-bounded) frequency table collects to the driver and the merge loop
 runs in plain Python — the same coordinator-resident-model pattern as
-k-means centroids and IVF cells. At web scale the vocabulary still fits a
-driver (~10⁷ rows); if it didn't, train on a frequency-weighted sample —
-the plan shape is unchanged.
+k-means centroids and IVF cells. The collect is bounded by default:
+``max_vocab`` keeps only the most-frequent word types (the deterministic
+maximum-mass vocabulary subsample), so an open-vocabulary web corpus
+cannot blow up the driver.
 
 Encoding is an Arrow-batched ``mapInPandas``: merges apply per DISTINCT
 word per batch (memoized), so cost scales with batch vocabulary, not
@@ -35,8 +36,12 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The (word, count) table BPE trains on: one partial-aggregated
     groupBy over the exploded token stream (map-side combine soaks the
     Zipf skew — identical shuffle shape to ``unigram_logprob``'s model
-    build)."""
+    build). Empty tokens (repeated separators) are dropped so the trainer
+    sees exactly the words :func:`bpe_encode_stats` encodes — the two
+    paths share one pre-tokenization: lowercase, split on ' ', discard
+    empties."""
     return (docs.select(F.explode(words(F.col(text_col))).alias("word"))
+            .filter(F.col("word") != "")
             .groupBy("word").agg(F.count("*").alias("c")))
 
 
@@ -62,15 +67,21 @@ def _merge_word(sym: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
 
 def bpe_train(docs: DataFrame, n_merges: int = 200,
               text_col: str = "text",
-              max_vocab: int | None = None) -> list[tuple[str, str]]:
+              max_vocab: int | None = 100_000) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus. Deterministic:
     the most frequent adjacent symbol pair wins each round, ties broken
     lexicographically — same corpus, same merges, every run and engine.
 
-    ``max_vocab`` trains on only the most frequent word types (ties by
-    word) — the Zipf head carries nearly all pair mass, so merges are
-    essentially unchanged while the Python merge loop stays
-    O(max_vocab·symbols·n_merges) regardless of corpus vocabulary.
+    ``max_vocab`` (default 100k — the driver collect is BOUNDED by
+    default; pass ``None`` only when the corpus vocabulary is known
+    small) trains on the ``max_vocab`` most frequent word types (ties by
+    word): the deterministic maximum-frequency-mass subsample of the
+    vocabulary. The Zipf head carries nearly all pair mass, so merges
+    are essentially unchanged while the collect stays O(max_vocab) rows
+    and the Python merge loop O(max_vocab·symbols·n_merges) regardless
+    of corpus vocabulary — a frequency-weighted random sample would
+    converge to the same head for any bounded budget, with extra
+    variance; the top-k head is that sample's deterministic limit.
 
     Returns the ordered merge list (the model — feed to
     :func:`bpe_encode_stats`)."""
@@ -144,7 +155,10 @@ def bpe_encode_stats(docs: DataFrame, merges: list[tuple[str, str]],
         for pdf in batches:
             ids, nw, nt, comp = [], [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                ws = str(text).lower().split()
+                # Same pre-tokenization as word_frequencies/words():
+                # lowercase, split on ' ' (NOT any-whitespace), drop
+                # empties — trainer and encoder see identical words.
+                ws = str(text).lower().split(" ")
                 ws = [w for w in ws if w]
                 total = sum(n_tokens(w) for w in ws)
                 chars = sum(len(w) + 1 for w in ws)  # +1: the EOW symbol

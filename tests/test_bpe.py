@@ -68,3 +68,41 @@ def test_word_frequencies_matches_python(spark):
                                  ["doc_id", "text"])
     got = {r.word: r.c for r in word_frequencies(docs).collect()}
     assert got == {"a": 2, "b": 2, "c": 1}
+
+
+def test_trainer_and_encoder_share_pretokenization(spark):
+    # Repeated spaces produce empty split tokens: the trainer must drop
+    # them (no "" word, no (,</w>) pair) and the encoder must count the
+    # same words the trainer saw — n_words == 2 here, not 4.
+    docs = spark.createDataFrame([(0, "low  low ")], ["doc_id", "text"])
+    assert {r.word: r.c for r in word_frequencies(docs).collect()} == \
+        {"low": 2}
+    merges = bpe_train(docs, n_merges=2)
+    row = bpe_encode_stats(docs, merges).collect()[0]
+    assert row.n_words == 2
+    enc = _encoder(merges)
+    assert row.n_bpe_tokens == 2 * len(enc("low"))
+
+
+def test_bpe_train_max_vocab_bounds_collect_with_stable_merges(spark):
+    # Vocab = 3 Zipf-head words + 40 rare tail words (disjoint chars,
+    # each x2 so the tail WOULD contribute mergeable pairs if scanned).
+    # max_vocab=3 must (a) reproduce the head-only merges exactly —
+    # stability under the bound — and (b) actually exclude the tail:
+    # unbounded training at the same n_merges picks up tail pairs.
+    head = ("low " * 50 + "lower " * 20 + "west " * 10).strip()
+    tail_words = [f"q{i}z" for i in range(40)]
+    tail = " ".join(w for w in tail_words for _ in range(2))
+    docs = spark.createDataFrame(
+        [(0, head), (1, tail)], ["doc_id", "text"])
+
+    bounded = bpe_train(docs, n_merges=40, max_vocab=3)
+    reference = bpe_train(
+        spark.createDataFrame([(0, head)], ["doc_id", "text"]),
+        n_merges=40, max_vocab=None)
+    assert bounded == reference
+
+    unbounded = bpe_train(docs, n_merges=40, max_vocab=None)
+    assert unbounded != bounded  # the tail really was in reach
+    # default is bounded (100k) — same result as explicit bound here
+    assert bpe_train(docs, n_merges=40) == unbounded
