@@ -90,21 +90,53 @@ def incremental_exact_dedup(incoming: DataFrame, seen: DataFrame | None,
 
     ``seen`` is a 1-column (content_hash) frame — the running digest
     table a pipeline maintains at rest (append each batch's survivor
-    hashes). Plan: in-batch dedup is one digest groupBy of the BATCH
-    (not the corpus); the history check is a left-anti join against the
-    digest table, which at 100 TB is digest-bucketed so the join
-    co-locates without shuffling the history. ``seen=None`` means cold
-    start (everything is new content)."""
+    hashes; see :func:`write_digest_table`). Plan: in-batch dedup is one
+    digest groupBy of the BATCH (not the corpus); the history check is a
+    left-anti join against the digest table. Pass a
+    :func:`read_digest_table` frame and the history side arrives
+    PRE-BUCKETED on content_hash: Spark shuffles only the (small) batch
+    aggregate into the bucket count and scans the history with no
+    exchange — the shape that keeps a 100 TB history joinable
+    (``tests/test_dedup.py`` pins it). No ``distinct`` on the history:
+    a left-anti join is insensitive to duplicate right-side rows, and a
+    distinct would re-shuffle exactly the table bucketing exists to keep
+    still. ``seen=None`` means cold start (everything is new content)."""
     hashed = incoming.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
     firsts = (hashed.groupBy("content_hash")
               .agg(F.min(id_col).alias(id_col)))
     if seen is not None:
         firsts = firsts.join(
-            seen.select(F.col("content_hash")).distinct(),
+            seen.select(F.col("content_hash")),
             "content_hash", "left_anti")
     return firsts.select(id_col, "content_hash",
                          F.lit(1).cast("int").alias("is_new_content"))
+
+
+def write_digest_table(new_hashes: DataFrame, table: str,
+                       buckets: int = 32, mode: str = "append") -> None:
+    """Materialize/extend the running digest history BUCKETED on
+    content_hash — the at-rest layout that makes
+    :func:`incremental_exact_dedup`'s history check shuffle-free (mirror
+    of ``similarity.write_quantized_codes``'s codes-at-rest role, and of
+    ``sources/bucketing.write_bucketed``'s co-location contract).
+
+    Append one row per NEW content hash after each batch (the
+    ``is_new_content`` output of the incremental pass): appends land in
+    the same bucket layout, so the table never needs a re-shuffle as it
+    grows — each batch writes its handful of files per bucket, and
+    compaction (``sources/layout.py``) folds them when file counts
+    creep."""
+    (new_hashes.select("content_hash")
+     .write.mode(mode)
+     .bucketBy(buckets, "content_hash").sortBy("content_hash")
+     .saveAsTable(table))
+
+
+def read_digest_table(spark, table: str) -> DataFrame:
+    """The digest history with its bucket spec intact (``spark.table``
+    keeps bucketing metadata; a raw path read would not)."""
+    return spark.table(table)
 
 
 def ensure_min_parallelism(df: DataFrame) -> DataFrame:
@@ -220,10 +252,14 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     sorted id set [the ONLY corpus-wide shuffle] → expand each bucket's
     in-bucket pairs with array ``transform``s [narrow] → distinct pairs →
     verify. ``max_bucket`` drops degenerate buckets (a stop-shingle
-    shared by everything) as a plain size filter on the grouped row — the
-    skew guard that keeps pair expansion from going quadratic at scale
-    and bounds per-group state at ``max_bucket`` ids; dropped buckets
-    only lose pairs that other bands will usually still catch.
+    shared by everything) BEFORE the id set is collected: a window count
+    over the same (band_idx, band_hash) partitioning — no extra
+    shuffle; WindowExec spills, so even a bucket holding half the corpus
+    only costs disk — filters oversized keys so the ``collect_set``
+    aggregation buffer is genuinely bounded at ``max_bucket`` ids per
+    group, which is what keeps pair expansion from going quadratic at
+    scale. Dropped buckets only lose pairs that other bands will usually
+    still catch.
 
     Nothing is persisted: grouping buckets (instead of self-joining the
     bucket stream) means every frame is consumed by exactly one
@@ -241,11 +277,22 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                     lsh_bands(minhash_signature(F.col("hv"))).alias("bands")))
     buckets = sigs.select(
         "id", F.posexplode("bands").alias("band_idx", "band_hash"))
+    if max_bucket is not None:
+        # Skew guard ahead of the aggregation: per-bucket row count via a
+        # window over the SAME key — Catalyst reuses the one
+        # hash-partitioning exchange for the groupBy below, and WindowExec
+        # spills where a collect_set buffer would not. (Within a bucket
+        # each id occurs once — posexplode emits one row per (doc, band) —
+        # so the count is the future id-set size.)
+        from pyspark.sql import Window
+        w = Window.partitionBy("band_idx", "band_hash")
+        buckets = (buckets
+                   .withColumn("_n", F.count("*").over(w))
+                   .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+                   .drop("_n"))
     grouped = (buckets.groupBy("band_idx", "band_hash")
                .agg(F.sort_array(F.collect_set("id")).alias("ids"))
                .filter(F.size("ids") >= 2))
-    if max_bucket is not None:
-        grouped = grouped.filter(F.size("ids") <= max_bucket)
     # In-bucket pair expansion: ids is sorted ascending, so pairing each
     # element with its suffix yields exactly the id_a < id_b pairs.
     pair_structs = F.flatten(F.transform(
@@ -318,7 +365,8 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 20,
-                         checkpoint_every: int = 5) -> DataFrame:
+                         checkpoint_every: int = 5,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Cluster near-dup pairs into duplicate groups: every node labeled
     with the smallest reachable id (= cluster id). Returns
     (doc_id, cluster_id, is_survivor) for every node that appears in a
@@ -334,7 +382,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     so lineage (and with it planning cost and stack depth) stays bounded
     at high cluster diameters instead of growing one join-layer per
     round.
+
+    ``checkpoint_dir`` switches the lineage cut from ``localCheckpoint``
+    (executor-local blocks — fast, but a lost executor loses the round)
+    to RELIABLE ``checkpoint()`` into that directory: at cluster scale a
+    long-diameter convergence should survive executor churn, and a
+    reliable checkpoint also frees the executor storage the local
+    variant pins. Same results either mode (``tests/test_dedup.py``
+    pins both on a long-chain fixture).
     """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b).alias("src"),
                                  F.col(id_a).alias("dst")))).cache()
@@ -353,10 +412,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         if (i + 1) % checkpoint_every == 0:
             # Truncate lineage: the checkpointed frame's plan is a leaf,
             # so round i+1 plans against O(checkpoint_every) join layers,
-            # never O(i). (localCheckpoint = executor-local blocks; at
-            # cluster scale use reliable checkpoint() for fault tolerance
-            # on very long chains.)
-            stepped = stepped.localCheckpoint(eager=True)
+            # never O(i).
+            if checkpoint_dir is not None:
+                stepped = stepped.checkpoint(eager=True)
+            else:
+                stepped = stepped.localCheckpoint(eager=True)
         else:
             stepped = stepped.cache()
         # The convergence count doubles as the materialization action for

@@ -119,6 +119,30 @@ def test_connected_components_long_chain_bounded_lineage(spark):
     assert plan.count("Join") <= 2 * 5, plan
 
 
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+    # Same long-chain fixture, reliable checkpoint() into a directory:
+    # results identical to local mode, checkpoint files actually written
+    # (the fault-tolerance artifact), lineage still bounded.
+    n = 31
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    ckdir = str(tmp_path / "cc_ck")
+    out = connected_components(pairs, max_iter=40, checkpoint_every=5,
+                               checkpoint_dir=ckdir)
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r.cluster_id for r in rows} == {0}
+    assert [r.doc_id for r in rows if r.is_survivor] == [0]
+    import os
+    found = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert found, "reliable checkpoint wrote no files"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") <= 2 * 5, plan
+
+
 def test_connected_components_random_graph_matches_union_find(spark):
     # Property check against a Python union-find oracle on an irregular
     # graph (chains + stars + cross links, fixed seed): min-label
@@ -200,3 +224,76 @@ def test_duplicate_spans_counts_within_doc_repeats(spark):
     row = duplicate_spans(docs, k=4).collect()[0]
     assert row["n_dup_spans"] == 2
     assert row["dup_tokens"] == 8
+
+
+def test_incremental_dedup_digest_table_history_is_shuffle_free(spark):
+    # The 100 TB shape: the digest HISTORY (huge) is bucketed at rest on
+    # content_hash, so the left-anti history check scans it with no
+    # Exchange — only the (small) batch aggregate shuffles into the
+    # bucket count.
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        incremental_exact_dedup,
+        read_digest_table,
+        write_digest_table,
+    )
+    hist_docs = spark.createDataFrame(
+        [(i, f"seen document number {i}") for i in range(50)],
+        ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(100, "seen document number 7"),       # dup of history
+         (101, "brand new content a"),
+         (102, "brand new content a"),          # in-batch dup
+         (103, "brand new content b")],
+        ["doc_id", "text"])
+    spark.sql("DROP TABLE IF EXISTS digest_history")
+    write_digest_table(
+        hist_docs.select(F.md5("text").alias("content_hash")),
+        "digest_history", buckets=8, mode="overwrite")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        out = incremental_exact_dedup(
+            batch, read_digest_table(spark, "digest_history"))
+        got = {r.doc_id for r in out.collect()}
+        assert got == {101, 103}        # 100 seen, 102 loses in-batch
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+        assert "SelectedBucketsCount" in plan, plan
+        # every Exchange sits on the batch side (the join's LEFT subtree,
+        # rendered with ':' guides); the bucketed history scan feeds the
+        # join with no Exchange above it
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert ":" in line.split("Exchange")[0], plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.sql("DROP TABLE IF EXISTS digest_history")
+
+
+def test_digest_table_append_extends_history(spark):
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        incremental_exact_dedup,
+        read_digest_table,
+        write_digest_table,
+    )
+    spark.sql("DROP TABLE IF EXISTS digest_append")
+    b1 = spark.createDataFrame([(0, "alpha"), (1, "beta")],
+                               ["doc_id", "text"])
+    b2 = spark.createDataFrame([(10, "alpha"), (11, "gamma")],
+                               ["doc_id", "text"])
+    try:
+        s1 = incremental_exact_dedup(b1, None)
+        write_digest_table(s1, "digest_append", buckets=4,
+                           mode="overwrite")
+        s2 = incremental_exact_dedup(
+            b2, read_digest_table(spark, "digest_append"))
+        assert {r.doc_id for r in s2.collect()} == {11}  # alpha seen
+        write_digest_table(s2, "digest_append", buckets=4)  # append
+        assert read_digest_table(spark, "digest_append").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS digest_append")
