@@ -127,6 +127,21 @@ def write_digest_table(new_hashes: DataFrame, table: str,
     grows — each batch writes its handful of files per bucket, and
     compaction (``sources/layout.py``) folds them when file counts
     creep."""
+    spark = new_hashes.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        # A managed-table location can survive a crashed writer (or a
+        # fresh in-memory catalog over an old warehouse dir); saveAsTable
+        # then refuses with LOCATION_ALREADY_EXISTS even in overwrite
+        # mode. Overwrite semantics say the old data goes — remove the
+        # orphaned location through the Hadoop FS API so the contract
+        # holds on any filesystem.
+        jvm = spark._jvm
+        jsc = spark._jsc
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        loc = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+        fs = loc.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
     (new_hashes.select("content_hash")
      .write.mode(mode)
      .bucketBy(buckets, "content_hash").sortBy("content_hash")

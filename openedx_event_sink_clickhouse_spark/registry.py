@@ -3474,40 +3474,45 @@ def _fun2(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
-# registry entries, so the window ROTATES each round: round 3 fills it
-# with the 45 queries never graded in CORRECTNESS_r01/r02 (TPC-H tail,
-# window/setops/pivot/json shapes, the rest of curation/retrieval/
-# similarity, mm_resize/mm_frame_sample, evt_sessionize, stateful gate)
-# plus 5 keepers — the flagship, both multimodal rows fixed this round,
-# sim_cosine_topk (r2 bench-regression watch), and one round-3 addition
-# (cur_decontaminate_bloom). Union of r1+r2+r3 windows = all 110
-# pre-round-3 queries driver-graded; the other round-3 additions
-# (text_dsir_importance, agg_approx_percentiles, sim_ivf_partitioned)
-# rotate in next round and are local-checker-green meanwhile.
+# registry entries, so the window ROTATES each round. Round 4 closes the
+# coverage ledger: the 9 entries never green-graded in r1-r3 (the round-3
+# additions, the two new ANN-recall queries, and the stateful gate — now
+# carrying a real two-phase oracle instead of the r3 rows-only check) go
+# first, followed by re-grades of every implementation touched since the
+# r3 verdict (quantized-ANN zero-collect rework, LSH skew-guard
+# restructuring, CC reliable-checkpoint option, BPE pre-tokenization
+# unification, registry cache validation/memoization), then one canary
+# per family from the already-green backlog. Union of r1-r4 windows =
+# all registered queries driver-graded.
 # tools/check_correctness.py still runs the full registry every round.
 # --------------------------------------------------------------------------
 
 _PRIORITY = [
     "flagship_incremental_dump",
-    "cur_decontaminate_bloom", "mm_decode_stats", "mm_byte_histogram",
-    "sim_cosine_topk",
-    # -- never graded in r1/r2 from here on --
-    "evt_sessionize", "dedup_survivors", "sim_semantic_dedup",
-    "sim_multi_probe_topk", "sim_quantized_topk",
-    "text_tokenize_ids", "text_top_ngrams",
-    "mm_resize", "mm_frame_sample",
-    "cur_scrub_pii", "cur_decontaminate", "cur_sample_stratified",
-    "cur_pack_sequences", "cur_corpus_mix", "cur_chunk_documents",
-    "cur_negative_samples", "cur_repetition_signals",
-    "ret_inverted_index", "ret_hybrid_rrf",
+    # -- never green-graded in r1-r3 --
+    "dedup_incremental", "sim_ivf_partitioned",
     "stream_stateful_incremental_gate",
-    "window_lag_gap_days", "setops_building_finished", "agg_cube_orders",
-    "agg_percentiles_lineitem", "pivot_status_by_priority",
-    "json_extract_props",
-    "tpch_q2", "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
-    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
-    "tpch_q20", "tpch_q21", "tpch_q22",
+    "agg_approx_percentiles", "cur_mix_plan",
+    "sim_quantized_recall", "sim_multi_probe_recall",
+    "text_bpe_stats", "text_dsir_importance",
+    # -- implementations changed since the r3 verdict: re-grade --
+    "sim_quantized_topk", "sim_multi_probe_topk",
+    "sim_ivf_topk", "sim_ivf_recall", "sim_cosine_topk",
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_survivors",
+    "dedup_exact",
+    # -- family canaries (green in earlier rounds; re-confirm) --
+    "s1_full_scan", "s7_dim_enrich_join", "s9_parent_child_expand",
+    "p4_json_pack", "t1_tree_ordinals", "a1_watermarks",
+    "d1_retire_users", "serialize_user_profile",
+    "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_duplicate_spans",
+    "sim_neardup_pairs", "sim_lsh_bucket_topk", "sim_semantic_dedup",
+    "stream_tumbling_stats", "stream_session_stats",
+    "text_quality_signals", "text_unigram_logprob", "text_top_ngrams",
+    "evt_sessionize", "evt_cohort_retention",
+    "cur_quality_filter", "cur_pack_sequences", "cur_decontaminate_bloom",
+    "ret_bm25_topk", "mm_decode_stats", "mm_resize",
+    "asof_last_purchase", "skew_salted_agg",
+    "tpch_q1", "tpch_q21",
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -23,7 +23,18 @@ DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 def get_spark(app_name: str = "openedx-event-sink-spark", master: str | None = None,
               extra_conf: dict | None = None) -> SparkSession:
-    """Build (or fetch) a SparkSession with the engine's standard config."""
+    """Build (or fetch) a SparkSession with the engine's standard config.
+
+    If a session already exists it is returned UNTOUCHED: Spark applies a
+    reused builder's runtime SQL confs onto the live session, so blindly
+    calling ``getOrCreate`` from a library entry point (the CLI, a sink)
+    would silently clobber the caller's tuning — e.g. resetting
+    ``shuffle.partitions`` mid-session flips bucketed-scan planning for
+    every later query. Callers who WANT the engine defaults applied to an
+    external session use :func:`tune_session` explicitly."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     builder = (
         SparkSession.builder.appName(app_name)

@@ -254,6 +254,13 @@ def test_incremental_dedup_digest_table_history_is_shuffle_free(spark):
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # Pin parallelism at or below the bucket count: when
+        # shuffle.partitions exceeds it, the planner prefers re-shuffling
+        # BOTH sides wider over the 8-way bucketed scan (production
+        # tables bucket at >= cluster parallelism, so the bucketed side
+        # wins there; this pin models that relationship at test scale).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         out = incremental_exact_dedup(
             batch, read_digest_table(spark, "digest_history"))
         got = {r.doc_id for r in out.collect()}
@@ -270,6 +277,7 @@ def test_incremental_dedup_digest_table_history_is_shuffle_free(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.sql("DROP TABLE IF EXISTS digest_history")
 
 

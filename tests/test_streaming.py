@@ -377,3 +377,30 @@ def test_bm25_runs_per_batch_via_foreach_batch(spark, sf_dir, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert out == batch
+
+
+def test_brute_force_topk_runs_per_batch_via_foreach_batch(spark, sf_dir,
+                                                           tmp_path):
+    # ANN probes on streams: a similarity probe against a corpus
+    # snapshot is a bounded per-batch job, so the batch operator runs
+    # unchanged inside foreachBatch (same reuse shape as bm25 above).
+    # One availableNow batch over the whole corpus must equal the batch
+    # run exactly — ranks, ids, and scores.
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        brute_force_topk)
+    emb = load_table(spark, "embeddings", sf_dir)
+    emb.coalesce(1).write.parquet(str(tmp_path / "emb"))
+    batch = [tuple(r) for r in brute_force_topk(emb, 0, k=10).collect()]
+    out: list = []
+
+    def handle(bdf, epoch_id):
+        out.extend(tuple(r) for r in
+                   brute_force_topk(bdf, 0, k=10).collect())
+
+    src = (spark.readStream.schema(emb.schema)
+           .parquet(str(tmp_path / "emb")))
+    q = (src.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "ckpt_ann"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert out == batch
