@@ -463,3 +463,34 @@ def clean_lines(docs: DataFrame, text_col: str = "text",
                      sep).alias("cleaned_text"))
             .select(F.col("id").alias(id_col), "n_lines", "n_kept",
                     "cleaned_text"))
+
+
+def shuffle_shards(docs: DataFrame, n_shards: int = 16, seed: int = 0,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global shuffle of the corpus into ``n_shards``
+    training shards. Returns (doc_id, shard, position): ``shard`` is the
+    output file the document lands in, ``position`` its 0-based offset
+    within that shard — together a total order that is uniform-random
+    with respect to the source layout but fully reproducible from
+    ``seed`` (a retried job, a different engine, or a later audit
+    reproduce the identical order; ``rand()`` would give none of that).
+
+    The canonical pre-training step: a corpus at rest is clustered by
+    crawl/source/time, and an epoch must visit it in source-decorrelated
+    order without ever materializing a global sort. Plan: shuffle key =
+    md5(id, seed); shard = key mod n_shards (ONE hash exchange of
+    (id, key) pairs); position = per-shard rank — each shard sorts
+    independently, so the sort parallelizes across the cluster and no
+    global ordering step exists. At 100 TB: n_shards ≈ tens of
+    thousands keeps each shard's sort in-memory; writing with
+    ``partitionBy(shard)`` + sortWithinPartitions streams shards out in
+    final order. Skew-free by construction (md5 keys are uniform).
+    """
+    key = md5_hash64(F.col(id_col), seed=seed)
+    shard = F.pmod(key, F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (docs.select(F.col(id_col), shard.alias("shard"),
+                        key.alias("shuffle_key"))
+            .withColumn("position",
+                        (F.row_number().over(w) - 1).cast("bigint"))
+            .select(id_col, "shard", "position"))

@@ -3472,6 +3472,28 @@ def _fun2(spark, sf_dir):
     return cohort_retention(_t(spark, sf_dir, "events"))
 
 
+@register("cur_shuffle_shards", """
+WITH k AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS shuffle_key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(shuffle_key % 16 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 16
+                               ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+         AS position
+FROM k
+""")
+def _cur13(spark, sf_dir):
+    # Deterministic global shuffle into training shards: md5 shuffle key,
+    # shard = key mod n, position = per-shard rank. One hash exchange of
+    # narrow (id, key) pairs; per-shard sorts are independent.
+    from .operators.curation import shuffle_shards
+    return shuffle_shards(_t(spark, sf_dir, "documents"), n_shards=16)
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 4 closes the
@@ -3512,7 +3534,7 @@ _PRIORITY = [
     "cur_quality_filter", "cur_pack_sequences", "cur_decontaminate_bloom",
     "ret_bm25_topk", "mm_decode_stats", "mm_resize",
     "asof_last_purchase", "skew_salted_agg",
-    "tpch_q1", "tpch_q21",
+    "cur_shuffle_shards", "tpch_q21",
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -271,3 +271,39 @@ def test_mix_plan_temperature_rebalances_toward_tail(spark, sf_dir):
     for r in mix_plan(docs, alpha=1.0).collect():
         assert r.sample_rate == 1.0
         assert abs(r.target_share - r.token_share) < 2e-6
+
+
+def test_shuffle_shards_deterministic_total_order(spark):
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        shuffle_shards)
+    docs = _docs(spark, [(i, f"doc {i}", "en", "web") for i in range(200)])
+    out = shuffle_shards(docs, n_shards=8).collect()
+    # Every doc placed exactly once, shards in range, positions are a
+    # contiguous 0..len-1 run within each shard.
+    assert sorted(r.doc_id for r in out) == list(range(200))
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.position)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # Reproducible: a second run gives the identical placement.
+    again = shuffle_shards(docs, n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # The order is actually shuffled (not id order within shards), and a
+    # different seed yields a different permutation.
+    id_sorted = sorted(out, key=lambda r: (r.shard, r.doc_id))
+    pos_sorted = sorted(out, key=lambda r: (r.shard, r.position))
+    assert [r.doc_id for r in id_sorted] != [r.doc_id for r in pos_sorted]
+    other = shuffle_shards(docs, n_shards=8, seed=7).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_shuffle_shards_single_exchange(spark):
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        shuffle_shards)
+    docs = _docs(spark, [(i, f"doc {i}", "en", "web") for i in range(50)])
+    plan = (shuffle_shards(docs, n_shards=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    # One hash exchange on shard; the per-shard rank reuses it.
+    assert plan.count("Exchange hashpartitioning") == 1, plan

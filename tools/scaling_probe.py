@@ -1,15 +1,20 @@
 """sf-scaling probe: measure how the heavy-hitter dedup queries scale
 with input size, as evidence the 100 TB extrapolation in SCALE.md holds.
 
-Times each query at sf0.001 / sf0.01 / sf0.1 (best-of-R wall clock, warm
-session) and reports the scaling exponent b in t ~ n^b two ways:
+The driver testdata only varies `documents` between sf0.01 (500 rows)
+and sf0.1 (5000 rows) — sf0.001 repeats the 500-row table — so the probe
+builds intermediate scale points itself: it subsamples sf0.1's
+documents.parquet to n ∈ {500, 1000, 2000, 5000} under /tmp (all other
+tables symlinked from sf0.1), then times each query at every point
+(best-of-R wall clock, warm session) and reports the scaling exponent b
+in t ~ a + n^b:
 
-- ``pairwise``: log-slope between consecutive scale factors. The
-  0.01→0.1 slope is the headline number — at sf0.001 fixed per-job
-  overhead (scheduling, codegen-cached plan setup, Arrow round-trips)
-  dominates the numerator and drags the exponent toward 0.
-- ``fit``: least-squares slope over all points, reported with the
-  caveat above baked into the smallest point.
+- ``pairwise``: log-slope between consecutive points. The largest-n
+  slope is the headline number — at small n, fixed per-job overhead
+  (scheduling, Arrow round-trips, job setup) dominates the numerator
+  and drags the exponent toward 0.
+- ``fit``: least-squares slope over all points (same caveat baked into
+  the small points).
 
 b ≈ 1 is linear scale-out (embarrassingly parallel / partial-agg
 shapes); b ≈ 1.2-1.4 at these sizes usually means an O(n log n) sort or
@@ -23,6 +28,7 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 import sys
 import time
 
@@ -30,14 +36,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
-SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
-           "/root/testdata/sf0.1"]
+SRC_DIR = "/root/testdata/sf0.1"
+WORK_DIR = "/tmp/scaling_probe"
+POINTS = [500, 1000, 2000, 5000]
 DEFAULT_QUERIES = ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
                    "dedup_survivors"]
 RUNS = 2
 
-# Driver table each query's cost is keyed to (rows(sf) gives n for the fit).
-SIZE_TABLE = "documents"
+
+def build_points(spark) -> dict[int, str]:
+    """Materialize one sf-dir per scale point: documents subsampled to
+    the first n doc_ids (prefix subset, so every smaller point is a
+    strict subset of the larger — same data distribution), every other
+    table symlinked from sf0.1."""
+    docs = spark.read.parquet(os.path.join(SRC_DIR, "documents.parquet"))
+    ids = [r[0] for r in docs.select("doc_id").orderBy("doc_id").collect()]
+    dirs = {}
+    for n in POINTS:
+        d = os.path.join(WORK_DIR, f"n{n}")
+        marker = os.path.join(d, "_COMPLETE")
+        if not os.path.exists(marker):
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d)
+            for f in os.listdir(SRC_DIR):
+                if f != "documents.parquet":
+                    os.symlink(os.path.join(SRC_DIR, f), os.path.join(d, f))
+            cutoff = ids[n - 1]
+            (docs.filter(docs.doc_id <= cutoff).coalesce(4)
+             .write.mode("overwrite")
+             .parquet(os.path.join(d, "documents.parquet")))
+            open(marker, "w").close()
+        dirs[n] = d
+    return dirs
 
 
 def main() -> None:
@@ -55,46 +85,44 @@ def main() -> None:
 
     import __spark_entry__ as ent
     qmap = ent.queries()
-
-    sizes = {}
-    for d in SF_DIRS:
-        sizes[d] = spark.read.parquet(
-            os.path.join(d, f"{SIZE_TABLE}.parquet")).count()
+    dirs = build_points(spark)
 
     # Warm codegen/plan caches once so the smallest point isn't billed
     # the one-time session compilation cost (same rationale as bench.py).
     for q in queries:
-        qmap[q](spark, SF_DIRS[0]).count()
+        qmap[q](spark, dirs[POINTS[0]]).count()
 
-    results: dict[str, dict[str, float]] = {}
+    results: dict[str, list[float]] = {}
     for q in queries:
-        per_sf = {}
-        for d in SF_DIRS:
+        ts = []
+        for n in POINTS:
             best = float("inf")
             for _ in range(RUNS):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                qmap[q](spark, d).count()
+                qmap[q](spark, dirs[n]).count()
                 best = min(best, time.perf_counter() - t0)
-            per_sf[d] = best
-            print(f"# {q} @ {os.path.basename(d)}: {best:.3f}s "
-                  f"(n={sizes[d]})", file=sys.stderr)
-        results[q] = per_sf
+            ts.append(best)
+            print(f"# {q} @ n={n}: {best:.3f}s", file=sys.stderr)
+        results[q] = ts
 
-    print(f"\n{'query':28s} {'t(0.001)':>9s} {'t(0.01)':>9s} {'t(0.1)':>9s} "
-          f"{'b(.001→.01)':>12s} {'b(.01→.1)':>10s} {'b(fit)':>7s}")
-    for q, per_sf in results.items():
-        ts = [per_sf[d] for d in SF_DIRS]
-        ns = [sizes[d] for d in SF_DIRS]
-        pw = [math.log(ts[i + 1] / ts[i]) / math.log(ns[i + 1] / ns[i])
+    hdr = " ".join(f"t({n}):>8s".replace(f"t({n}):>8s", f"{f't({n})':>8s}")
+                   for n in POINTS)
+    print(f"\n{'query':22s} {hdr} "
+          + " ".join(f"{f'b({POINTS[i]}→{POINTS[i+1]})':>12s}"
+                     for i in range(len(POINTS) - 1))
+          + f" {'b(fit)':>7s}")
+    for q, ts in results.items():
+        pw = [math.log(ts[i + 1] / ts[i])
+              / math.log(POINTS[i + 1] / POINTS[i])
               for i in range(len(ts) - 1)]
-        xs = [math.log(n) for n in ns]
+        xs = [math.log(n) for n in POINTS]
         ys = [math.log(t) for t in ts]
         xbar, ybar = sum(xs) / len(xs), sum(ys) / len(ys)
         fit = (sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys))
                / sum((x - xbar) ** 2 for x in xs))
-        print(f"{q:28s} {ts[0]:9.3f} {ts[1]:9.3f} {ts[2]:9.3f} "
-              f"{pw[0]:12.2f} {pw[1]:10.2f} {fit:7.2f}")
+        print(f"{q:22s} " + " ".join(f"{t:8.3f}" for t in ts) + " "
+              + " ".join(f"{b:12.2f}" for b in pw) + f" {fit:7.2f}")
 
 
 if __name__ == "__main__":
