@@ -75,6 +75,17 @@ HEADLINE = [
     "tpch_q13",                    # outer join + count distribution
     "tpch_q18",                    # large IN-subquery + agg
     "tpch_q21",                    # multi-exists/anti semi-joins
+    # Round-4 tail: keep new entries AFTER the stable common set so
+    # round-over-round totals stay comparable on the shared prefix.
+    "dedup_incremental",           # batch-vs-digest-table anti-join
+    "sim_ivf_partitioned",         # partition-pruned IVF scan at rest
+    "sim_multi_probe_topk",        # batch probe-set ANN
+    "sim_quantized_recall",        # coarse-stage recall@k measurement
+    "agg_approx_percentiles",      # GK sketch + rank-envelope check
+    "cur_mix_plan",                # temperature-rebalanced corpus mix
+    "cur_shuffle_shards",          # deterministic epoch shuffle
+    "llm_prepare_corpus",          # composed filter+dedup+shuffle+pack
+    "sim_ivf_incremental",         # batch assignment vs fixed centroids
 ]
 
 

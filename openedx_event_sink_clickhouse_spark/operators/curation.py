@@ -494,3 +494,46 @@ def shuffle_shards(docs: DataFrame, n_shards: int = 16, seed: int = 0,
             .withColumn("position",
                         (F.row_number().over(w) - 1).cast("bigint"))
             .select(id_col, "shard", "position"))
+
+
+def prepare_corpus(docs: DataFrame, token_budget: int = 512,
+                   n_shards: int = 16, seed: int = 0,
+                   rules: dict | None = None, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """End-to-end pre-training prep — the curation stages composed the
+    way a production corpus job runs them: quality filter → exact dedup
+    (min-id survivor per content hash) → deterministic epoch shuffle →
+    greedy sequence packing, with packing done IN SHUFFLE ORDER so the
+    emitted bins are source-decorrelated. Returns
+    (doc_id, shard, position, n_tokens, bin_id, bin_offset) — exactly
+    where each surviving document's tokens land in the training stream.
+
+    Shuffle + packing share ONE window spec (partition by shard, order
+    by shuffle key): Catalyst plans a single Exchange+Sort for the
+    position rank and the running token sum together, so the whole
+    pipeline costs two fact shuffles — the dedup hash groupBy and the
+    shard exchange — plus map-side filtering. Nothing here collects,
+    samples, or depends on input order."""
+    q = (quality_filter(docs, text_col, rules)
+         .filter(F.col("keep") == 1).select(id_col))
+    kept = docs.join(q, id_col).select(
+        F.col(id_col),
+        F.size(words(F.col(text_col))).alias("n_tokens"),
+        F.md5(F.col(text_col)).alias("content_hash"))
+    firsts = (kept.groupBy("content_hash")
+              .agg(F.min(id_col).alias(id_col)))
+    surv = kept.join(firsts.select(id_col), id_col)
+    key = md5_hash64(F.col(id_col), seed=seed)
+    sharded = surv.select(
+        F.col(id_col), F.col("n_tokens"),
+        key.alias("_key"),
+        F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"))
+    w = (Window.partitionBy("shard").orderBy("_key", id_col))
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    start = F.sum("n_tokens").over(wsum) - F.col("n_tokens")
+    return sharded.select(
+        F.col(id_col), F.col("shard"),
+        (F.row_number().over(w) - 1).cast("bigint").alias("position"),
+        F.col("n_tokens"),
+        F.floor(start / token_budget).cast("bigint").alias("bin_id"),
+        (start % token_budget).cast("bigint").alias("bin_offset"))

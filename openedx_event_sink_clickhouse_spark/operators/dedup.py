@@ -442,12 +442,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = stepped.drop("_changed")
         if changed == 0:
             break
-    # The returned plan reads only the final label frame (cached or
-    # checkpointed above); the edge cache is loop-internal state and can
-    # be released now. The labels block itself stays pinned until the
-    # caller materializes — the one unavoidable handle (callers that run
-    # many clusterings should clearCache between them; bench.py's leak
-    # guard enforces this loudly).
+    # The returned plan reads only the final label frame. With a
+    # reliable checkpoint_dir the converged frame is written to FILES
+    # and every cached/pinned block released before returning — the
+    # function leaves zero session state behind (bench.py's leak guard
+    # stays silent) and the result survives executor loss and
+    # clearCache. Without one (local/ad-hoc mode) the final frame's
+    # blocks stay pinned until the caller materializes — the one
+    # unavoidable handle of the in-memory mode (callers that run many
+    # clusterings should clearCache between them).
+    if checkpoint_dir is not None:
+        labels = labels.checkpoint(eager=True)
+        pinned.unpersist()
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"),
@@ -456,7 +462,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
 def dedup_corpus(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", n: int = 3,
-                 threshold: float = 0.6) -> DataFrame:
+                 threshold: float = 0.6,
+                 checkpoint_dir: str | None = None) -> DataFrame:
     """End-to-end near-dup removal — the full dedup flow composed:
     MinHash-LSH pair mining → connected-component clustering → drop every
     cluster member except its minimum-id survivor. Returns the surviving
@@ -468,7 +475,7 @@ def dedup_corpus(docs: DataFrame, text_col: str = "text",
     (the only corpus-wide work remains the LSH band shuffle upstream).
     """
     pairs = minhash_lsh_pairs(docs, text_col, id_col, n, threshold)
-    clusters = connected_components(pairs)
+    clusters = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     losers = (clusters.filter(~F.col("is_survivor"))
               .select(F.col("doc_id").alias(id_col)))
     return docs.join(losers, id_col, "left_anti")

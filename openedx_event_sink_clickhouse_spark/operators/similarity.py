@@ -122,7 +122,8 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float,
 def semantic_dedup(emb: DataFrame, threshold: float = 0.3,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    num_planes: int = 6, num_tables: int = 2,
-                   dim: int | None = None) -> DataFrame:
+                   dim: int | None = None,
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """SemDeDup-style embedding-level dedup (Abbas et al. 2023): drop
     every member of a semantic-duplicate cluster except its minimum-id
     survivor. Returns the surviving rows of ``emb`` unchanged.
@@ -136,7 +137,7 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.3,
     from .dedup import connected_components
     pairs = cosine_neardup_pairs(emb, threshold, None, id_col, vec_col,
                                  num_planes, num_tables, dim)
-    clusters = connected_components(pairs)
+    clusters = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     losers = (clusters.filter(~F.col("is_survivor"))
               .select(F.col("doc_id").alias(id_col)))
     return emb.join(losers, id_col, "left_anti")
@@ -308,6 +309,51 @@ def ivf_topk_partitioned(spark, path: str, probe_vec: list[float],
                           F.lit(float(pn))).alias("_cos"))
     return (scored.orderBy(F.desc("_cos"), "vec_id").limit(k)
             .select("vec_id", F.round("_cos", 6).alias("cosine_sim")))
+
+
+def ivf_incremental_assign(batch: DataFrame, model: DataFrame,
+                           n_centroids: int = 16, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           centroids: list[list[float]] | None = None
+                           ) -> DataFrame:
+    """Assign an ARRIVING embedding batch against the EXISTING centroid
+    model — the index-maintenance twin of
+    :func:`~..operators.dedup.incremental_exact_dedup`: the at-rest IVF
+    layout stays fresh without refitting or re-scanning the corpus.
+    Returns (vec_id, cell).
+
+    ``model`` is the frame holding the model vectors when ``centroids``
+    is None (the deterministic first-``n_centroids``-by-id convention,
+    so the assignment is oracle-checkable); pass the k-means model for
+    production. Either way the batch is the only thing scanned — the
+    model rides a k×dim broadcast, so daily ingest costs O(batch), not
+    O(corpus)."""
+    base = _vec_base(batch, id_col, vec_col)
+    cents = _centroid_frame(_vec_base(model, id_col, vec_col),
+                            n_centroids, centroids)
+    return (_assign(base, cents)
+            .select(F.col("id").alias(id_col),
+                    F.col("centroid").alias("cell")))
+
+
+def ivf_append_batch(batch: DataFrame, path: str, model: DataFrame,
+                     n_centroids: int = 16, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     centroids: list[list[float]] | None = None) -> None:
+    """Append an arriving batch into the cell-partitioned corpus at rest
+    (:func:`write_ivf_partitioned`): assign against the FIXED centroid
+    model, then ``mode("append").partitionBy("cell")`` — new files land
+    inside the existing cell directories, so every query's partition
+    pruning keeps working and the corpus is never rewritten. (Centroid
+    DRIFT is a refit + rewrite decision made offline, deliberately not
+    here — production ANN systems version the model for exactly that
+    reason.)"""
+    base = _vec_base(batch, id_col, vec_col)
+    cents = _centroid_frame(_vec_base(model, id_col, vec_col),
+                            n_centroids, centroids)
+    (_assign(base, cents)
+     .select(F.col("id"), F.col("v"), F.col("centroid").alias("cell"))
+     .write.partitionBy("cell").mode("append").parquet(path))
 
 
 def multi_probe_topk(emb: DataFrame, n_probes: int = 10, k: int = 5,
@@ -483,12 +529,83 @@ def write_quantized_codes(emb: DataFrame, path: str,
      .write.mode("overwrite").parquet(path))
 
 
+# Codes-scan size at/below which the pure-JVM coarse pass beats the
+# Arrow one: the mapInPandas stage pays a fixed Python round-trip
+# (~0.1 s measured on the local harness) that the interpreted JVM fold
+# only reaches at a few MB of codes. Calibrated locally; a cluster
+# profile would retune it the way any CBO constant is tuned.
+_JVM_COARSE_MAX_BYTES = 4 << 20
+
+
+def _scan_bytes(df: DataFrame) -> int | None:
+    """Total bytes of the frame's input files (catalog metadata — no
+    job), or None when the plan's inputs aren't resolvable local files."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        if not os.path.exists(path):
+            return None
+        total += os.path.getsize(path)
+    return total
+
+
+def _quantize_probe(probe_vec):
+    """Driver-side probe quantization, bit-identical to
+    :func:`quantized_codes_table`: the same IEEE ops in the same order,
+    on Python doubles. Returns (pv, pcodes, pmn, psc, psum, pdn, pn)."""
+    import math
+
+    pv = [float(x) for x in probe_vec]
+    pmn, pmx = min(pv), max(pv)
+    psc = (pmx - pmn) / 255.0 if pmx > pmn else 1.0
+    pcodes = [int(math.floor((x - pmn) / psc + 0.5)) for x in pv]
+    psum = 0
+    for c in pcodes:
+        psum += c
+    psum2 = 0
+    for c in pcodes:
+        psum2 += c * c
+    d = float(len(pcodes))
+    pdn = math.sqrt(d * pmn * pmn + 2.0 * pmn * psc * float(psum)
+                    + psc * psc * float(psum2))
+    acc = 0.0
+    for x in pv:                 # sequential fold, matches l2_norm
+        acc = acc + x * x
+    pn = math.sqrt(acc)
+    return pv, pcodes, pmn, psc, psum, pdn, pn
+
+
+def _rescore_with_literal_probe(emb: DataFrame, coarse: DataFrame,
+                                pv: list[float], pn: float, k: int,
+                                id_col: str, vec_col: str) -> DataFrame:
+    """Exact re-rank with the probe as ONE parsed literal array (repr
+    round-trips doubles exactly; a py4j-built F.lit per element walks
+    the gateway). Vectors/norms are computed AFTER the broadcast join,
+    i.e. for the O(rescore_factor·k) candidates only."""
+    plit = F.expr("array(" + ",".join(f"{x!r}D" for x in pv) + ")")
+    cand_v = as_double(F.col(vec_col))
+    exact = (emb.join(F.broadcast(coarse), id_col)
+             .select(F.col(id_col),
+                     cosine_with_norms(cand_v, plit, l2_norm(cand_v),
+                                       F.lit(pn)).alias("_cos")))
+    return (exact.orderBy(F.desc("_cos"), id_col).limit(k)
+            .select(id_col, F.round("_cos", 6).alias("cosine_sim")))
+
+
 def quantized_cosine_topk(emb: DataFrame, probe_id, k: int = 10,
                           rescore_factor: int = 3,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           codes: DataFrame | None = None,
-                          vectorized: bool = True,
+                          vectorized: bool | str = "auto",
                           probe_vec: list[float] | None = None) -> DataFrame:
     """Quantized-scan + exact-rescore ANN: rank all vectors by cosine of
     their DEQUANTIZED uint8 codes, keep the top ``rescore_factor``·k
@@ -514,15 +631,31 @@ def quantized_cosine_topk(emb: DataFrame, probe_id, k: int = 10,
     ``emb`` is touched for the O(rescore_factor·k) candidate rows alone,
     as id-pushdown point lookups.
 
-    ``vectorized=True`` (default) runs the coarse scan as an
-    Arrow-batched ``mapInPandas``: the integer dot is one uint8 numpy
-    matmul per batch — SIMD where an interpreted HOF ``aggregate`` walks
-    an expression tree per element. The whole pipeline is ONE driver
-    action — no ``collect()`` anywhere, so there are no sequential
-    Python→JVM job round-trips (the r2/r3 fixed-overhead tax). An
-    absent probe id yields an EMPTY result, matching
-    :func:`brute_force_topk` semantics; a zero-norm vector scores 0.0
-    instead of NaN (guarded division).
+    ``vectorized`` picks the coarse-scan engine; both compute the SAME
+    IEEE-double scores in the same op order, so the shortlist (and the
+    exact result) is identical:
+
+    - ``True`` — Arrow-batched ``mapInPandas``: the integer dot is one
+      uint8 numpy matmul per batch (SIMD). The batch compute is near
+      free, but the stage pays a fixed Python round-trip (~0.1 s on the
+      local harness) regardless of size — the right trade the moment
+      the codes scan is big enough to amortize it.
+    - ``False`` — pure JVM Column expressions: binary codes are decoded
+      ISO-8859-1 (a bijective byte↔codepoint map) and the integer dot is
+      an ``aggregate``/``zip_with``/``ascii`` fold. Interpreted per
+      element, so it loses to the matmul asymptotically — but it has NO
+      fixed Python cost, which wins while the whole codes table is
+      small.
+    - ``"auto"`` (default) — cost-based pick off catalog facts, no extra
+      job: the codes scan's input-file bytes (when resolvable) against
+      ``_JVM_COARSE_MAX_BYTES``. Small scan → JVM, big scan → Arrow;
+      unresolvable sizes default to Arrow (the scale-safe side).
+
+    The whole pipeline is ONE driver action — no ``collect()``
+    anywhere, so there are no sequential Python→JVM job round-trips
+    (the r2/r3 fixed-overhead tax). An absent probe id yields an EMPTY
+    result, matching :func:`brute_force_topk` semantics; a zero-norm
+    vector scores 0.0 instead of NaN (guarded division).
 
     Pass ``probe_vec`` (the query vector as plain floats — how an ANN
     coordinator actually receives a query, cf. :func:`ivf_topk_partitioned`)
@@ -533,9 +666,7 @@ def quantized_cosine_topk(emb: DataFrame, probe_id, k: int = 10,
     broadcast and the final rescore scan — the same barrier count as
     brute force. Without ``probe_vec`` the probe's code row is fetched
     in-plan via a 1-row broadcast cross-join (one extra barrier, still
-    zero collects). With ``vectorized=False`` the plan is pure JVM SQL
-    (HOF integer dot, broadcast-join rescore) — use that under pure-SQL
-    constraints."""
+    zero collects)."""
     if codes is None:
         codes = quantized_codes_table(emb, id_col, vec_col)
     n_cand = rescore_factor * k
@@ -543,12 +674,55 @@ def quantized_cosine_topk(emb: DataFrame, probe_id, k: int = 10,
     probe = (base.filter(F.col("id") == probe_id)
              .select(F.col("v").alias("pv"), F.col("nv").alias("pn")))
 
-    if vectorized:
-        import math
+    from pyspark.sql import types as T
+    binary_codes = isinstance(codes.schema["codes"].dataType, T.BinaryType)
+    if vectorized == "auto":
+        nbytes = _scan_bytes(codes)
+        vectorized = nbytes is None or nbytes > _JVM_COARSE_MAX_BYTES
 
+    def _jvm_qcos_sql(codes_sql: str, probe_codes_sql: str, pmn_sql: str,
+                      psc_sql: str, psum_sql: str, pdn_sql: str) -> str:
+        """The whole coarse cosine as ONE SQL string → one ``F.expr``
+        call and one parse. The Column-API equivalent (nested HOFs with
+        Python lambdas) costs ~0.2 s of py4j round-trips PER QUERY
+        BUILD — on a sub-second query, plan construction would dominate
+        the runtime. Binary codes decode via ISO-8859-1 (a bijective
+        byte↔code-point map, so ``ascii`` recovers each byte exactly);
+        arithmetic is the same IEEE-double op order as the Arrow
+        scorer, so the shortlist is engine-identical."""
+        d_sql = ("CAST(length(codes) AS DOUBLE)" if binary_codes
+                 else "CAST(size(codes) AS DOUBLE)")
+        idot = (f"CAST(aggregate(zip_with({codes_sql}, {probe_codes_sql}, "
+                "(c, q) -> CAST(c AS BIGINT) * CAST(q AS BIGINT)), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)")
+        dot = (f"{d_sql} * mn * {pmn_sql} + mn * {psc_sql} * {psum_sql} "
+               f"+ {pmn_sql} * sc * CAST(sum_c AS DOUBLE) "
+               f"+ sc * {psc_sql} * {idot}")
+        return (f"CASE WHEN dn * {pdn_sql} > 0.0D "
+                f"THEN ({dot}) / (dn * {pdn_sql}) ELSE 0.0D END")
+
+    def _ints_sql(col_sql: str) -> str:
+        if binary_codes:
+            return (f"transform(split(decode({col_sql}, 'ISO-8859-1'), "
+                    "''), ch -> ascii(ch))")
+        return col_sql
+
+    def _rescore(coarse):
+        """Exact re-rank of the coarse shortlist: broadcast the O(n_cand)
+        ids onto the full-precision table; top-k via
+        TakeOrderedAndProject."""
+        exact = (base.join(F.broadcast(coarse), "id")
+                 .crossJoin(F.broadcast(probe))
+                 .select(F.col("id").alias(id_col),
+                         cosine_with_norms(F.col("v"), F.col("pv"),
+                                           F.col("nv"), F.col("pn"))
+                         .alias("_cos")))
+        return (exact.orderBy(F.desc("_cos"), id_col).limit(k)
+                .select(id_col, F.round("_cos", 6).alias("cosine_sim")))
+
+    if vectorized:
         import numpy as np
         import pandas as pd
-        from pyspark.sql import types as T
 
         schema = T.StructType([T.StructField("id", T.LongType()),
                                T.StructField("_qcos", T.DoubleType())])
@@ -615,47 +789,16 @@ def quantized_cosine_topk(emb: DataFrame, probe_id, k: int = 10,
             return fn
 
         if probe_vec is not None:
-            # Driver-side probe quantization, bit-identical to
-            # quantize_embeddings/quantized_codes_table: same IEEE ops in
-            # the same order, on Python doubles.
-            pv = [float(x) for x in probe_vec]
-            pmn, pmx = min(pv), max(pv)
-            psc = (pmx - pmn) / 255.0 if pmx > pmn else 1.0
-            pcodes = [int(math.floor((x - pmn) / psc + 0.5)) for x in pv]
-            psum = psum2 = 0
-            for c in pcodes:
-                psum += c
-            for c in pcodes:
-                psum2 += c * c
-            d = float(len(pcodes))
-            pdn = math.sqrt(d * pmn * pmn + 2.0 * pmn * psc * float(psum)
-                            + psc * psc * float(psum2))
-            acc = 0.0
-            for x in pv:            # sequential fold, matches l2_norm
-                acc = acc + x * x
-            pn = math.sqrt(acc)
+            pv, pcodes, pmn, psc, psum, pdn, pn = _quantize_probe(probe_vec)
             qc = np.asarray(pcodes, dtype=np.int64)
-
             coarse = (codes.filter(F.col("id") != probe_id)
                       .select("id", "codes", "mn", "sc", "sum_c", "dn")
                       .mapInPandas(scorer((qc, pmn, psc, psum, pdn)),
                                    schema=schema)
                       .orderBy(F.desc("_qcos"), "id").limit(n_cand)
                       .select(F.col("id").alias(id_col)))
-            # Probe as ONE parsed literal array (repr round-trips doubles
-            # exactly; a py4j-built F.lit per element walks the gateway) —
-            # the rescore computes vectors/norms AFTER the broadcast join,
-            # i.e. for the O(rescore_factor·k) candidates only.
-            plit = F.expr(
-                "array(" + ",".join(f"{x!r}D" for x in pv) + ")")
-            cand_v = as_double(F.col(vec_col))
-            exact = (emb.join(F.broadcast(coarse), id_col)
-                     .select(F.col(id_col),
-                             cosine_with_norms(cand_v, plit,
-                                               l2_norm(cand_v),
-                                               F.lit(pn)).alias("_cos")))
-            return (exact.orderBy(F.desc("_cos"), id_col).limit(k)
-                    .select(id_col, F.round("_cos", 6).alias("cosine_sim")))
+            return _rescore_with_literal_probe(emb, coarse, pv, pn, k,
+                                               id_col, vec_col)
 
         probe_codes = (codes.filter(F.col("id") == probe_id)
                        .select(F.col("codes").alias("p_codes"),
@@ -669,51 +812,38 @@ def quantized_cosine_topk(emb: DataFrame, probe_id, k: int = 10,
                   .mapInPandas(scorer(None), schema=schema)
                   .orderBy(F.desc("_qcos"), "id").limit(n_cand)
                   .select("id"))
-        exact = (base.join(F.broadcast(coarse), "id")
-                 .crossJoin(F.broadcast(probe))
-                 .select(F.col("id").alias(id_col),
-                         cosine_with_norms(F.col("v"), F.col("pv"),
-                                           F.col("nv"), F.col("pn"))
-                         .alias("_cos")))
-        return (exact.orderBy(F.desc("_cos"), id_col).limit(k)
-                .select(id_col, F.round("_cos", 6).alias("cosine_sim")))
+        return _rescore(coarse)
 
-    from pyspark.sql import types as T
-    if isinstance(codes.schema["codes"].dataType, T.BinaryType):
-        raise ValueError(
-            "binary-packed codes require vectorized=True; the JVM HOF "
-            "path scores array-typed codes (quantized_codes_table)")
+    # --- pure-JVM coarse pass ---
+    if probe_vec is not None:
+        pv, pcodes, pmn, psc, psum, pdn, pn = _quantize_probe(probe_vec)
+        # Probe constants inlined as SQL double/array literals (repr
+        # round-trips doubles exactly); no probe columns, no joins in
+        # the coarse stage.
+        qarr = "array(" + ",".join(f"{c}L" for c in pcodes) + ")"
+        qcos = _jvm_qcos_sql(_ints_sql("codes"), qarr, f"{pmn!r}D",
+                             f"{psc!r}D", f"{float(psum)!r}D", f"{pdn!r}D")
+        coarse = (codes.filter(F.col("id") != probe_id)
+                  .select(F.col("id").alias(id_col),
+                          F.expr(qcos).alias("_qcos"))
+                  .orderBy(F.desc("_qcos"), id_col).limit(n_cand)
+                  .select(id_col))
+        return _rescore_with_literal_probe(emb, coarse, pv, pn, k,
+                                           id_col, vec_col)
+
     probe_q = (codes.filter(F.col("id") == probe_id)
-               .select(F.col("codes").alias("qc"), F.col("mn").alias("pmn"),
-                       F.col("sc").alias("psc"),
+               .select(F.col("codes").alias("p_codes"),
+                       F.col("mn").alias("pmn"), F.col("sc").alias("psc"),
                        F.col("sum_c").alias("psum"),
                        F.col("dn").alias("pdn")))
-    d = F.size("codes").cast("double")
-    # cast BEFORE multiplying: codes at rest are smallint and Spark's
-    # smallint*smallint stays smallint (255*255 would overflow)
-    idot = F.aggregate(
-        F.zip_with("codes", "qc", lambda a, b: a.cast("bigint") * b),
-        F.lit(0).cast("bigint"), lambda acc, x: acc + x).cast("double")
-    dot = (d * F.col("mn") * F.col("pmn")
-           + F.col("mn") * F.col("psc") * F.col("psum").cast("double")
-           + F.col("pmn") * F.col("sc") * F.col("sum_c").cast("double")
-           + F.col("sc") * F.col("psc") * idot)
-    den = F.col("dn") * F.col("pdn")
+    qcos = _jvm_qcos_sql(_ints_sql("codes"), _ints_sql("p_codes"), "pmn",
+                         "psc", "CAST(psum AS DOUBLE)", "pdn")
     coarse = (codes.filter(F.col("id") != probe_id)
               .crossJoin(F.broadcast(probe_q))
-              .select(F.col("id"),
-                      F.when(den > 0, dot / den).otherwise(F.lit(0.0))
-                      .alias("_qcos"))
+              .select(F.col("id"), F.expr(qcos).alias("_qcos"))
               .orderBy(F.desc("_qcos"), "id").limit(n_cand)
               .select("id"))
-    exact = (base.join(F.broadcast(coarse), "id")
-             .crossJoin(F.broadcast(probe))
-             .select(F.col("id").alias(id_col),
-                     cosine_with_norms(F.col("v"), F.col("pv"),
-                                       F.col("nv"), F.col("pn"))
-                     .alias("_cos")))
-    return (exact.orderBy(F.desc("_cos"), id_col).limit(k)
-            .select(id_col, F.round("_cos", 6).alias("cosine_sim")))
+    return _rescore(coarse)
 
 
 def srp_bucket_topk(emb: DataFrame, probe_id, k: int = 20,

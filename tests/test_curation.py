@@ -307,3 +307,35 @@ def test_shuffle_shards_single_exchange(spark):
             ._jdf.queryExecution().executedPlan().toString())
     # One hash exchange on shard; the per-shard rank reuses it.
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_prepare_corpus_composition(spark):
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        prepare_corpus, quality_filter, shuffle_shards)
+    # 30 good docs (two of them exact dups), one too-short doc.
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(30)), "en", "web")
+            for i in range(30)]
+    rows[7] = (7, rows[3][1], "en", "web")          # dup of doc 3
+    rows.append((99, "too short", "en", "web"))
+    docs = _docs(spark, rows)
+    out = prepare_corpus(docs, token_budget=64, n_shards=4).collect()
+    ids = sorted(r.doc_id for r in out)
+    assert 99 not in ids          # quality-filtered
+    assert 7 not in ids           # dedup loser (3 survives)
+    assert 3 in ids
+    assert len(ids) == 29
+    # Shard/position mirror shuffle_shards over the survivor set.
+    surv = docs.filter(docs.doc_id.isin(ids))
+    expect = {(r.doc_id, r.shard, r.position)
+              for r in shuffle_shards(surv, n_shards=4).collect()}
+    assert {(r.doc_id, r.shard, r.position) for r in out} == expect
+    # Packing invariants: bin offsets within budget; bins non-decreasing
+    # in shuffle order per shard.
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r.bin_offset < 64 or r.n_tokens > 64
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.position)
+        bins = [r.bin_id for r in rs]
+        assert bins == sorted(bins)

@@ -336,3 +336,81 @@ def test_ivf_partitioned_prunes_cells_and_matches_in_memory(
     assert 0 < n_files < total_files
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_ivf_append_batch_extends_partitioned_corpus(spark, sf_dir,
+                                                     tmp_path):
+    # Index maintenance: write the corpus MINUS a tail batch, append the
+    # batch against the same (fixed) centroid model, and the table at
+    # rest must equal the one-shot full write — same rows per cell, and
+    # partition pruning still works on the appended layout.
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        ivf_append_batch, ivf_incremental_assign, write_ivf_partitioned)
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    emb = load_table(spark, "embeddings", sf_dir)
+    old = emb.filter(F.col("vec_id") < 450)
+    batch = emb.filter(F.col("vec_id") >= 450)
+    assert batch.count() > 0
+
+    inc_path = str(tmp_path / "ivf_inc")
+    write_ivf_partitioned(old, inc_path, n_centroids=16)
+    ivf_append_batch(batch, inc_path, model=emb, n_centroids=16)
+
+    full_path = str(tmp_path / "ivf_full")
+    write_ivf_partitioned(emb, full_path, n_centroids=16)
+
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(inc_path)
+                 .select("id", "cell").collect())
+    want = sorted(tuple(r) for r in
+                  spark.read.parquet(full_path)
+                  .select("id", "cell").collect())
+    assert got == want
+
+    # The assignment query alone matches the appended rows' cells.
+    assigned = {(r.vec_id, r.cell) for r in
+                ivf_incremental_assign(batch, emb, n_centroids=16).collect()}
+    appended = {(r.id, r.cell) for r in
+                spark.read.parquet(inc_path)
+                .filter(F.col("id") >= 450).collect()}
+    assert assigned == appended
+
+    # Pruning survives the append: a single-cell read opens only that
+    # cell's files.
+    one_cell = spark.read.parquet(inc_path).filter(F.col("cell") == 3)
+    one_cell.count()
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_quantized_coarse_engines_identical(spark, sf_dir, tmp_path):
+    # The Arrow (numpy matmul) and pure-JVM (decode+HOF fold) coarse
+    # passes must produce the SAME shortlist and final ranking — same
+    # IEEE op order by construction — and "auto" must pick one of them
+    # off catalog size without changing results.
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        quantized_cosine_topk, write_quantized_codes)
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    import pyarrow.parquet as pq
+    import os
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = str(tmp_path / "qcodes")
+    write_quantized_codes(emb, path)
+    codes = spark.read.parquet(path)
+    pv = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       filters=[("vec_id", "=", 0)],
+                       columns=["embedding"]).column("embedding")[0].as_py()
+    outs = {}
+    for mode in (True, False, "auto"):
+        outs[mode] = [tuple(r) for r in
+                      quantized_cosine_topk(emb, 0, k=10, rescore_factor=5,
+                                            codes=codes, probe_vec=pv,
+                                            vectorized=mode).collect()]
+    assert outs[True] == outs[False] == outs["auto"]
+    # In-plan probe fetch (no probe_vec) agrees too, on both engines.
+    for mode in (True, False):
+        got = [tuple(r) for r in
+               quantized_cosine_topk(emb, 0, k=10, rescore_factor=5,
+                                     codes=codes,
+                                     vectorized=mode).collect()]
+        assert got == outs[True]
