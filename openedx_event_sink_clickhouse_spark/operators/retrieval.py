@@ -37,10 +37,14 @@ B = 0.75
 def _doc_terms(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exploded (doc, term, tf) with per-doc length alongside."""
     toks = words(F.col(text_col))
+    # outer + null-drop: empty docs tokenize to an empty array (inner
+    # explode drops them; outer emits a null row we filter cheaply) —
+    # and the inferred size()>0 filter would re-tokenize every doc.
     return (docs
             .select(F.col(id_col).alias("doc_id"),
                     F.size(toks).alias("dl"),
-                    F.explode(toks).alias("term"))
+                    F.explode_outer(toks).alias("term"))
+            .filter(F.col("term").isNotNull())
             .groupBy("doc_id", "dl", "term")
             .agg(F.count("*").alias("tf")))
 

@@ -100,8 +100,12 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float,
     # Candidate stream is (id, table_idx, bucket) ONLY — the 64-dim
     # vectors never ride the bucket shuffle; they re-join onto the
     # (much smaller) deduped candidate pair set for the verify pass.
+    # posexplode_OUTER: the bucket array is a fixed num_tables of SRP
+    # signatures (never null/empty), and an inner generate would get an
+    # inferred size()>0 filter that re-runs every table's plane dot
+    # products a second time (see dedup.minhash_lsh_pairs).
     buckets = sigs.select(
-        "id", F.posexplode("buckets").alias("table_idx", "bucket"))
+        "id", F.posexplode_outer("buckets").alias("table_idx", "bucket"))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b, ["table_idx", "bucket"])
             .filter(F.col("a.id") < F.col("b.id"))

@@ -2596,8 +2596,9 @@ def _top_ngrams(spark, sf_dir):
     # — never a full sort of the vocabulary.
     from .functions.text import distinct_shingles
     docs = _t(spark, sf_dir, "documents")
-    return (docs.select(F.explode(distinct_shingles(F.col("text"), 2))
+    return (docs.select(F.explode_outer(distinct_shingles(F.col("text"), 2))
                         .alias("gram"))
+            .filter(F.col("gram").isNotNull())
             .groupBy("gram").agg(F.count("*").alias("n_docs"))
             .orderBy(F.desc("n_docs"), "gram").limit(50))
 
