@@ -86,6 +86,7 @@ HEADLINE = [
     "cur_shuffle_shards",          # deterministic epoch shuffle
     "llm_prepare_corpus",          # composed filter+dedup+shuffle+pack
     "sim_ivf_incremental",         # batch assignment vs fixed centroids
+    "sim_hard_negatives",          # ceiling-filtered contrastive mining
 ]
 
 

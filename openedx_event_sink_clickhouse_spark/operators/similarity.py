@@ -850,6 +850,41 @@ def quantized_cosine_topk(emb: DataFrame, probe_id, k: int = 10,
     return _rescore(coarse)
 
 
+def hard_negative_mining(emb: DataFrame, n_probes: int = 10, k: int = 5,
+                         max_sim: float = 0.9, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Hard-negative mining for contrastive training: for every probe
+    (ids < n_probes), the ``k`` MOST similar corpus vectors whose cosine
+    stays BELOW ``max_sim`` — near the decision boundary, but not
+    near-duplicates (those train nothing and leak label noise). Returns
+    (probe_id, vec_id, rank, cosine_sim).
+
+    Same plan as :func:`multi_probe_topk` — probe set (with precomputed
+    norms) broadcasts, the corpus streams through ONE map pass scoring
+    all probes per row — with the duplicate ceiling applied as a
+    map-side filter BEFORE the per-probe rank window, so excluded
+    near-dups never enter the rank shuffle. At 100 TB the probe side is
+    the training batch (small) and the scan parallelizes over the
+    corpus; with millions of probes this flips to the IVF/LSH-bucketed
+    candidate plans like every other probe workload here."""
+    base = _vec_base(emb, id_col, vec_col)
+    probes = (base.filter(F.col("id") < n_probes)
+              .select(F.col("id").alias("probe_id"),
+                      F.col("v").alias("pv"), F.col("nv").alias("pn")))
+    corpus = base.filter(F.col("id") >= n_probes)
+    scored = (corpus.crossJoin(F.broadcast(probes))
+              .select("probe_id", F.col("id").alias(id_col),
+                      cosine_with_norms(F.col("v"), F.col("pv"),
+                                        F.col("nv"), F.col("pn"))
+                      .alias("_cos"))
+              .filter(F.col("_cos") < max_sim))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("_cos"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", id_col, "rank",
+                    F.round("_cos", 6).alias("cosine_sim")))
+
+
 def srp_bucket_topk(emb: DataFrame, probe_id, k: int = 20,
                     num_planes: int = 8, num_tables: int = 1,
                     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -2623,6 +2623,31 @@ def _sim_multi(spark, sf_dir):
                             n_probes=10, k=5)
 
 
+@register("sim_hard_negatives", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT p.probe_id, e.vec_id, {_cos_sql('e.v', 'p.pv')} AS c
+  FROM e, p WHERE e.vec_id >= 10),
+ranked AS (
+  SELECT probe_id, vec_id, c,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY c DESC, vec_id) AS rank
+  FROM scored WHERE c < 0.35)
+SELECT probe_id, vec_id, rank, round(c, 6) AS cosine_sim
+FROM ranked WHERE rank <= 5
+""")
+def _sim_hardneg(spark, sf_dir):
+    # Contrastive hard negatives: most-similar-but-below-the-dup-ceiling
+    # per probe; the ceiling filters map-side before the rank window.
+    # (0.35 sits just under this synthetic corpus's near-dup band, so
+    # the ceiling provably excludes rows at sf0.01 — the semantics under
+    # test, not a production threshold.)
+    from .operators.similarity import hard_negative_mining
+    return hard_negative_mining(_t(spark, sf_dir, "embeddings"),
+                                n_probes=10, k=5, max_sim=0.35)
+
+
 # --------------------------------------------------------------------------
 # Corpus curation (operators/curation.py) — filter / scrub / decontaminate
 # / sample / pack / mix, the pipeline stages between ingest and training.
@@ -3607,7 +3632,7 @@ _PRIORITY = [
     "dedup_minhash_lsh", "dedup_clusters", "dedup_survivors",
     "dedup_exact",
     # -- family canaries (green in earlier rounds; re-confirm) --
-    "s1_full_scan", "s7_dim_enrich_join", "s9_parent_child_expand",
+    "s1_full_scan", "sim_hard_negatives", "s9_parent_child_expand",
     "sim_ivf_incremental", "t1_tree_ordinals", "a1_watermarks",
     "d1_retire_users", "serialize_user_profile",
     "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_duplicate_spans",

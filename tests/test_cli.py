@@ -43,3 +43,15 @@ def test_end_to_end_dump_with_ids_and_limit(spark, tmp_path, capsys):
     assert "dumped 7 rows of events" in capsys.readouterr().out
     dumped = spark.read.parquet(str(tmp_path / "events"))
     assert dumped.count() == 7
+
+
+def test_get_spark_returns_live_session_untouched(spark):
+    # Library entry points must not re-apply builder confs onto a live
+    # session (Spark merges a reused builder's runtime SQL confs into
+    # it): resetting shuffle.partitions mid-session silently flips
+    # bucketed-scan planning for every later query.
+    from openedx_event_sink_clickhouse_spark.session import get_spark
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    again = get_spark("someone-elses-app")
+    assert again is spark
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev

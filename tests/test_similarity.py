@@ -414,3 +414,29 @@ def test_quantized_coarse_engines_identical(spark, sf_dir, tmp_path):
                                      codes=codes,
                                      vectorized=mode).collect()]
         assert got == outs[True]
+
+
+def test_hard_negative_mining_excludes_near_duplicates(spark, sf_dir):
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        hard_negative_mining, multi_probe_topk)
+    emb = _emb(spark, sf_dir)
+    ceiling = 0.35
+    hard = hard_negative_mining(emb, n_probes=10, k=5,
+                                max_sim=ceiling).collect()
+    assert len(hard) > 0
+    by_probe: dict[int, list] = {}
+    for r in hard:
+        assert r.cosine_sim < ceiling
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for rs in by_probe.values():
+        rs.sort(key=lambda r: r.rank)
+        sims = [r.cosine_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+    # The ceiling is doing real work: the unconstrained top-k contains
+    # rows above it that mining must skip past.
+    plain = multi_probe_topk(emb, n_probes=10, k=5).collect()
+    assert any(r.cosine_sim >= ceiling for r in plain)
+    plain_top = {(r.probe_id, r.vec_id) for r in plain}
+    hard_top = {(r.probe_id, r.vec_id) for r in hard}
+    assert hard_top != plain_top
