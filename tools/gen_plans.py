@@ -32,6 +32,11 @@ SHOW = [
     "cur_clean_lines",
     "evt_funnel",
     "evt_cohort_retention",
+    "llm_prepare_corpus",
+    "cur_shuffle_shards",
+    "sim_ivf_incremental",
+    "sim_hard_negatives",
+    "dedup_incremental",
 ]
 
 SF = "/root/testdata/sf0.001"
