@@ -97,20 +97,33 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float,
     from .dedup import ensure_min_parallelism
     sigs = ensure_min_parallelism(base).withColumn(
         "buckets", F.array(*[srp_signature(F.col("v"), p) for p in tables]))
-    # Candidate stream is (id, table_idx, bucket) ONLY — the 64-dim
-    # vectors never ride the bucket shuffle; they re-join onto the
-    # (much smaller) deduped candidate pair set for the verify pass.
+    # Candidate stream is (id, buckets, table_idx, bucket) — the 64-dim
+    # vectors never ride the bucket shuffle (the num_tables-int bucket
+    # array does, so the first-match filter below can run join-side);
+    # vectors re-join onto the candidate pair set for the verify pass.
     # posexplode_OUTER: the bucket array is a fixed num_tables of SRP
     # signatures (never null/empty), and an inner generate would get an
     # inferred size()>0 filter that re-runs every table's plane dot
     # products a second time (see dedup.minhash_lsh_pairs).
     buckets = sigs.select(
-        "id", F.posexplode_outer("buckets").alias("table_idx", "bucket"))
+        "id", "buckets",
+        F.posexplode_outer("buckets").alias("table_idx", "bucket"))
     a, b = buckets.alias("a"), buckets.alias("b")
+    # FIRST-MATCHING-TABLE emission (same rewrite as simhash_near_pairs):
+    # a pair colliding in m tables would surface m times; requiring every
+    # earlier table's buckets to differ keeps exactly one occurrence, so
+    # the candidate stream reaches the verify joins with NO dedup
+    # exchange (measured 3× on this stage at sf0.1, identical output).
+    first_match = F.lit(True)
+    for t in range(num_tables):
+        first_match = first_match & (
+            (F.lit(t) >= F.col("table_idx"))
+            | (F.element_at(F.col("a.buckets"), t + 1)
+               != F.element_at(F.col("b.buckets"), t + 1)))
     cand = (a.join(b, ["table_idx", "bucket"])
             .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct())
+            .filter(first_match)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
     va = sigs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
                      F.col("nv").alias("nv_a"))
     vb = sigs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
