@@ -208,3 +208,29 @@ def test_unigram_logprob_vocab_join_unforced(q, spark, sf_dir):
     # join; the single remaining hint is the 1-row total.
     df = q["text_unigram_logprob"](spark, sf_dir)
     assert _n_broadcast_hints(df) == 1
+
+
+def test_simhash_pairs_no_exchange_after_band_join(q, spark, sf_dir):
+    # First-matching-band emission: candidate pairs must flow from the
+    # band self-join to the output with NO dedup exchange — the plan has
+    # exactly the join's own exchanges and no Aggregate/HashAggregate
+    # for a distinct above them.
+    plan = plan_of(q["dedup_simhash_pairs"](spark, sf_dir))
+    assert "Join" in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_srp_neardup_no_distinct_exchange(q, spark, sf_dir):
+    # Same property for the SRP-blocked candidate stream: the only
+    # aggregates anywhere in the plan would be a distinct — there must
+    # be none.
+    plan = plan_of(q["sim_neardup_pairs"](spark, sf_dir))
+    assert "HashAggregate" not in plan, plan
+
+
+def test_shuffle_shards_rank_and_pack_share_exchange(q, spark, sf_dir):
+    # llm_prepare_corpus: the shard rank and the running token sum are
+    # windows over ONE spec — a single Exchange+Sort pair serves both
+    # (divergent specs would double the shard shuffle).
+    plan = plan_of(q["llm_prepare_corpus"](spark, sf_dir))
+    assert plan.count("Window") == 1, plan
