@@ -87,6 +87,7 @@ HEADLINE = [
     "llm_prepare_corpus",          # composed filter+dedup+shuffle+pack
     "sim_ivf_incremental",         # batch assignment vs fixed centroids
     "sim_hard_negatives",          # ceiling-filtered contrastive mining
+    "cur_perplexity_filter",       # corpus-LM perplexity band filter
 ]
 
 

@@ -578,3 +578,46 @@ def write_epoch_shards(docs: DataFrame, path: str, n_shards: int = 16,
                          (F.row_number().over(w) - 1).cast("bigint"))
            .drop("_key"))
     out.write.partitionBy("shard").mode("overwrite").parquet(path)
+
+
+def perplexity_filter(docs: DataFrame, low_q: float = 0.05,
+                      high_q: float = 0.9,
+                      bounds: tuple[float, float] | None = None,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style language-model perplexity band filter: score every
+    document against the corpus's own unigram LM and keep those whose
+    perplexity falls between the ``low_q`` and ``high_q`` QUANTILES of
+    the corpus distribution — the top tail is noise/gibberish (the LM
+    can't predict it), the bottom tail is degenerate boilerplate (too
+    predictable to teach anything). Returns
+    (doc_id, unigram_ppl, keep).
+
+    Pass ``bounds=(lo, hi)`` to pin absolute thresholds instead (the
+    production shape once a corpus profile exists — fixed bounds keep
+    daily increments comparable; quantiles re-derive the band per run).
+
+    Plan: the LM scoring is :func:`~.textstats.unigram_logprob` (one
+    vocab aggregate + unhinted model join); the band is a 1-row exact
+    percentile aggregate broadcast back — the corpus never re-shuffles
+    for the filter. At 100 TB swap the exact percentile for
+    ``approx_percentile`` (mergeable sketch), same plan shape."""
+    from .textstats import unigram_logprob
+
+    lp = unigram_logprob(docs, text_col, id_col) \
+        .select(id_col, "unigram_ppl")
+    if bounds is not None:
+        lo, hi = (F.lit(float(bounds[0])), F.lit(float(bounds[1])))
+        banded = lp.withColumn("_lo", lo).withColumn("_hi", hi)
+    else:
+        q = lp.agg(
+            F.round(F.expr(f"percentile(unigram_ppl, {low_q!r})"), 6)
+            .alias("_lo"),
+            F.round(F.expr(f"percentile(unigram_ppl, {high_q!r})"), 6)
+            .alias("_hi"))
+        banded = lp.crossJoin(F.broadcast(q))
+    return banded.select(
+        id_col, "unigram_ppl",
+        ((F.col("unigram_ppl") >= F.col("_lo"))
+         & (F.col("unigram_ppl") <= F.col("_hi")))
+        .cast("int").alias("keep"))

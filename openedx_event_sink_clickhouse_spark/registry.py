@@ -3402,6 +3402,38 @@ def _tx_lp(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+@register("cur_perplexity_filter", """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+tok AS (SELECT doc_id, unnest(w) AS word FROM toks),
+freq AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+scored AS (
+  SELECT t.doc_id, ln(f.c / tot.n) AS lp
+  FROM tok t JOIN freq f USING (word) CROSS JOIN tot),
+ppl AS (
+  SELECT doc_id, round(exp(-avg(lp)), 6) AS unigram_ppl
+  FROM scored GROUP BY doc_id),
+band AS (
+  SELECT round(quantile_cont(unigram_ppl, 0.05), 6) AS lo,
+         round(quantile_cont(unigram_ppl, 0.9), 6) AS hi
+  FROM ppl)
+SELECT doc_id, unigram_ppl,
+       CAST(CASE WHEN unigram_ppl >= lo AND unigram_ppl <= hi
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM ppl CROSS JOIN band
+""")
+def _cur_ppl(spark, sf_dir):
+    # CCNet-style perplexity band: LM-unpredictable docs (noise) and
+    # too-predictable docs (boilerplate) both drop; the band is a 1-row
+    # exact-percentile broadcast over rounded ppl (rounded on BOTH
+    # engines so interpolation noise can't flip a boundary doc).
+    from .operators.curation import perplexity_filter
+    return perplexity_filter(_t(spark, sf_dir, "documents"),
+                             low_q=0.05, high_q=0.9)
+
+
 # Real BPE (trainer + encoder, operators/bpe.py) — the iterative merge
 # loop is the textbook non-SQL-expressible op, so this registers WITHOUT
 # an oracle (driver records the rows-only check); the algorithm itself is
@@ -3640,7 +3672,7 @@ _PRIORITY = [
     "stream_tumbling_stats", "stream_session_stats",
     "text_quality_signals", "text_unigram_logprob", "text_top_ngrams",
     "evt_sessionize", "evt_cohort_retention",
-    "cur_quality_filter", "cur_pack_sequences", "cur_decontaminate_bloom",
+    "cur_quality_filter", "cur_perplexity_filter", "cur_decontaminate_bloom",
     "ret_bm25_topk", "mm_decode_stats", "mm_resize",
     "asof_last_purchase", "skew_salted_agg",
     "cur_shuffle_shards", "llm_prepare_corpus",

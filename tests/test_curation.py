@@ -365,3 +365,26 @@ def test_write_epoch_shards_files_are_in_epoch_order(spark, tmp_path):
     # Payload rides along: full doc columns present.
     assert {"doc_id", "text", "lang", "source", "position"} <= \
         set(back.columns)
+
+
+def test_perplexity_filter_band_semantics(spark, sf_dir):
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        perplexity_filter)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = perplexity_filter(docs, low_q=0.05, high_q=0.9).collect()
+    assert len(out) == docs.count()
+    kept = [r.unigram_ppl for r in out if r.keep == 1]
+    dropped = [r.unigram_ppl for r in out if r.keep == 0]
+    # Both tails drop: something above the kept max and something below
+    # the kept min.
+    assert dropped and kept
+    assert max(dropped) > max(kept)
+    assert min(dropped) < min(kept)
+    # Roughly the right mass inside the band (exact percentile band).
+    frac = len(kept) / len(out)
+    assert 0.75 <= frac <= 0.9
+    # Absolute-bounds mode pins the band explicitly.
+    lo, hi = min(kept), max(kept)
+    fixed = perplexity_filter(docs, bounds=(lo, hi)).collect()
+    assert {(r.doc_id, r.keep) for r in fixed} == \
+        {(r.doc_id, r.keep) for r in out}
