@@ -88,6 +88,7 @@ HEADLINE = [
     "sim_ivf_incremental",         # batch assignment vs fixed centroids
     "sim_hard_negatives",          # ceiling-filtered contrastive mining
     "cur_perplexity_filter",       # corpus-LM perplexity band filter
+    "llm_release_pipeline",        # scrub+filter+decontaminate+dedup+shuffle
 ]
 
 

@@ -3613,6 +3613,90 @@ def _llmprep(spark, sf_dir):
                           token_budget=512, n_shards=16)
 
 
+@register("llm_release_pipeline", f"""
+WITH injected AS (
+  SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents
+), s1 AS (
+  SELECT doc_id,
+    regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g') AS text
+  FROM injected
+), s2 AS (
+  SELECT doc_id,
+    regexp_replace(text, '{_PHONE_PAT}', '<PHONE>', 'g') AS text
+  FROM s1
+), scrub AS (
+  SELECT doc_id,
+    regexp_replace(text, '{_SSN_PAT}', '<SSN>', 'g') AS text
+  FROM s2
+), sig AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM scrub
+), qual AS (
+  SELECT doc_id, text, len(w) AS n_tokens,
+    len(w) AS n_words,
+    len(list_distinct(w))::DOUBLE / len(w) AS uniq_word_ratio,
+    (length(text) -
+     length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+    / length(text) AS punct_ratio
+  FROM sig
+), kept AS (
+  SELECT doc_id, text, n_tokens FROM qual
+  WHERE n_words >= 20 AND n_words <= 95
+    AND uniq_word_ratio >= 0.35 AND punct_ratio <= 0.20
+), bg AS (
+  SELECT DISTINCT unnest({_gram8_sql()}) AS gram FROM documents
+  WHERE doc_id < 5
+), cg AS (
+  SELECT doc_id AS id, unnest({shingles_sql('text', 8)}) AS gram FROM kept
+), dirty AS (SELECT DISTINCT id FROM cg JOIN bg USING (gram)),
+clean AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT id FROM dirty)
+), firsts AS (
+  SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)
+), surv AS (
+  SELECT c.doc_id, c.n_tokens,
+         CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS key
+  FROM clean c JOIN firsts USING (doc_id)
+), sh AS (
+  SELECT doc_id, n_tokens, key, CAST(key % 16 AS INT) AS shard FROM surv
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id)
+            - 1 AS BIGINT) AS position,
+       n_tokens
+FROM sh
+""")
+def _llmrel(spark, sf_dir):
+    # The full release flow, composed: PII scrub (on the injected-PII
+    # corpus, so the stage provably transforms text) -> quality filter
+    # on the SCRUBBED text -> benchmark decontamination (8-gram overlap
+    # vs raw docs < 5; contaminated docs DROP, unlike the flag-only
+    # cur_decontaminate) -> exact dedup on scrubbed content -> epoch
+    # shuffle placement. Every stage is a batch operator reused as-is;
+    # the whole pipeline is one Catalyst plan.
+    from .operators.curation import (decontaminate, quality_filter,
+                                     scrub_pii, shuffle_shards)
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id", F.concat(F.col("text"), _PII_SUFFIX_SPARK()).alias("text"))
+    scrub = scrub_pii(injected).select(
+        "doc_id", F.col("scrubbed_text").alias("text"))
+    q = quality_filter(scrub).filter(F.col("keep") == 1).select("doc_id")
+    kept = scrub.join(q, "doc_id").select(
+        "doc_id", "text",
+        F.size(F.split(F.lower(F.col("text")), " ", -1)).alias("n_tokens"))
+    bench = docs.filter(F.col("doc_id") < 5)
+    dec = decontaminate(kept, bench, n=8)
+    clean = kept.join(
+        dec.filter(F.col("contaminated") == 0).select("doc_id"), "doc_id")
+    firsts = (clean.groupBy(F.md5(F.col("text")).alias("_h"))
+              .agg(F.min("doc_id").alias("doc_id")))
+    surv = clean.join(firsts.select("doc_id"), "doc_id")
+    placed = shuffle_shards(surv, n_shards=16)
+    return (placed.join(surv.select("doc_id", "n_tokens"), "doc_id")
+            .select("doc_id", "shard", "position", "n_tokens"))
+
+
 @register("cur_shuffle_shards", """
 WITH k AS (
   SELECT doc_id,
@@ -3673,7 +3757,7 @@ _PRIORITY = [
     "text_quality_signals", "text_unigram_logprob", "text_top_ngrams",
     "evt_sessionize", "evt_cohort_retention",
     "cur_quality_filter", "cur_perplexity_filter", "cur_decontaminate_bloom",
-    "ret_bm25_topk", "mm_decode_stats", "mm_resize",
+    "ret_bm25_topk", "mm_decode_stats", "llm_release_pipeline",
     "asof_last_purchase", "skew_salted_agg",
     "cur_shuffle_shards", "llm_prepare_corpus",
 ]
