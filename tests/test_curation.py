@@ -388,3 +388,21 @@ def test_perplexity_filter_band_semantics(spark, sf_dir):
     fixed = perplexity_filter(docs, bounds=(lo, hi)).collect()
     assert {(r.doc_id, r.keep) for r in fixed} == \
         {(r.doc_id, r.keep) for r in out}
+
+
+def test_release_pipeline_drops_benchmark_and_scrubs(spark, sf_dir):
+    # End-to-end semantics that the hash-match alone doesn't surface:
+    # benchmark docs (< 5) must be decontaminated OUT of the release
+    # (their own grams overlap themselves), and the output is a valid
+    # epoch placement over the survivor set.
+    from openedx_event_sink_clickhouse_spark.registry import REGISTRY
+    fn = REGISTRY["llm_release_pipeline"][0]
+    rows = fn(spark, sf_dir).collect()
+    ids = {r.doc_id for r in rows}
+    assert ids and not (ids & {0, 1, 2, 3, 4})
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.shard < 16 and r.n_tokens > 0
+        by_shard.setdefault(r.shard, []).append(r.position)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))
