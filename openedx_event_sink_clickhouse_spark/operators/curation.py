@@ -621,3 +621,68 @@ def perplexity_filter(docs: DataFrame, low_q: float = 0.05,
         ((F.col("unigram_ppl") >= F.col("_lo"))
          & (F.col("unigram_ppl") <= F.col("_hi")))
         .cast("int").alias("keep"))
+
+
+def release_corpus(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                   n_shards: int = 16, seed: int = 0,
+                   rules: dict | None = None, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """The release flow FUSED into one linear chain: quality filter +
+    benchmark decontamination as a single map-side predicate, exact
+    dedup as a content-hash window, then the epoch-shuffle placement.
+    Returns (doc_id, shard, position, n_tokens).
+
+    Why fused instead of chaining the standalone operators: each stage
+    boundary that reuses its input frame twice (flags joined back onto
+    the spine, placement joined back onto survivors) hands Catalyst the
+    upstream subplan twice, and with no materialization between stages
+    the whole scrub/filter chain re-executes per consumer — measured ~2×
+    the query at sf0.1. Here every frame has exactly ONE consumer: two
+    window exchanges (content-hash dedup, shard placement) are the only
+    shuffles, everything else is map-only.
+
+    The benchmark gram set ships as a PLAN LITERAL (one parsed array) —
+    benchmarks are bounded by definition, so this is the same
+    driver-state class as the IVF centroid model; at a scale where the
+    gram set outgrows a literal/broadcast, swap in the Bloom-filter
+    branch (:func:`decontaminate_bloom`)."""
+    r = {**QUALITY_RULES, **(rules or {})}
+    w = words(F.col(text_col))
+    n_words = F.size(w)
+    lowered = F.lower(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    uniq = F.size(F.array_distinct(w)).cast("double") / n_words
+    punct = ((n_chars
+              - F.length(F.regexp_replace(lowered, "[^a-z0-9 ]", "")))
+             .cast("double") / n_chars)
+    keep = ((n_words >= r["min_words"]) & (n_words <= r["max_words"])
+            & (uniq >= r["min_uniq_word_ratio"])
+            & (punct <= r["max_punct_ratio"]))
+
+    bench_w = words(F.col(text_col))
+    bg = sorted({row[0] for row in
+                 (benchmark.select(
+                     F.explode_outer(F.transform(
+                         F.array_distinct(ngrams(bench_w, n)),
+                         lambda g: md5_hash64(g))).alias("gh"))
+                  .filter(F.col("gh").isNotNull())
+                  .distinct().collect())})
+    bench_lit = F.expr("array(" + ",".join(f"{h}L" for h in bg) + ")")
+    doc_grams = F.transform(F.array_distinct(ngrams(w, n)),
+                            lambda g: md5_hash64(g))
+    clean = docs.filter(keep & ~F.arrays_overlap(doc_grams, bench_lit))
+
+    wdup = Window.partitionBy("_h").orderBy(id_col)
+    surv = (clean.select(F.col(id_col), F.size(w).alias("n_tokens"),
+                         F.md5(F.col(text_col)).alias("_h"))
+            .withColumn("_rn", F.row_number().over(wdup))
+            .filter(F.col("_rn") == 1))
+    key = md5_hash64(F.col(id_col), seed=seed)
+    wsh = Window.partitionBy("shard").orderBy("_key", id_col)
+    return (surv.select(id_col, "n_tokens", key.alias("_key"),
+                        F.pmod(key, F.lit(n_shards)).cast("int")
+                        .alias("shard"))
+            .select(id_col, "shard",
+                    (F.row_number().over(wsh) - 1).cast("bigint")
+                    .alias("position"),
+                    "n_tokens"))

@@ -3674,27 +3674,14 @@ def _llmrel(spark, sf_dir):
     # cur_decontaminate) -> exact dedup on scrubbed content -> epoch
     # shuffle placement. Every stage is a batch operator reused as-is;
     # the whole pipeline is one Catalyst plan.
-    from .operators.curation import (decontaminate, quality_filter,
-                                     scrub_pii, shuffle_shards)
+    from .operators.curation import release_corpus, scrub_pii
     docs = _t(spark, sf_dir, "documents")
     injected = docs.select(
         "doc_id", F.concat(F.col("text"), _PII_SUFFIX_SPARK()).alias("text"))
     scrub = scrub_pii(injected).select(
         "doc_id", F.col("scrubbed_text").alias("text"))
-    q = quality_filter(scrub).filter(F.col("keep") == 1).select("doc_id")
-    kept = scrub.join(q, "doc_id").select(
-        "doc_id", "text",
-        F.size(F.split(F.lower(F.col("text")), " ", -1)).alias("n_tokens"))
     bench = docs.filter(F.col("doc_id") < 5)
-    dec = decontaminate(kept, bench, n=8)
-    clean = kept.join(
-        dec.filter(F.col("contaminated") == 0).select("doc_id"), "doc_id")
-    firsts = (clean.groupBy(F.md5(F.col("text")).alias("_h"))
-              .agg(F.min("doc_id").alias("doc_id")))
-    surv = clean.join(firsts.select("doc_id"), "doc_id")
-    placed = shuffle_shards(surv, n_shards=16)
-    return (placed.join(surv.select("doc_id", "n_tokens"), "doc_id")
-            .select("doc_id", "shard", "position", "n_tokens"))
+    return release_corpus(scrub, bench, n=8, n_shards=16)
 
 
 @register("cur_shuffle_shards", """
