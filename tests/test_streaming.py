@@ -404,3 +404,33 @@ def test_brute_force_topk_runs_per_batch_via_foreach_batch(spark, sf_dir,
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert out == batch
+
+
+def test_release_corpus_runs_per_batch_via_foreach_batch(spark, sf_dir,
+                                                         tmp_path):
+    # The fused release pipeline is a deterministic batch plan, so a
+    # corpus arriving as a stream reuses it unchanged inside
+    # foreachBatch; one availableNow batch over the whole corpus must
+    # equal the batch run exactly. (Cross-batch dedup state is the
+    # digest-table loop — test_incremental_dedup_stream...; this pins
+    # the per-batch release shape.)
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        release_corpus)
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") < 5)
+    docs.coalesce(1).write.parquet(str(tmp_path / "docs"))
+    batch = sorted(tuple(r) for r in
+                   release_corpus(docs, bench, n=8, n_shards=8).collect())
+    out: list = []
+
+    def handle(bdf, epoch_id):
+        out.extend(tuple(r) for r in
+                   release_corpus(bdf, bench, n=8, n_shards=8).collect())
+
+    src = (spark.readStream.schema(docs.schema)
+           .parquet(str(tmp_path / "docs")))
+    q = (src.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "ckpt_rel"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(out) == batch
