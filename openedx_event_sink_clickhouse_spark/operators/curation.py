@@ -526,19 +526,31 @@ def prepare_corpus(docs: DataFrame, token_budget: int = 512,
 
     Shuffle + packing share ONE window spec (partition by shard, order
     by shuffle key): Catalyst plans a single Exchange+Sort for the
-    position rank and the running token sum together, so the whole
-    pipeline costs two fact shuffles — the dedup hash groupBy and the
-    shard exchange — plus map-side filtering. Nothing here collects,
-    samples, or depends on input order."""
-    q = (quality_filter(docs, text_col, rules)
-         .filter(F.col("keep") == 1).select(id_col))
-    kept = docs.join(q, id_col).select(
-        F.col(id_col),
-        F.size(words(F.col(text_col))).alias("n_tokens"),
-        F.md5(F.col(text_col)).alias("content_hash"))
-    firsts = (kept.groupBy("content_hash")
-              .agg(F.min(id_col).alias(id_col)))
-    surv = kept.join(firsts.select(id_col), id_col)
+    position rank and the running token sum together. The whole chain
+    is LINEAR — quality as a map-side predicate on the scan, dedup as a
+    content-hash window, then the shard window — so every frame has
+    exactly one consumer and nothing upstream re-executes (a flag-join
+    or survivor-join shape hands Catalyst the same uncached subplan
+    twice; see :func:`release_corpus`). Two shuffles total. Nothing
+    here collects, samples, or depends on input order."""
+    r = {**QUALITY_RULES, **(rules or {})}
+    w_toks = words(F.col(text_col))
+    n_words = F.size(w_toks)
+    lowered = F.lower(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    uniq = F.size(F.array_distinct(w_toks)).cast("double") / n_words
+    punct = ((n_chars
+              - F.length(F.regexp_replace(lowered, "[^a-z0-9 ]", "")))
+             .cast("double") / n_chars)
+    keep = ((n_words >= r["min_words"]) & (n_words <= r["max_words"])
+            & (uniq >= r["min_uniq_word_ratio"])
+            & (punct <= r["max_punct_ratio"]))
+    wdup = Window.partitionBy("_h").orderBy(id_col)
+    surv = (docs.filter(keep)
+            .select(F.col(id_col), n_words.cast("int").alias("n_tokens"),
+                    F.md5(F.col(text_col)).alias("_h"))
+            .withColumn("_rn", F.row_number().over(wdup))
+            .filter(F.col("_rn") == 1))
     key = md5_hash64(F.col(id_col), seed=seed)
     sharded = surv.select(
         F.col(id_col), F.col("n_tokens"),

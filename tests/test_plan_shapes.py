@@ -231,6 +231,11 @@ def test_srp_neardup_no_distinct_exchange(q, spark, sf_dir):
 def test_shuffle_shards_rank_and_pack_share_exchange(q, spark, sf_dir):
     # llm_prepare_corpus: the shard rank and the running token sum are
     # windows over ONE spec — a single Exchange+Sort pair serves both
-    # (divergent specs would double the shard shuffle).
+    # (divergent specs would double the shard shuffle). Exactly two
+    # Window nodes total: the content-hash dedup window and the shared
+    # shard window.
     plan = plan_of(q["llm_prepare_corpus"](spark, sf_dir))
-    assert plan.count("Window") == 1, plan
+    assert plan.count("Window [") == 2, plan
+    # ...and the one scan feeds it all: quality predicate at the scan,
+    # no second read of the documents table.
+    assert plan.count("FileScan parquet") == 1, plan
