@@ -635,10 +635,26 @@ def perplexity_filter(docs: DataFrame, low_q: float = 0.05,
         .cast("int").alias("keep"))
 
 
-def release_corpus(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+def benchmark_gram_hashes(benchmark: DataFrame, n: int = 8,
+                          text_col: str = "text") -> list[int]:
+    """The benchmark's distinct n-gram hash set, collected — a bounded,
+    per-dataset catalog fact (benchmarks are small by definition) that
+    callers can compute once and reuse across queries instead of paying
+    the collect per call."""
+    got = (benchmark.select(
+        F.explode_outer(F.transform(
+            F.array_distinct(ngrams(words(F.col(text_col)), n)),
+            lambda g: md5_hash64(g))).alias("gh"))
+        .filter(F.col("gh").isNotNull())
+        .distinct().collect())
+    return sorted({row[0] for row in got})
+
+
+def release_corpus(docs: DataFrame, benchmark: DataFrame | None, n: int = 8,
                    n_shards: int = 16, seed: int = 0,
                    rules: dict | None = None, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   bench_grams: list[int] | None = None) -> DataFrame:
     """The release flow FUSED into one linear chain: quality filter +
     benchmark decontamination as a single map-side predicate, exact
     dedup as a content-hash window, then the epoch-shuffle placement.
@@ -671,14 +687,8 @@ def release_corpus(docs: DataFrame, benchmark: DataFrame, n: int = 8,
             & (uniq >= r["min_uniq_word_ratio"])
             & (punct <= r["max_punct_ratio"]))
 
-    bench_w = words(F.col(text_col))
-    bg = sorted({row[0] for row in
-                 (benchmark.select(
-                     F.explode_outer(F.transform(
-                         F.array_distinct(ngrams(bench_w, n)),
-                         lambda g: md5_hash64(g))).alias("gh"))
-                  .filter(F.col("gh").isNotNull())
-                  .distinct().collect())})
+    bg = (bench_grams if bench_grams is not None
+          else benchmark_gram_hashes(benchmark, n, text_col))
     bench_lit = F.expr("array(" + ",".join(f"{h}L" for h in bg) + ")")
     doc_grams = F.transform(F.array_distinct(ngrams(w, n)),
                             lambda g: md5_hash64(g))
