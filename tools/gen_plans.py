@@ -33,6 +33,8 @@ SHOW = [
     "evt_funnel",
     "evt_cohort_retention",
     "llm_prepare_corpus",
+    "llm_release_pipeline",
+    "cur_perplexity_filter",
     "cur_shuffle_shards",
     "sim_ivf_incremental",
     "sim_hard_negatives",
