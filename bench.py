@@ -89,6 +89,8 @@ HEADLINE = [
     "sim_hard_negatives",          # ceiling-filtered contrastive mining
     "cur_perplexity_filter",       # corpus-LM perplexity band filter
     "llm_release_pipeline",        # scrub+filter+decontaminate+dedup+shuffle
+    "cur_split_assignment",        # stable train/val/test assignment
+    "dedup_cluster_sizes",         # duplicate-cluster size distribution
 ]
 
 

@@ -708,3 +708,19 @@ def release_corpus(docs: DataFrame, benchmark: DataFrame | None, n: int = 8,
                     (F.row_number().over(wsh) - 1).cast("bigint")
                     .alias("position"),
                     "n_tokens"))
+
+
+def train_val_test_split(docs: DataFrame, val_frac: float = 0.05,
+                         test_frac: float = 0.05,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment: split chosen by the
+    md5-uniform of the document id — reproducible across runs, engines,
+    and retries (never ``rand()``), and STABLE under corpus growth: a
+    document's split never changes when other documents arrive, which
+    is what keeps eval sets honest across dataset versions. Returns
+    (doc_id, split). Map-only at any scale."""
+    u = _hash_uniform(F.col(id_col))
+    split = (F.when(u < test_frac, F.lit("test"))
+             .when(u < test_frac + val_frac, F.lit("val"))
+             .otherwise(F.lit("train")))
+    return docs.select(F.col(id_col), split.alias("split"))

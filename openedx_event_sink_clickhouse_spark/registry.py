@@ -3613,6 +3613,49 @@ def _llmprep(spark, sf_dir):
                           token_budget=512, n_shards=16)
 
 
+@register("cur_split_assignment", """
+SELECT doc_id,
+       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) / 4294967296.0 < 0.05 THEN 'test'
+            WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) / 4294967296.0 < 0.10 THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+""")
+def _cur_split(spark, sf_dir):
+    # Deterministic eval-split assignment: md5-uniform of the id, so a
+    # document's split survives corpus growth, retries, and engines.
+    from .operators.curation import train_val_test_split
+    return train_val_test_split(_t(spark, sf_dir, "documents"),
+                                val_frac=0.05, test_frac=0.05)
+
+
+@register("dedup_cluster_sizes", None)  # oracle attached just below
+def _ddcs(spark, sf_dir):
+    # Dedup ops dashboard: the duplicate-cluster size distribution —
+    # how much mass the near-dup graph holds and in what shapes. Tiny
+    # rollup over the (pair-set-sized) clustering output.
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+    clusters = connected_components(pairs, checkpoint_dir=CC_CKPT_DIR)
+    return (clusters.groupBy("cluster_id")
+            .agg(F.count("*").alias("n_members"))
+            .groupBy("n_members")
+            .agg(F.count("*").alias("n_clusters"))
+            .select(F.col("n_members").cast("bigint").alias("cluster_size"),
+                    F.col("n_clusters").cast("bigint").alias("n_clusters")))
+
+
+REGISTRY["dedup_cluster_sizes"] = (REGISTRY["dedup_cluster_sizes"][0], f"""
+SELECT CAST(n_members AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM (
+  SELECT cluster_id, count(*) AS n_members
+  FROM ({_cluster_oracle_sql()}) GROUP BY cluster_id)
+GROUP BY n_members
+""")
+
+
 @register("llm_release_pipeline", f"""
 WITH injected AS (
   SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents
@@ -3743,7 +3786,7 @@ _PRIORITY = [
     "dedup_minhash_lsh", "dedup_clusters", "dedup_survivors",
     "dedup_exact",
     # -- family canaries (green in earlier rounds; re-confirm) --
-    "s1_full_scan", "sim_hard_negatives", "s9_parent_child_expand",
+    "cur_split_assignment", "sim_hard_negatives", "dedup_cluster_sizes",
     "sim_ivf_incremental", "t1_tree_ordinals", "a1_watermarks",
     "d1_retire_users", "serialize_user_profile",
     "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_duplicate_spans",

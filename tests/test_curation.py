@@ -406,3 +406,23 @@ def test_release_pipeline_drops_benchmark_and_scrubs(spark, sf_dir):
         by_shard.setdefault(r.shard, []).append(r.position)
     for ps in by_shard.values():
         assert sorted(ps) == list(range(len(ps)))
+
+
+def test_train_val_test_split_deterministic_and_stable(spark):
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        train_val_test_split)
+    docs = _docs(spark, [(i, f"doc {i}", "en", "s") for i in range(1000)])
+    out = {r.doc_id: r.split for r in
+           train_val_test_split(docs, 0.05, 0.05).collect()}
+    assert set(out.values()) == {"train", "val", "test"}
+    n = len(out)
+    frac = {s: sum(1 for v in out.values() if v == s) / n
+            for s in ("train", "val", "test")}
+    assert 0.85 <= frac["train"] <= 0.95
+    assert 0.02 <= frac["val"] <= 0.08 and 0.02 <= frac["test"] <= 0.08
+    # STABILITY under growth: assignments on a subset equal the full
+    # corpus's assignments for the same ids (an id's split never moves).
+    sub = docs.filter(docs.doc_id < 300)
+    sub_out = {r.doc_id: r.split for r in
+               train_val_test_split(sub, 0.05, 0.05).collect()}
+    assert sub_out == {k: v for k, v in out.items() if k < 300}
