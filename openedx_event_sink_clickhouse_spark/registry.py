@@ -3764,11 +3764,14 @@ def _cur13(spark, sf_dir):
 # additions, the two new ANN-recall queries, and the stateful gate — now
 # carrying a real two-phase oracle instead of the r3 rows-only check) go
 # first, followed by re-grades of every implementation touched since the
-# r3 verdict (quantized-ANN zero-collect rework, LSH skew-guard
-# restructuring, CC reliable-checkpoint option, BPE pre-tokenization
-# unification, registry cache validation/memoization), then one canary
-# per family from the already-green backlog. Union of r1-r4 windows =
-# all registered queries driver-graded.
+# r3 verdict (quantized-ANN cost-based coarse engine, the outer-generate
+# and first-matching-band/table rewrites, CC reliable checkpointing, BPE
+# pre-tokenization unification, cache validation/memoization), then the
+# queries ADDED this round (epoch shuffle + composed prepare/release
+# pipelines, incremental IVF, hard negatives, perplexity filter, split
+# assignment, cluster sizes), then family canaries from the green
+# backlog. Union of r1-r4 windows = all registered queries driver-graded
+# (every swapped-out canary is already green in an earlier round's file).
 # tools/check_correctness.py still runs the full registry every round.
 # --------------------------------------------------------------------------
 
