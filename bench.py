@@ -91,6 +91,7 @@ HEADLINE = [
     "llm_release_pipeline",        # scrub+filter+decontaminate+dedup+shuffle
     "cur_split_assignment",        # stable train/val/test assignment
     "dedup_cluster_sizes",         # duplicate-cluster size distribution
+    "mm_dedup_exact",              # content-addressed payload dedup
 ]
 
 

@@ -256,3 +256,24 @@ def media_meta_summary(media: DataFrame) -> DataFrame:
                  F.max(F.col("meta.width")).alias("max_width"),
                  F.round(F.avg(F.col("meta.duration_ms")), 6)
                   .alias("avg_duration_ms")))
+
+
+def payload_exact_dedup(media: DataFrame, content_col: str = "content",
+                        id_col: str = "media_id") -> DataFrame:
+    """Content-addressed exact dedup over the BINARY payload — the
+    first pass every multimodal ingest runs (re-crawled and re-encoded
+    assets are byte-identical far more often than text is). Returns
+    (content_hash, keep_id, n_copies, bytes_saved).
+
+    The digest is computed JVM-side where the payload already lives;
+    only (digest, id, n_bytes) enters the shuffle — at 100 TB the
+    payload bytes never move, which is the entire point. md5 keys are
+    uniform so the digest groupBy cannot inherit source skew."""
+    return (media.select(F.md5(F.col(content_col)).alias("content_hash"),
+                         F.col(id_col),
+                         F.length(F.col(content_col)).alias("_n"))
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_copies"),
+                 ((F.count("*") - 1) * F.max("_n")).cast("bigint")
+                 .alias("bytes_saved")))

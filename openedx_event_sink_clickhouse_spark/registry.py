@@ -1550,6 +1550,20 @@ def _media(spark, sf_dir):
     return media_table(_t(spark, sf_dir, "documents"))
 
 
+@register("mm_dedup_exact", """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST((count(*) - 1) * max(strlen(text)) AS BIGINT) AS bytes_saved
+FROM documents GROUP BY md5(text)
+""")
+def _mm_dedup(spark, sf_dir):
+    # Content-addressed payload dedup: digest computed where the binary
+    # lives, only (digest, id, n_bytes) shuffles. Oracle hashes the same
+    # utf-8 bytes via md5(text)/strlen(text) on the source documents.
+    from .operators.multimodal import payload_exact_dedup
+    return payload_exact_dedup(_media(spark, sf_dir))
+
+
 @register("mm_decode_stats", f"""
 WITH {_MEDIA_CTE}
 SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
@@ -3790,7 +3804,7 @@ _PRIORITY = [
     "dedup_exact",
     # -- family canaries (green in earlier rounds; re-confirm) --
     "cur_split_assignment", "sim_hard_negatives", "dedup_cluster_sizes",
-    "sim_ivf_incremental", "t1_tree_ordinals", "a1_watermarks",
+    "sim_ivf_incremental", "t1_tree_ordinals", "mm_dedup_exact",
     "d1_retire_users", "serialize_user_profile",
     "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_duplicate_spans",
     "sim_neardup_pairs", "sim_lsh_bucket_topk", "sim_semantic_dedup",

@@ -96,3 +96,16 @@ def test_arrow_batch_bound(spark, media):
         assert decode_stats(media).count() == media.count()
     finally:
         tune_for_media(spark, max_records_per_batch=64)
+
+
+def test_payload_exact_dedup_counts_and_savings(spark):
+    from openedx_event_sink_clickhouse_spark.operators.multimodal import (
+        payload_exact_dedup)
+    from pyspark.sql import functions as F
+    rows = [(1, b"aaaa"), (2, b"aaaa"), (3, b"aaaa"), (4, b"bb"), (5, b"c")]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.keep_id: r for r in payload_exact_dedup(media).collect()}
+    assert set(out) == {1, 4, 5}
+    assert out[1].n_copies == 3 and out[1].bytes_saved == 8
+    assert out[4].n_copies == 1 and out[4].bytes_saved == 0
+    assert out[5].n_copies == 1 and out[5].bytes_saved == 0
