@@ -687,12 +687,22 @@ def release_corpus(docs: DataFrame, benchmark: DataFrame | None, n: int = 8,
             & (uniq >= r["min_uniq_word_ratio"])
             & (punct <= r["max_punct_ratio"]))
 
+    if bench_grams is None and benchmark is None:
+        raise ValueError(
+            "release_corpus: pass `benchmark` (a frame to derive the "
+            "contamination gram set from) or `bench_grams` (a "
+            "precomputed hash list; [] means no decontamination)")
     bg = (bench_grams if bench_grams is not None
           else benchmark_gram_hashes(benchmark, n, text_col))
-    bench_lit = F.expr("array(" + ",".join(f"{h}L" for h in bg) + ")")
-    doc_grams = F.transform(F.array_distinct(ngrams(w, n)),
-                            lambda g: md5_hash64(g))
-    clean = docs.filter(keep & ~F.arrays_overlap(doc_grams, bench_lit))
+    if bg:
+        bench_lit = F.expr("array(" + ",".join(f"{h}L" for h in bg) + ")")
+        doc_grams = F.transform(F.array_distinct(ngrams(w, n)),
+                                lambda g: md5_hash64(g))
+        keep = keep & ~F.arrays_overlap(doc_grams, bench_lit)
+    # An EMPTY gram set means "nothing to decontaminate" — skip the
+    # predicate entirely (a literal array() would be typed array<string>
+    # and fail analysis against the bigint doc-gram array).
+    clean = docs.filter(keep)
 
     wdup = Window.partitionBy("_h").orderBy(id_col)
     surv = (clean.select(F.col(id_col), F.size(w).alias("n_tokens"),

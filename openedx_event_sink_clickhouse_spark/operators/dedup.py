@@ -113,6 +113,35 @@ def incremental_exact_dedup(incoming: DataFrame, seen: DataFrame | None,
                          F.lit(1).cast("int").alias("is_new_content"))
 
 
+def _clear_orphaned_location(spark, table: str, mode: str) -> None:
+    """Overwrite-mode guard for managed-table writers: a managed-table
+    location can survive a crashed writer (or a fresh in-memory catalog
+    over an old warehouse dir); ``saveAsTable`` then refuses with
+    LOCATION_ALREADY_EXISTS even in overwrite mode. Overwrite semantics
+    say the old data goes — remove the orphaned location through the
+    Hadoop FS API so the contract holds on any filesystem.
+
+    The location is derived from the CATALOG (the owning database's
+    ``locationUri`` + table name — the managed-table layout rule), never
+    by string-joining the warehouse dir with the raw name: a qualified
+    ``db.tbl`` lives under ``<db location>/tbl``, not ``warehouse/db.tbl``,
+    and a convention-derived path could delete a directory the catalog
+    never owned. Names with more than two parts are rejected."""
+    parts = table.split(".")
+    if len(parts) > 2 or not all(parts):
+        raise ValueError(f"invalid table name {table!r}: expected "
+                         "'tbl' or 'db.tbl'")
+    if mode != "overwrite" or spark.catalog.tableExists(table):
+        return
+    db = parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
+    db_loc = spark.catalog.getDatabase(db).locationUri
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(db_loc, parts[-1].lower())
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
+
+
 def write_digest_table(new_hashes: DataFrame, table: str,
                        buckets: int = 32, mode: str = "append") -> None:
     """Materialize/extend the running digest history BUCKETED on
@@ -127,21 +156,7 @@ def write_digest_table(new_hashes: DataFrame, table: str,
     grows — each batch writes its handful of files per bucket, and
     compaction (``sources/layout.py``) folds them when file counts
     creep."""
-    spark = new_hashes.sparkSession
-    if mode == "overwrite" and not spark.catalog.tableExists(table):
-        # A managed-table location can survive a crashed writer (or a
-        # fresh in-memory catalog over an old warehouse dir); saveAsTable
-        # then refuses with LOCATION_ALREADY_EXISTS even in overwrite
-        # mode. Overwrite semantics say the old data goes — remove the
-        # orphaned location through the Hadoop FS API so the contract
-        # holds on any filesystem.
-        jvm = spark._jvm
-        jsc = spark._jsc
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        loc = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
-        fs = loc.getFileSystem(jsc.hadoopConfiguration())
-        if fs.exists(loc):
-            fs.delete(loc, True)
+    _clear_orphaned_location(new_hashes.sparkSession, table, mode)
     (new_hashes.select("content_hash")
      .write.mode(mode)
      .bucketBy(buckets, "content_hash").sortBy("content_hash")
@@ -439,6 +454,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    else:
+        import warnings
+
+        warnings.warn(
+            "connected_components: checkpoint_dir is None, so the "
+            "converged label frame stays PINNED in executor memory until "
+            "the caller materializes it (and a lost executor loses the "
+            "round). Pass checkpoint_dir for the reliable, leak-free "
+            "mode; the in-memory mode is for ad-hoc/exploratory use.",
+            RuntimeWarning, stacklevel=2)
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b).alias("src"),
                                  F.col(id_a).alias("dst")))).cache()

@@ -268,8 +268,14 @@ def payload_exact_dedup(media: DataFrame, content_col: str = "content",
     The digest is computed JVM-side where the payload already lives;
     only (digest, id, n_bytes) enters the shuffle — at 100 TB the
     payload bytes never move, which is the entire point. md5 keys are
-    uniform so the digest groupBy cannot inherit source skew."""
-    return (media.select(F.md5(F.col(content_col)).alias("content_hash"),
+    uniform so the digest groupBy cannot inherit source skew.
+
+    NULL payloads are excluded up front: md5(NULL) is NULL, so without
+    the filter every content-less row would collapse into one bogus
+    "duplicate" group with a NULL bytes_saved. Missing content is an
+    ingest-quality question (count it upstream), not a dedup one."""
+    return (media.filter(F.col(content_col).isNotNull())
+            .select(F.md5(F.col(content_col)).alias("content_hash"),
                          F.col(id_col),
                          F.length(F.col(content_col)).alias("_n"))
             .groupBy("content_hash")

@@ -36,10 +36,24 @@ from .sources.tables import load_table
 FLAGSHIP_CUTOFF = "2024-01-05 00:00:00"
 
 # Reliable-checkpoint directory for connected-components convergence:
-# the converged label frame lands in files here, so the clustering
-# queries leave no pinned blocks behind (Spark namespaces the dir per
-# application; stale app subdirs are just dead files under /tmp).
-CC_CKPT_DIR = "/tmp/spark_graft_cc_ckpt"
+# the converged label frame lands in files, so the clustering queries
+# leave no pinned blocks behind. Created lazily, PER PROCESS
+# (tempfile.mkdtemp — owned by this user, no collision with another
+# user's /tmp leftovers) and removed at interpreter exit, so repeated
+# bench/registry runs cannot accumulate checkpoint data.
+_CC_CKPT: list[str] = []
+
+
+def _cc_ckpt_dir() -> str:
+    if not _CC_CKPT:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="spark_graft_cc_ckpt_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _CC_CKPT.append(d)
+    return _CC_CKPT[0]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
@@ -758,7 +772,7 @@ def _ddc(spark, sf_dir):
     pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
     # Reliable checkpoint: converged labels land in files, zero blocks
     # stay pinned (bench.py's leak guard would flag the in-memory mode).
-    return connected_components(pairs, checkpoint_dir=CC_CKPT_DIR)
+    return connected_components(pairs, checkpoint_dir=_cc_ckpt_dir())
 
 
 # attach after definition: the oracle embeds dedup_minhash_lsh's SQL,
@@ -773,7 +787,7 @@ def _dds(spark, sf_dir):
     # clustering + survivor pruning (the composed production flow).
     from .operators.dedup import dedup_corpus
     return dedup_corpus(_t(spark, sf_dir, "documents"), threshold=0.6,
-                        checkpoint_dir=CC_CKPT_DIR) \
+                        checkpoint_dir=_cc_ckpt_dir()) \
         .select("doc_id", "lang", "source")
 
 
@@ -875,7 +889,7 @@ def _simsd(spark, sf_dir):
     from .operators.similarity import semantic_dedup
     return semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.3,
                           num_planes=6, num_tables=2, dim=EMB_DIM,
-                          checkpoint_dir=CC_CKPT_DIR) \
+                          checkpoint_dir=_cc_ckpt_dir()) \
         .select("vec_id", "label")
 
 
@@ -3651,7 +3665,7 @@ def _ddcs(spark, sf_dir):
     # rollup over the (pair-set-sized) clustering output.
     from .operators.dedup import connected_components, minhash_lsh_pairs
     pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
-    clusters = connected_components(pairs, checkpoint_dir=CC_CKPT_DIR)
+    clusters = connected_components(pairs, checkpoint_dir=_cc_ckpt_dir())
     return (clusters.groupBy("cluster_id")
             .agg(F.count("*").alias("n_members"))
             .groupBy("n_members")

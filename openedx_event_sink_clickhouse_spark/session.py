@@ -34,6 +34,16 @@ def get_spark(app_name: str = "openedx-event-sink-spark", master: str | None = N
     external session use :func:`tune_session` explicitly."""
     active = SparkSession.getActiveSession()
     if active is not None:
+        if master is not None or extra_conf:
+            import warnings
+
+            warnings.warn(
+                "get_spark: an active SparkSession already exists, so the "
+                "explicit master/extra_conf arguments were NOT applied "
+                "(reusing the live session). Use tune_session(spark) to "
+                "apply engine defaults to an external session, or stop "
+                "the active session first.",
+                RuntimeWarning, stacklevel=2)
         return active
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     builder = (

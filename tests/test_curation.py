@@ -426,3 +426,20 @@ def test_train_val_test_split_deterministic_and_stable(spark):
     sub_out = {r.doc_id: r.split for r in
                train_val_test_split(sub, 0.05, 0.05).collect()}
     assert sub_out == {k: v for k, v in out.items() if k < 300}
+
+
+def test_release_corpus_guards(spark):
+    # benchmark=None AND bench_grams=None is a clear error, not an
+    # AttributeError; bench_grams=[] means "no decontamination" and must
+    # behave exactly like the quality filter alone.
+    import pytest
+
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        release_corpus)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(25))) for i in range(6)],
+        ["doc_id", "text"])
+    with pytest.raises(ValueError, match="bench_grams"):
+        release_corpus(docs, None)
+    out = release_corpus(docs, None, bench_grams=[])
+    assert out.count() == 6  # all pass quality, none decontaminated

@@ -305,3 +305,41 @@ def test_digest_table_append_extends_history(spark):
         assert read_digest_table(spark, "digest_append").count() == 3
     finally:
         spark.sql("DROP TABLE IF EXISTS digest_append")
+
+
+def test_digest_table_overwrite_qualified_and_invalid_names(spark):
+    # The orphaned-location cleanup derives the path from the CATALOG
+    # (owning database's locationUri), so a qualified db.tbl overwrite
+    # lands in warehouse/db.db/tbl — and recovers from an orphaned dir
+    # there too. >2-part names are rejected before anything is touched.
+    import pytest
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        read_digest_table,
+        write_digest_table,
+    )
+    hashes = spark.createDataFrame([("h1",), ("h2",)], ["content_hash"])
+    with pytest.raises(ValueError, match="db.tbl"):
+        write_digest_table(hashes, "cat.db.tbl", mode="overwrite")
+    spark.sql("CREATE DATABASE IF NOT EXISTS dedup_test_db")
+    try:
+        spark.sql("DROP TABLE IF EXISTS dedup_test_db.digests")
+        write_digest_table(hashes, "dedup_test_db.digests", buckets=2,
+                           mode="overwrite")
+        assert read_digest_table(spark, "dedup_test_db.digests").count() == 2
+        # Simulate a crashed writer: drop the catalog entry but leave the
+        # managed location behind; overwrite must still succeed.
+        loc = spark.sql("DESCRIBE TABLE EXTENDED dedup_test_db.digests") \
+            .filter(F.col("col_name") == "Location").first().data_type
+        spark.sql("DROP TABLE dedup_test_db.digests")
+        import os
+        path = loc[len("file:"):] if loc.startswith("file:") else loc
+        os.makedirs(path, exist_ok=True)
+        assert os.path.isdir(path)
+        write_digest_table(hashes, "dedup_test_db.digests", buckets=2,
+                           mode="overwrite")
+        assert read_digest_table(spark, "dedup_test_db.digests").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dedup_test_db.digests")
+        spark.sql("DROP DATABASE IF EXISTS dedup_test_db")

@@ -109,3 +109,16 @@ def test_payload_exact_dedup_counts_and_savings(spark):
     assert out[1].n_copies == 3 and out[1].bytes_saved == 8
     assert out[4].n_copies == 1 and out[4].bytes_saved == 0
     assert out[5].n_copies == 1 and out[5].bytes_saved == 0
+
+
+def test_payload_exact_dedup_ignores_null_content(spark):
+    # NULL payloads must not collapse into one bogus md5(NULL) group.
+    from openedx_event_sink_clickhouse_spark.operators.multimodal import (
+        payload_exact_dedup)
+    media = spark.createDataFrame(
+        [(0, bytearray(b"aa")), (1, None), (2, None), (3, bytearray(b"aa"))],
+        "media_id long, content binary")
+    rows = payload_exact_dedup(media).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.keep_id == 0 and r.n_copies == 2 and r.bytes_saved == 2
