@@ -169,6 +169,62 @@ def read_digest_table(spark, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def write_cluster_table(labels: DataFrame, table: str,
+                        buckets: int = 32, mode: str = "overwrite") -> None:
+    """Materialize the clustering output
+    (:func:`connected_components` labels: doc_id, cluster_id,
+    is_survivor) at rest, BUCKETED on doc_id — the mirror of
+    :func:`write_digest_table` for the OTHER expensive derived artifact
+    of a dedup pipeline.
+
+    Pair mining + connected-component convergence is the most expensive
+    computation in the whole dedup flow; a production pipeline runs it
+    once per corpus version and serves every downstream consumer —
+    survivor pruning, cluster-size dashboards, duplicate audits, the
+    semantic-dedup prune — from the stored labels instead of re-running
+    the fixpoint per query. Bucketing on doc_id co-locates the labels
+    with any doc_id-bucketed corpus table, so the survivor anti-join
+    stays exchange-free on the corpus side even when the loser set
+    outgrows a broadcast."""
+    _clear_orphaned_location(labels.sparkSession, table, mode)
+    (labels.select("doc_id", "cluster_id", "is_survivor")
+     .write.mode(mode)
+     .bucketBy(buckets, "doc_id").sortBy("doc_id")
+     .saveAsTable(table))
+
+
+def read_cluster_table(spark, table: str) -> DataFrame:
+    """Stored cluster labels with bucket metadata intact."""
+    return spark.table(table)
+
+
+def survivors_from_labels(docs: DataFrame, labels: DataFrame,
+                          id_col: str = "doc_id") -> DataFrame:
+    """The corpus rows that survive dedup, derived from STORED labels
+    (:func:`write_cluster_table` /
+    :func:`connected_components` output) — the serve-side half of the
+    compute-once/serve-many split. Losers are O(duplicates) ≪ corpus, so
+    AQE broadcasts the anti-join and the corpus never shuffles; with a
+    doc_id-bucketed corpus and label table the join is exchange-free
+    even without the broadcast."""
+    losers = (labels.filter(~F.col("is_survivor"))
+              .select(F.col("doc_id").alias(id_col)))
+    return docs.join(losers, id_col, "left_anti")
+
+
+def cluster_size_distribution(labels: DataFrame) -> DataFrame:
+    """Duplicate-cluster size histogram from stored labels:
+    (cluster_size, n_clusters). Two tiny hash aggregates over the
+    label table — the dashboard rollup that motivated materializing
+    labels at rest in the first place."""
+    return (labels.groupBy("cluster_id")
+            .agg(F.count("*").alias("n_members"))
+            .groupBy("n_members")
+            .agg(F.count("*").alias("n_clusters"))
+            .select(F.col("n_members").cast("bigint").alias("cluster_size"),
+                    F.col("n_clusters").cast("bigint").alias("n_clusters")))
+
+
 def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the input
     arrives in fewer splits (the small-file case: one parquet file = one

@@ -343,3 +343,43 @@ def test_digest_table_overwrite_qualified_and_invalid_names(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS dedup_test_db.digests")
         spark.sql("DROP DATABASE IF EXISTS dedup_test_db")
+
+
+def test_cluster_table_roundtrip_matches_live_chain(spark, tmp_path):
+    # compute-once/serve-many: labels written at rest (bucketed on
+    # doc_id) must reproduce the live composed flow exactly —
+    # survivors, and the size histogram.
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        cluster_size_distribution,
+        connected_components,
+        dedup_corpus,
+        read_cluster_table,
+        survivors_from_labels,
+        write_cluster_table,
+    )
+    docs = spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER), (4, OTHER)],
+        ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    labels = connected_components(pairs,
+                                  checkpoint_dir=str(tmp_path / "ckpt"))
+    spark.sql("DROP TABLE IF EXISTS cluster_labels_t")
+    try:
+        write_cluster_table(labels, "cluster_labels_t", buckets=4)
+        stored = read_cluster_table(spark, "cluster_labels_t")
+        # bucket spec survives the write (spark.table keeps metadata)
+        detail = spark.sql("DESCRIBE TABLE EXTENDED cluster_labels_t") \
+            .filter("col_name = 'Num Buckets'").first()
+        assert detail is not None and detail.data_type.strip() == "4"
+        got = {r.doc_id for r in
+               survivors_from_labels(docs, stored).collect()}
+        live = {r.doc_id for r in
+                dedup_corpus(docs, threshold=0.5,
+                             checkpoint_dir=str(tmp_path / "ckpt2"))
+                .collect()}
+        assert got == live == {0, 3}   # 1,2 near-dup 0; 4 exact-dups 3
+        sizes = {r.cluster_size: r.n_clusters
+                 for r in cluster_size_distribution(stored).collect()}
+        assert sizes == {3: 1, 2: 1}   # clusters {0,1,2} and {3,4}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cluster_labels_t")

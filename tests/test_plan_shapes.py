@@ -239,3 +239,25 @@ def test_shuffle_shards_rank_and_pack_share_exchange(q, spark, sf_dir):
     # ...and the one scan feeds it all: quality predicate at the scan,
     # no second read of the documents table.
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_dedup_survivors_serves_from_at_rest_labels(q, spark, sf_dir):
+    # The r4→r5 architecture fix: the survivor prune reads the STORED
+    # label table — no pair-mining/CC chain (no Generate nodes from the
+    # band explode) in its plan, just a broadcast anti-join.
+    plan = plan_of(q["dedup_survivors"](spark, sf_dir))
+    assert "spark_graft_clusters_v1_" in plan
+    assert "Generate" not in plan
+    assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_cluster_sizes_serves_from_at_rest_labels(q, spark, sf_dir):
+    plan = plan_of(q["dedup_cluster_sizes"](spark, sf_dir))
+    assert "spark_graft_clusters_v1_" in plan
+    assert "Generate" not in plan
+
+
+def test_semantic_dedup_serves_from_at_rest_labels(q, spark, sf_dir):
+    plan = plan_of(q["sim_semantic_dedup"](spark, sf_dir))
+    assert "spark_graft_semclusters_v1_" in plan
+    assert "Generate" not in plan
