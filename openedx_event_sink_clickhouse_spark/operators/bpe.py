@@ -140,7 +140,14 @@ def bpe_encode_stats(docs: DataFrame, merges: list[tuple[str, str]],
     (doc_id, n_words, n_bpe_tokens, compression = chars+eow per token).
     Arrow-batched; the per-word encoding memoizes on the batch's
     distinct words, so hot words (Zipf head) encode once per batch
-    rather than once per occurrence."""
+    rather than once per occurrence.
+
+    ``compression`` rounds via ``floor(x·1e6 + 0.5)/1e6`` — explicit
+    half-UP on the positive ratio — instead of Python's banker's
+    ``round``: every engine (and the DuckDB oracle) rounds ties
+    identically, same as ``quantize_embeddings``'s code rounding."""
+    import math
+
     import pandas as pd
 
     def fn(batches):
@@ -165,7 +172,9 @@ def bpe_encode_stats(docs: DataFrame, merges: list[tuple[str, str]],
                 ids.append(doc_id)
                 nw.append(len(ws))
                 nt.append(total)
-                comp.append(round(chars / total, 6) if total else 0.0)
+                comp.append(
+                    math.floor((chars / total) * 1000000.0 + 0.5)
+                    / 1000000.0 if total else 0.0)
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                                 "n_words": pd.Series(nw, dtype="int64"),
                                 "n_bpe_tokens": pd.Series(nt, dtype="int64"),

@@ -3517,17 +3517,87 @@ def _cur_ppl(spark, sf_dir):
                              low_q=0.05, high_q=0.9)
 
 
-# Real BPE (trainer + encoder, operators/bpe.py) — the iterative merge
-# loop is the textbook non-SQL-expressible op, so this registers WITHOUT
-# an oracle (driver records the rows-only check); the algorithm itself is
-# pinned by hand-computed merges + determinism + compression properties
-# in tests/test_bpe.py.
-@register("text_bpe_stats", None)
+# Real BPE encoder (operators/bpe.py) on a PINNED merge table — the
+# production serving shape (a tokenizer model is trained once, versioned,
+# and replayed everywhere), and the shape that makes the encoder
+# hash-AUDITABLE: greedy lowest-rank merge replay over a fixed model IS
+# SQL-expressible, so the DuckDB twin replays the identical merge chain
+# and the driver hash-checks every row. (The TRAINER's iterative merge
+# loop remains the one genuinely non-SQL op; it is pinned by
+# hand-computed merges, determinism, and compression properties in
+# tests/test_bpe.py, and the pinned model below is its verbatim output —
+# regenerate with tools/gen_bpe_model.py.)
+#
+# Oracle soundness: the SQL applies each merge as ONE left-to-right
+# non-overlapping string replace over chr(1)/chr(2)-bracketed symbols,
+# in rank order. That equals the engine's greedy lowest-rank encoder
+# because (a) within one merge, a replacement (product ab) can never
+# create a fresh (a, b) adjacency — ab differs from both a and b — so
+# one sweep reaches that merge's fixpoint with exactly the leftmost
+# pairing, and (b) across merges, a later merge could only re-enable an
+# EARLIER one by producing a string equal to one of the earlier pair's
+# components, which requires two merges with identical product strings —
+# the model below has all-distinct products (asserted at import).
+BPE_PINNED_MERGES: list[tuple[str, str]] = [
+    ('e', 'r'), ('e', '</w>'), ('n', '</w>'), ('o', 'r'), ('t', '</w>'),
+    ('er', '</w>'), ('o', 'w'), ('ow', '</w>'), ('l', 'u'), ('i', 'n'),
+    ('y', '</w>'), ('a', 'r'), ('p', 'ar'), ('g', '</w>'), ('a', 's'),
+    ('h', '</w>'), ('a', '</w>'), ('s', 't'), ('a', 't'), ('a', 'n</w>'),
+    ('c', 'an</w>'), ('s', 'can</w>'), ('c', 'o'), ('co', 'lu'),
+    ('colu', 'm'), ('colum', 'n</w>'), ('d', 'ow</w>'), ('in', 'dow</w>'),
+    ('w', 'indow</w>'), ('d', 'er</w>'), ('or', 'der</w>'),
+    ('or', 't</w>'), ('s', 'ort</w>'), ('p', '</w>'), ('par', 't</w>'),
+    ('u', 'p</w>'), ('a', 'g'), ('ag', 'g</w>'), ('a', 'lu'),
+    ('alu', 'e</w>'), ('v', 'alue</w>'), ('in', 'e</w>'), ('l', 'ine</w>'),
+    ('e', 'y</w>'), ('k', 'ey</w>'), ('i', 'n</w>'), ('j', 'o'),
+    ('jo', 'in</w>'),
+]
+assert len({a + b for a, b in BPE_PINNED_MERGES}) == len(BPE_PINNED_MERGES), \
+    "BPE oracle soundness requires all-distinct merge products"
+
+
+def _bpe_oracle_sql(merges: list[tuple[str, str]]) -> str:
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def bracket(sym: str) -> str:
+        return f"chr(1)||{lit(sym)}||chr(2)"
+
+    expr = ("concat(list_aggregate(list_transform(string_split(word, ''), "
+            "c -> chr(1)||c||chr(2)), 'string_agg', ''), "
+            "chr(1)||'</w>'||chr(2))")
+    for a, b in merges:
+        expr = (f"replace({expr}, {bracket(a)}||{bracket(b)}, "
+                f"chr(1)||{lit(a + b)}||chr(2))")
+    return f"""
+WITH wd AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS word
+  FROM documents
+), enc AS (
+  SELECT doc_id, length(word) + 1 AS chars_eow, {expr} AS s FROM wd
+), tok AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(length(s) - length(replace(s, chr(1), ''))) AS BIGINT)
+           AS n_bpe_tokens,
+         CAST(sum(chars_eow) AS BIGINT) AS chars
+  FROM enc GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(t.n_words, CAST(0 AS BIGINT)) AS n_words,
+       coalesce(t.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens,
+       CASE WHEN coalesce(t.n_bpe_tokens, 0) > 0
+            THEN floor((t.chars::DOUBLE / t.n_bpe_tokens) * 1000000.0
+                       + 0.5) / 1000000.0
+            ELSE 0.0 END AS compression
+FROM documents d LEFT JOIN tok t USING (doc_id)
+"""
+
+
+@register("text_bpe_stats", _bpe_oracle_sql(BPE_PINNED_MERGES))
 def _tx_bpe(spark, sf_dir):
-    from .operators.bpe import bpe_encode_stats, bpe_train
-    docs = _t(spark, sf_dir, "documents")
-    merges = bpe_train(docs, n_merges=60, max_vocab=3000)
-    return bpe_encode_stats(docs, merges)
+    from .operators.bpe import bpe_encode_stats
+    return bpe_encode_stats(_t(spark, sf_dir, "documents"),
+                            BPE_PINNED_MERGES)
 
 
 @register("text_dsir_importance", """
