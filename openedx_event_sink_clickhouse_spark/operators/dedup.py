@@ -143,7 +143,8 @@ def _clear_orphaned_location(spark, table: str, mode: str) -> None:
 
 
 def write_digest_table(new_hashes: DataFrame, table: str,
-                       buckets: int = 32, mode: str = "append") -> None:
+                       buckets: int = 32, mode: str = "append",
+                       max_files_per_bucket: int | None = 8) -> None:
     """Materialize/extend the running digest history BUCKETED on
     content_hash — the at-rest layout that makes
     :func:`incremental_exact_dedup`'s history check shuffle-free (mirror
@@ -153,14 +154,22 @@ def write_digest_table(new_hashes: DataFrame, table: str,
     Append one row per NEW content hash after each batch (the
     ``is_new_content`` output of the incremental pass): appends land in
     the same bucket layout, so the table never needs a re-shuffle as it
-    grows — each batch writes its handful of files per bucket, and
-    compaction (``sources/layout.py``) folds them when file counts
-    creep."""
-    _clear_orphaned_location(new_hashes.sparkSession, table, mode)
+    grows — each batch writes its handful of files per bucket, and when
+    the file count creeps past ``max_files_per_bucket × buckets`` the
+    post-append trigger folds the table back to ~1 file per bucket
+    (``sources/layout.compact_bucketed_table`` — bucket spec preserved,
+    so the exchange-free history join keeps planning; pass ``None`` to
+    manage compaction externally)."""
+    spark = new_hashes.sparkSession
+    _clear_orphaned_location(spark, table, mode)
     (new_hashes.select("content_hash")
      .write.mode(mode)
      .bucketBy(buckets, "content_hash").sortBy("content_hash")
      .saveAsTable(table))
+    if mode == "append" and max_files_per_bucket is not None:
+        from ..sources.layout import compact_bucketed_table
+        compact_bucketed_table(spark, table, "content_hash", buckets,
+                               max_files_per_bucket)
 
 
 def read_digest_table(spark, table: str) -> DataFrame:
@@ -170,7 +179,8 @@ def read_digest_table(spark, table: str) -> DataFrame:
 
 
 def write_cluster_table(labels: DataFrame, table: str,
-                        buckets: int = 32, mode: str = "overwrite") -> None:
+                        buckets: int = 32, mode: str = "overwrite",
+                        max_files_per_bucket: int | None = 8) -> None:
     """Materialize the clustering output
     (:func:`connected_components` labels: doc_id, cluster_id,
     is_survivor) at rest, BUCKETED on doc_id — the mirror of
@@ -185,12 +195,19 @@ def write_cluster_table(labels: DataFrame, table: str,
     the fixpoint per query. Bucketing on doc_id co-locates the labels
     with any doc_id-bucketed corpus table, so the survivor anti-join
     stays exchange-free on the corpus side even when the loser set
-    outgrows a broadcast."""
-    _clear_orphaned_location(labels.sparkSession, table, mode)
+    outgrows a broadcast. Append mode (per-corpus-increment labels)
+    carries the same post-append compaction trigger as
+    :func:`write_digest_table`."""
+    spark = labels.sparkSession
+    _clear_orphaned_location(spark, table, mode)
     (labels.select("doc_id", "cluster_id", "is_survivor")
      .write.mode(mode)
      .bucketBy(buckets, "doc_id").sortBy("doc_id")
      .saveAsTable(table))
+    if mode == "append" and max_files_per_bucket is not None:
+        from ..sources.layout import compact_bucketed_table
+        compact_bucketed_table(spark, table, "doc_id", buckets,
+                               max_files_per_bucket)
 
 
 def read_cluster_table(spark, table: str) -> DataFrame:

@@ -356,7 +356,8 @@ def ivf_incremental_assign(batch: DataFrame, model: DataFrame,
 def ivf_append_batch(batch: DataFrame, path: str, model: DataFrame,
                      n_centroids: int = 16, id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     centroids: list[list[float]] | None = None) -> None:
+                     centroids: list[list[float]] | None = None,
+                     max_files_per_cell: int | None = 8) -> None:
     """Append an arriving batch into the cell-partitioned corpus at rest
     (:func:`write_ivf_partitioned`): assign against the FIXED centroid
     model, then ``mode("append").partitionBy("cell")`` — new files land
@@ -364,13 +365,23 @@ def ivf_append_batch(batch: DataFrame, path: str, model: DataFrame,
     pruning keeps working and the corpus is never rewritten. (Centroid
     DRIFT is a refit + rewrite decision made offline, deliberately not
     here — production ANN systems version the model for exactly that
-    reason.)"""
+    reason.)
+
+    After the append, cells whose file count crept past
+    ``max_files_per_cell`` are folded in place
+    (``sources/layout.compact_partitioned_dir`` — directory structure,
+    and with it partition pruning, untouched; pass ``None`` to manage
+    compaction externally)."""
     base = _vec_base(batch, id_col, vec_col)
     cents = _centroid_frame(_vec_base(model, id_col, vec_col),
                             n_centroids, centroids)
     (_assign(base, cents)
      .select(F.col("id"), F.col("v"), F.col("centroid").alias("cell"))
      .write.partitionBy("cell").mode("append").parquet(path))
+    if max_files_per_cell is not None:
+        from ..sources.layout import compact_partitioned_dir
+        compact_partitioned_dir(batch.sparkSession, path,
+                                max_files_per_cell)
 
 
 def multi_probe_topk(emb: DataFrame, n_probes: int = 10, k: int = 5,

@@ -3016,9 +3016,17 @@ def _simq(spark, sf_dir):
     # v2 = binary-packed codes layout (bump to invalidate older caches).
     # rescore_factor=5 (coarse LIMIT 50 in the oracle too): the two
     # engines evaluate the dequantized dot in different floating-point
-    # orders, so a near-tie AT the cut could admit different candidate
-    # sets; a 5x-over-k cut keeps any true top-10 member comfortably
-    # inside both shortlists.
+    # orders (integer-dot affine identity vs dequantize-then-dot), so a
+    # near-tie AT the cut could in principle admit different candidate
+    # sets. MEASURED on the driver corpora (r5, tie-distance probe): the
+    # smallest adjacent coarse-score gap anywhere in ranks 30-70 is
+    # 2.88e-05 (sf0.01) / 2.84e-05 (sf0.1), while cross-engine FP
+    # divergence for a 64-term double dot is bounded by ~dim*eps ~ 7e-15
+    # relative — a ~1e9x margin before any tie could flip the cut; and
+    # the deepest coarse rank of any TRUE exact top-10 member is 10 on
+    # both corpora, vs the cut at 50, so even a flipped boundary row
+    # could never evict a true result. Accepted with those numbers; an
+    # epsilon-widened cut would buy nothing at any measured scale.
     codes_path = _cached_parquet(
         f"/tmp/spark_graft_qcodes_v2_{tag}",
         lambda p: write_quantized_codes(emb, p))

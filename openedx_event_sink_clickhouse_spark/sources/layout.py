@@ -125,6 +125,105 @@ def clustering_factor(stats: list[dict], cols: list[str]) -> float:
     return float(sum(vols) / max(len(vols), 1)) if vols else math.nan
 
 
+def _dir_parquet_files(path: str) -> list[str]:
+    import glob
+    import os
+
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def table_location(spark, table: str) -> str:
+    """A table's storage location from the CATALOG (never derived by
+    naming convention — see dedup._clear_orphaned_location for why)."""
+    row = (spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+           .filter(F.col("col_name") == "Location").first())
+    loc = row.data_type
+    return loc[len("file:"):] if loc.startswith("file:") else loc
+
+
+def compact_bucketed_table(spark, table: str, bucket_col: str,
+                           buckets: int,
+                           max_files_per_bucket: int = 8) -> bool:
+    """Fold an append-grown BUCKETED table back to ~1 file per bucket,
+    preserving the bucket/sort spec — the maintenance half of the
+    append-mode contract in ``operators/dedup.write_digest_table`` /
+    ``write_cluster_table`` (each appended batch lands a few files per
+    bucket; after enough batches the scan's task count and file-listing
+    pressure grow without bound).
+
+    File-count trigger: no-op (False) until the table holds more than
+    ``max_files_per_bucket × buckets`` parquet files, so callers can
+    invoke it unconditionally after every append. The fold itself
+    repartitions BY THE BUCKET COLUMN into exactly ``buckets``
+    partitions — the same hash Spark's bucketing uses — so each writer
+    task owns one whole bucket and emits one file; the rewrite goes to a
+    scratch table swapped in via RENAME, so the spec (and readers'
+    exchange-free join planning) survives the fold.
+
+    The fold reads the table's FILES (path scan), not ``spark.table``:
+    the bucketed-table scan advertises HashPartitioning(bucket_col,
+    buckets), which lets Catalyst elide the explicit repartition as
+    redundant — while the write still runs at the scan's task width, so
+    the "fold" would re-emit one file per (task × bucket) and shrink
+    nothing (measured: 16 → 8 files via the table scan, 16 → ``buckets``
+    via the path scan)."""
+    loc = table_location(spark, table)
+    n_files = len(_dir_parquet_files(loc))
+    if n_files <= max_files_per_bucket * buckets:
+        return False
+    tmp = f"{table}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    (spark.read.parquet(loc)
+     .repartition(buckets, F.col(bucket_col))
+     .write.mode("overwrite")
+     .bucketBy(buckets, bucket_col).sortBy(bucket_col)
+     .saveAsTable(tmp))
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    return True
+
+
+def compact_partitioned_dir(spark, path: str,
+                            max_files_per_partition: int = 8,
+                            target_mb: int = 128) -> int:
+    """Fold small files WITHIN each partition directory of a
+    partitioned parquet layout (e.g. the IVF ``cell=N`` dirs grown by
+    ``similarity.ivf_append_batch``), leaving the directory structure —
+    and with it every reader's partition pruning — intact. Returns the
+    number of partitions folded.
+
+    Per-partition trigger: only directories holding more than
+    ``max_files_per_partition`` files are rewritten, each to
+    ~``target_mb`` output files sized from its on-disk bytes. The
+    rewrite is write-scratch-then-swap per directory (the single-job
+    equivalent of a table format's compaction commit; on a shared
+    production store this sequencing belongs to Delta/Iceberg-style
+    metadata, as the README's layout notes say)."""
+    import glob
+    import os
+    import shutil
+
+    folded = 0
+    for part_dir in sorted(glob.glob(os.path.join(path, "*=*"))):
+        files = _dir_parquet_files(part_dir)
+        if len(files) <= max_files_per_partition:
+            continue
+        n_bytes = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(n_bytes / (target_mb << 20)))
+        tmp = f"{part_dir}.compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (spark.read.parquet(part_dir)
+         .repartition(n_out)
+         .write.mode("overwrite").parquet(tmp))
+        old = f"{part_dir}.compact_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(part_dir, old)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(old)
+        folded += 1
+    return folded
+
+
 def compact_small_files(spark, in_path: str, out_path: str,
                         target_mb: int = 128) -> int:
     """Rewrite a small-file-fragmented parquet directory into

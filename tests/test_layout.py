@@ -88,3 +88,83 @@ def test_compact_small_files_bounds_file_count(spark, sf_dir, tmp_path):
     files = glob.glob(out + "/*.parquet")
     assert len(files) == n <= 4
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_compact_bucketed_table_folds_and_preserves_spec(spark):
+    # Append-growth maintenance: after enough appends the trigger folds
+    # the digest table back to ~1 file per bucket; the bucket spec (and
+    # with it the exchange-free history join) and the data both survive.
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        read_digest_table,
+        write_digest_table,
+    )
+    from openedx_event_sink_clickhouse_spark.sources.layout import (
+        _dir_parquet_files,
+        table_location,
+    )
+    spark.sql("DROP TABLE IF EXISTS digest_compact")
+    try:
+        def hashes(lo, hi):
+            return spark.range(lo, hi).select(
+                F.md5(F.col("id").cast("string")).alias("content_hash"))
+
+        write_digest_table(hashes(0, 20), "digest_compact", buckets=2,
+                           mode="overwrite")
+        for i in range(1, 6):
+            write_digest_table(hashes(i * 20, i * 20 + 20),
+                               "digest_compact", buckets=2,
+                               max_files_per_bucket=2)
+        files = _dir_parquet_files(table_location(spark, "digest_compact"))
+        # last append ran the trigger: at most the fresh batch's files on
+        # top of the 2 folded bucket files — far below the 6 appends x
+        # tasks-per-append growth an unmaintained table would show
+        assert len(files) <= 2 * 2, files
+        detail = spark.sql("DESCRIBE TABLE EXTENDED digest_compact") \
+            .filter("col_name = 'Num Buckets'").first()
+        assert detail is not None and detail.data_type.strip() == "2"
+        assert read_digest_table(spark, "digest_compact").count() == 120
+        assert read_digest_table(spark, "digest_compact") \
+            .select("content_hash").distinct().count() == 120
+    finally:
+        spark.sql("DROP TABLE IF EXISTS digest_compact")
+
+
+def test_ivf_append_compacts_cells_in_place(spark, tmp_path):
+    # Cell-dir maintenance: repeated appends fragment each cell; the
+    # post-append trigger folds oversized cells IN PLACE, so the
+    # directory layout (and partition pruning) is untouched and no row
+    # is lost or duplicated.
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        ivf_append_batch,
+        write_ivf_partitioned,
+    )
+    from openedx_event_sink_clickhouse_spark.sources.layout import (
+        _dir_parquet_files)
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_compact")
+    write_ivf_partitioned(emb.filter(F.col("vec_id") < 40), path,
+                          n_centroids=4)
+    for lo in range(40, 120, 16):
+        batch = emb.filter((F.col("vec_id") >= lo)
+                           & (F.col("vec_id") < lo + 16))
+        ivf_append_batch(batch, path, model=emb, n_centroids=4,
+                         max_files_per_cell=2)
+    for cell_dir in glob.glob(os.path.join(path, "cell=*")):
+        assert len(_dir_parquet_files(cell_dir)) <= 2, cell_dir
+    got = spark.read.parquet(path)
+    assert got.count() == 120
+    assert got.select("id").distinct().count() == 120
+    one_cell = got.filter(F.col("cell") == 1)
+    one_cell.count()
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
