@@ -434,3 +434,89 @@ def test_release_corpus_runs_per_batch_via_foreach_batch(spark, sf_dir,
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert sorted(out) == batch
+
+
+def test_ivf_stream_maintenance_parity_and_drift_signal(spark, sf_dir,
+                                                        tmp_path):
+    # Streaming ANN maintenance: embedding micro-batches appended via
+    # foreachBatch must leave the SAME at-rest layout as the one-shot
+    # write (same (id, cell) set, pruning intact), and the cell-skew
+    # refresh policy must stay silent on the in-distribution stream.
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        write_ivf_partitioned)
+    from openedx_event_sink_clickhouse_spark.streaming.ann_maintenance import (
+        IvfStreamMaintainer, maintain_ivf_stream)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    old = emb.filter(F.col("vec_id") < 300)
+    path = str(tmp_path / "ivf_stream")
+    write_ivf_partitioned(old, path, n_centroids=16)
+
+    (tmp_path / "in").mkdir()
+    for tag, cond in (("a", (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)),
+                      ("b", F.col("vec_id") >= 400)):
+        stage = str(tmp_path / f"stage_{tag}")
+        emb.filter(cond).coalesce(1).write.parquet(stage)
+        part = _glob.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, str(tmp_path / "in" / f"{tag}.parquet"))
+        _time.sleep(1.1)
+
+    m = IvfStreamMaintainer(emb, path, n_centroids=16,
+                            skew_refresh_ratio=4.0)
+    src = (spark.readStream.schema(emb.schema)
+           .option("maxFilesPerTrigger", "1")
+           .parquet(str(tmp_path / "in")))
+    q = maintain_ivf_stream(src, m, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    full_path = str(tmp_path / "ivf_full")
+    write_ivf_partitioned(emb, full_path, n_centroids=16)
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(path).select("id", "cell").collect())
+    want = sorted(tuple(r) for r in
+                  spark.read.parquet(full_path).select("id", "cell").collect())
+    assert got == want
+
+    one_cell = spark.read.parquet(path).filter(F.col("cell") == 3)
+    one_cell.count()
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # In-distribution stream: no refresh signal; skew tracked.
+    assert m.needs_refresh is False
+    assert m.last_skew is not None and m.last_skew >= 1.0
+
+
+def test_ivf_stream_maintenance_flags_centroid_drift(spark, sf_dir,
+                                                     tmp_path):
+    # A drifted stream (every vector lands in the probe-0 cell: we feed
+    # copies of vector 0) must push cell-size skew over the threshold
+    # and latch needs_refresh + fire on_refresh exactly once.
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        write_ivf_partitioned)
+    from openedx_event_sink_clickhouse_spark.streaming.ann_maintenance import (
+        IvfStreamMaintainer)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = str(tmp_path / "ivf_drift")
+    write_ivf_partitioned(emb, path, n_centroids=16)
+
+    v0 = emb.filter(F.col("vec_id") == 0).first().embedding
+    n = emb.count()
+    drifted = spark.createDataFrame(
+        [(10_000 + i, list(v0)) for i in range(2 * n)],
+        "vec_id long, embedding array<double>")
+
+    fired: list = []
+    m = IvfStreamMaintainer(emb, path, n_centroids=16,
+                            skew_refresh_ratio=4.0,
+                            on_refresh=fired.append)
+    m(drifted, 0)   # foreachBatch handler, called directly
+    assert m.needs_refresh is True
+    assert len(fired) == 1 and fired[0] > 4.0
+    m(drifted.limit(1), 1)  # latched: does not re-fire
+    assert len(fired) == 1
