@@ -59,3 +59,29 @@ def test_salted_broadcast_join_matches_plain_join(spark, sf_dir, lineitem):
     assert salted.count() == plain.count()
     assert sorted(map(tuple, salted.select(*plain.columns).collect())) == \
            sorted(map(tuple, plain.collect()))
+
+
+def test_salting_bounds_hot_key_partition_share(spark):
+    # The guard's contract on a power-law key (50% of rows on one user):
+    # a raw-row exchange keyed on user_id puts the hot key's whole mass
+    # in one partition; adding the deterministic salt to the exchange
+    # key bounds any partition's share at ~1/buckets of the hot key.
+    # (tools/skew_probe.py measures the wall-clock effect at 20M rows.)
+    from pyspark.sql import functions as F
+    n, buckets = 64_000, 8
+    ev = (spark.range(n)
+          .select(F.when(F.col("id") % 2 == 0, F.lit(0))
+                  .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)))
+                  .alias("user_id"), F.col("id")))
+    salt = F.pmod(F.xxhash64("id"), F.lit(buckets))
+
+    def hottest(df):
+        return (df.groupBy(F.spark_partition_id().alias("p")).count()
+                .agg(F.max("count")).first()[0])
+
+    plain_hot = hottest(ev.repartition(buckets, "user_id"))
+    salted_hot = hottest(ev.repartition(buckets, "user_id", salt))
+    assert plain_hot >= n // 2              # hot key owns one partition
+    # hot key split ~evenly: no partition much above (n/2)/buckets plus
+    # the cold keys' share
+    assert salted_hot < n // 4

@@ -41,16 +41,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from openedx_event_sink_clickhouse_spark.operators.similarity import (
-        brute_force_topk, quantized_cosine_topk, write_quantized_codes)
+        brute_force_topk, ivf_topk_partitioned, quantized_cosine_topk,
+        write_ivf_partitioned, write_quantized_codes)
 
     base = spark.read.parquet(SRC).select("vec_id", "embedding")
     n0 = base.count()
+    import glob
+
     import pyarrow.parquet as pq
     probe_vec = pq.read_table(SRC, filters=[("vec_id", "=", 0)],
                               columns=["embedding"]) \
         .column("embedding")[0].as_py()
+    model = [r.embedding for r in
+             base.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()]
 
-    print(f"{'n':>8s} {'brute':>8s} {'quantized':>10s} {'ratio':>6s}")
+    def dir_bytes(path: str) -> int:
+        return sum(os.path.getsize(f) for f in
+                   glob.glob(os.path.join(path, "**", "*.parquet"),
+                             recursive=True))
+
+    print(f"{'n':>8s} {'brute':>8s} {'quantized':>10s} {'q/b':>6s} "
+          f"{'ivf_part':>9s} {'i/b':>6s} {'bytes_frac':>10s}")
     for n in sizes:
         reps = (n + n0 - 1) // n0
         d = os.path.join(WORK, f"n{n}")
@@ -63,6 +74,13 @@ def main() -> None:
             emb.write.mode("overwrite").parquet(os.path.join(d, "emb"))
             write_quantized_codes(spark.read.parquet(os.path.join(d, "emb")),
                                   os.path.join(d, "codes"))
+        ivf_dir = os.path.join(d, "ivf")
+        if not os.path.isfile(os.path.join(ivf_dir, "_SUCCESS")):
+            # Replicas of vector v share v's cell, so the layout's cell
+            # balance matches the base corpus at every size.
+            write_ivf_partitioned(
+                spark.read.parquet(os.path.join(d, "emb")), ivf_dir,
+                n_centroids=16, centroids=model)
         emb = spark.read.parquet(os.path.join(d, "emb"))
         codes = spark.read.parquet(os.path.join(d, "codes"))
 
@@ -79,7 +97,29 @@ def main() -> None:
         tq = best(lambda: quantized_cosine_topk(
             emb, 0, k=10, rescore_factor=5, codes=codes,
             probe_vec=probe_vec).count())
-        print(f"{n:8d} {tb:8.3f} {tq:10.3f} {tq / tb:6.2f}")
+        ti = best(lambda: ivf_topk_partitioned(
+            spark, ivf_dir, probe_vec, model, k=10, nprobe=1,
+            exclude_id=0).count())
+        # File-level pruning win, measured in BYTES: an nprobe=1 search
+        # opens only the probed cell directory; everything else is
+        # pruned before any file opens. (The probed cell is derived with
+        # ivf_topk_partitioned's own coordinator ranking — inputFiles()
+        # can't be used, it lists the table PRE-pruning.)
+        import math as _math
+        pn = _math.sqrt(sum(x * x for x in probe_vec))
+
+        def _cos(c):
+            cn = _math.sqrt(sum(x * x for x in c))
+            dd = sum(a * b for a, b in zip(probe_vec, c))
+            return dd / (cn * pn) if cn and pn else 0.0
+
+        cell0 = sorted(enumerate(model),
+                       key=lambda t: (-_cos(t[1]), t[0]))[0][0]
+        probed_bytes = dir_bytes(os.path.join(ivf_dir, f"cell={cell0}"))
+        total_bytes = dir_bytes(ivf_dir)
+        print(f"{n:8d} {tb:8.3f} {tq:10.3f} {tq / tb:6.2f} "
+              f"{ti:9.3f} {ti / tb:6.2f} "
+              f"{probed_bytes / total_bytes:10.3f}")
 
 
 if __name__ == "__main__":

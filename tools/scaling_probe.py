@@ -40,34 +40,50 @@ SRC_DIR = "/root/testdata/sf0.1"
 WORK_DIR = "/tmp/scaling_probe"
 POINTS = [500, 1000, 2000, 5000]
 DEFAULT_QUERIES = ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
-                   "dedup_survivors"]
+                   "dedup_clusters",       # the LIVE clustering chain
+                   # (dedup_survivors now serves from the at-rest label
+                   # table — its scaling is the build, probed via
+                   # dedup_clusters, plus an O(output) anti-join)
+                   "sim_neardup_pairs", "sim_ivf_partitioned",
+                   "ret_bm25_topk"]
+# Queries scanning the embeddings table: capped at its row count (the
+# driver ships 2000 embedding rows at sf0.1, vs 5000 documents).
+EMB_QUERIES = {"sim_neardup_pairs", "sim_ivf_partitioned", "sim_cosine_topk",
+               "sim_quantized_topk", "sim_semantic_dedup"}
 RUNS = 2
 
 
-def build_points(spark) -> dict[int, str]:
-    """Materialize one sf-dir per scale point: documents subsampled to
-    the first n doc_ids (prefix subset, so every smaller point is a
-    strict subset of the larger — same data distribution), every other
-    table symlinked from sf0.1."""
+def build_points(spark) -> tuple[dict[int, str], int]:
+    """Materialize one sf-dir per scale point: documents AND embeddings
+    subsampled to the first n ids (prefix subset, so every smaller point
+    is a strict subset of the larger — same data distribution; the
+    embeddings table caps at its own size), every other table symlinked
+    from sf0.1. Returns (dirs, embedding row count)."""
     docs = spark.read.parquet(os.path.join(SRC_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SRC_DIR, "embeddings.parquet"))
     ids = [r[0] for r in docs.select("doc_id").orderBy("doc_id").collect()]
+    eids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").collect()]
     dirs = {}
     for n in POINTS:
         d = os.path.join(WORK_DIR, f"n{n}")
-        marker = os.path.join(d, "_COMPLETE")
+        marker = os.path.join(d, "_COMPLETE_V2")
         if not os.path.exists(marker):
             shutil.rmtree(d, ignore_errors=True)
             os.makedirs(d)
             for f in os.listdir(SRC_DIR):
-                if f != "documents.parquet":
+                if f not in ("documents.parquet", "embeddings.parquet"):
                     os.symlink(os.path.join(SRC_DIR, f), os.path.join(d, f))
             cutoff = ids[n - 1]
             (docs.filter(docs.doc_id <= cutoff).coalesce(4)
              .write.mode("overwrite")
              .parquet(os.path.join(d, "documents.parquet")))
+            ecut = eids[min(n, len(eids)) - 1]
+            (emb.filter(emb.vec_id <= ecut).coalesce(4)
+             .write.mode("overwrite")
+             .parquet(os.path.join(d, "embeddings.parquet")))
             open(marker, "w").close()
         dirs[n] = d
-    return dirs
+    return dirs, len(eids)
 
 
 def main() -> None:
@@ -85,44 +101,59 @@ def main() -> None:
 
     import __spark_entry__ as ent
     qmap = ent.queries()
-    dirs = build_points(spark)
+    dirs, n_emb = build_points(spark)
+
+    def points_for(q: str) -> list[int]:
+        # Embedding-table queries stop scaling once the subsample hits
+        # the table's full size — drop the flat points so their
+        # exponents are never computed over a constant input.
+        if q in EMB_QUERIES:
+            pts = [n for n in POINTS if n <= n_emb]
+            return pts or POINTS[:1]
+        return POINTS
 
     # Warm codegen/plan caches once so the smallest point isn't billed
     # the one-time session compilation cost (same rationale as bench.py).
     for q in queries:
         qmap[q](spark, dirs[POINTS[0]]).count()
 
-    results: dict[str, list[float]] = {}
+    results: dict[str, dict[int, float]] = {}
     for q in queries:
-        ts = []
-        for n in POINTS:
+        ts: dict[int, float] = {}
+        for n in points_for(q):
             best = float("inf")
             for _ in range(RUNS):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 qmap[q](spark, dirs[n]).count()
                 best = min(best, time.perf_counter() - t0)
-            ts.append(best)
+            ts[n] = best
             print(f"# {q} @ n={n}: {best:.3f}s", file=sys.stderr)
         results[q] = ts
 
-    hdr = " ".join(f"t({n}):>8s".replace(f"t({n}):>8s", f"{f't({n})':>8s}")
-                   for n in POINTS)
+    hdr = " ".join(f"{f't({n})':>8s}" for n in POINTS)
     print(f"\n{'query':22s} {hdr} "
           + " ".join(f"{f'b({POINTS[i]}→{POINTS[i+1]})':>12s}"
                      for i in range(len(POINTS) - 1))
           + f" {'b(fit)':>7s}")
     for q, ts in results.items():
-        pw = [math.log(ts[i + 1] / ts[i])
-              / math.log(POINTS[i + 1] / POINTS[i])
-              for i in range(len(ts) - 1)]
-        xs = [math.log(n) for n in POINTS]
-        ys = [math.log(t) for t in ts]
+        pts = sorted(ts)
+        tcols = " ".join(f"{ts[n]:8.3f}" if n in ts else f"{'-':>8s}"
+                         for n in POINTS)
+        pw = []
+        for i in range(len(POINTS) - 1):
+            a, b = POINTS[i], POINTS[i + 1]
+            if a in ts and b in ts:
+                pw.append(f"{math.log(ts[b] / ts[a]) / math.log(b / a):12.2f}")
+            else:
+                pw.append(f"{'-':>12s}")
+        xs = [math.log(n) for n in pts]
+        ys = [math.log(ts[n]) for n in pts]
         xbar, ybar = sum(xs) / len(xs), sum(ys) / len(ys)
-        fit = (sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys))
-               / sum((x - xbar) ** 2 for x in xs))
-        print(f"{q:22s} " + " ".join(f"{t:8.3f}" for t in ts) + " "
-              + " ".join(f"{b:12.2f}" for b in pw) + f" {fit:7.2f}")
+        denom = sum((x - xbar) ** 2 for x in xs)
+        fit = (sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / denom
+               if denom else float("nan"))
+        print(f"{q:22s} {tcols} " + " ".join(pw) + f" {fit:7.2f}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,180 @@
+"""Adversarial-skew robustness probe: measure what the two skew guards
+actually buy on WORST-CASE inputs at sf0.1 scale, as evidence for
+SCALE.md's "failure mode guarded" claims.
+
+1. **Degenerate LSH buckets** — every document gets the same long
+   boilerplate suffix appended, so the shared shingles dominate the
+   MinHash signatures and (nearly) the whole corpus collides into the
+   same band buckets: the stop-shingle scenario ``max_bucket`` exists
+   for. With the guard ON the oversized buckets are dropped BEFORE the
+   id-set aggregation (buffer bounded at ``max_bucket`` ids); with it
+   OFF the bucket pair expansion is O(n²). The probe times the guarded
+   run at full size and the unguarded run over increasing n, reporting
+   the blow-up exponent and the max bucket size each run feeds to
+   ``collect_set`` (the memory-bound proxy: the aggregation buffer holds
+   exactly that many ids).
+
+2. **Power-law key, raw-row exchange** — synthetic events with 50% of
+   all rows on ONE user. Two honest findings: (a) for ALGEBRAIC
+   aggregates Spark's map-side partial aggregation already soaks the
+   skew (plain ≈ salted — the guard is not needed there, and the probe
+   says so); (b) the shape that DOES blow up is any raw-row keyed
+   exchange — windows, sessionize, stream state, repartition-before-agg
+   — where the hot task receives 50% of all rows. The probe times that
+   exchange plain vs salted (hot key split over ``buckets`` sub-keys,
+   the ``salted_aggregate`` phase-1 shape) and checks result parity.
+
+Usage: python tools/skew_probe.py [--full]   (--full adds the n=5000
+unguarded LSH point, ~minutes)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1/documents.parquet"
+BOILER = ("terms of service privacy policy all rights reserved contact "
+          "support subscribe newsletter follow us on social media "
+          "copyright notice legal disclaimer cookie settings")
+
+
+def main() -> None:
+    full = "--full" in sys.argv
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("skew-probe")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        lsh_bands, minhash_lsh_pairs, minhash_signature, shingle_hashes,
+        with_shingles)
+    from openedx_event_sink_clickhouse_spark.operators.skew import (
+        salted_aggregate)
+
+    # ---- 1. degenerate LSH buckets -----------------------------------
+    # Worst case: a 3-word unique prefix + a 48-word shared boilerplate
+    # tail, so ~90% of every doc's shingles are corpus-wide stop
+    # shingles and (0.9)^2 ≈ 0.8 of the corpus collides per band.
+    docs = (spark.read.parquet(SRC)
+            .select("doc_id",
+                    F.concat_ws(
+                        " ",
+                        F.array_join(F.slice(F.split("text", " "), 1, 3),
+                                     " "),
+                        F.lit(BOILER), F.lit(BOILER)).alias("text")))
+    n_all = docs.count()
+
+    def max_bucket_size(d, cap):
+        sigs = (with_shingles(d).select("doc_id", "shingles")
+                .withColumn("hv", shingle_hashes(F.col("shingles")))
+                .select("doc_id",
+                        lsh_bands(minhash_signature(F.col("hv")))
+                        .alias("bands"))
+                .select("doc_id", F.posexplode_outer("bands")
+                        .alias("band_idx", "band_hash")))
+        per = sigs.groupBy("band_idx", "band_hash").count()
+        if cap is not None:
+            per = per.filter(F.col("count") <= cap)
+        return per.agg(F.max("count")).first()[0]
+
+    print("== degenerate LSH buckets (boilerplate suffix on every doc) ==")
+    t0 = time.perf_counter()
+    n_pairs = minhash_lsh_pairs(docs, threshold=0.6, max_bucket=1000).count()
+    t_on = time.perf_counter() - t0
+    print(f"guard ON  (max_bucket=1000) n={n_all}: {t_on:7.2f}s "
+          f"{n_pairs} pairs, max collect_set buffer = "
+          f"{max_bucket_size(docs, 1000)} ids")
+
+    sizes = [1000, 2000] + ([5000] if full else [])
+    prev = None
+    for n in sizes:
+        sub = docs.filter(F.col("doc_id") < n)
+        m = sub.count()
+        t0 = time.perf_counter()
+        p = minhash_lsh_pairs(sub, threshold=0.6, max_bucket=None).count()
+        dt = time.perf_counter() - t0
+        note = ""
+        if prev:
+            import math
+            b = math.log(dt / prev[1]) / math.log(m / prev[0])
+            note = f"  b({prev[0]}→{m}) = {b:.2f}"
+        prev = (m, dt)
+        print(f"guard OFF n={m}: {dt:7.2f}s {p} pairs, max buffer = "
+              f"{max_bucket_size(sub, None)} ids{note}")
+
+    # ---- 2. power-law key ---------------------------------------------
+    print("\n== power-law key (50% of rows on one user) ==")
+    n_rows = 20_000_000
+    ev = (spark.range(n_rows)
+          .select(F.when(F.col("id") % 2 == 0, F.lit(0))
+                  .otherwise(F.pmod(F.xxhash64("id"), F.lit(10_000)))
+                  .alias("user_id"),
+                  (F.col("id") % 997).cast("double").alias("value"),
+                  F.col("id")))
+    aggs = {"value_sum": ("sum", "value"), "n_events": ("count", "value")}
+
+    def best(f, runs=2):
+        t = float("inf")
+        f()
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            f()
+            t = min(t, time.perf_counter() - t0)
+        return t
+
+    # (a) algebraic agg: partial aggregation already soaks the skew —
+    # the exchange carries one partial row per (partition, key).
+    plain = ev.groupBy("user_id").agg(
+        F.sum("value").alias("value_sum"), F.count("value").alias("n_events"))
+    t_plain = best(lambda: plain.count())
+    t_salt = best(lambda: salted_aggregate(ev, "user_id", aggs,
+                                           buckets=int(cpus),
+                                           salt_from="id").count())
+    a = {r.user_id: (r.value_sum, r.n_events) for r in
+         plain.filter(F.col("user_id") == 0).collect()}
+    b = {r.user_id: (r.value_sum, r.n_events) for r in
+         salted_aggregate(ev, "user_id", aggs, buckets=int(cpus),
+                          salt_from="id")
+         .filter(F.col("user_id") == 0).collect()}
+    assert a == b, "salted aggregate diverged from plain"
+    print(f"algebraic agg, plain   : {t_plain:6.2f}s (partial agg soaks "
+          "the hot key — guard unnecessary here, by design)")
+    print(f"algebraic agg, salted  : {t_salt:6.2f}s (identical results)")
+
+    # (b) raw-row keyed exchange — the windows/sessionize/stream-state
+    # shape, where no partial agg exists: the hot task receives 50% of
+    # all rows unless the exchange key is salted.
+    salt = F.pmod(F.xxhash64("id"), F.lit(int(cpus)))
+    t_raw = best(lambda: ev.repartition(int(cpus), "user_id")
+                 .groupBy(F.spark_partition_id().alias("p"))
+                 .agg(F.sum("value")).count(), runs=1)
+    t_rawsalt = best(lambda: ev.repartition(int(cpus), "user_id", salt)
+                     .groupBy(F.spark_partition_id().alias("p"))
+                     .agg(F.sum("value")).count(), runs=1)
+    hot = (ev.repartition(int(cpus), "user_id")
+           .groupBy(F.spark_partition_id().alias("p")).count()
+           .agg(F.max("count")).first()[0])
+    hot_s = (ev.repartition(int(cpus), "user_id", salt)
+             .groupBy(F.spark_partition_id().alias("p")).count()
+             .agg(F.max("count")).first()[0])
+    print(f"raw-row exchange, plain : {t_raw:6.2f}s "
+          f"(hottest task {hot:,} of {n_rows:,} rows)")
+    print(f"raw-row exchange, salted: {t_rawsalt:6.2f}s "
+          f"(hottest task {hot_s:,} rows — bounded at ~1/{cpus} "
+          "of the hot key)")
+
+
+if __name__ == "__main__":
+    main()
