@@ -92,6 +92,9 @@ HEADLINE = [
     "cur_split_assignment",        # stable train/val/test assignment
     "dedup_cluster_sizes",         # duplicate-cluster size distribution
     "mm_dedup_exact",              # content-addressed payload dedup
+    # Round-5 tail: the live clustering chain stays benched now that
+    # dedup_survivors/cluster_sizes serve from the at-rest label table.
+    "dedup_clusters",              # LSH pairs + CC fixpoint (live chain)
 ]
 
 

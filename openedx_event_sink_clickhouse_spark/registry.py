@@ -97,11 +97,23 @@ def _cached_parquet(path: str, build) -> str:
     return path
 
 
-def _sf_tag(sf_dir: str) -> str:
+def _sf_tag(sf_dir: str, *tables: str) -> str:
+    """Cache key for derived tables under ``sf_dir``: the absolute path
+    plus each named source table's (size, mtime) fingerprint, so
+    REGENERATED testdata at the same path invalidates every derived
+    cache instead of silently serving stale labels/codes/cells."""
     import hashlib
     import os as _os
 
-    return hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    parts = [_os.path.abspath(sf_dir)]
+    for t in tables:
+        p = _os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = _os.stat(p)
+            parts.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
+        except OSError:
+            parts.append(f"{t}:absent")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
 def _text_cluster_labels(spark, sf_dir: str) -> DataFrame:
@@ -992,13 +1004,10 @@ def _sim3p(spark, sf_dir):
     # cells are pruned at file level — the real 100 TB read path the
     # in-memory sim_ivf_topk only narrates. Results identical (same
     # deterministic first-16 centroid model, nprobe=1 = probe's cell).
-    import hashlib
-    import os as _os
-
     from .operators.similarity import (ivf_topk_partitioned,
                                        write_ivf_partitioned)
     emb = _t(spark, sf_dir, "embeddings")
-    tag = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tag = _sf_tag(sf_dir, "embeddings")
     path = _cached_parquet(
         f"/tmp/spark_graft_ivfpart_v1_{tag}",
         lambda p: write_ivf_partitioned(emb, p, n_centroids=16))
@@ -1576,7 +1585,7 @@ def _wstate(spark, sf_dir):
         _os.utime(_os.path.join(tmp, "batch1.parquet"), (t0 + 60, t0 + 60))
         open(_os.path.join(tmp, "_SUCCESS"), "w").close()
 
-    tag = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tag = _sf_tag(sf_dir, "events")
     split_dir = _cached_parquet(f"/tmp/spark_graft_gatesplit_v2_{tag}",
                                 _build)
 
@@ -3006,13 +3015,12 @@ def _simq(spark, sf_dir):
     # exact rescore of the 3k shortlist — the memory-bound ANN pattern at
     # 100 TB. The coarse pass scans only the codes table; the
     # full-precision embeddings are read for the O(k) rescore rows alone.
-    import hashlib
     import os as _os
 
     from .operators.similarity import (quantized_cosine_topk,
                                        write_quantized_codes)
     emb = _t(spark, sf_dir, "embeddings")
-    tag = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tag = _sf_tag(sf_dir, "embeddings")
     # v2 = binary-packed codes layout (bump to invalidate older caches).
     # rescore_factor=5 (coarse LIMIT 50 in the oracle too): the two
     # engines evaluate the dequantized dot in different floating-point
