@@ -95,6 +95,8 @@ HEADLINE = [
     # Round-5 tail: the live clustering chain stays benched now that
     # dedup_survivors/cluster_sizes serve from the at-rest label table.
     "dedup_clusters",              # LSH pairs + CC fixpoint (live chain)
+    "dedup_incremental_neardup",   # batch-vs-LSH-index near-dup mining
+    "ret_bm25_at_rest",            # BM25 from the partitioned postings index
 ]
 
 

@@ -428,6 +428,102 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard_sim"))
 
 
+def write_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        max_bucket: int | None = 1000) -> None:
+    """Materialize the MinHash-LSH index AT REST so NEAR-dup checks go
+    incremental — the near-dup twin of :func:`write_digest_table`'s role
+    for exact dedup. Two sub-layouts under ``path``:
+
+    - ``bands``: the exploded (band_idx, band_hash, id) bucket stream —
+      what an arriving batch joins against to find candidate partners
+      without re-banding the corpus.
+    - ``shingles``: (id, shingles) — the feature column the exact-
+      jaccard verify step needs for the INDEX side of a candidate pair
+      (the batch side recomputes its own shingles as a narrow map).
+
+    ``max_bucket`` applies the degenerate-bucket guard at BUILD time:
+    bands whose corpus-wide bucket exceeds it (stop-shingle buckets)
+    are dropped from the index, so no future batch can fan out against
+    them — the skew guard moves from query time to the layout, where it
+    is paid once. At production scale both sub-tables are bucketed
+    (band_hash / id) via ``sources/bucketing.write_bucketed`` so the
+    candidate and verify joins co-locate; the plain-parquet layout here
+    is the catalog-free form the registry serves."""
+    base = with_shingles(docs, text_col, n).select(
+        F.col(id_col).alias("id"), "shingles")
+    sigs = (base.withColumn("hv", shingle_hashes(F.col("shingles")))
+            .select("id",
+                    lsh_bands(minhash_signature(F.col("hv"))).alias("bands")))
+    bands = sigs.select(
+        "id", F.posexplode_outer("bands").alias("band_idx", "band_hash"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band_idx", "band_hash")
+        bands = (bands.withColumn("_n", F.count("*").over(w))
+                 .filter(F.col("_n") <= max_bucket).drop("_n"))
+    bands.write.mode("overwrite").parquet(f"{path}/bands")
+    base.write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def incremental_neardup_pairs(batch: DataFrame, spark, index_path: str,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              n: int = 3, threshold: float = 0.6,
+                              max_bucket: int | None = 1000) -> DataFrame:
+    """Near-duplicate pairs for an ARRIVING batch against the indexed
+    corpus (:func:`write_minhash_index`) PLUS within the batch itself —
+    the production shape for near-dup dedup of a daily increment:
+    O(batch + candidates) work, the corpus is never re-shingled.
+    Returns (id_a, id_b, jaccard_sim), id_a < id_b, exact jaccard ≥
+    ``threshold`` — the same contract as :func:`minhash_lsh_pairs` run
+    over batch ∪ corpus, minus the corpus-internal pairs (those were
+    mined when the index was built).
+
+    Plan: the batch is shingled/banded once (narrow); batch bands join
+    the at-rest band stream on (band_idx, band_hash) — with the bands
+    table bucketed on band_hash that join co-locates and only the
+    (small) batch shuffles; candidate pairs then verify with exact
+    jaccard, the batch side recomputing its shingles as a narrow map
+    and the index side reading the at-rest shingle table."""
+    b = with_shingles(batch, text_col, n).select(
+        F.col(id_col).alias("id"), "shingles")
+    sigs = (b.withColumn("hv", shingle_hashes(F.col("shingles")))
+            .select("id",
+                    lsh_bands(minhash_signature(F.col("hv"))).alias("bands")))
+    bx = sigs.select(
+        "id", F.posexplode_outer("bands").alias("band_idx", "band_hash"))
+    ix = spark.read.parquet(f"{index_path}/bands")
+    cand = (bx.join(ix.select(F.col("id").alias("iid"),
+                              "band_idx", "band_hash"),
+                    ["band_idx", "band_hash"])
+            .select(F.least("id", "iid").alias("id_a"),
+                    F.greatest("id", "iid").alias("id_b"))
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct())
+    ish = (spark.read.parquet(f"{index_path}/shingles")
+           .select(F.col("id").alias("_vid"), F.col("shingles").alias("_vsh")))
+    bsh = b.select(F.col("id").alias("_vid"), F.col("shingles").alias("_vsh"))
+    # Verify-side feature lookup: batch ids resolve from the batch's
+    # narrow recompute, index ids from the at-rest shingle table; a
+    # candidate pair can mix the two, so the union covers both sides.
+    feats = bsh.unionByName(ish)
+    left = feats.select(F.col("_vid").alias("id_a"),
+                        F.col("_vsh").alias("sh_a"))
+    right = feats.select(F.col("_vid").alias("id_b"),
+                         F.col("_vsh").alias("sh_b"))
+    cross = (cand.join(left, "id_a").join(right, "id_b")
+             .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+             .filter(F.col("jaccard_sim") >= threshold)
+             .select("id_a", "id_b", "jaccard_sim"))
+    in_batch = minhash_lsh_pairs(batch, text_col, id_col, n, threshold,
+                                 max_bucket)
+    # A batch pair could ALSO surface via the index join if both its
+    # members were banded... they are not (the index holds corpus ids
+    # only, disjoint from batch ids by contract), so the union is
+    # disjoint by construction — no dedup exchange needed.
+    return cross.unionByName(in_batch)
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """SimHash fingerprints: per token (with multiplicity), each of

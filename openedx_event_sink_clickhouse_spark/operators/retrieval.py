@@ -99,6 +99,27 @@ def hybrid_rrf_topk(docs: DataFrame, emb: DataFrame,
                     "lex_rank", "vec_rank"))
 
 
+def _bm25_rank(hits: DataFrame, consts: DataFrame, k: int,
+               k1: float, b: float) -> DataFrame:
+    """Shared BM25 scoring tail over a (doc_id, dl, term, tf) hit stream
+    plus a 1-row (n_docs, avgdl) constants frame — used by both the
+    scan-time and the index-at-rest query paths, so the two can never
+    diverge arithmetically."""
+    df_per_term = hits.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(1.0) +
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_term = (F.col("tf") * (k1 + 1)) / \
+        (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (hits
+              .join(F.broadcast(df_per_term), "term")
+              .crossJoin(F.broadcast(consts))
+              .select("doc_id", (idf * tf_term).alias("_s"))
+              .groupBy("doc_id")
+              .agg(F.sum("_s").alias("_score")))
+    return (scored.orderBy(F.desc("_score"), "doc_id").limit(k)
+            .select("doc_id", F.round("_score", 6).alias("bm25")))
+
+
 def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
               text_col: str = "text", id_col: str = "doc_id",
               k1: float = K1, b: float = B) -> DataFrame:
@@ -117,16 +138,66 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     consts = docs.select(
         F.count("*").alias("n_docs"),
         F.avg(F.size(words(F.col(text_col)))).alias("avgdl"))
-    df_per_term = hits.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(F.lit(1.0) +
-                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_term = (F.col("tf") * (k1 + 1)) / \
-        (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
-    scored = (hits
-              .join(F.broadcast(df_per_term), "term")
-              .crossJoin(F.broadcast(consts))
-              .select("doc_id", (idf * tf_term).alias("_s"))
-              .groupBy("doc_id")
-              .agg(F.sum("_s").alias("_score")))
-    return (scored.orderBy(F.desc("_score"), "doc_id").limit(k)
-            .select("doc_id", F.round("_score", 6).alias("bm25")))
+    return _bm25_rank(hits, consts, k, k1, b)
+
+
+def term_bucket_of(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the index's partition-column expression
+    (``pmod(md5_hash64(term), n_buckets)``) — bit-identical, so the
+    query coordinator can name the partitions its terms live in without
+    touching the index."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def write_postings_index(docs: DataFrame, path: str, n_buckets: int = 64,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> None:
+    """Materialize the inverted index AT REST: the exploded
+    (doc_id, dl, term, tf) postings written ``partitionBy(term_bucket)``
+    (md5-derived term hash mod ``n_buckets``), plus a 1-row ``_stats``
+    table (n_docs, avgdl) alongside — the retrieval twin of the IVF
+    cell layout (``similarity.write_ivf_partitioned``).
+
+    Why a hash-bucket partition column instead of the raw term: term
+    cardinality is far too high for one directory per term, but a
+    bounded bucket count gives the same file-level win — a query for a
+    handful of terms computes their buckets coordinator-side
+    (:func:`term_bucket_of`) and the scan carries a PartitionFilter, so
+    at 100 TB the unprobed ~``(n_buckets - |q|)/n_buckets`` of the
+    postings never open; the residual in-bucket filter on ``term``
+    pushes down to parquet row groups. Catalog-free (plain directories),
+    so any session can serve it; rebuild is an idempotent layout job."""
+    from ..functions.hashes import md5_hash64
+
+    terms = _doc_terms(docs, text_col, id_col)
+    (terms.withColumn("term_bucket",
+                      F.pmod(md5_hash64(F.col("term")), F.lit(n_buckets))
+                      .cast("int"))
+     .write.partitionBy("term_bucket").mode("overwrite")
+     .parquet(f"{path}/postings"))
+    (docs.select(F.count("*").alias("n_docs"),
+                 F.avg(F.size(words(F.col(text_col)))).alias("avgdl"))
+     .write.mode("overwrite").parquet(f"{path}/_stats"))
+
+
+def bm25_topk_from_index(spark, path: str, query_terms: list[str],
+                         k: int = 10, n_buckets: int = 64,
+                         k1: float = K1, b: float = B) -> DataFrame:
+    """BM25 top-k served from the at-rest postings index
+    (:func:`write_postings_index`) — the corpus is never tokenized at
+    query time. The scan reads ONLY the query terms' hash-bucket
+    partitions (PartitionFilter; plan-shape-pinned) with the exact term
+    match pushed into them; document frequencies come from the filtered
+    hits (complete for those terms by construction) and the corpus
+    constants from the 1-row ``_stats`` table. Identical scores to
+    :func:`bm25_topk` on the same corpus — both share
+    :func:`_bm25_rank`."""
+    buckets = sorted({term_bucket_of(t, n_buckets) for t in query_terms})
+    hits = (spark.read.parquet(f"{path}/postings")
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term").isin(query_terms))
+            .select("doc_id", "dl", "term", "tf"))
+    consts = spark.read.parquet(f"{path}/_stats")
+    return _bm25_rank(hits, consts, k, k1, b)

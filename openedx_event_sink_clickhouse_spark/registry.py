@@ -725,6 +725,40 @@ def _dd2(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
 
+def _build_mh_index(docs, tmp):
+    import os as _os
+
+    from .operators.dedup import write_minhash_index
+    write_minhash_index(docs, tmp)
+    open(_os.path.join(tmp, "_SUCCESS"), "w").close()
+
+
+@register("dedup_incremental_neardup", None)  # oracle attached below
+def _ddin(spark, sf_dir):
+    # Incremental NEAR-dup — the LSH twin of dedup_incremental's exact
+    # loop: the corpus (ids < 400) is banded ONCE into an at-rest index
+    # (bands + shingles); the arriving batch (ids >= 400) is banded,
+    # joined against the stored bucket stream for cross candidates, and
+    # pair-mined within itself — O(batch + candidates), the corpus is
+    # never re-shingled. Oracle = the full-corpus pair set minus the
+    # corpus-internal pairs (mined at index-build time).
+    from .operators.dedup import incremental_neardup_pairs
+    docs = _t(spark, sf_dir, "documents")
+    path = _cached_parquet(
+        f"/tmp/spark_graft_mhindex_v1_{_sf_tag(sf_dir, 'documents')}",
+        lambda p: _build_mh_index(docs.filter(F.col("doc_id") < 400), p))
+    return incremental_neardup_pairs(docs.filter(F.col("doc_id") >= 400),
+                                     spark, path, threshold=0.6)
+
+
+REGISTRY["dedup_incremental_neardup"] = (
+    REGISTRY["dedup_incremental_neardup"][0], f"""
+SELECT id_a, id_b, jaccard_sim
+FROM ({REGISTRY['dedup_minhash_lsh'][1]})
+WHERE NOT (id_a < 400 AND id_b < 400)
+""")
+
+
 @register("dedup_simhash", """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
@@ -3209,6 +3243,36 @@ def _ret2(spark, sf_dir):
                      list(BM25_QUERY_TERMS), k=10)
 
 
+@register("ret_bm25_at_rest", None)  # oracle attached below (same as live)
+def _ret2r(spark, sf_dir):
+    # BM25 served from the AT-REST postings index: the corpus is never
+    # tokenized at query time — the scan reads only the query terms'
+    # hash-bucket partitions (PartitionFilter) plus the 1-row stats
+    # table. The retrieval twin of sim_ivf_partitioned's role for ANN,
+    # with the same derived-layout cache.
+    from .operators.retrieval import bm25_topk_from_index, \
+        write_postings_index
+    docs = _t(spark, sf_dir, "documents")
+    path = _cached_parquet(
+        f"/tmp/spark_graft_postings_v1_{_sf_tag(sf_dir, 'documents')}",
+        lambda p: _build_postings(docs, p))
+    return bm25_topk_from_index(spark, path, list(BM25_QUERY_TERMS), k=10)
+
+
+def _build_postings(docs, tmp):
+    import os as _os
+
+    from .operators.retrieval import write_postings_index
+    write_postings_index(docs, tmp)
+    open(_os.path.join(tmp, "_SUCCESS"), "w").close()
+
+
+# Identical semantics, identical oracle: serving from the index must
+# reproduce the scan-time ranking bit-for-bit.
+REGISTRY["ret_bm25_at_rest"] = (REGISTRY["ret_bm25_at_rest"][0],
+                                REGISTRY["ret_bm25_topk"][1])
+
+
 @register("ret_hybrid_rrf", f"""
 WITH lex AS ({{LEX}}),
 vec AS ({{VEC}}),
@@ -3938,6 +4002,8 @@ def _cur13(spark, sf_dir):
 
 _PRIORITY = [
     "flagship_incremental_dump",
+    # -- NEW in r5: never graded --
+    "dedup_incremental_neardup", "ret_bm25_at_rest",
     # -- changed in r5: re-grade --
     "text_bpe_stats", "dedup_clusters", "dedup_survivors",
     "dedup_cluster_sizes", "sim_semantic_dedup", "mm_dedup_exact",
@@ -3958,8 +4024,10 @@ _PRIORITY = [
     "p8_member_flag", "t2_last_wins_dedup", "t3_fan_out_metadata",
     "a1_watermarks", "a3_distinct_sorted_ids", "serialize_external_id",
     "text_language_id", "approx_distinct_users", "tpch_q1",
-    "mm_meta_summary", "window_running_total", "cur_clean_lines",
-    "evt_funnel", "stream_debounce_dedup",
+    "mm_meta_summary", "window_running_total",
+    "stream_debounce_dedup",
+    # (cur_clean_lines / evt_funnel ceded their slots to the two new r5
+    # entries; both are unchanged since their r2 green grade.)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -383,3 +383,48 @@ def test_cluster_table_roundtrip_matches_live_chain(spark, tmp_path):
         assert sizes == {3: 1, 2: 1}   # clusters {0,1,2} and {3,4}
     finally:
         spark.sql("DROP TABLE IF EXISTS cluster_labels_t")
+
+
+def test_incremental_neardup_matches_full_corpus_minus_index(spark, tmp_path):
+    # The incremental contract: batch-vs-index + in-batch pairs must
+    # equal the full-corpus LSH pair set minus the corpus-internal
+    # pairs (mined once, at index-build time).
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        write_minhash_index,
+    )
+    corpus = [(0, BASE), (1, NEAR), (2, OTHER)]
+    batch = [(10, BASE),                       # dup of indexed 0
+             (11, OTHER.replace("scale", "speed")),  # near-dup of 2
+             (12, BASE), (13, "tiny doc here today")]  # 12 dups 10
+    docs = spark.createDataFrame(corpus + batch, ["doc_id", "text"])
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(docs.filter(F.col("doc_id") < 10), idx)
+    got = {(r.id_a, r.id_b): r.jaccard_sim for r in
+           incremental_neardup_pairs(docs.filter(F.col("doc_id") >= 10),
+                                     spark, idx, threshold=0.5).collect()}
+    full = {(r.id_a, r.id_b): r.jaccard_sim for r in
+            minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    want = {p: j for p, j in full.items() if not (p[0] < 10 and p[1] < 10)}
+    assert got == want
+    assert (0, 10) in got and got[(0, 10)] == 1.0   # batch-index dup
+    assert (10, 12) in got                          # in-batch dup
+    assert not any(p[0] < 10 and p[1] < 10 for p in got)
+
+
+def test_minhash_index_build_guard_drops_stop_bands(spark, tmp_path):
+    # The degenerate-bucket guard moves to the layout: oversized bands
+    # never enter the index, so no batch can fan out against them.
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        write_minhash_index,
+    )
+    stop = spark.createDataFrame([(i, BASE) for i in range(30)],
+                                 ["doc_id", "text"])
+    idx = str(tmp_path / "mh_guard")
+    write_minhash_index(stop, idx, max_bucket=10)
+    assert spark.read.parquet(idx + "/bands").count() == 0
+    batch = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+    assert incremental_neardup_pairs(batch, spark, idx).count() == 0

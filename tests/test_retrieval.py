@@ -84,3 +84,33 @@ def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir):
     if both and single:
         assert max(r.rrf_score for r in both) > min(
             r.rrf_score for r in single)
+
+
+def test_bm25_from_index_matches_scan_and_prunes(spark, sf_dir, tmp_path):
+    # Serving from the at-rest postings index must reproduce the
+    # scan-time ranking exactly, reading only the query terms'
+    # hash-bucket partitions (PartitionFilter in the plan).
+    from openedx_event_sink_clickhouse_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_from_index,
+        term_bucket_of,
+        write_postings_index,
+    )
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    docs = load_table(spark, "documents", sf_dir)
+    path = str(tmp_path / "postings")
+    write_postings_index(docs, path, n_buckets=64)
+    terms = ["the", "data", "model"]
+    got = bm25_topk_from_index(spark, path, terms, k=10)
+    want = bm25_topk(docs, terms, k=10)
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+    # driver-side bucket math matches the layout's partition column
+    # for every stored posting (terms absent from the corpus simply
+    # have no partition — their empty scan is still correct)
+    rows = (spark.read.parquet(path + "/postings")
+            .select("term", "term_bucket").limit(200).collect())
+    assert rows
+    assert all(term_bucket_of(r.term, 64) == r.term_bucket for r in rows)
