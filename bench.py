@@ -96,6 +96,7 @@ HEADLINE = [
     # dedup_survivors/cluster_sizes serve from the at-rest label table.
     "dedup_clusters",              # LSH pairs + CC fixpoint (live chain)
     "dedup_incremental_neardup",   # batch-vs-LSH-index near-dup mining
+    "dedup_incremental_clusters",  # contraction-based label maintenance
     "ret_bm25_at_rest",            # BM25 from the partitioned postings index
 ]
 

@@ -692,6 +692,60 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          (F.col("id") == F.col("label")).alias("is_survivor"))
 
 
+def update_cluster_labels(labels: DataFrame, new_pairs: DataFrame,
+                          max_iter: int = 20,
+                          checkpoint_dir: str | None = None) -> DataFrame:
+    """Fold NEW near-dup pairs (e.g. an arriving batch's
+    :func:`incremental_neardup_pairs` output) into an EXISTING label
+    table without re-running the corpus-wide fixpoint — the label-
+    maintenance step that completes the incremental dedup loop
+    (index at rest → batch pair mining → label update → survivors).
+
+    Contraction argument: connectivity through an existing cluster is
+    fully captured by its label, so each new edge endpoint maps to its
+    current cluster_id (new ids map to themselves) and the
+    :func:`connected_components` fixpoint runs over the CONTRACTED edge
+    set only — O(new pairs + touched clusters) work, independent of
+    corpus size. Because stored labels are cluster MINIMA, the
+    contracted min-label is the true global minimum of any merged
+    cluster, so the result is IDENTICAL to a full recompute over the
+    union pair set (oracle-checked in the registry; a batch doc
+    bridging two old clusters merges them, test-pinned). Stored rows
+    then re-map through the delta (left join — untouched clusters pass
+    through), and new nodes join with their contracted labels.
+    Returns the updated (doc_id, cluster_id, is_survivor) frame."""
+    lab = labels.select("doc_id", "cluster_id")
+    amap = lab.select(F.col("doc_id").alias("id_a"),
+                      F.col("cluster_id").alias("_la"))
+    bmap = lab.select(F.col("doc_id").alias("id_b"),
+                      F.col("cluster_id").alias("_lb"))
+    contracted = (new_pairs.select("id_a", "id_b")
+                  .join(amap, "id_a", "left").join(bmap, "id_b", "left")
+                  .select(F.coalesce("_la", "id_a").alias("id_a"),
+                          F.coalesce("_lb", "id_b").alias("id_b"))
+                  .filter(F.col("id_a") != F.col("id_b"))
+                  .distinct())
+    delta = connected_components(contracted, max_iter=max_iter,
+                                 checkpoint_dir=checkpoint_dir) \
+        .select(F.col("doc_id").alias("_node"),
+                F.col("cluster_id").alias("_newlab"))
+    remapped = (labels.join(delta, labels.cluster_id == delta._node, "left")
+                .select(labels.doc_id,
+                        F.coalesce("_newlab", "cluster_id")
+                        .alias("cluster_id")))
+    new_nodes = (delta.join(lab.select(F.col("doc_id").alias("_node")),
+                            "_node", "left_anti")
+                 .select(F.col("_node").alias("doc_id"),
+                         F.col("_newlab").alias("cluster_id")))
+    # Within-batch self-merges (both endpoints new, same contracted
+    # component) are covered by new_nodes; an unpaired new doc is not
+    # emitted, matching connected_components' paired-nodes-only output.
+    return (remapped.unionByName(new_nodes)
+            .select("doc_id", "cluster_id",
+                    (F.col("doc_id") == F.col("cluster_id"))
+                    .alias("is_survivor")))
+
+
 def dedup_corpus(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", n: int = 3,
                  threshold: float = 0.6,

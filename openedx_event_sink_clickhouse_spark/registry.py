@@ -759,6 +759,40 @@ WHERE NOT (id_a < 400 AND id_b < 400)
 """)
 
 
+@register("dedup_incremental_clusters", None)  # oracle attached below
+def _ddinc(spark, sf_dir):
+    # Label MAINTENANCE — the step that completes the incremental
+    # near-dup loop: stored labels (built once from the indexed corpus,
+    # ids < 400) are updated with the arriving batch's pairs via the
+    # contraction argument (update_cluster_labels) — O(new pairs +
+    # touched clusters), never a corpus-wide fixpoint. The oracle is
+    # the FULL-corpus recursive clustering (identical to
+    # dedup_clusters'), so the hash check certifies that incremental
+    # maintenance equals a from-scratch recompute, cluster merges
+    # included.
+    from .operators.dedup import (incremental_neardup_pairs,
+                                  update_cluster_labels)
+    docs = _t(spark, sf_dir, "documents")
+    tag = _sf_tag(sf_dir, "documents")
+    idx = _cached_parquet(
+        f"/tmp/spark_graft_mhindex_v1_{tag}",
+        lambda p: _build_mh_index(docs.filter(F.col("doc_id") < 400), p))
+
+    def _build_labels0(p):
+        from .operators.dedup import connected_components, minhash_lsh_pairs
+        pairs0 = minhash_lsh_pairs(docs.filter(F.col("doc_id") < 400),
+                                   threshold=0.6)
+        (connected_components(pairs0, checkpoint_dir=_cc_ckpt_dir())
+         .write.parquet(p))
+
+    lab0 = spark.read.parquet(_cached_parquet(
+        f"/tmp/spark_graft_mhlabels0_v1_{tag}", _build_labels0))
+    inc = incremental_neardup_pairs(docs.filter(F.col("doc_id") >= 400),
+                                    spark, idx, threshold=0.6)
+    return update_cluster_labels(lab0, inc, checkpoint_dir=_cc_ckpt_dir())
+# (oracle attached after _cluster_oracle_sql is defined, below)
+
+
 @register("dedup_simhash", """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
@@ -871,6 +905,10 @@ def _ddc(spark, sf_dir):
 # which must already be registered
 REGISTRY["dedup_clusters"] = (REGISTRY["dedup_clusters"][0],
                               _cluster_oracle_sql())
+# Incremental label maintenance must equal the from-scratch recompute —
+# same oracle as the live chain, so the hash check certifies it.
+REGISTRY["dedup_incremental_clusters"] = (
+    REGISTRY["dedup_incremental_clusters"][0], _cluster_oracle_sql())
 
 
 @register("dedup_survivors", None)  # oracle attached below (reuses clusters)
@@ -4003,7 +4041,8 @@ def _cur13(spark, sf_dir):
 _PRIORITY = [
     "flagship_incremental_dump",
     # -- NEW in r5: never graded --
-    "dedup_incremental_neardup", "ret_bm25_at_rest",
+    "dedup_incremental_neardup", "dedup_incremental_clusters",
+    "ret_bm25_at_rest",
     # -- changed in r5: re-grade --
     "text_bpe_stats", "dedup_clusters", "dedup_survivors",
     "dedup_cluster_sizes", "sim_semantic_dedup", "mm_dedup_exact",
@@ -4024,10 +4063,11 @@ _PRIORITY = [
     "p8_member_flag", "t2_last_wins_dedup", "t3_fan_out_metadata",
     "a1_watermarks", "a3_distinct_sorted_ids", "serialize_external_id",
     "text_language_id", "approx_distinct_users", "tpch_q1",
-    "mm_meta_summary", "window_running_total",
+    "mm_meta_summary",
     "stream_debounce_dedup",
-    # (cur_clean_lines / evt_funnel ceded their slots to the two new r5
-    # entries; both are unchanged since their r2 green grade.)
+    # (cur_clean_lines / evt_funnel / window_running_total ceded their
+    # slots to the three new r5 entries; all are unchanged since their
+    # r2 green grade.)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -428,3 +428,40 @@ def test_minhash_index_build_guard_drops_stop_bands(spark, tmp_path):
     assert spark.read.parquet(idx + "/bands").count() == 0
     batch = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
     assert incremental_neardup_pairs(batch, spark, idx).count() == 0
+
+
+def test_update_cluster_labels_matches_full_recompute(spark, tmp_path):
+    # Incremental label maintenance via contraction must equal the
+    # from-scratch fixpoint on the union pair set — including the hard
+    # case: a NEW node bridging two existing clusters merges them under
+    # the true global minimum label.
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        connected_components,
+        update_cluster_labels,
+    )
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9)], "id_a long, id_b long")
+    labels0 = connected_components(
+        old_pairs, checkpoint_dir=str(tmp_path / "ck0"))
+    new_pairs = spark.createDataFrame(
+        [(10, 11),          # pure new cluster
+         (3, 12),           # extend cluster {1,2,3} with new node 12
+         (12, 5),           # 12 BRIDGES {1,2,3} and {5,6} -> one cluster
+         (13, 14), (14, 8)],  # new chain into {8,9}
+        "id_a long, id_b long")
+    got = {r.doc_id: (r.cluster_id, r.is_survivor) for r in
+           update_cluster_labels(labels0, new_pairs,
+                                 checkpoint_dir=str(tmp_path / "ck1"))
+           .collect()}
+    want = {r.doc_id: (r.cluster_id, r.is_survivor) for r in
+            connected_components(
+                spark.createDataFrame(
+                    [(1, 2), (2, 3), (5, 6), (8, 9),
+                     (10, 11), (3, 12), (12, 5), (13, 14), (14, 8)],
+                    "id_a long, id_b long"),
+                checkpoint_dir=str(tmp_path / "ck2")).collect()}
+    assert got == want
+    assert got[5] == (1, False)     # bridged: {1,2,3,5,6,12} under 1
+    assert got[12] == (1, False)
+    assert got[10] == (10, True)    # new standalone cluster
+    assert got[13] == (8, False)    # chained into {8,9}
