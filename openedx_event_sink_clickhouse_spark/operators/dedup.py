@@ -466,6 +466,27 @@ def write_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
     base.write.mode("overwrite").parquet(f"{path}/shingles")
 
 
+def append_minhash_index(batch: DataFrame, path: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 3) -> None:
+    """Extend the at-rest LSH index with an arriving batch's bands and
+    shingles (``mode("append")`` into both sub-layouts) — after a batch
+    is pair-mined, its documents become part of the indexed corpus so
+    the NEXT batch can match against them. O(batch) work; no build-time
+    bucket guard here (a batch can't see corpus-wide bucket sizes — run
+    :func:`write_minhash_index` periodically to re-apply the guard and
+    fold the layout, the same rebuild cadence as IVF centroid refresh)."""
+    base = with_shingles(batch, text_col, n).select(
+        F.col(id_col).alias("id"), "shingles")
+    sigs = (base.withColumn("hv", shingle_hashes(F.col("shingles")))
+            .select("id",
+                    lsh_bands(minhash_signature(F.col("hv"))).alias("bands")))
+    (sigs.select("id", F.posexplode_outer("bands")
+                 .alias("band_idx", "band_hash"))
+     .write.mode("append").parquet(f"{path}/bands"))
+    base.write.mode("append").parquet(f"{path}/shingles")
+
+
 def incremental_neardup_pairs(batch: DataFrame, spark, index_path: str,
                               text_col: str = "text", id_col: str = "doc_id",
                               n: int = 3, threshold: float = 0.6,

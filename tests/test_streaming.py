@@ -520,3 +520,65 @@ def test_ivf_stream_maintenance_flags_centroid_drift(spark, sf_dir,
     assert len(fired) == 1 and fired[0] > 4.0
     m(drifted.limit(1), 1)  # latched: does not re-fire
     assert len(fired) == 1
+
+
+def test_neardup_stream_maintains_index_and_labels(spark, sf_dir, tmp_path):
+    # The streaming near-dup loop end to end: each micro-batch is
+    # pair-mined against the at-rest LSH index, folded into the stored
+    # labels by contraction, and then APPENDED to the index so later
+    # batches can match it. Feeding a corpus as two batches must leave
+    # exactly the labels a one-shot batch clustering produces.
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        append_minhash_index, connected_components,
+        incremental_neardup_pairs, minhash_lsh_pairs, update_cluster_labels,
+        write_minhash_index)
+
+    docs = load_table(spark, "documents", sf_dir)
+    half = docs.count() // 2
+    seed = docs.filter(F.col("doc_id") < half // 2)
+    rest = docs.filter(F.col("doc_id") >= half // 2)
+    idx = str(tmp_path / "mh_idx")
+    write_minhash_index(seed, idx)
+    labels_dir = str(tmp_path / "labels")
+    connected_components(minhash_lsh_pairs(seed, threshold=0.6),
+                         checkpoint_dir=str(tmp_path / "ck0")) \
+        .write.parquet(labels_dir)
+
+    (tmp_path / "in").mkdir()
+    for tag, cond in (("a", F.col("doc_id") < half),
+                      ("b", F.col("doc_id") >= half)):
+        stage = str(tmp_path / f"stage_{tag}")
+        rest.filter(cond).coalesce(1).write.parquet(stage)
+        part = _glob.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, str(tmp_path / "in" / f"{tag}.parquet"))
+        _time.sleep(1.1)
+
+    def handle(bdf, epoch_id):
+        pairs = incremental_neardup_pairs(bdf, spark, idx, threshold=0.6)
+        labels = spark.read.parquet(labels_dir)
+        updated = update_cluster_labels(
+            labels, pairs, checkpoint_dir=str(tmp_path / f"ck{epoch_id}"))
+        updated.write.mode("overwrite").parquet(labels_dir + ".next")
+        shutil.rmtree(labels_dir)
+        shutil.move(labels_dir + ".next", labels_dir)
+        append_minhash_index(bdf, idx)
+
+    src = (spark.readStream.schema(docs.schema)
+           .option("maxFilesPerTrigger", "1")
+           .parquet(str(tmp_path / "in")))
+    q = (src.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "sck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {r.doc_id: (r.cluster_id, r.is_survivor) for r in
+           spark.read.parquet(labels_dir).collect()}
+    want = {r.doc_id: (r.cluster_id, r.is_survivor) for r in
+            connected_components(minhash_lsh_pairs(docs, threshold=0.6),
+                                 checkpoint_dir=str(tmp_path / "ckf"))
+            .collect()}
+    assert got == want and len(got) > 0
