@@ -39,6 +39,10 @@ SHOW = [
     "sim_ivf_incremental",
     "sim_hard_negatives",
     "dedup_incremental",
+    "dedup_incremental_neardup",
+    "dedup_incremental_clusters",
+    "dedup_survivors",
+    "ret_bm25_at_rest",
 ]
 
 SF = "/root/testdata/sf0.001"
