@@ -97,6 +97,7 @@ HEADLINE = [
     "dedup_clusters",              # LSH pairs + CC fixpoint (live chain)
     "dedup_incremental_neardup",   # batch-vs-LSH-index near-dup mining
     "dedup_incremental_clusters",  # contraction-based label maintenance
+    "dedup_incremental_survivors", # composed daily-ingest dedup flow
     "ret_bm25_at_rest",            # BM25 from the partitioned postings index
 ]
 

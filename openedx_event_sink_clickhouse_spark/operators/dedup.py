@@ -767,6 +767,39 @@ def update_cluster_labels(labels: DataFrame, new_pairs: DataFrame,
                     .alias("is_survivor")))
 
 
+def incremental_dedup_corpus(batch: DataFrame, spark, index_path: str,
+                             labels: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", n: int = 3,
+                             threshold: float = 0.6,
+                             checkpoint_dir: str | None = None
+                             ) -> tuple[DataFrame, DataFrame]:
+    """The end-to-end INCREMENTAL near-dup flow composed — the
+    increment-sized twin of :func:`dedup_corpus`, and the operation a
+    daily ingest actually runs: "which of today's documents survive
+    against everything we already have?". Returns
+    ``(survivors, updated_labels)``:
+
+    - ``survivors`` — the batch rows that are not near-duplicates of
+      the indexed corpus or of an earlier (lower-id) batch member;
+    - ``updated_labels`` — the label table with the batch folded in
+      (write back via :func:`write_cluster_table`, then
+      :func:`append_minhash_index` the batch, and the loop is closed
+      for the next increment).
+
+    All three stages are the incremental primitives composed —
+    pair mining O(batch + candidates), label update O(new pairs +
+    touched clusters), survivor prune a broadcast anti-join — so the
+    whole flow is corpus-size-independent: only the index's candidate
+    buckets are ever read."""
+    pairs = incremental_neardup_pairs(batch, spark, index_path, text_col,
+                                      id_col, n, threshold)
+    updated = update_cluster_labels(labels, pairs,
+                                    checkpoint_dir=checkpoint_dir)
+    losers = (updated.filter(~F.col("is_survivor"))
+              .select(F.col("doc_id").alias(id_col)))
+    return batch.join(losers, id_col, "left_anti"), updated
+
+
 def dedup_corpus(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", n: int = 3,
                  threshold: float = 0.6,

@@ -777,20 +777,46 @@ def _ddinc(spark, sf_dir):
     idx = _cached_parquet(
         f"/tmp/spark_graft_mhindex_v1_{tag}",
         lambda p: _build_mh_index(docs.filter(F.col("doc_id") < 400), p))
-
-    def _build_labels0(p):
-        from .operators.dedup import connected_components, minhash_lsh_pairs
-        pairs0 = minhash_lsh_pairs(docs.filter(F.col("doc_id") < 400),
-                                   threshold=0.6)
-        (connected_components(pairs0, checkpoint_dir=_cc_ckpt_dir())
-         .write.parquet(p))
-
     lab0 = spark.read.parquet(_cached_parquet(
-        f"/tmp/spark_graft_mhlabels0_v1_{tag}", _build_labels0))
+        f"/tmp/spark_graft_mhlabels0_v1_{tag}",
+        lambda p: _build_mh_labels0(docs, p)))
     inc = incremental_neardup_pairs(docs.filter(F.col("doc_id") >= 400),
                                     spark, idx, threshold=0.6)
     return update_cluster_labels(lab0, inc, checkpoint_dir=_cc_ckpt_dir())
 # (oracle attached after _cluster_oracle_sql is defined, below)
+
+
+@register("dedup_incremental_survivors", None)  # oracle attached below
+def _ddis(spark, sf_dir):
+    # The composed daily-ingest flow: which of the arriving batch's
+    # documents (ids >= 400) survive against the indexed corpus AND the
+    # batch itself — pair mining vs the at-rest index, label update by
+    # contraction, broadcast anti-join prune. Oracle: batch rows that
+    # are not losers of the FULL-corpus clustering (the survivor of a
+    # cross cluster is always the lower-id corpus doc, so batch
+    # survivors under incremental labels = batch survivors under the
+    # global fixpoint).
+    from .operators.dedup import incremental_dedup_corpus
+    docs = _t(spark, sf_dir, "documents")
+    tag = _sf_tag(sf_dir, "documents")
+    idx = _cached_parquet(
+        f"/tmp/spark_graft_mhindex_v1_{tag}",
+        lambda p: _build_mh_index(docs.filter(F.col("doc_id") < 400), p))
+    lab0 = spark.read.parquet(_cached_parquet(
+        f"/tmp/spark_graft_mhlabels0_v1_{tag}",
+        lambda p: _build_mh_labels0(docs, p)))
+    surv, _ = incremental_dedup_corpus(
+        docs.filter(F.col("doc_id") >= 400), spark, idx, lab0,
+        threshold=0.6, checkpoint_dir=_cc_ckpt_dir())
+    return surv.select("doc_id", "lang", "source")
+
+
+def _build_mh_labels0(docs, p):
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+    pairs0 = minhash_lsh_pairs(docs.filter(F.col("doc_id") < 400),
+                               threshold=0.6)
+    (connected_components(pairs0, checkpoint_dir=_cc_ckpt_dir())
+     .write.parquet(p))
 
 
 @register("dedup_simhash", """
@@ -909,6 +935,15 @@ REGISTRY["dedup_clusters"] = (REGISTRY["dedup_clusters"][0],
 # same oracle as the live chain, so the hash check certifies it.
 REGISTRY["dedup_incremental_clusters"] = (
     REGISTRY["dedup_incremental_clusters"][0], _cluster_oracle_sql())
+# Corpus ids (< 400) always undercut batch ids, so any cross cluster's
+# survivor is a corpus doc — batch survivors under incremental labels
+# equal batch non-losers of the global fixpoint.
+REGISTRY["dedup_incremental_survivors"] = (
+    REGISTRY["dedup_incremental_survivors"][0], f"""
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id >= 400 AND doc_id NOT IN (
+  SELECT doc_id FROM ({_cluster_oracle_sql()}) c WHERE NOT c.is_survivor)
+""")
 
 
 @register("dedup_survivors", None)  # oracle attached below (reuses clusters)
@@ -4042,7 +4077,7 @@ _PRIORITY = [
     "flagship_incremental_dump",
     # -- NEW in r5: never graded --
     "dedup_incremental_neardup", "dedup_incremental_clusters",
-    "ret_bm25_at_rest",
+    "dedup_incremental_survivors", "ret_bm25_at_rest",
     # -- changed in r5: re-grade --
     "text_bpe_stats", "dedup_clusters", "dedup_survivors",
     "dedup_cluster_sizes", "sim_semantic_dedup", "mm_dedup_exact",
@@ -4062,12 +4097,12 @@ _PRIORITY = [
     "p5_casts_flags", "p6_string_normalize", "p7_strip_branch_version",
     "p8_member_flag", "t2_last_wins_dedup", "t3_fan_out_metadata",
     "a1_watermarks", "a3_distinct_sorted_ids", "serialize_external_id",
-    "text_language_id", "approx_distinct_users", "tpch_q1",
+    "text_language_id", "tpch_q1",
     "mm_meta_summary",
     "stream_debounce_dedup",
-    # (cur_clean_lines / evt_funnel / window_running_total ceded their
-    # slots to the three new r5 entries; all are unchanged since their
-    # r2 green grade.)
+    # (cur_clean_lines / evt_funnel / window_running_total /
+    # approx_distinct_users ceded their slots to the four new r5
+    # entries; all are unchanged since their r2 green grade.)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -465,3 +465,32 @@ def test_update_cluster_labels_matches_full_recompute(spark, tmp_path):
     assert got[12] == (1, False)
     assert got[10] == (10, True)    # new standalone cluster
     assert got[13] == (8, False)    # chained into {8,9}
+
+
+def test_incremental_dedup_corpus_composed_flow(spark, tmp_path):
+    # The composed daily-ingest flow: survivors of the batch against
+    # index + batch, and the updated labels close the loop.
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        connected_components,
+        incremental_dedup_corpus,
+        minhash_lsh_pairs,
+        write_minhash_index,
+    )
+    corpus = [(0, BASE), (1, NEAR), (2, OTHER)]
+    batch = [(10, BASE),          # near-dups indexed {0,1} -> loser
+             (11, OTHER), (12, OTHER),  # 11 dups indexed 2; 12 dups both
+             (13, "entirely novel words about gradient descent training")]
+    docs = spark.createDataFrame(corpus + batch, ["doc_id", "text"])
+    idx = str(tmp_path / "mh")
+    write_minhash_index(docs.filter(F.col("doc_id") < 10), idx)
+    labels0 = connected_components(
+        minhash_lsh_pairs(docs.filter(F.col("doc_id") < 10), threshold=0.5),
+        checkpoint_dir=str(tmp_path / "ck0"))
+    surv, updated = incremental_dedup_corpus(
+        docs.filter(F.col("doc_id") >= 10), spark, idx, labels0,
+        threshold=0.5, checkpoint_dir=str(tmp_path / "ck1"))
+    assert sorted(r.doc_id for r in surv.collect()) == [13]
+    lab = {r.doc_id: r.cluster_id for r in updated.collect()}
+    assert lab[10] == 0 and lab[11] == 2 and lab[12] == 2
