@@ -3822,6 +3822,42 @@ def _cur_cl(spark, sf_dir):
 # funnels and weekly cohort retention.
 # --------------------------------------------------------------------------
 
+@register("scd2_user_event_history", """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR NOT (event_type IS NOT DISTINCT FROM
+                        lag(event_type) OVER w)
+              THEN 1 ELSE 0 END AS new_flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), isl AS (
+  SELECT *, sum(new_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS island
+  FROM o
+), g AS (
+  SELECT user_id, island, event_type, min(ts) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_versions
+  FROM isl GROUP BY user_id, island, event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER wi AS valid_to, n_versions,
+       lead(valid_from) OVER wi IS NULL AS is_current
+FROM g WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+""")
+def _scd2(spark, sf_dir):
+    # SCD type-2 history over the event log: one row per (user,
+    # attribute-state interval), consecutive unchanged states collapsed,
+    # half-open validity bounds — the warehouse view the reference's
+    # versioned-dump model implies but never materializes. One
+    # Exchange+Sort end to end (plan-shape-pinned).
+    from .operators.scd import scd2_history
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                            "event_type")
+    return scd2_history(ev, "user_id", "ts", ["event_type"],
+                        tiebreak_col="event_id")
+
+
 @register("evt_funnel", """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY 1),
@@ -4078,6 +4114,7 @@ _PRIORITY = [
     # -- NEW in r5: never graded --
     "dedup_incremental_neardup", "dedup_incremental_clusters",
     "dedup_incremental_survivors", "ret_bm25_at_rest",
+    "scd2_user_event_history",
     # -- changed in r5: re-grade --
     "text_bpe_stats", "dedup_clusters", "dedup_survivors",
     "dedup_cluster_sizes", "sim_semantic_dedup", "mm_dedup_exact",
@@ -4097,12 +4134,13 @@ _PRIORITY = [
     "p5_casts_flags", "p6_string_normalize", "p7_strip_branch_version",
     "p8_member_flag", "t2_last_wins_dedup", "t3_fan_out_metadata",
     "a1_watermarks", "a3_distinct_sorted_ids", "serialize_external_id",
-    "text_language_id", "tpch_q1",
+    "tpch_q1",
     "mm_meta_summary",
     "stream_debounce_dedup",
     # (cur_clean_lines / evt_funnel / window_running_total /
-    # approx_distinct_users ceded their slots to the four new r5
-    # entries; all are unchanged since their r2 green grade.)
+    # approx_distinct_users / text_language_id ceded their slots to the
+    # five new r5 entries; all are unchanged since their r2 green
+    # grade.)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

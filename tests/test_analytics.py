@@ -39,3 +39,40 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
                 F.countDistinct("user_id").alias("exact")).collect()}
     for k, (a, n) in est.items():
         assert abs(a - n) / n < 0.05, (k, a, n)
+
+
+def test_scd2_history_semantics_and_single_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.scd import (
+        current_of, scd2_history)
+    log = spark.createDataFrame(
+        [(1, 10, 100, "a"), (1, 20, 101, "a"),   # unchanged -> collapse
+         (1, 30, 102, "b"),                       # change
+         (1, 40, 103, "a"),                       # back to a = NEW interval
+         (2, 10, 104, None), (2, 20, 105, None),  # NULL==NULL: no change
+         (2, 30, 106, "x")],                      # NULL->x: change
+        "k long, ts long, eid long, attr string")
+    hist = scd2_history(log, "k", "ts", ["attr"], tiebreak_col="eid")
+    rows = {(r.k, r.valid_from): (r.attr, r.valid_to, r.n_versions,
+                                  r.is_current)
+            for r in hist.collect()}
+    assert rows[(1, 10)] == ("a", 30, 2, False)
+    assert rows[(1, 30)] == ("b", 40, 1, False)
+    assert rows[(1, 40)] == ("a", None, 1, True)
+    assert rows[(2, 10)] == (None, 30, 2, False)
+    assert rows[(2, 30)] == ("x", None, 1, True)
+    cur = {r.k: r.attr for r in current_of(hist).collect()}
+    assert cur == {1: "a", 2: "x"}
+    # One Exchange in the static plan: the change lag, the island sum,
+    # the island groupBy, and the interval lead all reuse the key hash
+    # partitioning. (Pinned with AQE off — AQE's stage materialization
+    # re-inserts a same-key exchange at the stage boundary, which is
+    # still never a wider shuffle.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = scd2_history(log, "k", "ts", ["attr"], tiebreak_col="eid") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
