@@ -99,6 +99,8 @@ HEADLINE = [
     "dedup_incremental_clusters",  # contraction-based label maintenance
     "dedup_incremental_survivors", # composed daily-ingest dedup flow
     "ret_bm25_at_rest",            # BM25 from the partitioned postings index
+    "scd2_user_event_history",     # type-2 change-interval collapse
+    "mm_phash_neardup",            # perceptual-hash payload near-dup
 ]
 
 

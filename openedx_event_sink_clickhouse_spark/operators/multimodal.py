@@ -258,6 +258,63 @@ def media_meta_summary(media: DataFrame) -> DataFrame:
                   .alias("avg_duration_ms")))
 
 
+PHASH_CELLS = 57          # 56-bit difference hash (8 bands x 7 bits)
+PHASH_BITS = PHASH_CELLS - 1
+
+
+def perceptual_hash(media: DataFrame, content_col: str = "content",
+                    id_col: str = "media_id") -> DataFrame:
+    """Difference-hash ("dHash") perceptual fingerprint of each binary
+    payload: the bytes are averaged into ``PHASH_CELLS`` equal slices
+    (the 1-D stand-in for a resampled pixel grid — with a real codec
+    the slices would be grayscale cells) and bit i is set when cell i's
+    mean exceeds cell i+1's. Near-identical payloads (re-encodes,
+    small edits) land within a few bits of each other. Returns
+    (media_id, phash).
+
+    Entirely JVM-side where the payload lives (same ISO-8859-1
+    byte↔char trick as the quantized coarse scan); the whole
+    per-payload computation is ONE pass — the byte array is let-bound
+    through a one-element ``transform`` so the decode runs once, not
+    once per cell (the HOF-CSE trap, see dedup.shingle_hashes). 56
+    bits, not 64, so the hash stays a positive BIGINT that both engines
+    band and XOR identically."""
+    c = PHASH_CELLS
+
+    def cell(j: int) -> str:
+        start = f"(({j} * n) div {c})"
+        width = f"((({j + 1} * n) div {c}) - {start})"
+        return (f"CAST(aggregate(slice(bs, {start} + 1, {width}), "
+                f"cast(0 as bigint), (a, x) -> a + x) AS DOUBLE) "
+                f"/ greatest({width}, 1)")
+
+    bits = " + ".join(
+        f"(CASE WHEN {cell(i)} > {cell(i + 1)} "
+        f"THEN cast({1 << i} as bigint) ELSE cast(0 as bigint) END)"
+        for i in range(PHASH_BITS))
+    # Double let-binding: bs (the decoded byte array) and n (its size)
+    # are both lambda variables, so each appears ONCE in the plan no
+    # matter how many cell expressions reference them.
+    expr = (f"element_at(transform(array("
+            f"transform(split(decode({content_col}, 'ISO-8859-1'), ''), "
+            f"ch -> ascii(ch))), bs -> "
+            f"element_at(transform(array(size(bs)), n -> {bits}), 1)), 1)")
+    return media.select(F.col(id_col), F.expr(expr).alias("phash"))
+
+
+def phash_near_pairs(sigs: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Near-duplicate payload pairs by perceptual-hash hamming distance
+    — pigeonhole-exact via the SAME byte-banding machinery as text
+    SimHash (8 bands of 7 bits over the 56-bit hash: hamming ≤ 7 forces
+    ≥ 1 identical band). Returns (id_a, id_b, hamming). This is the
+    multimodal NEAR-dup pass that complements
+    :func:`payload_exact_dedup`'s byte-exact one."""
+    from .dedup import simhash_near_pairs
+    return simhash_near_pairs(sigs, id_col="media_id", sig_col="phash",
+                              max_hamming=max_hamming, num_bands=8,
+                              bits=PHASH_BITS)
+
+
 def payload_exact_dedup(media: DataFrame, content_col: str = "content",
                         id_col: str = "media_id") -> DataFrame:
     """Content-addressed exact dedup over the BINARY payload — the

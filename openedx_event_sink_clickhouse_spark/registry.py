@@ -1749,6 +1749,75 @@ def _mm_dedup(spark, sf_dir):
     return payload_exact_dedup(_media(spark, sf_dir))
 
 
+def _phash_sql() -> str:
+    from .operators.multimodal import PHASH_BITS, PHASH_CELLS
+    c = PHASH_CELLS
+
+    def cell(j: int) -> str:
+        start = f"(({j} * n) // {c})"
+        end = f"((({j + 1}) * n) // {c})"
+        return (f"(CAST(coalesce(list_sum(list_transform("
+                f"chars[{start} + 1:{end}], ch -> ord(ch))), 0) AS DOUBLE)"
+                f" / greatest({end} - {start}, 1))")
+
+    bits = " + ".join(
+        f"(CASE WHEN {cell(i)} > {cell(i + 1)} "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(PHASH_BITS))
+    bands = ", ".join(f"(phash >> {7 * j}) & 127" for j in range(8))
+    return f"""
+WITH {_MEDIA_CTE}, twin AS (
+  SELECT media_id, n, chars FROM m
+  UNION ALL
+  SELECT media_id + 100000 AS media_id, n,
+         regexp_extract_all(substr(text, 1, (n // 2) - 1) || 'Q' ||
+                            substr(text, (n // 2) + 1), '.') AS chars
+  FROM m
+), sigs AS (
+  SELECT media_id, {bits} AS phash FROM twin AS m
+), banded AS (
+  SELECT media_id, phash,
+         unnest(generate_series(0, 7)) AS band_idx,
+         unnest([{bands}]) AS band_val
+  FROM sigs
+)
+SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 7
+"""
+
+
+@register("mm_phash_neardup", _phash_sql())
+def _mm_phash(spark, sf_dir):
+    # Perceptual NEAR-dup for binary payloads: 56-bit difference hash
+    # computed JVM-side where the bytes live, then the SAME pigeonhole
+    # byte-banding as text SimHash (8 bands x 7 bits, hamming <= 7).
+    # Complements mm_dedup_exact's byte-exact pass. The corpus is
+    # unioned with NOISE-CORRUPTED twins (one mid-payload byte flipped
+    # — the re-encode/pixel-noise class dHash absorbs, measured
+    # hamming <= 2; length edits are a different asset, by design), so
+    # the query provably SURFACES the planted near-dups, not just an
+    # empty agreement. (Oracle recomputes from text chars: payloads are
+    # utf-8 of ASCII text, so ord(char) == byte — the mm_decode_stats
+    # equivalence.)
+    from .operators.multimodal import perceptual_hash, phash_near_pairs
+    media = _media(spark, sf_dir)
+    n = F.length("content")
+    corrupted = media.select(
+        (F.col("media_id") + 100000).alias("media_id"),
+        F.concat(F.substring(F.col("content").cast("string"), 1,
+                             (n / 2).cast("int") - 1),
+                 F.lit("Q"),
+                 F.substring(F.col("content").cast("string"),
+                             (n / 2).cast("int") + 1, n))
+        .cast("binary").alias("content"))
+    both = media.select("media_id", "content").unionByName(corrupted)
+    return phash_near_pairs(perceptual_hash(both), max_hamming=7)
+
+
 @register("mm_decode_stats", f"""
 WITH {_MEDIA_CTE}
 SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
@@ -4114,7 +4183,7 @@ _PRIORITY = [
     # -- NEW in r5: never graded --
     "dedup_incremental_neardup", "dedup_incremental_clusters",
     "dedup_incremental_survivors", "ret_bm25_at_rest",
-    "scd2_user_event_history",
+    "scd2_user_event_history", "mm_phash_neardup",
     # -- changed in r5: re-grade --
     "text_bpe_stats", "dedup_clusters", "dedup_survivors",
     "dedup_cluster_sizes", "sim_semantic_dedup", "mm_dedup_exact",
@@ -4135,12 +4204,11 @@ _PRIORITY = [
     "p8_member_flag", "t2_last_wins_dedup", "t3_fan_out_metadata",
     "a1_watermarks", "a3_distinct_sorted_ids", "serialize_external_id",
     "tpch_q1",
-    "mm_meta_summary",
     "stream_debounce_dedup",
     # (cur_clean_lines / evt_funnel / window_running_total /
-    # approx_distinct_users / text_language_id ceded their slots to the
-    # five new r5 entries; all are unchanged since their r2 green
-    # grade.)
+    # approx_distinct_users / text_language_id / mm_meta_summary ceded
+    # their slots to the six new r5 entries; all are unchanged since
+    # their r2 green grade.)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -122,3 +122,28 @@ def test_payload_exact_dedup_ignores_null_content(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r.keep_id == 0 and r.n_copies == 2 and r.bytes_saved == 2
+
+
+def test_perceptual_hash_neardup_and_invariance(spark):
+    # dHash contract: byte-VALUE noise (the re-encode class) stays
+    # within the pigeonhole radius; a different payload does not; and
+    # a uniform brightness shift (+1 on every byte) is EXACTLY
+    # invariant (difference hash).
+    from openedx_event_sink_clickhouse_spark.operators.multimodal import (
+        perceptual_hash, phash_near_pairs)
+    base = bytes(range(40, 240)) * 3
+    noisy = bytearray(base); noisy[300] = 0   # one byte corrupted
+    shifted = bytes((b + 1) % 256 for b in base)
+    other = bytes(reversed(base))
+    media = spark.createDataFrame(
+        [(0, base), (1, bytes(noisy)), (2, shifted), (3, other)],
+        "media_id long, content binary")
+    sigs = perceptual_hash(media)
+    h = {r.media_id: r.phash for r in sigs.collect()}
+    assert h[0] == h[2]                       # uniform shift invariant
+    assert bin(h[0] ^ h[1]).count("1") <= 7   # noise within radius
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in phash_near_pairs(sigs).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 0
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)     # different payload excluded
