@@ -101,6 +101,8 @@ HEADLINE = [
     "ret_bm25_at_rest",            # BM25 from the partitioned postings index
     "scd2_user_event_history",     # type-2 change-interval collapse
     "mm_phash_neardup",            # perceptual-hash payload near-dup
+    "dedup_remove_spans",          # duplicated-span removal (applied)
+    "evt_resample_hourly",         # gap-filled resample + rolling mean
 ]
 
 

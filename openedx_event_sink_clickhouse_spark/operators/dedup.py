@@ -838,6 +838,60 @@ def ngram_jaccard_vs_probe(docs: DataFrame, probe_id, text_col: str = "text",
     return out.filter(F.col("jaccard_sim") > min_sim) if min_sim > 0 else out
 
 
+def remove_duplicate_spans(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8,
+                           min_occurrences: int = 2) -> DataFrame:
+    """APPLY suffix-array-style dedup (Lee et al. 2021): rewrite each
+    document with every corpus-wide duplicated substring REMOVED — the
+    transform :func:`duplicate_spans` only reports. A token is dropped
+    when it lies inside any k-token gram occurring
+    ``min_occurrences``+ times corpus-wide. Returns
+    (doc_id, n_tokens, n_removed, cleaned_text) — cleaned text is the
+    kept tokens rejoined (lowercased: the rewrite operates on the same
+    normalized token stream every other dedup operator hashes).
+
+    Plan shape: same two narrow shuffles as the report (gram-hash
+    aggregate; dup-position join — broadcast under AQE for healthy
+    corpora), then covered positions expand ×k (bounded, k is a
+    constant), and the rebuild is ONE hash aggregate collecting the
+    kept (pos, token) pairs per doc — sorted in the aggregation buffer
+    with ``sort_array``, so no per-doc window pass. Never quadratic;
+    token text rides only the final rebuild shuffle."""
+    from ..functions.hashes import md5_hash64
+    from ..functions.text import ngrams, words
+
+    base = ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("id"),
+        words(F.col(text_col)).alias("w"),
+        F.size(words(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.transform(ngrams(words(F.col(text_col)), k),
+                    lambda g: md5_hash64(g)).alias("gh"))
+    pos = (base.select("id", F.posexplode_outer("gh").alias("pos", "gh"))
+           .filter(F.col("pos").isNotNull()))
+    dups = (pos.groupBy("gh").count()
+            .filter(F.col("count") >= min_occurrences).select("gh"))
+    covered = (pos.join(dups, "gh")
+               .select("id", F.explode(F.sequence(
+                   F.col("pos"), F.col("pos") + (k - 1))).alias("tpos"))
+               .distinct())
+    tokens = (base.select("id", F.posexplode_outer("w")
+                          .alias("tpos", "tok"))
+              .filter(F.col("tpos").isNotNull()))
+    kept = tokens.join(covered, ["id", "tpos"], "left_anti")
+    rebuilt = (kept.groupBy("id")
+               .agg(F.count("*").alias("n_kept"),
+                    F.concat_ws(" ", F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct("tpos", "tok"))),
+                        lambda s: s.tok)).alias("cleaned_text")))
+    return (base.select("id", "n_tokens").join(rebuilt, "id", "left")
+            .select(F.col("id").alias(id_col), "n_tokens",
+                    (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed"),
+                    F.coalesce("cleaned_text", F.lit(""))
+                    .alias("cleaned_text")))
+
+
 def duplicate_spans(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 8,
                     min_occurrences: int = 2) -> DataFrame:

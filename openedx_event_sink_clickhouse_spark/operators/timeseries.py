@@ -1,0 +1,57 @@
+"""Time-series regularization over the event log: gap-filled resampling
+and rolling features — the step between raw events and any
+forecasting/monitoring consumer (a missing hour must be an explicit
+zero row, or every downstream rolling window silently skips it).
+
+Scale posture: the calendar spine is generated PER KEY from that key's
+own [min, max] bounds with ``sequence()`` — pure Column expressions, no
+driver-side date loop, no cross join against a global calendar (a key
+active for a day doesn't pay for the corpus's full year). Spine size is
+keys × their active range, the output's own size; the observed
+aggregate joins it by (key, bucket) and AQE broadcasts whichever side
+is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_gapfill(events: DataFrame, key_col: str = "event_type",
+                     ts_col: str = "ts", value_col: str = "value",
+                     step: str = "1 hour") -> DataFrame:
+    """Per-key fixed-step series with gaps filled: one row per (key,
+    bucket) for EVERY step between the key's first and last event,
+    zeros where nothing happened. Returns
+    (key, bucket_start, n_events, value_sum)."""
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    agg = (events.groupBy(F.col(key_col).alias("key"),
+                          bucket.alias("bucket_start"))
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum(value_col), 6).alias("value_sum")))
+    bounds = (events.groupBy(F.col(key_col).alias("key"))
+              .agg(F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")))
+    spine = bounds.select(
+        "key", F.explode(F.sequence(
+            F.col("_lo"), F.col("_hi"),
+            F.expr(f"INTERVAL {step}"))).alias("bucket_start"))
+    return (spine.join(agg, ["key", "bucket_start"], "left")
+            .select(F.col("key").alias(key_col), "bucket_start",
+                    F.coalesce("n_events", F.lit(0)).cast("bigint")
+                    .alias("n_events"),
+                    F.coalesce("value_sum", F.lit(0.0)).alias("value_sum")))
+
+
+def with_rolling_mean(series: DataFrame, key_col: str,
+                      order_col: str, value_col: str,
+                      window: int = 3,
+                      out_col: str = "rolling_mean") -> DataFrame:
+    """Trailing ``window``-row mean over a REGULAR series (run after
+    :func:`resample_gapfill` — on a gappy series a row-frame window
+    would silently span unequal time). One (key)-partitioned
+    Exchange+Sort."""
+    w = (Window.partitionBy(key_col).orderBy(order_col)
+         .rowsBetween(-(window - 1), 0))
+    return series.withColumn(out_col,
+                             F.round(F.avg(value_col).over(w), 6))

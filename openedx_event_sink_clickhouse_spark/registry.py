@@ -3505,6 +3505,56 @@ FROM toks t LEFT JOIN perdoc p USING (doc_id)
 """
 
 
+def _dupspan_removal_oracle_sql(k: int = _DUPSPAN_K,
+                                min_occ: int = 2) -> str:
+    from .functions.hashes import md5_hash64_sql
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(k))
+    gh = md5_hash64_sql(f"({gram})")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+pos0 AS (
+  SELECT doc_id, unnest(generate_series(1, len(w) - {k - 1})) AS i, w
+  FROM toks WHERE len(w) >= {k}
+),
+g AS (SELECT doc_id, i - 1 AS pos, {gh} AS gh FROM pos0),
+dups AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= {min_occ}),
+dpos AS (SELECT g.doc_id, g.pos FROM g JOIN dups USING (gh)),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + {k - 1}))
+           AS tpos
+  FROM dpos),
+tk AS (
+  SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM toks),
+tok AS (SELECT doc_id, i - 1 AS tpos, w[i] AS tok FROM tk),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.tok
+  FROM tok t LEFT JOIN covered c USING (doc_id, tpos)
+  WHERE c.tpos IS NULL),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY tpos) AS cleaned
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens,
+       CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.cleaned, '') AS cleaned_text
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@register("dedup_remove_spans", _dupspan_removal_oracle_sql())
+def _dupspan_rm(spark, sf_dir):
+    # The APPLIED form of suffix-array dedup: duplicated 8-gram spans
+    # are removed and the text rewritten, not just measured — the
+    # transform a training-data pipeline actually ships.
+    from .operators.dedup import remove_duplicate_spans
+    return remove_duplicate_spans(_t(spark, sf_dir, "documents"),
+                                  k=_DUPSPAN_K)
+
+
 @register("dedup_duplicate_spans", _dupspan_oracle_sql())
 def _dupspan(spark, sf_dir):
     # Per-doc duplicated-substring coverage: positions whose 8-token gram
@@ -3927,6 +3977,45 @@ def _scd2(spark, sf_dir):
                         tiebreak_col="event_id")
 
 
+@register("evt_resample_hourly", """
+WITH agg AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 6) AS value_sum
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT key, min(bucket_start) AS lo, max(bucket_start) AS hi
+  FROM agg GROUP BY key
+), spine AS (
+  SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+           AS bucket_start
+  FROM bounds
+), filled AS (
+  SELECT s.key AS event_type, s.bucket_start,
+         coalesce(a.n_events, 0) AS n_events,
+         coalesce(a.value_sum, 0.0) AS value_sum
+  FROM spine s LEFT JOIN agg a USING (key, bucket_start)
+)
+SELECT event_type, CAST(bucket_start AS TIMESTAMP) AS bucket_start,
+       n_events, value_sum,
+       round(avg(value_sum) OVER (PARTITION BY event_type
+             ORDER BY bucket_start
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS rolling_mean
+FROM filled
+""")
+def _ts_resample(spark, sf_dir):
+    # Gap-filled hourly series per event type + trailing 3-hour mean:
+    # the regularization step before any forecasting/monitoring
+    # consumer (a silent gap would corrupt every rolling feature). The
+    # calendar spine generates per key from its own bounds — no driver
+    # date loop, no global-calendar cross join.
+    from .operators.timeseries import resample_gapfill, with_rolling_mean
+    series = resample_gapfill(_t(spark, sf_dir, "events"))
+    return with_rolling_mean(series, "event_type", "bucket_start",
+                             "value_sum", window=3)
+
+
 @register("evt_funnel", """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY 1),
@@ -4184,6 +4273,7 @@ _PRIORITY = [
     "dedup_incremental_neardup", "dedup_incremental_clusters",
     "dedup_incremental_survivors", "ret_bm25_at_rest",
     "scd2_user_event_history", "mm_phash_neardup",
+    "dedup_remove_spans", "evt_resample_hourly",
     # -- changed in r5: re-grade --
     "text_bpe_stats", "dedup_clusters", "dedup_survivors",
     "dedup_cluster_sizes", "sim_semantic_dedup", "mm_dedup_exact",
@@ -4200,15 +4290,14 @@ _PRIORITY = [
     "s4_not_in_filter", "s5_limit_after_filter", "s6_point_lookup",
     "s7_dim_enrich_join", "s8_double_dim_join", "s9_parent_child_expand",
     "p1_projection_rename", "p2_p3_dump_metadata", "p4_json_pack",
-    "p5_casts_flags", "p6_string_normalize", "p7_strip_branch_version",
+    "p5_casts_flags", "p7_strip_branch_version",
     "p8_member_flag", "t2_last_wins_dedup", "t3_fan_out_metadata",
     "a1_watermarks", "a3_distinct_sorted_ids", "serialize_external_id",
-    "tpch_q1",
     "stream_debounce_dedup",
     # (cur_clean_lines / evt_funnel / window_running_total /
-    # approx_distinct_users / text_language_id / mm_meta_summary ceded
-    # their slots to the six new r5 entries; all are unchanged since
-    # their r2 green grade.)
+    # approx_distinct_users / text_language_id / mm_meta_summary /
+    # tpch_q1 / p6_string_normalize ceded their slots to the eight new
+    # r5 entries; all are unchanged since their r2 green grade.)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -76,3 +76,29 @@ def test_scd2_history_semantics_and_single_shuffle(spark):
         assert plan.count("Exchange") == 1, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_resample_gapfill_emits_zero_rows(spark):
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        resample_gapfill, with_rolling_mean)
+    ev = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 1.0),
+         ("a", "2024-01-01 03:20:00", 2.0),   # hours 1,2 missing
+         ("b", "2024-01-01 05:00:00", 5.0)],
+        "event_type string, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {(r.event_type, str(r.bucket_start)): (r.n_events, r.value_sum)
+           for r in resample_gapfill(ev).collect()}
+    assert got[("a", "2024-01-01 00:00:00")] == (1, 1.0)
+    assert got[("a", "2024-01-01 01:00:00")] == (0, 0.0)   # gap filled
+    assert got[("a", "2024-01-01 02:00:00")] == (0, 0.0)
+    assert got[("a", "2024-01-01 03:00:00")] == (1, 2.0)
+    assert ("a", "2024-01-01 04:00:00") not in got  # beyond key's range
+    assert got[("b", "2024-01-01 05:00:00")] == (1, 5.0)
+    ma = {(r.event_type, str(r.bucket_start)): r.rolling_mean
+          for r in with_rolling_mean(resample_gapfill(ev), "event_type",
+                                     "bucket_start", "value_sum").collect()}
+    assert ma[("a", "2024-01-01 02:00:00")] == round((1.0 + 0 + 0) / 3, 6)
+    assert ma[("a", "2024-01-01 03:00:00")] == round((0 + 0 + 2.0) / 3, 6)

@@ -494,3 +494,27 @@ def test_incremental_dedup_corpus_composed_flow(spark, tmp_path):
     assert sorted(r.doc_id for r in surv.collect()) == [13]
     lab = {r.doc_id: r.cluster_id for r in updated.collect()}
     assert lab[10] == 0 and lab[11] == 2 and lab[12] == 2
+
+
+def test_remove_duplicate_spans_rewrites_text(spark):
+    # Two docs sharing an 8-token run: the shared span is removed from
+    # BOTH, unique prefixes/suffixes survive, and the report's coverage
+    # equals what the rewrite removed.
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        duplicate_spans, remove_duplicate_spans)
+    shared = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    docs = spark.createDataFrame(
+        [(0, f"unique start here {shared} tail one"),
+         (1, f"other beginning {shared} different end"),
+         (2, "totally unrelated text with no repeats at all")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(docs, k=8).collect()}
+    assert out[0].cleaned_text == "unique start here tail one"
+    assert out[1].cleaned_text == "other beginning different end"
+    assert out[2].n_removed == 0
+    assert out[2].cleaned_text == docs.filter("doc_id=2") \
+        .first().text.lower()
+    rep = {r.doc_id: r.dup_tokens for r in
+           duplicate_spans(docs, k=8).collect()}
+    assert rep[0] == out[0].n_removed and rep[1] == out[1].n_removed
