@@ -518,3 +518,38 @@ def test_remove_duplicate_spans_rewrites_text(spark):
     rep = {r.doc_id: r.dup_tokens for r in
            duplicate_spans(docs, k=8).collect()}
     assert rep[0] == out[0].n_removed and rep[1] == out[1].n_removed
+
+
+def test_update_cluster_labels_random_graphs_match_full(spark, tmp_path):
+    # Property check over irregular random graphs: for ANY split of the
+    # edge set into (already-clustered, newly-arrived), incremental
+    # maintenance must equal the full fixpoint — including the empty-
+    # history cold start.
+    import random
+
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        connected_components, update_cluster_labels)
+
+    for seed, old_frac in [(11, 0.5), (12, 0.2), (13, 0.0)]:
+        rng = random.Random(seed)
+        nodes = list(range(60))
+        edges = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(70)}
+        edges = [(a, b) for a, b in edges if a != b]
+        n_old = int(len(edges) * old_frac)
+        rng.shuffle(edges)
+        old, new = edges[:n_old], edges[n_old:]
+        old_df = spark.createDataFrame(old or [(None, None)],
+                                       "id_a long, id_b long") \
+            .filter("id_a IS NOT NULL")
+        new_df = spark.createDataFrame(new, "id_a long, id_b long")
+        labels0 = connected_components(
+            old_df, checkpoint_dir=str(tmp_path / f"o{seed}"))
+        got = {r.doc_id: (r.cluster_id, r.is_survivor) for r in
+               update_cluster_labels(
+                   labels0, new_df,
+                   checkpoint_dir=str(tmp_path / f"u{seed}")).collect()}
+        want = {r.doc_id: (r.cluster_id, r.is_survivor) for r in
+                connected_components(
+                    spark.createDataFrame(edges, "id_a long, id_b long"),
+                    checkpoint_dir=str(tmp_path / f"f{seed}")).collect()}
+        assert got == want, f"seed {seed} old_frac {old_frac}"
