@@ -156,7 +156,7 @@ def write_postings_index(docs: DataFrame, path: str, n_buckets: int = 64,
                          id_col: str = "doc_id") -> None:
     """Materialize the inverted index AT REST: the exploded
     (doc_id, dl, term, tf) postings written ``partitionBy(term_bucket)``
-    (md5-derived term hash mod ``n_buckets``), plus a 1-row ``_stats``
+    (md5-derived term hash mod ``n_buckets``), plus a 1-row ``stats``
     table (n_docs, avgdl) alongside — the retrieval twin of the IVF
     cell layout (``similarity.write_ivf_partitioned``).
 
@@ -179,7 +179,7 @@ def write_postings_index(docs: DataFrame, path: str, n_buckets: int = 64,
      .parquet(f"{path}/postings"))
     (docs.select(F.count("*").alias("n_docs"),
                  F.avg(F.size(words(F.col(text_col)))).alias("avgdl"))
-     .write.mode("overwrite").parquet(f"{path}/_stats"))
+     .write.mode("overwrite").parquet(f"{path}/stats"))
 
 
 def bm25_topk_from_index(spark, path: str, query_terms: list[str],
@@ -191,7 +191,7 @@ def bm25_topk_from_index(spark, path: str, query_terms: list[str],
     partitions (PartitionFilter; plan-shape-pinned) with the exact term
     match pushed into them; document frequencies come from the filtered
     hits (complete for those terms by construction) and the corpus
-    constants from the 1-row ``_stats`` table. Identical scores to
+    constants from the 1-row ``stats`` table. Identical scores to
     :func:`bm25_topk` on the same corpus — both share
     :func:`_bm25_rank`."""
     buckets = sorted({term_bucket_of(t, n_buckets) for t in query_terms})
@@ -199,5 +199,5 @@ def bm25_topk_from_index(spark, path: str, query_terms: list[str],
             .filter(F.col("term_bucket").isin(buckets))
             .filter(F.col("term").isin(query_terms))
             .select("doc_id", "dl", "term", "tf"))
-    consts = spark.read.parquet(f"{path}/_stats")
+    consts = spark.read.parquet(f"{path}/stats")
     return _bm25_rank(hits, consts, k, k1, b)

@@ -3396,7 +3396,7 @@ def _ret2r(spark, sf_dir):
         write_postings_index
     docs = _t(spark, sf_dir, "documents")
     path = _cached_parquet(
-        f"/tmp/spark_graft_postings_v1_{_sf_tag(sf_dir, 'documents')}",
+        f"/tmp/spark_graft_postings_v2_{_sf_tag(sf_dir, 'documents')}",
         lambda p: _build_postings(docs, p))
     return bm25_topk_from_index(spark, path, list(BM25_QUERY_TERMS), k=10)
 
