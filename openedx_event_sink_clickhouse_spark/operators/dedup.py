@@ -746,6 +746,15 @@ def update_cluster_labels(labels: DataFrame, new_pairs: DataFrame,
                           F.coalesce("_lb", "id_b").alias("id_b"))
                   .filter(F.col("id_a") != F.col("id_b"))
                   .distinct())
+    if checkpoint_dir is not None:
+        # Materialize the (tiny) contracted delta ONCE before the CC
+        # fixpoint: connected_components symmetrizes its input with a
+        # self-union, which would otherwise evaluate the whole upstream
+        # pair-mining chain twice (measured ~1.8 s of a 5 s update at
+        # sf0.1). Reliable checkpoint → files, zero pinned blocks, same
+        # contract as the fixpoint's own lineage cuts.
+        new_pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        contracted = contracted.checkpoint(eager=True)
     delta = connected_components(contracted, max_iter=max_iter,
                                  checkpoint_dir=checkpoint_dir) \
         .select(F.col("doc_id").alias("_node"),

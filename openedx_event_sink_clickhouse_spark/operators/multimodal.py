@@ -280,26 +280,34 @@ def perceptual_hash(media: DataFrame, content_col: str = "content",
     bits, not 64, so the hash stays a positive BIGINT that both engines
     band and XOR identically."""
     c = PHASH_CELLS
-
-    def cell(j: int) -> str:
-        start = f"(({j} * n) div {c})"
-        width = f"((({j + 1} * n) div {c}) - {start})"
-        return (f"CAST(aggregate(slice(bs, {start} + 1, {width}), "
-                f"cast(0 as bigint), (a, x) -> a + x) AS DOUBLE) "
-                f"/ greatest({width}, 1)")
-
-    bits = " + ".join(
-        f"(CASE WHEN {cell(i)} > {cell(i + 1)} "
-        f"THEN cast({1 << i} as bigint) ELSE cast(0 as bigint) END)"
-        for i in range(PHASH_BITS))
-    # Double let-binding: bs (the decoded byte array) and n (its size)
-    # are both lambda variables, so each appears ONCE in the plan no
-    # matter how many cell expressions reference them.
+    # The CELL MEANS array is computed ONCE and let-bound (each cell's
+    # slice is disjoint, so the whole array is one O(n) pass), then the
+    # 56 bits compare ADJACENT elements of that bound array. Inlining a
+    # per-cell expression into every bit term instead would evaluate
+    # each interior cell twice (left and right neighbor) and blow the
+    # expression tree up ~100× (measured 10.8 s → sub-second at sf0.1,
+    # and a 3 MB task binary shrinks to normal).
+    cell = (f"CAST(aggregate(slice(bs, (j * n) div {c} + 1, "
+            f"((j + 1) * n) div {c} - (j * n) div {c}), "
+            f"cast(0 as bigint), (a, x) -> a + x) AS DOUBLE) "
+            f"/ greatest(((j + 1) * n) div {c} - (j * n) div {c}, 1)")
+    cells = f"transform(sequence(0, {c - 1}), j -> {cell})"
+    bits = (f"aggregate(sequence(1, {PHASH_BITS}), cast(0 as bigint), "
+            f"(acc, i) -> acc + IF(element_at(cs, i) > "
+            f"element_at(cs, i + 1), "
+            f"shiftleft(cast(1 as bigint), i - 1), cast(0 as bigint)))")
     expr = (f"element_at(transform(array("
             f"transform(split(decode({content_col}, 'ISO-8859-1'), ''), "
             f"ch -> ascii(ch))), bs -> "
-            f"element_at(transform(array(size(bs)), n -> {bits}), 1)), 1)")
-    return media.select(F.col(id_col), F.expr(expr).alias("phash"))
+            f"element_at(transform(array(size(bs)), n -> "
+            f"element_at(transform(array({cells}), cs -> {bits}), 1)), "
+            f"1)), 1)")
+    # The slice folds are interpreted HOFs (no codegen) and dominate —
+    # spread small single/two-split inputs across cores first, as every
+    # CPU-heavy narrow stage here does (dedup.ensure_min_parallelism).
+    from .dedup import ensure_min_parallelism
+    return ensure_min_parallelism(media).select(
+        F.col(id_col), F.expr(expr).alias("phash"))
 
 
 def phash_near_pairs(sigs: DataFrame, max_hamming: int = 7) -> DataFrame:

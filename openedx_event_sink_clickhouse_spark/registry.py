@@ -733,6 +733,26 @@ def _build_mh_index(docs, tmp):
     open(_os.path.join(tmp, "_SUCCESS"), "w").close()
 
 
+def _nd_split(spark, sf_dir) -> int:
+    """Corpus/batch split for the incremental near-dup entries: the
+    first 80% of documents (by count) are the indexed corpus, the rest
+    the arriving batch — sf-RELATIVE, so the 'increment' stays an
+    increment at every scale factor (a fixed id literal made the batch
+    92% of the sf0.1 corpus). Count is a bounded catalog fact, memoized
+    per (app, dataset) like the ANN centroid models; the oracle uses
+    the same floor(0.8·count) subquery, so the split is engine-
+    identical whether or not ids are contiguous."""
+    memo_key = (spark.sparkContext.applicationId, "ndsplit", sf_dir)
+    thr = _QTOPK_MEMO.get(memo_key)
+    if thr is None:
+        thr = int(_t(spark, sf_dir, "documents").count() * 0.8)
+        _QTOPK_MEMO[memo_key] = thr
+    return thr
+
+
+_ND_SPLIT_SQL = "(SELECT CAST(floor(0.8 * count(*)) AS BIGINT) FROM documents)"
+
+
 @register("dedup_incremental_neardup", None)  # oracle attached below
 def _ddin(spark, sf_dir):
     # Incremental NEAR-dup — the LSH twin of dedup_incremental's exact
@@ -744,10 +764,11 @@ def _ddin(spark, sf_dir):
     # corpus-internal pairs (mined at index-build time).
     from .operators.dedup import incremental_neardup_pairs
     docs = _t(spark, sf_dir, "documents")
+    thr = _nd_split(spark, sf_dir)
     path = _cached_parquet(
-        f"/tmp/spark_graft_mhindex_v1_{_sf_tag(sf_dir, 'documents')}",
-        lambda p: _build_mh_index(docs.filter(F.col("doc_id") < 400), p))
-    return incremental_neardup_pairs(docs.filter(F.col("doc_id") >= 400),
+        f"/tmp/spark_graft_mhindex_v2_{_sf_tag(sf_dir, 'documents')}",
+        lambda p: _build_mh_index(docs.filter(F.col("doc_id") < thr), p))
+    return incremental_neardup_pairs(docs.filter(F.col("doc_id") >= thr),
                                      spark, path, threshold=0.6)
 
 
@@ -755,7 +776,7 @@ REGISTRY["dedup_incremental_neardup"] = (
     REGISTRY["dedup_incremental_neardup"][0], f"""
 SELECT id_a, id_b, jaccard_sim
 FROM ({REGISTRY['dedup_minhash_lsh'][1]})
-WHERE NOT (id_a < 400 AND id_b < 400)
+WHERE NOT (id_a < {_ND_SPLIT_SQL} AND id_b < {_ND_SPLIT_SQL})
 """)
 
 
@@ -774,13 +795,14 @@ def _ddinc(spark, sf_dir):
                                   update_cluster_labels)
     docs = _t(spark, sf_dir, "documents")
     tag = _sf_tag(sf_dir, "documents")
+    thr = _nd_split(spark, sf_dir)
     idx = _cached_parquet(
-        f"/tmp/spark_graft_mhindex_v1_{tag}",
-        lambda p: _build_mh_index(docs.filter(F.col("doc_id") < 400), p))
+        f"/tmp/spark_graft_mhindex_v2_{tag}",
+        lambda p: _build_mh_index(docs.filter(F.col("doc_id") < thr), p))
     lab0 = spark.read.parquet(_cached_parquet(
-        f"/tmp/spark_graft_mhlabels0_v1_{tag}",
-        lambda p: _build_mh_labels0(docs, p)))
-    inc = incremental_neardup_pairs(docs.filter(F.col("doc_id") >= 400),
+        f"/tmp/spark_graft_mhlabels0_v2_{tag}",
+        lambda p: _build_mh_labels0(docs, p, thr)))
+    inc = incremental_neardup_pairs(docs.filter(F.col("doc_id") >= thr),
                                     spark, idx, threshold=0.6)
     return update_cluster_labels(lab0, inc, checkpoint_dir=_cc_ckpt_dir())
 # (oracle attached after _cluster_oracle_sql is defined, below)
@@ -799,21 +821,22 @@ def _ddis(spark, sf_dir):
     from .operators.dedup import incremental_dedup_corpus
     docs = _t(spark, sf_dir, "documents")
     tag = _sf_tag(sf_dir, "documents")
+    thr = _nd_split(spark, sf_dir)
     idx = _cached_parquet(
-        f"/tmp/spark_graft_mhindex_v1_{tag}",
-        lambda p: _build_mh_index(docs.filter(F.col("doc_id") < 400), p))
+        f"/tmp/spark_graft_mhindex_v2_{tag}",
+        lambda p: _build_mh_index(docs.filter(F.col("doc_id") < thr), p))
     lab0 = spark.read.parquet(_cached_parquet(
-        f"/tmp/spark_graft_mhlabels0_v1_{tag}",
-        lambda p: _build_mh_labels0(docs, p)))
+        f"/tmp/spark_graft_mhlabels0_v2_{tag}",
+        lambda p: _build_mh_labels0(docs, p, thr)))
     surv, _ = incremental_dedup_corpus(
-        docs.filter(F.col("doc_id") >= 400), spark, idx, lab0,
+        docs.filter(F.col("doc_id") >= thr), spark, idx, lab0,
         threshold=0.6, checkpoint_dir=_cc_ckpt_dir())
     return surv.select("doc_id", "lang", "source")
 
 
-def _build_mh_labels0(docs, p):
+def _build_mh_labels0(docs, p, thr):
     from .operators.dedup import connected_components, minhash_lsh_pairs
-    pairs0 = minhash_lsh_pairs(docs.filter(F.col("doc_id") < 400),
+    pairs0 = minhash_lsh_pairs(docs.filter(F.col("doc_id") < thr),
                                threshold=0.6)
     (connected_components(pairs0, checkpoint_dir=_cc_ckpt_dir())
      .write.parquet(p))
@@ -941,7 +964,8 @@ REGISTRY["dedup_incremental_clusters"] = (
 REGISTRY["dedup_incremental_survivors"] = (
     REGISTRY["dedup_incremental_survivors"][0], f"""
 SELECT doc_id, lang, source FROM documents
-WHERE doc_id >= 400 AND doc_id NOT IN (
+WHERE doc_id >= {_ND_SPLIT_SQL}
+  AND doc_id NOT IN (
   SELECT doc_id FROM ({_cluster_oracle_sql()}) c WHERE NOT c.is_survivor)
 """)
 
