@@ -103,6 +103,7 @@ HEADLINE = [
     "mm_phash_neardup",            # perceptual-hash payload near-dup
     "dedup_remove_spans",          # duplicated-span removal (applied)
     "evt_resample_hourly",         # gap-filled resample + rolling mean
+    "llm_bpe_packing",             # tokenizer-exact sequence packing
 ]
 
 

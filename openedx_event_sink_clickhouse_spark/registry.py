@@ -3896,6 +3896,48 @@ def _tx_bpe(spark, sf_dir):
                             BPE_PINNED_MERGES)
 
 
+@register("llm_bpe_packing", f"""
+WITH bpe AS ({{BPE}}),
+j AS (
+  SELECT d.doc_id, d.lang AS shard, b.n_bpe_tokens AS n_tokens
+  FROM documents d JOIN bpe b USING (doc_id)
+), p AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM j
+)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(start / 512.0) AS BIGINT) AS bin_id,
+       CAST(start % 512 AS BIGINT) AS bin_offset
+FROM p
+""")
+def _llm_bpe_pack(spark, sf_dir):
+    # Tokenizer-EXACT sequence packing: bins are budgeted in true BPE
+    # tokens from the pinned model, not whitespace counts — the
+    # composition a real pre-training pipeline runs (whitespace-packed
+    # corpora overflow the actual tokenizer). Encoder is Arrow-batched;
+    # packing is one window per shard; the oracle chains the BPE replay
+    # SQL into the packing window.
+    from .operators.bpe import bpe_encode_stats
+    from .operators.curation import pack_by_counts
+    docs = _t(spark, sf_dir, "documents")
+    counts = bpe_encode_stats(docs, BPE_PINNED_MERGES) \
+        .select("doc_id", "n_bpe_tokens")
+    j = (docs.select("doc_id", F.col("lang").alias("shard"))
+         .join(counts, "doc_id")
+         .select("doc_id", "shard",
+                 F.col("n_bpe_tokens").alias("n_tokens")))
+    return pack_by_counts(j, token_budget=512)
+
+
+# chain the BPE-replay oracle in after both are defined
+REGISTRY["llm_bpe_packing"] = (
+    REGISTRY["llm_bpe_packing"][0],
+    REGISTRY["llm_bpe_packing"][1].replace(
+        "{BPE}", _bpe_oracle_sql(BPE_PINNED_MERGES)))
+
+
 @register("text_dsir_importance", """
 WITH ct AS (
   SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS word
@@ -4297,7 +4339,7 @@ _PRIORITY = [
     "dedup_incremental_neardup", "dedup_incremental_clusters",
     "dedup_incremental_survivors", "ret_bm25_at_rest",
     "scd2_user_event_history", "mm_phash_neardup",
-    "dedup_remove_spans", "evt_resample_hourly",
+    "dedup_remove_spans", "evt_resample_hourly", "llm_bpe_packing",
     # -- changed in r5: re-grade --
     "text_bpe_stats", "dedup_clusters", "dedup_survivors",
     "dedup_cluster_sizes", "sim_semantic_dedup", "mm_dedup_exact",
@@ -4314,14 +4356,15 @@ _PRIORITY = [
     "s4_not_in_filter", "s5_limit_after_filter", "s6_point_lookup",
     "s7_dim_enrich_join", "s8_double_dim_join", "s9_parent_child_expand",
     "p1_projection_rename", "p2_p3_dump_metadata", "p4_json_pack",
-    "p5_casts_flags", "p7_strip_branch_version",
+    "p5_casts_flags",
     "p8_member_flag", "t2_last_wins_dedup", "t3_fan_out_metadata",
     "a1_watermarks", "a3_distinct_sorted_ids", "serialize_external_id",
     "stream_debounce_dedup",
     # (cur_clean_lines / evt_funnel / window_running_total /
     # approx_distinct_users / text_language_id / mm_meta_summary /
-    # tpch_q1 / p6_string_normalize ceded their slots to the eight new
-    # r5 entries; all are unchanged since their r2 green grade.)
+    # tpch_q1 / p6_string_normalize / p7_strip_branch_version ceded
+    # their slots to the nine new r5 entries; all are unchanged since
+    # their r2 green grade.)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -443,3 +443,19 @@ def test_release_corpus_guards(spark):
         release_corpus(docs, None)
     out = release_corpus(docs, None, bench_grams=[])
     assert out.count() == 6  # all pass quality, none decontaminated
+
+
+def test_pack_by_counts_matches_budget_semantics(spark):
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        pack_by_counts)
+    counts = spark.createDataFrame(
+        [(0, "a", 300), (1, "a", 300), (2, "a", 100), (3, "a", 600),
+         (4, "b", 512)],
+        "doc_id long, shard string, n_tokens long")
+    out = {r.doc_id: (r.bin_id, r.bin_offset)
+           for r in pack_by_counts(counts, 512).collect()}
+    assert out[0] == (0, 0)
+    assert out[1] == (0, 300)     # starts at 300, crosses into bin 1
+    assert out[2] == (1, 88)      # start 600 -> bin 1 offset 88
+    assert out[3] == (1, 188)     # oversized doc: bin by its start
+    assert out[4] == (0, 0)       # shard b independent
