@@ -388,6 +388,24 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # exists.
     buckets = sigs.select(
         "id", F.posexplode_outer("bands").alias("band_idx", "band_hash"))
+    pairs = _band_bucket_pairs(buckets, max_bucket)
+    left = base.select(F.col("id").alias("id_a"),
+                       F.col("shingles").alias("sh_a"))
+    right = base.select(F.col("id").alias("id_b"),
+                        F.col("shingles").alias("sh_b"))
+    return (pairs.join(left, "id_a").join(right, "id_b")
+            .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard_sim") >= threshold)
+            .select("id_a", "id_b", "jaccard_sim"))
+
+
+def _band_bucket_pairs(buckets: DataFrame,
+                       max_bucket: int | None) -> DataFrame:
+    """Candidate pairs from an exploded (id, band_idx, band_hash) bucket
+    stream: groupBy bucket collecting the sorted id set, in-bucket pair
+    expansion with array transforms, distinct. Shared by the one-shot
+    and the incremental miners so the bucket semantics (and the skew
+    guard) can never diverge."""
     if max_bucket is not None:
         # Skew guard ahead of the aggregation: per-bucket row count via a
         # window over the SAME key — Catalyst reuses the one
@@ -415,17 +433,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # outer: buckets are filtered to size >= 2, so the expansion is
     # never empty and the outer generate is row-identical — while dodging
     # the inferred size()>0 filter that would build the pair array twice.
-    pairs = (grouped.select(F.explode_outer(pair_structs).alias("p"))
-             .select("p.id_a", "p.id_b")
-             .distinct())
-    left = base.select(F.col("id").alias("id_a"),
-                       F.col("shingles").alias("sh_a"))
-    right = base.select(F.col("id").alias("id_b"),
-                        F.col("shingles").alias("sh_b"))
-    return (pairs.join(left, "id_a").join(right, "id_b")
-            .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
-            .filter(F.col("jaccard_sim") >= threshold)
-            .select("id_a", "id_b", "jaccard_sim"))
+    return (grouped.select(F.explode_outer(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .distinct())
 
 
 def write_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
@@ -490,7 +500,8 @@ def append_minhash_index(batch: DataFrame, path: str,
 def incremental_neardup_pairs(batch: DataFrame, spark, index_path: str,
                               text_col: str = "text", id_col: str = "doc_id",
                               n: int = 3, threshold: float = 0.6,
-                              max_bucket: int | None = 1000) -> DataFrame:
+                              max_bucket: int | None = 1000,
+                              checkpoint_dir: str | None = None) -> DataFrame:
     """Near-duplicate pairs for an ARRIVING batch against the indexed
     corpus (:func:`write_minhash_index`) PLUS within the batch itself —
     the production shape for near-dup dedup of a daily increment:
@@ -500,12 +511,16 @@ def incremental_neardup_pairs(batch: DataFrame, spark, index_path: str,
     over batch ∪ corpus, minus the corpus-internal pairs (those were
     mined when the index was built).
 
-    Plan: the batch is shingled/banded once (narrow); batch bands join
-    the at-rest band stream on (band_idx, band_hash) — with the bands
-    table bucketed on band_hash that join co-locates and only the
-    (small) batch shuffles; candidate pairs then verify with exact
-    jaccard, the batch side recomputing its shingles as a narrow map
-    and the index side reading the at-rest shingle table."""
+    Plan: the batch is shingled/banded ONCE; the exploded batch band
+    stream feeds BOTH candidate classes — the join against the at-rest
+    band stream (with the bands table bucketed on band_hash that join
+    co-locates and only the small batch shuffles) and the in-batch
+    bucket grouping (:func:`_band_bucket_pairs`, same skew guard as the
+    one-shot miner). Both candidate sets then verify in ONE pass, the
+    batch side recomputing its shingles as a narrow map and the index
+    side reading the at-rest shingle table. Pass ``checkpoint_dir`` to
+    materialize the (tiny) band stream once instead of recomputing the
+    signature chain per consumer — worth it when the batch is large."""
     b = with_shingles(batch, text_col, n).select(
         F.col(id_col).alias("id"), "shingles")
     sigs = (b.withColumn("hv", shingle_hashes(F.col("shingles")))
@@ -513,14 +528,22 @@ def incremental_neardup_pairs(batch: DataFrame, spark, index_path: str,
                     lsh_bands(minhash_signature(F.col("hv"))).alias("bands")))
     bx = sigs.select(
         "id", F.posexplode_outer("bands").alias("band_idx", "band_hash"))
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        bx = bx.checkpoint(eager=True)
     ix = spark.read.parquet(f"{index_path}/bands")
-    cand = (bx.join(ix.select(F.col("id").alias("iid"),
-                              "band_idx", "band_hash"),
-                    ["band_idx", "band_hash"])
-            .select(F.least("id", "iid").alias("id_a"),
-                    F.greatest("id", "iid").alias("id_b"))
-            .filter(F.col("id_a") != F.col("id_b"))
-            .distinct())
+    cross_cand = (bx.join(ix.select(F.col("id").alias("iid"),
+                                    "band_idx", "band_hash"),
+                          ["band_idx", "band_hash"])
+                  .select(F.least("id", "iid").alias("id_a"),
+                          F.greatest("id", "iid").alias("id_b"))
+                  .filter(F.col("id_a") != F.col("id_b"))
+                  .distinct())
+    in_batch_cand = _band_bucket_pairs(bx, max_bucket)
+    # Disjoint by construction: index ids never appear in the batch, so
+    # a cross pair and an in-batch pair can't coincide — no dedup
+    # exchange on the union.
+    cand = cross_cand.unionByName(in_batch_cand)
     ish = (spark.read.parquet(f"{index_path}/shingles")
            .select(F.col("id").alias("_vid"), F.col("shingles").alias("_vsh")))
     bsh = b.select(F.col("id").alias("_vid"), F.col("shingles").alias("_vsh"))
@@ -532,17 +555,10 @@ def incremental_neardup_pairs(batch: DataFrame, spark, index_path: str,
                         F.col("_vsh").alias("sh_a"))
     right = feats.select(F.col("_vid").alias("id_b"),
                          F.col("_vsh").alias("sh_b"))
-    cross = (cand.join(left, "id_a").join(right, "id_b")
-             .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
-             .filter(F.col("jaccard_sim") >= threshold)
-             .select("id_a", "id_b", "jaccard_sim"))
-    in_batch = minhash_lsh_pairs(batch, text_col, id_col, n, threshold,
-                                 max_bucket)
-    # A batch pair could ALSO surface via the index join if both its
-    # members were banded... they are not (the index holds corpus ids
-    # only, disjoint from batch ids by contract), so the union is
-    # disjoint by construction — no dedup exchange needed.
-    return cross.unionByName(in_batch)
+    return (cand.join(left, "id_a").join(right, "id_b")
+            .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard_sim") >= threshold)
+            .select("id_a", "id_b", "jaccard_sim"))
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -801,7 +817,8 @@ def incremental_dedup_corpus(batch: DataFrame, spark, index_path: str,
     whole flow is corpus-size-independent: only the index's candidate
     buckets are ever read."""
     pairs = incremental_neardup_pairs(batch, spark, index_path, text_col,
-                                      id_col, n, threshold)
+                                      id_col, n, threshold,
+                                      checkpoint_dir=checkpoint_dir)
     updated = update_cluster_labels(labels, pairs,
                                     checkpoint_dir=checkpoint_dir)
     losers = (updated.filter(~F.col("is_survivor"))

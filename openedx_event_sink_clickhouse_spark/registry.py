@@ -768,6 +768,9 @@ def _ddin(spark, sf_dir):
     path = _cached_parquet(
         f"/tmp/spark_graft_mhindex_v2_{_sf_tag(sf_dir, 'documents')}",
         lambda p: _build_mh_index(docs.filter(F.col("doc_id") < thr), p))
+    # No bx checkpoint here: at this scale the eager barrier costs more
+    # than the saved recompute (measured +0.3 s); pass checkpoint_dir
+    # for genuinely large batches.
     return incremental_neardup_pairs(docs.filter(F.col("doc_id") >= thr),
                                      spark, path, threshold=0.6)
 
