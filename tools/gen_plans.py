@@ -43,6 +43,11 @@ SHOW = [
     "dedup_incremental_clusters",
     "dedup_survivors",
     "ret_bm25_at_rest",
+    "scd2_user_event_history",
+    "evt_resample_hourly",
+    "dedup_remove_spans",
+    "mm_phash_neardup",
+    "llm_bpe_packing",
 ]
 
 SF = "/root/testdata/sf0.001"
