@@ -4343,6 +4343,8 @@ _PRIORITY = [
     "dedup_incremental_survivors", "ret_bm25_at_rest",
     "scd2_user_event_history", "mm_phash_neardup",
     "dedup_remove_spans", "evt_resample_hourly", "llm_bpe_packing",
+    # -- r5 refactor touched the shared BM25 scoring tail: re-grade --
+    "ret_bm25_topk", "ret_hybrid_rrf",
     # -- changed in r5: re-grade --
     "text_bpe_stats", "dedup_clusters", "dedup_survivors",
     "dedup_cluster_sizes", "sim_semantic_dedup", "mm_dedup_exact",
@@ -4358,16 +4360,17 @@ _PRIORITY = [
     "s1_full_scan", "s2_range_scan", "s3_in_list_filter",
     "s4_not_in_filter", "s5_limit_after_filter", "s6_point_lookup",
     "s7_dim_enrich_join", "s8_double_dim_join", "s9_parent_child_expand",
-    "p1_projection_rename", "p2_p3_dump_metadata", "p4_json_pack",
+    "p1_projection_rename", "p2_p3_dump_metadata",
     "p5_casts_flags",
     "p8_member_flag", "t2_last_wins_dedup", "t3_fan_out_metadata",
-    "a1_watermarks", "a3_distinct_sorted_ids", "serialize_external_id",
+    "a1_watermarks", "serialize_external_id",
     "stream_debounce_dedup",
     # (cur_clean_lines / evt_funnel / window_running_total /
     # approx_distinct_users / text_language_id / mm_meta_summary /
-    # tpch_q1 / p6_string_normalize / p7_strip_branch_version ceded
-    # their slots to the nine new r5 entries; all are unchanged since
-    # their r2 green grade.)
+    # tpch_q1 / p6_string_normalize / p7_strip_branch_version /
+    # p4_json_pack / a3_distinct_sorted_ids ceded their slots to the
+    # nine new r5 entries plus the two BM25 re-grades; all are
+    # unchanged since their r2 green grade.)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
