@@ -104,6 +104,7 @@ HEADLINE = [
     "dedup_remove_spans",          # duplicated-span removal (applied)
     "evt_resample_hourly",         # gap-filled resample + rolling mean
     "llm_bpe_packing",             # tokenizer-exact sequence packing
+    "cur_mix_interleave",          # WFQ mixing order (prefix-exact ratios)
 ]
 
 

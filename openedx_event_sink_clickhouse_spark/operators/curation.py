@@ -257,6 +257,41 @@ def pack_sequences(docs: DataFrame, token_budget: int = 512,
         (start % token_budget).cast("bigint").alias("bin_offset"))
 
 
+def mix_interleave(docs: DataFrame, weights: dict[str, float],
+                   stratum_col: str = "lang",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted INTERLEAVING order for corpus mixing —
+    the emission-order half the mix plans (:func:`corpus_mix_stats` /
+    ``mix_plan``) leave open: each document gets a virtual emission
+    time ``mix_key = (rank_in_stratum − 0.5) / weight`` (weighted fair
+    queueing), so reading the corpus sorted by mix_key delivers every
+    stratum at its target ratio in EVERY prefix of the stream — not
+    just over the whole epoch. A sequentially-trained model sees the
+    intended mixture from step one, instead of whatever order the
+    storage layout happened to produce. Returns
+    (doc_id, stratum, mix_key); strata absent from ``weights`` are
+    dropped (weight 0 = not in the mix).
+
+    Plan: one rank window per stratum (a single hash exchange on the
+    stratum key); NO global window — writers materialize the order with
+    ``repartitionByRange(mix_key) + sortWithinPartitions`` exactly like
+    ``write_zordered``, which parallelizes the sort at any scale.
+    Deterministic (rank ties broken by id; weights are plan literals),
+    so the order is reproducible across runs and engines."""
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of "
+                         "stratum -> positive weight")
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    w = Window.partitionBy(stratum_col).orderBy(id_col)
+    return (docs.filter(F.col(stratum_col).isin(list(weights)))
+            .select(F.col(id_col),
+                    F.col(stratum_col).alias("stratum"),
+                    F.row_number().over(w).alias("_rank"))
+            .select(id_col, "stratum",
+                    F.round((F.col("_rank").cast("double") - 0.5)
+                            / wmap[F.col("stratum")], 6).alias("mix_key")))
+
+
 def pack_by_counts(counts: DataFrame, token_budget: int = 512,
                    shard_col: str = "shard", count_col: str = "n_tokens",
                    id_col: str = "doc_id") -> DataFrame:

@@ -4182,6 +4182,34 @@ def _llmprep(spark, sf_dir):
                           token_budget=512, n_shards=16)
 
 
+MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "es": 0.15, "de": 0.15}
+
+
+@register("cur_mix_interleave", f"""
+WITH ranked AS (
+  SELECT doc_id, lang AS stratum,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS r
+  FROM documents
+  WHERE lang IN ({", ".join(f"'{k}'" for k in MIX_WEIGHTS)})
+), wts AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"('{k}', {v})" for k, v in MIX_WEIGHTS.items())})
+    AS t(stratum, w)
+)
+SELECT doc_id, stratum,
+       round((CAST(r AS DOUBLE) - 0.5) / w, 6) AS mix_key
+FROM ranked JOIN wts USING (stratum)
+""")
+def _cur_mixorder(spark, sf_dir):
+    # Weighted-fair-queueing interleave: sorting by mix_key emits every
+    # stratum at its target ratio in EVERY prefix of the stream —
+    # the emission-order half of corpus mixing (mix_plan computes the
+    # ratios; this orders the documents). fr deliberately absent from
+    # the weights: weight 0 = excluded from the mix.
+    from .operators.curation import mix_interleave
+    return mix_interleave(_t(spark, sf_dir, "documents"), MIX_WEIGHTS)
+
+
 @register("cur_split_assignment", """
 SELECT doc_id,
        CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
@@ -4343,6 +4371,7 @@ _PRIORITY = [
     "dedup_incremental_survivors", "ret_bm25_at_rest",
     "scd2_user_event_history", "mm_phash_neardup",
     "dedup_remove_spans", "evt_resample_hourly", "llm_bpe_packing",
+    "cur_mix_interleave",
     # -- r5 refactor touched the shared BM25 scoring tail: re-grade --
     "ret_bm25_topk", "ret_hybrid_rrf",
     # -- changed in r5: re-grade --
@@ -4362,15 +4391,15 @@ _PRIORITY = [
     "s7_dim_enrich_join", "s8_double_dim_join", "s9_parent_child_expand",
     "p1_projection_rename", "p2_p3_dump_metadata",
     "p5_casts_flags",
-    "p8_member_flag", "t2_last_wins_dedup", "t3_fan_out_metadata",
+    "t2_last_wins_dedup", "t3_fan_out_metadata",
     "a1_watermarks", "serialize_external_id",
     "stream_debounce_dedup",
     # (cur_clean_lines / evt_funnel / window_running_total /
     # approx_distinct_users / text_language_id / mm_meta_summary /
     # tpch_q1 / p6_string_normalize / p7_strip_branch_version /
-    # p4_json_pack / a3_distinct_sorted_ids ceded their slots to the
-    # nine new r5 entries plus the two BM25 re-grades; all are
-    # unchanged since their r2 green grade.)
+    # p4_json_pack / a3_distinct_sorted_ids / p8_member_flag ceded
+    # their slots to the ten new r5 entries plus the two BM25
+    # re-grades; all are unchanged since their r2 green grade.)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -459,3 +459,29 @@ def test_pack_by_counts_matches_budget_semantics(spark):
     assert out[2] == (1, 88)      # start 600 -> bin 1 offset 88
     assert out[3] == (1, 188)     # oversized doc: bin by its start
     assert out[4] == (0, 0)       # shard b independent
+
+
+def test_mix_interleave_prefix_ratios(spark):
+    # The WFQ property: every prefix of the mix_key order contains the
+    # strata near their target ratios (within one doc per stratum).
+    import pytest
+
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        mix_interleave)
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 300 else ("b" if i < 400 else "c"))
+         for i in range(500)],
+        ["doc_id", "lang"])
+    weights = {"a": 0.6, "b": 0.2, "c": 0.2}
+    rows = sorted(mix_interleave(docs, weights).collect(),
+                  key=lambda r: (r.mix_key, r.stratum))
+    for prefix in (10, 50, 100, 250):
+        seen = [r.stratum for r in rows[:prefix]]
+        for s, w in weights.items():
+            # WFQ bound: |emitted - w*prefix| <= 1 per stratum
+            assert abs(seen.count(s) - w * prefix) <= 1, (prefix, s)
+    # deterministic + excluded strata dropped
+    with pytest.raises(ValueError):
+        mix_interleave(docs, {})
+    only_ab = mix_interleave(docs, {"a": 0.5, "b": 0.5})
+    assert only_ab.filter("stratum = 'c'").count() == 0
