@@ -105,6 +105,7 @@ HEADLINE = [
     "evt_resample_hourly",         # gap-filled resample + rolling mean
     "llm_bpe_packing",             # tokenizer-exact sequence packing
     "cur_mix_interleave",          # WFQ mixing order (prefix-exact ratios)
+    "scd2_state_as_of",            # point-in-time lookup over history
 ]
 
 

@@ -60,6 +60,21 @@ def scd2_history(df: DataFrame, key_col: str, ts_col: str,
                     F.col("valid_to").isNull().alias("is_current")))
 
 
+def as_of(history: DataFrame, ts) -> DataFrame:
+    """Point-in-time (time-travel) lookup over SCD2 history: each key's
+    state AT timestamp ``ts`` — the interval containing it under the
+    half-open convention (``valid_from <= ts < valid_to``, open current
+    interval matches everything ≥ its start). Keys that first appear
+    after ``ts`` are absent, exactly as the warehouse expects. A
+    map-only filter over the (collapsed, small) history — no window,
+    no join; this query motivates keeping history AT REST instead of
+    re-deriving state from the raw log per question."""
+    t = F.lit(ts).cast("timestamp")
+    return history.filter((F.col("valid_from") <= t)
+                          & (F.col("valid_to").isNull()
+                             | (F.col("valid_to") > t)))
+
+
 def current_of(history: DataFrame) -> DataFrame:
     """The latest state per key from an SCD2 history frame — equivalent
     to last-wins dedup over the source log, but served from the (much

@@ -4085,6 +4085,49 @@ def _ts_resample(spark, sf_dir):
                              "value_sum", window=3)
 
 
+SCD2_ASOF_TS = "2024-01-10 00:00:00"
+
+
+@register("scd2_state_as_of", f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR NOT (event_type IS NOT DISTINCT FROM
+                        lag(event_type) OVER w)
+              THEN 1 ELSE 0 END AS new_flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), isl AS (
+  SELECT *, sum(new_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS island
+  FROM o
+), g AS (
+  SELECT user_id, island, event_type, min(ts) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_versions
+  FROM isl GROUP BY user_id, island, event_type
+), h AS (
+  SELECT user_id, event_type, valid_from,
+         lead(valid_from) OVER wi AS valid_to, n_versions,
+         lead(valid_from) OVER wi IS NULL AS is_current
+  FROM g WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+)
+SELECT user_id, event_type, valid_from, valid_to, n_versions, is_current
+FROM h
+WHERE valid_from <= TIMESTAMP '{SCD2_ASOF_TS}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{SCD2_ASOF_TS}')
+""")
+def _scd2_asof(spark, sf_dir):
+    # Time travel over the collapsed history: every user's state at one
+    # instant — a map-only filter over the SCD2 frame, never a re-scan
+    # of the raw log (the query that motivates history at rest).
+    from .operators.scd import as_of, scd2_history
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                            "event_type")
+    hist = scd2_history(ev, "user_id", "ts", ["event_type"],
+                        tiebreak_col="event_id")
+    return as_of(hist, SCD2_ASOF_TS)
+
+
 @register("evt_funnel", """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY 1),
@@ -4371,7 +4414,7 @@ _PRIORITY = [
     "dedup_incremental_survivors", "ret_bm25_at_rest",
     "scd2_user_event_history", "mm_phash_neardup",
     "dedup_remove_spans", "evt_resample_hourly", "llm_bpe_packing",
-    "cur_mix_interleave",
+    "cur_mix_interleave", "scd2_state_as_of",
     # -- r5 refactor touched the shared BM25 scoring tail: re-grade --
     "ret_bm25_topk", "ret_hybrid_rrf",
     # -- changed in r5: re-grade --
@@ -4388,7 +4431,7 @@ _PRIORITY = [
     # -- last graded in the r2 window --
     "s1_full_scan", "s2_range_scan", "s3_in_list_filter",
     "s4_not_in_filter", "s5_limit_after_filter", "s6_point_lookup",
-    "s7_dim_enrich_join", "s8_double_dim_join", "s9_parent_child_expand",
+    "s7_dim_enrich_join", "s9_parent_child_expand",
     "p1_projection_rename", "p2_p3_dump_metadata",
     "p5_casts_flags",
     "t2_last_wins_dedup", "t3_fan_out_metadata",
@@ -4397,7 +4440,8 @@ _PRIORITY = [
     # (cur_clean_lines / evt_funnel / window_running_total /
     # approx_distinct_users / text_language_id / mm_meta_summary /
     # tpch_q1 / p6_string_normalize / p7_strip_branch_version /
-    # p4_json_pack / a3_distinct_sorted_ids / p8_member_flag ceded
+    # p4_json_pack / a3_distinct_sorted_ids / p8_member_flag /
+    # s8_double_dim_join ceded
     # their slots to the ten new r5 entries plus the two BM25
     # re-grades; all are unchanged since their r2 green grade.)
 ]

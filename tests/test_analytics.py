@@ -102,3 +102,27 @@ def test_resample_gapfill_emits_zero_rows(spark):
                                      "bucket_start", "value_sum").collect()}
     assert ma[("a", "2024-01-01 02:00:00")] == round((1.0 + 0 + 0) / 3, 6)
     assert ma[("a", "2024-01-01 03:00:00")] == round((0 + 0 + 2.0) / 3, 6)
+
+
+def test_scd2_as_of_point_in_time(spark):
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.scd import (
+        as_of, scd2_history)
+    log = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 100, "a"),
+         (1, "2024-01-05 00:00:00", 101, "b"),
+         (2, "2024-01-08 00:00:00", 102, "x")],
+        "k long, ts string, eid long, attr string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    hist = scd2_history(log, "k", "ts", ["attr"], tiebreak_col="eid")
+    at = {r.k: r.attr for r in
+          as_of(hist, "2024-01-03 00:00:00").collect()}
+    assert at == {1: "a"}          # key 2 doesn't exist yet
+    at = {r.k: r.attr for r in
+          as_of(hist, "2024-01-09 00:00:00").collect()}
+    assert at == {1: "b", 2: "x"}
+    # boundary: at exactly valid_from, the NEW interval owns the instant
+    at = {r.k: r.attr for r in
+          as_of(hist, "2024-01-05 00:00:00").collect()}
+    assert at[1] == "b"
