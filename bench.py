@@ -106,6 +106,7 @@ HEADLINE = [
     "llm_bpe_packing",             # tokenizer-exact sequence packing
     "cur_mix_interleave",          # WFQ mixing order (prefix-exact ratios)
     "scd2_state_as_of",            # point-in-time lookup over history
+    "sim_pq_topk",                 # product-quantization ADC + rescore
 ]
 
 

@@ -874,6 +874,134 @@ def quantized_cosine_topk(emb: DataFrame, probe_id, k: int = 10,
     return _rescore(coarse)
 
 
+def pq_codebooks_from_first_k(emb: DataFrame, m: int = 8,
+                              n_centroids: int = 16,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              dim: int | None = None
+                              ) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: subspace ``s``'s
+    centroids are the first ``n_centroids`` vectors' s-th subvectors
+    (by id) — the same oracle-checkable convention as the IVF coarse
+    model (:func:`_centroid_frame` with ``centroids=None``). Returns
+    ``m × n_centroids × (dim/m)`` plain floats (the coordinator-resident
+    model, like every ANN codebook); swap in per-subspace k-means
+    (``kmeans_centroids`` over sliced frames) for production quality —
+    the search path is identical."""
+    dim = _vec_dim(emb, vec_col, dim)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rows = (emb.filter(F.col(id_col) < n_centroids).orderBy(id_col)
+            .select(vec_col).collect())
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    return [[v[s * sub:(s + 1) * sub] for v in vecs] for s in range(m)]
+
+
+def _pq_cb_literal(codebooks: list[list[list[float]]]) -> str:
+    """The m×k×sub codebook as ONE parsed SQL literal (see
+    :func:`srp_signature` for why one string beats py4j element walks)."""
+    return "array(" + ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in c) + ")"
+            for c in subspace) + ")"
+        for subspace in codebooks) + ")"
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization encoding: each vector becomes ``m`` small
+    codes — subspace ``s``'s code is the argmin-squared-L2 centroid of
+    its s-th subvector (ties → lowest centroid id). Returns
+    (id, codes array<int>) — with k ≤ 256 centroids that is ONE byte
+    per subspace at rest, an 8×·(dim/m) memory cut below even the
+    scalar-quantized codes, which is why IVF-PQ is the billion-vector
+    default.
+
+    Pure Column SQL: the codebook rides as one literal; the distance
+    list per subspace is let-bound so argmin evaluates it once; the
+    subvector slices are disjoint, so the whole encode is O(dim·k) per
+    row with no Python anywhere."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cb = _pq_cb_literal(codebooks)
+    dists = (f"transform(element_at(CB, s + 1), c -> "
+             f"aggregate(zip_with(slice(v, s * {sub} + 1, {sub}), c, "
+             f"(x, y) -> (x - y) * (x - y)), 0.0D, (a, x) -> a + x))")
+    code = (f"element_at(transform(array({dists}), ds -> "
+            f"array_position(ds, array_min(ds)) - 1), 1)")
+    expr = (f"element_at(transform(array({cb}), CB -> "
+            f"element_at(transform(array({_as_double_sql(vec_col)}), v -> "
+            f"transform(sequence(0, {m - 1}), s -> CAST({code} AS INT))"
+            f"), 1)), 1)")
+    return emb.select(F.col(id_col).alias("id"),
+                      F.expr(expr).alias("codes"))
+
+
+def _as_double_sql(vec_col: str) -> str:
+    return f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+
+
+def pq_topk(emb: DataFrame, probe_vec: list[float],
+            codebooks: list[list[list[float]]], k: int = 10,
+            rescore_factor: int = 5, exclude_id=None,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            codes: DataFrame | None = None) -> DataFrame:
+    """PQ search with asymmetric distance computation (ADC) + exact
+    rescore: the coarse pass scores every vector from its ``m`` CODES
+    alone — per-subspace dot products of the RAW query against each
+    centroid form an m×k lookup table built coordinator-side, so a
+    row's approximate dot is ``Σ_s LUT[s][code_s]`` (m array lookups,
+    no arithmetic on vector elements), its dequantized norm
+    ``sqrt(Σ_s N2[s][code_s])`` likewise — then the top
+    ``rescore_factor·k`` candidates re-rank exactly on full-precision
+    vectors (same tail as :func:`quantized_cosine_topk`). Returns
+    (vec_id, cosine_sim) with exact scores.
+
+    Pass ``codes`` (a :func:`pq_encode` frame, ideally read back from
+    rest) so the coarse pass scans ~1 byte per subspace per vector;
+    ``emb`` is touched only for the O(rescore_factor·k) candidate rows.
+    Near-ties at the shortlist cut are absorbed by the same 5×-over-k
+    margin argument as the scalar-quantized path (measured there:
+    adjacent-gap ≈ 3e-5 vs ≤ 1e-14 cross-engine FP divergence)."""
+    import math
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    pv = [float(x) for x in probe_vec]
+    qn = math.sqrt(sum(x * x for x in pv))
+    lut = [[sum(pv[s * sub + i] * c[i] for i in range(sub))
+            for c in codebooks[s]] for s in range(m)]
+    n2 = [[sum(x * x for x in c) for c in codebooks[s]]
+          for s in range(m)]
+
+    def mat(name, rows):
+        return "array(" + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in r) + ")"
+            for r in rows) + ")"
+
+    num = (f"aggregate(sequence(0, {m - 1}), 0.0D, (a, s) -> "
+           f"a + element_at(element_at({mat('L', lut)}, s + 1), "
+           f"element_at(codes, s + 1) + 1))")
+    dvn = (f"sqrt(aggregate(sequence(0, {m - 1}), 0.0D, (a, s) -> "
+           f"a + element_at(element_at({mat('N', n2)}, s + 1), "
+           f"element_at(codes, s + 1) + 1)))")
+    qcos = (f"CASE WHEN {dvn} * {qn!r}D > 0.0D "
+            f"THEN ({num}) / ({dvn} * {qn!r}D) ELSE 0.0D END")
+    if codes is None:
+        codes = pq_encode(emb, codebooks, id_col, vec_col)
+    coarse = codes
+    if exclude_id is not None:
+        coarse = coarse.filter(F.col("id") != exclude_id)
+    shortlist = (coarse.select("id", F.expr(qcos).alias("_qcos"))
+                 .orderBy(F.desc("_qcos"), "id")
+                 .limit(rescore_factor * k)
+                 .select(F.col("id").alias(id_col)))
+    return _rescore_with_literal_probe(emb, shortlist, pv, qn, k,
+                                       id_col, vec_col)
+
+
 def hard_negative_mining(emb: DataFrame, n_probes: int = 10, k: int = 5,
                          max_sim: float = 0.9, id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:

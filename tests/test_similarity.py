@@ -440,3 +440,28 @@ def test_hard_negative_mining_excludes_near_duplicates(spark, sf_dir):
     plain_top = {(r.probe_id, r.vec_id) for r in plain}
     hard_top = {(r.probe_id, r.vec_id) for r in hard}
     assert hard_top != plain_top
+
+
+def test_pq_encode_and_adc_search(spark):
+    # PQ contract: a codebook vector encodes to itself per subspace
+    # (distance 0), an exact duplicate of the probe tops the ADC+rescore
+    # ranking with cosine 1.0, and codes stay within [0, k).
+    import random
+
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        pq_codebooks_from_first_k, pq_encode, pq_topk)
+    rng = random.Random(99)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(60)]
+    rows.append((100, list(rows[20][1])))      # duplicate of vec 20
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_codebooks_from_first_k(emb, m=4, n_centroids=8, dim=16)
+    codes = {r.id: list(r.codes) for r in pq_encode(emb, cb).collect()}
+    for i in range(8):
+        assert codes[i] == [i, i, i, i]        # own centroid, all spaces
+    assert all(0 <= c < 8 for cs in codes.values() for c in cs)
+    probe = rows[20][1]
+    got = [tuple(r) for r in
+           pq_topk(emb, probe, cb, k=5, rescore_factor=4,
+                   exclude_id=20).collect()]
+    assert got[0][0] == 100 and got[0][1] == 1.0
