@@ -48,6 +48,9 @@ SHOW = [
     "dedup_remove_spans",
     "mm_phash_neardup",
     "llm_bpe_packing",
+    "sim_pq_topk",
+    "cur_mix_interleave",
+    "scd2_state_as_of",
 ]
 
 SF = "/root/testdata/sf0.001"
