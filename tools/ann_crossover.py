@@ -41,8 +41,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from openedx_event_sink_clickhouse_spark.operators.similarity import (
-        brute_force_topk, ivf_topk_partitioned, quantized_cosine_topk,
-        write_ivf_partitioned, write_quantized_codes)
+        brute_force_topk, ivf_topk_partitioned, pq_codebooks_from_first_k,
+        pq_encode, pq_topk, quantized_cosine_topk, write_ivf_partitioned,
+        write_quantized_codes)
 
     base = spark.read.parquet(SRC).select("vec_id", "embedding")
     n0 = base.count()
@@ -60,8 +61,10 @@ def main() -> None:
                    glob.glob(os.path.join(path, "**", "*.parquet"),
                              recursive=True))
 
+    pq_cb = None
     print(f"{'n':>8s} {'brute':>8s} {'quantized':>10s} {'q/b':>6s} "
-          f"{'ivf_part':>9s} {'i/b':>6s} {'bytes_frac':>10s}")
+          f"{'ivf_part':>9s} {'i/b':>6s} {'bytes_frac':>10s} "
+          f"{'pq_adc':>7s} {'p/b':>6s}")
     for n in sizes:
         reps = (n + n0 - 1) // n0
         d = os.path.join(WORK, f"n{n}")
@@ -83,6 +86,13 @@ def main() -> None:
                 n_centroids=16, centroids=model)
         emb = spark.read.parquet(os.path.join(d, "emb"))
         codes = spark.read.parquet(os.path.join(d, "codes"))
+        if pq_cb is None:
+            pq_cb = pq_codebooks_from_first_k(base, m=8, n_centroids=16,
+                                              dim=len(probe_vec))
+        pq_dir = os.path.join(d, "pqcodes")
+        if not os.path.isfile(os.path.join(pq_dir, "_SUCCESS")):
+            pq_encode(emb, pq_cb).write.mode("overwrite").parquet(pq_dir)
+        pq_codes = spark.read.parquet(pq_dir)
 
         def best(f):
             t = float("inf")
@@ -117,9 +127,13 @@ def main() -> None:
                        key=lambda t: (-_cos(t[1]), t[0]))[0][0]
         probed_bytes = dir_bytes(os.path.join(ivf_dir, f"cell={cell0}"))
         total_bytes = dir_bytes(ivf_dir)
+        tp = best(lambda: pq_topk(emb, probe_vec, pq_cb, k=10,
+                                  rescore_factor=5, exclude_id=0,
+                                  codes=pq_codes).count())
         print(f"{n:8d} {tb:8.3f} {tq:10.3f} {tq / tb:6.2f} "
               f"{ti:9.3f} {ti / tb:6.2f} "
-              f"{probed_bytes / total_bytes:10.3f}")
+              f"{probed_bytes / total_bytes:10.3f} "
+              f"{tp:7.3f} {tp / tb:6.2f}")
 
 
 if __name__ == "__main__":
