@@ -1761,7 +1761,6 @@ WHERE e.ts < TIMESTAMP '{FLAGSHIP_CUTOFF}' OR wm.m IS NULL OR e.ts > wm.m
 """)
 def _wstate(spark, sf_dir):
     import glob as _glob
-    import hashlib
     import os as _os
     import shutil as _shutil
     import tempfile
