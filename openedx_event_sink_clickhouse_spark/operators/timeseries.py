@@ -24,8 +24,16 @@ def resample_gapfill(events: DataFrame, key_col: str = "event_type",
     """Per-key fixed-step series with gaps filled: one row per (key,
     bucket) for EVERY step between the key's first and last event,
     zeros where nothing happened. Returns
-    (key, bucket_start, n_events, value_sum)."""
-    bucket = F.date_trunc("hour", F.col(ts_col))
+    (key, bucket_start, n_events, value_sum).
+
+    Bucketing uses ``window(ts, step).start`` — epoch-aligned tumbling
+    buckets for ANY ``step`` ("15 minutes", "6 hours", …), not just
+    whole calendar units — so the observed aggregate and the generated
+    spine always share the same grid (for "1 hour" this is identical to
+    ``date_trunc('hour', ts)``, which is what the DuckDB oracle pins).
+    The spine then steps from each key's first to last bucket by the
+    same interval, so spine rows land exactly on aggregate buckets."""
+    bucket = F.window(F.col(ts_col), step).getField("start")
     agg = (events.groupBy(F.col(key_col).alias("key"),
                           bucket.alias("bucket_start"))
            .agg(F.count("*").alias("n_events"),

@@ -133,8 +133,8 @@ def _text_cluster_labels(spark, sf_dir: str) -> DataFrame:
         (connected_components(pairs, checkpoint_dir=_cc_ckpt_dir())
          .write.parquet(p))
 
-    path = _cached_parquet(f"/tmp/spark_graft_clusters_v1_{_sf_tag(sf_dir)}",
-                           build)
+    path = _cached_parquet(
+        f"/tmp/spark_graft_clusters_v2_{_sf_tag(sf_dir, 'documents')}", build)
     return spark.read.parquet(path)
 
 
@@ -151,7 +151,8 @@ def _semantic_cluster_labels(spark, sf_dir: str) -> DataFrame:
          .write.parquet(p))
 
     path = _cached_parquet(
-        f"/tmp/spark_graft_semclusters_v1_{_sf_tag(sf_dir)}", build)
+        f"/tmp/spark_graft_semclusters_v2_{_sf_tag(sf_dir, 'embeddings')}",
+        build)
     return spark.read.parquet(path)
 
 

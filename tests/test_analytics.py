@@ -104,6 +104,37 @@ def test_resample_gapfill_emits_zero_rows(spark):
     assert ma[("a", "2024-01-01 03:00:00")] == round((0 + 0 + 2.0) / 3, 6)
 
 
+def test_resample_gapfill_non_hour_step(spark):
+    # The step parameter must drive BOTH the aggregate bucketing and the
+    # spine grid (the round-5 advisory: a hardcoded hourly trunc put
+    # observed rows in buckets the spine never visited for any other
+    # step). 30-minute step: buckets align on :00/:30 and gaps between a
+    # key's first and last bucket appear as explicit zero rows.
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        resample_gapfill)
+    ev = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 1.0),
+         ("a", "2024-01-01 00:40:00", 2.0),
+         ("a", "2024-01-01 02:15:00", 4.0)],   # 01:00,01:30,02:00 empty
+        "event_type string, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {str(r.bucket_start): (r.n_events, r.value_sum)
+           for r in resample_gapfill(ev, step="30 minutes").collect()}
+    assert got == {
+        "2024-01-01 00:00:00": (1, 1.0),
+        "2024-01-01 00:30:00": (1, 2.0),
+        "2024-01-01 01:00:00": (0, 0.0),
+        "2024-01-01 01:30:00": (0, 0.0),
+        "2024-01-01 02:00:00": (1, 4.0),
+    }
+    # Every observed event lands on a spine row: total n_events conserved.
+    day = {str(r.bucket_start): r.n_events
+           for r in resample_gapfill(ev, step="1 day").collect()}
+    assert day == {"2024-01-01 00:00:00": 3}
+
+
 def test_scd2_as_of_point_in_time(spark):
     from pyspark.sql import functions as F
 

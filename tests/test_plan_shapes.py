@@ -246,18 +246,18 @@ def test_dedup_survivors_serves_from_at_rest_labels(q, spark, sf_dir):
     # label table — no pair-mining/CC chain (no Generate nodes from the
     # band explode) in its plan, just a broadcast anti-join.
     plan = plan_of(q["dedup_survivors"](spark, sf_dir))
-    assert "spark_graft_clusters_v1_" in plan
+    assert "spark_graft_clusters_v2_" in plan
     assert "Generate" not in plan
     assert "LeftAnti" in plan and "Broadcast" in plan
 
 
 def test_cluster_sizes_serves_from_at_rest_labels(q, spark, sf_dir):
     plan = plan_of(q["dedup_cluster_sizes"](spark, sf_dir))
-    assert "spark_graft_clusters_v1_" in plan
+    assert "spark_graft_clusters_v2_" in plan
     assert "Generate" not in plan
 
 
 def test_semantic_dedup_serves_from_at_rest_labels(q, spark, sf_dir):
     plan = plan_of(q["sim_semantic_dedup"](spark, sf_dir))
-    assert "spark_graft_semclusters_v1_" in plan
+    assert "spark_graft_semclusters_v2_" in plan
     assert "Generate" not in plan
