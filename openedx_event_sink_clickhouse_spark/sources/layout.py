@@ -166,13 +166,33 @@ def compact_bucketed_table(spark, table: str, bucket_col: str,
     redundant — while the write still runs at the scan's task width, so
     the "fold" would re-emit one file per (task × bucket) and shrink
     nothing (measured: 16 → 8 files via the table scan, 16 → ``buckets``
-    via the path scan)."""
+    via the path scan).
+
+    CRASH-RECOVERY CAVEAT (single-writer assumed, like the partitioned
+    fold below): the swap is DROP TABLE then RENAME — two catalog
+    statements, not one atomic commit. A crash between them leaves no
+    table under ``table``; the data survives only in the
+    ``{table}__compacting`` scratch table. The next invocation (the
+    append paths run this unconditionally after every append) recovers
+    that orphan by renaming it back before doing anything else, so the
+    non-atomic window heals on the usual maintenance cadence; on a
+    shared production store this sequencing belongs to a table format's
+    atomic metadata commit (Delta/Iceberg), as does the partitioned
+    variant's."""
+    tmp = f"{table}__compacting"
+    if spark.catalog.tableExists(tmp):
+        if spark.catalog.tableExists(table):
+            # Crash before the DROP: the live table is intact, the
+            # scratch is stale — discard it.
+            spark.sql(f"DROP TABLE {tmp}")
+        else:
+            # Crash between DROP and RENAME: the scratch IS the table
+            # (fully written before the drop) — promote it.
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
     loc = table_location(spark, table)
     n_files = len(_dir_parquet_files(loc))
     if n_files <= max_files_per_bucket * buckets:
         return False
-    tmp = f"{table}__compacting"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     (spark.read.parquet(loc)
      .repartition(buckets, F.col(bucket_col))
      .write.mode("overwrite")
@@ -203,8 +223,30 @@ def compact_partitioned_dir(spark, path: str,
     import os
     import shutil
 
+    # A crashed prior run can leave `<part>.compact_tmp` / `<part>.
+    # compact_old` scratch dirs next to the live ones. Both contain '='
+    # and would otherwise be swept up as live partitions. Recover, don't
+    # just delete: if the live dir is GONE the crash hit between the two
+    # renames and a scratch dir holds the partition's only copy —
+    # promote the completed rewrite (tmp with its _SUCCESS marker) or
+    # else the renamed-away original; with the live dir present, or a
+    # tmp that never finished its write, scratch is stale.
+    scratch = glob.glob(os.path.join(path, "*=*.compact_tmp")) + \
+        glob.glob(os.path.join(path, "*=*.compact_old"))
+    for live_dir in {s.rsplit(".compact_", 1)[0] for s in scratch}:
+        tmp_d, old_d = f"{live_dir}.compact_tmp", f"{live_dir}.compact_old"
+        if not os.path.isdir(live_dir):
+            if os.path.isfile(os.path.join(tmp_d, "_SUCCESS")):
+                os.rename(tmp_d, live_dir)
+            elif os.path.isdir(old_d):
+                os.rename(old_d, live_dir)
+        shutil.rmtree(tmp_d, ignore_errors=True)
+        shutil.rmtree(old_d, ignore_errors=True)
     folded = 0
-    for part_dir in sorted(glob.glob(os.path.join(path, "*=*"))):
+    live = [d for d in sorted(glob.glob(os.path.join(path, "*=*")))
+            if not os.path.basename(d).endswith((".compact_tmp",
+                                                 ".compact_old"))]
+    for part_dir in live:
         files = _dir_parquet_files(part_dir)
         if len(files) <= max_files_per_partition:
             continue

@@ -96,7 +96,13 @@ class IvfStreamMaintainer:
 
         counts: dict[int, int] = {}
         for cell_dir in glob.glob(os.path.join(self.path, "cell=*")):
-            cell = int(os.path.basename(cell_dir).split("=", 1)[1])
+            suffix = os.path.basename(cell_dir).split("=", 1)[1]
+            if not suffix.isdigit():
+                # Compaction scratch from a crashed fold (cell=N
+                # .compact_tmp/.compact_old) — not a live partition;
+                # compact_partitioned_dir recovers/cleans these.
+                continue
+            cell = int(suffix)
             n = 0
             for f in glob.glob(os.path.join(cell_dir, "*.parquet")):
                 n += pq.ParquetFile(f).metadata.num_rows

@@ -168,3 +168,98 @@ def test_ivf_append_compacts_cells_in_place(spark, tmp_path):
     one_cell.count()
     plan = one_cell._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_compact_partitioned_dir_recovers_crash_scratch(spark, tmp_path):
+    # Round-5 advisory: the '*=*' glob also matched cell=N.compact_tmp /
+    # .compact_old leftovers from a crashed fold, treating them as live
+    # partitions. Recovery contract: with the live dir present the
+    # scratch is stale and removed; with the live dir GONE (crash
+    # between the two renames) the completed rewrite (_SUCCESS) or the
+    # renamed-away original is promoted back — no partition lost, no
+    # scratch dir folded as data.
+    import os
+    import shutil
+
+    from openedx_event_sink_clickhouse_spark.sources.layout import (
+        compact_partitioned_dir)
+
+    base = str(tmp_path / "parts")
+    df = spark.range(60).selectExpr("id % 3 AS cell", "id AS v")
+    df.repartition(6).write.partitionBy("cell").parquet(base)
+
+    # Stale scratch next to a LIVE partition: must be cleaned, not folded.
+    shutil.copytree(os.path.join(base, "cell=0"),
+                    os.path.join(base, "cell=0.compact_old"))
+    # Crash between renames: live dir gone, original survives as .compact_old.
+    os.rename(os.path.join(base, "cell=1"),
+              os.path.join(base, "cell=1.compact_old"))
+    # Crash mid-rewrite: incomplete tmp (no _SUCCESS) plus live dir gone,
+    # old also present — old must win over the incomplete tmp.
+    os.rename(os.path.join(base, "cell=2"),
+              os.path.join(base, "cell=2.compact_old"))
+    os.makedirs(os.path.join(base, "cell=2.compact_tmp"))
+
+    compact_partitioned_dir(spark, base, max_files_per_partition=1)
+    names = sorted(os.listdir(base))
+    assert [n for n in names if ".compact" in n] == []
+    got = spark.read.parquet(base)
+    assert got.count() == 60
+    assert got.select("cell").distinct().count() == 3
+
+
+def test_compact_bucketed_table_recovers_orphaned_scratch(spark):
+    # Crash window between DROP TABLE and RENAME: the data survives only
+    # in {table}__compacting; the next invocation must promote it back
+    # before (re)compacting, and discard a stale scratch when the live
+    # table is intact.
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        read_digest_table, write_digest_table)
+    from openedx_event_sink_clickhouse_spark.sources.layout import (
+        compact_bucketed_table)
+
+    tbl = "digest_crash"
+    for t in (tbl, f"{tbl}__compacting"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def hashes(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "md5(cast(id AS STRING)) AS content_hash", "id AS doc_id",
+            "cast(10 AS long) AS n_bytes")
+
+    try:
+        write_digest_table(hashes(0, 30), tbl, buckets=2)
+        # Simulate the crash: rename the live table away to the scratch
+        # name (equivalent end-state: only __compacting exists).
+        spark.sql(f"ALTER TABLE {tbl} RENAME TO {tbl}__compacting")
+        assert not spark.catalog.tableExists(tbl)
+        compact_bucketed_table(spark, tbl, "content_hash", buckets=2)
+        assert spark.catalog.tableExists(tbl)
+        assert not spark.catalog.tableExists(f"{tbl}__compacting")
+        assert read_digest_table(spark, tbl).count() == 30
+        # Stale scratch + intact live table: scratch dropped, table kept.
+        hashes(100, 110).write.saveAsTable(f"{tbl}__compacting")
+        compact_bucketed_table(spark, tbl, "content_hash", buckets=2)
+        assert not spark.catalog.tableExists(f"{tbl}__compacting")
+        assert read_digest_table(spark, tbl).count() == 30
+    finally:
+        for t in (tbl, f"{tbl}__compacting"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cell_counts_skips_compaction_scratch(spark, tmp_path):
+    # IvfStreamMaintainer.cell_counts must not int('N.compact_old').
+    import os
+
+    from openedx_event_sink_clickhouse_spark.streaming.ann_maintenance import (
+        IvfStreamMaintainer)
+
+    base = str(tmp_path / "ivf")
+    spark.range(40).selectExpr("id % 2 AS cell", "id AS v") \
+        .write.partitionBy("cell").parquet(base)
+    os.makedirs(os.path.join(base, "cell=0.compact_old"))
+    m = IvfStreamMaintainer.__new__(IvfStreamMaintainer)
+    m.path = base
+    counts = m.cell_counts()
+    assert set(counts) == {0, 1}
+    assert sum(counts.values()) == 40
