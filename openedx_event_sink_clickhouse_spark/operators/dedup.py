@@ -467,6 +467,14 @@ def write_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
                     lsh_bands(minhash_signature(F.col("hv"))).alias("bands")))
     bands = sigs.select(
         "id", F.posexplode_outer("bands").alias("band_idx", "band_hash"))
+    # band_counts sidecar: per-bucket corpus counts over ALL bands,
+    # BEFORE the guard drops oversized buckets from the stored stream —
+    # what query-time combined-count guards (incremental_neardup_pairs)
+    # need to see a build-dropped bucket's corpus mass. O(distinct
+    # buckets) rows; append-friendly (readers sum per bucket).
+    (bands.groupBy("band_idx", "band_hash")
+     .agg(F.count("*").alias("n"))
+     .write.mode("overwrite").parquet(f"{path}/band_counts"))
     if max_bucket is not None:
         from pyspark.sql import Window
         w = Window.partitionBy("band_idx", "band_hash")
@@ -483,17 +491,23 @@ def append_minhash_index(batch: DataFrame, path: str,
     shingles (``mode("append")`` into both sub-layouts) — after a batch
     is pair-mined, its documents become part of the indexed corpus so
     the NEXT batch can match against them. O(batch) work; no build-time
-    bucket guard here (a batch can't see corpus-wide bucket sizes — run
-    :func:`write_minhash_index` periodically to re-apply the guard and
-    fold the layout, the same rebuild cadence as IVF centroid refresh)."""
+    bucket guard here (a batch can't see corpus-wide bucket sizes — the
+    query-time COMBINED guard in :func:`incremental_neardup_pairs` reads
+    the ``band_counts`` sidecar instead, which this append extends; run
+    :func:`write_minhash_index` periodically to re-apply the stored-band
+    guard and fold the layout, the same rebuild cadence as IVF centroid
+    refresh)."""
     base = with_shingles(batch, text_col, n).select(
         F.col(id_col).alias("id"), "shingles")
     sigs = (base.withColumn("hv", shingle_hashes(F.col("shingles")))
             .select("id",
                     lsh_bands(minhash_signature(F.col("hv"))).alias("bands")))
-    (sigs.select("id", F.posexplode_outer("bands")
-                 .alias("band_idx", "band_hash"))
-     .write.mode("append").parquet(f"{path}/bands"))
+    bands = sigs.select("id", F.posexplode_outer("bands")
+                        .alias("band_idx", "band_hash"))
+    bands.write.mode("append").parquet(f"{path}/bands")
+    (bands.groupBy("band_idx", "band_hash")
+     .agg(F.count("*").alias("n"))
+     .write.mode("append").parquet(f"{path}/band_counts"))
     base.write.mode("append").parquet(f"{path}/shingles")
 
 
@@ -509,18 +523,26 @@ def incremental_neardup_pairs(batch: DataFrame, spark, index_path: str,
     Returns (id_a, id_b, jaccard_sim), id_a < id_b, exact jaccard ≥
     ``threshold`` — the same contract as :func:`minhash_lsh_pairs` run
     over batch ∪ corpus, minus the corpus-internal pairs (those were
-    mined when the index was built).
+    mined when the index was built). That includes the ``max_bucket``
+    skew guard: it applies to the COMBINED (batch + corpus) bucket
+    size, read from the index's ``band_counts`` sidecar — pre-guard
+    corpus totals, so a bucket the build dropped as degenerate still
+    contributes its corpus mass and a boilerplate-heavy batch can't
+    resurrect it. (Legacy layouts without the sidecar fall back to
+    counting the STORED bands: exact for surviving buckets, batch-only
+    for build-dropped ones — the pre-round-6 asymmetry.)
 
     Plan: the batch is shingled/banded ONCE; the exploded batch band
     stream feeds BOTH candidate classes — the join against the at-rest
     band stream (with the bands table bucketed on band_hash that join
     co-locates and only the small batch shuffles) and the in-batch
-    bucket grouping (:func:`_band_bucket_pairs`, same skew guard as the
-    one-shot miner). Both candidate sets then verify in ONE pass, the
-    batch side recomputing its shingles as a narrow map and the index
-    side reading the at-rest shingle table. Pass ``checkpoint_dir`` to
-    materialize the (tiny) band stream once instead of recomputing the
-    signature chain per consumer — worth it when the batch is large."""
+    bucket grouping (:func:`_band_bucket_pairs`, the guard already
+    applied upstream on combined counts). Both candidate sets then
+    verify in ONE pass, the batch side recomputing its shingles as a
+    narrow map and the index side reading the at-rest shingle table.
+    Pass ``checkpoint_dir`` to materialize the (tiny) band stream once
+    instead of recomputing the signature chain per consumer — worth it
+    when the batch is large."""
     b = with_shingles(batch, text_col, n).select(
         F.col(id_col).alias("id"), "shingles")
     sigs = (b.withColumn("hv", shingle_hashes(F.col("shingles")))
@@ -532,6 +554,22 @@ def incremental_neardup_pairs(batch: DataFrame, spark, index_path: str,
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
         bx = bx.checkpoint(eager=True)
     ix = spark.read.parquet(f"{index_path}/bands")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        try:
+            idx_counts = (spark.read.parquet(f"{index_path}/band_counts")
+                          .groupBy("band_idx", "band_hash")
+                          .agg(F.sum("n").alias("_in")))
+        except Exception:
+            idx_counts = (ix.groupBy("band_idx", "band_hash")
+                          .agg(F.count("*").alias("_in")))
+        w = Window.partitionBy("band_idx", "band_hash")
+        bx = (bx.withColumn("_bn", F.count("*").over(w))
+              .join(idx_counts, ["band_idx", "band_hash"], "left")
+              .withColumn("_cn", F.col("_bn")
+                          + F.coalesce(F.col("_in"), F.lit(0)))
+              .filter((F.col("_cn") >= 2) & (F.col("_cn") <= max_bucket))
+              .drop("_bn", "_in", "_cn"))
     cross_cand = (bx.join(ix.select(F.col("id").alias("iid"),
                                     "band_idx", "band_hash"),
                           ["band_idx", "band_hash"])
@@ -539,7 +577,7 @@ def incremental_neardup_pairs(batch: DataFrame, spark, index_path: str,
                           F.greatest("id", "iid").alias("id_b"))
                   .filter(F.col("id_a") != F.col("id_b"))
                   .distinct())
-    in_batch_cand = _band_bucket_pairs(bx, max_bucket)
+    in_batch_cand = _band_bucket_pairs(bx, None)
     # Disjoint by construction: index ids never appear in the batch, so
     # a cross pair and an in-batch pair can't coincide — no dedup
     # exchange on the union.

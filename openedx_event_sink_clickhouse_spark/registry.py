@@ -767,7 +767,7 @@ def _ddin(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     thr = _nd_split(spark, sf_dir)
     path = _cached_parquet(
-        f"/tmp/spark_graft_mhindex_v2_{_sf_tag(sf_dir, 'documents')}",
+        f"/tmp/spark_graft_mhindex_v3_{_sf_tag(sf_dir, 'documents')}",
         lambda p: _build_mh_index(docs.filter(F.col("doc_id") < thr), p))
     # No bx checkpoint here: at this scale the eager barrier costs more
     # than the saved recompute (measured +0.3 s); pass checkpoint_dir
@@ -801,7 +801,7 @@ def _ddinc(spark, sf_dir):
     tag = _sf_tag(sf_dir, "documents")
     thr = _nd_split(spark, sf_dir)
     idx = _cached_parquet(
-        f"/tmp/spark_graft_mhindex_v2_{tag}",
+        f"/tmp/spark_graft_mhindex_v3_{tag}",
         lambda p: _build_mh_index(docs.filter(F.col("doc_id") < thr), p))
     lab0 = spark.read.parquet(_cached_parquet(
         f"/tmp/spark_graft_mhlabels0_v2_{tag}",
@@ -827,7 +827,7 @@ def _ddis(spark, sf_dir):
     tag = _sf_tag(sf_dir, "documents")
     thr = _nd_split(spark, sf_dir)
     idx = _cached_parquet(
-        f"/tmp/spark_graft_mhindex_v2_{tag}",
+        f"/tmp/spark_graft_mhindex_v3_{tag}",
         lambda p: _build_mh_index(docs.filter(F.col("doc_id") < thr), p))
     lab0 = spark.read.parquet(_cached_parquet(
         f"/tmp/spark_graft_mhlabels0_v2_{tag}",

@@ -430,6 +430,46 @@ def test_minhash_index_build_guard_drops_stop_bands(spark, tmp_path):
     assert incremental_neardup_pairs(batch, spark, idx).count() == 0
 
 
+def test_incremental_guard_counts_combined_bucket(spark, tmp_path):
+    # Round-5 advisory: guarding the index build (corpus-only counts)
+    # and the in-batch stream (batch-only counts) separately let a
+    # bucket whose COMBINED size exceeds max_bucket — but whose halves
+    # don't — emit pairs the one-shot miner over batch ∪ corpus drops.
+    # The contract is combined-count guarding via the band_counts
+    # sidecar: 5 corpus + 3 batch copies of one text, max_bucket=6 →
+    # one-shot over the union emits nothing, so incremental must too.
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_lsh_pairs,
+        write_minhash_index,
+    )
+    docs = spark.createDataFrame([(i, BASE) for i in range(5)]
+                                 + [(10 + i, BASE) for i in range(3)],
+                                 ["doc_id", "text"])
+    corpus = docs.filter(F.col("doc_id") < 10)
+    batch = docs.filter(F.col("doc_id") >= 10)
+    idx = str(tmp_path / "mh_combined")
+    write_minhash_index(corpus, idx, max_bucket=6)
+    assert minhash_lsh_pairs(docs, threshold=0.5, max_bucket=6).count() == 0
+    got = incremental_neardup_pairs(batch, spark, idx, threshold=0.5,
+                                    max_bucket=6)
+    assert got.count() == 0
+    # Under a permissive guard the same layout yields every cross and
+    # in-batch pair — proving the empty result above is the guard, not
+    # a broken index.
+    n = incremental_neardup_pairs(batch, spark, idx, threshold=0.5,
+                                  max_bucket=100).count()
+    assert n == 5 * 3 + 3           # cross pairs + C(3,2) in-batch
+    # Legacy layout (no sidecar): falls back to stored-band counts —
+    # still exact here because no bucket was build-dropped.
+    import shutil
+    shutil.rmtree(f"{idx}/band_counts")
+    assert incremental_neardup_pairs(batch, spark, idx, threshold=0.5,
+                                     max_bucket=6).count() == 0
+
+
 def test_update_cluster_labels_matches_full_recompute(spark, tmp_path):
     # Incremental label maintenance via contraction must equal the
     # from-scratch fixpoint on the union pair set — including the hard
