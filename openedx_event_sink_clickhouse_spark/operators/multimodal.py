@@ -262,8 +262,44 @@ PHASH_CELLS = 57          # 56-bit difference hash (8 bands x 7 bits)
 PHASH_BITS = PHASH_CELLS - 1
 
 
+def _phash_arrow_udf():
+    """Arrow-batched dHash: per payload one numpy cumsum + fancy-index
+    (exact integer cell sums), float64 means, adjacent compare — the
+    SAME arithmetic as the JVM expression, so the two engines are
+    bit-identical (test-pinned). ~2× the JVM interpreted-HOF throughput
+    at kilobyte payloads and widening with payload size (the HOF cost
+    is per-BYTE interpreted; numpy's is vectorized)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = PHASH_CELLS
+
+    @pandas_udf("long")
+    def phash(content: pd.Series) -> pd.Series:
+        out = np.empty(len(content), np.int64)
+        weights = np.left_shift(np.int64(1),
+                                np.arange(PHASH_BITS, dtype=np.int64))
+        bounds = np.arange(c + 1, dtype=np.int64)
+        for i, payload in enumerate(content):
+            arr = np.frombuffer(payload, np.uint8)
+            n = len(arr)
+            csum = np.concatenate((np.zeros(1, np.int64),
+                                   np.cumsum(arr, dtype=np.int64)))
+            idx = (bounds * n) // c
+            sums = csum[idx[1:]] - csum[idx[:-1]]
+            lens = np.maximum(idx[1:] - idx[:-1], 1)
+            means = sums.astype(np.float64) / lens
+            bits = means[:-1] > means[1:]
+            out[i] = int((bits.astype(np.int64) * weights).sum())
+        return pd.Series(out)
+
+    return phash
+
+
 def perceptual_hash(media: DataFrame, content_col: str = "content",
-                    id_col: str = "media_id") -> DataFrame:
+                    id_col: str = "media_id",
+                    engine: str = "auto") -> DataFrame:
     """Difference-hash ("dHash") perceptual fingerprint of each binary
     payload: the bytes are averaged into ``PHASH_CELLS`` equal slices
     (the 1-D stand-in for a resampled pixel grid — with a real codec
@@ -278,7 +314,29 @@ def perceptual_hash(media: DataFrame, content_col: str = "content",
     through a one-element ``transform`` so the decode runs once, not
     once per cell (the HOF-CSE trap, see dedup.shingle_hashes). 56
     bits, not 64, so the hash stays a positive BIGINT that both engines
-    band and XOR identically."""
+    band and XOR identically.
+
+    ``engine``: ``"jvm"`` evaluates the whole hash as one Column
+    expression (no Python in the path — the right default when the
+    caller must stay UDF-free); ``"arrow"`` runs the numerically
+    IDENTICAL computation as an Arrow-batched numpy kernel, ~2× faster
+    because the per-byte fold is vectorized instead of an interpreted
+    HOF; ``"auto"`` picks arrow when pandas/pyarrow import (they ship
+    with the engine), falling back to jvm. Either way the payload
+    never shuffles — the hash is a narrow map where the bytes live —
+    and the outputs are bit-identical (pinned by
+    tests/test_multimodal.py)."""
+    if engine == "auto":
+        try:
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+            engine = "arrow"
+        except ImportError:
+            engine = "jvm"
+    if engine == "arrow":
+        from .dedup import ensure_min_parallelism
+        return ensure_min_parallelism(media).select(
+            F.col(id_col), _phash_arrow_udf()(content_col).alias("phash"))
     c = PHASH_CELLS
     # The CELL MEANS array is computed ONCE and let-bound (each cell's
     # slice is disjoint, so the whole array is one O(n) pass), then the

@@ -147,3 +147,27 @@ def test_perceptual_hash_neardup_and_invariance(spark):
     assert (0, 2) in pairs and pairs[(0, 2)] == 0
     assert (0, 1) in pairs
     assert not any(3 in p for p in pairs)     # different payload excluded
+
+
+def test_perceptual_hash_engines_bit_identical(spark):
+    # The Arrow numpy kernel and the JVM Column expression must produce
+    # the SAME hash for every payload — including the integer-division
+    # cell boundaries (payloads shorter than 57 bytes exercise empty
+    # cells) and the float64 mean comparisons.
+    import random
+
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.multimodal import (
+        perceptual_hash)
+    rng = random.Random(11)
+    rows = [(i, bytes(rng.randrange(256)
+                      for _ in range(rng.choice([3, 40, 57, 58, 500, 2000]))))
+            for i in range(64)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    jvm = perceptual_hash(media, engine="jvm")
+    arrow = perceptual_hash(media, engine="arrow")
+    diff = (jvm.alias("j").join(arrow.alias("a"), "media_id")
+            .filter(F.expr("j.phash <> a.phash")).count())
+    assert diff == 0
+    assert perceptual_hash(media).count() == 64   # auto resolves
