@@ -31,11 +31,19 @@ from pyspark.sql import functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
-              value_cols: list[str], prefix: str = "asof_") -> DataFrame:
+              value_cols: list[str], prefix: str = "asof_",
+              tolerance: str | None = None) -> DataFrame:
     """Left as-of join: every ``left`` row, plus ``prefix``-named copies
     of ``value_cols`` (and ``prefix+right_ts``) from the latest ``right``
     row at-or-before its timestamp. Rows with no prior right row keep
-    NULLs (left-outer semantics)."""
+    NULLs (left-outer semantics).
+
+    ``tolerance`` (an interval literal like ``"2 days"``) bounds the
+    match's staleness — pandas ``merge_asof(tolerance=...)`` semantics:
+    a state snapshot older than the bound is no match at all, so every
+    matched column reverts to NULL. Applied as a cheap post-filter on
+    the already-merged frame (the latest-at-or-before row is the only
+    candidate, so bounding it needs no second scan or window)."""
     out_vals = {c: f"{prefix}{c}" for c in [right_ts, *value_cols]}
 
     l_tagged = left.withColumn("_ts", F.col(left_ts)) \
@@ -63,5 +71,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         *[c for c in cols if c not in out_vals.values()],
         *[F.last(c, ignorenulls=True).over(w).alias(c)
           for c in out_vals.values()])
-    return (filled.filter(F.col("_side") == 1)
-            .drop("_ts", "_side"))
+    out = filled.filter(F.col("_side") == 1).drop("_ts", "_side")
+    if tolerance is not None:
+        fresh = (F.col(out_vals[right_ts])
+                 >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}"))
+        for c in out_vals.values():
+            out = out.withColumn(c, F.when(fresh, F.col(c)))
+    return out

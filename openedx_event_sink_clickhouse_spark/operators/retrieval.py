@@ -141,6 +141,56 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     return _bm25_rank(hits, consts, k, k1, b)
 
 
+def tfidf_cosine_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """TF-IDF cosine top-k — the vector-space-model ranking that
+    complements BM25 (probabilistic) and embedding cosine (semantic):
+    w(d,t) = tf · (ln((1+N)/(1+df)) + 1), score = cos(w_d, w_q) with
+    the query as a unit-tf bag of its distinct terms. Returns
+    (doc_id, tfidf_cosine), ranked desc, ties by id.
+
+    Plan: candidates are docs sharing ≥ 1 query term (an ``isin`` over
+    the posting stream, O(query postings)); the corpus contributes only
+    term document-frequencies (one term-keyed aggregate — at rest this
+    is the postings index's df column, already materialized). Document
+    norms are computed ONLY for candidate docs via a semi-join before
+    the norm aggregate, so the norm pass is O(candidate terms), not
+    O(corpus terms) — the step that keeps true-cosine ranking viable
+    when the query matches a sliver of a 100 TB corpus. All double math
+    is written identically in the DuckDB twin and rounded at the edge."""
+    terms = _doc_terms(docs, text_col, id_col)
+    dfs = terms.groupBy("term").agg(F.count("*").alias("df"))
+    consts = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) \
+        + F.lit(1.0)
+    qw = (dfs.filter(F.col("term").isin(query_terms))
+          .crossJoin(F.broadcast(consts))
+          .select("term", idf.alias("qw")))
+    # The joined qw column IS idf(t) (query tf = 1), so the dot term
+    # w_d·w_q = (tf·idf)·idf — nested exactly as the oracle writes it.
+    dot = (terms.filter(F.col("term").isin(query_terms))
+           .join(F.broadcast(qw), "term")
+           .select("doc_id",
+                   (F.col("tf") * F.col("qw") * F.col("qw")).alias("_p"))
+           .groupBy("doc_id").agg(F.sum("_p").alias("_dot")))
+    cand_w = (terms
+              .join(F.broadcast(dot.select("doc_id")), "doc_id", "left_semi")
+              .join(dfs, "term")
+              .crossJoin(F.broadcast(consts))
+              .select("doc_id", (F.col("tf") * idf).alias("_w")))
+    norms = (cand_w.groupBy("doc_id")
+             .agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_dn")))
+    qnorm = qw.agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("_qn"))
+    return (dot.join(norms, "doc_id")
+            .crossJoin(F.broadcast(qnorm))
+            .select("doc_id",
+                    (F.col("_dot") / (F.col("_dn") * F.col("_qn")))
+                    .alias("_score"))
+            .orderBy(F.desc("_score"), "doc_id").limit(k)
+            .select("doc_id", F.round("_score", 6).alias("tfidf_cosine")))
+
+
 def term_bucket_of(term: str, n_buckets: int) -> int:
     """Driver-side twin of the index's partition-column expression
     (``pmod(md5_hash64(term), n_buckets)``) — bit-identical, so the

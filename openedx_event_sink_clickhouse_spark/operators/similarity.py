@@ -210,6 +210,37 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16, id_col: str = "vec_id",
     return _assign(base, _centroid_frame(base, n_centroids, centroids))
 
 
+def cell_balanced_sample(emb: DataFrame, cap: int, n_centroids: int = 16,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         centroids: list[list[float]] | None = None
+                         ) -> DataFrame:
+    """Density-balanced corpus sampling over coarse embedding cells —
+    the cluster-pruning step of an LLM data pipeline (SSL-prototypes /
+    DeDup-then-balance style: dense regions of embedding space are
+    over-represented crawl boilerplate, so keep at most ``cap`` docs per
+    cell instead of sampling the corpus uniformly). Returns the kept
+    rows as (id, centroid, cell_rank).
+
+    Selection within a cell is a deterministic md5 shuffle key — the
+    same engine-reproducible uniformizer as ``cur_sample_stratified``
+    and the epoch shuffle — so reruns (and the DuckDB oracle) pick the
+    same representatives; ties cannot occur (ids are unique).
+
+    Plan: one broadcast-assign pass over the corpus (``ivf_assign``) and
+    ONE exchange on the cell id for the per-cell rank — no per-cell
+    collect, no global sort. At 100 TB the assignment is already a
+    partition column (``write_ivf_partitioned``) and the rank window
+    runs per cell-partition; ``cap`` bounds every cell's output, so the
+    result is ≤ cap × n_centroids rows regardless of corpus size."""
+    assigned = ivf_assign(emb, n_centroids, id_col, vec_col, centroids)
+    w = (Window.partitionBy("centroid")
+         .orderBy(md5_hash32(F.col("id")), F.col("id")))
+    return (assigned.select("id", "centroid")
+            .withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= cap)
+            .select(F.col("id").alias(id_col), "centroid", "cell_rank"))
+
+
 def kmeans_centroids(emb: DataFrame, k: int = 16, n_iter: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      dim: int | None = None) -> list[list[float]]:

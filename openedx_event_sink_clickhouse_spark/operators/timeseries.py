@@ -51,6 +51,39 @@ def resample_gapfill(events: DataFrame, key_col: str = "event_type",
                     F.coalesce("value_sum", F.lit(0.0)).alias("value_sum")))
 
 
+def zscore_flags(series: DataFrame, key_col: str, value_col: str,
+                 z_threshold: float = 3.0) -> DataFrame:
+    """Per-key z-score outlier flags over a (regular) series — the
+    monitoring step after :func:`resample_gapfill`: a bucket whose value
+    sits more than ``z_threshold`` sample standard deviations from its
+    key's mean is an anomaly (traffic spike, dead sensor — and BECAUSE
+    the series is gap-filled, a silent outage shows up as a run of
+    zero buckets that this flags, rather than as missing rows nothing
+    would flag).
+
+    The moments are spelled out as explicit sum / sum-of-squares /
+    count windows rather than a library ``stddev``: the inputs are
+    integers, so the window sums are EXACT, and mean/variance/z are
+    then a fixed double expression tree the DuckDB twin reproduces
+    bit-for-bit (library stddevs differ by accumulation algorithm).
+    One key-partitioned window, no ordering requirement; a
+    constant-valued key (variance 0) yields NULL zscores and no flags."""
+    w = Window.partitionBy(key_col)
+    v = F.col(value_col)
+    s = F.sum(v).over(w).cast("double")
+    sq = F.sum(v * v).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    mean = s / n
+    var = (sq - s * s / n) / (n - F.lit(1.0))
+    z = (v.cast("double") - mean) / F.sqrt(var)
+    return (series
+            .withColumn("zscore",
+                        F.round(F.when(var > 0, z), 6))
+            .withColumn("is_anomaly",
+                        F.when(F.abs(F.col("zscore")) > z_threshold, 1)
+                        .otherwise(0).cast("int")))
+
+
 def with_rolling_mean(series: DataFrame, key_col: str,
                       order_col: str, value_col: str,
                       window: int = 3,

@@ -726,6 +726,47 @@ def _dd2(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
 
+@register("dedup_containment", f"""
+WITH base AS (
+  SELECT doc_id AS id, {shingles_sql('text')} AS sh
+  FROM documents
+), nonempty AS (
+  SELECT * FROM base WHERE len(sh) > 0
+), hashed AS (
+  SELECT id, sh,
+         list_transform(sh, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT))
+           AS hv
+  FROM nonempty
+), sigs AS (
+  SELECT id, sh, [{_MINS}] AS sig FROM hashed
+), banded AS (
+  SELECT id, sh, unnest([{_BANDS}]) AS band_hash,
+         unnest(generate_series(0, 7)) AS band_idx
+  FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.id < b.id
+)
+SELECT p.id_a, p.id_b,
+       round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+             least(len(x.sh), len(y.sh)), 6) AS containment
+FROM pairs p
+JOIN nonempty x ON p.id_a = x.id
+JOIN nonempty y ON p.id_b = y.id
+WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+      least(len(x.sh), len(y.sh)) >= 0.7
+""")
+def _dd_cont(spark, sf_dir):
+    # Asymmetric doc-inside-doc near-dup: same band candidates as
+    # dedup_minhash_lsh, containment verify (|A∩B| / min size) — the
+    # duplication class jaccard misses when sizes differ. See the
+    # operator docstring for the LSH-Ensemble recall caveat at scale.
+    from .operators.dedup import containment_pairs
+    return containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.7)
+
+
 def _build_mh_index(docs, tmp):
     import os as _os
 
@@ -1159,6 +1200,38 @@ def _sim3(spark, sf_dir):
     from .operators.similarity import ivf_topk
     return ivf_topk(_t(spark, sf_dir, "embeddings"), probe_id=0, k=20,
                     n_centroids=16)
+
+
+@register("cur_cell_balanced_sample", f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),
+assign AS (
+  SELECT id, cid AS centroid FROM (
+    SELECT e.id, c.cid,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM e CROSS JOIN c) t
+  WHERE rn = 1
+)
+SELECT id AS vec_id, centroid, CAST(cell_rank AS INT) AS cell_rank FROM (
+  SELECT id, centroid,
+         row_number() OVER (
+           PARTITION BY centroid
+           ORDER BY CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)
+                         AS BIGINT), id) AS cell_rank
+  FROM assign) r
+WHERE cell_rank <= 25
+""")
+def _sim_cbs(spark, sf_dir):
+    # Density-balanced pruning over embedding cells (SSL-prototypes
+    # style): dense cells are over-crawled boilerplate, so each coarse
+    # cell contributes at most `cap` representatives, picked by the
+    # deterministic md5 shuffle key both engines replay. One broadcast
+    # assign + one cell-keyed rank exchange; output bounded by
+    # cap x n_centroids at any corpus size.
+    from .operators.similarity import cell_balanced_sample
+    return cell_balanced_sample(_t(spark, sf_dir, "embeddings"), cap=25,
+                                n_centroids=16)
 
 
 @register("sim_ivf_partitioned", f"""
@@ -1727,6 +1800,32 @@ def _asof1(spark, sf_dir):
     purchases = (events.filter(F.col("event_type") == "purchase")
                  .select("user_id", "ts", "value"))
     out = asof_join(events, purchases, "user_id", "ts", "ts", ["value"])
+    return out.select("event_id", "user_id", "ts", "event_type", "value",
+                      "asof_ts", "asof_value")
+
+
+@register("asof_recent_purchase", """
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value,
+       CASE WHEN p.ts >= e.ts - INTERVAL 2 DAY THEN p.ts END AS asof_ts,
+       CASE WHEN p.ts >= e.ts - INTERVAL 2 DAY THEN p.value END AS asof_value
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""")
+def _asof2(spark, sf_dir):
+    # Bounded-staleness as-of (pandas merge_asof tolerance semantics):
+    # a purchase older than 2 days is NO match — the enrichment shape
+    # for "state snapshots expire" pipelines (price quotes, feature
+    # freshness SLAs). Same single union+window merge scan; the bound
+    # is a post-filter on the already-merged row.
+    from .operators.asof import asof_join
+    events = _t(spark, sf_dir, "events")
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "value"))
+    out = asof_join(events, purchases, "user_id", "ts", "ts", ["value"],
+                    tolerance="2 days")
     return out.select("event_id", "user_id", "ts", "event_type", "value",
                       "asof_ts", "asof_value")
 
@@ -3526,6 +3625,46 @@ def _ret2(spark, sf_dir):
                      list(BM25_QUERY_TERMS), k=10)
 
 
+_TFIDF_W = "(t.tf * (ln((1.0 + n.n_docs) / (1.0 + d.df)) + 1.0))"
+
+@register("ret_tfidf_cosine", f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+qw AS (
+  SELECT term, ln((1.0 + n_docs) / (1.0 + df)) + 1.0 AS qw
+  FROM dfs, n
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+), dot AS (
+  SELECT t.doc_id, sum({_TFIDF_W} * q.qw) AS dot
+  FROM tf t JOIN dfs d USING (term) JOIN qw q USING (term) CROSS JOIN n
+  GROUP BY t.doc_id
+), norms AS (
+  SELECT t.doc_id, sqrt(sum({_TFIDF_W} * {_TFIDF_W})) AS dn
+  FROM tf t JOIN dfs d USING (term) CROSS JOIN n
+  WHERE t.doc_id IN (SELECT doc_id FROM dot)
+  GROUP BY t.doc_id
+), qn AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qw)
+SELECT doc_id, round(dot / (dn * qn), 6) AS tfidf_cosine
+FROM dot JOIN norms USING (doc_id) CROSS JOIN qn
+ORDER BY dot / (dn * qn) DESC, doc_id LIMIT 10
+""")
+def _ret_tfidf(spark, sf_dir):
+    # Vector-space-model ranking: tf-idf weights, true cosine against
+    # the query bag. Candidate-restricted norm pass (semi-join before
+    # the norm aggregate) keeps the corpus-side work at O(query
+    # postings + candidate terms); df per term is the postings index's
+    # stats column at rest.
+    from .operators.retrieval import tfidf_cosine_topk
+    return tfidf_cosine_topk(_t(spark, sf_dir, "documents"),
+                             list(BM25_QUERY_TERMS), k=10)
+
+
 @register("ret_bm25_at_rest", None)  # oracle attached below (same as live)
 def _ret2r(spark, sf_dir):
     # BM25 served from the AT-REST postings index: the corpus is never
@@ -4197,6 +4336,51 @@ def _ts_resample(spark, sf_dir):
     series = resample_gapfill(_t(spark, sf_dir, "events"))
     return with_rolling_mean(series, "event_type", "bucket_start",
                              "value_sum", window=3)
+
+
+@register("evt_anomaly_zscore", """
+WITH agg AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT key, min(bucket_start) AS lo, max(bucket_start) AS hi
+  FROM agg GROUP BY key
+), spine AS (
+  SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+           AS bucket_start
+  FROM bounds
+), filled AS (
+  SELECT s.key, s.bucket_start, coalesce(a.n_events, 0) AS n_events
+  FROM spine s LEFT JOIN agg a USING (key, bucket_start)
+), m AS (
+  SELECT key, bucket_start, n_events,
+         CAST(sum(n_events) OVER w AS DOUBLE) AS s,
+         CAST(sum(n_events * n_events) OVER w AS DOUBLE) AS sq,
+         CAST(count(*) OVER w AS DOUBLE) AS n
+  FROM filled WINDOW w AS (PARTITION BY key)
+), z AS (
+  SELECT key, bucket_start, n_events,
+         round(CASE WHEN (sq - s * s / n) / (n - 1.0) > 0
+               THEN (CAST(n_events AS DOUBLE) - s / n)
+                    / sqrt((sq - s * s / n) / (n - 1.0)) END, 6) AS zscore
+  FROM m
+)
+SELECT key AS event_type, CAST(bucket_start AS TIMESTAMP) AS bucket_start,
+       n_events, zscore,
+       CASE WHEN abs(zscore) > 3.0 THEN 1 ELSE 0 END AS is_anomaly
+FROM z
+""")
+def _ts_zscore(spark, sf_dir):
+    # Outlier detection over the gap-filled hourly series: explicit
+    # integer-exact moment windows (sum / sum-sq / count), so the
+    # double math is a fixed expression tree both engines replay; flags
+    # on the ROUNDED z so the verdict column is engine-stable too.
+    from .operators.timeseries import resample_gapfill, zscore_flags
+    series = resample_gapfill(_t(spark, sf_dir, "events"))
+    return zscore_flags(series, "event_type", "n_events") \
+        .select("event_type", "bucket_start", "n_events", "zscore",
+                "is_anomaly")
 
 
 SCD2_ASOF_TS = "2024-01-10 00:00:00"

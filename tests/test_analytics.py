@@ -157,3 +157,18 @@ def test_scd2_as_of_point_in_time(spark):
     at = {r.k: r.attr for r in
           as_of(hist, "2024-01-05 00:00:00").collect()}
     assert at[1] == "b"
+
+
+def test_zscore_flags_planted_spike(spark):
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        zscore_flags)
+    rows = [("a", i, 10) for i in range(30)] + [("a", 30, 500)] \
+        + [("b", i, 5) for i in range(5)]     # constant key: no flags
+    series = spark.createDataFrame(rows, "key string, b int, v long")
+    got = zscore_flags(series, "key", "v")
+    flagged = [(r.key, r.b) for r in got.filter("is_anomaly = 1").collect()]
+    assert flagged == [("a", 30)]
+    const = got.filter("key = 'b'").collect()
+    assert all(r.zscore is None and r.is_anomaly == 0 for r in const)

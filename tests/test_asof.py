@@ -40,3 +40,29 @@ def test_asof_single_shuffle_plan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     # union + window: exactly one hash-partitioning exchange on the key
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    # merge_asof(tolerance=...) semantics: a prior snapshot older than
+    # the bound is NO match — every matched column reverts to NULL.
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00", 100),
+         (1, "2024-01-02 06:00:00", 101),
+         (2, "2024-01-05 00:00:00", 102)],   # no prior right row at all
+        "k long, ts string, eid long").withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7.0)],
+        "k long, ts string, v double").withColumn("ts", F.to_timestamp("ts"))
+    got = {r.eid: (r.asof_ts, r.asof_v) for r in
+           asof_join(left, right, "k", "ts", "ts", ["v"],
+                     tolerance="2 days").collect()}
+    assert got[100] == (None, None)            # match exists but stale
+    assert got[101][1] == 7.0                  # within 2 days
+    assert got[102] == (None, None)            # never matched
+    # Without the bound the stale match comes back.
+    loose = {r.eid: r.asof_v for r in
+             asof_join(left, right, "k", "ts", "ts", ["v"]).collect()}
+    assert loose[100] == 7.0

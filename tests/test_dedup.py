@@ -593,3 +593,23 @@ def test_update_cluster_labels_random_graphs_match_full(spark, tmp_path):
                     spark.createDataFrame(edges, "id_a long, id_b long"),
                     checkpoint_dir=str(tmp_path / f"f{seed}")).collect()}
         assert got == want, f"seed {seed} old_frac {old_frac}"
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    # A short doc fully embedded in a long one: jaccard stays below any
+    # dedup threshold, containment is ~1.0 — provided banding surfaces
+    # the pair (identical prefix shingles give identical minima often
+    # enough here; the docstring records the general recall caveat).
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        containment_pairs, minhash_lsh_pairs)
+    short = "the quick brown fox jumps over the lazy dog again today"
+    longd = short + " " + " ".join(f"filler{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(0, short), (1, longd), (2, "совершенно другой текст здесь")],
+        ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): r.containment for r in
+           containment_pairs(docs, threshold=0.7).collect()}
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    jac = {(r.id_a, r.id_b): r.jaccard_sim for r in
+           minhash_lsh_pairs(docs, threshold=0.0).collect()}
+    assert jac.get((0, 1), 0.0) < 0.7      # jaccard alone would miss it

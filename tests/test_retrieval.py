@@ -114,3 +114,24 @@ def test_bm25_from_index_matches_scan_and_prunes(spark, sf_dir, tmp_path):
             .select("term", "term_bucket").limit(200).collect())
     assert rows
     assert all(term_bucket_of(r.term, 64) == r.term_bucket for r in rows)
+
+
+def test_tfidf_cosine_ranks_exact_match_first(spark):
+    # A doc that IS the query bag must outrank docs that merely contain
+    # the terms among others (higher cosine via smaller norm), and a
+    # doc with no query term must not appear.
+    from openedx_event_sink_clickhouse_spark.operators.retrieval import (
+        tfidf_cosine_topk)
+    docs = spark.createDataFrame(
+        [(0, "data model"),
+         (1, "data model training corpus quality filter scale"),
+         (2, "gradient descent convergence"),
+         (3, "data data data other words here")],
+        ["doc_id", "text"])
+    got = [(r.doc_id, r.tfidf_cosine) for r in
+           tfidf_cosine_topk(docs, ["data", "model"], k=10).collect()]
+    ids = [d for d, _ in got]
+    assert ids[0] == 0
+    assert 2 not in ids
+    assert set(ids) == {0, 1, 3}
+    assert all(0 < s <= 1.0 + 1e-9 for _, s in got)

@@ -465,3 +465,37 @@ def test_pq_encode_and_adc_search(spark):
            pq_topk(emb, probe, cb, k=5, rescore_factor=4,
                    exclude_id=20).collect()]
     assert got[0][0] == 100 and got[0][1] == 1.0
+
+
+def test_cell_balanced_sample_caps_every_cell(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        cell_balanced_sample, ivf_assign)
+    rng = random.Random(3)
+    # Dense blob near one direction + sparse spread: the blob's cell
+    # must be capped, sparse cells keep everything.
+    rows = [(i, [1.0 + rng.uniform(-0.01, 0.01) for _ in range(4)])
+            for i in range(60)] + \
+           [(100 + i, [rng.uniform(-1, 1) for _ in range(4)])
+            for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = cell_balanced_sample(emb, cap=10, n_centroids=4)
+    sizes = {r.centroid: r.n for r in
+             kept.groupBy("centroid").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 10 for n in sizes.values())
+    # Deterministic: same input -> same representatives.
+    a = sorted(r.vec_id for r in kept.collect())
+    b = sorted(r.vec_id for r in
+               cell_balanced_sample(emb, cap=10, n_centroids=4).collect())
+    assert a == b
+    # Nothing dropped from cells under the cap.
+    assigned = ivf_assign(emb, n_centroids=4)
+    small_cells = {r.centroid for r in
+                   assigned.groupBy("centroid").agg(F.count("*").alias("n"))
+                   .filter("n <= 10").collect()}
+    full = assigned.filter(F.col("centroid").isin(small_cells)).count()
+    kept_small = kept.filter(F.col("centroid").isin(small_cells)).count()
+    assert full == kept_small
