@@ -53,6 +53,62 @@ def brute_force_topk(emb: DataFrame, probe_id, k: int = 20,
             .select(id_col, F.round("_cos", 6).alias("cosine_sim")))
 
 
+def mmr_diversify(emb: DataFrame, probe_id, k: int = 10, pool: int = 20,
+                  lam: float = 0.7, mu: float = 0.3,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick ``k`` of the top-``pool`` candidates,
+    each step maximizing ``lam·rel(d) − mu·max_{s∈selected} sim(d, s)``
+    — the diversification pass an LLM retrieval pipeline runs so the k
+    contexts aren't k near-copies of the best hit. Returns
+    (vec_id, mmr_rank, mmr_score) in selection order.
+
+    Distribution shape: the corpus-scale work is the pool top-k
+    (broadcast probe + TakeOrderedAndProject) and one pool×pool cosine
+    self-join (≤ tens of rows); the greedy loop itself is inherently
+    sequential, so it runs coordinator-side over the collected pool —
+    the standard ANN-coordinator footprint (k·pool comparisons on
+    pool-sized state), same class as the centroid model collect.
+
+    Engine determinism: the greedy consumes the 6-dp ROUNDED relevance
+    and pairwise sims and selects on the 6-dp rounded objective with id
+    tie-breaks, so the DuckDB twin (a recursive CTE replaying the same
+    greedy) picks identical sequences — ``lam``/``mu`` are passed as
+    separate literals because ``1 − 0.7`` is not the double ``0.3``."""
+    spark = emb.sparkSession
+    pool_rows = brute_force_topk(emb, probe_id, pool, id_col, vec_col) \
+        .collect()
+    rel = {r[id_col]: r["cosine_sim"] for r in pool_rows}
+    pool_ids = list(rel)
+    base = (emb.filter(F.col(id_col).isin(pool_ids))
+            .select(F.col(id_col).alias("ia"),
+                    as_double(F.col(vec_col)).alias("va")))
+    other = base.select(F.col("ia").alias("ib"), F.col("va").alias("vb"))
+    sim: dict[tuple, float] = {}
+    for r in (base.crossJoin(other).filter(F.col("ia") < F.col("ib"))
+              .select("ia", "ib",
+                      F.round(cosine(F.col("va"), F.col("vb")), 6)
+                      .alias("s")).collect()):
+        sim[(r.ia, r.ib)] = sim[(r.ib, r.ia)] = r.s
+    selected: list[tuple] = []
+    chosen: list = []
+    while len(selected) < min(k, len(pool_ids)):
+        best = None
+        for d in pool_ids:
+            if d in chosen:
+                continue
+            div = max((sim[(d, s)] for s in chosen), default=0.0)
+            sc = round(lam * rel[d] - mu * div, 6)
+            key = (sc, -d if isinstance(d, int) else d)
+            if best is None or key > best[0]:
+                best = (key, d, sc)
+        selected.append((best[1], len(selected) + 1, best[2]))
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        selected, f"{id_col} long, mmr_rank int, mmr_score double")
+
+
 def cosine_neardup_pairs(emb: DataFrame, threshold: float,
                          block_col: str | None = None, id_col: str = "vec_id",
                          vec_col: str = "embedding", num_planes: int = 6,

@@ -1202,6 +1202,49 @@ def _sim3(spark, sf_dir):
                     n_centroids=16)
 
 
+@register("sim_mmr_diversify", f"""
+WITH RECURSIVE
+e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT v AS pv FROM e WHERE id = 0),
+pool AS (
+  SELECT id, v, round(c, 6) AS rel FROM (
+    SELECT e.id, e.v, {_cos_sql('e.v', 'p.pv')} AS c
+    FROM e, p WHERE e.id <> 0
+    ORDER BY c DESC, e.id LIMIT 20) t
+),
+psim AS (
+  SELECT a.id AS ia, b.id AS ib, round({_cos_sql('a.v', 'b.v')}, 6) AS s
+  FROM pool a JOIN pool b ON a.id <> b.id
+),
+mmr(step, ids, pick, score) AS (
+  SELECT 1, [id], id, round(0.7 * rel, 6)
+  FROM (SELECT id, rel FROM pool ORDER BY rel DESC, id LIMIT 1)
+  UNION ALL
+  SELECT m.step + 1, list_append(m.ids, c.id), c.id, c.sc
+  FROM mmr m, LATERAL (
+    SELECT p2.id AS id, round(0.7 * p2.rel - 0.3 * max(ps.s), 6) AS sc
+    FROM pool p2 JOIN psim ps
+      ON ps.ia = p2.id AND list_contains(m.ids, ps.ib)
+    WHERE NOT list_contains(m.ids, p2.id)
+    GROUP BY p2.id, p2.rel
+    ORDER BY sc DESC, p2.id LIMIT 1) c
+  WHERE m.step < 10
+)
+SELECT pick AS vec_id, CAST(step AS INT) AS mmr_rank, score AS mmr_score
+FROM mmr
+""")
+def _sim_mmr(spark, sf_dir):
+    # MMR diversified re-ranking of the brute-force pool: the greedy is
+    # inherently sequential so it runs coordinator-side on the ROUNDED
+    # pool scores (engine-identical inputs -> identical picks); the
+    # oracle replays the same greedy as a recursive CTE with a LATERAL
+    # argmax per step. lam/mu are separate literals (1 - 0.7 is not the
+    # double 0.3).
+    from .operators.similarity import mmr_diversify
+    return mmr_diversify(_t(spark, sf_dir, "embeddings"), probe_id=0,
+                         k=10, pool=20, lam=0.7, mu=0.3)
+
+
 @register("cur_cell_balanced_sample", f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),
@@ -2445,6 +2488,62 @@ def _w1(spark, sf_dir):
                     F.round(F.sum("o_totalprice").over(w), 6)
                      .alias("running_spend"),
                     F.row_number().over(wseq).alias("order_seq")))
+
+
+@register("window_ntile_spend", """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 6) AS total_spend,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total_spend, n_orders,
+       CAST(ntile(4) OVER (ORDER BY total_spend DESC, o_custkey) AS INT)
+         AS spend_quartile
+FROM spend
+""")
+def _w3(spark, sf_dir):
+    # Customer-value quartiles: per-customer rollup, then NTILE over the
+    # rollup. The unpartitioned window runs over CUSTOMER cardinality
+    # (dims ≤ 1e8 per SCALE.md — a single-reducer sort of a rollup, the
+    # standard quantile-bucketing shape; at the extreme end swap for
+    # percent_rank over range partitioning), never over the fact table.
+    from pyspark.sql import Window
+    spend = (_t(spark, sf_dir, "orders")
+             .groupBy("o_custkey")
+             .agg(F.round(F.sum("o_totalprice"), 6).alias("total_spend"),
+                  F.count("*").alias("n_orders")))
+    w = Window.orderBy(F.desc("total_spend"), "o_custkey")
+    return spend.select("o_custkey", "total_spend", "n_orders",
+                        F.ntile(4).over(w).alias("spend_quartile"))
+
+
+@register("agg_value_histogram", """
+WITH b AS (
+  SELECT CASE WHEN value <= 0 THEN 0
+              WHEN value >= 100 THEN 21
+              ELSE CAST(floor(value / 5.0) AS INT) + 1 END AS bucket
+  FROM events
+)
+SELECT bucket,
+       CAST(bucket AS DOUBLE) * 5.0 - 5.0 AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM b GROUP BY bucket
+""")
+def _agg_hist(spark, sf_dir):
+    # Fixed-width histogram of the event value (width_bucket semantics
+    # over [0, 100) in 20 bins + under/overflow) — the profiling
+    # primitive behind any quality dashboard. Map-side bucket expr, one
+    # tiny groupBy; bucket arithmetic written identically both engines.
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.when(F.col("value") <= 0, 0)
+              .when(F.col("value") >= 100, 21)
+              .otherwise(F.floor(F.col("value") / 5.0).cast("int") + 1))
+    return (ev.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_events"))
+            .select("bucket",
+                    (F.col("bucket").cast("double") * 5.0 - 5.0)
+                    .alias("bucket_lo"), "n_events"))
 
 
 @register("window_lag_gap_days", """

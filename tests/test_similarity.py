@@ -499,3 +499,41 @@ def test_cell_balanced_sample_caps_every_cell(spark):
     full = assigned.filter(F.col("centroid").isin(small_cells)).count()
     kept_small = kept.filter(F.col("centroid").isin(small_cells)).count()
     assert full == kept_small
+
+
+def test_mmr_diversify_trades_relevance_for_diversity(spark):
+    # Corpus: a clique of near-identical high-relevance vectors plus
+    # three mutually-orthogonal moderately-relevant directions. Plain
+    # top-4 fills with the clique; at lam=mu=0.5 a second clique member
+    # scores 0.5*rel - 0.5*1 < 0 while an untouched orthogonal
+    # direction keeps its full 0.5*rel, so MMR takes the clique's best
+    # representative and then the three distinct directions.
+    import math
+    import random
+
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        brute_force_topk, mmr_diversify)
+    rng = random.Random(5)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    probe = unit([1.0, 0.3, 0.3, 0.3])
+    clique = [unit([1.0 + rng.uniform(-0.001, 0.001),
+                    rng.uniform(-0.001, 0.001),
+                    rng.uniform(-0.001, 0.001), 0.0])
+              for _ in range(6)]
+    others = [[0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0],
+              [0.0, 0.0, 0.0, 1.0]]
+    rows = [(0, probe)] + [(i + 1, v) for i, v in enumerate(clique)] \
+        + [(100 + i, v) for i, v in enumerate(others)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    topk = [r.vec_id for r in
+            brute_force_topk(emb, probe_id=0, k=4).collect()]
+    assert sum(1 for i in topk if i < 100) == 4    # plain top-k: all clique
+    got = mmr_diversify(emb, probe_id=0, k=4, pool=9, lam=0.5, mu=0.5)
+    picks = [(r.mmr_rank, r.vec_id) for r in got.orderBy("mmr_rank").collect()]
+    assert picks[0][1] == topk[0]                  # rank 1 = most relevant
+    assert sum(1 for _, i in picks if i < 100) == 1  # ONE clique member only
+    assert {i for _, i in picks if i >= 100} == {100, 101, 102}
