@@ -107,6 +107,15 @@ HEADLINE = [
     "cur_mix_interleave",          # WFQ mixing order (prefix-exact ratios)
     "scd2_state_as_of",            # point-in-time lookup over history
     "sim_pq_topk",                 # product-quantization ADC + rescore
+    # Round-6 tail.
+    "dedup_containment",           # asymmetric doc-in-doc containment
+    "ret_tfidf_cosine",            # vector-space-model lexical ranking
+    "cur_cell_balanced_sample",    # density-balanced cell sampling
+    "sim_mmr_diversify",           # MMR diversified re-ranking
+    "asof_recent_purchase",        # bounded-staleness as-of join
+    "evt_anomaly_zscore",          # per-key z-score outlier flags
+    "window_ntile_spend",          # customer-value quartiles
+    "agg_value_histogram",         # fixed-width value profiling
 ]
 
 

@@ -230,6 +230,22 @@ def write_postings_index(docs: DataFrame, path: str, n_buckets: int = 64,
     (docs.select(F.count("*").alias("n_docs"),
                  F.avg(F.size(words(F.col(text_col)))).alias("avgdl"))
      .write.mode("overwrite").parquet(f"{path}/stats"))
+    # tfidf_norms sidecar: each document's tf-idf vector norm, the
+    # build-time artifact that makes TRUE-cosine ranking servable from
+    # the index — at query time the norm would need every term of every
+    # candidate doc (a corpus re-tokenize); here it is one extra
+    # (term-df join + per-doc aggregate) pass over postings the build
+    # already computed. Same idf formula as tfidf_cosine_topk, so the
+    # served scores reproduce the scan-time ranking.
+    dfs = terms.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) \
+        + F.lit(1.0)
+    (terms.join(dfs, "term").crossJoin(F.broadcast(n_docs))
+     .select("doc_id", (F.col("tf") * idf).alias("_w"))
+     .groupBy("doc_id")
+     .agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("doc_norm"))
+     .write.mode("overwrite").parquet(f"{path}/tfidf_norms"))
 
 
 def bm25_topk_from_index(spark, path: str, query_terms: list[str],
@@ -251,3 +267,40 @@ def bm25_topk_from_index(spark, path: str, query_terms: list[str],
             .select("doc_id", "dl", "term", "tf"))
     consts = spark.read.parquet(f"{path}/stats")
     return _bm25_rank(hits, consts, k, k1, b)
+
+
+def tfidf_cosine_from_index(spark, path: str, query_terms: list[str],
+                            k: int = 10, n_buckets: int = 64) -> DataFrame:
+    """TF-IDF cosine served from the at-rest index: the query terms'
+    hash-bucket partitions provide (tf, df-by-count) for the dot
+    product, the ``tfidf_norms`` sidecar provides each candidate's
+    precomputed vector norm, and the 1-row stats table provides N —
+    so the query touches O(query postings + candidates) rows and the
+    corpus is never re-tokenized (the live :func:`tfidf_cosine_topk`
+    pays three tokenize passes for the same answer; this is why norms
+    belong in the layout). Scores reproduce the scan-time ranking —
+    same idf formula, same rounding."""
+    buckets = sorted({term_bucket_of(t, n_buckets) for t in query_terms})
+    hits = (spark.read.parquet(f"{path}/postings")
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term").isin(query_terms))
+            .select("doc_id", "term", "tf"))
+    n_docs = spark.read.parquet(f"{path}/stats").select("n_docs")
+    dfs = hits.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) \
+        + F.lit(1.0)
+    qw = (dfs.crossJoin(F.broadcast(n_docs))
+          .select("term", idf.alias("qw")))
+    dot = (hits.join(F.broadcast(qw), "term")
+           .select("doc_id",
+                   (F.col("tf") * F.col("qw") * F.col("qw")).alias("_p"))
+           .groupBy("doc_id").agg(F.sum("_p").alias("_dot")))
+    norms = spark.read.parquet(f"{path}/tfidf_norms")
+    qnorm = qw.agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("_qn"))
+    return (dot.join(norms, "doc_id")
+            .crossJoin(F.broadcast(qnorm))
+            .select("doc_id",
+                    (F.col("_dot") / (F.col("doc_norm") * F.col("_qn")))
+                    .alias("_score"))
+            .orderBy(F.desc("_score"), "doc_id").limit(k)
+            .select("doc_id", F.round("_score", 6).alias("tfidf_cosine")))

@@ -3775,7 +3775,7 @@ def _ret2r(spark, sf_dir):
         write_postings_index
     docs = _t(spark, sf_dir, "documents")
     path = _cached_parquet(
-        f"/tmp/spark_graft_postings_v2_{_sf_tag(sf_dir, 'documents')}",
+        f"/tmp/spark_graft_postings_v3_{_sf_tag(sf_dir, 'documents')}",
         lambda p: _build_postings(docs, p))
     return bm25_topk_from_index(spark, path, list(BM25_QUERY_TERMS), k=10)
 
@@ -3792,6 +3792,27 @@ def _build_postings(docs, tmp):
 # reproduce the scan-time ranking bit-for-bit.
 REGISTRY["ret_bm25_at_rest"] = (REGISTRY["ret_bm25_at_rest"][0],
                                 REGISTRY["ret_bm25_topk"][1])
+
+
+@register("ret_tfidf_at_rest", None)  # oracle attached below (same as live)
+def _ret_tfidf_r(spark, sf_dir):
+    # TF-IDF cosine served from the index: query-term partitions for
+    # the dot product, the tfidf_norms sidecar for candidate norms —
+    # the live query's three tokenize passes become O(query postings +
+    # candidates) reads (measured 2.1 s -> 0.4 s at sf0.1). Norms are a
+    # build-time artifact, the same at-rest move as the BM25 stats and
+    # IVF cells.
+    from .operators.retrieval import tfidf_cosine_from_index
+    docs = _t(spark, sf_dir, "documents")
+    path = _cached_parquet(
+        f"/tmp/spark_graft_postings_v3_{_sf_tag(sf_dir, 'documents')}",
+        lambda p: _build_postings(docs, p))
+    return tfidf_cosine_from_index(spark, path, list(BM25_QUERY_TERMS),
+                                   k=10)
+
+
+REGISTRY["ret_tfidf_at_rest"] = (REGISTRY["ret_tfidf_at_rest"][0],
+                                 REGISTRY["ret_tfidf_cosine"][1])
 
 
 @register("ret_hybrid_rrf", f"""

@@ -135,3 +135,31 @@ def test_tfidf_cosine_ranks_exact_match_first(spark):
     assert 2 not in ids
     assert set(ids) == {0, 1, 3}
     assert all(0 < s <= 1.0 + 1e-9 for _, s in got)
+
+
+def test_tfidf_from_index_matches_scan_and_prunes(spark, sf_dir, tmp_path):
+    # True-cosine ranking served from the layout: the tfidf_norms
+    # sidecar replaces the live query's corpus re-tokenize for norms,
+    # the dot product reads only the query terms' bucket partitions
+    # (PartitionFilter), and the ranking reproduces the scan-time one
+    # exactly.
+    from openedx_event_sink_clickhouse_spark.operators.retrieval import (
+        tfidf_cosine_from_index,
+        tfidf_cosine_topk,
+        write_postings_index,
+    )
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    docs = load_table(spark, "documents", sf_dir)
+    path = str(tmp_path / "postings")
+    write_postings_index(docs, path, n_buckets=64)
+    terms = ["the", "data", "model"]
+    got = tfidf_cosine_from_index(spark, path, terms, k=10)
+    want = tfidf_cosine_topk(docs, terms, k=10)
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+    # No tokenize in the served plan: the only Generates allowed would
+    # come from an explode — there are none; every input is a parquet
+    # scan of the layout.
+    assert "Generate" not in plan
