@@ -110,6 +110,7 @@ HEADLINE = [
     # Round-6 tail.
     "dedup_containment",           # asymmetric doc-in-doc containment
     "ret_tfidf_cosine",            # vector-space-model lexical ranking
+    "ret_tfidf_at_rest",           # tf-idf served from the norms sidecar
     "cur_cell_balanced_sample",    # density-balanced cell sampling
     "sim_mmr_diversify",           # MMR diversified re-ranking
     "asof_recent_purchase",        # bounded-staleness as-of join
