@@ -117,6 +117,7 @@ HEADLINE = [
     "evt_anomaly_zscore",          # per-key z-score outlier flags
     "window_ntile_spend",          # customer-value quartiles
     "agg_value_histogram",         # fixed-width value profiling
+    "profile_orders",              # one-pass column profile report
 ]
 
 

@@ -4458,6 +4458,49 @@ def _ts_resample(spark, sf_dir):
                              "value_sum", window=3)
 
 
+@register("profile_orders", """
+WITH a AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_ck,
+         count(DISTINCT o_custkey) AS nd_ck,
+         CAST(min(o_custkey) AS DOUBLE) AS mn_ck,
+         CAST(max(o_custkey) AS DOUBLE) AS mx_ck,
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_tp,
+         count(DISTINCT o_totalprice) AS nd_tp,
+         CAST(min(o_totalprice) AS DOUBLE) AS mn_tp,
+         CAST(max(o_totalprice) AS DOUBLE) AS mx_tp,
+         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_os,
+         count(DISTINCT o_orderstatus) AS nd_os,
+         min(o_orderstatus) AS mn_os, max(o_orderstatus) AS mx_os,
+         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_op,
+         count(DISTINCT o_orderpriority) AS nd_op,
+         min(o_orderpriority) AS mn_op, max(o_orderpriority) AS mx_op
+  FROM orders
+)
+SELECT 'o_custkey' AS column_name, n_rows, nn_ck AS n_nulls,
+       nd_ck AS n_distinct, mn_ck AS min_num, mx_ck AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM a
+UNION ALL
+SELECT 'o_totalprice', n_rows, nn_tp, nd_tp, mn_tp, mx_tp,
+       NULL, NULL FROM a
+UNION ALL
+SELECT 'o_orderstatus', n_rows, nn_os, nd_os, NULL, NULL,
+       mn_os, mx_os FROM a
+UNION ALL
+SELECT 'o_orderpriority', n_rows, nn_op, nd_op, NULL, NULL,
+       mn_op, mx_op FROM a
+""")
+def _profile(spark, sf_dir):
+    # One-pass ingest data-quality report: null counts, exact NDV, and
+    # ranges per column — wide aggregate row unpivoted to the long
+    # report, O(columns) output at any table size.
+    from .operators.profile import profile_table
+    return profile_table(_t(spark, sf_dir, "orders"),
+                         numeric_cols=["o_custkey", "o_totalprice"],
+                         string_cols=["o_orderstatus", "o_orderpriority"])
+
+
 @register("evt_anomaly_zscore", """
 WITH agg AS (
   SELECT event_type AS key, date_trunc('hour', ts) AS bucket_start,

@@ -172,3 +172,25 @@ def test_zscore_flags_planted_spike(spark):
     assert flagged == [("a", 30)]
     const = got.filter("key = 'b'").collect()
     assert all(r.zscore is None and r.is_anomaly == 0 for r in const)
+
+
+def test_profile_table_one_pass_and_correct(spark):
+    from openedx_event_sink_clickhouse_spark.operators.profile import (
+        profile_table)
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 10.0, None), (3, 5.0, "a")],
+        "k long, v double, s string")
+    got = {r.column_name: r for r in
+           profile_table(df, ["k", "v"], ["s"]).collect()}
+    assert set(got) == {"k", "v", "s"}
+    assert all(r.n_rows == 4 for r in got.values())
+    assert (got["k"].n_nulls, got["k"].n_distinct,
+            got["k"].min_num, got["k"].max_num) == (0, 3, 1.0, 3.0)
+    assert (got["v"].n_nulls, got["v"].n_distinct,
+            got["v"].min_num, got["v"].max_num) == (1, 2, 5.0, 10.0)
+    assert (got["s"].n_nulls, got["s"].n_distinct,
+            got["s"].min_str, got["s"].max_str) == (1, 2, "a", "b")
+    # One scan feeds the whole report.
+    plan = profile_table(df, ["k", "v"], ["s"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1, plan

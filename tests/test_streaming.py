@@ -582,3 +582,46 @@ def test_neardup_stream_maintains_index_and_labels(spark, sf_dir, tmp_path):
                                  checkpoint_dir=str(tmp_path / "ckf"))
             .collect()}
     assert got == want and len(got) > 0
+
+
+def test_asof_enrich_stream_via_foreach_batch(spark, sf_dir, tmp_path):
+    # Streaming as-of enrichment: each micro-batch of events enriches
+    # against a static state snapshot (the latest prior purchase per
+    # user) via the SAME asof_join operator — per-row output depends
+    # only on that row and the static side, so a multi-batch replay
+    # must equal the one-shot batch run row-for-row, tolerance bound
+    # included. (A LIVE right side is the SCD2/stateful-gate territory
+    # already covered; the static-snapshot enrich is the common
+    # foreachBatch production shape.)
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.asof import asof_join
+    events = load_table(spark, "events", sf_dir)
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "value"))
+    kw = dict(key="user_id", left_ts="ts", right_ts="ts",
+              value_cols=["value"], tolerance="2 days")
+    sel = ["event_id", "user_id", "ts", "event_type", "value",
+           "asof_ts", "asof_value"]
+    batch = {tuple(r) for r in
+             asof_join(events, purchases, **kw).select(*sel).collect()}
+    # multiple parquet files -> multiple micro-batches under
+    # maxFilesPerTrigger, proving per-batch independence
+    events.repartition(4).write.parquet(str(tmp_path / "ev"))
+    stream_src = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(tmp_path / "ev")))
+    out: list = []
+    epochs: list = []
+
+    def handle(bdf, epoch_id):
+        epochs.append(epoch_id)
+        out.extend(tuple(r) for r in
+                   asof_join(bdf, purchases, **kw).select(*sel).collect())
+
+    q = (stream_src.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(epochs) > 1            # genuinely replayed in pieces
+    assert set(out) == batch and len(out) == len(batch)
