@@ -163,3 +163,42 @@ def test_tfidf_from_index_matches_scan_and_prunes(spark, sf_dir, tmp_path):
     # come from an explode — there are none; every input is a parquet
     # scan of the layout.
     assert "Generate" not in plan
+
+
+def test_postings_append_equals_full_rebuild(spark, sf_dir, tmp_path):
+    # The incremental index loop: build on 80% of the corpus, append
+    # the remaining 20% as a batch. BM25 served from the appended index
+    # must equal BM25 from a FULL rebuild (postings land in the same
+    # bucket dirs, stats fold from the increment rows), buckets stay
+    # compacted, and partition pruning survives the append.
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.retrieval import (
+        append_postings_batch,
+        bm25_topk_from_index,
+        write_postings_index,
+    )
+    from openedx_event_sink_clickhouse_spark.sources.layout import (
+        _dir_parquet_files)
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    docs = load_table(spark, "documents", sf_dir)
+    thr = int(docs.count() * 0.8)
+    inc_path = str(tmp_path / "inc")
+    write_postings_index(docs.filter(F.col("doc_id") < thr), inc_path,
+                         n_buckets=16)
+    append_postings_batch(docs.filter(F.col("doc_id") >= thr), inc_path,
+                          n_buckets=16, max_files_per_bucket=2)
+    full_path = str(tmp_path / "full")
+    write_postings_index(docs, full_path, n_buckets=16)
+    terms = ["the", "data", "model"]
+    got = bm25_topk_from_index(spark, inc_path, terms, k=10, n_buckets=16)
+    want = bm25_topk_from_index(spark, full_path, terms, k=10, n_buckets=16)
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]
+    for bdir in glob.glob(os.path.join(inc_path, "postings", "*=*")):
+        assert len(_dir_parquet_files(bdir)) <= 2, bdir
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term_bucket" in plan
