@@ -755,8 +755,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))).cache()
     pinned = labels  # the exact frame holding this round's cached blocks
-    for i in range(max_iter):
-        # Plain one-hop min-label per round. A pointer-jumping shortcut
+
+    def _one_hop(lab: DataFrame) -> DataFrame:
+        # Plain one-hop min-label step. A pointer-jumping shortcut
         # (adopting the LABEL's label, labels⋈labels per round) was
         # measured here and REVERTED: it takes convergence from
         # O(diameter) to O(log diameter) rounds, but near-dup clusters
@@ -764,15 +765,30 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # converges in a handful of rounds either way and the extra
         # per-round join cost ~60% more wall clock at sf0.1. Revisit
         # only for graphs with genuinely long chains.
-        neighbor_min = (edges.join(labels, edges.dst == labels.id)
+        neighbor_min = (edges.join(lab, edges.dst == lab.id)
                         .groupBy("src").agg(F.min("label").alias("nlabel")))
-        stepped = (labels.join(neighbor_min,
-                               labels.id == neighbor_min.src, "left")
-                   .select(F.col("id"),
-                           F.least("label", "nlabel").alias("label"),
-                           (F.col("nlabel") < F.col("label"))
-                           .alias("_changed")))
-        if (i + 1) % checkpoint_every == 0:
+        return (lab.join(neighbor_min, lab.id == neighbor_min.src, "left")
+                .select(F.col("id"),
+                        F.least("label", "nlabel").alias("label"),
+                        (F.col("nlabel") < F.col("label"))
+                        .alias("_changed")))
+
+    hops_since_cut = 0
+    for i in range(max_iter):
+        # TWO propagation hops per convergence action: on tiny pair
+        # graphs each round's cost is the driver round-trip (job
+        # scheduling + the count action), not the joins, so checking
+        # convergence every other hop halves the action count. Reading
+        # only the SECOND hop's _changed flag is sound — if hop 2 moved
+        # nothing the labels are a fixpoint regardless of hop 1 (and a
+        # converged input's extra hop is a no-op inside the same job).
+        # ``checkpoint_every`` counts HOPS (the unit lineage grows in),
+        # so the cut cadence — and with it plan depth between cuts —
+        # is unchanged by the 2-hop batching.
+        stepped = _one_hop(_one_hop(labels).drop("_changed"))
+        hops_since_cut += 2
+        if hops_since_cut >= checkpoint_every:
+            hops_since_cut = 0
             # Truncate lineage: the checkpointed frame's plan is a leaf,
             # so round i+1 plans against O(checkpoint_every) join layers,
             # never O(i).
