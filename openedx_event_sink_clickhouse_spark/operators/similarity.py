@@ -72,10 +72,15 @@ def mmr_diversify(emb: DataFrame, probe_id, k: int = 10, pool: int = 20,
     pool-sized state), same class as the centroid model collect.
 
     Engine determinism: the greedy consumes the 6-dp ROUNDED relevance
-    and pairwise sims and selects on the 6-dp rounded objective with id
-    tie-breaks, so the DuckDB twin (a recursive CTE replaying the same
-    greedy) picks identical sequences — ``lam``/``mu`` are passed as
-    separate literals because ``1 − 0.7`` is not the double ``0.3``."""
+    and pairwise sims — identical doubles on every engine — and the
+    objective ``lam·rel − mu·div`` is two multiplies and a subtract on
+    those identical inputs, so it is bit-identical in Python, Spark,
+    and DuckDB and is used UNROUNDED for both selection and the output
+    score (a final 6-dp round was the one place the engines could
+    disagree: Python rounds half-to-even, SQL half-away — a score
+    landing on a half-digit flipped the last decimal). ``lam``/``mu``
+    are separate literals because ``1 − 0.7`` is not the double
+    ``0.3``."""
     spark = emb.sparkSession
     pool_rows = brute_force_topk(emb, probe_id, pool, id_col, vec_col) \
         .collect()
@@ -99,7 +104,7 @@ def mmr_diversify(emb: DataFrame, probe_id, k: int = 10, pool: int = 20,
             if d in chosen:
                 continue
             div = max((sim[(d, s)] for s in chosen), default=0.0)
-            sc = round(lam * rel[d] - mu * div, 6)
+            sc = lam * rel[d] - mu * div
             key = (sc, -d if isinstance(d, int) else d)
             if best is None or key > best[0]:
                 best = (key, d, sc)

@@ -1217,12 +1217,12 @@ psim AS (
   FROM pool a JOIN pool b ON a.id <> b.id
 ),
 mmr(step, ids, pick, score) AS (
-  SELECT 1, [id], id, round(0.7 * rel, 6)
+  SELECT 1, [id], id, 0.7 * rel - 0.3 * 0.0
   FROM (SELECT id, rel FROM pool ORDER BY rel DESC, id LIMIT 1)
   UNION ALL
   SELECT m.step + 1, list_append(m.ids, c.id), c.id, c.sc
   FROM mmr m, LATERAL (
-    SELECT p2.id AS id, round(0.7 * p2.rel - 0.3 * max(ps.s), 6) AS sc
+    SELECT p2.id AS id, 0.7 * p2.rel - 0.3 * max(ps.s) AS sc
     FROM pool p2 JOIN psim ps
       ON ps.ia = p2.id AND list_contains(m.ids, ps.ib)
     WHERE NOT list_contains(m.ids, p2.id)
@@ -1239,7 +1239,9 @@ def _sim_mmr(spark, sf_dir):
     # pool scores (engine-identical inputs -> identical picks); the
     # oracle replays the same greedy as a recursive CTE with a LATERAL
     # argmax per step. lam/mu are separate literals (1 - 0.7 is not the
-    # double 0.3).
+    # double 0.3), and the objective stays UNROUNDED end to end — it is
+    # bit-identical from identical rounded inputs, while a final round
+    # was where Python (half-even) and SQL (half-away) could split.
     from .operators.similarity import mmr_diversify
     return mmr_diversify(_t(spark, sf_dir, "embeddings"), probe_id=0,
                          k=10, pool=20, lam=0.7, mu=0.3)

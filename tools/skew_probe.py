@@ -114,6 +114,43 @@ def main() -> None:
         print(f"guard OFF n={m}: {dt:7.2f}s {p} pairs, max buffer = "
               f"{max_bucket_size(sub, None)} ids{note}")
 
+    # ---- 1b. incremental miner: combined-count guard ------------------
+    # The round-5 advisory scenario measured: the corpus four-fifths of
+    # a degenerate bucket plus a boilerplate-heavy arriving batch. The
+    # query-time guard reads COMBINED (sidecar + batch-window) counts,
+    # so the batch emits nothing from buckets the one-shot miner over
+    # the union would drop; with the guard off, every batch band fans
+    # out against the whole stored bucket (the O(corpus × batch) cross
+    # join the guard exists to prevent).
+    print("\n== incremental near-dup, combined-count guard ==")
+    import shutil
+
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        incremental_neardup_pairs, write_minhash_index)
+    idx = "/tmp/skew_probe_mhindex"
+    shutil.rmtree(idx, ignore_errors=True)
+    thr = int(n_all * 0.8)
+    corpus = docs.filter(F.col("doc_id") < thr)
+    batch = docs.filter(F.col("doc_id") >= thr)
+    t0 = time.perf_counter()
+    # Build-time guard OFF so the stored buckets genuinely hold the
+    # full degenerate corpus mass — query-time guarding must cope alone.
+    write_minhash_index(corpus, idx, max_bucket=None)
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    p_on = incremental_neardup_pairs(batch, spark, idx, threshold=0.6,
+                                     max_bucket=1000).count()
+    t_gon = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    p_off = incremental_neardup_pairs(batch, spark, idx, threshold=0.6,
+                                      max_bucket=None).count()
+    t_goff = time.perf_counter() - t0
+    print(f"index build (unguarded corpus {thr} docs): {t_build:6.2f}s")
+    print(f"guard ON  (combined<=1000): {t_gon:6.2f}s {p_on} pairs")
+    print(f"guard OFF                 : {t_goff:6.2f}s {p_off} pairs "
+          f"({t_goff / max(t_gon, 1e-9):.1f}x)")
+    shutil.rmtree(idx, ignore_errors=True)
+
     # ---- 2. power-law key ---------------------------------------------
     print("\n== power-law key (50% of rows on one user) ==")
     n_rows = 20_000_000
