@@ -118,6 +118,8 @@ HEADLINE = [
     "window_ntile_spend",          # customer-value quartiles
     "agg_value_histogram",         # fixed-width value profiling
     "profile_orders",              # one-pass column profile report
+    "sim_knn_graph",               # blocked k-NN graph construction
+    "text_keywords",               # per-doc top tf-idf keywords
 ]
 
 

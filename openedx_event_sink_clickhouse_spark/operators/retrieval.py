@@ -191,6 +191,36 @@ def tfidf_cosine_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
             .select("doc_id", F.round("_score", 6).alias("tfidf_cosine")))
 
 
+def keyword_extraction(docs: DataFrame, k: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-``k`` keywords by tf-idf weight — the tagging /
+    faceting / weak-labeling primitive (what a corpus browser shows as
+    "about", and a cheap relevance signal for routing). Returns
+    (doc_id, term, tfidf_weight, kw_rank), rank 1 = strongest.
+
+    Same weight formula as :func:`tfidf_cosine_topk`
+    (tf · (ln((1+N)/(1+df)) + 1)); ranking runs on the ROUNDED weight
+    with term tie-breaks so both engines order identically. Plan: one
+    postings explode + the term-df aggregate + a (doc)-partitioned rank
+    window — at rest the weights are one more column of the postings
+    index, and the window rides the doc-keyed layout."""
+    terms = _doc_terms(docs, text_col, id_col)
+    dfs = terms.groupBy("term").agg(F.count("*").alias("df"))
+    consts = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) \
+        + F.lit(1.0)
+    weighted = (terms.join(dfs, "term")
+                .crossJoin(F.broadcast(consts))
+                .select("doc_id", "term",
+                        F.round(F.col("tf") * idf, 6)
+                        .alias("tfidf_weight")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_weight"), "term")
+    return (weighted.withColumn("kw_rank", F.row_number().over(w))
+            .filter(F.col("kw_rank") <= k)
+            .select("doc_id", "term", "tfidf_weight", "kw_rank"))
+
+
 def term_bucket_of(term: str, n_buckets: int) -> int:
     """Driver-side twin of the index's partition-column expression
     (``pmod(md5_hash64(term), n_buckets)``) — bit-identical, so the

@@ -114,6 +114,43 @@ def mmr_diversify(emb: DataFrame, probe_id, k: int = 10, pool: int = 20,
         selected, f"{id_col} long, mmr_rank int, mmr_score double")
 
 
+def knn_graph(emb: DataFrame, k: int = 5, num_planes: int = 6,
+              num_tables: int = 2, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              dim: int | None = None) -> DataFrame:
+    """Blocked k-NN graph: per vector, its ``k`` nearest SRP-candidate
+    neighbors by exact cosine — the graph SemDeDup-style clustering,
+    label propagation, and graph-based curation consume. APPROXIMATE by
+    construction and documented as such: neighbors come from the SRP
+    candidate blocks (a vector whose true neighbor never shares a
+    bucket in any table misses it — recall grows with ``num_tables``,
+    the same OR-amplification dial the near-dup pairs use), which is
+    what keeps the build O(candidates) instead of the all-pairs O(n²)
+    no 100 TB corpus survives. Returns
+    (vec_id, neighbor_id, cosine_sim, knn_rank), rank 1 = nearest.
+
+    Plan: the candidate-pair miner is reused verbatim (threshold −1
+    keeps every verified candidate), pairs symmetrize with a cheap
+    union, and one (src)-partitioned rank window cuts top-k — ranked on
+    the ROUNDED cosine with id tie-breaks so the DuckDB twin replays
+    the exact ordering."""
+    pairs = cosine_neardup_pairs(emb, threshold=-1.0,
+                                 num_planes=num_planes,
+                                 num_tables=num_tables, id_col=id_col,
+                                 vec_col=vec_col, dim=dim)
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"), "cosine_sim")
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst"),
+                                       "cosine_sim")))
+    w = Window.partitionBy("src").orderBy(F.desc("cosine_sim"), "dst")
+    return (edges.withColumn("knn_rank", F.row_number().over(w))
+            .filter(F.col("knn_rank") <= k)
+            .select(F.col("src").alias(id_col),
+                    F.col("dst").alias("neighbor_id"),
+                    "cosine_sim", "knn_rank"))
+
+
 def cosine_neardup_pairs(emb: DataFrame, threshold: float,
                          block_col: str | None = None, id_col: str = "vec_id",
                          vec_col: str = "embedding", num_planes: int = 6,

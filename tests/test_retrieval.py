@@ -202,3 +202,19 @@ def test_postings_append_equals_full_rebuild(spark, sf_dir, tmp_path):
         assert len(_dir_parquet_files(bdir)) <= 2, bdir
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "term_bucket" in plan
+
+
+def test_keyword_extraction_prefers_rare_terms(spark):
+    # idf must push corpus-wide terms down and doc-specific terms up.
+    from openedx_event_sink_clickhouse_spark.operators.retrieval import (
+        keyword_extraction)
+    docs = spark.createDataFrame(
+        [(0, "the zebra quantum"),
+         (1, "the the common words here"),
+         (2, "the common words again today")],
+        ["doc_id", "text"])
+    kw = {}
+    for r in keyword_extraction(docs, k=2).collect():
+        kw.setdefault(r.doc_id, []).append((r.kw_rank, r.term))
+    top0 = [t for _, t in sorted(kw[0])]
+    assert set(top0) == {"zebra", "quantum"}   # not the df=3 'the' 

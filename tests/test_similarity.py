@@ -537,3 +537,39 @@ def test_mmr_diversify_trades_relevance_for_diversity(spark):
     assert picks[0][1] == topk[0]                  # rank 1 = most relevant
     assert sum(1 for _, i in picks if i < 100) == 1  # ONE clique member only
     assert {i for _, i in picks if i >= 100} == {100, 101, 102}
+
+
+def test_knn_graph_ranks_true_neighbors(spark):
+    # Planted geometry: two tight clusters; every node's rank-1
+    # neighbor must come from its own cluster, and ranks are dense
+    # 1..k with descending cosine.
+    import math
+    import random
+
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        knn_graph)
+    rng = random.Random(9)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    a = [unit([1.0 + rng.uniform(-0.05, 0.05),
+               rng.uniform(-0.05, 0.05), 0.0, 0.0]) for _ in range(6)]
+    b = [unit([0.0, 0.0, 1.0 + rng.uniform(-0.05, 0.05),
+               rng.uniform(-0.05, 0.05)]) for _ in range(6)]
+    rows = [(i, v) for i, v in enumerate(a)] + \
+        [(100 + i, v) for i, v in enumerate(b)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = knn_graph(emb, k=3, num_planes=4, num_tables=2, dim=4)
+    out = {}
+    for r in g.collect():
+        out.setdefault(r.vec_id, []).append((r.knn_rank, r.neighbor_id,
+                                             r.cosine_sim))
+    for vid, nbrs in out.items():
+        nbrs.sort()
+        same = (lambda x: x < 100) if vid < 100 else (lambda x: x >= 100)
+        assert same(nbrs[0][1]), (vid, nbrs)        # nearest is in-cluster
+        assert [r for r, _, _ in nbrs] == list(range(1, len(nbrs) + 1))
+        sims = [s for _, _, s in nbrs]
+        assert sims == sorted(sims, reverse=True)
