@@ -68,6 +68,39 @@ def test_asof_matches_pandas_merge_asof(spark, lefts, rights):
             assert got[i][1] in cands
 
 
+@given(rows_left, rows_right, st.integers(1, 120))
+@settings(**_PROP)
+def test_asof_tolerance_matches_bruteforce(spark, lefts, rights, tol_min):
+    # merge_asof(tolerance=...) semantics: the latest at-or-before match
+    # survives only if left.ts - right.ts <= tolerance; otherwise every
+    # matched column is NULL.
+    left = spark.createDataFrame(
+        [(i, f"k{k}", _dt(m)) for i, (k, m) in enumerate(lefts)],
+        "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(f"k{k}", _dt(m), v) for k, m, v in rights] or
+        [("__none__", _dt(0), 0.0)],
+        "k string, rts timestamp, price double")
+    got = {r.id: (r.asof_rts, r.asof_price) for r in
+           asof_join(left, right, "k", "ts", "rts", ["price"],
+                     tolerance=f"{tol_min} minutes").collect()}
+    rdf = pd.DataFrame([(f"k{k}", _dt(m), v) for k, m, v in rights] or
+                       [("__none__", _dt(0), 0.0)],
+                       columns=["k", "rts", "price"])
+    for i, (k, m) in enumerate(lefts):
+        sub = rdf[(rdf.k == f"k{k}") & (rdf.rts <= _dt(m))]
+        if sub.empty:
+            assert got[i] == (None, None)
+            continue
+        best = sub.sort_values(["rts"]).iloc[-1]
+        if best.rts.to_pydatetime() < _dt(m) - dt.timedelta(minutes=tol_min):
+            assert got[i] == (None, None)
+        else:
+            assert got[i][0] == best.rts.to_pydatetime()
+            cands = set(sub[sub.rts == best.rts].price)
+            assert got[i][1] in cands
+
+
 @given(rows_left, rows_right, st.integers(60, 7200))
 @settings(**_PROP)
 def test_range_join_matches_bruteforce(spark, lefts, rights, bucket_secs):
