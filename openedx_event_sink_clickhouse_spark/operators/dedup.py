@@ -597,11 +597,16 @@ def incremental_neardup_pairs(batch: DataFrame, spark, index_path: str,
     ix = spark.read.parquet(f"{index_path}/bands")
     if max_bucket is not None:
         from pyspark.sql import Window
+        from pyspark.errors import AnalysisException
         try:
             idx_counts = (spark.read.parquet(f"{index_path}/band_counts")
                           .groupBy("band_idx", "band_hash")
                           .agg(F.sum("n").alias("_in")))
-        except Exception:
+        except AnalysisException:
+            # Sidecar absent (pre-round-6 layout): fall back to counting
+            # the STORED bands. A corrupt-but-present sidecar is NOT
+            # swallowed — silently degrading the guard to approximate
+            # counts would be worse than failing the read.
             idx_counts = (ix.groupBy("band_idx", "band_hash")
                           .agg(F.count("*").alias("_in")))
         w = Window.partitionBy("band_idx", "band_hash")
