@@ -4939,7 +4939,7 @@ def _cur13(spark, sf_dir):
 # window plus the oldest twelve of the r3-graded set — after this round
 # no query's most recent grade is older than r3, and the remaining
 # twenty-three r3 entries rotate in next round. tools/check_correctness.py
-# still runs the full registry every round (152/152 green this session).
+# still runs the full registry every round (153/153 green this session).
 # --------------------------------------------------------------------------
 
 _PRIORITY = [
