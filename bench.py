@@ -119,6 +119,8 @@ HEADLINE = [
     "agg_value_histogram",         # fixed-width value profiling
     "profile_orders",              # one-pass column profile report
     "sim_knn_graph",               # blocked k-NN graph construction
+    "graph_triangle_count",        # degree-oriented wedge join, at-rest edges
+    "graph_pagerank",              # 10-round BSP loop, quantized spec
     "text_keywords",               # per-doc top tf-idf keywords
     "text_keywords_at_rest",       # keywords served from the postings index
 ]

@@ -1,0 +1,135 @@
+"""Graph analytics: triangle support and fixed-iteration PageRank.
+
+Reference behavior: the engine's similarity graphs (near-dup pairs, the
+k-NN graph) feed curation decisions; these tests pin the two whole-graph
+statistics against brute-force Python replicas of the SAME spec —
+including PageRank's per-round quantization contract, which is what the
+DuckDB hash oracle relies on.
+"""
+from __future__ import annotations
+
+import itertools
+import random
+
+from openedx_event_sink_clickhouse_spark.operators.graph import (
+    pagerank, triangle_counts)
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long")
+
+
+def _brute_triangles(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                tri[n] += 1
+    return {n: (len(adj[n]), tri[n]) for n in adj}
+
+
+def test_triangles_k4_plus_pendant(spark):
+    # K4 (every node in 3 triangles) with a pendant edge off node 3.
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    got = {r.id: (r.degree, r.triangles)
+           for r in triangle_counts(_edges_df(spark, edges)).collect()}
+    assert got == {0: (3, 3), 1: (3, 3), 2: (3, 3), 3: (4, 3), 4: (1, 0)}
+
+
+def test_triangles_random_graph_matches_brute_force(spark):
+    rng = random.Random(1234)
+    nodes = range(30)
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                    for _ in range(120)})
+    got = {r.id: (r.degree, r.triangles)
+           for r in triangle_counts(_edges_df(spark, edges)).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_triangles_skewed_hub(spark):
+    # A hub joined to 20 leaves that form a path among themselves: the
+    # degree-oriented wedge join must not explode the hub (its oriented
+    # out-degree is 0 against higher-(degree,id) partners only).
+    hub = 100
+    leaves = list(range(20))
+    edges = [(min(hub, l), max(hub, l)) for l in leaves]
+    edges += [(l, l + 1) for l in leaves[:-1]]
+    got = {r.id: (r.degree, r.triangles)
+           for r in triangle_counts(_edges_df(spark, edges)).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def _brute_pagerank(edges, nodes, iters=10, damping=0.85, q=7):
+    """Python replica of the quantized BSP spec in operators/graph."""
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    n = len(nodes)
+    r = {v: round(1.0 / n, q) for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r[v] for v in nodes if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for s, ts in out.items():
+            for t in ts:
+                contrib[t] += r[s] / len(ts)
+        r = {v: round((1.0 - damping) / n
+                      + damping * (contrib[v] + dangling / n), q)
+             for v in nodes}
+    # The published ranks ARE the quantized values — no coarser
+    # re-round (it would land on exact .5 ties where Python's
+    # half-even and the engines' half-up split; see operators/graph).
+    return r
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # On a directed cycle every node has rank exactly 1/n at fixpoint,
+    # and the uniform start IS that fixpoint — iterations keep it.
+    n = 8
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {r.id: r.pagerank for r in pagerank(e, v).collect()}
+    assert got == {i: round(1.0 / n, 7) for i in range(n)}
+
+
+def test_pagerank_matches_quantized_replica(spark, tmp_path):
+    rng = random.Random(7)
+    nodes = list(range(25))
+    edges = sorted({(rng.randrange(25), rng.randrange(25))
+                    for _ in range(80) })
+    edges = [(s, t) for s, t in edges if s != t]
+    # Drop all out-edges of two nodes so the dangling path is exercised.
+    edges = [(s, t) for s, t in edges if s not in (3, 11)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in nodes], "id long")
+    got = {r.id: r.pagerank
+           for r in pagerank(e, v,
+                             checkpoint_dir=str(tmp_path / "ck")).collect()}
+    want = _brute_pagerank(edges, nodes)
+    assert got == want
+    assert abs(sum(got.values()) - 1.0) < 1e-4  # mass conserved
+
+
+def _drop_pinned(spark):
+    pinned = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(pinned.keySet()):
+        pinned.get(rid).unpersist(False)
+
+
+def test_pagerank_leaves_no_pinned_blocks_in_reliable_mode(spark, tmp_path):
+    # Earlier tests run the documented in-memory mode, whose final frame
+    # stays pinned by contract — clear those handles so this asserts
+    # reliable mode's own footprint only.
+    _drop_pinned(spark)
+    edges = [(0, 1), (1, 2), (2, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    pagerank(e, v, num_iters=3,
+             checkpoint_dir=str(tmp_path / "ck")).collect()
+    leaked = spark.sparkContext._jsc.getPersistentRDDs()
+    assert leaked.size() == 0
