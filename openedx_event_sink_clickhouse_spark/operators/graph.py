@@ -114,18 +114,18 @@ def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
     outdegree-annotated edges (one shuffle), contributions sum per
     destination (one groupBy sharing the join's partitioning when keys
     align), and the dangling mass — rank parked on nodes with no
-    out-edges — is a single scalar folded back uniformly. The edge list
-    is annotated with out-degrees ONCE and cached; per-round lineage is
-    cut with ``localCheckpoint`` so plan depth stays O(1) across rounds
-    instead of one join-layer deeper per iteration. ``num_iters`` is a
-    FIXED spec (not convergence-tested): at 100 TB the iteration count
-    is a budget decision, and a fixed count is also what makes the run
-    replayable.
-
-    The dangling scalar is a per-round 1-value collect — O(iters) tiny
-    driver actions, the same barrier cadence the iteration structure
-    already imposes (each round's join needs the previous round's ranks
-    materialized anyway).
+    out-edges — is a 1-row aggregate folded back uniformly via a
+    broadcast cross-join, INSIDE the round's one job (a driver-side
+    collect per round was measured at ~2× the wall clock: with tiny
+    graphs the cost of a round is job scheduling, not the joins — the
+    same observation that batched the CC fixpoint's hops). Each node's
+    dangling status is static (the node set never changes), so it is
+    computed once and carried through the rank frame as a flag instead
+    of re-derived with a per-round anti-join. Per-round lineage is cut
+    (checkpoint) so plan depth stays O(1) across rounds instead of one
+    join-layer deeper per iteration. ``num_iters`` is a FIXED spec (not
+    convergence-tested): at 100 TB the iteration count is a budget
+    decision, and a fixed count is also what makes the run replayable.
 
     Determinism: after every round the rank vector is rounded to
     ``quantize`` decimals. Each engine's per-node contribution sum can
@@ -152,25 +152,33 @@ def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
     outdeg = edges.groupBy(src).agg(F.count("*").alias("_d"))
     e = _cut(edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
              .join(outdeg.select(F.col(src).alias("_s"), "_d"), "_s"))
+    has_out = e.select(F.col("_s").alias("id")).distinct() \
+               .withColumn("_has", F.lit(True))
+    # (id, _dang, r): the dangling flag rides the rank frame — node set
+    # and edge set are invariants of the loop, so it is derived once.
     ranks = _cut(nodes.select(F.col(node_id).alias("id"))
-                 .withColumn("r", F.round(F.lit(1.0 / n), quantize)))
-    has_out = e.select(F.col("_s").alias("id")).distinct()
+                 .join(has_out, "id", "left")
+                 .select("id",
+                         F.coalesce(~F.col("_has"), F.lit(True))
+                         .alias("_dang"),
+                         F.round(F.lit(1.0 / n), quantize).alias("r")))
     for _ in range(num_iters):
-        dangling = (ranks.join(has_out, "id", "left_anti")
-                    .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
-                    .collect()[0][0])
-        contribs = (e.join(ranks, e["_s"] == ranks["id"])
+        dang = (ranks.filter("_dang")
+                .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dm")))
+        rr = ranks.select(F.col("id").alias("_rid"), "r")
+        contribs = (e.join(rr, e["_s"] == rr["_rid"])
                     .groupBy("_t")
                     .agg(F.sum(F.col("r") / F.col("_d")).alias("c"))
                     .withColumnRenamed("_t", "id"))
         prev = ranks
-        ranks = _cut(prev.select("id")
+        ranks = _cut(prev.select("id", "_dang")
                      .join(contribs, "id", "left")
-                     .select("id",
+                     .crossJoin(F.broadcast(dang))
+                     .select("id", "_dang",
                              F.round(F.lit(base)
                                      + damping
                                      * (F.coalesce("c", F.lit(0.0))
-                                        + F.lit(dangling / n)),
+                                        + F.col("_dm") / n),
                                      quantize).alias("r")))
         if checkpoint_dir is None:
             # Local mode: drop the superseded round's pinned blocks so

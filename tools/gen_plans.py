@@ -51,6 +51,7 @@ SHOW = [
     "sim_pq_topk",
     "cur_mix_interleave",
     "scd2_state_as_of",
+    "graph_triangle_count",
 ]
 
 SF = "/root/testdata/sf0.001"

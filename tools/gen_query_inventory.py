@@ -19,6 +19,7 @@ FAMILIES = [
     ("a1", "A1 watermark"), ("a3", "A3 distinct ids"),
     ("d1", "D1 PII delete"),
     ("dedup_", "Dedup (north-star)"),
+    ("graph_", "Graph analytics (north-star)"),
     ("sim_", "Similarity search (north-star)"),
     ("text_", "Text analysis (north-star)"),
     ("mm_", "Multimodal (north-star)"),
