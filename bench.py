@@ -121,6 +121,7 @@ HEADLINE = [
     "sim_knn_graph",               # blocked k-NN graph construction
     "graph_triangle_count",        # degree-oriented wedge join, at-rest edges
     "graph_pagerank",              # 10-round BSP loop, quantized spec
+    "graph_personalized_pagerank", # seed-teleport variant, same loop
     "text_keywords",               # per-doc top tf-idf keywords
     "text_keywords_at_rest",       # keywords served from the postings index
 ]

@@ -98,16 +98,28 @@ def triangle_counts(edges: DataFrame, id_a: str = "id_a",
 def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
              damping: float = 0.85, src: str = "src", dst: str = "dst",
              node_id: str = "id", quantize: int = 7,
+             teleport: DataFrame | None = None,
              checkpoint_dir: str | None = None) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list, dangling mass
-    redistributed uniformly. Returns (id, pagerank) for every node in
-    ``nodes``; the published ranks ARE the per-iteration ``quantize``-
-    decimal values — deliberately not re-rounded coarser, because a
-    second rounding of already-quantized decimals lands on EXACT .5
-    ties ~1-in-10 per value, the one place Java's HALF_UP, Python's
-    half-even, and a multiply-based round systematically split. Ties at
-    the per-iteration rounding itself have measure zero (the input is a
-    continuous float sum).
+    redistributed along the teleport vector. Returns (id, pagerank) for
+    every node in ``nodes``; the published ranks ARE the per-iteration
+    ``quantize``-decimal values — deliberately not re-rounded coarser,
+    because a second rounding of already-quantized decimals lands on
+    EXACT .5 ties ~1-in-10 per value, the one place Java's HALF_UP,
+    Python's half-even, and a multiply-based round systematically
+    split. Ties at the per-iteration rounding itself have measure zero
+    (the input is a continuous float sum).
+
+    ``teleport`` selects the variant: ``None`` is classic PageRank
+    (uniform teleport over all nodes); a frame of node ids makes it
+    PERSONALIZED PageRank — restart mass concentrates uniformly on that
+    seed set, ranking nodes by proximity to the seeds' similarity
+    neighborhood (seed-based corpus expansion: "find me more documents
+    like this curated handful"). Both are the SAME recurrence over a
+    per-node teleport weight w (1/|S| on seeds, 0 elsewhere; classic =
+    every node a seed): r' = (1-d)·w + d·(contribs + dangling·w), with
+    the initial vector w itself. The weight is static, so it rides the
+    rank frame next to the dangling flag — no per-round recompute.
 
     Bulk-synchronous contribution loop, the shape every distributed
     PageRank uses (Pregel/GraphX): per round, ranks join the
@@ -147,21 +159,26 @@ def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
         return df.checkpoint(eager=True) if checkpoint_dir is not None \
             else df.localCheckpoint(eager=True)
 
-    n = nodes.count()
-    base = float(1.0 - damping) / n
+    seeds = (teleport if teleport is not None else nodes) \
+        .select(F.col(node_id).alias("id")).distinct()
+    s = seeds.count()
     outdeg = edges.groupBy(src).agg(F.count("*").alias("_d"))
     e = _cut(edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
              .join(outdeg.select(F.col(src).alias("_s"), "_d"), "_s"))
     has_out = e.select(F.col("_s").alias("id")).distinct() \
                .withColumn("_has", F.lit(True))
-    # (id, _dang, r): the dangling flag rides the rank frame — node set
-    # and edge set are invariants of the loop, so it is derived once.
+    # (id, _dang, _w, r): the dangling flag and teleport weight ride the
+    # rank frame — node, edge, and seed sets are loop invariants, so
+    # both are derived once.
     ranks = _cut(nodes.select(F.col(node_id).alias("id"))
                  .join(has_out, "id", "left")
+                 .join(seeds.withColumn("_seed", F.lit(True)), "id", "left")
                  .select("id",
                          F.coalesce(~F.col("_has"), F.lit(True))
                          .alias("_dang"),
-                         F.round(F.lit(1.0 / n), quantize).alias("r")))
+                         F.when(F.col("_seed"), F.lit(1.0 / s))
+                         .otherwise(F.lit(0.0)).alias("_w"))
+                 .withColumn("r", F.round(F.col("_w"), quantize)))
     for _ in range(num_iters):
         dang = (ranks.filter("_dang")
                 .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dm")))
@@ -171,14 +188,14 @@ def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
                     .agg(F.sum(F.col("r") / F.col("_d")).alias("c"))
                     .withColumnRenamed("_t", "id"))
         prev = ranks
-        ranks = _cut(prev.select("id", "_dang")
+        ranks = _cut(prev.select("id", "_dang", "_w")
                      .join(contribs, "id", "left")
                      .crossJoin(F.broadcast(dang))
-                     .select("id", "_dang",
-                             F.round(F.lit(base)
+                     .select("id", "_dang", "_w",
+                             F.round(F.lit(1.0 - damping) * F.col("_w")
                                      + damping
                                      * (F.coalesce("c", F.lit(0.0))
-                                        + F.col("_dm") / n),
+                                        + F.col("_dm") * F.col("_w")),
                                      quantize).alias("r")))
         if checkpoint_dir is None:
             # Local mode: drop the superseded round's pinned blocks so

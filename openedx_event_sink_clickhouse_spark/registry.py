@@ -1264,12 +1264,16 @@ def _graph_tri(spark, sf_dir):
 
 
 def _pagerank_oracle_sql(num_iters: int = 10, damping: float = 0.85,
-                         quantize: int = 7) -> str:
+                         quantize: int = 7,
+                         seed_pred: str | None = None) -> str:
     """Unrolled fixed-iteration PageRank twin of operators/graph.pagerank
     — one CTE pair (dangling scalar, next rank vector) per iteration,
     generated programmatically so the SQL replays the EXACT quantization
     spec (per-round round() at the same decimals, same float literals
-    via repr round-trip) the Spark loop implements."""
+    via repr round-trip, same (1-d)·w + d·(c + dm·w) expression shape
+    over the per-node teleport weight w) the Spark loop implements.
+    ``seed_pred`` personalizes: restart mass concentrates uniformly on
+    nodes matching the predicate (None = classic uniform teleport)."""
     base = repr(1.0 - damping)
     # Every CTE here is MATERIALIZED: DuckDB's default is to INLINE CTE
     # references, and each iteration references the previous rank vector
@@ -1283,27 +1287,31 @@ def _pagerank_oracle_sql(num_iters: int = 10, damping: float = 0.85,
            "nodes AS MATERIALIZED (SELECT vec_id AS id FROM embeddings),",
            "outdeg AS MATERIALIZED "
            "(SELECT src, count(*) AS d FROM e GROUP BY src),",
-           "nn AS MATERIALIZED "
-           "(SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",
+           "seeds AS MATERIALIZED (SELECT id FROM nodes"
+           + (f" WHERE {seed_pred}" if seed_pred else "") + "),",
+           "sn AS MATERIALIZED "
+           "(SELECT CAST(count(*) AS DOUBLE) AS s FROM seeds),",
+           "w AS MATERIALIZED (SELECT nodes.id, CASE WHEN seeds.id IS "
+           "NOT NULL THEN 1.0/(SELECT s FROM sn) ELSE 0.0 END AS w "
+           "FROM nodes LEFT JOIN seeds ON nodes.id = seeds.id),",
            f"r0 AS MATERIALIZED "
-           f"(SELECT id, round(1.0/(SELECT n FROM nn), {quantize})"
-           " AS r FROM nodes),"]
+           f"(SELECT id, round(w, {quantize}) AS r FROM w),"]
     for i in range(num_iters):
         cte.append(
             f"d{i} AS MATERIALIZED "
             f"(SELECT coalesce(sum(r), 0) AS dm FROM r{i} "
             "WHERE id NOT IN (SELECT src FROM outdeg)),")
         cte.append(f"""r{i + 1} AS MATERIALIZED (
-  SELECT nodes.id,
-         round({base}/(SELECT n FROM nn)
+  SELECT w.id,
+         round({base}*w.w
                + {damping!r}*(coalesce(c.c, 0)
-                              + (SELECT dm FROM d{i})/(SELECT n FROM nn)),
+                              + (SELECT dm FROM d{i})*w.w),
                {quantize}) AS r
-  FROM nodes LEFT JOIN (
+  FROM w LEFT JOIN (
     SELECT e.dst AS id, sum(rr.r/outdeg.d) AS c
     FROM e JOIN r{i} rr ON e.src = rr.id
     JOIN outdeg ON e.src = outdeg.src
-    GROUP BY e.dst) c ON nodes.id = c.id),""")
+    GROUP BY e.dst) c ON w.id = c.id),""")
     body = "\n".join(cte).rstrip(",\n").rstrip(",")
     # The published ranks ARE the quantized per-iteration values — no
     # second rounding (a re-round of 7dp decimals lands on exact .5
@@ -1321,6 +1329,19 @@ def _graph_pr(spark, sf_dir):
     # quantized to 7 decimals per round so both engines carry identical
     # vectors; see operators/graph.pagerank for the determinism
     # contract.
+    #
+    # Accepted residual FP risk, quantified: quantized ranks divided by
+    # small out-degrees concentrate near 8dp decimals, so values near
+    # exact .5e-7 midpoints are COMMON (a plain half-even replica
+    # diverges ~1 node in 30; tests/test_graph._round7). Spark
+    # (shortest-repr + HALF_UP) and DuckDB (x*1e7 multiply + half-away)
+    # both resolve the dominant midpoint class — a double that IS the
+    # nearest to an exact ...5 decimal — upward: the true product
+    # exceeds the representable midpoint by ~1e-8 (>> half-ulp 1.2e-10
+    # at 1e6 magnitude), so std::round sees >.5. A split needs the true
+    # product within ~1 ulp of the midpoint, a ~2e-17-wide window in
+    # value space (~1-2 doubles per midpoint); empirically 0 of 1000
+    # pagerank+personalized values across sf0.001/sf0.01 disagree.
     from .operators.graph import pagerank
     pairs = _semantic_pairs(spark, sf_dir)
     edges = (pairs.select(F.col("id_a").alias("src"),
@@ -1331,6 +1352,29 @@ def _graph_pr(spark, sf_dir):
         F.col("vec_id").alias("id"))
     return (pagerank(edges, nodes, num_iters=10, damping=0.85,
                      checkpoint_dir=_cc_ckpt_dir())
+            .select(F.col("id").alias("vec_id"), "pagerank")
+            .orderBy("vec_id"))
+
+
+@register("graph_personalized_pagerank",
+          _pagerank_oracle_sql(seed_pred="id % 50 = 0"))
+def _graph_ppr(spark, sf_dir):
+    # Personalized PageRank: restart mass pinned to a 1-in-50 seed set,
+    # ranking the corpus by proximity to the seeds' similarity
+    # neighborhood — the seed-based corpus-expansion primitive ("more
+    # documents like this curated handful"). Same quantized BSP loop as
+    # graph_pagerank; only the static teleport-weight column differs.
+    from .operators.graph import pagerank
+    pairs = _semantic_pairs(spark, sf_dir)
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst"))))
+    emb = _t(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    seeds = nodes.filter(F.col("id") % 50 == 0)
+    return (pagerank(edges, nodes, num_iters=10, damping=0.85,
+                     teleport=seeds, checkpoint_dir=_cc_ckpt_dir())
             .select(F.col("id").alias("vec_id"), "pagerank")
             .orderBy("vec_id"))
 
@@ -5064,12 +5108,12 @@ def _cur13(spark, sf_dir):
 # perceptual hash, the step-aligned resample, the fingerprinted cluster
 # caches, the asof tolerance-path signature, the postings layout's new
 # norms sidecar), then every entry whose last green grade is from the r2
-# window plus the oldest ten of the r3-graded set — after this round
+# window plus the oldest nine of the r3-graded set — after this round
 # no query's most recent grade is older than r3, and the remaining
-# twenty-five r3 entries (incl. mm_frame_sample/mm_resize, displaced by
-# the two graph queries new this round) rotate in next round.
-# tools/check_correctness.py still runs the full registry every round
-# (155/155 green this session).
+# twenty-six r3 entries (incl. mm_frame_sample/mm_resize/
+# pivot_status_by_priority, displaced by the three graph queries new
+# this round) rotate in next round. tools/check_correctness.py still
+# runs the full registry every round (156/156 green this session).
 # --------------------------------------------------------------------------
 
 _PRIORITY = [
@@ -5081,6 +5125,7 @@ _PRIORITY = [
     "window_ntile_spend", "agg_value_histogram", "profile_orders",
     "sim_knn_graph", "text_keywords", "text_keywords_at_rest",
     "graph_triangle_count", "graph_pagerank",
+    "graph_personalized_pagerank",
     # -- changed in r6: re-grade --
     "dedup_incremental_neardup", "dedup_incremental_clusters",
     "dedup_incremental_survivors", "mm_phash_neardup",
@@ -5096,7 +5141,6 @@ _PRIORITY = [
     "agg_cube_orders", "agg_percentiles_lineitem", "cur_corpus_mix",
     "cur_negative_samples", "cur_pack_sequences", "cur_repetition_signals",
     "cur_sample_stratified", "cur_scrub_pii", "json_extract_props",
-    "pivot_status_by_priority",
     # (the r3 remainder — tpch_q4/q10-q22 bulk, text_top_ngrams,
     # window_lag_gap_days, stream_stateful_incremental_gate and friends —
     # rotates in round 7; everything else is r4/r5-green and unchanged.)

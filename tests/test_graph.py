@@ -64,21 +64,39 @@ def test_triangles_skewed_hub(spark):
     assert got == _brute_triangles(edges)
 
 
-def _brute_pagerank(edges, nodes, iters=10, damping=0.85, q=7):
-    """Python replica of the quantized BSP spec in operators/graph."""
+def _round7(x):
+    """Spark F.round semantics: HALF_UP over the SHORTEST decimal repr
+    of the double (BigDecimal.valueOf path), not Python's half-even
+    over the exact binary value. The distinction matters here and not
+    elsewhere: quantized 7dp ranks divided by small out-degrees land
+    near 8dp decimals constantly, so exact .5 midpoints at the next
+    round's quantization are COMMON, not measure-zero — a plain Python
+    round() replica diverges ~1 node in 30."""
+    import decimal
+    return float(decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal(1).scaleb(-7), rounding=decimal.ROUND_HALF_UP))
+
+
+def _brute_pagerank(edges, nodes, iters=10, damping=0.85, q=7, seeds=None):
+    """Python replica of the quantized BSP spec in operators/graph:
+    r' = (1-d)·w + d·(contribs + dangling·w) over the per-node teleport
+    weight w (uniform over seeds, or over all nodes when seeds=None)."""
+    assert q == 7, "replica hardwires Spark's HALF_UP at 7 decimals"
     out = {}
     for s, t in edges:
         out.setdefault(s, []).append(t)
-    n = len(nodes)
-    r = {v: round(1.0 / n, q) for v in nodes}
+    seed_set = set(seeds) if seeds is not None else set(nodes)
+    w = {v: (1.0 / len(seed_set) if v in seed_set else 0.0)
+         for v in nodes}
+    r = {v: _round7(w[v]) for v in nodes}
     for _ in range(iters):
         dangling = sum(r[v] for v in nodes if v not in out)
         contrib = {v: 0.0 for v in nodes}
         for s, ts in out.items():
             for t in ts:
                 contrib[t] += r[s] / len(ts)
-        r = {v: round((1.0 - damping) / n
-                      + damping * (contrib[v] + dangling / n), q)
+        r = {v: _round7((1.0 - damping) * w[v]
+                        + damping * (contrib[v] + dangling * w[v]))
              for v in nodes}
     # The published ranks ARE the quantized values — no coarser
     # re-round (it would land on exact .5 ties where Python's
@@ -113,6 +131,28 @@ def test_pagerank_matches_quantized_replica(spark, tmp_path):
     want = _brute_pagerank(edges, nodes)
     assert got == want
     assert abs(sum(got.values()) - 1.0) < 1e-4  # mass conserved
+
+
+def test_personalized_pagerank_matches_replica_and_favors_seeds(spark,
+                                                                tmp_path):
+    rng = random.Random(11)
+    nodes = list(range(30))
+    edges = sorted({(rng.randrange(30), rng.randrange(30))
+                    for _ in range(120)})
+    edges = [(s, t) for s, t in edges if s != t]
+    seeds = [0, 5, 10]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in nodes], "id long")
+    sd = spark.createDataFrame([(i,) for i in seeds], "id long")
+    got = {r.id: r.pagerank
+           for r in pagerank(e, v, teleport=sd,
+                             checkpoint_dir=str(tmp_path / "ck")).collect()}
+    assert got == _brute_pagerank(edges, nodes, seeds=seeds)
+    # Restart mass concentrates near the seeds: every seed outranks the
+    # global median (true for any connected-enough random graph at d=.85).
+    ranked = sorted(got.values())
+    median = ranked[len(ranked) // 2]
+    assert all(got[s] > median for s in seeds)
 
 
 def _drop_pinned(spark):
