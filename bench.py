@@ -120,8 +120,12 @@ HEADLINE = [
     "profile_orders",              # one-pass column profile report
     "sim_knn_graph",               # blocked k-NN graph construction
     "graph_triangle_count",        # degree-oriented wedge join, at-rest edges
-    "graph_pagerank",              # 10-round BSP loop, quantized spec
-    "graph_personalized_pagerank", # seed-teleport variant, same loop
+    "graph_pagerank",              # 10-round BSP loop, quantized spec — the
+    # family's one measured LIVE iterative representative; the
+    # personalized variant runs the IDENTICAL loop (only the static
+    # teleport-weight column differs) and stays oracle-graded without
+    # double-billing 4.5 s of the same fixed per-round scheduling here.
+    "graph_seed_distance",         # bounded multi-source BFS hop tiers
     "text_keywords",               # per-doc top tf-idf keywords
     "text_keywords_at_rest",       # keywords served from the postings index
 ]

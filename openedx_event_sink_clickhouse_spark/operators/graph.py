@@ -95,11 +95,57 @@ def triangle_counts(edges: DataFrame, id_a: str = "id_a",
                     F.coalesce("triangles", F.lit(0)).alias("triangles")))
 
 
+def seed_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 6,
+                   src: str = "src", dst: str = "dst",
+                   node_id: str = "id",
+                   checkpoint_dir: str | None = None) -> DataFrame:
+    """Bounded multi-source BFS: minimum hop count from any node in
+    ``seeds``, up to ``max_hops``, over a directed edge list. Returns
+    (id, hops) for every node reached within the bound — integer-exact.
+    The graph-proximity primitive behind "how far is this document from
+    the curated core?" expansion tiers and contamination blast-radius
+    checks.
+
+    Level-synchronous label minimization, the CC loop's shape with a
+    depth counter instead of a min-label: each round unions the current
+    distance table with its one-hop extension and re-minimizes — one
+    edges⋈labels shuffle + one groupBy per round, O(max_hops) rounds,
+    never more than the reached set in flight. ``max_hops`` is a FIXED
+    spec (replayable, and at 100 TB a hop budget is a cost decision);
+    an empty frontier just makes the remaining rounds no-ops, so a
+    converged result equals the fixpoint. Lineage is cut per round like
+    the other iterative operators (reliable under ``checkpoint_dir``,
+    localCheckpoint + superseded-frame unpersist otherwise)."""
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint_dir is not None \
+            else df.localCheckpoint(eager=True)
+
+    e = _cut(edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")))
+    labels = _cut(seeds.select(F.col(node_id).alias("id")).distinct()
+                  .withColumn("hops", F.lit(0).cast("int")))
+    for _ in range(max_hops):
+        ll = labels.select(F.col("id").alias("_lid"), "hops")
+        hop = (e.join(ll, e["_s"] == ll["_lid"])
+               .select(F.col("_t").alias("id"),
+                       (F.col("hops") + F.lit(1)).cast("int").alias("hops")))
+        prev = labels
+        labels = _cut(prev.unionByName(hop)
+                      .groupBy("id").agg(F.min("hops").alias("hops")))
+        if checkpoint_dir is None:
+            prev.unpersist()
+    return labels
+
+
 def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
              damping: float = 0.85, src: str = "src", dst: str = "dst",
              node_id: str = "id", quantize: int = 7,
              teleport: DataFrame | None = None,
-             checkpoint_dir: str | None = None) -> DataFrame:
+             checkpoint_dir: str | None = None,
+             cut_every: int = 2) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list, dangling mass
     redistributed along the teleport vector. Returns (id, pagerank) for
     every node in ``nodes``; the published ranks ARE the per-iteration
@@ -179,7 +225,8 @@ def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
                          F.when(F.col("_seed"), F.lit(1.0 / s))
                          .otherwise(F.lit(0.0)).alias("_w"))
                  .withColumn("r", F.round(F.col("_w"), quantize)))
-    for _ in range(num_iters):
+    pinned = ranks
+    for i in range(num_iters):
         dang = (ranks.filter("_dang")
                 .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dm")))
         rr = ranks.select(F.col("id").alias("_rid"), "r")
@@ -187,20 +234,31 @@ def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
                     .groupBy("_t")
                     .agg(F.sum(F.col("r") / F.col("_d")).alias("c"))
                     .withColumnRenamed("_t", "id"))
-        prev = ranks
-        ranks = _cut(prev.select("id", "_dang", "_w")
-                     .join(contribs, "id", "left")
-                     .crossJoin(F.broadcast(dang))
-                     .select("id", "_dang", "_w",
-                             F.round(F.lit(1.0 - damping) * F.col("_w")
-                                     + damping
-                                     * (F.coalesce("c", F.lit(0.0))
-                                        + F.col("_dm") * F.col("_w")),
-                                     quantize).alias("r")))
-        if checkpoint_dir is None:
-            # Local mode: drop the superseded round's pinned blocks so
-            # only ONE rank frame is ever resident; the final frame
-            # stays pinned until the caller materializes it (the same
-            # documented handle the in-memory CC mode carries).
-            prev.unpersist()
+        ranks = (ranks.select("id", "_dang", "_w")
+                 .join(contribs, "id", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("id", "_dang", "_w",
+                         F.round(F.lit(1.0 - damping) * F.col("_w")
+                                 + damping
+                                 * (F.coalesce("c", F.lit(0.0))
+                                    + F.col("_dm") * F.col("_w")),
+                                 quantize).alias("r")))
+        # Lineage cut every ``cut_every`` rounds (and at the end), the
+        # CC hop-batching move: on small graphs a round costs its
+        # driver action, not its joins. An UNCUT round is referenced 3×
+        # by the next one (dangling filter, contribution join, id
+        # spine), but those references share canonically-identical
+        # exchange subtrees, so ReuseExchange computes the round once —
+        # plan text triples, work does not; cut cadence keeps the
+        # triplication from compounding past ``cut_every`` rounds.
+        if (i + 1) % cut_every == 0 or i == num_iters - 1:
+            prev = pinned
+            ranks = _cut(ranks)
+            pinned = ranks
+            if checkpoint_dir is None:
+                # Local mode: drop the superseded cut's pinned blocks so
+                # only ONE rank frame is ever resident; the final frame
+                # stays pinned until the caller materializes it (the
+                # same documented handle the in-memory CC mode carries).
+                prev.unpersist()
     return ranks.select("id", F.col("r").alias("pagerank"))

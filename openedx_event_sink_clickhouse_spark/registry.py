@@ -1379,6 +1379,53 @@ def _graph_ppr(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+def _seed_distance_oracle_sql(max_hops: int = 6,
+                              seed_pred: str = "id % 10 = 0") -> str:
+    """Unrolled level-synchronous BFS twin of
+    operators/graph.seed_distances — one MATERIALIZED CTE per hop
+    (min over the previous table unioned with its one-hop extension);
+    integer-exact, so there is no float contract at all."""
+    cte = [f"WITH pairs AS MATERIALIZED ({_srp_neardup_oracle_sql()}),",
+           "e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs"
+           " UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),",
+           "nodes AS MATERIALIZED (SELECT vec_id AS id FROM embeddings),",
+           f"l0 AS MATERIALIZED (SELECT id, CAST(0 AS INT) AS hops "
+           f"FROM nodes WHERE {seed_pred}),"]
+    for h in range(1, max_hops + 1):
+        cte.append(f"""l{h} AS MATERIALIZED (
+  SELECT id, min(hops) AS hops FROM (
+    SELECT id, hops FROM l{h - 1}
+    UNION ALL
+    SELECT e.dst AS id, CAST(l.hops + 1 AS INT) AS hops
+    FROM e JOIN l{h - 1} l ON e.src = l.id) u
+  GROUP BY id),""")
+    body = "\n".join(cte).rstrip(",\n").rstrip(",")
+    return (f"{body}\n"
+            f"SELECT id AS vec_id, hops FROM l{max_hops} ORDER BY vec_id")
+
+
+@register("graph_seed_distance", _seed_distance_oracle_sql())
+def _graph_bfs(spark, sf_dir):
+    # Bounded multi-source BFS: hop tiers over the at-rest similarity
+    # graph ("expansion rings" around a curated core). Denser 1-in-10
+    # seed set than the personalized-pagerank query so the sparse
+    # threshold-0.3 graph yields multi-level tiers (hops 0-4 at
+    # sf0.01), not just the seeds' immediate ring. Integer-exact — no
+    # rounding contract anywhere.
+    from .operators.graph import seed_distances
+    pairs = _semantic_pairs(spark, sf_dir)
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst"))))
+    seeds = _t(spark, sf_dir, "embeddings") \
+        .select(F.col("vec_id").alias("id")).filter(F.col("id") % 10 == 0)
+    return (seed_distances(edges, seeds, max_hops=6,
+                           checkpoint_dir=_cc_ckpt_dir())
+            .select(F.col("id").alias("vec_id"), "hops")
+            .orderBy("vec_id"))
+
+
 @register("sim_ivf_topk", f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),
@@ -5108,12 +5155,13 @@ def _cur13(spark, sf_dir):
 # perceptual hash, the step-aligned resample, the fingerprinted cluster
 # caches, the asof tolerance-path signature, the postings layout's new
 # norms sidecar), then every entry whose last green grade is from the r2
-# window plus the oldest nine of the r3-graded set — after this round
+# window plus the oldest eight of the r3-graded set — after this round
 # no query's most recent grade is older than r3, and the remaining
-# twenty-six r3 entries (incl. mm_frame_sample/mm_resize/
-# pivot_status_by_priority, displaced by the three graph queries new
-# this round) rotate in next round. tools/check_correctness.py still
-# runs the full registry every round (156/156 green this session).
+# twenty-seven r3 entries (incl. mm_frame_sample/mm_resize/
+# pivot_status_by_priority/agg_cube_orders, displaced by the four graph
+# queries new this round) rotate in next round. tools/
+# check_correctness.py still runs the full registry every round
+# (157/157 green this session).
 # --------------------------------------------------------------------------
 
 _PRIORITY = [
@@ -5125,7 +5173,7 @@ _PRIORITY = [
     "window_ntile_spend", "agg_value_histogram", "profile_orders",
     "sim_knn_graph", "text_keywords", "text_keywords_at_rest",
     "graph_triangle_count", "graph_pagerank",
-    "graph_personalized_pagerank",
+    "graph_personalized_pagerank", "graph_seed_distance",
     # -- changed in r6: re-grade --
     "dedup_incremental_neardup", "dedup_incremental_clusters",
     "dedup_incremental_survivors", "mm_phash_neardup",
@@ -5138,7 +5186,7 @@ _PRIORITY = [
     "s4_not_in_filter", "s8_double_dim_join", "text_language_id",
     "tpch_q1", "window_running_total",
     # -- oldest of the r3 window --
-    "agg_cube_orders", "agg_percentiles_lineitem", "cur_corpus_mix",
+    "agg_percentiles_lineitem", "cur_corpus_mix",
     "cur_negative_samples", "cur_pack_sequences", "cur_repetition_signals",
     "cur_sample_stratified", "cur_scrub_pii", "json_extract_props",
     # (the r3 remainder — tpch_q4/q10-q22 bulk, text_top_ngrams,

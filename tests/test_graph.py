@@ -12,7 +12,7 @@ import itertools
 import random
 
 from openedx_event_sink_clickhouse_spark.operators.graph import (
-    pagerank, triangle_counts)
+    pagerank, seed_distances, triangle_counts)
 
 
 def _edges_df(spark, edges):
@@ -153,6 +153,45 @@ def test_personalized_pagerank_matches_replica_and_favors_seeds(spark,
     ranked = sorted(got.values())
     median = ranked[len(ranked) // 2]
     assert all(got[s] > median for s in seeds)
+
+
+def _brute_bfs(edges, seeds, max_hops):
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = {t for s in frontier for t in out.get(s, [])
+               if t not in dist}
+        for t in nxt:
+            dist[t] = h
+        frontier = nxt
+    return dist
+
+
+def test_seed_distance_chain_and_bound(spark):
+    # 0→1→…→9: hops equal position; max_hops=6 cuts the tail off.
+    edges = [(i, i + 1) for i in range(9)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.hops for r in seed_distances(e, sd, max_hops=6).collect()}
+    assert got == {i: i for i in range(7)}
+
+
+def test_seed_distance_random_graph_matches_bfs(spark, tmp_path):
+    rng = random.Random(23)
+    edges = sorted({(rng.randrange(40), rng.randrange(40))
+                    for _ in range(100)})
+    edges = [(s, t) for s, t in edges if s != t]
+    seeds = [0, 7]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame([(i,) for i in seeds], "id long")
+    got = {r.id: r.hops
+           for r in seed_distances(e, sd, max_hops=5,
+                                   checkpoint_dir=str(tmp_path / "ck")
+                                   ).collect()}
+    assert got == _brute_bfs(edges, seeds, 5)
 
 
 def _drop_pinned(spark):

@@ -259,8 +259,29 @@ def test_cluster_sizes_serves_from_at_rest_labels(q, spark, sf_dir):
 
 def test_semantic_dedup_serves_from_at_rest_labels(q, spark, sf_dir):
     plan = plan_of(q["sim_semantic_dedup"](spark, sf_dir))
-    assert "spark_graft_semclusters_v2_" in plan
+    assert "spark_graft_semclusters_v3_" in plan
     assert "Generate" not in plan
+
+
+def test_graph_queries_serve_from_at_rest_pairs(q, spark, sf_dir):
+    # The similarity edge list is a shared stored artifact: triangle
+    # support and both pagerank variants read the pair parquet — no SRP
+    # re-mine (no Generate from the signature explode, no HOF probes)
+    # in any of their plans.
+    for name in ("graph_triangle_count",):
+        plan = plan_of(q[name](spark, sf_dir))
+        assert "spark_graft_sempairs_v1_" in plan, name
+        # No SRP re-mine: the embeddings table (the mine's only input)
+        # never appears — the one Generate in this plan is the triangle
+        # corner explode, not a signature explode.
+        assert "embeddings.parquet" not in plan, name
+    # The pagerank variants' returned frame is a checkpoint leaf (the
+    # loop already ran); assert the at-rest serve on the EDGE input the
+    # registry builds instead, via the shared pair helper.
+    pairs = registry._semantic_pairs(spark, sf_dir)
+    pplan = plan_of(pairs)
+    assert "spark_graft_sempairs_v1_" in pplan
+    assert "Generate" not in pplan
 
 
 def test_incremental_survivors_serve_from_at_rest_labels(q, spark, sf_dir):
