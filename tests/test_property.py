@@ -222,3 +222,61 @@ def test_pack_sequences_invariants(spark, token_counts, budget):
         assert r.bin_id >= prev_bin
         prev_bin = r.bin_id
         start += r.n_tokens
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 19), st.integers(0, 19)),
+    min_size=1, max_size=60).map(
+        lambda es: sorted({(min(a, b), max(a, b)) for a, b in es if a != b}))
+
+
+@given(edge_lists)
+@settings(**_PROP)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    from openedx_event_sink_clickhouse_spark.operators.graph import (
+        triangle_counts)
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: (r.degree, r.triangles)
+           for r in triangle_counts(df).collect()}
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v in adj:
+        nbrs = sorted(adj[v])
+        t = sum(1 for i, x in enumerate(nbrs) for y in nbrs[i + 1:]
+                if y in adj[x])
+        want[v] = (len(nbrs), t)
+    assert got == want
+
+
+directed_edges = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=0, max_size=40).map(
+        lambda es: sorted({(a, b) for a, b in es if a != b}))
+
+
+@given(directed_edges, st.sets(st.integers(0, 14), min_size=1, max_size=3),
+       st.integers(1, 4))
+@settings(**_PROP)
+def test_seed_distances_match_bfs(spark, edges, seeds, hops):
+    from openedx_event_sink_clickhouse_spark.operators.graph import (
+        seed_distances)
+    e = spark.createDataFrame(edges or [(-1, -2)], "src long, dst long")
+    sd = spark.createDataFrame([(s,) for s in sorted(seeds)], "id long")
+    got = {r.id: r.hops
+           for r in seed_distances(e, sd, max_hops=hops).collect()}
+    out: dict = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, hops + 1):
+        frontier = {t for s in frontier for t in out.get(s, [])
+                    if t not in dist}
+        for t in frontier:
+            dist[t] = h
+    assert got == dist
