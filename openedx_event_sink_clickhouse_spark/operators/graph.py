@@ -98,7 +98,8 @@ def triangle_counts(edges: DataFrame, id_a: str = "id_a",
 def seed_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 6,
                    src: str = "src", dst: str = "dst",
                    node_id: str = "id",
-                   checkpoint_dir: str | None = None) -> DataFrame:
+                   checkpoint_dir: str | None = None,
+                   cut_every: int = 2) -> DataFrame:
     """Bounded multi-source BFS: minimum hop count from any node in
     ``seeds``, up to ``max_hops``, over a directed edge list. Returns
     (id, hops) for every node reached within the bound — integer-exact.
@@ -127,16 +128,25 @@ def seed_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 6,
     e = _cut(edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")))
     labels = _cut(seeds.select(F.col(node_id).alias("id")).distinct()
                   .withColumn("hops", F.lit(0).cast("int")))
-    for _ in range(max_hops):
+    pinned = labels
+    for i in range(max_hops):
         ll = labels.select(F.col("id").alias("_lid"), "hops")
         hop = (e.join(ll, e["_s"] == ll["_lid"])
                .select(F.col("_t").alias("id"),
                        (F.col("hops") + F.lit(1)).cast("int").alias("hops")))
-        prev = labels
-        labels = _cut(prev.unionByName(hop)
-                      .groupBy("id").agg(F.min("hops").alias("hops")))
-        if checkpoint_dir is None:
-            prev.unpersist()
+        labels = (labels.unionByName(hop)
+                  .groupBy("id").agg(F.min("hops").alias("hops")))
+        # Same cut cadence as pagerank: an uncut level is referenced
+        # twice by the next one (union spine + frontier join), the
+        # references share identical exchange subtrees (ReuseExchange),
+        # and batching two levels per action halves the driver round
+        # trips that dominate small-graph rounds.
+        if (i + 1) % cut_every == 0 or i == max_hops - 1:
+            prev = pinned
+            labels = _cut(labels)
+            pinned = labels
+            if checkpoint_dir is None:
+                prev.unpersist()
     return labels
 
 
