@@ -2,24 +2,28 @@
 
 The dedup/curation families already BUILD graphs (near-dup pairs, the
 SRP-blocked k-NN graph) and collapse them to components; this module adds
-the two classic whole-graph statistics a curation pipeline asks of those
-graphs once they exist — per-node triangle support (local clustering /
-community density, the signal graph-based filtering ranks boilerplate
-hubs by) and PageRank centrality (which documents anchor the similarity
-neighborhood — a duplication-aware importance prior for sampling).
+the whole-graph statistics a curation pipeline asks of those graphs once
+they exist — per-node triangle support (local clustering / community
+density, the signal graph-based filtering ranks boilerplate hubs by),
+PageRank centrality, classic and seed-personalized (which documents
+anchor the similarity neighborhood — a duplication-aware importance
+prior for sampling, and "more like this curated handful" expansion), and
+bounded multi-source BFS hop tiers (expansion rings around a curated
+core).
 
-Both are expressed as plain DataFrame plans so Catalyst handles the join
-strategy, and both follow the distributed-graph playbook rather than the
-single-node one:
+All are plain DataFrame plans so Catalyst handles the join strategy, and
+all follow the distributed-graph playbook rather than the single-node
+one:
 
 - triangles use DEGREE ORIENTATION (each undirected edge directed from
   its lower-(degree, id) endpoint), which bounds every node's oriented
   out-degree by O(sqrt(m)) and with it the wedge-join fan-out — the
   standard trick that keeps distributed triangle counting from going
   quadratic on hub nodes (cf. Suri & Vassilvitskii, WWW'11).
-- pagerank is the bulk-synchronous contribution-sum loop (the GraphX /
-  Pregel shape): O(iters) rounds, each one edges⋈ranks shuffle + one
-  groupBy, lineage cut per round so plan depth stays bounded.
+- pagerank and BFS are bulk-synchronous loops (the GraphX / Pregel
+  shape): O(rounds) iterations, each one edges⋈state shuffle + one
+  groupBy, lineage cut every couple of rounds so plan depth stays
+  bounded while driver round trips stay halved.
 
 Determinism contract (both engines replay bit-identically): triangle
 support is INTEGER-exact; pagerank quantizes the rank vector to a fixed
@@ -114,9 +118,10 @@ def seed_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 6,
     never more than the reached set in flight. ``max_hops`` is a FIXED
     spec (replayable, and at 100 TB a hop budget is a cost decision);
     an empty frontier just makes the remaining rounds no-ops, so a
-    converged result equals the fixpoint. Lineage is cut per round like
-    the other iterative operators (reliable under ``checkpoint_dir``,
-    localCheckpoint + superseded-frame unpersist otherwise)."""
+    converged result equals the fixpoint. Lineage is cut every
+    ``cut_every`` levels like the other iterative operators (reliable
+    under ``checkpoint_dir``, localCheckpoint + superseded-frame
+    unpersist otherwise)."""
     spark = edges.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -189,8 +194,8 @@ def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
     same observation that batched the CC fixpoint's hops). Each node's
     dangling status is static (the node set never changes), so it is
     computed once and carried through the rank frame as a flag instead
-    of re-derived with a per-round anti-join. Per-round lineage is cut
-    (checkpoint) so plan depth stays O(1) across rounds instead of one
+    of re-derived with a per-round anti-join. Lineage is cut every
+    ``cut_every`` rounds so plan depth stays O(cut_every) instead of one
     join-layer deeper per iteration. ``num_iters`` is a FIXED spec (not
     convergence-tested): at 100 TB the iteration count is a budget
     decision, and a fixed count is also what makes the run replayable.
