@@ -126,6 +126,7 @@ HEADLINE = [
     # teleport-weight column differs) and stays oracle-graded without
     # double-billing 4.5 s of the same fixed per-round scheduling here.
     "graph_seed_distance",         # bounded multi-source BFS hop tiers
+    "evt_top_paths",               # user-journey trigram paths, top-20
     "text_keywords",               # per-doc top tf-idf keywords
     "text_keywords_at_rest",       # keywords served from the postings index
 ]

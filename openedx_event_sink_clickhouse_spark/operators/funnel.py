@@ -13,7 +13,7 @@ more than once.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -99,3 +99,32 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
             .select("cohort_week", "week_offset", "n_active",
                     F.round(F.col("n_active").cast("double")
                             / F.col("_cohort_size"), 6).alias("retention")))
+
+
+def top_paths(events: DataFrame, n: int = 3, k: int = 20,
+              user_col: str = "user_id", type_col: str = "event_type",
+              ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+    """Most common length-``n`` event-type paths (user-journey n-grams):
+    per user, events ordered by (ts, id) slide an n-step window via
+    ``lead``; path frequencies aggregate corpus-wide and the top ``k``
+    return with a total-order tie-break so the cut is deterministic.
+    The Sankey/path-analysis primitive next to funnel() and
+    cohort_retention() — "what do users actually do around the
+    conversion steps", the query the funnel's fixed step list can't
+    answer.
+
+    Two shuffles at any scale: the per-user sequence window (hash on
+    user — sessions are small, no skew beyond the power-law-user case
+    `skew_salted_agg` documents) and the path-key aggregation, which is
+    map-side partial over at most |types|^n distinct keys — tiny, so
+    the final exchange carries partials, not events. ``n`` is a column
+    list, not an explode: no row blow-up."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = [F.col(type_col).alias("step1")]
+    steps += [F.lead(type_col, i).over(w).alias(f"step{i + 1}")
+              for i in range(1, n)]
+    seq = events.select(F.col(user_col), *steps) \
+                .filter(F.col(f"step{n}").isNotNull())
+    names = [f"step{i + 1}" for i in range(n)]
+    return (seq.groupBy(*names).agg(F.count("*").alias("n_paths"))
+            .orderBy(F.desc("n_paths"), *names).limit(k))

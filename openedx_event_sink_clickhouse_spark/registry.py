@@ -4933,6 +4933,30 @@ def _fun2(spark, sf_dir):
     return cohort_retention(_t(spark, sf_dir, "events"))
 
 
+@register("evt_top_paths", """
+WITH seq AS (
+  SELECT user_id,
+         event_type AS step1,
+         lead(event_type, 1) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+         lead(event_type, 2) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+  FROM events)
+SELECT step1, step2, step3, count(*) AS n_paths
+FROM seq WHERE step3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, step1, step2, step3
+LIMIT 20
+""")
+def _fun3(spark, sf_dir):
+    # Top event-type trigram paths (user-journey n-grams) — the
+    # Sankey/path-analysis primitive next to funnel/retention: lead()
+    # windows per user, corpus-wide path counts, top-20 under a total
+    # order so the cut is deterministic.
+    from .operators.funnel import top_paths
+    return top_paths(_t(spark, sf_dir, "events"), n=3, k=20)
+
+
 @register("llm_prepare_corpus", """
 WITH base AS (
   SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents
@@ -5155,13 +5179,13 @@ def _cur13(spark, sf_dir):
 # perceptual hash, the step-aligned resample, the fingerprinted cluster
 # caches, the asof tolerance-path signature, the postings layout's new
 # norms sidecar), then every entry whose last green grade is from the r2
-# window plus the oldest eight of the r3-graded set — after this round
+# window plus the oldest seven of the r3-graded set — after this round
 # no query's most recent grade is older than r3, and the remaining
-# twenty-seven r3 entries (incl. mm_frame_sample/mm_resize/
-# pivot_status_by_priority/agg_cube_orders, displaced by the four graph
-# queries new this round) rotate in next round. tools/
-# check_correctness.py still runs the full registry every round
-# (157/157 green this session).
+# twenty-eight r3 entries (incl. mm_frame_sample/mm_resize/
+# pivot_status_by_priority/agg_cube_orders/agg_percentiles_lineitem,
+# displaced by the four graph queries + evt_top_paths new this round)
+# rotate in round 7. tools/check_correctness.py still runs the full
+# registry every round (158/158 green this session).
 # --------------------------------------------------------------------------
 
 _PRIORITY = [
@@ -5174,6 +5198,7 @@ _PRIORITY = [
     "sim_knn_graph", "text_keywords", "text_keywords_at_rest",
     "graph_triangle_count", "graph_pagerank",
     "graph_personalized_pagerank", "graph_seed_distance",
+    "evt_top_paths",
     # -- changed in r6: re-grade --
     "dedup_incremental_neardup", "dedup_incremental_clusters",
     "dedup_incremental_survivors", "mm_phash_neardup",
@@ -5186,7 +5211,7 @@ _PRIORITY = [
     "s4_not_in_filter", "s8_double_dim_join", "text_language_id",
     "tpch_q1", "window_running_total",
     # -- oldest of the r3 window --
-    "agg_percentiles_lineitem", "cur_corpus_mix",
+    "cur_corpus_mix",
     "cur_negative_samples", "cur_pack_sequences", "cur_repetition_signals",
     "cur_sample_stratified", "cur_scrub_pii", "json_extract_props",
     # (the r3 remainder — tpch_q4/q10-q22 bulk, text_top_ngrams,

@@ -63,3 +63,30 @@ def test_cohort_retention_weekly_offsets(spark):
     assert out[(1, 1)] == (1, 0.5)     # only u1 returns in week 1
     assert out[(8, 0)] == (1, 1.0)
     assert len(out) == 3
+
+
+def test_top_paths_counts_and_order(spark):
+    # u1: a b a b  -> trigrams (a,b,a), (b,a,b); u2: a b a -> (a,b,a).
+    from openedx_event_sink_clickhouse_spark.operators.funnel import (
+        top_paths)
+    rows = [(1, _ts(1, 1), 1, "a"), (2, _ts(1, 2), 1, "b"),
+            (3, _ts(1, 3), 1, "a"), (4, _ts(1, 4), 1, "b"),
+            (5, _ts(1, 1), 2, "a"), (6, _ts(1, 2), 2, "b"),
+            (7, _ts(1, 3), 2, "a")]
+    ev = spark.createDataFrame(
+        [(i, t, u, e) for i, t, u, e in rows],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    got = [(r.step1, r.step2, r.step3, r.n_paths)
+           for r in top_paths(ev, n=3, k=10).collect()]
+    assert got == [("a", "b", "a", 2), ("b", "a", "b", 1)]
+
+
+def test_top_paths_never_crosses_users(spark):
+    # Two users with 2 events each: no trigram exists anywhere.
+    from openedx_event_sink_clickhouse_spark.operators.funnel import (
+        top_paths)
+    ev = spark.createDataFrame(
+        [(1, _ts(1, 1), 1, "a"), (2, _ts(1, 2), 1, "b"),
+         (3, _ts(1, 3), 2, "c"), (4, _ts(1, 4), 2, "d")],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    assert top_paths(ev, n=3, k=10).count() == 0
