@@ -309,3 +309,12 @@ def test_incremental_clusters_contract_from_at_rest_pairs(q, spark, sf_dir):
     assert "Generate" not in pairs_plan
     plan = plan_of(q["dedup_incremental_clusters"](spark, sf_dir))
     assert "Generate" not in plan
+
+
+def test_top_paths_partial_agg_and_topk(q, spark, sf_dir):
+    # Path counting must partial-aggregate map-side (the exchange
+    # carries |types|^3 partials, not events) and cut top-k with
+    # TakeOrderedAndProject, never a global sort of all paths.
+    plan = plan_of(q["evt_top_paths"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2 and "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan

@@ -52,6 +52,7 @@ SHOW = [
     "cur_mix_interleave",
     "scd2_state_as_of",
     "graph_triangle_count",
+    "evt_top_paths",
 ]
 
 SF = "/root/testdata/sf0.001"
