@@ -223,6 +223,11 @@ def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
     seeds = (teleport if teleport is not None else nodes) \
         .select(F.col(node_id).alias("id")).distinct()
     s = seeds.count()
+    if s == 0:
+        raise ValueError(
+            "pagerank: teleport/seed set is empty — classic PageRank "
+            "needs a non-empty node frame, personalized PageRank a "
+            "non-empty teleport frame (1/s is undefined at s=0)")
     outdeg = edges.groupBy(src).agg(F.count("*").alias("_d"))
     e = _cut(edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
              .join(outdeg.select(F.col(src).alias("_s"), "_d"), "_s"))

@@ -282,6 +282,12 @@ def _phash_arrow_udf():
                                 np.arange(PHASH_BITS, dtype=np.int64))
         bounds = np.arange(c + 1, dtype=np.int64)
         for i, payload in enumerate(content):
+            if payload is None:
+                # Match the JVM expression, whose bit-fold yields 0 for
+                # a NULL payload — the engines must stay bit-identical
+                # even on content-less rows (test-pinned).
+                out[i] = 0
+                continue
             arr = np.frombuffer(payload, np.uint8)
             n = len(arr)
             csum = np.concatenate((np.zeros(1, np.int64),

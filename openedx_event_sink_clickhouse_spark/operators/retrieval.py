@@ -394,7 +394,11 @@ def tfidf_cosine_from_index(spark, path: str, query_terms: list[str],
             .filter(F.col("term_bucket").isin(buckets))
             .filter(F.col("term").isin(query_terms))
             .select("doc_id", "term", "tf"))
-    n_docs = spark.read.parquet(f"{path}/stats").select("n_docs")
+    # _index_stats folds stats_increments left by append_postings_batch,
+    # exactly as bm25_topk_from_index does — reading the raw stats table
+    # here would mix fresh per-term df (counted from appended postings)
+    # with a stale corpus N.
+    n_docs = _index_stats(spark, path).select("n_docs")
     dfs = hits.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) \
         + F.lit(1.0)

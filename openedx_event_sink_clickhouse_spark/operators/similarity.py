@@ -98,20 +98,30 @@ def mmr_diversify(emb: DataFrame, probe_id, k: int = 10, pool: int = 20,
         sim[(r.ia, r.ib)] = sim[(r.ib, r.ia)] = r.s
     selected: list[tuple] = []
     chosen: list = []
+    # Candidates scan in ASCENDING id order with a strict > compare, so
+    # the smallest id wins ties — uniformly, for int AND string ids
+    # (matching the oracle's ascending-id tie-break; a keyed compare on
+    # -d only worked for ints and inverted for strings).
+    order = sorted(pool_ids)
     while len(selected) < min(k, len(pool_ids)):
-        best = None
-        for d in pool_ids:
+        best_d, best_sc = None, None
+        for d in order:
             if d in chosen:
                 continue
             div = max((sim[(d, s)] for s in chosen), default=0.0)
             sc = lam * rel[d] - mu * div
-            key = (sc, -d if isinstance(d, int) else d)
-            if best is None or key > best[0]:
-                best = (key, d, sc)
-        selected.append((best[1], len(selected) + 1, best[2]))
-        chosen.append(best[1])
-    return spark.createDataFrame(
-        selected, f"{id_col} long, mmr_rank int, mmr_score double")
+            if best_sc is None or sc > best_sc:
+                best_d, best_sc = d, sc
+        selected.append((best_d, len(selected) + 1, best_sc))
+        chosen.append(best_d)
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+    # The id field keeps the INPUT column's type — string ids used to
+    # fail at createDataFrame against a hardcoded `long`.
+    schema = StructType([StructField(id_col, emb.schema[id_col].dataType),
+                         StructField("mmr_rank", IntegerType()),
+                         StructField("mmr_score", DoubleType())])
+    return spark.createDataFrame(selected, schema)
 
 
 def knn_graph(emb: DataFrame, k: int = 5, num_planes: int = 6,

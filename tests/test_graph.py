@@ -170,6 +170,19 @@ def _brute_bfs(edges, seeds, max_hops):
     return dist
 
 
+def test_pagerank_empty_seed_set_raises_clearly(spark):
+    # An empty teleport frame (or an empty node frame for classic
+    # PageRank) must fail with a clear ValueError, not an opaque
+    # ZeroDivisionError from 1/s.
+    import pytest
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    v = spark.createDataFrame([(1,), (2,)], "id long")
+    with pytest.raises(ValueError, match="teleport/seed set is empty"):
+        pagerank(e, v, teleport=v.filter("id < 0"))
+    with pytest.raises(ValueError, match="teleport/seed set is empty"):
+        pagerank(e, v.filter("id < 0"))
+
+
 def test_seed_distance_chain_and_bound(spark):
     # 0→1→…→9: hops equal position; max_hops=6 cuts the tail off.
     edges = [(i, i + 1) for i in range(9)]

@@ -164,10 +164,15 @@ def test_perceptual_hash_engines_bit_identical(spark):
     rows = [(i, bytes(rng.randrange(256)
                       for _ in range(rng.choice([3, 40, 57, 58, 500, 2000]))))
             for i in range(64)]
+    # A NULL payload must not crash the Arrow kernel (np.frombuffer(None)
+    # raises) and must hash identically across engines — corpora with
+    # content-less rows are explicitly modeled (payload_exact_dedup
+    # filters them; perceptual_hash must survive them).
+    rows.append((64, None))
     media = spark.createDataFrame(rows, "media_id long, content binary")
     jvm = perceptual_hash(media, engine="jvm")
     arrow = perceptual_hash(media, engine="arrow")
     diff = (jvm.alias("j").join(arrow.alias("a"), "media_id")
-            .filter(F.expr("j.phash <> a.phash")).count())
+            .filter(F.expr("j.phash IS DISTINCT FROM a.phash")).count())
     assert diff == 0
-    assert perceptual_hash(media).count() == 64   # auto resolves
+    assert perceptual_hash(media).count() == 65   # auto resolves

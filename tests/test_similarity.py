@@ -539,6 +539,34 @@ def test_mmr_diversify_trades_relevance_for_diversity(spark):
     assert {i for _, i in picks if i >= 100} == {100, 101, 102}
 
 
+def test_mmr_diversify_string_ids_and_ascending_tie_break(spark):
+    # String id columns must survive createDataFrame (the result schema
+    # derives the id type from the input, not a hardcoded long), and
+    # exact score ties must break toward the ASCENDING id for strings
+    # exactly as for ints — two byte-identical vectors tie on relevance
+    # at step 1, so the lexicographically smaller id must win rank 1.
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        mmr_diversify)
+    rows = [("probe", [1.0, 0.0, 0.0]),
+            ("b_dup", [0.8, 0.6, 0.0]),
+            ("a_dup", [0.8, 0.6, 0.0]),
+            ("z_other", [0.0, 0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = mmr_diversify(emb, probe_id="probe", k=3, pool=3,
+                        lam=0.5, mu=0.5)
+    picks = [r.vec_id for r in got.orderBy("mmr_rank").collect()]
+    assert picks[0] == "a_dup"          # tie broken to the smaller id
+    assert got.schema["vec_id"].dataType.typeName() == "string"
+    # Same geometry on int ids picks the same positions — the tie-break
+    # rule is uniform across id types.
+    rows_i = [(0, [1.0, 0.0, 0.0]), (2, [0.8, 0.6, 0.0]),
+              (1, [0.8, 0.6, 0.0]), (9, [0.0, 0.0, 1.0])]
+    emb_i = spark.createDataFrame(rows_i,
+                                  "vec_id long, embedding array<double>")
+    got_i = mmr_diversify(emb_i, probe_id=0, k=3, pool=3, lam=0.5, mu=0.5)
+    assert [r.vec_id for r in got_i.orderBy("mmr_rank").collect()][0] == 1
+
+
 def test_knn_graph_ranks_true_neighbors(spark):
     # Planted geometry: two tight clusters; every node's rank-1
     # neighbor must come from its own cluster, and ranks are dense
