@@ -228,6 +228,44 @@ def sample_corpus(docs: DataFrame, rate: float,
     return docs.filter(_hash_uniform(F.col(id_col)) < threshold)
 
 
+def weighted_sample(docs: DataFrame, k: int,
+                    weight_col: str = "n_chars",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Fixed-size probability-proportional-to-size sample: Ohlsson's
+    SEQUENTIAL POISSON sampling — rank every row by ``u(id) / w`` with
+    ``u`` a deterministic md5-uniform in (0, 1] and take the ``k``
+    smallest keys. Inclusion probability is ≈ k·w/Σw (exactly the PPS
+    target as n grows), so e.g. weighting by ``n_chars`` draws a
+    token-budget-faithful corpus sample instead of a per-doc one — the
+    standard way to subsample training data when the unit that matters
+    is tokens, not documents.
+
+    Chosen over Efraimidis–Spirakis (u^(1/w) keys) deliberately: the
+    ES key needs ln/pow, whose last-ulp behavior is libm-dependent, so
+    a near-tie at the k-th key could select DIFFERENT rows on different
+    engines. The sequential-Poisson key is ONE IEEE division of exactly
+    representable operands — bit-identical on Spark, DuckDB, and any
+    replica, which is what makes the sample itself hash-checkable.
+
+    Plan shape: a narrow map computes the key, ``TakeOrderedAndProject``
+    cuts k with per-partition top-k before the single tiny shuffle —
+    the same 0-full-shuffle footprint as brute-force cosine top-k.
+    Rows with NULL or non-positive weight are excluded (their PPS
+    inclusion probability is 0/undefined)."""
+    # (h+1)/2^32 ∈ (0, 1]: never 0, so key 0 cannot tie across rows.
+    u = ((F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                 16, 10).cast("double") + F.lit(1.0))
+         / F.lit(float(1 << 32)))
+    key = u / F.col(weight_col).cast("double")
+    ranked = (docs.filter(F.col(weight_col).isNotNull()
+                          & (F.col(weight_col) > 0))
+              .withColumn("_spkey", key)
+              .orderBy("_spkey", id_col).limit(k))
+    w = Window.orderBy("_spkey", id_col)
+    return (ranked.withColumn("sample_rank", F.row_number().over(w))
+            .drop("_spkey"))
+
+
 def pack_sequences(docs: DataFrame, token_budget: int = 512,
                    shard_col: str = "lang", text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:

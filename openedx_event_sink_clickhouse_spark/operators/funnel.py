@@ -128,3 +128,49 @@ def top_paths(events: DataFrame, n: int = 3, k: int = 20,
     names = [f"step{i + 1}" for i in range(n)]
     return (seq.groupBy(*names).agg(F.count("*").alias("n_paths"))
             .orderBy(F.desc("n_paths"), *names).limit(k))
+
+
+def last_touch_attribution(events: DataFrame,
+                           conversion_type: str = "purchase",
+                           touch_types: tuple[str, ...] = ("click", "view"),
+                           user_col: str = "user_id", ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           id_col: str = "event_id",
+                           value_col: str = "value") -> DataFrame:
+    """Last-touch revenue attribution: each conversion event is credited
+    to the user's most recent PRECEDING touch event (strictly earlier in
+    the (ts, id) total order), the marketing-analytics primitive that
+    sits beside funnel() — "which touchpoint gets the sale", not "how
+    far do users get". Returns one row per conversion:
+    (event_id, user_id, conv_ts, conv_value, touch_type, touch_ts);
+    touch columns are NULL for organic conversions (no prior touch).
+
+    Plan shape: ONE per-user window over the (ts, id)-ordered stream
+    carries the running last-touch type and timestamp via
+    ``last(..., ignorenulls=True)`` over UNBOUNDED PRECEDING→CURRENT
+    (the conditional columns are NULL on non-touch rows, so the running
+    ``last`` is exactly "latest touch so far"); conversions then filter
+    out map-side. One hash exchange on user + one sort — the same
+    single-shuffle footprint as sessionize, no self-join and no as-of
+    join against a second table. Strictly-preceding semantics come from
+    ordering ties (same ts) by id and excluding the current row only
+    when it is itself a touch — a conversion row never carries the
+    touch columns, so CURRENT ROW is safe to include in the frame.
+    """
+    w = (Window.partitionBy(user_col).orderBy(ts_col, id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    is_touch = F.col(type_col).isin(*touch_types)
+    touch_ty = F.last(F.when(is_touch, F.col(type_col)),
+                      ignorenulls=True).over(w)
+    touch_ts = F.last(F.when(is_touch, F.col(ts_col)),
+                      ignorenulls=True).over(w)
+    return (events
+            .select(F.col(id_col), F.col(user_col), F.col(ts_col),
+                    F.col(type_col), F.col(value_col),
+                    touch_ty.alias("touch_type"),
+                    touch_ts.alias("touch_ts"))
+            .filter(F.col(type_col) == conversion_type)
+            .select(id_col, user_col,
+                    F.col(ts_col).alias("conv_ts"),
+                    F.col(value_col).alias("conv_value"),
+                    "touch_type", "touch_ts"))

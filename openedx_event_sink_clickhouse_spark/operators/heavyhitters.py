@@ -1,0 +1,89 @@
+"""Exact heavy hitters by two-pass candidate pruning.
+
+The classic scale problem: find every key whose frequency exceeds n/k in
+one pass over 100 TB without shuffling the full per-key count table. A
+plain ``groupBy(key).count()`` is correct but shuffles one partial count
+per (mapper, distinct key) — for a high-cardinality key (URLs, user ids,
+n-grams) that shuffle IS the job. The streaming literature's answer
+(Misra–Gries '82 / "frequent" sketches, space-saving) bounds candidate
+state at k per stream, at the cost of approximate counts.
+
+This operator composes the two into an EXACT distributed algorithm:
+
+1. **Candidate pass** (narrow, Arrow-batched): within each Arrow batch,
+   count locally and emit only keys whose batch frequency exceeds
+   ``batch_len/k``. Pigeonhole guarantee: if a key's GLOBAL frequency
+   exceeds n/k, some batch must hold it above its local threshold
+   (otherwise summing the per-batch bounds caps the global count at
+   n/k) — so the candidate union is a SUPERSET of the true heavy
+   hitters. At most k-1 keys qualify per batch, so candidate volume is
+   O(k · batches) regardless of key cardinality or skew.
+2. **Recount pass**: broadcast the deduplicated candidates back as a
+   semi-join filter and count EXACTLY, then keep ``count > n/k``.
+
+The output is therefore exact and deterministic — identical for every
+partitioning of the input, which is what lets a DuckDB twin
+(``GROUP BY … HAVING count(*) > n/k``) hash-check it — while the only
+shuffle carries candidate keys. Reference point for the semantics:
+ClickHouse's ``topK``/``approx_top_k`` family answers the same question
+approximately; this trades a second (filtered, cheap) scan for
+exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import ensure_min_parallelism
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int = 100,
+                  total: int | None = None) -> DataFrame:
+    """All keys with frequency strictly greater than n/k, with exact
+    counts and 6-dp frequency shares. Returns
+    (``key_col``, exact_count, freq_share).
+
+    ``total`` short-circuits the row-count job when the caller already
+    knows n (e.g. from table stats); otherwise one metadata-cheap
+    ``count()`` runs first — the threshold must be GLOBAL n/k, not a
+    per-batch quantity, for the output to be partitioning-independent.
+
+    NULL keys are excluded up front (a NULL never joins back in the
+    recount, and "most frequent key is missing" is a data-quality
+    question — see quality_audit — not a ranking one).
+    """
+    import pandas as pd
+
+    data = df.select(key_col).filter(F.col(key_col).isNotNull())
+    n = total if total is not None else data.count()
+    if n == 0:
+        return (data.groupBy(key_col)
+                .agg(F.count("*").alias("exact_count"))
+                .select(key_col, "exact_count",
+                        F.lit(0.0).alias("freq_share")))
+    thr = n / float(k)
+
+    out_schema = data.schema
+
+    def candidates(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            counts = pdf[key_col].value_counts()
+            local = counts[counts > len(pdf) / float(k)]
+            if len(local):
+                yield pd.DataFrame({key_col: local.index})
+
+    cand = (ensure_min_parallelism(data)
+            .mapInPandas(candidates, out_schema)
+            .distinct())
+    # Candidates are ≤ k-1 per Arrow batch by construction — small
+    # enough to broadcast even on a 1000-executor scan of the raw data.
+    exact = (data.join(F.broadcast(cand), key_col)
+             .groupBy(key_col)
+             .agg(F.count("*").alias("exact_count")))
+    return (exact.filter(F.col("exact_count") > F.lit(thr))
+            .select(key_col, "exact_count",
+                    F.round(F.col("exact_count") / F.lit(float(n)), 6)
+                    .alias("freq_share")))

@@ -1,0 +1,118 @@
+"""Data-quality audits: referential integrity and cross-table
+reconciliation.
+
+The reference engine's quality story is ingest-side (error-tolerant
+inserts, `base_sink.py`'s tolerance params — see sources/tolerant.py for
+that parity); once data is AT REST the questions become set-oriented:
+which foreign keys dangle, which book totals disagree with their detail
+rows, which keys violate uniqueness. At 100 TB these are anti-joins and
+one-pass aggregates — exactly what a warehouse does well — so the
+operators here are thin declarative compositions whose value is the
+REPORT SHAPE (stable, hash-checkable, dashboard-ready) and the plan
+shape (dims broadcast, facts scanned once per audited edge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def referential_audit(edges: list[tuple[str, DataFrame, str, DataFrame, str]]
+                      ) -> DataFrame:
+    """Orphan-count report over a list of foreign-key edges. Each edge is
+    ``(edge_name, child_df, child_key, parent_df, parent_key)``; the
+    result has one row per edge: (edge, n_orphans, n_child_rows,
+    orphan_share). An orphan is a child row whose key has no parent —
+    NULL child keys count as orphans too (a dangling reference and a
+    missing one are both integrity violations; they are not split out
+    because a NULL can never join).
+
+    Plan: per edge one LEFT ANTI join (Spark broadcasts the parent side
+    when it is dim-sized, which every parent in a star schema is) plus
+    one count; the per-edge one-row results union into the report.
+    Facts are never shuffled — anti-join against a broadcast build side
+    is map-side — so the audit costs one scan per audited fact table.
+    """
+    parts = []
+    for name, child, child_key, parent, parent_key in edges:
+        keys = child.select(F.col(child_key).alias("_k"))
+        orphans = keys.join(
+            parent.select(F.col(parent_key).alias("_k")).distinct(),
+            "_k", "left_anti")
+        parts.append(
+            orphans.agg(F.count("*").alias("n_orphans"))
+            .crossJoin(keys.agg(F.count("*").alias("n_child_rows")))
+            .select(F.lit(name).alias("edge"), "n_orphans", "n_child_rows",
+                    F.round(F.col("n_orphans").cast("double")
+                            / F.col("n_child_rows"), 6)
+                    .alias("orphan_share")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def reconcile_order_totals(orders: DataFrame, lineitem: DataFrame,
+                           tolerance: float = 0.01,
+                           top_n: int | None = None) -> DataFrame:
+    """Book-vs-detail reconciliation: recompute each order's total from
+    its line items (TPC-H invariant: Σ extendedprice·(1-discount)·(1+tax))
+    and compare against the stored ``o_totalprice``. Returns one row per
+    order that FAILS reconciliation:
+    (o_orderkey, o_totalprice, recomputed_total, abs_diff, status) where
+    status is ``'no_lineitems'`` (book total with no detail rows) or
+    ``'mismatch'`` (difference above ``tolerance``). When ``top_n`` cuts
+    the report, detail-less orders sort first (the severest violation —
+    the book asserts revenue with zero supporting rows), then largest
+    differences, then order key, so the cut is a total order.
+
+    Plan: the lineitem scan reduces to one row per order BEFORE the
+    join (map-side partial sum — the shuffle carries per-order partials,
+    never line items), then a single hash join against orders. At 100 TB
+    both sides arrive bucketed by order key in a real layout and the
+    join is co-located; here AQE picks the strategy. The recomputed sum
+    is rounded to 2 decimals (money) so the report — and its hash — is
+    engine-stable; the mismatch PREDICATE compares the rounded value,
+    consistently in both engines.
+    """
+    detail = (lineitem.groupBy("l_orderkey")
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 * (F.lit(1.0) - F.col("l_discount"))
+                                 * (F.lit(1.0) + F.col("l_tax"))), 2)
+                   .alias("recomputed_total")))
+    joined = (orders.select("o_orderkey", "o_totalprice")
+              .join(detail, orders["o_orderkey"] == detail["l_orderkey"],
+                    "left")
+              .drop("l_orderkey"))
+    bad = joined.filter(
+        F.col("recomputed_total").isNull()
+        | (F.abs(F.col("recomputed_total") - F.col("o_totalprice"))
+           > F.lit(tolerance)))
+    report = bad.select(
+        "o_orderkey", "o_totalprice",
+        "recomputed_total",
+        F.when(F.col("recomputed_total").isNull(), F.lit(None))
+         .otherwise(F.round(F.abs(F.col("recomputed_total")
+                                  - F.col("o_totalprice")), 2))
+         .alias("abs_diff"),
+        F.when(F.col("recomputed_total").isNull(), F.lit("no_lineitems"))
+         .otherwise(F.lit("mismatch")).alias("status"))
+    if top_n is not None:
+        report = report.orderBy(F.desc_nulls_first("abs_diff"),
+                                "o_orderkey").limit(top_n)
+    return report
+
+
+def uniqueness_audit(df: DataFrame, key_cols: list[str],
+                     table_name: str) -> DataFrame:
+    """Primary-key uniqueness check: one row per duplicated key value:
+    (table, key, n_rows). The key renders as a string so reports over
+    different tables union into one feed. One map-side-partial groupBy;
+    only keys with n_rows > 1 survive, so the output is empty on clean
+    data — which is itself a meaningful, hash-checkable report."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    return (df.groupBy(key.alias("key"))
+            .agg(F.count("*").alias("n_rows"))
+            .filter(F.col("n_rows") > 1)
+            .select(F.lit(table_name).alias("table"), "key", "n_rows"))

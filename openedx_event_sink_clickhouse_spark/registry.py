@@ -5171,6 +5171,178 @@ def _cur13(spark, sf_dir):
     return shuffle_shards(_t(spark, sf_dir, "documents"), n_shards=16)
 
 
+# --- Weighted sampling, heavy hitters, attribution, data-quality audits ---
+
+@register("cur_weighted_sample", """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1.0)
+      / 4294967296.0 / CAST(n_chars AS DOUBLE) AS k
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, lang, n_chars,
+       CAST(row_number() OVER (ORDER BY k, doc_id) AS INT) AS sample_rank
+FROM keyed ORDER BY k, doc_id LIMIT 100
+""")
+def _cur_wsample(spark, sf_dir):
+    # Sequential-Poisson PPS sample, weighted by n_chars: a
+    # token-budget-faithful 100-doc draw. The ranking key is one IEEE
+    # division of md5-uniforms — deliberately no ln/pow, so selection is
+    # bit-identical across engines (see weighted_sample docstring).
+    from .operators.curation import weighted_sample
+    return weighted_sample(_t(spark, sf_dir, "documents"), k=100,
+                           weight_col="n_chars") \
+        .select("doc_id", "lang", "n_chars", "sample_rank")
+
+
+@register("agg_heavy_hitters", """
+WITH t AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+n AS (SELECT count(*) AS n, count(DISTINCT user_id) AS k FROM t)
+SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count,
+       round(count(*) / CAST((SELECT n FROM n) AS DOUBLE), 6) AS freq_share
+FROM t GROUP BY user_id
+HAVING count(*) > (SELECT n FROM n) / CAST((SELECT k FROM n) AS DOUBLE)
+""")
+def _agg_hh(spark, sf_dir):
+    # Exact heavy hitters by two-pass candidate pruning (per-Arrow-batch
+    # pigeonhole candidates -> broadcast semi-join recount): here k =
+    # distinct-user count, so the report is "users with above-average
+    # event volume" — discriminating at every sf on the uniform-ish
+    # synthetic stream. The result is partitioning-independent (exact),
+    # which is what makes it hash-checkable; the scale win over a plain
+    # groupBy is that the shuffle carries only candidates.
+    from .operators.heavyhitters import heavy_hitters
+    ev = _t(spark, sf_dir, "events")
+    k = (ev.filter(F.col("user_id").isNotNull())
+         .select("user_id").distinct().count())
+    return heavy_hitters(ev, "user_id", k=k)
+
+
+@register("evt_attribution", """
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type, value,
+    last_value(CASE WHEN event_type IN ('click','view')
+                    THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS touch_type,
+    last_value(CASE WHEN event_type IN ('click','view')
+                    THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS touch_ts
+  FROM events)
+SELECT event_id, user_id, ts AS conv_ts, value AS conv_value,
+       touch_type, touch_ts
+FROM w WHERE event_type = 'purchase'
+""")
+def _evt_attr(spark, sf_dir):
+    # Last-touch revenue attribution: one per-user running-last window
+    # carries the latest click/view into each purchase row; organic
+    # conversions keep NULL touch columns. Single exchange+sort on user.
+    from .operators.funnel import last_touch_attribution
+    return last_touch_attribution(_t(spark, sf_dir, "events"))
+
+
+@register("dq_referential_audit", """
+WITH e AS (
+  SELECT 'lineitem.l_orderkey->orders' AS edge,
+         count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphans,
+         count(*) AS n_child_rows
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         count(*) FILTER (WHERE p.p_partkey IS NULL), count(*)
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+    ON l.l_partkey = p.p_partkey
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         count(*) FILTER (WHERE s.s_suppkey IS NULL), count(*)
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+    ON l.l_suppkey = s.s_suppkey
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         count(*) FILTER (WHERE c.c_custkey IS NULL), count(*)
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'events.user_id->customer',
+         count(*) FILTER (WHERE c.c_custkey IS NULL), count(*)
+  FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON e.user_id = c.c_custkey
+)
+SELECT edge, CAST(n_orphans AS BIGINT) AS n_orphans,
+       CAST(n_child_rows AS BIGINT) AS n_child_rows,
+       round(n_orphans / CAST(n_child_rows AS DOUBLE), 6) AS orphan_share
+FROM e
+""")
+def _dq_ref(spark, sf_dir):
+    # Five-edge referential-integrity report over the star schema: one
+    # broadcast anti-join + count per FK edge, unioned into one feed.
+    from .operators.quality_audit import referential_audit
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return referential_audit([
+        ("lineitem.l_orderkey->orders", li, "l_orderkey",
+         orders, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey",
+         _t(spark, sf_dir, "part"), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey",
+         _t(spark, sf_dir, "supplier"), "s_suppkey"),
+        ("orders.o_custkey->customer", orders, "o_custkey",
+         _t(spark, sf_dir, "customer"), "c_custkey"),
+        ("events.user_id->customer", _t(spark, sf_dir, "events"),
+         "user_id", _t(spark, sf_dir, "customer"), "c_custkey"),
+    ])
+
+
+@register("dq_reconcile_orders", """
+WITH d AS (
+  SELECT l_orderkey,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           AS recomputed_total
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT o.o_orderkey, o.o_totalprice, d.recomputed_total
+  FROM orders o LEFT JOIN d ON o.o_orderkey = d.l_orderkey
+)
+SELECT o_orderkey, o_totalprice, recomputed_total,
+       CASE WHEN recomputed_total IS NULL THEN NULL
+            ELSE round(abs(recomputed_total - o_totalprice), 2) END
+         AS abs_diff,
+       CASE WHEN recomputed_total IS NULL THEN 'no_lineitems'
+            ELSE 'mismatch' END AS status
+FROM j
+WHERE recomputed_total IS NULL
+   OR abs(recomputed_total - o_totalprice) > 0.01
+ORDER BY abs_diff DESC NULLS FIRST, o_orderkey LIMIT 500
+""")
+def _dq_recon(spark, sf_dir):
+    # Book-vs-detail reconciliation: recompute order totals from line
+    # items (map-side partial sum, one join) and report the 500 worst
+    # discrepancies, detail-less orders first — the synthetic book
+    # totals are deliberately unreconciled, so the report is dense.
+    from .operators.quality_audit import reconcile_order_totals
+    return reconcile_order_totals(_t(spark, sf_dir, "orders"),
+                                  _t(spark, sf_dir, "lineitem"),
+                                  top_n=500)
+
+
+@register("dq_duplicate_lineitem_keys", """
+SELECT 'lineitem' AS "table",
+       l_orderkey || '|' || l_linenumber AS key,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+""")
+def _dq_uniq(spark, sf_dir):
+    # Primary-key uniqueness audit on (l_orderkey, l_linenumber) — the
+    # synthetic lineitem violates it heavily, so the report is a real
+    # duplicate inventory, not an empty assertion. One map-side-partial
+    # groupBy; only violating keys survive the HAVING.
+    from .operators.quality_audit import uniqueness_audit
+    return uniqueness_audit(_t(spark, sf_dir, "lineitem"),
+                            ["l_orderkey", "l_linenumber"], "lineitem")
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 6: first the

@@ -485,3 +485,26 @@ def test_mix_interleave_prefix_ratios(spark):
         mix_interleave(docs, {})
     only_ab = mix_interleave(docs, {"a": 0.5, "b": 0.5})
     assert only_ab.filter("stratum = 'c'").count() == 0
+
+
+def test_weighted_sample_is_pps_and_deterministic(spark):
+    # Sequential Poisson sampling: heavier rows must be sampled at a
+    # measurably higher rate (here weights 1 vs 10 over 2000 rows), the
+    # draw is identical run-to-run, excludes non-positive weights, and
+    # sample_rank is a dense 1..k permutation of the selection order.
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        weighted_sample)
+    rows = [(i, 10 if i % 2 == 0 else 1) for i in range(2000)]
+    rows += [(9000, 0), (9001, -5), (9002, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    got = weighted_sample(df, k=200, weight_col="n_chars").collect()
+    assert len(got) == 200
+    assert sorted(r.sample_rank for r in got) == list(range(1, 201))
+    ids = {r.doc_id for r in got}
+    assert ids.isdisjoint({9000, 9001, 9002})
+    heavy = sum(1 for i in ids if i % 2 == 0)
+    # E[heavy] ≈ 200·10/11 ≈ 182; uniform would be 100. Wide margin.
+    assert heavy > 150
+    again = {r.doc_id for r in
+             weighted_sample(df, k=200, weight_col="n_chars").collect()}
+    assert again == ids

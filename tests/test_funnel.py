@@ -90,3 +90,51 @@ def test_top_paths_never_crosses_users(spark):
          (3, _ts(1, 3), 2, "c"), (4, _ts(1, 4), 2, "d")],
         "event_id long, ts timestamp, user_id long, event_type string")
     assert top_paths(ev, n=3, k=10).count() == 0
+
+
+def test_last_touch_attribution_picks_latest_preceding_touch(spark):
+    from datetime import datetime as dt
+
+    from openedx_event_sink_clickhouse_spark.operators.funnel import (
+        last_touch_attribution)
+    rows = [
+        # user 1: click -> view -> purchase (credit the view, the later touch)
+        (1, 1, dt(2024, 1, 1, 9), "click", 0.0),
+        (2, 1, dt(2024, 1, 1, 10), "view", 0.0),
+        (3, 1, dt(2024, 1, 1, 11), "purchase", 50.0),
+        # ... then another purchase with NO new touch: still the same view
+        (4, 1, dt(2024, 1, 1, 12), "purchase", 10.0),
+        # user 2: organic purchase (touch came AFTER — must not count)
+        (5, 2, dt(2024, 1, 2, 9), "purchase", 7.0),
+        (6, 2, dt(2024, 1, 2, 10), "click", 0.0),
+        # user 3: same-ts touch with smaller id precedes in total order
+        (7, 3, dt(2024, 1, 3, 9), "click", 0.0),
+        (8, 3, dt(2024, 1, 3, 9), "purchase", 3.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    got = {r.event_id: r for r in last_touch_attribution(ev).collect()}
+    assert set(got) == {3, 4, 5, 8}
+    assert got[3].touch_type == "view"
+    assert got[3].touch_ts == dt(2024, 1, 1, 10)
+    assert got[4].touch_type == "view"            # touch carries forward
+    assert got[5].touch_type is None              # organic: later touch
+    assert got[5].touch_ts is None
+    assert got[8].touch_type == "click"           # same-ts, smaller id wins
+    assert got[3].conv_value == 50.0
+
+
+def test_last_touch_attribution_ignores_other_event_types(spark):
+    from datetime import datetime as dt
+
+    from openedx_event_sink_clickhouse_spark.operators.funnel import (
+        last_touch_attribution)
+    rows = [(1, 1, dt(2024, 1, 1, 9), "click", 0.0),
+            (2, 1, dt(2024, 1, 1, 10), "error", 0.0),
+            (3, 1, dt(2024, 1, 1, 11), "purchase", 5.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    got = last_touch_attribution(ev).collect()
+    assert len(got) == 1 and got[0].touch_type == "click"

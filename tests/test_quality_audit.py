@@ -1,0 +1,85 @@
+"""Data-quality audit operators: referential integrity, reconciliation,
+uniqueness. Semantics pinned against hand-built micro-fixtures (the
+registry queries pin the real-table shapes against the DuckDB oracle)."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openedx_event_sink_clickhouse_spark.operators.quality_audit import (
+    reconcile_order_totals, referential_audit, uniqueness_audit)
+
+
+def test_referential_audit_counts_orphans_and_nulls(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long")
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    got = referential_audit([("child.fk->parent", child, "fk",
+                              parent, "pk")]).collect()
+    assert len(got) == 1
+    r = got[0]
+    # orphan 99 + NULL fk both count as violations
+    assert (r.edge, r.n_orphans, r.n_child_rows) == ("child.fk->parent", 2, 4)
+    assert r.orphan_share == 0.5
+
+
+def test_referential_audit_multiple_edges_union(spark):
+    a = spark.createDataFrame([(1, 1)], "id long, fk long")
+    p = spark.createDataFrame([(1,)], "pk long")
+    q = spark.createDataFrame([(2,)], "pk long")
+    got = {r.edge: r.n_orphans for r in referential_audit(
+        [("a->p", a, "fk", p, "pk"), ("a->q", a, "fk", q, "pk")]).collect()}
+    assert got == {"a->p": 0, "a->q": 1}
+
+
+def test_reconcile_flags_mismatch_and_missing_lines(spark):
+    orders = spark.createDataFrame(
+        [(1, 100.0), (2, 55.0), (3, 10.0)],
+        "o_orderkey long, o_totalprice double")
+    # order 1 reconciles exactly; order 2 is off by 5; order 3 has no lines
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.0, 0.0), (2, 50.0, 0.0, 0.0)],
+        "l_orderkey long, l_extendedprice double, l_discount double, "
+        "l_tax double")
+    got = {r.o_orderkey: r for r in
+           reconcile_order_totals(orders, li).collect()}
+    assert set(got) == {2, 3}
+    assert got[2].status == "mismatch" and got[2].abs_diff == 5.0
+    assert got[3].status == "no_lineitems" and got[3].abs_diff is None
+
+
+def test_reconcile_top_n_orders_missing_lines_first(spark):
+    orders = spark.createDataFrame(
+        [(1, 100.0), (2, 50.0), (3, 10.0), (4, 200.0)],
+        "o_orderkey long, o_totalprice double")
+    li = spark.createDataFrame(
+        [(1, 90.0, 0.0, 0.0), (2, 20.0, 0.0, 0.0)],
+        "l_orderkey long, l_extendedprice double, l_discount double, "
+        "l_tax double")
+    got = [r.o_orderkey for r in
+           reconcile_order_totals(orders, li, top_n=3).collect()]
+    # detail-less orders (3, 4 — keyed ascending) precede the mismatches,
+    # which sort by diff desc: order 2 (30) before order 1 (10)
+    assert got == [3, 4, 2]
+
+
+def test_reconcile_respects_tolerance(spark):
+    orders = spark.createDataFrame([(1, 100.005)],
+                                   "o_orderkey long, o_totalprice double")
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.0, 0.0)],
+        "l_orderkey long, l_extendedprice double, l_discount double, "
+        "l_tax double")
+    assert reconcile_order_totals(orders, li).count() == 0
+    assert reconcile_order_totals(orders, li,
+                                  tolerance=0.001).count() == 1
+
+
+def test_uniqueness_audit_reports_only_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 1, "b"), (1, 2, "c"), (2, 1, "d")],
+        "k1 long, k2 long, payload string")
+    got = uniqueness_audit(df, ["k1", "k2"], "t").collect()
+    assert len(got) == 1
+    assert (got[0].table, got[0].key, got[0].n_rows) == ("t", "1|1", 2)
+    clean = df.filter(F.col("payload") != "b")
+    assert uniqueness_audit(clean, ["k1", "k2"], "t").count() == 0
