@@ -1370,3 +1370,60 @@ def ivf_recall(emb: DataFrame, n_probes: int = 10, k: int = 10,
             .select("probe_id", "n_hits",
                     F.round(F.col("n_hits").cast("double") / k, 6)
                     .alias("recall_at_k")))
+
+
+def _jl_matrix(in_dim: int, out_dim: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic Johnson–Lindenstrauss projection matrix: entry
+    (j, i) is an Irwin–Hall(12) approximate standard normal — the sum
+    of 12 md5-derived uniforms minus 6 (mean 0, variance exactly 1) —
+    scaled by 1/sqrt(out_dim) so squared norms are preserved in
+    expectation. Generated driver-side with hashlib (NOT engine hash
+    functions): the matrix is ~out_dim·in_dim doubles, small enough to
+    embed as literals in BOTH the Spark plan and the DuckDB twin, which
+    is what makes the projection hash-checkable without either engine
+    having to reproduce the RNG. Irwin–Hall instead of Box–Muller is
+    deliberate: no ln/cos whose libm rounding could differ if an engine
+    ever DID regenerate it — additions and one division only."""
+    import hashlib
+    import math
+
+    scale = 1.0 / math.sqrt(out_dim)
+    R = []
+    for j in range(out_dim):
+        row = []
+        for i in range(in_dim):
+            s = 0.0
+            for t in range(12):
+                key = f"rp|{seed}|{i}|{j}|{t}".encode()
+                s += int(hashlib.md5(key).hexdigest()[:8], 16) / 4294967296.0
+            row.append((s - 6.0) * scale)
+        R.append(row)
+    return R
+
+
+def random_projection(emb: DataFrame, out_dim: int = 16, seed: int = 0,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int | None = None) -> DataFrame:
+    """JL random projection of the embedding column to ``out_dim``
+    dimensions: proj[j] = <v, R[j]>, rounded to 6 decimals. Returns
+    (``id_col``, proj array<double>). By the JL lemma pairwise distances
+    survive within (1±ε) for out_dim = O(log n / ε²), so the projected
+    table is the cheap at-rest form for coarse filtering: a 64→16
+    projection cuts vector bytes 4× and every downstream SRP/top-k pass
+    scales with the smaller dimension.
+
+    Plan: a pure narrow map — the matrix rides in the plan as literals
+    (the same broadcast-a-tiny-model shape as the IVF centroids, minus
+    the collect), each component one sequential JVM fold — so the
+    projection pipelines with the scan and shuffles nothing at any
+    corpus size. ``dim`` skips the one-row probe when the caller knows
+    the input width."""
+    from ..functions.vectors import as_double, dot
+
+    if dim is None:
+        dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    R = _jl_matrix(dim, out_dim, seed)
+    v = as_double(F.col(vec_col))
+    comps = [F.round(dot(v, F.array(*[F.lit(x) for x in row])), 6)
+             for row in R]
+    return emb.select(F.col(id_col), F.array(*comps).alias("proj"))

@@ -5343,6 +5343,53 @@ def _dq_uniq(spark, sf_dir):
                             ["l_orderkey", "l_linenumber"], "lineitem")
 
 
+@register("evt_rolling_actives", """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+), contrib AS (
+  SELECT DISTINCT du.user_id, du.day + CAST(t.i AS INT) AS day
+  FROM du CROSS JOIN range(0, 7) t(i)
+), wau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS wau FROM contrib GROUP BY day
+)
+SELECT d.day, d.dau, w.wau,
+       round(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM dau d JOIN wau w USING (day)
+""")
+def _evt_actives(spark, sf_dir):
+    # DAU / trailing-7-day WAU / stickiness. Rolling COUNT DISTINCT is
+    # not a window function, so the operator reduces the stream to the
+    # distinct (user, day) grid first and fans each grid row out to the
+    # 7 windows it covers — event-scale data is shuffled exactly once.
+    from .operators.timeseries import rolling_actives
+    return rolling_actives(_t(spark, sf_dir, "events"), window_days=7)
+
+
+def _jl_sql() -> str:
+    # The SAME literal matrix the Spark plan embeds (single source of
+    # truth: _jl_matrix, hashlib-derived — no engine RNG to mismatch).
+    # list_dot_product mirrors the JVM fold's summation order (the
+    # established cosine-oracle pattern, hash-green since r2).
+    from .operators.similarity import _jl_matrix
+    comps = ", ".join(
+        "round(list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(x) for x in row) + "]), 6)"
+        for row in _jl_matrix(64, 16))
+    return f"SELECT vec_id, [{comps}] AS proj FROM embeddings"
+
+
+@register("sim_random_projection", _jl_sql())
+def _sim_rp(spark, sf_dir):
+    # Johnson-Lindenstrauss 64->16 projection: narrow map, matrix as
+    # plan literals, one sequential JVM fold per output component —
+    # the cheap at-rest form for coarse similarity filtering.
+    from .operators.similarity import random_projection
+    return random_projection(_t(spark, sf_dir, "embeddings"), out_dim=16,
+                             dim=64)
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 6: first the

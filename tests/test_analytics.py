@@ -194,3 +194,72 @@ def test_profile_table_one_pass_and_correct(spark):
     plan = profile_table(df, ["k", "v"], ["s"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1, plan
+
+
+def test_rolling_actives_dau_wau_stickiness(spark):
+    from datetime import datetime as dt
+
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        rolling_actives)
+    rows = [
+        # day 1: users 1,2 (user 1 twice — distinct grid collapses it)
+        (1, dt(2024, 1, 1, 9)), (1, dt(2024, 1, 1, 10)), (2, dt(2024, 1, 1)),
+        # day 2: user 1 only
+        (1, dt(2024, 1, 2)),
+        # day 9: user 3 (day 1 cohort aged out of the 7-day window)
+        (3, dt(2024, 1, 9)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {str(r.day): (r.dau, r.wau, r.stickiness)
+           for r in rolling_actives(ev, window_days=7).collect()}
+    # only days WITH events appear; windows are trailing-inclusive
+    assert set(got) == {"2024-01-01", "2024-01-02", "2024-01-09"}
+    assert got["2024-01-01"] == (2, 2, 1.0)
+    assert got["2024-01-02"] == (1, 2, 0.5)          # {1} today, {1,2} in 7d
+    assert got["2024-01-09"] == (1, 1, 1.0)          # days 1-2 aged out
+    # a 2-day window still sees day-1 users on day 2
+    got2 = {str(r.day): r.wau
+            for r in rolling_actives(ev, window_days=2).collect()}
+    assert got2["2024-01-02"] == 2 and got2["2024-01-09"] == 1
+
+
+def test_random_projection_preserves_distances_and_is_linear(spark):
+    import math
+    import random
+
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        _jl_matrix, random_projection)
+    rng = random.Random(3)
+    dim, n = 32, 40
+    vecs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: list(r.proj)
+           for r in random_projection(emb, out_dim=24, dim=dim).collect()}
+    assert all(len(p) == 24 for p in got.values())
+    # matches the literal matrix applied in pure Python (mod rounding)
+    R = _jl_matrix(dim, 24)
+    for i in (0, 7, 39):
+        want = [sum(x * r for x, r in zip(vecs[i], row)) for row in R]
+        assert all(abs(a - b) < 1e-5 for a, b in zip(got[i], want))
+    # JL property: pairwise squared distances preserved within a loose
+    # factor (out_dim=24 is small; just pin the right order of magnitude)
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+    ratios = []
+    for _ in range(30):
+        i, j = rng.sample(range(n), 2)
+        ratios.append(d2(got[i], got[j]) / d2(vecs[i], vecs[j]))
+    mean = sum(ratios) / len(ratios)
+    assert 0.6 < mean < 1.4, mean
+    # determinism: same seed -> identical; different seed -> different
+    again = {r.vec_id: list(r.proj)
+             for r in random_projection(emb, out_dim=24, dim=dim).collect()}
+    assert again == got
+    other = random_projection(emb, out_dim=24, dim=dim, seed=1).collect()
+    assert list(other[0].proj) != got[other[0].vec_id]
+    # dim inference (no dim arg) agrees
+    inferred = {r.vec_id: list(r.proj)
+                for r in random_projection(emb, out_dim=24).collect()}
+    assert inferred == got
