@@ -129,6 +129,15 @@ HEADLINE = [
     "evt_top_paths",               # user-journey trigram paths, top-20
     "text_keywords",               # per-doc top tf-idf keywords
     "text_keywords_at_rest",       # keywords served from the postings index
+    # Round-7 tail.
+    "cur_weighted_sample",         # sequential-Poisson PPS sample
+    "agg_heavy_hitters",           # two-pass candidate-pruned exact HH
+    "evt_attribution",             # last-touch attribution window
+    "evt_rolling_actives",         # DAU / rolling-7d WAU / stickiness
+    "dq_referential_audit",        # five-FK-edge orphan report
+    "dq_reconcile_orders",         # book-vs-detail total reconciliation
+    "dq_duplicate_lineitem_keys",  # PK uniqueness violation inventory
+    "sim_random_projection",       # JL 64->16 projection (narrow map)
 ]
 
 

@@ -28,25 +28,42 @@ def referential_audit(edges: list[tuple[str, DataFrame, str, DataFrame, str]]
     missing one are both integrity violations; they are not split out
     because a NULL can never join).
 
-    Plan: per edge one LEFT ANTI join (Spark broadcasts the parent side
-    when it is dim-sized, which every parent in a star schema is) plus
-    one count; the per-edge one-row results union into the report.
-    Facts are never shuffled — anti-join against a broadcast build side
-    is map-side — so the audit costs one scan per audited fact table.
+    Plan: edges sharing a child DataFrame fuse into ONE pass over that
+    fact table — every parent's (broadcast, distinct) key set LEFT-joins
+    onto the same scan and a single aggregate counts all of that
+    child's edges at once — so the audit costs exactly one scan per
+    audited fact table, not per edge (a fact like lineitem typically
+    carries several FKs). Broadcast left joins against dim-sized key
+    sets are map-side; the facts never shuffle.
     """
+    by_child: dict[int, list[int]] = {}
+    for i, e in enumerate(edges):
+        by_child.setdefault(id(e[1]), []).append(i)
     parts = []
-    for name, child, child_key, parent, parent_key in edges:
-        keys = child.select(F.col(child_key).alias("_k"))
-        orphans = keys.join(
-            parent.select(F.col(parent_key).alias("_k")).distinct(),
-            "_k", "left_anti")
-        parts.append(
-            orphans.agg(F.count("*").alias("n_orphans"))
-            .crossJoin(keys.agg(F.count("*").alias("n_child_rows")))
-            .select(F.lit(name).alias("edge"), "n_orphans", "n_child_rows",
-                    F.round(F.col("n_orphans").cast("double")
-                            / F.col("n_child_rows"), 6)
-                    .alias("orphan_share")))
+    for idxs in by_child.values():
+        child = edges[idxs[0]][1]
+        cur = child.select(
+            *[F.col(edges[i][2]).alias(f"_k{i}") for i in idxs])
+        for i in idxs:
+            parent, parent_key = edges[i][3], edges[i][4]
+            pk = parent.select(F.col(parent_key).alias(f"_p{i}")).distinct()
+            cur = cur.join(F.broadcast(pk),
+                           cur[f"_k{i}"] == pk[f"_p{i}"], "left")
+        aggs = [F.count("*").alias("_n")]
+        aggs += [F.count(F.when(F.col(f"_p{i}").isNull(), 1))
+                 .alias(f"_o{i}") for i in idxs]
+        # All of this child's edge rows inline-explode from the ONE
+        # 1-row aggregate — per-edge selects over the same agg frame
+        # would re-run the scan once per union branch (Spark does not
+        # CSE across union arms).
+        parts.append(cur.agg(*aggs).select(F.inline(F.array(*[
+            F.struct(
+                F.lit(edges[i][0]).alias("edge"),
+                F.col(f"_o{i}").alias("n_orphans"),
+                F.col("_n").alias("n_child_rows"),
+                F.round(F.col(f"_o{i}").cast("double") / F.col("_n"), 6)
+                .alias("orphan_share"))
+            for i in idxs]))))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

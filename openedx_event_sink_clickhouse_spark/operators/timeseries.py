@@ -111,30 +111,38 @@ def rolling_actives(events: DataFrame, window_days: int = 7,
     Rolling COUNT DISTINCT is not a window function (distinctness does
     not merge across frames), so the scalable formulation reduces
     first and fans out second: the raw stream collapses to the DISTINCT
-    (user, day) grid — the only pass over event-scale data — then each
-    grid row contributes to the ``window_days`` target days it covers
-    via an exploded date sequence, deduplicated per (user, target day)
-    and counted. Cost at 100 TB: one event-scale dedup shuffle, then a
-    ``window_days``× blowup of the (users × days) GRID, which is orders
-    of magnitude smaller than the event stream. A self-range-join
-    formulation (day BETWEEN d-6 AND d) would force a nested-loop or
-    per-day rescan; the explode keeps it an equi-join shape.
+    (user, day) grid — the ONLY pass over event-scale data, and the
+    only event-scale shuffle — then each grid row fans out to the
+    ``window_days`` target days it covers via an exploded date
+    sequence. The per-(user, target day) dedup carries an
+    "active-on-the-day-itself" flag as a max-aggregate, so ONE grid
+    rollup yields both counts: dau = Σ flag, wau = row count — no
+    second scan of the events and no dau⋈wau join. Cost at 100 TB:
+    the event-scale dedup shuffle, then a ``window_days``× blowup of
+    the (users × days) GRID, orders of magnitude smaller than the
+    stream. A self-range-join formulation (day BETWEEN d-6 AND d)
+    would force a nested-loop or per-day rescan; the explode keeps it
+    an equi-join-free aggregation shape.
 
-    Trailing days past the data's horizon (a grid row fans out up to
-    ``window_days - 1`` days beyond the last event) are dropped by the
-    final semi-join with observed days, so every emitted wau covers a
-    fully-populated-so-far window, never a phantom future day."""
+    Days with no events never emit: a real event day always has ≥ 1
+    offset-zero contributor (dau ≥ 1), while phantom trailing days past
+    the data's horizon and interior gap days have dau = 0 and are
+    filtered — every emitted wau covers a day that actually occurred."""
     day = F.to_date(F.col(ts_col))
     du = (events.select(day.alias("day"), F.col(user_col).alias("u"))
           .distinct())
-    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
-    contrib = (du.select(
-        "u", F.explode(F.sequence(
+    fan = du.select(
+        "u", F.col("day").alias("_d0"),
+        F.explode(F.sequence(
             F.col("day"), F.date_add(F.col("day"), window_days - 1)))
         .alias("day"))
-        .distinct())
-    wau = contrib.groupBy("day").agg(F.count("*").alias("wau"))
-    return (dau.join(wau, "day")
+    per = (fan.groupBy("u", "day")
+           .agg(F.max((F.col("_d0") == F.col("day")).cast("int"))
+                .alias("_today")))
+    return (per.groupBy("day")
+            .agg(F.sum("_today").alias("dau"),
+                 F.count("*").alias("wau"))
+            .filter(F.col("dau") > 0)
             .select("day", "dau", "wau",
                     F.round(F.col("dau").cast("double") / F.col("wau"), 6)
                     .alias("stickiness")))

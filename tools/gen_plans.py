@@ -53,6 +53,13 @@ SHOW = [
     "scd2_state_as_of",
     "graph_triangle_count",
     "evt_top_paths",
+    "cur_weighted_sample",
+    "agg_heavy_hitters",
+    "evt_attribution",
+    "evt_rolling_actives",
+    "dq_referential_audit",
+    "dq_reconcile_orders",
+    "sim_random_projection",
 ]
 
 SF = "/root/testdata/sf0.001"

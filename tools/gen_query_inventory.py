@@ -13,6 +13,14 @@ sys.path.insert(0, "/root/repo")
 
 FAMILIES = [
     ("flagship_", "Flagship pipeline (A1+A2+P1-P5)"),
+    ("serialize_", "EP2 serializers"),
+    ("scd2_", "SCD type-2 history"),
+    ("cur_", "Corpus curation (north-star)"),
+    ("evt_", "Event analytics (north-star)"),
+    ("ret_", "Retrieval (north-star)"),
+    ("llm_", "Composed LLM pipelines (north-star)"),
+    ("dq_", "Data-quality audits"),
+    ("profile_", "Column profiling"),
     ("s", "S1-S9 scans/filters/joins"),
     ("p", "P1-P8 projection/derivation"),
     ("t", "T1-T3 tree/fan-out"),

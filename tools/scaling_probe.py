@@ -50,7 +50,8 @@ DEFAULT_QUERIES = ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
 # driver ships 2000 embedding rows at sf0.1, vs 5000 documents).
 EMB_QUERIES = {"sim_neardup_pairs", "sim_ivf_partitioned", "sim_cosine_topk",
                "sim_quantized_topk", "sim_semantic_dedup",
-               "graph_triangle_count", "graph_pagerank"}
+               "graph_triangle_count", "graph_pagerank",
+               "sim_random_projection"}
 RUNS = 2
 
 
@@ -64,15 +65,26 @@ def build_points(spark) -> tuple[dict[int, str], int]:
     emb = spark.read.parquet(os.path.join(SRC_DIR, "embeddings.parquet"))
     ids = [r[0] for r in docs.select("doc_id").orderBy("doc_id").collect()]
     eids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").collect()]
+    # Fact tables (events, lineitem+orders) subsample PROPORTIONALLY to
+    # n/max(POINTS) by key prefix — same distribution per point, and the
+    # order-key cutoff is shared between lineitem and orders so the
+    # dq_ reconciliation/referential shapes stay internally consistent.
+    events = spark.read.parquet(os.path.join(SRC_DIR, "events.parquet"))
+    orders = spark.read.parquet(os.path.join(SRC_DIR, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(SRC_DIR, "lineitem.parquet"))
+    max_event = events.agg({"event_id": "max"}).first()[0]
+    max_order = orders.agg({"o_orderkey": "max"}).first()[0]
     dirs = {}
     for n in POINTS:
         d = os.path.join(WORK_DIR, f"n{n}")
-        marker = os.path.join(d, "_COMPLETE_V2")
+        marker = os.path.join(d, "_COMPLETE_V3")
         if not os.path.exists(marker):
             shutil.rmtree(d, ignore_errors=True)
             os.makedirs(d)
             for f in os.listdir(SRC_DIR):
-                if f not in ("documents.parquet", "embeddings.parquet"):
+                if f not in ("documents.parquet", "embeddings.parquet",
+                             "events.parquet", "orders.parquet",
+                             "lineitem.parquet"):
                     os.symlink(os.path.join(SRC_DIR, f), os.path.join(d, f))
             cutoff = ids[n - 1]
             (docs.filter(docs.doc_id <= cutoff).coalesce(4)
@@ -82,6 +94,17 @@ def build_points(spark) -> tuple[dict[int, str], int]:
             (emb.filter(emb.vec_id <= ecut).coalesce(4)
              .write.mode("overwrite")
              .parquet(os.path.join(d, "embeddings.parquet")))
+            frac = n / float(max(POINTS))
+            (events.filter(events.event_id <= int(max_event * frac))
+             .coalesce(4).write.mode("overwrite")
+             .parquet(os.path.join(d, "events.parquet")))
+            ocut = int(max_order * frac)
+            (orders.filter(orders.o_orderkey <= ocut).coalesce(4)
+             .write.mode("overwrite")
+             .parquet(os.path.join(d, "orders.parquet")))
+            (li.filter(li.l_orderkey <= ocut).coalesce(4)
+             .write.mode("overwrite")
+             .parquet(os.path.join(d, "lineitem.parquet")))
             open(marker, "w").close()
         dirs[n] = d
     return dirs, len(eids)
