@@ -2349,6 +2349,52 @@ def _mm_phash(spark, sf_dir):
     return phash_near_pairs(perceptual_hash(both), max_hamming=7)
 
 
+@register("mm_phash_clusters", f"""
+WITH RECURSIVE
+pairs AS ({_phash_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT id AS media_id, min(label) AS cluster_id,
+       (id = min(label)) AS is_canonical
+FROM reach GROUP BY id
+""")
+def _mm_phash_clusters(spark, sf_dir):
+    # The multimodal dedup endgame: perceptual-hash near-dup pairs (the
+    # same planted-twin corpus mm_phash_neardup mines) clustered by
+    # min-label connected components, each asset labeled with its
+    # duplicate group and the canonical (minimum-id) representative
+    # flagged — what an ingest pipeline stores to route re-encoded
+    # assets to one master copy. Reuses the text dedup CC machinery
+    # verbatim: the fixpoint iterates over the PAIR set only, reliable-
+    # checkpointed, zero pinned blocks.
+    from .operators.dedup import connected_components
+    from .operators.multimodal import perceptual_hash, phash_near_pairs
+    media = _media(spark, sf_dir)
+    n = F.length("content")
+    corrupted = media.select(
+        (F.col("media_id") + 100000).alias("media_id"),
+        F.concat(F.substring(F.col("content").cast("string"), 1,
+                             (n / 2).cast("int") - 1),
+                 F.lit("Q"),
+                 F.substring(F.col("content").cast("string"),
+                             (n / 2).cast("int") + 1, n))
+        .cast("binary").alias("content"))
+    both = media.select("media_id", "content").unionByName(corrupted)
+    pairs = phash_near_pairs(perceptual_hash(both), max_hamming=7)
+    return (connected_components(pairs, checkpoint_dir=_cc_ckpt_dir())
+            .select(F.col("doc_id").alias("media_id"), "cluster_id",
+                    F.col("is_survivor").alias("is_canonical")))
+
+
 @register("mm_decode_stats", f"""
 WITH {_MEDIA_CTE}
 SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
