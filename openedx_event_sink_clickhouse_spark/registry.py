@@ -5289,6 +5289,75 @@ def _evt_attr(spark, sf_dir):
     return last_touch_attribution(_t(spark, sf_dir, "events"))
 
 
+@register("stream_attribution", """
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type, value,
+    last_value(CASE WHEN event_type IN ('click','view')
+                    THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS touch_type,
+    last_value(CASE WHEN event_type IN ('click','view')
+                    THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS touch_ts
+  FROM events)
+SELECT event_id, user_id, ts AS conv_ts, value AS conv_value,
+       touch_type, touch_ts
+FROM w WHERE event_type = 'purchase'
+""")
+def _stream_attr(spark, sf_dir):
+    # The streaming-native twin of evt_attribution: per-user "latest
+    # touch so far" lives in the state store (applyInPandasWithState),
+    # replayed here over a two-file time-split source (mtimes force the
+    # order, so delivery is per-user event-time-ordered — the operator's
+    # documented contract). Sharing evt_attribution's window oracle IS
+    # the claim: the stateful stream over ordered micro-batches equals
+    # the batch window over history.
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import uuid
+
+    from .streaming.stateful import EVENT_SCHEMA, attribution_stream
+
+    def _build(tmp):
+        _os.makedirs(tmp, exist_ok=True)
+        ev = _t(spark, sf_dir, "events")
+        cut = F.lit(FLAGSHIP_CUTOFF).cast("timestamp")
+        # Disjoint time split (unlike the gate's overlap-replay split:
+        # attribution is not a replay-idempotent filter — a duplicated
+        # conversion would double-emit).
+        for i, pred in enumerate([F.col("ts") < cut, F.col("ts") >= cut]):
+            d = _os.path.join(tmp, f"_b{i}")
+            ev.filter(pred).coalesce(1).write.parquet(d)
+            part = _glob.glob(_os.path.join(d, "part-*.parquet"))[0]
+            _os.rename(part, _os.path.join(tmp, f"batch{i}.parquet"))
+            _shutil.rmtree(d)
+        t0 = _os.path.getmtime(_os.path.join(tmp, "batch0.parquet"))
+        _os.utime(_os.path.join(tmp, "batch0.parquet"), (t0, t0))
+        _os.utime(_os.path.join(tmp, "batch1.parquet"), (t0 + 60, t0 + 60))
+        open(_os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    tag = _sf_tag(sf_dir, "events")
+    split_dir = _cached_parquet(f"/tmp/spark_graft_attrsplit_{tag}", _build)
+
+    src = (spark.readStream
+           .schema(EVENT_SCHEMA)
+           .option("pathGlobFilter", "batch*.parquet")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(split_dir))
+    out = attribution_stream(
+        src.select(*[f.name for f in EVENT_SCHEMA.fields]))
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="ckpt_attr_"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 @register("dq_referential_audit", """
 WITH e AS (
   SELECT 'lineitem.l_orderkey->orders' AS edge,

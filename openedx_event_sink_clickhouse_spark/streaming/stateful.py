@@ -86,3 +86,76 @@ def incremental_dump_stream(events: DataFrame, key_col: str = "user_id",
                 stateStructType=WATERMARK_STATE,
                 outputMode="append",
                 timeoutConf="NoTimeout"))
+
+
+ATTRIBUTION_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("conv_ts", T.TimestampType()),
+    T.StructField("conv_value", T.DoubleType()),
+    T.StructField("touch_type", T.StringType()),
+    T.StructField("touch_ts", T.TimestampType()),
+])
+
+TOUCH_STATE = T.StructType([
+    T.StructField("touch_type", T.StringType()),
+    T.StructField("touch_ts", T.TimestampType()),
+])
+
+
+def attribution_stream(events: DataFrame,
+                       conversion_type: str = "purchase",
+                       touch_types: tuple[str, ...] = ("click", "view"),
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       id_col: str = "event_id",
+                       value_col: str = "value") -> DataFrame:
+    """Streaming-native last-touch attribution: the per-user "latest
+    touch so far" lives in the state store, so each conversion is
+    credited the moment it arrives — no window over history, no replay.
+    The streaming twin of ``operators.funnel.last_touch_attribution``
+    (same (ts, id) total order, same strictly-preceding semantics;
+    parity test-pinned), the way ``incremental_dump_stream`` twins
+    ``change_detection``.
+
+    State is two scalars per user — O(distinct users) across the state
+    store's shuffle partitions, the same footprint class as the
+    watermark gate. Assumes per-user event-time-ordered delivery
+    ACROSS micro-batches (the file-source tests force it by mtime;
+    a Kafka deployment gets it from per-key partition ordering) —
+    within a batch, rows are sorted here.
+    """
+    def attribute(key, pdfs: Iterator[pd.DataFrame],
+                  state) -> Iterator[pd.DataFrame]:
+        t_ty, t_ts = state.get if state.exists else (None, None)
+        touched = state.exists
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            out: dict[str, list] = {k: [] for k in (
+                "event_id", "user_id", "conv_ts", "conv_value",
+                "touch_type", "touch_ts")}
+            for row in pdf.itertuples(index=False):
+                ty = getattr(row, type_col)
+                if ty in touch_types:
+                    t_ty, t_ts = ty, getattr(row, ts_col)
+                    touched = True
+                elif ty == conversion_type:
+                    out["event_id"].append(getattr(row, id_col))
+                    out["user_id"].append(getattr(row, user_col))
+                    out["conv_ts"].append(getattr(row, ts_col))
+                    out["conv_value"].append(getattr(row, value_col))
+                    out["touch_type"].append(t_ty)
+                    out["touch_ts"].append(
+                        pd.Timestamp(t_ts) if t_ts is not None else pd.NaT)
+            if out["event_id"]:
+                frame = pd.DataFrame(out)
+                frame["conv_ts"] = pd.to_datetime(frame["conv_ts"])
+                frame["touch_ts"] = pd.to_datetime(frame["touch_ts"])
+                yield frame
+        if touched:
+            state.update((t_ty, t_ts))
+
+    return (events.groupBy(user_col)
+            .applyInPandasWithState(attribute, ATTRIBUTION_SCHEMA,
+                                    TOUCH_STATE, "append",
+                                    "NoTimeout"))

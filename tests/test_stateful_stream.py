@@ -70,3 +70,50 @@ def test_batch_input_rejected(spark):
     df = spark.createDataFrame(BATCH1, EVENT_SCHEMA)
     with pytest.raises(UnsupportedOperationException):
         incremental_dump_stream(df).collect()
+
+
+def test_attribution_stream_matches_batch_operator(spark, tmp_path):
+    # Streaming last-touch attribution must equal the batch window
+    # operator over the same events when micro-batches arrive in event-
+    # time order — the state store carries "latest touch so far" across
+    # the batch boundary (user 100's batch-1 view credits a batch-2
+    # purchase), and organic conversions emit NULL touch columns.
+    import random
+
+    from openedx_event_sink_clickhouse_spark.operators.funnel import (
+        last_touch_attribution)
+    from openedx_event_sink_clickhouse_spark.streaming.stateful import (
+        attribution_stream)
+
+    rng = random.Random(11)
+    types = ["click", "view", "purchase", "error", "signup"]
+    rows = [(i, _ts(i), 100 + (i * 7) % 5,
+             rng.choice(types), float(i), "{}") for i in range(59)]
+    # planted cross-batch pair: user 999's only touch is in batch 1,
+    # its purchase in batch 2 — forces the state store to carry it
+    rows += [(100, _ts(29), 999, "view", 0.0, "{}"),
+             (101, _ts(31), 999, "purchase", 9.0, "{}")]
+    # split at an event-time boundary: per-user in-order delivery
+    batch1 = [r for r in rows if r[1] < _ts(30)]
+    batch2 = [r for r in rows if r[1] >= _ts(30)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_stream_file(spark, batch1, src, str(tmp_path / "s1"), 1_000)
+    _write_stream_file(spark, batch2, src, str(tmp_path / "s2"), 2_000)
+
+    stream = (spark.readStream.schema(EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (attribution_stream(stream)
+         .writeStream.format("memory").queryName("attr")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM attr").collect()}
+    want = {tuple(r) for r in last_touch_attribution(
+        spark.createDataFrame(rows, EVENT_SCHEMA)).collect()}
+    assert got == want and len(want) > 5
+    # at least one conversion must be credited across the batch split
+    crossers = [r for r in want
+                if r[2] >= _ts(30) and r[4] is not None and r[5] < _ts(30)]
+    assert crossers, "fixture must exercise cross-batch state"
