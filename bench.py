@@ -138,6 +138,9 @@ HEADLINE = [
     "dq_reconcile_orders",         # book-vs-detail total reconciliation
     "dq_duplicate_lineitem_keys",  # PK uniqueness violation inventory
     "sim_random_projection",       # JL 64->16 projection (narrow map)
+    "agg_heavy_hitters_incremental",  # HH served from at-rest counts
+    "mm_phash_clusters",           # phash pairs + CC duplicate groups
+    "stream_attribution",          # stateful streaming last-touch twin
 ]
 
 

@@ -87,3 +87,62 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 100,
             .select(key_col, "exact_count",
                     F.round(F.col("exact_count") / F.lit(float(n)), 6)
                     .alias("freq_share")))
+
+
+def write_count_table(df: DataFrame, key_col: str, table: str,
+                      buckets: int = 32, mode: str = "overwrite",
+                      max_files_per_bucket: int | None = 8) -> None:
+    """Materialize per-key counts at rest, BUCKETED on the key — the
+    heavy-hitter family's at-rest form, mirroring
+    ``dedup.write_digest_table``: counts are MERGEABLE partials
+    (rows of (key, n_rows) fold by summation), so a daily ingest appends
+    its batch's partial counts via :func:`append_counts_batch` and the
+    raw stream is never re-scanned to answer "what's hot". Bucketing
+    makes the serve-time fold (groupBy key) exchange-free, and the same
+    post-append compaction trigger as the digest table keeps file counts
+    bounded as batches accumulate."""
+    from .dedup import _clear_orphaned_location
+
+    spark = df.sparkSession
+    counts = (df.filter(F.col(key_col).isNotNull())
+              .groupBy(key_col).agg(F.count("*").alias("n_rows")))
+    _clear_orphaned_location(spark, table, mode)
+    (counts.write.mode(mode)
+     .bucketBy(buckets, key_col).sortBy(key_col)
+     .saveAsTable(table))
+    if mode == "append" and max_files_per_bucket is not None:
+        from ..sources.layout import compact_bucketed_table
+        compact_bucketed_table(spark, table, key_col, buckets,
+                               max_files_per_bucket)
+
+
+def append_counts_batch(batch: DataFrame, key_col: str, table: str,
+                        buckets: int = 32,
+                        max_files_per_bucket: int | None = 8) -> None:
+    """Fold an arriving batch into the count table: the batch reduces to
+    ITS OWN partial counts (one batch-sized groupBy — the only work) and
+    appends; no read-modify-write of the history, no corpus re-scan.
+    Readers sum partials per key, so append order never matters."""
+    write_count_table(batch, key_col, table, buckets, mode="append",
+                      max_files_per_bucket=max_files_per_bucket)
+
+
+def heavy_hitters_from_counts(spark, table: str, key_col: str,
+                              k: int | None = None) -> DataFrame:
+    """Heavy hitters served from the at-rest count table: fold the
+    mergeable partials (bucketed groupBy — NO exchange), derive n (and
+    k = distinct keys, when not given) from the folded frame, and cut at
+    n/k. Same output contract as :func:`heavy_hitters` on the raw
+    stream — exact counts, partitioning-independent — but the serve
+    cost is O(distinct keys), independent of how many events ever
+    streamed through."""
+    folded = (spark.table(table)
+              .groupBy(key_col).agg(F.sum("n_rows").alias("exact_count")))
+    tot = folded.agg(F.sum("exact_count").alias("_n"),
+                     F.count("*").alias("_k"))
+    kcol = F.lit(float(k)) if k is not None else F.col("_k").cast("double")
+    return (folded.crossJoin(F.broadcast(tot))
+            .filter(F.col("exact_count") > F.col("_n") / kcol)
+            .select(key_col, "exact_count",
+                    F.round(F.col("exact_count").cast("double")
+                            / F.col("_n"), 6).alias("freq_share")))

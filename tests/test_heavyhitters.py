@@ -63,3 +63,55 @@ def test_heavy_hitters_total_shortcut_matches(spark):
     b = sorted(tuple(r) for r in
                heavy_hitters(df, "key", k=3, total=35).collect())
     assert a == b and a[0][0] == "x"
+
+
+def test_count_table_append_equals_full_and_fold_is_exchange_free(spark):
+    # The at-rest loop: base counts + one appended batch must serve the
+    # SAME heavy hitters as a single pass over everything, and the
+    # serve-time fold must read the bucketed table with no Exchange
+    # under the per-key groupBy (the 100 TB contract: serve cost is
+    # O(distinct keys), exchange-free).
+    from openedx_event_sink_clickhouse_spark.operators.heavyhitters import (
+        append_counts_batch, heavy_hitters, heavy_hitters_from_counts,
+        write_count_table)
+    rows = [(i % 37,) for i in range(4000)] + [(7,)] * 300 + [(11,)] * 150
+    df = spark.createDataFrame(rows, "key long")
+    base, batch = df.filter("key % 2 = 0"), df.filter("key % 2 = 1")
+    spark.sql("DROP TABLE IF EXISTS hh_counts_test")
+    write_count_table(base, "key", "hh_counts_test", buckets=8,
+                      mode="overwrite")
+    append_counts_batch(batch, "key", "hh_counts_test", buckets=8)
+    try:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        served = heavy_hitters_from_counts(spark, "hh_counts_test", "key",
+                                           k=20)
+        got = sorted(tuple(r) for r in served.collect())
+        want = sorted(tuple(r) for r in
+                      heavy_hitters(df, "key", k=20).collect())
+        assert got == want and len(got) >= 2
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        # the fold aggregate consumes bucket layout directly — the only
+        # allowed exchanges are the 1-row total broadcast and the final
+        # single-partition gather, never a hash exchange on `key`
+        import re
+        assert not re.search(r"Exchange hashpartitioning\(key", plan), plan
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.sql("DROP TABLE IF EXISTS hh_counts_test")
+
+
+def test_count_table_derives_k_from_distinct_keys(spark):
+    from openedx_event_sink_clickhouse_spark.operators.heavyhitters import (
+        heavy_hitters_from_counts, write_count_table)
+    rows = [("a",)] * 10 + [("b",)] * 2 + [("c",)] * 3
+    df = spark.createDataFrame(rows, "key string")
+    spark.sql("DROP TABLE IF EXISTS hh_counts_test2")
+    write_count_table(df, "key", "hh_counts_test2", buckets=4)
+    try:
+        # k defaults to 3 distinct keys -> thr = 5; only "a" passes
+        got = heavy_hitters_from_counts(spark, "hh_counts_test2",
+                                        "key").collect()
+        assert [(r.key, r.exact_count) for r in got] == [("a", 10)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hh_counts_test2")
