@@ -141,6 +141,7 @@ HEADLINE = [
     "agg_heavy_hitters_incremental",  # HH served from at-rest counts
     "mm_phash_clusters",           # phash pairs + CC duplicate groups
     "stream_attribution",          # stateful streaming last-touch twin
+    "join_bloom_prefilter",        # plan-literal bloom runtime filter
 ]
 
 

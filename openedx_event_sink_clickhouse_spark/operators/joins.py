@@ -36,3 +36,64 @@ def expand_children(parents: DataFrame, children: DataFrame, on,
     ``utils.py:62-68`` consumed at ``tasks.py:35-38``). The parent set is
     the (small) per-batch driver table → broadcast it, stream children."""
     return children.join(F.broadcast(parents), on=on, how=how)
+
+
+def bloom_prefilter_join(fact: DataFrame, dim: DataFrame,
+                         fact_key: str, dim_key: str,
+                         m_bits: int = 1 << 16, k: int = 4,
+                         how: str = "inner") -> DataFrame:
+    """Exact fact⋈dim join with a Bloom-filter PRE-FILTER on the fact
+    side — the explicit form of a runtime row-level filter (Spark's own
+    ``runtimeFilter.bloomFilter`` / ClickHouse's set-index prejoin): the
+    dim's join keys fold into an ``m_bits``-bit filter whose ≤ m_bits/63
+    packed words embed in the plan as a LITERAL array, so every fact row
+    evaluates its ``k`` md5 double-hash probes as pure Column arithmetic
+    — no join, no shuffle, no explode — and rows that cannot possibly
+    match are dropped AT THE SCAN before the exact join runs. False
+    negatives are impossible, so the result is exactly the plain join's;
+    the filter only shrinks the join's input (at 100 TB, the shuffle).
+
+    Why a literal array instead of a broadcast join on word index: a
+    per-probe join would need k joins or a k× explode (whose regroup is
+    a fact-sized shuffle); ``element_at`` on a plan literal is free. The
+    word-array collect is bounded by m_bits/63 (~1k longs at the
+    default), NOT by dim size — the same bounded-model footprint as the
+    IVF centroid collect. Size ``m_bits`` for the dim's key count
+    (fpr ≈ (1-e^(-k·n/m))^k); an oversized filter only wastes plan
+    bytes. md5 probes (not engine hash) keep the filter — and any
+    oracle replica — engine-reproducible; the 63-bit word packing
+    matches decontaminate_bloom's (DuckDB's checked ``<<`` overflows on
+    bit 63).
+    """
+    from ..functions.hashes import md5_hash32
+
+    n_words = (m_bits + 62) // 63
+
+    def positions(col: Column) -> list[Column]:
+        h1 = md5_hash32(col, seed=101)
+        h2 = md5_hash32(col, seed=202)
+        return [(h1 + F.lit(i) * (h2 * 2 + 1)) % F.lit(m_bits)
+                for i in range(k)]
+
+    word_rows = (dim.select(F.col(dim_key).alias("_k")).distinct()
+                 .select(F.explode(F.array(*positions(F.col("_k"))))
+                         .alias("pos"))
+                 .select(F.expr("pos div 63").alias("widx"),
+                         F.expr("shiftleft(1L, cast(pos % 63 as int))")
+                         .alias("m"))
+                 .groupBy("widx").agg(F.expr("bit_or(m)").alias("word"))
+                 .collect())
+    words = [0] * n_words
+    for r in word_rows:
+        words[r.widx] = r.word
+    lit_words = F.array(*[F.lit(w) for w in words])
+    # shiftleft's bit count must be a literal in the DataFrame API, so
+    # the 63 single-bit masks ride as their own literal array.
+    lit_masks = F.array(*[F.lit(1 << b) for b in range(63)])
+    hit = None
+    for pos in positions(F.col(fact_key)):
+        probe = (F.element_at(lit_words, (pos / 63).cast("int") + 1)
+                 .bitwiseAND(F.element_at(lit_masks,
+                                          (pos % 63).cast("int") + 1)) != 0)
+        hit = probe if hit is None else hit & probe
+    return fact.filter(hit).join(dim, fact[fact_key] == dim[dim_key], how)

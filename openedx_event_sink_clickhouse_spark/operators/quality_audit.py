@@ -93,10 +93,16 @@ def reconcile_order_totals(orders: DataFrame, lineitem: DataFrame,
     engine-stable; the mismatch PREDICATE compares the rounded value,
     consistently in both engines.
     """
+    # The per-line term goes through DECIMAL(18,6) before summing:
+    # decimal addition is exact and order-independent, so the recomputed
+    # total is identical under ANY partitioning or engine — a plain
+    # double sum can land on either side of a .005 rounding boundary
+    # depending on addition order (observed on the revenue twin).
+    term = (F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))).cast("decimal(18,6)")
     detail = (lineitem.groupBy("l_orderkey")
-              .agg(F.round(F.sum(F.col("l_extendedprice")
-                                 * (F.lit(1.0) - F.col("l_discount"))
-                                 * (F.lit(1.0) + F.col("l_tax"))), 2)
+              .agg(F.round(F.sum(term), 2).cast("double")
                    .alias("recomputed_total")))
     joined = (orders.select("o_orderkey", "o_totalprice")
               .join(detail, orders["o_orderkey"] == detail["l_orderkey"],
