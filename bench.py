@@ -142,6 +142,8 @@ HEADLINE = [
     "mm_phash_clusters",           # phash pairs + CC duplicate groups
     "stream_attribution",          # stateful streaming last-touch twin
     "join_bloom_prefilter",        # plan-literal bloom runtime filter
+    "agg_heavy_hitters_retracted", # negative-partial deletion propagation
+    "evt_funnel_windowed",         # anchored conversion-window funnel
 ]
 
 

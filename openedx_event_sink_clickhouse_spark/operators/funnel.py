@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 def funnel(events: DataFrame, steps: list[str],
            user_col: str = "user_id", ts_col: str = "ts",
-           type_col: str = "event_type") -> DataFrame:
+           type_col: str = "event_type",
+           within_seconds: int | None = None) -> DataFrame:
     """Ordered-funnel conversion: a user reaches step *i* when an event
     of type ``steps[i]`` occurs STRICTLY AFTER the timestamp at which
     they reached step *i-1* (earliest-completion semantics: each stage
@@ -33,20 +34,34 @@ def funnel(events: DataFrame, steps: list[str],
     it — and reduces to min(ts) per user. N steps = N filtered scans of
     the type-pruned event stream; no self-join of the full stream, no
     per-user event-list state.
+
+    ``within_seconds`` adds the CONVERSION-WINDOW variant every funnel
+    dashboard offers: later steps only count when they land within the
+    window anchored at the user's step-1 completion (their FIRST step-1
+    event — the anchor rides the stage frames as a ``_t0`` column, one
+    extra narrow column, no plan-shape change). Greedy earliest-per-
+    stage remains optimal under a fixed anchor, so the semantics stay
+    deterministic and window-SQL-replayable.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
     reached = (events.filter(F.col(type_col) == steps[0])
                .groupBy(user_col)
                .agg(F.min(ts_col).alias("_t")))
+    reached = reached.withColumn("_t0", F.col("_t"))
     stages = [reached]
     for step in steps[1:]:
         nxt = (events.filter(F.col(type_col) == step)
-               .join(stages[-1].select(user_col, F.col("_t").alias("_prev")),
+               .join(stages[-1].select(user_col, F.col("_t").alias("_prev"),
+                                       "_t0"),
                      user_col)
-               .filter(F.col(ts_col) > F.col("_prev"))
-               .groupBy(user_col)
-               .agg(F.min(ts_col).alias("_t")))
+               .filter(F.col(ts_col) > F.col("_prev")))
+        if within_seconds is not None:
+            nxt = nxt.filter(
+                F.col(ts_col) <= F.col("_t0")
+                + F.expr(f"INTERVAL {int(within_seconds)} SECONDS"))
+        nxt = (nxt.groupBy(user_col)
+               .agg(F.min(ts_col).alias("_t"), F.min("_t0").alias("_t0")))
         stages.append(nxt)
     spark = events.sparkSession
     counts = None

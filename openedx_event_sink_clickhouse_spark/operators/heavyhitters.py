@@ -137,7 +137,8 @@ def heavy_hitters_from_counts(spark, table: str, key_col: str,
     cost is O(distinct keys), independent of how many events ever
     streamed through."""
     folded = (spark.table(table)
-              .groupBy(key_col).agg(F.sum("n_rows").alias("exact_count")))
+              .groupBy(key_col).agg(F.sum("n_rows").alias("exact_count"))
+              .filter(F.col("exact_count") > 0))
     tot = folded.agg(F.sum("exact_count").alias("_n"),
                      F.count("*").alias("_k"))
     kcol = F.lit(float(k)) if k is not None else F.col("_k").cast("double")
@@ -146,3 +147,36 @@ def heavy_hitters_from_counts(spark, table: str, key_col: str,
             .select(key_col, "exact_count",
                     F.round(F.col("exact_count").cast("double")
                             / F.col("_n"), 6).alias("freq_share")))
+
+
+def retract_keys(spark, table: str, keys: DataFrame, key_col: str,
+                 buckets: int = 32,
+                 max_files_per_bucket: int | None = 8) -> None:
+    """Propagate a deletion (user retirement, retention expiry) into the
+    at-rest count table WITHOUT re-scanning the raw stream: for each
+    retired key, append one NEGATIVE partial that exactly cancels its
+    folded total — the mergeable-partials contract already sums rows per
+    key, so a retraction is just another row. Reading the current totals
+    is a bucketed scan + broadcast semi-join on the (human-scale)
+    retired set; the stream that produced the counts is never touched —
+    the count-table analog of D1's set-oriented retire (the reference's
+    per-user DELETE round-trips, re-expressed against a derived table).
+
+    Serving then naturally drops fully-retracted keys: their folded
+    total is 0, which both the positive-count guard and the n/k
+    threshold exclude, and they contribute nothing to n. Re-appending
+    a retired key later is well-defined (new positive partials sum from
+    zero). Idempotence caveat, deliberate: retracting the same key
+    TWICE double-cancels — run retractions from an idempotent driver
+    (the same contract as the reference's retirement queue)."""
+    retired = (spark.table(table)
+               .join(F.broadcast(keys.select(key_col).distinct()), key_col)
+               .groupBy(key_col)
+               .agg((-F.sum("n_rows")).alias("n_rows")))
+    (retired.write.mode("append")
+     .bucketBy(buckets, key_col).sortBy(key_col)
+     .saveAsTable(table))
+    if max_files_per_bucket is not None:
+        from ..sources.layout import compact_bucketed_table
+        compact_bucketed_table(spark, table, key_col, buckets,
+                               max_files_per_bucket)

@@ -65,14 +65,25 @@ def bloom_prefilter_join(fact: DataFrame, dim: DataFrame,
     matches decontaminate_bloom's (DuckDB's checked ``<<`` overflows on
     bit 63).
     """
-    from ..functions.hashes import md5_hash32
-
     n_words = (m_bits + 62) // 63
 
+    # Hash choice: xxhash64, NOT the cross-engine md5 family. The bloom
+    # filter is internal to the plan — the ORACLE for this operator is
+    # the plain join (false negatives are impossible), so nothing ever
+    # replicates the filter outside Spark, and md5 here would be pure
+    # cost: md5 is ~20x xxhash64, FilterExec has no subexpression
+    # elimination (each of the k probes would re-evaluate it), and the
+    # HOF let-binding workaround drops the whole predicate out of
+    # codegen into the interpreter (both measured: 0.6 s native-hash
+    # scan vs 3.5-7 s md5 variants at sf0.1). xxhash64 is codegen'd and
+    # deterministic per seed, which is all a runtime filter needs.
     def positions(col: Column) -> list[Column]:
-        h1 = md5_hash32(col, seed=101)
-        h2 = md5_hash32(col, seed=202)
-        return [(h1 + F.lit(i) * (h2 * 2 + 1)) % F.lit(m_bits)
+        # both bases reduced mod m BEFORE the double-hash combine, so the
+        # arithmetic stays tiny (ANSI mode: h2*2 on a raw 64-bit hash
+        # overflows)
+        h1 = F.pmod(F.xxhash64(col), F.lit(m_bits))
+        h2 = F.pmod(F.xxhash64(col, F.lit(982451653)), F.lit(m_bits))
+        return [F.pmod(h1 + F.lit(i) * (h2 * 2 + 1), F.lit(m_bits))
                 for i in range(k)]
 
     word_rows = (dim.select(F.col(dim_key).alias("_k")).distinct()
@@ -86,10 +97,14 @@ def bloom_prefilter_join(fact: DataFrame, dim: DataFrame,
     words = [0] * n_words
     for r in word_rows:
         words[r.widx] = r.word
-    lit_words = F.array(*[F.lit(w) for w in words])
+    # F.lit(list) (not F.array(*lits)): a CreateArray of 1k children is
+    # NOT constant-folded and would rebuild the array PER ROW per probe
+    # — the same per-row array-rebuild trap as the phash cell means. A
+    # true array Literal costs nothing at eval time.
+    lit_words = F.lit(words)
     # shiftleft's bit count must be a literal in the DataFrame API, so
     # the 63 single-bit masks ride as their own literal array.
-    lit_masks = F.array(*[F.lit(1 << b) for b in range(63)])
+    lit_masks = F.lit([1 << b for b in range(63)])
     hit = None
     for pos in positions(F.col(fact_key)):
         probe = (F.element_at(lit_words, (pos / 63).cast("int") + 1)

@@ -138,3 +138,40 @@ def test_last_touch_attribution_ignores_other_event_types(spark):
               "event_type string, value double")
     got = last_touch_attribution(ev).collect()
     assert len(got) == 1 and got[0].touch_type == "click"
+
+
+def test_funnel_conversion_window_anchored_at_first_step(spark):
+    from datetime import datetime as dt
+
+    from openedx_event_sink_clickhouse_spark.operators.funnel import funnel
+    rows = [
+        # user 1: view@9, click@10 (inside 2h window), buy@12 (outside)
+        (1, dt(2024, 1, 1, 9), "view"),
+        (1, dt(2024, 1, 1, 10), "click"),
+        (1, dt(2024, 1, 1, 12), "buy"),
+        # user 2: everything inside the window
+        (2, dt(2024, 1, 2, 9), "view"),
+        (2, dt(2024, 1, 2, 9, 30), "click"),
+        (2, dt(2024, 1, 2, 10, 30), "buy"),
+        # user 3: anchor is the FIRST view — the later view must not
+        # re-open the window for the click at 15
+        (3, dt(2024, 1, 3, 9), "view"),
+        (3, dt(2024, 1, 3, 14), "view"),
+        (3, dt(2024, 1, 3, 15), "click"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r.step: r.n_users for r in funnel(
+        ev, ["view", "click", "buy"], within_seconds=7200).collect()}
+    assert got == {"view": 3, "click": 2, "buy": 1}
+    # boundary is inclusive: click exactly at anchor+window counts
+    ev2 = spark.createDataFrame(
+        [(9, dt(2024, 1, 1, 9), "view"),
+         (9, dt(2024, 1, 1, 11), "click")],
+        ["user_id", "ts", "event_type"])
+    got2 = {r.step: r.n_users for r in funnel(
+        ev2, ["view", "click"], within_seconds=7200).collect()}
+    assert got2["click"] == 1
+    # without a window the original semantics are untouched
+    got3 = {r.step: r.n_users for r in funnel(
+        ev, ["view", "click", "buy"]).collect()}
+    assert got3 == {"view": 3, "click": 3, "buy": 2}

@@ -115,3 +115,29 @@ def test_count_table_derives_k_from_distinct_keys(spark):
         assert [(r.key, r.exact_count) for r in got] == [("a", 10)]
     finally:
         spark.sql("DROP TABLE IF EXISTS hh_counts_test2")
+
+
+def test_retract_keys_cancels_counts_without_stream_rescan(spark):
+    # Retiring keys appends negative partials that cancel their folded
+    # totals; serving afterwards equals a from-scratch pass over the
+    # surviving rows — retired keys vanish from the report, from n, and
+    # from the derived k.
+    from openedx_event_sink_clickhouse_spark.operators.heavyhitters import (
+        heavy_hitters, heavy_hitters_from_counts, retract_keys,
+        write_count_table)
+    rows = [(i % 20,) for i in range(2000)] + [(3,)] * 200 + [(8,)] * 90
+    df = spark.createDataFrame(rows, "key long")
+    spark.sql("DROP TABLE IF EXISTS hh_counts_test3")
+    write_count_table(df, "key", "hh_counts_test3", buckets=8)
+    retired = spark.createDataFrame([(3,), (15,)], "key long")
+    retract_keys(spark, "hh_counts_test3", retired, "key", buckets=8)
+    try:
+        got = sorted(tuple(r) for r in heavy_hitters_from_counts(
+            spark, "hh_counts_test3", "key").collect())
+        want = sorted(tuple(r) for r in heavy_hitters(
+            df.filter(~F.col("key").isin(3, 15)), "key",
+            k=18).collect())   # 18 surviving distinct keys
+        assert got == want and got
+        assert not any(k in (3, 15) for k, _, _ in got)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hh_counts_test3")
