@@ -60,6 +60,9 @@ SHOW = [
     "dq_referential_audit",
     "dq_reconcile_orders",
     "sim_random_projection",
+    "agg_heavy_hitters_incremental",
+    "join_bloom_prefilter",
+    "evt_funnel_windowed",
 ]
 
 SF = "/root/testdata/sf0.001"
