@@ -140,7 +140,10 @@ HEADLINE = [
     "sim_random_projection",       # JL 64->16 projection (narrow map)
     "agg_heavy_hitters_incremental",  # HH served from at-rest counts
     "mm_phash_clusters",           # phash pairs + CC duplicate groups
-    "stream_attribution",          # stateful streaming last-touch twin
+    # (stream_attribution stays oracle-graded but unbenched, like
+    # stream_stateful_incremental_gate: an availableNow two-batch replay
+    # measures trigger/checkpoint latency, not operator cost — its batch
+    # twin evt_attribution is the measured form.)
     "join_bloom_prefilter",        # plan-literal bloom runtime filter
     "agg_heavy_hitters_retracted", # negative-partial deletion propagation
     "evt_funnel_windowed",         # anchored conversion-window funnel

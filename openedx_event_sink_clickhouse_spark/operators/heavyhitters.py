@@ -135,7 +135,10 @@ def heavy_hitters_from_counts(spark, table: str, key_col: str,
     n/k. Same output contract as :func:`heavy_hitters` on the raw
     stream — exact counts, partitioning-independent — but the serve
     cost is O(distinct keys), independent of how many events ever
-    streamed through."""
+    streamed through. Keys whose folded total is ≤ 0 (fully retracted
+    via :func:`retract_keys`) are excluded from the report AND from the
+    derived n and k, so a retired key is invisible exactly as if its
+    events never streamed."""
     folded = (spark.table(table)
               .groupBy(key_col).agg(F.sum("n_rows").alias("exact_count"))
               .filter(F.col("exact_count") > 0))
