@@ -147,6 +147,8 @@ HEADLINE = [
     "join_bloom_prefilter",        # plan-literal bloom runtime filter
     "agg_heavy_hitters_retracted", # negative-partial deletion propagation
     "evt_funnel_windowed",         # anchored conversion-window funnel
+    "evt_attribution_linear",      # multi-touch equal-credit attribution
+    "cur_quality_score",           # pinned linear quality classifier
 ]
 
 

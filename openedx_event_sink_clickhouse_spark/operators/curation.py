@@ -829,3 +829,57 @@ def train_val_test_split(docs: DataFrame, val_frac: float = 0.05,
              .when(u < test_frac + val_frac, F.lit("val"))
              .otherwise(F.lit("train")))
     return docs.select(F.col(id_col), split.alias("split"))
+
+
+# Pinned linear quality model: weights over quality_signals features,
+# trained offline (here: hand-set to favor long, low-punctuation,
+# vocabulary-diverse documents — the shape a fastText/logreg quality
+# classifier learns on web corpora). A MODEL ARTIFACT, not tunable
+# per-call: the registry hash-audits scores under exactly these weights,
+# the same pinned-model pattern as the BPE merge list.
+QUALITY_LR_WEIGHTS = {
+    "bias": -1.2,
+    "n_words_per_100": 0.35,       # length (words / 100)
+    "avg_word_len": 0.18,
+    "punct_ratio": -2.1,
+    "stopword_ratio": 1.4,         # fluent prose carries stopwords
+    "uniq_word_ratio": 0.9,
+}
+
+
+def quality_score(docs: DataFrame, threshold: float = 0.0,
+                  text_col: str = "text") -> DataFrame:
+    """Model-based quality scoring: a pinned linear classifier over the
+    :func:`~.textstats.quality_signals` features. Returns
+    (doc_id, quality_logit, keep) — the LOGIT, deliberately not the
+    sigmoid probability: the logit is pure multiply-add on 6-dp-rounded
+    features (bit-identical on every engine), while exp() is a libm
+    call whose last ulp is engine-dependent; monotone, so thresholding
+    the logit IS thresholding the probability.
+
+    The rule-stack :func:`quality_filter` and this scorer are the two
+    halves of a production quality gate: rules catch the degenerate
+    tail cheaply, the model ranks the bulk. Plan: the feature map
+    composes with the score into ONE narrow projection — weights are
+    plan literals (broadcast-a-tiny-model, minus the collect), nothing
+    shuffles at any scale."""
+    from .textstats import quality_signals
+
+    w = QUALITY_LR_WEIGHTS
+    f = quality_signals(docs, text_col)
+    logit = (F.lit(w["bias"])
+             + F.lit(w["n_words_per_100"]) * (F.col("n_words") / 100.0)
+             + F.lit(w["avg_word_len"]) * F.col("avg_word_len")
+             + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+             + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+             + F.lit(w["uniq_word_ratio"]) * F.col("uniq_word_ratio"))
+    # The logit ships UNROUNDED: the multiply-add chain over rounded
+    # features is bit-identical on every engine, while a final 6-dp
+    # round would re-introduce the one divergence left — Spark rounds
+    # the shortest decimal repr HALF_UP, DuckDB scales-and-rounds the
+    # double, and a logit landing on a midpoint flips the last digit
+    # (observed 1 in 5000 docs at sf0.1).
+    return f.select(
+        "doc_id",
+        logit.alias("quality_logit"),
+        (logit > F.lit(threshold)).cast("int").alias("keep"))

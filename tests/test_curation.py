@@ -508,3 +508,24 @@ def test_weighted_sample_is_pps_and_deterministic(spark):
     again = {r.doc_id for r in
              weighted_sample(df, k=200, weight_col="n_chars").collect()}
     assert again == ids
+
+
+def test_quality_score_ranks_fluent_prose_above_junk(spark):
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        quality_score)
+    fluent = ("the model is trained on a large corpus of text and the "
+              "data is filtered for quality before the training run "
+              "begins so that results are stable and reproducible")
+    junk = "$$$ !!! ??? ### @@@ %%% ^^^ &&& *** ((( ))) ;;; :::"
+    short = "tiny doc"
+    docs = spark.createDataFrame(
+        [(1, fluent), (2, junk), (3, short)], "doc_id long, text string")
+    got = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert got[1].quality_logit > got[2].quality_logit
+    assert got[1].quality_logit > got[3].quality_logit
+    assert got[1].keep == 1 and got[2].keep == 0
+    # threshold moves the keep cut, never the score
+    strict = {r.doc_id: r for r in
+              quality_score(docs, threshold=5.0).collect()}
+    assert strict[1].keep == 0
+    assert strict[1].quality_logit == got[1].quality_logit

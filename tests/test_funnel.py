@@ -175,3 +175,33 @@ def test_funnel_conversion_window_anchored_at_first_step(spark):
     got3 = {r.step: r.n_users for r in funnel(
         ev, ["view", "click", "buy"]).collect()}
     assert got3 == {"view": 3, "click": 3, "buy": 2}
+
+
+def test_linear_attribution_splits_value_across_cohort(spark):
+    from datetime import datetime as dt
+
+    from openedx_event_sink_clickhouse_spark.operators.funnel import (
+        linear_attribution)
+    rows = [
+        # user 1: two touches -> conv A (split 30/2); one touch -> conv B
+        (1, 1, dt(2024, 1, 1, 9), "click", 0.0),
+        (2, 1, dt(2024, 1, 1, 10), "view", 0.0),
+        (3, 1, dt(2024, 1, 1, 11), "purchase", 30.0),
+        (4, 1, dt(2024, 1, 1, 12), "view", 0.0),
+        (5, 1, dt(2024, 1, 1, 13), "purchase", 8.0),
+        # trailing touch after the last conversion: credits nothing
+        (6, 1, dt(2024, 1, 1, 14), "click", 0.0),
+        # user 2: conversion with no touches — absent here
+        (7, 2, dt(2024, 1, 2, 9), "purchase", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    got = linear_attribution(ev).collect()
+    by_touch = {r.touch_event_id: r for r in got}
+    assert set(by_touch) == {1, 2, 4}
+    assert by_touch[1].conv_event_id == 3 and by_touch[1].credit == 15.0
+    assert by_touch[2].credit == 15.0 and by_touch[2].n_touches == 2
+    assert by_touch[4].conv_event_id == 5 and by_touch[4].credit == 8.0
+    # total credited value equals total attributable conversion value
+    assert sum(r.credit for r in got) == 38.0
