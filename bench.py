@@ -149,6 +149,8 @@ HEADLINE = [
     "evt_funnel_windowed",         # anchored conversion-window funnel
     "evt_attribution_linear",      # multi-touch equal-credit attribution
     "cur_quality_score",           # pinned linear quality classifier
+    "dedup_edit_distance",         # prefix-bounded Levenshtein verify
+    "dq_schema_drift",             # one-scan two-slice drift report
 ]
 
 

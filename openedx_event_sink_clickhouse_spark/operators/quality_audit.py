@@ -139,3 +139,45 @@ def uniqueness_audit(df: DataFrame, key_cols: list[str],
             .agg(F.count("*").alias("n_rows"))
             .filter(F.col("n_rows") > 1)
             .select(F.lit(table_name).alias("table"), "key", "n_rows"))
+
+
+def schema_drift(df: DataFrame, slice_pred, columns: list[str],
+                 ) -> DataFrame:
+    """Two-slice column-drift report: for each column, compare the rows
+    where ``slice_pred`` holds (the "pre" slice — e.g. last week) with
+    the rest ("post"). Returns one row per column:
+    (column, pre_rows, post_rows, pre_null_share, post_null_share,
+    pre_distinct, post_distinct, distinct_ratio) — the ingest-monitoring
+    check that catches a upstream schema/semantics change (a field going
+    NULL, an enum collapsing, an id column's cardinality jumping) before
+    it poisons downstream tables.
+
+    Plan: ONE scan — every per-column, per-slice statistic is a
+    conditional aggregate in a single HashAggregate (map-side partial),
+    and the per-column report rows inline-explode from the one agg row
+    (the referential_audit move). Never one scan per column."""
+    pre = slice_pred
+    aggs = [F.count(F.when(pre, 1)).alias("_npre"),
+            F.count(F.when(~pre, 1)).alias("_npost")]
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.count(F.when(pre & col.isNull(), 1)).alias(f"_pn_{c}"),
+            F.count(F.when(~pre & col.isNull(), 1)).alias(f"_qn_{c}"),
+            F.count_distinct(F.when(pre, col)).alias(f"_pd_{c}"),
+            F.count_distinct(F.when(~pre, col)).alias(f"_qd_{c}"),
+        ]
+    row = df.agg(*aggs)
+    structs = [F.struct(
+        F.lit(c).alias("column"),
+        F.col("_npre").alias("pre_rows"),
+        F.col("_npost").alias("post_rows"),
+        F.round(F.col(f"_pn_{c}").cast("double") / F.col("_npre"), 6)
+        .alias("pre_null_share"),
+        F.round(F.col(f"_qn_{c}").cast("double") / F.col("_npost"), 6)
+        .alias("post_null_share"),
+        F.col(f"_pd_{c}").alias("pre_distinct"),
+        F.col(f"_qd_{c}").alias("post_distinct"),
+        F.round(F.col(f"_qd_{c}").cast("double") / F.col(f"_pd_{c}"), 6)
+        .alias("distinct_ratio")) for c in columns]
+    return row.select(F.inline(F.array(*structs)))

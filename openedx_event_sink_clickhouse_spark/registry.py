@@ -1050,6 +1050,16 @@ FROM reach GROUP BY id
 """
 
 
+@register("dedup_edit_distance", None)  # oracle attached below (minhash SQL)
+def _dd_edit(spark, sf_dir):
+    # Character-level verify pass over the LSH candidate pairs: exact
+    # prefix-bounded Levenshtein, integer metric — no FP ties anywhere.
+    from .operators.dedup import edit_distance_verify, minhash_lsh_pairs
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.6)
+    return edit_distance_verify(pairs, docs, max_dist=64, prefix=256)
+
+
 @register("dedup_clusters", None)  # oracle attached below (needs minhash SQL)
 def _ddc(spark, sf_dir):
     from .operators.dedup import connected_components, minhash_lsh_pairs
@@ -1063,6 +1073,15 @@ def _ddc(spark, sf_dir):
 # which must already be registered
 REGISTRY["dedup_clusters"] = (REGISTRY["dedup_clusters"][0],
                               _cluster_oracle_sql())
+REGISTRY["dedup_edit_distance"] = (REGISTRY["dedup_edit_distance"][0], f"""
+WITH p AS ({{minhash}})
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(substr(x.text, 1, 256), substr(y.text, 1, 256))
+            AS INT) AS edit_distance
+FROM p JOIN documents x ON p.id_a = x.doc_id
+       JOIN documents y ON p.id_b = y.doc_id
+WHERE levenshtein(substr(x.text, 1, 256), substr(y.text, 1, 256)) <= 64
+""".format(minhash=REGISTRY["dedup_minhash_lsh"][1]))
 # Incremental label maintenance must equal the from-scratch recompute —
 # same oracle as the live chain, so the hash check certifies it.
 REGISTRY["dedup_incremental_clusters"] = (
@@ -5700,6 +5719,66 @@ def _join_bloom(spark, sf_dir):
                  F.count("*").alias("n_lines")))
 
 
+@register("dq_schema_drift", f"""
+WITH a AS (
+  SELECT
+    count(*) FILTER (WHERE ts < TIMESTAMP '{FLAGSHIP_CUTOFF}') AS npre,
+    count(*) FILTER (WHERE ts >= TIMESTAMP '{FLAGSHIP_CUTOFF}') AS npost,
+    count(*) FILTER (WHERE ts < TIMESTAMP '{FLAGSHIP_CUTOFF}'
+                       AND event_type IS NULL) AS pn_et,
+    count(*) FILTER (WHERE ts >= TIMESTAMP '{FLAGSHIP_CUTOFF}'
+                       AND event_type IS NULL) AS qn_et,
+    count(DISTINCT CASE WHEN ts < TIMESTAMP '{FLAGSHIP_CUTOFF}'
+                        THEN event_type END) AS pd_et,
+    count(DISTINCT CASE WHEN ts >= TIMESTAMP '{FLAGSHIP_CUTOFF}'
+                        THEN event_type END) AS qd_et,
+    count(*) FILTER (WHERE ts < TIMESTAMP '{FLAGSHIP_CUTOFF}'
+                       AND user_id IS NULL) AS pn_u,
+    count(*) FILTER (WHERE ts >= TIMESTAMP '{FLAGSHIP_CUTOFF}'
+                       AND user_id IS NULL) AS qn_u,
+    count(DISTINCT CASE WHEN ts < TIMESTAMP '{FLAGSHIP_CUTOFF}'
+                        THEN user_id END) AS pd_u,
+    count(DISTINCT CASE WHEN ts >= TIMESTAMP '{FLAGSHIP_CUTOFF}'
+                        THEN user_id END) AS qd_u,
+    count(*) FILTER (WHERE ts < TIMESTAMP '{FLAGSHIP_CUTOFF}'
+                       AND value IS NULL) AS pn_v,
+    count(*) FILTER (WHERE ts >= TIMESTAMP '{FLAGSHIP_CUTOFF}'
+                       AND value IS NULL) AS qn_v,
+    count(DISTINCT CASE WHEN ts < TIMESTAMP '{FLAGSHIP_CUTOFF}'
+                        THEN value END) AS pd_v,
+    count(DISTINCT CASE WHEN ts >= TIMESTAMP '{FLAGSHIP_CUTOFF}'
+                        THEN value END) AS qd_v
+  FROM events
+)
+SELECT t.* FROM a, LATERAL (
+  SELECT 'event_type' AS "column", npre AS pre_rows, npost AS post_rows,
+         round(pn_et / CAST(npre AS DOUBLE), 6) AS pre_null_share,
+         round(qn_et / CAST(npost AS DOUBLE), 6) AS post_null_share,
+         pd_et AS pre_distinct, qd_et AS post_distinct,
+         round(qd_et / CAST(pd_et AS DOUBLE), 6) AS distinct_ratio
+  UNION ALL
+  SELECT 'user_id', npre, npost,
+         round(pn_u / CAST(npre AS DOUBLE), 6),
+         round(qn_u / CAST(npost AS DOUBLE), 6),
+         pd_u, qd_u, round(qd_u / CAST(pd_u AS DOUBLE), 6)
+  UNION ALL
+  SELECT 'value', npre, npost,
+         round(pn_v / CAST(npre AS DOUBLE), 6),
+         round(qn_v / CAST(npost AS DOUBLE), 6),
+         pd_v, qd_v, round(qd_v / CAST(pd_v AS DOUBLE), 6)
+) t
+""")
+def _dq_drift(spark, sf_dir):
+    # Ingest drift monitor: pre/post-cutoff null shares and distinct
+    # cardinalities for three event columns, ONE scan — all per-column,
+    # per-slice stats are conditional aggregates in a single
+    # HashAggregate, report rows inline-exploded from the one agg row.
+    from .operators.quality_audit import schema_drift
+    ev = _t(spark, sf_dir, "events")
+    pre = F.col("ts") < F.lit(FLAGSHIP_CUTOFF).cast("timestamp")
+    return schema_drift(ev, pre, ["event_type", "user_id", "value"])
+
+
 @register("evt_rolling_actives", """
 WITH du AS (
   SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
@@ -5750,7 +5829,7 @@ def _sim_rp(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 7: first the
-# sixteen queries NEW this round (weighted PPS sample, exact heavy hitters,
+# eighteen queries NEW this round (weighted PPS sample, exact heavy hitters,
 # last-touch attribution — batch AND its stateful streaming twin, the
 # three dq_ audits, rolling actives, JL projection, phash dedup
 # clusters), then the three whose implementations changed this round
@@ -5776,6 +5855,7 @@ _PRIORITY = [
     "agg_heavy_hitters_incremental", "join_bloom_prefilter",
     "agg_heavy_hitters_retracted", "evt_funnel_windowed",
     "evt_attribution_linear", "cur_quality_score",
+    "dedup_edit_distance", "dq_schema_drift",
     # -- changed in r7: re-grade --
     "ret_tfidf_at_rest", "sim_mmr_diversify", "mm_phash_neardup",
     # -- the full r3 remainder --
@@ -5786,8 +5866,8 @@ _PRIORITY = [
     "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
     "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
     "tpch_q20", "tpch_q21", "tpch_q22", "window_lag_gap_days",
-    # -- oldest of the r4 cohort --
-    "agg_approx_percentiles", "cur_decontaminate_bloom",
+    # (the r4 cohort rotation pauses this round — the 18 new + 3 changed
+    # + 28 r3-remainder entries fill the window; r4 entries rotate in r8)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -616,3 +616,22 @@ def test_containment_catches_doc_inside_doc(spark):
     jac = {(r.id_a, r.id_b): r.jaccard_sim for r in
            minhash_lsh_pairs(docs, threshold=0.0).collect()}
     assert jac.get((0, 1), 0.0) < 0.7      # jaccard alone would miss it
+
+
+def test_edit_distance_verify_bounds_and_integer_metric(spark):
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        edit_distance_verify)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumped over the lazy dog"),   # 2 edits
+         (3, "a completely different document with other words"),
+         (4, "x" * 300 + "tail-a"), (5, "x" * 300 + "tail-b")],
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], ["id_a", "id_b"])
+    got = {(r.id_a, r.id_b): r.edit_distance
+           for r in edit_distance_verify(pairs, docs, max_dist=10).collect()}
+    assert got[(1, 2)] == 2
+    assert (1, 3) not in got          # far pair filtered by max_dist
+    # prefix bound: the differing tails sit beyond char 256 -> distance 0
+    assert got[(4, 5)] == 0

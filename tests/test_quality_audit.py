@@ -83,3 +83,35 @@ def test_uniqueness_audit_reports_only_violations(spark):
     assert (got[0].table, got[0].key, got[0].n_rows) == ("t", "1|1", 2)
     clean = df.filter(F.col("payload") != "b")
     assert uniqueness_audit(clean, ["k1", "k2"], "t").count() == 0
+
+
+def test_schema_drift_flags_null_and_cardinality_shifts(spark):
+    from datetime import datetime as dt
+    rows = [
+        # pre slice: 4 rows, no nulls, 2 distinct types
+        (1, dt(2024, 1, 1), "a", 10), (2, dt(2024, 1, 1), "b", 11),
+        (3, dt(2024, 1, 2), "a", 12), (4, dt(2024, 1, 2), "b", 13),
+        # post slice: a field going NULL and the enum collapsing to 1
+        (5, dt(2024, 2, 1), "a", None), (6, dt(2024, 2, 1), "a", None),
+        (7, dt(2024, 2, 2), None, 14), (8, dt(2024, 2, 2), "a", 15),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ts timestamp, kind string, v long")
+    from openedx_event_sink_clickhouse_spark.operators.quality_audit import (
+        schema_drift)
+    pre = F.col("ts") < F.lit("2024-01-15").cast("timestamp")
+    got = {r.column: r for r in
+           schema_drift(df, pre, ["kind", "v"]).collect()}
+    assert set(got) == {"kind", "v"}
+    k = got["kind"]
+    assert (k.pre_rows, k.post_rows) == (4, 4)
+    assert k.pre_null_share == 0.0 and k.post_null_share == 0.25
+    assert k.pre_distinct == 2 and k.post_distinct == 1
+    assert k.distinct_ratio == 0.5
+    v = got["v"]
+    assert v.post_null_share == 0.5 and v.pre_distinct == 4
+    # single scan: exactly one source node in the plan (the multiple
+    # count-distinct slices ride one Expand over the same scan)
+    plan = schema_drift(df, pre, ["kind", "v"]) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") + plan.count("Relation") == 1, plan
