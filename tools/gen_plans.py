@@ -63,6 +63,8 @@ SHOW = [
     "agg_heavy_hitters_incremental",
     "join_bloom_prefilter",
     "evt_funnel_windowed",
+    "evt_attribution_linear",
+    "dq_schema_drift",
 ]
 
 SF = "/root/testdata/sf0.001"
