@@ -151,6 +151,7 @@ HEADLINE = [
     "cur_quality_score",           # pinned linear quality classifier
     "dedup_edit_distance",         # prefix-bounded Levenshtein verify
     "dq_schema_drift",             # one-scan two-slice drift report
+    "scd2_incremental_merge",      # frontier-only SCD2 history merge
 ]
 
 

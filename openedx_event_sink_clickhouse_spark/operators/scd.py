@@ -37,6 +37,19 @@ def scd2_history(df: DataFrame, key_col: str, ts_col: str,
     the current interval. ``tiebreak_col`` makes equal-timestamp rows
     deterministic — REQUIRED for reproducible history whenever the log
     can carry ties (pass the event/dump id)."""
+    return _collapse_log(df.withColumn("_w", F.lit(1)),
+                         key_col, ts_col, attr_cols, tiebreak_col)
+
+
+def _collapse_log(df: DataFrame, key_col: str, ts_col: str,
+                  attr_cols: list[str],
+                  tiebreak_col: str | None) -> DataFrame:
+    """The change-collapse core, WEIGHTED: each input row carries ``_w``
+    pre-collapsed versions (1 for raw log rows; an interval's
+    ``n_versions`` when an already-collapsed current row re-enters the
+    fold during an incremental merge) and ``n_versions`` sums them —
+    which is what makes :func:`scd2_merge_batch`'s output equal a
+    from-scratch rebuild."""
     order = [F.col(ts_col)] + (
         [F.col(tiebreak_col)] if tiebreak_col else [])
     w = Window.partitionBy(key_col).orderBy(*order)
@@ -51,13 +64,63 @@ def scd2_history(df: DataFrame, key_col: str, ts_col: str,
     grouped = (flagged.withColumn("_island", island)
                .groupBy(key_col, "_island", *attr_cols)
                .agg(F.min(ts_col).alias("valid_from"),
-                    F.count("*").alias("n_versions")))
+                    F.sum("_w").alias("n_versions")))
     wi = Window.partitionBy(key_col).orderBy("_island")
     return (grouped
             .withColumn("valid_to", F.lead("valid_from").over(wi))
             .select(key_col, *attr_cols, "valid_from", "valid_to",
                     F.col("n_versions").cast("bigint").alias("n_versions"),
                     F.col("valid_to").isNull().alias("is_current")))
+
+
+def scd2_merge_batch(history: DataFrame, batch: DataFrame, key_col: str,
+                     ts_col: str, attr_cols: list[str],
+                     tiebreak_col: str | None = None) -> DataFrame:
+    """Incremental SCD2 maintenance: fold an arriving log batch into an
+    existing history so the result EQUALS ``scd2_history`` over the full
+    log (oracle-enforced) — the warehouse MERGE that extends current
+    intervals, closes them on change, and opens new ones, WITHOUT
+    re-collapsing the historical log. The SCD2 twin of the digest/count
+    append loops.
+
+    Only the frontier can change: closed intervals are immutable, and
+    untouched keys' rows pass through verbatim. So the merge (a) keeps
+    every closed interval and every untouched key's current row, (b)
+    for keys present in the batch, re-runs the weighted change-collapse
+    over JUST the old current interval (one pseudo-row carrying its
+    ``n_versions`` as weight, ordered before the batch by a sentinel
+    tiebreak) plus the batch rows — if the batch continues the same
+    state the interval extends with version counts accumulating; if it
+    changes, the old current closes at the first changed row's ts.
+    Work is O(batch + touched current rows); history size is irrelevant.
+
+    Contract (the same in-order ingest assumption as the streaming
+    gate/attribution): each key's batch rows are strictly later in the
+    (ts, tiebreak) order than every log row already folded into
+    ``history``. Batches themselves may contain multiple state changes.
+    """
+    bkeys = batch.select(key_col).distinct()
+    touched = history.join(F.broadcast(bkeys), key_col, "left_semi")
+    untouched = history.join(F.broadcast(bkeys), key_col, "left_anti")
+    keep_closed = touched.filter(~F.col("is_current"))
+    # the old current interval re-enters the fold as ONE weighted row;
+    # its sentinel tiebreak (-1, below any real id) pins it first among
+    # equal timestamps
+    pseudo_cols = [F.col(key_col)] + [F.col(a) for a in attr_cols] \
+        + [F.col("valid_from").alias(ts_col),
+           F.col("n_versions").cast("int").alias("_w")]
+    pseudo = touched.filter(F.col("is_current")).select(*pseudo_cols)
+    blog = batch.select(key_col, *attr_cols, ts_col,
+                        *([tiebreak_col] if tiebreak_col else []),
+                        F.lit(1).alias("_w"))
+    if tiebreak_col:
+        pseudo = pseudo.withColumn(tiebreak_col,
+                                   F.lit(-1).cast(
+                                       dict(batch.dtypes)[tiebreak_col]))
+    refolded = _collapse_log(pseudo.unionByName(blog),
+                             key_col, ts_col, attr_cols, tiebreak_col)
+    return (untouched.unionByName(keep_closed)
+            .unionByName(refolded))
 
 
 def as_of(history: DataFrame, ts) -> DataFrame:

@@ -263,3 +263,39 @@ def test_random_projection_preserves_distances_and_is_linear(spark):
     inferred = {r.vec_id: list(r.proj)
                 for r in random_projection(emb, out_dim=24).collect()}
     assert inferred == got
+
+
+def test_scd2_merge_batch_equals_full_rebuild(spark):
+    from datetime import datetime as dt
+
+    from openedx_event_sink_clickhouse_spark.operators.scd import (
+        scd2_history, scd2_merge_batch)
+    log = [
+        # key 1: a,a | batch: a (extends, n_versions 2+1), then b (closes)
+        (1, dt(2024, 1, 1), 1, "a"), (1, dt(2024, 1, 2), 2, "a"),
+        (1, dt(2024, 1, 5), 10, "a"), (1, dt(2024, 1, 6), 11, "b"),
+        # key 2: untouched by the batch — history passes through verbatim
+        (2, dt(2024, 1, 1), 3, "x"), (2, dt(2024, 1, 2), 4, "y"),
+        # key 3: new in the batch, two state changes inside it
+        (3, dt(2024, 1, 5), 12, "p"), (3, dt(2024, 1, 6), 13, "q"),
+        (3, dt(2024, 1, 7), 14, "q"),
+    ]
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    full = spark.createDataFrame(log, schema)
+    cut = dt(2024, 1, 4)
+    hist = scd2_history(full.filter(F.col("ts") < cut), "user_id", "ts",
+                        ["event_type"], tiebreak_col="event_id")
+    merged = scd2_merge_batch(hist, full.filter(F.col("ts") >= cut),
+                              "user_id", "ts", ["event_type"],
+                              tiebreak_col="event_id")
+    want = scd2_history(full, "user_id", "ts", ["event_type"],
+                        tiebreak_col="event_id")
+    key = lambda r: (r.user_id, r.valid_from)
+    got_rows = sorted(merged.collect(), key=key)
+    want_rows = sorted(want.collect(), key=key)
+    assert [tuple(r) for r in got_rows] == [tuple(r) for r in want_rows]
+    m = {(r.user_id, r.event_type, r.valid_from): r for r in got_rows}
+    # the extended interval accumulated versions across the merge
+    assert m[(1, "a", dt(2024, 1, 1))].n_versions == 3
+    assert m[(1, "a", dt(2024, 1, 1))].valid_to == dt(2024, 1, 6)
+    assert m[(1, "b", dt(2024, 1, 6))].is_current
