@@ -168,16 +168,22 @@ def schema_drift(df: DataFrame, slice_pred, columns: list[str],
             F.count_distinct(F.when(~pre, col)).alias(f"_qd_{c}"),
         ]
     row = df.agg(*aggs)
+
+    # An EMPTY slice (all data on one side of the cutoff — the day-one
+    # deployment case) must report NULL shares/ratios, not divide by
+    # zero (an ANSI-mode runtime error).
+    def _share(num: str, den: str):
+        return F.when(F.col(den) > 0,
+                      F.round(F.col(num).cast("double") / F.col(den), 6))
+
     structs = [F.struct(
         F.lit(c).alias("column"),
         F.col("_npre").alias("pre_rows"),
         F.col("_npost").alias("post_rows"),
-        F.round(F.col(f"_pn_{c}").cast("double") / F.col("_npre"), 6)
-        .alias("pre_null_share"),
-        F.round(F.col(f"_qn_{c}").cast("double") / F.col("_npost"), 6)
-        .alias("post_null_share"),
+        _share(f"_pn_{c}", "_npre").alias("pre_null_share"),
+        _share(f"_qn_{c}", "_npost").alias("post_null_share"),
         F.col(f"_pd_{c}").alias("pre_distinct"),
         F.col(f"_qd_{c}").alias("post_distinct"),
-        F.round(F.col(f"_qd_{c}").cast("double") / F.col(f"_pd_{c}"), 6)
-        .alias("distinct_ratio")) for c in columns]
+        _share(f"_qd_{c}", f"_pd_{c}").alias("distinct_ratio"))
+        for c in columns]
     return row.select(F.inline(F.array(*structs)))

@@ -5791,20 +5791,20 @@ WITH a AS (
 )
 SELECT t.* FROM a, LATERAL (
   SELECT 'event_type' AS "column", npre AS pre_rows, npost AS post_rows,
-         round(pn_et / CAST(npre AS DOUBLE), 6) AS pre_null_share,
-         round(qn_et / CAST(npost AS DOUBLE), 6) AS post_null_share,
+         CASE WHEN npre > 0 THEN round(pn_et / CAST(npre AS DOUBLE), 6) END AS pre_null_share,
+         CASE WHEN npost > 0 THEN round(qn_et / CAST(npost AS DOUBLE), 6) END AS post_null_share,
          pd_et AS pre_distinct, qd_et AS post_distinct,
-         round(qd_et / CAST(pd_et AS DOUBLE), 6) AS distinct_ratio
+         CASE WHEN pd_et > 0 THEN round(qd_et / CAST(pd_et AS DOUBLE), 6) END AS distinct_ratio
   UNION ALL
   SELECT 'user_id', npre, npost,
-         round(pn_u / CAST(npre AS DOUBLE), 6),
-         round(qn_u / CAST(npost AS DOUBLE), 6),
-         pd_u, qd_u, round(qd_u / CAST(pd_u AS DOUBLE), 6)
+         CASE WHEN npre > 0 THEN round(pn_u / CAST(npre AS DOUBLE), 6) END,
+         CASE WHEN npost > 0 THEN round(qn_u / CAST(npost AS DOUBLE), 6) END,
+         pd_u, qd_u, CASE WHEN pd_u > 0 THEN round(qd_u / CAST(pd_u AS DOUBLE), 6) END
   UNION ALL
   SELECT 'value', npre, npost,
-         round(pn_v / CAST(npre AS DOUBLE), 6),
-         round(qn_v / CAST(npost AS DOUBLE), 6),
-         pd_v, qd_v, round(qd_v / CAST(pd_v AS DOUBLE), 6)
+         CASE WHEN npre > 0 THEN round(pn_v / CAST(npre AS DOUBLE), 6) END,
+         CASE WHEN npost > 0 THEN round(qn_v / CAST(npost AS DOUBLE), 6) END,
+         pd_v, qd_v, CASE WHEN pd_v > 0 THEN round(qd_v / CAST(pd_v AS DOUBLE), 6) END
 ) t
 """)
 def _dq_drift(spark, sf_dir):

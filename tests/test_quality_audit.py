@@ -115,3 +115,19 @@ def test_schema_drift_flags_null_and_cardinality_shifts(spark):
     plan = schema_drift(df, pre, ["kind", "v"]) \
         ._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") + plan.count("Relation") == 1, plan
+
+
+def test_schema_drift_empty_slice_reports_null_not_error(spark):
+    from datetime import datetime as dt
+
+    from openedx_event_sink_clickhouse_spark.operators.quality_audit import (
+        schema_drift)
+    df = spark.createDataFrame(
+        [(1, dt(2024, 1, 1), "a")], "id long, ts timestamp, kind string")
+    # every row lands in the pre slice: post shares must be NULL (not a
+    # divide-by-zero), pre shares still real
+    pre = F.col("ts") < F.lit("2024-06-01").cast("timestamp")
+    r = schema_drift(df, pre, ["kind"]).collect()[0]
+    assert (r.pre_rows, r.post_rows) == (1, 0)
+    assert r.pre_null_share == 0.0
+    assert r.post_null_share is None and r.distinct_ratio is None
