@@ -130,4 +130,10 @@ def test_schema_drift_empty_slice_reports_null_not_error(spark):
     r = schema_drift(df, pre, ["kind"]).collect()[0]
     assert (r.pre_rows, r.post_rows) == (1, 0)
     assert r.pre_null_share == 0.0
-    assert r.post_null_share is None and r.distinct_ratio is None
+    assert r.post_null_share is None      # 0-row slice: share undefined
+    assert r.distinct_ratio == 0.0        # 0 of 1 pre-distinct values
+    # and the mirror case: empty PRE slice leaves the ratio undefined
+    pre2 = F.col("ts") < F.lit("2020-01-01").cast("timestamp")
+    r2 = schema_drift(df, pre2, ["kind"]).collect()[0]
+    assert r2.pre_null_share is None and r2.distinct_ratio is None
+    assert r2.post_null_share == 0.0
