@@ -117,3 +117,51 @@ def test_attribution_stream_matches_batch_operator(spark, tmp_path):
     crossers = [r for r in want
                 if r[2] >= _ts(30) and r[4] is not None and r[5] < _ts(30)]
     assert crossers, "fixture must exercise cross-batch state"
+
+
+def test_scd2_stream_maintenance_equals_batch_history(spark, tmp_path):
+    # foreachBatch SCD2 maintenance: the history table after draining a
+    # 3-batch time-split stream must equal scd2_history over the full
+    # log — intervals extended across batch boundaries, version counts
+    # accumulated, closed rows immutable.
+    import random
+
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.scd import (
+        scd2_history)
+    from openedx_event_sink_clickhouse_spark.streaming.scd_maintenance import (
+        Scd2StreamMaintainer)
+
+    rng = random.Random(23)
+    rows = [(i, _ts(i), 100 + (i * 5) % 4,
+             rng.choice(["a", "a", "b", "c"]), 0.0, "{}")
+            for i in range(57)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for bi, (lo, hi) in enumerate([(0, 20), (20, 40), (40, 57)]):
+        batch = [r for r in rows if lo <= r[0] < hi]
+        _write_stream_file(spark, batch, src, str(tmp_path / f"s{bi}"),
+                           1_000 * (bi + 1))
+
+    hist_path = str(tmp_path / "hist")
+    m = Scd2StreamMaintainer(hist_path, "user_id", "ts", ["event_type"],
+                             tiebreak_col="event_id")
+    stream = (spark.readStream.schema(EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (stream.writeStream.foreachBatch(m)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    log = spark.createDataFrame(rows, EVENT_SCHEMA) \
+        .select("user_id", "ts", "event_id", "event_type")
+    want = scd2_history(log, "user_id", "ts", ["event_type"],
+                        tiebreak_col="event_id")
+    key = lambda r: (r["user_id"], r["valid_from"])
+    got_rows = sorted(m.history(spark)
+                      .select(*want.columns).collect(), key=key)
+    want_rows = sorted(want.collect(), key=key)
+    assert [tuple(r) for r in got_rows] == [tuple(r) for r in want_rows]
+    # at least one interval must span a batch boundary with n_versions>1
+    assert any(r.n_versions > 1 for r in got_rows)
