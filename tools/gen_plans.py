@@ -65,6 +65,7 @@ SHOW = [
     "evt_funnel_windowed",
     "evt_attribution_linear",
     "dq_schema_drift",
+    "scd2_incremental_merge",
 ]
 
 SF = "/root/testdata/sf0.001"
