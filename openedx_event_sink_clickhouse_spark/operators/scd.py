@@ -108,11 +108,12 @@ def scd2_merge_batch(history: DataFrame, batch: DataFrame, key_col: str,
     # equal timestamps
     pseudo_cols = [F.col(key_col)] + [F.col(a) for a in attr_cols] \
         + [F.col("valid_from").alias(ts_col),
-           F.col("n_versions").cast("int").alias("_w")]
+           F.col("n_versions").alias("_w")]   # stays LONG: an int cast
+    # would ANSI-overflow past 2^31 accumulated versions
     pseudo = touched.filter(F.col("is_current")).select(*pseudo_cols)
     blog = batch.select(key_col, *attr_cols, ts_col,
                         *([tiebreak_col] if tiebreak_col else []),
-                        F.lit(1).alias("_w"))
+                        F.lit(1).cast("long").alias("_w"))
     if tiebreak_col:
         pseudo = pseudo.withColumn(tiebreak_col,
                                    F.lit(-1).cast(
