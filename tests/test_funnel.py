@@ -205,3 +205,22 @@ def test_linear_attribution_splits_value_across_cohort(spark):
     assert by_touch[4].conv_event_id == 5 and by_touch[4].credit == 8.0
     # total credited value equals total attributable conversion value
     assert sum(r.credit for r in got) == 38.0
+
+
+def test_last_touch_attribution_single_exchange_sort(spark):
+    # The whole attribution is ONE per-user window: exactly one hash
+    # exchange and one sort in the executed plan (the sessionize-class
+    # single-shuffle discipline).
+    from datetime import datetime as dt
+
+    from openedx_event_sink_clickhouse_spark.operators.funnel import (
+        last_touch_attribution)
+    ev = spark.createDataFrame(
+        [(1, 1, dt(2024, 1, 1), "click", 0.0),
+         (2, 1, dt(2024, 1, 2), "purchase", 5.0)],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double")
+    plan = last_touch_attribution(ev) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") == 1, plan

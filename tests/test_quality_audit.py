@@ -137,3 +137,20 @@ def test_schema_drift_empty_slice_reports_null_not_error(spark):
     r2 = schema_drift(df, pre2, ["kind"]).collect()[0]
     assert r2.pre_null_share is None and r2.distinct_ratio is None
     assert r2.post_null_share == 0.0
+
+
+def test_referential_audit_one_scan_per_fact_table(spark):
+    # Five edges over three fact tables must plan exactly THREE source
+    # scans (lineitem's three FK edges fuse onto one pass) plus the
+    # parents' dim scans — the audit's core 100 TB claim.
+    li = spark.createDataFrame([(1, 1, 1)], "a long, b long, c long")
+    ev = spark.createDataFrame([(1,)], "u long")
+    p1 = spark.createDataFrame([(1,)], "k long")
+    rep = referential_audit([
+        ("li.a", li, "a", p1, "k"), ("li.b", li, "b", p1, "k"),
+        ("li.c", li, "c", p1, "k"), ("ev.u", ev, "u", p1, "k")])
+    plan = rep._jdf.queryExecution().optimizedPlan().toString()
+    # sources: li once, ev once, p1 once per edge (4, dim-sized) = 6
+    assert plan.count("LogicalRDD") + plan.count("Relation") == 6, plan
+    rows = {r.edge for r in rep.collect()}
+    assert rows == {"li.a", "li.b", "li.c", "ev.u"}
