@@ -11,15 +11,14 @@ Design at 100 TB:
   fold — see ``scd2_merge_batch``); closed intervals and untouched keys
   stream through as-is. History size never enters the per-trigger cost
   except as the pass-through write.
-- **Pass-through rewrite, made honest.** This simple maintainer rewrites
-  the full history table per trigger (atomic tmp+rename, so readers
-  never see a torn table). That is the right shape while history is
-  dimension-sized — the normal case: history is the COLLAPSED view,
-  orders of magnitude under the log. When history itself outgrows a
-  per-trigger rewrite, the production move is key-bucketed partial
-  rewrite (only buckets containing touched keys rewrite — the
-  ``write_cluster_table`` layout applied here), which composes with the
-  same merge.
+- **Two rewrite shapes.** :class:`Scd2StreamMaintainer` rewrites the
+  full history per trigger (atomic tmp+rename — readers never see a
+  torn table); right while history is dimension-sized, the normal case
+  (it is the COLLAPSED view, orders of magnitude under the log).
+  :class:`Scd2BucketedMaintainer` is the scale path: history lives
+  partitioned by key-hash bucket and each trigger rewrites ONLY touched
+  buckets, with per-bucket epoch markers making the at-least-once
+  replay safe.
 - **In-order contract, same as every stateful twin.** Per-key event-time
   ordering across micro-batches (Kafka per-key partition ordering; the
   tests force it with file mtimes).
