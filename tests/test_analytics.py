@@ -299,3 +299,10 @@ def test_scd2_merge_batch_equals_full_rebuild(spark):
     assert m[(1, "a", dt(2024, 1, 1))].n_versions == 3
     assert m[(1, "a", dt(2024, 1, 1))].valid_to == dt(2024, 1, 6)
     assert m[(1, "b", dt(2024, 1, 6))].is_current
+
+
+def test_rolling_actives_empty_input(spark):
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        rolling_actives)
+    ev = spark.createDataFrame([], "user_id long, ts timestamp")
+    assert rolling_actives(ev).count() == 0

@@ -529,3 +529,14 @@ def test_quality_score_ranks_fluent_prose_above_junk(spark):
               quality_score(docs, threshold=5.0).collect()}
     assert strict[1].keep == 0
     assert strict[1].quality_logit == got[1].quality_logit
+
+
+def test_weighted_sample_k_exceeding_population(spark):
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        weighted_sample)
+    df = spark.createDataFrame([(1, 5), (2, 5), (3, 0)],
+                               "doc_id long, n_chars int")
+    got = weighted_sample(df, k=10, weight_col="n_chars").collect()
+    # only the 2 positive-weight rows exist; ranks stay dense 1..2
+    assert sorted(r.doc_id for r in got) == [1, 2]
+    assert sorted(r.sample_rank for r in got) == [1, 2]

@@ -141,3 +141,14 @@ def test_retract_keys_cancels_counts_without_stream_rescan(spark):
         assert not any(k in (3, 15) for k, _, _ in got)
     finally:
         spark.sql("DROP TABLE IF EXISTS hh_counts_test3")
+
+
+def test_heavy_hitters_degenerate_single_key_stream(spark):
+    # Worst-case skew: every row the same key. The candidate pass emits
+    # exactly that key per batch (bounded), the recount is exact, and
+    # the share is 1.0.
+    df = spark.createDataFrame([("hot",)] * 20000, "key string") \
+        .repartition(32)
+    got = heavy_hitters(df, "key", k=5).collect()
+    assert [(r.key, r.exact_count, r.freq_share) for r in got] \
+        == [("hot", 20000, 1.0)]
