@@ -4871,6 +4871,61 @@ def _scd2_merge(spark, sf_dir):
                             tiebreak_col="event_id")
 
 
+@register("stream_scd2_maintenance", """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR NOT (event_type IS NOT DISTINCT FROM
+                        lag(event_type) OVER w)
+              THEN 1 ELSE 0 END AS new_flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), isl AS (
+  SELECT *, sum(new_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS island
+  FROM o
+), g AS (
+  SELECT user_id, island, event_type, min(ts) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_versions
+  FROM isl GROUP BY user_id, island, event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER wi AS valid_to, n_versions,
+       lead(valid_from) OVER wi IS NULL AS is_current
+FROM g WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+""")
+def _stream_scd2(spark, sf_dir):
+    # The bucketed SCD2 maintainer driven end-to-end from a stream: two
+    # mtime-ordered micro-batches (the attribution split cache — same
+    # disjoint time split) fold into a key-hash-bucketed history via
+    # per-trigger partial rewrites with per-bucket epoch markers.
+    # Sharing the from-scratch SCD2 oracle certifies the WHOLE protocol:
+    # bucketed merge + generation swap + marker skip == one rebuild.
+    import tempfile
+    import uuid
+
+    from .streaming.scd_maintenance import Scd2BucketedMaintainer
+    from .streaming.stateful import EVENT_SCHEMA
+
+    split_dir = _attr_split_dir(spark, sf_dir)
+    m = Scd2BucketedMaintainer(
+        tempfile.mkdtemp(prefix="scd2_hist_") + "/hist",
+        "user_id", "ts", ["event_type"], tiebreak_col="event_id",
+        n_buckets=8)
+    src = (spark.readStream.schema(EVENT_SCHEMA)
+           .option("pathGlobFilter", "batch*.parquet")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(split_dir)
+           .select("user_id", "ts", "event_id", "event_type"))
+    q = (src.writeStream.foreachBatch(m)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix=f"ckpt_scd2_{uuid.uuid4().hex[:6]}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return m.history(spark).select("user_id", "event_type", "valid_from",
+                                   "valid_to", "n_versions", "is_current")
+
+
 @register("evt_resample_hourly", """
 WITH agg AS (
   SELECT event_type AS key, date_trunc('hour', ts) AS bucket_start,
@@ -5520,6 +5575,35 @@ def _evt_attr(spark, sf_dir):
     return last_touch_attribution(_t(spark, sf_dir, "events"))
 
 
+def _attr_split_dir(spark, sf_dir) -> str:
+    """Two-file DISJOINT time split of the events table (pre/post
+    cutoff), mtimes forcing file-source order — the replay fixture the
+    stateful streaming twins share. Disjoint, unlike the gate's
+    overlap-replay split: attribution and the SCD2 merge are not
+    replay-idempotent filters — a duplicated row would double-apply."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    def _build(tmp):
+        _os.makedirs(tmp, exist_ok=True)
+        ev = _t(spark, sf_dir, "events")
+        cut = F.lit(FLAGSHIP_CUTOFF).cast("timestamp")
+        for i, pred in enumerate([F.col("ts") < cut, F.col("ts") >= cut]):
+            d = _os.path.join(tmp, f"_b{i}")
+            ev.filter(pred).coalesce(1).write.parquet(d)
+            part = _glob.glob(_os.path.join(d, "part-*.parquet"))[0]
+            _os.rename(part, _os.path.join(tmp, f"batch{i}.parquet"))
+            _shutil.rmtree(d)
+        t0 = _os.path.getmtime(_os.path.join(tmp, "batch0.parquet"))
+        _os.utime(_os.path.join(tmp, "batch0.parquet"), (t0, t0))
+        _os.utime(_os.path.join(tmp, "batch1.parquet"), (t0 + 60, t0 + 60))
+        open(_os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    tag = _sf_tag(sf_dir, "events")
+    return _cached_parquet(f"/tmp/spark_graft_attrsplit_{tag}", _build)
+
+
 @register("stream_attribution", """
 WITH w AS (
   SELECT event_id, user_id, ts, event_type, value,
@@ -5544,34 +5628,12 @@ def _stream_attr(spark, sf_dir):
     # documented contract). Sharing evt_attribution's window oracle IS
     # the claim: the stateful stream over ordered micro-batches equals
     # the batch window over history.
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
     import tempfile
     import uuid
 
     from .streaming.stateful import EVENT_SCHEMA, attribution_stream
 
-    def _build(tmp):
-        _os.makedirs(tmp, exist_ok=True)
-        ev = _t(spark, sf_dir, "events")
-        cut = F.lit(FLAGSHIP_CUTOFF).cast("timestamp")
-        # Disjoint time split (unlike the gate's overlap-replay split:
-        # attribution is not a replay-idempotent filter — a duplicated
-        # conversion would double-emit).
-        for i, pred in enumerate([F.col("ts") < cut, F.col("ts") >= cut]):
-            d = _os.path.join(tmp, f"_b{i}")
-            ev.filter(pred).coalesce(1).write.parquet(d)
-            part = _glob.glob(_os.path.join(d, "part-*.parquet"))[0]
-            _os.rename(part, _os.path.join(tmp, f"batch{i}.parquet"))
-            _shutil.rmtree(d)
-        t0 = _os.path.getmtime(_os.path.join(tmp, "batch0.parquet"))
-        _os.utime(_os.path.join(tmp, "batch0.parquet"), (t0, t0))
-        _os.utime(_os.path.join(tmp, "batch1.parquet"), (t0 + 60, t0 + 60))
-        open(_os.path.join(tmp, "_SUCCESS"), "w").close()
-
-    tag = _sf_tag(sf_dir, "events")
-    split_dir = _cached_parquet(f"/tmp/spark_graft_attrsplit_{tag}", _build)
+    split_dir = _attr_split_dir(spark, sf_dir)
 
     src = (spark.readStream
            .schema(EVENT_SCHEMA)
@@ -5868,7 +5930,7 @@ def _sim_rp(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 7: first the
-# nineteen queries NEW this round (weighted PPS sample, exact heavy hitters,
+# twenty queries NEW this round (weighted PPS sample, exact heavy hitters,
 # last-touch attribution — batch AND its stateful streaming twin, the
 # three dq_ audits, rolling actives, JL projection, phash dedup
 # clusters), then the three whose implementations changed this round
@@ -5895,6 +5957,7 @@ _PRIORITY = [
     "agg_heavy_hitters_retracted", "evt_funnel_windowed",
     "evt_attribution_linear", "cur_quality_score",
     "dedup_edit_distance", "dq_schema_drift", "scd2_incremental_merge",
+    "stream_scd2_maintenance",
     # -- changed in r7: re-grade --
     "ret_tfidf_at_rest", "sim_mmr_diversify", "mm_phash_neardup",
     # -- the full r3 remainder --
@@ -5904,9 +5967,9 @@ _PRIORITY = [
     "tpch_q2", "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9",
     "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
     "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
-    "tpch_q20", "tpch_q21", "window_lag_gap_days",
+    "tpch_q20", "window_lag_gap_days",
     # (the r4 cohort rotation pauses this round — the 18 new + 3 changed
-    # + 27 r3-remainder entries fill the window; tpch_q22 and the r4
+    # + 26 r3-remainder entries fill the window; tpch_q21/q22 and the r4
     # cohort rotate in r8)
 ]
 
