@@ -53,6 +53,14 @@ def bloom_prefilter_join(fact: DataFrame, dim: DataFrame,
     negatives are impossible, so the result is exactly the plain join's;
     the filter only shrinks the join's input (at 100 TB, the shuffle).
 
+    ``how`` accepts only join types where unmatched FACT rows don't
+    survive ('inner'/'cross'/'left_semi'): dropping a fact row at the
+    prefilter is then always safe. For 'left'/'outer' it would NOT be
+    — unmatched fact rows belong in the result with NULLs, and the
+    bloom would drop them (except nondeterministic false positives) —
+    so those types raise rather than silently diverge from the plain
+    join.
+
     Why a literal array instead of a broadcast join on word index: a
     per-probe join would need k joins or a k× explode (whose regroup is
     a fact-sized shuffle); ``element_at`` on a plan literal is free. The
@@ -65,6 +73,13 @@ def bloom_prefilter_join(fact: DataFrame, dim: DataFrame,
     matches decontaminate_bloom's (DuckDB's checked ``<<`` overflows on
     bit 63).
     """
+    _FACT_DROPPING = {"inner", "cross", "left_semi", "leftsemi", "semi"}
+    if how.lower().replace("_", "") not in {
+            h.replace("_", "") for h in _FACT_DROPPING}:
+        raise ValueError(
+            f"bloom_prefilter_join: how={how!r} would need unmatched fact "
+            "rows in the result, which the prefilter drops; use one of "
+            f"{sorted(_FACT_DROPPING)} or a plain join")
     n_words = (m_bits + 62) // 63
 
     # Hash choice: xxhash64, NOT the cross-engine md5 family. The bloom

@@ -133,12 +133,27 @@ def uniqueness_audit(df: DataFrame, key_cols: list[str],
     (table, key, n_rows). The key renders as a string so reports over
     different tables union into one feed. One map-side-partial groupBy;
     only keys with n_rows > 1 survive, so the output is empty on clean
-    data — which is itself a meaningful, hash-checkable report."""
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
-    return (df.groupBy(key.alias("key"))
+    data — which is itself a meaningful, hash-checkable report.
+
+    Grouping is on the ACTUAL key columns, never a pre-concatenated
+    string: string-rendered tuples collide — ('a|b','c') vs ('a','b|c')
+    — and a skipped NULL component would merge (1,NULL) with (1,),
+    reporting false duplicates. The display key is rendered AFTER the
+    aggregate with null-propagating ``concat`` (SQL ``||`` semantics: a
+    NULL component nulls the whole rendered key, while the group stays
+    distinct), so the report matches what ``col1 || '|' || col2`` would
+    show."""
+    parts: list = []
+    for i, c in enumerate(key_cols):
+        if i:
+            parts.append(F.lit("|"))
+        parts.append(F.col(c).cast("string"))
+    key = parts[0] if len(parts) == 1 else F.concat(*parts)
+    return (df.groupBy(*key_cols)
             .agg(F.count("*").alias("n_rows"))
             .filter(F.col("n_rows") > 1)
-            .select(F.lit(table_name).alias("table"), "key", "n_rows"))
+            .select(F.lit(table_name).alias("table"), key.alias("key"),
+                    "n_rows"))
 
 
 def schema_drift(df: DataFrame, slice_pred, columns: list[str],

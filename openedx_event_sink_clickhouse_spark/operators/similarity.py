@@ -1403,27 +1403,36 @@ def _jl_matrix(in_dim: int, out_dim: int, seed: int = 0) -> list[list[float]]:
 
 def random_projection(emb: DataFrame, out_dim: int = 16, seed: int = 0,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      dim: int | None = None) -> DataFrame:
+                      dim: int | None = None,
+                      flat: bool = False) -> DataFrame:
     """JL random projection of the embedding column to ``out_dim``
     dimensions: proj[j] = <v, R[j]>, rounded to 6 decimals. Returns
-    (``id_col``, proj array<double>). By the JL lemma pairwise distances
-    survive within (1±ε) for out_dim = O(log n / ε²), so the projected
-    table is the cheap at-rest form for coarse filtering: a 64→16
-    projection cuts vector bytes 4× and every downstream SRP/top-k pass
-    scales with the smaller dimension.
+    (``id_col``, proj array<double>), or — with ``flat=True`` — one
+    scalar double column per component (``proj_0..proj_{out_dim-1}``),
+    the shape downstream columnar consumers (and value-hash harnesses)
+    want. By the JL lemma pairwise distances survive within (1±ε) for
+    out_dim = O(log n / ε²), so the projected table is the cheap at-rest
+    form for coarse filtering: a 64→16 projection cuts vector bytes 4×
+    and every downstream SRP/top-k pass scales with the smaller
+    dimension.
 
     Plan: a pure narrow map — the matrix rides in the plan as literals
     (the same broadcast-a-tiny-model shape as the IVF centroids, minus
     the collect), each component one sequential JVM fold — so the
     projection pipelines with the scan and shuffles nothing at any
-    corpus size. ``dim`` skips the one-row probe when the caller knows
-    the input width."""
+    corpus size. Each matrix row is F.lit(row) — a true array Literal,
+    constant at eval time — NOT F.array of per-element lits, whose
+    CreateArray is rebuilt per input row per component (the same
+    per-row array-rebuild trap bloom_prefilter_join documents). ``dim``
+    skips the one-row probe when the caller knows the input width."""
     from ..functions.vectors import as_double, dot
 
     if dim is None:
         dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     R = _jl_matrix(dim, out_dim, seed)
     v = as_double(F.col(vec_col))
-    comps = [F.round(dot(v, F.array(*[F.lit(x) for x in row])), 6)
-             for row in R]
+    comps = [F.round(dot(v, F.lit(row)), 6) for row in R]
+    if flat:
+        return emb.select(F.col(id_col),
+                          *[c.alias(f"proj_{j}") for j, c in enumerate(comps)])
     return emb.select(F.col(id_col), F.array(*comps).alias("proj"))

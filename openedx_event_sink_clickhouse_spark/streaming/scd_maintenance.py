@@ -52,10 +52,41 @@ class Scd2StreamMaintainer:
         self.attr_cols = attr_cols
         self.tiebreak_col = tiebreak_col
 
+    def _recover_stranded(self) -> None:
+        # Crash-atomicity: the swap below is two renames (path -> .old,
+        # .next -> path). A crash between them leaves self.path ABSENT
+        # with the whole history stranded in .old{epoch}; taking the
+        # bootstrap branch then would silently rebuild history from one
+        # batch. On entry, if a stranded .old* generation exists and
+        # self.path doesn't, rename it back before deciding
+        # bootstrap-vs-merge (replaying the merge is the normal
+        # at-least-once path). Leftover .next* are uncommitted scratch
+        # — drop them.
+        if not os.path.isdir(self.path):
+            stranded = sorted(
+                glob.glob(f"{self.path}.old*"),
+                key=lambda p: int(p.rsplit(".old", 1)[1]))
+            if stranded:
+                os.rename(stranded[-1], self.path)
+        # anything left over now is superseded scratch: .next* never
+        # committed; .old* (with self.path present) was committed over
+        # but its rmtree didn't finish
+        for stale in glob.glob(f"{self.path}.next*") + \
+                glob.glob(f"{self.path}.old*"):
+            shutil.rmtree(stale, ignore_errors=True)
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..operators.scd import scd2_history, scd2_merge_batch
 
         if batch_df.isEmpty():
+            return
+        self._recover_stranded()
+        # epoch marker (the bucketed sibling's protocol at whole-table
+        # granularity): a replayed trigger whose epoch already committed
+        # skips, so the non-idempotent merge is never applied twice to
+        # the same generation.
+        marker = os.path.join(self.path, "_epoch")
+        if os.path.isfile(marker) and int(open(marker).read()) >= epoch_id:
             return
         spark = batch_df.sparkSession
         if os.path.isfile(os.path.join(self.path, "_SUCCESS")):
@@ -70,6 +101,8 @@ class Scd2StreamMaintainer:
         # (or a crash mid-trigger) never observes a torn history
         tmp = f"{self.path}.next{epoch_id}"
         new_hist.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_epoch"), "w") as fh:
+            fh.write(str(epoch_id))
         old = f"{self.path}.old{epoch_id}"
         if os.path.isdir(self.path):
             os.rename(self.path, old)

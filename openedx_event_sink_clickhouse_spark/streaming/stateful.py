@@ -129,29 +129,38 @@ def attribution_stream(events: DataFrame,
                   state) -> Iterator[pd.DataFrame]:
         t_ty, t_ts = state.get if state.exists else (None, None)
         touched = state.exists
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, id_col])
-            out: dict[str, list] = {k: [] for k in (
-                "event_id", "user_id", "conv_ts", "conv_value",
-                "touch_type", "touch_ts")}
-            for row in pdf.itertuples(index=False):
-                ty = getattr(row, type_col)
-                if ty in touch_types:
-                    t_ty, t_ts = ty, getattr(row, ts_col)
-                    touched = True
-                elif ty == conversion_type:
-                    out["event_id"].append(getattr(row, id_col))
-                    out["user_id"].append(getattr(row, user_col))
-                    out["conv_ts"].append(getattr(row, ts_col))
-                    out["conv_value"].append(getattr(row, value_col))
-                    out["touch_type"].append(t_ty)
-                    out["touch_ts"].append(
-                        pd.Timestamp(t_ts) if t_ts is not None else pd.NaT)
-            if out["event_id"]:
-                frame = pd.DataFrame(out)
-                frame["conv_ts"] = pd.to_datetime(frame["conv_ts"])
-                frame["touch_ts"] = pd.to_datetime(frame["touch_ts"])
-                yield frame
+        # Materialize ALL Arrow chunks for the key before the one sort:
+        # applyInPandasWithState delivers a group's batch as multiple
+        # ~10k-row chunks in arbitrary post-shuffle order, so sorting
+        # each chunk independently could credit a conversion before an
+        # earlier-chunk touch. One concat bounds memory by the per-key
+        # per-trigger batch — the contract's per-user event volume, not
+        # the stream.
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks, ignore_index=True)
+               if len(chunks) > 1 else chunks[0])
+        pdf = pdf.sort_values([ts_col, id_col])
+        out: dict[str, list] = {k: [] for k in (
+            "event_id", "user_id", "conv_ts", "conv_value",
+            "touch_type", "touch_ts")}
+        for row in pdf.itertuples(index=False):
+            ty = getattr(row, type_col)
+            if ty in touch_types:
+                t_ty, t_ts = ty, getattr(row, ts_col)
+                touched = True
+            elif ty == conversion_type:
+                out["event_id"].append(getattr(row, id_col))
+                out["user_id"].append(getattr(row, user_col))
+                out["conv_ts"].append(getattr(row, ts_col))
+                out["conv_value"].append(getattr(row, value_col))
+                out["touch_type"].append(t_ty)
+                out["touch_ts"].append(
+                    pd.Timestamp(t_ts) if t_ts is not None else pd.NaT)
+        if out["event_id"]:
+            frame = pd.DataFrame(out)
+            frame["conv_ts"] = pd.to_datetime(frame["conv_ts"])
+            frame["touch_ts"] = pd.to_datetime(frame["touch_ts"])
+            yield frame
         if touched:
             state.update((t_ty, t_ts))
 

@@ -263,6 +263,12 @@ def test_random_projection_preserves_distances_and_is_linear(spark):
     inferred = {r.vec_id: list(r.proj)
                 for r in random_projection(emb, out_dim=24).collect()}
     assert inferred == got
+    # flat=True: same values as scalar proj_j columns (hashable cells)
+    flat = random_projection(emb, out_dim=24, dim=dim, flat=True)
+    assert flat.columns == ["vec_id"] + [f"proj_{j}" for j in range(24)]
+    fgot = {r.vec_id: [r[f"proj_{j}"] for j in range(24)]
+            for r in flat.collect()}
+    assert fgot == got
 
 
 def test_scd2_merge_batch_equals_full_rebuild(spark):

@@ -55,3 +55,22 @@ def test_bloom_prefilter_string_keys_and_tight_filter(spark):
         fact, dim, "k", "dk", m_bits=256, k=2).select("k").collect()}
     want = {f"u{i * 211}" for i in range(9) if i * 211 < 2000}
     assert got == want
+
+
+def test_bloom_prefilter_rejects_fact_preserving_join_types(spark):
+    # 'left'/'outer' would need unmatched fact rows (which the prefilter
+    # drops) in the result — the operator must refuse, not silently
+    # diverge from the plain join.
+    import pytest
+
+    fact = spark.createDataFrame([(1,), (2,)], "k long")
+    dim = spark.createDataFrame([(1,)], "dk long")
+    for how in ("left", "left_outer", "full", "outer", "right",
+                "left_anti"):
+        with pytest.raises(ValueError, match="unmatched fact"):
+            bloom_prefilter_join(fact, dim, "k", "dk", how=how)
+    # the fact-dropping types still work
+    assert bloom_prefilter_join(fact, dim, "k", "dk",
+                                how="left_semi").count() == 1
+    assert bloom_prefilter_join(fact, dim, "k", "dk",
+                                how="inner").count() == 1

@@ -85,6 +85,25 @@ def test_uniqueness_audit_reports_only_violations(spark):
     assert uniqueness_audit(clean, ["k1", "k2"], "t").count() == 0
 
 
+def test_uniqueness_audit_no_rendered_key_collisions(spark):
+    # Distinct tuples whose string renderings collide must NOT merge:
+    # ('a|b','c') vs ('a','b|c') are different keys, and (1,NULL) is not
+    # (1,)-with-a-skipped-component. Grouping is on the actual columns.
+    df = spark.createDataFrame(
+        [("a|b", "c"), ("a", "b|c"), ("a|b", "c")], "k1 string, k2 string")
+    got = uniqueness_audit(df, ["k1", "k2"], "t").collect()
+    assert len(got) == 1 and got[0].key == "a|b|c" and got[0].n_rows == 2
+
+    # NULL components: groups stay distinct (NULL==NULL for grouping);
+    # the rendered key is NULL (|| semantics), never a silent skip.
+    dfn = spark.createDataFrame(
+        [(1, None), (1, None), (1, 2), (1, 2), (3, 4)],
+        "k1 long, k2 long")
+    rows = sorted(uniqueness_audit(dfn, ["k1", "k2"], "t").collect(),
+                  key=lambda r: (r.key is None, r.key))
+    assert [(r.key, r.n_rows) for r in rows] == [("1|2", 2), (None, 2)]
+
+
 def test_schema_drift_flags_null_and_cardinality_shifts(spark):
     from datetime import datetime as dt
     rows = [

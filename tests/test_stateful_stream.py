@@ -213,3 +213,51 @@ def test_scd2_bucketed_maintainer_partial_rewrite_and_replay_safety(
                       key=key)
     assert [tuple(r) for r in got_rows] == \
         [tuple(r) for r in sorted(want.collect(), key=key)]
+
+
+def test_scd2_maintainer_recovers_stranded_generation(spark, tmp_path):
+    # Crash-atomicity: a crash between the two swap renames leaves
+    # self.path absent and the whole history stranded in .old{e}. The
+    # next trigger must restore it and MERGE (not re-bootstrap from the
+    # one replayed batch); and a replay of an epoch that already
+    # committed must be a no-op (_epoch marker).
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.scd import (
+        scd2_history)
+    from openedx_event_sink_clickhouse_spark.streaming.scd_maintenance import (
+        Scd2StreamMaintainer)
+
+    rows = [(i, _ts(i), 100 + i % 3, ["a", "b", "c"][(i // 5) % 3],
+             0.0, "{}") for i in range(30)]
+    full = spark.createDataFrame(rows, EVENT_SCHEMA) \
+        .select("user_id", "ts", "event_id", "event_type")
+    b0 = full.filter(F.col("event_id") < 15)
+    b1 = full.filter(F.col("event_id") >= 15)
+    hist_path = str(tmp_path / "hist")
+    m = Scd2StreamMaintainer(hist_path, "user_id", "ts", ["event_type"],
+                             tiebreak_col="event_id")
+    m(b0, 0)
+
+    # simulate the crash window: path renamed away, .next left behind
+    os.rename(hist_path, f"{hist_path}.old1")
+    os.makedirs(f"{hist_path}.next1")
+    open(f"{hist_path}.next1/junk", "w").write("x")
+
+    m(b1, 1)  # the replayed trigger
+    assert not glob.glob(f"{hist_path}.old*")
+    assert not glob.glob(f"{hist_path}.next*")
+    want = scd2_history(full, "user_id", "ts", ["event_type"],
+                        tiebreak_col="event_id")
+    key = lambda r: (r["user_id"], r["valid_from"])
+    got = sorted(m.history(spark).select(*want.columns).collect(), key=key)
+    assert [tuple(r) for r in got] == \
+        [tuple(r) for r in sorted(want.collect(), key=key)]
+    # history spans both batches -> the bootstrap branch was NOT taken
+    assert any(r.n_versions > 1 for r in got)
+
+    # an already-committed epoch replays as a no-op
+    import time
+    mtime = os.path.getmtime(os.path.join(hist_path, "_epoch"))
+    m(b1, 1)
+    assert os.path.getmtime(os.path.join(hist_path, "_epoch")) == mtime

@@ -11,41 +11,45 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+# Reference-op families anchor on their DIGIT (^s\d_ etc.) so they never
+# swallow sim_/stream_/setops_/text_/tpch_/pivot_ — the r7 inventory bug
+# that tagged every tpch_q* as "T1-T3 tree/fan-out".
 FAMILIES = [
-    ("flagship_", "Flagship pipeline (A1+A2+P1-P5)"),
-    ("serialize_", "EP2 serializers"),
-    ("scd2_", "SCD type-2 history"),
-    ("cur_", "Corpus curation (north-star)"),
-    ("evt_", "Event analytics (north-star)"),
-    ("ret_", "Retrieval (north-star)"),
-    ("llm_", "Composed LLM pipelines (north-star)"),
-    ("dq_", "Data-quality audits"),
-    ("profile_", "Column profiling"),
-    ("s", "S1-S9 scans/filters/joins"),
-    ("p", "P1-P8 projection/derivation"),
-    ("t", "T1-T3 tree/fan-out"),
-    ("a1", "A1 watermark"), ("a3", "A3 distinct ids"),
-    ("d1", "D1 PII delete"),
-    ("dedup_", "Dedup (north-star)"),
-    ("graph_", "Graph analytics (north-star)"),
-    ("sim_", "Similarity search (north-star)"),
-    ("text_", "Text analysis (north-star)"),
-    ("mm_", "Multimodal (north-star)"),
-    ("stream_", "Streaming"),
-    ("tpch_", "TPC-H probe"),
-    ("window_", "Window functions"),
-    ("setops_", "Set operations"),
-    ("agg_", "Aggregate surfaces"),
-    ("topk_", "Top-k"), ("approx_", "Approximate aggregates"),
-    ("skew_", "Skew handling"),
-    ("asof_", "As-of join"), ("range_join_", "Range join"),
-    ("pivot_", "Pivot"), ("json_", "JSON extraction"),
+    (r"flagship_", "Flagship pipeline (A1+A2+P1-P5)"),
+    (r"serialize_", "EP2 serializers"),
+    (r"scd2_", "SCD type-2 history"),
+    (r"cur_", "Corpus curation (north-star)"),
+    (r"evt_", "Event analytics (north-star)"),
+    (r"ret_", "Retrieval (north-star)"),
+    (r"llm_", "Composed LLM pipelines (north-star)"),
+    (r"dq_", "Data-quality audits"),
+    (r"profile_", "Column profiling"),
+    (r"s\d_", "S1-S9 scans/filters/joins"),
+    (r"p\d_", "P1-P8 projection/derivation"),
+    (r"t\d_", "T1-T3 tree/fan-out"),
+    (r"a1_", "A1 watermark"), (r"a3_", "A3 distinct ids"),
+    (r"d1_", "D1 PII delete"),
+    (r"dedup_", "Dedup (north-star)"),
+    (r"graph_", "Graph analytics (north-star)"),
+    (r"sim_", "Similarity search (north-star)"),
+    (r"text_", "Text analysis (north-star)"),
+    (r"mm_", "Multimodal (north-star)"),
+    (r"stream_", "Streaming"),
+    (r"tpch_", "TPC-H probe"),
+    (r"window_", "Window functions"),
+    (r"setops_", "Set operations"),
+    (r"agg_", "Aggregate surfaces"),
+    (r"topk_", "Top-k"), (r"approx_", "Approximate aggregates"),
+    (r"skew_", "Skew handling"),
+    (r"asof_", "As-of join"), (r"range_join_", "Range join"),
+    (r"pivot_", "Pivot"), (r"json_", "JSON extraction"),
+    (r"join_", "Join strategies"),
 ]
 
 
 def family(name: str) -> str:
-    for prefix, label in FAMILIES:
-        if name.startswith(prefix):
+    for pattern, label in FAMILIES:
+        if re.match(pattern, name):
             return label
     return "Other"
 
