@@ -140,6 +140,9 @@ HEADLINE = [
     "sim_random_projection",       # JL 64->16 projection (narrow map)
     "agg_heavy_hitters_incremental",  # HH served from at-rest counts
     "mm_phash_clusters",           # phash pairs + CC duplicate groups
+    # Round-8 tail.
+    "text_repetition_signals",     # Gopher repetition fold (map-only)
+    "cur_repetition_filter",       # repetition keep/drop audit
     # (stream_attribution stays oracle-graded but unbenched, like
     # stream_stateful_incremental_gate: an availableNow two-batch replay
     # measures trigger/checkpoint latency, not operator cost — its batch

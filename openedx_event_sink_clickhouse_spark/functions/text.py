@@ -49,6 +49,60 @@ def ngrams(words_col: Column, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(words_col), gram_list), 1)
 
 
+def gram_run_stats(grams: Column) -> Column:
+    """Per-row duplicate/mode statistics of a gram array, MAP-ONLY:
+    returns a struct ``(dupchars, bestc, bestg)`` — characters covered by
+    grams occurring more than once (count × gram length, summed), the
+    highest occurrence count, and the most frequent gram (count ties
+    break to the lexicographically smallest).
+
+    Sort the array (O(G log G) inside the row) and fold it once with
+    ``F.aggregate``, counting run lengths of equal adjacent grams. The
+    set-oriented alternative — explode → groupBy(id, gram) → window →
+    join back — shuffles corpus-token-scale data twice to compute a
+    per-row number; this fold deletes both shuffles, so per-doc
+    repetition stats stay embarrassingly parallel at any corpus size.
+    Empty arrays return ``(0, 0, "")``. Every state reference is a
+    lambda variable, so nothing re-evaluates the upstream split (the
+    HOF-binding rule :func:`ngrams` documents)."""
+    g = F.sort_array(grams)
+    zero = F.lit(0).cast("long")
+    init = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                    zero.alias("dupchars"), zero.alias("bestc"),
+                    F.lit("").alias("bestg"))
+
+    def merge(acc: Column, x: Column) -> Column:
+        same = x == acc["prev"]
+        run_closes = ~same & (acc["run"] > 0)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+             .alias("run"),
+            (acc["dupchars"]
+             + F.when(run_closes & (acc["run"] > 1),
+                      acc["run"] * F.length(acc["prev"]))
+                .otherwise(zero)).alias("dupchars"),
+            F.when(run_closes & (acc["run"] > acc["bestc"]), acc["run"])
+             .otherwise(acc["bestc"]).alias("bestc"),
+            F.when(run_closes & (acc["run"] > acc["bestc"]), acc["prev"])
+             .otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    def finish(acc: Column) -> Column:
+        # close the final run (same arithmetic as a run boundary)
+        return F.struct(
+            (acc["dupchars"]
+             + F.when(acc["run"] > 1, acc["run"] * F.length(acc["prev"]))
+                .otherwise(zero)).alias("dupchars"),
+            F.when(acc["run"] > acc["bestc"], acc["run"])
+             .otherwise(acc["bestc"]).alias("bestc"),
+            F.when(acc["run"] > acc["bestc"], acc["prev"])
+             .otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    return F.aggregate(g, init, merge, finish)
+
+
 def distinct_shingles(text: Column, n: int = 3) -> Column:
     """array_distinct(n-grams(words(text))) — the set used for jaccard."""
     return F.array_distinct(ngrams(words(text), n))
@@ -56,8 +110,16 @@ def distinct_shingles(text: Column, n: int = 3) -> Column:
 
 def shingles_sql(text_expr: str, n: int = 3) -> str:
     """DuckDB twin of :func:`distinct_shingles` (1-based list indexing)."""
+    return f"list_distinct({ngrams_sql(text_expr, n)})"
+
+
+def ngrams_sql(text_expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`ngrams` — WITH duplicates (repetition
+    counting needs multiplicities; dedup wants :func:`shingles_sql`).
+    ``generate_series(1, 0)`` is empty in DuckDB, so short docs yield
+    ``[]`` like the Spark guard."""
     w = f"string_split(lower({text_expr}), ' ')"
     grams = " || ' ' || ".join(f"__w[i+{k}]" if k else "__w[i]"
                                for k in range(n))
-    return (f"list_distinct(list_transform(generate_series(1, len({w})-{n - 1}), "
-            f"i -> {grams}))").replace("__w", w)
+    return (f"list_transform(generate_series(1, len({w})-{n - 1}), "
+            f"i -> {grams})").replace("__w", w)

@@ -80,6 +80,41 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
         reason.alias("reason"))
 
 
+REPETITION_RULES = {
+    "max_dup_word_frac": 0.6,
+    "max_top_ngram_char_frac": 0.1,
+    "max_dup_ngram_char_frac": 0.15,
+}
+
+
+def repetition_filter(docs: DataFrame, text_col: str = "text",
+                      rules: dict | None = None, top_n: int = 2,
+                      dup_n: int = 3) -> DataFrame:
+    """Gopher repetition-rule filter (Rae et al. 2021 §A1.1) — the
+    companion to :func:`quality_filter` for the repetition axis: drop
+    documents dominated by repeated words / a single hot n-gram /
+    duplicated n-gram spans. Returns the per-doc signals plus
+    (keep, reason), first-violated-rule reason codes in audit order,
+    NULL for kept docs. Same scale shape as the signals themselves:
+    map-only, no shuffle (see ``repetition_signals``)."""
+    from .textstats import repetition_signals
+
+    r = {**REPETITION_RULES, **(rules or {})}
+    sig = repetition_signals(docs, text_col, top_n=top_n, dup_n=dup_n)
+    reason = (
+        F.when(F.col("dup_word_frac") > r["max_dup_word_frac"],
+               F.lit("dup_words"))
+         .when(F.col("top_ngram_char_frac") > r["max_top_ngram_char_frac"],
+               F.lit("hot_ngram"))
+         .when(F.col("dup_ngram_char_frac") > r["max_dup_ngram_char_frac"],
+               F.lit("dup_ngrams")))
+    return sig.select(
+        "doc_id", "dup_word_frac", "top_ngram_char_frac",
+        "dup_ngram_char_frac",
+        F.when(reason.isNull(), 1).otherwise(0).cast("int").alias("keep"),
+        reason.alias("reason"))
+
+
 def scrub_pii(docs: DataFrame, text_col: str = "text",
               patterns=PII_PATTERNS) -> DataFrame:
     """Redact PII spans in place and count them per kind. Returns
@@ -405,45 +440,33 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     (doc_id, n_words, dup_word_frac, dup_bigram_frac, top_bigram,
     top_bigram_frac); ``top_bigram`` is NULL for sub-2-word docs.
 
-    Plan: the duplicate fractions are pure array expressions on the doc
-    spine (map-only — never exploded). Only the per-doc MODE (most
-    frequent bigram) needs per-gram rows: explode → partial-aggregated
-    groupBy (doc_id, gram) → row_number window per doc (ties broken
-    lexicographically for cross-engine determinism) → 1:1 sort-merge
-    join back to the spine. Both shuffles key on doc_id±gram, so skew is
-    bounded by the longest single document, not the corpus."""
+    Plan: MAP-ONLY, including the per-doc MODE. Through round 7 the top
+    bigram paid explode → groupBy(doc, gram) → row_number window → join
+    back (two corpus-token-scale shuffles); the ``gram_run_stats``
+    sorted-run fold (see ``functions/text.py``) computes the same mode —
+    identical count-then-lexicographic tie-break — inside the row, so
+    the whole operator is now a single project over the scan. The oracle
+    is unchanged (set-oriented unnest/GROUP BY): same values, plans
+    differing by exactly the deleted shuffles."""
+    from ..functions.text import gram_run_stats
+
     ws = words(F.col(text_col))
     grams = ngrams(ws, 2)
-    spine = docs.select(
+    stats = gram_run_stats(grams)
+    n_bigrams = F.size(grams)
+    return docs.select(
         F.col(id_col),
         F.size(ws).alias("n_words"),
         F.round(F.lit(1.0) - F.size(F.array_distinct(ws)) / F.size(ws), 6)
          .alias("dup_word_frac"),
-        F.size(grams).alias("_n_bigrams"),
-        F.size(F.array_distinct(grams)).alias("_n_uniq_bigrams"))
-    # outer + null-drop (single-word docs have no bigrams): dodges the
-    # inferred size()>0 filter that would rebuild the bigram array twice.
-    gram_rows = (docs.select(
-        F.col(id_col), F.explode_outer(ngrams(words(F.col(text_col)), 2))
-                        .alias("gram"))
-        .filter(F.col("gram").isNotNull()))
-    cnts = (gram_rows.groupBy(id_col, "gram")
-            .agg(F.count("*").alias("_cnt")))
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cnt"), "gram")
-    top = (cnts.withColumn("_rn", F.row_number().over(w))
-           .filter(F.col("_rn") == 1)
-           .select(id_col, F.col("gram").alias("top_bigram"), "_cnt"))
-    return (spine.join(top, id_col, "left")
-            .select(
-                id_col, "n_words", "dup_word_frac",
-                F.round(F.when(F.col("_n_bigrams") > 0,
-                               F.lit(1.0) - F.col("_n_uniq_bigrams")
-                               / F.col("_n_bigrams"))
-                         .otherwise(F.lit(0.0)), 6).alias("dup_bigram_frac"),
-                "top_bigram",
-                F.round(F.coalesce(F.col("_cnt") / F.col("_n_bigrams"),
-                                   F.lit(0.0)), 6)
-                 .alias("top_bigram_frac")))
+        F.round(F.when(n_bigrams > 0,
+                       F.lit(1.0) - F.size(F.array_distinct(grams))
+                       / n_bigrams)
+                 .otherwise(F.lit(0.0)), 6).alias("dup_bigram_frac"),
+        F.when(n_bigrams > 0, stats["bestg"]).alias("top_bigram"),
+        F.round(F.when(n_bigrams > 0,
+                       stats["bestc"] / n_bigrams)
+                 .otherwise(F.lit(0.0)), 6).alias("top_bigram_frac"))
 
 
 def negative_samples(docs: DataFrame, k: int = 4,

@@ -67,6 +67,43 @@ def quality_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       top_n: int = 2, dup_n: int = 5) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
+    public paper), per document:
+
+    - ``dup_word_frac`` — fraction of word occurrences that repeat an
+      already-seen word;
+    - ``top_ngram_char_frac`` — characters covered by all occurrences of
+      the single most frequent ``top_n``-gram / total characters (ties
+      break to the lexicographically smallest gram);
+    - ``dup_ngram_char_frac`` — characters covered by ``dup_n``-grams
+      occurring more than once / total characters.
+
+    Plan: MAP-ONLY. Repetition is a per-document statistic, so the gram
+    counting never leaves the row: one :func:`~..functions.text.
+    gram_run_stats` sorted-run fold per n — the explode → groupBy(doc,
+    gram) alternative shuffles corpus-token-scale data to recompute a
+    per-row number, exactly the shuffle this formulation deletes at
+    100 TB."""
+    from ..functions.text import gram_run_stats
+
+    w = words(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_words = F.size(w)
+    top_stats = gram_run_stats(ngrams(w, top_n))
+    dup_stats = gram_run_stats(ngrams(w, dup_n))
+    frac = lambda num: F.round(num.cast("double") / n_chars, 6)
+    return docs.select(
+        "doc_id",
+        F.round((n_words - F.size(F.array_distinct(w))).cast("double")
+                / n_words, 6).alias("dup_word_frac"),
+        frac(top_stats["bestc"] * F.length(top_stats["bestg"]))
+        .alias("top_ngram_char_frac"),
+        frac(dup_stats["dupchars"]).alias("dup_ngram_char_frac"),
+    )
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count plus a BPE-ish regex token count
     (letter runs / digit runs / single non-alnum marks — the classic

@@ -1793,6 +1793,71 @@ def _tx1(spark, sf_dir):
     return quality_signals(_t(spark, sf_dir, "documents"))
 
 
+# Gopher repetition signals (Rae et al. 2021 §A1.1). The oracle counts
+# grams the set-oriented way (unnest + GROUP BY doc,gram); Spark counts
+# them map-only (sorted-array run fold) — same multiplicities, so the
+# values hash-match while the plans differ by exactly the shuffle the
+# fold deletes. Tie-break for the top gram: highest count, then
+# lexicographically smallest (the fold's sorted order = the oracle's
+# ORDER BY c DESC, gram).
+_REPETITION_SQL = f"""
+WITH d AS (
+  SELECT doc_id, length(text) AS nc, string_split(lower(text), ' ') AS w
+  FROM documents
+),
+g2 AS (SELECT doc_id, unnest({{g2}}) AS gram FROM documents),
+c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+t2 AS (SELECT doc_id, c * length(gram) AS chars,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, gram) AS rn
+       FROM c2),
+g3 AS (SELECT doc_id, unnest({{g3}}) AS gram FROM documents),
+c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+d3 AS (SELECT doc_id, sum(c * length(gram)) AS dupchars
+       FROM c3 WHERE c > 1 GROUP BY doc_id)
+SELECT d.doc_id,
+  round((len(w) - len(list_distinct(w)))::DOUBLE / len(w), 6)
+    AS dup_word_frac,
+  round(coalesce(t.chars, 0)::DOUBLE / nc, 6) AS top_ngram_char_frac,
+  round(coalesce(d3.dupchars, 0)::DOUBLE / nc, 6) AS dup_ngram_char_frac
+FROM d LEFT JOIN (SELECT doc_id, chars FROM t2 WHERE rn = 1) t USING (doc_id)
+       LEFT JOIN d3 USING (doc_id)
+"""
+
+
+def _repetition_sql() -> str:
+    from .functions.text import ngrams_sql
+    return _REPETITION_SQL.format(g2=ngrams_sql("text", 2),
+                                  g3=ngrams_sql("text", 3))
+
+
+@register("text_repetition_signals", _repetition_sql())
+def _tx_rep(spark, sf_dir):
+    # dup_n=3 (not Gopher's 5): the synthetic corpus has no repeated
+    # 5-grams at all — 3 keeps the signal's tail non-degenerate while
+    # exercising the identical fold.
+    from .operators.textstats import repetition_signals
+    return repetition_signals(_t(spark, sf_dir, "documents"), dup_n=3)
+
+
+@register("cur_repetition_filter", f"""
+WITH sig AS ({{sig}})
+SELECT doc_id, dup_word_frac, top_ngram_char_frac, dup_ngram_char_frac,
+       CASE WHEN dup_word_frac > 0.6 OR top_ngram_char_frac > 0.1
+                 OR dup_ngram_char_frac > 0.15 THEN 0 ELSE 1 END AS keep,
+       CASE WHEN dup_word_frac > 0.6 THEN 'dup_words'
+            WHEN top_ngram_char_frac > 0.1 THEN 'hot_ngram'
+            WHEN dup_ngram_char_frac > 0.15 THEN 'dup_ngrams'
+       END AS reason
+FROM sig
+""".format(sig=_repetition_sql()))
+def _cur_rep(spark, sf_dir):
+    # Repetition-rule keep/drop audit — first violated rule wins the
+    # reason code, same contract as cur_quality_filter.
+    from .operators.curation import repetition_filter
+    return repetition_filter(_t(spark, sf_dir, "documents"))
+
+
 @register("cur_quality_score", f"""
 WITH base AS (
   SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents
@@ -5952,7 +6017,7 @@ _PRIORITY = [
     # -- changed in r8: re-grade --
     "sim_random_projection", "dq_duplicate_lineitem_keys",
     "join_bloom_prefilter", "stream_attribution",
-    "stream_scd2_maintenance",
+    "stream_scd2_maintenance", "cur_repetition_signals",
     # -- r3 stragglers --
     "tpch_q21", "tpch_q22",
     # -- the full r4 cohort --
@@ -5969,10 +6034,12 @@ _PRIORITY = [
     "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
     "stream_stateful_incremental_gate", "stream_tumbling_stats",
     "t1_tree_ordinals", "text_dsir_importance", "text_quality_signals",
-    "text_top_ngrams", "text_unigram_logprob",
-    # -- r5 cohort rotation starts --
-    "a1_watermarks", "agg_rollup_events",
-    # (r9 continues the r5 cohort alphabetically: cur_chunk_documents …)
+    "text_top_ngrams",
+    # -- NEW in r8: never graded --
+    "text_repetition_signals", "cur_repetition_filter",
+    # (text_unigram_logprob yields its r4 slot to the changed
+    # cur_repetition_signals; it leads the r9 window, then the r5
+    # cohort alphabetically: a1_watermarks, agg_rollup_events, …)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -318,3 +318,16 @@ def test_top_paths_partial_agg_and_topk(q, spark, sf_dir):
     plan = plan_of(q["evt_top_paths"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2 and "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_repetition_signals_map_only(q, spark, sf_dir):
+    # The sorted-array run fold keeps per-doc gram counting inside the
+    # row: no Exchange, no Generate (explode) anywhere — the shuffle the
+    # set-oriented formulation would pay at corpus-token scale.
+    # cur_repetition_signals included: its per-doc mode used to pay
+    # explode+window+join (two shuffles) — the fold must keep it flat.
+    for name in ("text_repetition_signals", "cur_repetition_filter",
+                 "cur_repetition_signals"):
+        plan = plan_of(q[name](spark, sf_dir))
+        assert "Exchange" not in plan, name
+        assert "Generate" not in plan, name
