@@ -143,6 +143,7 @@ HEADLINE = [
     # Round-8 tail.
     "text_repetition_signals",     # Gopher repetition fold (map-only)
     "cur_repetition_filter",       # repetition keep/drop audit
+    "agg_cms_heavy_hitters",       # count-min sketch certified vs exact
     # (stream_attribution stays oracle-graded but unbenched, like
     # stream_stateful_incremental_gate: an availableNow two-batch replay
     # measures trigger/checkpoint latency, not operator cost — its batch

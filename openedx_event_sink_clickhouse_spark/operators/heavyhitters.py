@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashes import md5_hash32
 from .dedup import ensure_min_parallelism
 
 
@@ -183,3 +184,79 @@ def retract_keys(spark, table: str, keys: DataFrame, key_col: str,
         from ..sources.layout import compact_bucketed_table
         compact_bucketed_table(spark, table, key_col, buckets,
                                max_files_per_bucket)
+
+
+def cms_sketch(df: DataFrame, key_col: str, width: int = 1024,
+               depth: int = 4) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) as a DataFrame:
+    ``depth`` md5-derived hash rows × ``width`` buckets, returned as a
+    (d, bucket, c) count table — at most depth·width rows TOTAL,
+    regardless of key cardinality or stream size. This is the
+    fixed-memory sibling of ``write_count_table``'s exact per-key
+    counts: where the exact table grows with distinct keys, the sketch
+    is a constant-size summary with a one-sided guarantee
+    (est ≥ exact; est ≤ exact + εn w.h.p., ε = e/width).
+
+    MERGEABLE by construction: two sketches over disjoint batches sum
+    cell-wise — ``sketch(a ∪ b) = groupBy(d, bucket).sum(c)`` over their
+    union — so incremental maintenance is "append the batch's sketch,
+    fold on read", the count-table protocol with O(depth·width) state.
+
+    Plan: the ×depth fan-out is an ``inline`` of per-row probe structs;
+    map-side partial aggregation collapses each task's contribution to
+    ≤ depth·width cells before the (tiny) shuffle, so the exchange
+    carries sketch-sized data however large the scan. md5 probes keep
+    the sketch — and any oracle replica — engine-reproducible
+    (functions/hashes.py); swap xxhash64 in production."""
+    keys = (df.select(F.col(key_col).cast("string").alias("_k"))
+            .filter(F.col("_k").isNotNull()))
+    probes = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 F.pmod(md5_hash32(F.col("_k"), seed=d + 1),
+                        F.lit(width)).alias("bucket"))
+        for d in range(depth)])
+    return (keys.select(F.inline(probes))
+            .groupBy("d", "bucket").agg(F.count("*").alias("c")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                 width: int = 1024, depth: int = 4) -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: est(key) =
+    min over the depth rows of the key's bucket cell. Returns
+    (``key_col``, est_count). The sketch (≤ depth·width rows) rides as a
+    broadcast, so estimation is a narrow map over the key set — no
+    shuffle beyond the final per-key min, which is bounded by the
+    queried keys, not the stream."""
+    ks = keys.select(F.col(key_col)).distinct()
+    probes = ks.select(
+        key_col,
+        F.inline(F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     F.pmod(md5_hash32(F.col(key_col).cast("string"),
+                                       seed=d + 1),
+                            F.lit(width)).alias("bucket"))
+            for d in range(depth)])))
+    return (probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long")))
+                 .alias("est_count")))
+
+
+def cms_heavy_hitters(df: DataFrame, key_col: str, k: int = 100,
+                      width: int = 1024, depth: int = 4,
+                      total: int | None = None) -> DataFrame:
+    """Exact heavy hitters annotated with their count-min estimates:
+    (``key_col``, exact_count, est_count, overcount). The exact pass
+    certifies the sketch — overcount = est − exact is ≥ 0 by the CMS
+    one-sided guarantee and is DETERMINISTIC here (fixed md5 hash
+    family), which is what lets an oracle hash-check a sketch at all.
+    At 100 TB the roles invert: the sketch (constant memory, mergeable,
+    one pass) answers the hot-key question and the exact recount runs
+    only over sketch-flagged candidates."""
+    hh = heavy_hitters(df, key_col, k=k, total=total)
+    est = cms_estimate(cms_sketch(df, key_col, width, depth),
+                       hh.select(key_col), key_col, width, depth)
+    return (hh.join(est, key_col)
+            .select(key_col, "exact_count", "est_count",
+                    (F.col("est_count") - F.col("exact_count"))
+                    .alias("overcount")))

@@ -5527,6 +5527,50 @@ def _agg_hh(spark, sf_dir):
     return heavy_hitters(ev, "user_id", k=stats["k"], total=stats["n"])
 
 
+# Count-min sketch certified against the exact pass: the oracle rebuilds
+# the SAME depth×width md5 sketch in SQL (same '#seed' hash family,
+# functions/hashes.py), so est_count and overcount — normally "approx,
+# can't hash-check" — are deterministic values both engines must agree
+# on exactly. width=256 on this stream forces real collisions: the
+# overcount column is non-zero, proving the estimate path (min over
+# depth rows) is exercised, not vacuously equal to exact.
+@register("agg_cms_heavy_hitters", """
+WITH t AS (SELECT user_id, CAST(user_id AS VARCHAR) AS kk
+           FROM events WHERE user_id IS NOT NULL),
+n AS (SELECT count(*) AS n, count(DISTINCT kk) AS k FROM t),
+hh AS (
+  SELECT user_id, kk, CAST(count(*) AS BIGINT) AS exact_count
+  FROM t GROUP BY user_id, kk
+  HAVING count(*) > (SELECT n FROM n) / CAST((SELECT k FROM n) AS DOUBLE)
+),
+cms AS (
+  SELECT d, CAST('0x' || substr(md5(kk || '#' || CAST(d + 1 AS VARCHAR)),
+                                1, 8) AS BIGINT) % 256 AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM t CROSS JOIN range(4) r(d) GROUP BY 1, 2
+),
+est AS (
+  SELECT h.user_id, min(c.c) AS est_count
+  FROM hh h CROSS JOIN range(4) r(d)
+  JOIN cms c ON c.d = r.d AND c.bucket =
+    CAST('0x' || substr(md5(h.kk || '#' || CAST(r.d + 1 AS VARCHAR)),
+                        1, 8) AS BIGINT) % 256
+  GROUP BY h.user_id
+)
+SELECT h.user_id, h.exact_count, e.est_count,
+       e.est_count - h.exact_count AS overcount
+FROM hh h JOIN est e USING (user_id)
+""")
+def _agg_cms_hh(spark, sf_dir):
+    from .operators.heavyhitters import cms_heavy_hitters
+    ev = _t(spark, sf_dir, "events")
+    stats = (ev.filter(F.col("user_id").isNotNull())
+             .agg(F.count("*").alias("n"),
+                  F.count_distinct(F.col("user_id")).alias("k")).first())
+    return cms_heavy_hitters(ev, "user_id", k=stats["k"], width=256,
+                             depth=4, total=stats["n"])
+
+
 def _hh_count_table(spark, sf_dir) -> str:
     """Session-cached at-rest count table for the incremental HH query:
     base counts from pre-cutoff events, one appended batch for the rest
@@ -6034,11 +6078,11 @@ _PRIORITY = [
     "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
     "stream_stateful_incremental_gate", "stream_tumbling_stats",
     "t1_tree_ordinals", "text_dsir_importance", "text_quality_signals",
-    "text_top_ngrams",
     # -- NEW in r8: never graded --
     "text_repetition_signals", "cur_repetition_filter",
-    # (text_unigram_logprob yields its r4 slot to the changed
-    # cur_repetition_signals; it leads the r9 window, then the r5
+    "agg_cms_heavy_hitters",
+    # (text_top_ngrams/text_unigram_logprob yield their r4 slots to the
+    # r8-changed/new entries; they lead the r9 window, then the r5
     # cohort alphabetically: a1_watermarks, agg_rollup_events, …)
 ]
 

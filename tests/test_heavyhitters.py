@@ -152,3 +152,51 @@ def test_heavy_hitters_degenerate_single_key_stream(spark):
     got = heavy_hitters(df, "key", k=5).collect()
     assert [(r.key, r.exact_count, r.freq_share) for r in got] \
         == [("hot", 20000, 1.0)]
+
+
+def test_cms_sketch_bounded_and_mergeable(spark):
+    from openedx_event_sink_clickhouse_spark.operators.heavyhitters import (
+        cms_sketch)
+    df = spark.createDataFrame([(i % 37,) for i in range(4000)], "k long")
+    sk = cms_sketch(df, "k", width=64, depth=3)
+    rows = sk.collect()
+    # bounded: at most depth*width cells, total mass = depth * n_rows
+    assert len(rows) <= 3 * 64
+    assert sum(r.c for r in rows) == 3 * 4000
+    # mergeable: sketch(a ∪ b) == cell-wise sum of the two sketches
+    a = df.filter("k < 20")
+    b = df.filter("k >= 20")
+    merged = (cms_sketch(a, "k", width=64, depth=3)
+              .unionByName(cms_sketch(b, "k", width=64, depth=3))
+              .groupBy("d", "bucket").agg(F.sum("c").alias("c")))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rows))
+
+
+def test_cms_estimate_one_sided_and_certified(spark):
+    from openedx_event_sink_clickhouse_spark.operators.heavyhitters import (
+        cms_estimate, cms_heavy_hitters, cms_sketch)
+    # zipf-ish: key i appears 200//(i+1) times
+    rows = [(i,) for i in range(50) for _ in range(200 // (i + 1))]
+    df = spark.createDataFrame(rows, "k long")
+    exact = {r.k: r.c for r in
+             df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    # tight width forces collisions; estimate must still be >= exact
+    sk = cms_sketch(df, "k", width=16, depth=4)
+    est = {r.k: r.est_count for r in
+           cms_estimate(sk, df.select("k"), "k", width=16, depth=4)
+           .collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    assert any(est[k] > exact[k] for k in exact)  # collisions real at w=16
+    # the certified HH output carries the same guarantee per row
+    out = cms_heavy_hitters(df, "k", k=10, width=16, depth=4).collect()
+    assert out and all(r.overcount >= 0 and
+                       r.est_count == r.exact_count + r.overcount
+                       for r in out)
+    # wider sketch -> estimates can only tighten (fewer collisions)
+    est_wide = {r.k: r.est_count for r in
+                cms_estimate(cms_sketch(df, "k", width=4096, depth=4),
+                             df.select("k"), "k", width=4096, depth=4)
+                .collect()}
+    assert all(est_wide[k] <= est[k] for k in exact)
+    assert all(est_wide[k] == exact[k] for k in exact)  # w>>keys: exact

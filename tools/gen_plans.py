@@ -66,6 +66,9 @@ SHOW = [
     "evt_attribution_linear",
     "dq_schema_drift",
     "scd2_incremental_merge",
+    "text_repetition_signals",
+    "cur_repetition_signals",
+    "agg_cms_heavy_hitters",
 ]
 
 SF = "/root/testdata/sf0.001"
