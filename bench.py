@@ -144,6 +144,7 @@ HEADLINE = [
     "text_repetition_signals",     # Gopher repetition fold (map-only)
     "cur_repetition_filter",       # repetition keep/drop audit
     "agg_cms_heavy_hitters",       # count-min sketch certified vs exact
+    "dedup_semantic_survivors",    # SemDeDup cell-blocked dedup
     # (stream_attribution stays oracle-graded but unbenched, like
     # stream_stateful_incremental_gate: an availableNow two-batch replay
     # measures trigger/checkpoint latency, not operator cost — its batch

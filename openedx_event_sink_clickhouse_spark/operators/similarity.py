@@ -349,6 +349,46 @@ def cell_balanced_sample(emb: DataFrame, cap: int, n_centroids: int = 16,
             .select(F.col("id").alias(id_col), "centroid", "cell_rank"))
 
 
+def semantic_dedup(emb: DataFrame, threshold: float = 0.35,
+                   n_cells: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroids: list[list[float]] | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 — public
+    paper): assign every embedding to a coarse cell, mine near-duplicate
+    pairs ONLY within cells, and keep one representative per duplicate
+    relation. Returns the survivors as (``id_col``, cell).
+
+    Drop rule: a vector is dropped iff some SAME-CELL vector with a
+    smaller id has cosine ≥ ``threshold`` to it — the deterministic
+    pairwise form of SemDeDup's keep-one-per-ε-ball (a transitive chain
+    a~b~c with no a~c edge keeps a AND c; full connected components is
+    ``dedup.connected_components`` over these pairs when the stricter
+    policy is wanted). min-id is the same representative choice as
+    ``exact_dedup``.
+
+    Plan at 100 TB: one broadcast-assign pass (``ivf_assign``; at rest
+    the cell IS a partition column, see ``write_ivf_partitioned``), then
+    the pair self-join shuffles on the cell id only — within-cell
+    quadratic, never corpus-quadratic, the same bound the paper's
+    per-cluster pass has; the drop set re-enters as a left_anti join
+    left UNHINTED — its size is data-dependent (dup-rate × corpus), so
+    AQE picks broadcast only when it measures small. Centroids default
+    to the deterministic first-``n_cells`` model so an oracle can
+    replicate the partitioning; pass ``kmeans_centroids`` output for
+    the production fit."""
+    assigned = ivf_assign(emb, n_cells, id_col, vec_col, centroids)
+    sim = cosine_with_norms(F.col("a.v"), F.col("b.v"),
+                            F.col("a.nv"), F.col("b.nv"))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (a.join(b, (F.col("a.centroid") == F.col("b.centroid"))
+                         & (F.col("a.id") < F.col("b.id")))
+               .filter(sim >= threshold)
+               .select(F.col("b.id").alias("id")).distinct())
+    return (assigned.join(dropped, "id", "left_anti")
+            .select(F.col("id").alias(id_col),
+                    F.col("centroid").alias("cell")))
+
+
 def kmeans_centroids(emb: DataFrame, k: int = 16, n_iter: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      dim: int | None = None) -> list[list[float]]:

@@ -1186,6 +1186,35 @@ def _sim2(spark, sf_dir):
                                 dim=EMB_DIM)
 
 
+# SemDeDup (cluster-blocked semantic dedup): same deterministic
+# first-16 centroid model as the sim_ivf family, so the oracle
+# replicates the assignment; the drop rule is pairwise (exists a
+# smaller-id same-cell neighbor with cos >= tau), recursion-free in
+# both engines.
+@register("dedup_semantic_survivors", f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),
+assign AS (
+  SELECT id, v, cell FROM (
+    SELECT e.id, e.v, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY {_cos_sql('e.v', 'c.cv')} DESC,
+                                       c.cid) AS rn
+    FROM e CROSS JOIN c) t
+  WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
+  WHERE {_cos_sql('a.v', 'b.v')} >= 0.35)
+SELECT id AS vec_id, CAST(cell AS INT) AS cell
+FROM assign WHERE id NOT IN (SELECT id FROM dropped)
+""")
+def _sim_semdedup(spark, sf_dir):
+    from .operators.similarity import semantic_dedup
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.35,
+                          n_cells=16)
+
+
 @register("sim_knn_graph", f"""
 WITH pairs AS ({_srp_neardup_oracle_sql(threshold=-1.0)}),
 edges AS (
@@ -6077,11 +6106,12 @@ _PRIORITY = [
     "sim_multi_probe_topk", "sim_neardup_pairs", "sim_quantized_recall",
     "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
     "stream_stateful_incremental_gate", "stream_tumbling_stats",
-    "t1_tree_ordinals", "text_dsir_importance", "text_quality_signals",
+    "t1_tree_ordinals", "text_dsir_importance",
     # -- NEW in r8: never graded --
     "text_repetition_signals", "cur_repetition_filter",
-    "agg_cms_heavy_hitters",
-    # (text_top_ngrams/text_unigram_logprob yield their r4 slots to the
+    "agg_cms_heavy_hitters", "dedup_semantic_survivors",
+    # (the alphabetically-last r4 entries — text_quality_signals,
+    # text_top_ngrams, text_unigram_logprob — yield their slots to the
     # r8-changed/new entries; they lead the r9 window, then the r5
     # cohort alphabetically: a1_watermarks, agg_rollup_events, …)
 ]
