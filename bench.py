@@ -145,6 +145,7 @@ HEADLINE = [
     "cur_repetition_filter",       # repetition keep/drop audit
     "agg_cms_heavy_hitters",       # count-min sketch certified vs exact
     "dedup_semantic_survivors",    # SemDeDup cell-blocked dedup
+    "evt_cuped_readout",           # CUPED variance-reduced A/B readout
     # (stream_attribution stays oracle-graded but unbenched, like
     # stream_stateful_incremental_gate: an availableNow two-batch replay
     # measures trigger/checkpoint latency, not operator cost — its batch

@@ -1,0 +1,96 @@
+"""A/B-experiment readout operators.
+
+Greenfield relative to the reference (see SURVEY.md §2 north-star
+extensions): the experimentation layer an event pipeline feeds —
+deterministic unit→variant hashing and CUPED variance reduction
+(Deng, Xu, Kohavi & Walker, WSDM 2013 — public paper): adjust each
+unit's experiment-period metric by its PRE-period covariate,
+``Y' = Y − θ·(X − mean(X))``, θ = cov(X,Y)/var(X), which removes the
+between-user variance the pre-period explains and leaves treatment
+effects unbiased (variant assignment is independent of X).
+
+Cross-engine determinism (the reason this is oracle-checkable at all):
+
+- per-unit X/Y sums are DECIMAL(18,6) — exact, order-independent
+  folds, so partial-aggregation order can never flip a low bit
+  (the money-sum rule from the TPC-H family);
+- the moment aggregates Σx, Σy, Σx², Σxy stay DECIMAL end-to-end
+  ((18,6)×(18,6) → (37,12), sums fit DECIMAL(38,12) exactly);
+- θ and the adjusted means are computed from those exact decimals by
+  ONE fixed double-precision formula, written identically in the SQL
+  twin — same operands, same operation order, bit-identical result;
+- variant assignment is md5-derived (``functions/hashes.py``), not
+  engine RNG.
+
+Scale: one map pass per event (the pre/post split is a conditional
+aggregate), one groupBy(unit) — the experiment's natural key, the same
+shuffle any per-user metric pays — then everything downstream is
+O(variants) with the 1-row moment frame riding as a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashes import md5_hash32
+
+DEC = "decimal(18,6)"
+
+
+def assign_variant(unit, n_variants: int = 2, salt: str = "exp"):
+    """Deterministic unit→variant bucket: ``md5(salt#unit) % n`` — the
+    standard hash-based randomization (stable across runs, engines, and
+    retries; independent of any pre-period behavior)."""
+    key = F.concat(F.lit(f"{salt}#"), unit.cast("string"))
+    return F.pmod(md5_hash32(key), F.lit(n_variants)).cast("int")
+
+
+def cuped_adjusted_means(events: DataFrame, cutoff, *,
+                         unit_col: str = "user_id", ts_col: str = "ts",
+                         value_col: str = "value", n_variants: int = 2,
+                         salt: str = "exp") -> DataFrame:
+    """Per-variant experiment readout with CUPED adjustment. ``cutoff``
+    splits pre-period (covariate X = the unit's value sum before it)
+    from the experiment period (metric Y = the sum at/after it); units
+    with no pre (or post) activity contribute X=0 (Y=0). Returns one row
+    per variant: (variant, n_units, mean_value, mean_value_adj, theta)
+    — theta repeated per row for auditability. θ is fit POOLED across
+    variants (the standard estimator; assignment ⟂ X keeps it
+    unbiased)."""
+    unit = F.col(unit_col)
+    ts = F.col(ts_col)
+    val = F.col(value_col).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    per_unit = (events
+                .groupBy(unit.alias("unit"))
+                .agg(F.sum(F.when(ts < F.lit(cutoff), val).otherwise(zero))
+                     .cast(DEC).alias("x"),
+                     F.sum(F.when(ts >= F.lit(cutoff), val).otherwise(zero))
+                     .cast(DEC).alias("y"))
+                .withColumn("variant", assign_variant(F.col("unit"),
+                                                      n_variants, salt)))
+    # pooled moments: exact decimal sums -> ONE double formula for theta
+    moments = per_unit.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    per_variant = per_unit.groupBy("variant").agg(
+        F.count("*").alias("n_units"),
+        F.sum("x").alias("vx"), F.sum("y").alias("vy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    var_x = sxx - sx * sx / n
+    theta = F.when(var_x != 0.0, (sxy - sx * sy / n) / var_x) \
+             .otherwise(F.lit(0.0))
+    nv = F.col("n_units").cast("double")
+    vx, vy = F.col("vx").cast("double"), F.col("vy").cast("double")
+    mean_adj = (vy - F.col("_theta") * (vx - nv * (sx / n))) / nv
+    return (per_variant.crossJoin(F.broadcast(moments))
+            .withColumn("_theta", theta)
+            .select("variant", "n_units",
+                    F.round(vy / nv, 6).alias("mean_value"),
+                    F.round(mean_adj, 6).alias("mean_value_adj"),
+                    F.round(F.col("_theta"), 6).alias("theta")))

@@ -5102,6 +5102,64 @@ def _profile(spark, sf_dir):
                          string_cols=["o_orderstatus", "o_orderpriority"])
 
 
+# CUPED experiment readout. Parity design: per-unit X/Y and all moment
+# sums are DECIMAL (exact, order-independent — the money-sum rule), the
+# variant hash is md5-derived, and theta/adjusted means are ONE double
+# formula written with identical operand order in both engines. The
+# only FP work is that final scalar formula on exact inputs.
+@register("evt_cuped_readout", """
+WITH pu AS (
+  SELECT user_id AS unit,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                       THEN CAST(value AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END)
+              AS DECIMAL(18,6)) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                       THEN CAST(value AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END)
+              AS DECIMAL(18,6)) AS y
+  FROM events GROUP BY user_id
+), pv AS (
+  SELECT CAST(CAST('0x' || substr(md5('exp#' || CAST(unit AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 2 AS INT) AS variant,
+         x, y
+  FROM pu
+), m AS (
+  -- (19,6) operand casts: DuckDB sizes a decimal product at w1+w2, so
+  -- 19+19 = 38 holds the exact (37,12) product Spark computes; at
+  -- (18,6) DuckDB would overflow the multiply. Values identical.
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+              AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+              AS DOUBLE) AS sxy
+  FROM pv
+), t AS (
+  SELECT n, sx,
+         CASE WHEN sxx - sx * sx / n <> 0.0
+              THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)
+              ELSE 0.0 END AS theta
+  FROM m
+), v AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(x) AS DOUBLE) AS vx, CAST(sum(y) AS DOUBLE) AS vy
+  FROM pv GROUP BY variant
+)
+SELECT variant, n_units,
+       round(vy / CAST(n_units AS DOUBLE), 6) AS mean_value,
+       round((vy - theta * (vx - CAST(n_units AS DOUBLE) * (sx / n)))
+             / CAST(n_units AS DOUBLE), 6) AS mean_value_adj,
+       round(theta, 6) AS theta
+FROM v CROSS JOIN t
+""")
+def _evt_cuped(spark, sf_dir):
+    import datetime as _dt
+    from .operators.experiment import cuped_adjusted_means
+    return cuped_adjusted_means(_t(spark, sf_dir, "events"),
+                                _dt.datetime(2024, 1, 15))
+
+
 @register("evt_anomaly_zscore", """
 WITH agg AS (
   SELECT event_type AS key, date_trunc('hour', ts) AS bucket_start,
@@ -6106,14 +6164,15 @@ _PRIORITY = [
     "sim_multi_probe_topk", "sim_neardup_pairs", "sim_quantized_recall",
     "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
     "stream_stateful_incremental_gate", "stream_tumbling_stats",
-    "t1_tree_ordinals", "text_dsir_importance",
+    "t1_tree_ordinals",
     # -- NEW in r8: never graded --
     "text_repetition_signals", "cur_repetition_filter",
     "agg_cms_heavy_hitters", "dedup_semantic_survivors",
-    # (the alphabetically-last r4 entries — text_quality_signals,
-    # text_top_ngrams, text_unigram_logprob — yield their slots to the
-    # r8-changed/new entries; they lead the r9 window, then the r5
-    # cohort alphabetically: a1_watermarks, agg_rollup_events, …)
+    "evt_cuped_readout",
+    # (the alphabetically-last r4 entries — text_dsir_importance,
+    # text_quality_signals, text_top_ngrams, text_unigram_logprob —
+    # yield their slots to the r8-changed/new entries; they lead the r9
+    # window, then the r5 cohort alphabetically: a1_watermarks, …)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

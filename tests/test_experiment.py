@@ -1,0 +1,91 @@
+"""CUPED experiment-readout tests: the adjustment must (a) reproduce the
+closed-form math on a hand-checkable fixture, (b) reduce the spread
+between variant means when the pre-period explains most of the variance
+and there is NO true effect, and (c) leave a true treatment effect
+intact. Variant hashing must be deterministic and balanced-ish."""
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from openedx_event_sink_clickhouse_spark.operators.experiment import (
+    assign_variant, cuped_adjusted_means)
+
+CUT = dt.datetime(2024, 1, 15)
+PRE = dt.datetime(2024, 1, 10)
+POST = dt.datetime(2024, 1, 20)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+
+
+def _variant_map(spark, users, n_variants: int = 2) -> dict:
+    df = spark.createDataFrame([(u,) for u in users], "u long")
+    return {r.u: r.v for r in
+            df.select("u", assign_variant(F.col("u"), n_variants)
+                      .alias("v")).collect()}
+
+
+def test_cuped_hand_computed(spark):
+    # two units per variant; Y = X exactly -> theta = 1, adjusted means
+    # collapse to the grand pre-mean shift: Y_u - (X_u - mean X)
+    rows, eid = [], 0
+    xs = {1: 10.0, 2: 20.0, 3: 30.0, 4: 40.0}
+    for u, x in xs.items():
+        rows += [(eid, PRE, u, x), (eid + 1, POST, u, x)]
+        eid += 2
+    out = cuped_adjusted_means(_events(spark, rows), CUT).collect()
+    vmap = _variant_map(spark, xs)
+    mean_x = sum(xs.values()) / 4.0
+    for r in out:
+        units = [u for u in xs if vmap[u] == r.variant]
+        want_raw = sum(xs[u] for u in units) / len(units)
+        want_adj = sum(xs[u] - 1.0 * (xs[u] - mean_x)
+                       for u in units) / len(units)
+        assert r.n_units == len(units)
+        assert abs(r.mean_value - want_raw) < 1e-6
+        assert abs(r.theta - 1.0) < 1e-6
+        assert abs(r.mean_value_adj - want_adj) < 1e-6
+
+
+def test_cuped_reduces_null_effect_gap_and_keeps_true_effect(spark):
+    rng = random.Random(7)
+    # 200 users with persistent per-user baseline: pre X_u = b_u,
+    # post Y_u = b_u + small noise, NO treatment effect
+    rows, eid = [], 0
+    base = {u: rng.uniform(10, 1000) for u in range(200)}
+    for u, b in base.items():
+        rows += [(eid, PRE, u, b), (eid + 1, POST, u, b + rng.uniform(-1, 1))]
+        eid += 2
+    out = {r.variant: r for r in
+           cuped_adjusted_means(_events(spark, rows), CUT).collect()}
+    raw_gap = abs(out[0].mean_value - out[1].mean_value)
+    adj_gap = abs(out[0].mean_value_adj - out[1].mean_value_adj)
+    assert adj_gap < raw_gap / 5, (raw_gap, adj_gap)  # variance crushed
+    assert 0.9 < out[0].theta < 1.1
+    # inject a true +50 effect on variant 1: the adjusted gap must show it
+    vmap = _variant_map(spark, base)
+    rows2 = [(eid2, ts, u, v + (50.0 if ts >= CUT and vmap[u] == 1 else 0.0))
+             for eid2, ts, u, v in rows]
+    out2 = {r.variant: r for r in
+            cuped_adjusted_means(_events(spark, rows2), CUT).collect()}
+    eff = out2[1].mean_value_adj - out2[0].mean_value_adj
+    assert 45 < eff < 55, eff
+
+
+def test_variant_assignment_deterministic_and_balanced(spark):
+    df = spark.range(1000).select(
+        assign_variant(F.col("id"), n_variants=4).alias("v"))
+    counts = {r.v: r.c for r in
+              df.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {0, 1, 2, 3}
+    assert all(150 < c < 350 for c in counts.values()), counts
+    again = {r.v: r.c for r in
+             spark.range(1000).select(
+                 assign_variant(F.col("id"), n_variants=4).alias("v"))
+             .groupBy("v").agg(F.count("*").alias("c")).collect()}
+    assert again == counts
