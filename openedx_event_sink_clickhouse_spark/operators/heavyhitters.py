@@ -260,3 +260,34 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, k: int = 100,
             .select(key_col, "exact_count", "est_count",
                     (F.col("est_count") - F.col("exact_count"))
                     .alias("overcount")))
+
+
+def write_cms_table(df: DataFrame, key_col: str, table: str,
+                    width: int = 1024, depth: int = 4,
+                    mode: str = "overwrite") -> None:
+    """Materialize the count-min sketch at rest: cells are mergeable
+    partials, so ``mode="append"`` writes a batch's OWN sketch and
+    readers fold with one groupBy — ``write_count_table``'s protocol
+    with O(depth·width) state instead of O(distinct keys). No bucketing
+    or compaction machinery: the whole table is ≤ depth·width rows per
+    appended batch, coordinator-scale by construction."""
+    from .dedup import _clear_orphaned_location
+
+    _clear_orphaned_location(df.sparkSession, table, mode)
+    (cms_sketch(df, key_col, width, depth)
+     .write.mode(mode).saveAsTable(table))
+
+
+def append_cms_batch(batch: DataFrame, key_col: str, table: str,
+                     width: int = 1024, depth: int = 4) -> None:
+    """Fold an arriving batch into the at-rest sketch: one batch-sized
+    narrow pass producing ≤ depth·width partial cells, appended. The
+    stream is never re-scanned; sketch(a ⊕ b) = cell-wise sum."""
+    write_cms_table(batch, key_col, table, width, depth, mode="append")
+
+
+def cms_from_table(spark, table: str) -> DataFrame:
+    """Fold the at-rest sketch partials back to one (d, bucket, c)
+    sketch — a groupBy over ≤ depth·width·batches rows."""
+    return (spark.table(table)
+            .groupBy("d", "bucket").agg(F.sum("c").alias("c")))

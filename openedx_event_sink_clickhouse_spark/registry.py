@@ -5658,6 +5658,49 @@ def _agg_cms_hh(spark, sf_dir):
                              depth=4, total=stats["n"])
 
 
+@register("agg_cms_incremental", None)  # oracle attached below
+def _agg_cms_inc(spark, sf_dir):
+    # The sketch family's at-rest/incremental form: base sketch cells
+    # from pre-cutoff events, ONE appended batch of partial cells for
+    # the rest (the stream is never re-scanned), served by folding the
+    # ≤ depth·width·batches partials. Sharing agg_cms_heavy_hitters'
+    # oracle IS the claim: cell-wise sum of per-batch sketches equals
+    # the one-pass sketch, so est/overcount hash-match exactly.
+    import hashlib
+
+    from .operators.heavyhitters import (append_cms_batch, cms_estimate,
+                                         cms_from_table, heavy_hitters,
+                                         write_cms_table)
+    tag = hashlib.md5(_sf_tag(sf_dir, "events").encode()).hexdigest()[:10]
+    tbl = f"cms_cells_{tag}"
+    ev = _t(spark, sf_dir, "events")
+    if not spark.catalog.tableExists(tbl):
+        from .operators.dedup import _clear_orphaned_location
+        tmp = f"{tbl}_building"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        _clear_orphaned_location(spark, tbl, "overwrite")
+        cut = F.lit(FLAGSHIP_CUTOFF).cast("timestamp")
+        write_cms_table(ev.filter(F.col("ts") < cut), "user_id", tmp,
+                        width=256, depth=4)
+        append_cms_batch(ev.filter(F.col("ts") >= cut), "user_id", tmp,
+                         width=256, depth=4)
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {tbl}")
+    stats = (ev.filter(F.col("user_id").isNotNull())
+             .agg(F.count("*").alias("n"),
+                  F.count_distinct(F.col("user_id")).alias("k")).first())
+    hh = heavy_hitters(ev, "user_id", k=stats["k"], total=stats["n"])
+    est = cms_estimate(cms_from_table(spark, tbl), hh.select("user_id"),
+                       "user_id", width=256, depth=4)
+    return (hh.join(est, "user_id")
+            .select("user_id", "exact_count", "est_count",
+                    (F.col("est_count") - F.col("exact_count"))
+                    .alias("overcount")))
+
+
+REGISTRY["agg_cms_incremental"] = (REGISTRY["agg_cms_incremental"][0],
+                                   REGISTRY["agg_cms_heavy_hitters"][1])
+
+
 def _hh_count_table(spark, sf_dir) -> str:
     """Session-cached at-rest count table for the incremental HH query:
     base counts from pre-cutoff events, one appended batch for the rest
@@ -6164,15 +6207,15 @@ _PRIORITY = [
     "sim_multi_probe_topk", "sim_neardup_pairs", "sim_quantized_recall",
     "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
     "stream_stateful_incremental_gate", "stream_tumbling_stats",
-    "t1_tree_ordinals",
     # -- NEW in r8: never graded --
     "text_repetition_signals", "cur_repetition_filter",
     "agg_cms_heavy_hitters", "dedup_semantic_survivors",
-    "evt_cuped_readout",
-    # (the alphabetically-last r4 entries — text_dsir_importance,
-    # text_quality_signals, text_top_ngrams, text_unigram_logprob —
-    # yield their slots to the r8-changed/new entries; they lead the r9
-    # window, then the r5 cohort alphabetically: a1_watermarks, …)
+    "evt_cuped_readout", "agg_cms_incremental",
+    # (the alphabetically-last r4 entries — t1_tree_ordinals,
+    # text_dsir_importance, text_quality_signals, text_top_ngrams,
+    # text_unigram_logprob — yield their slots to the r8-changed/new
+    # entries; they lead the r9 window, then the r5 cohort
+    # alphabetically: a1_watermarks, agg_rollup_events, …)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

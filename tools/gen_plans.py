@@ -69,6 +69,8 @@ SHOW = [
     "text_repetition_signals",
     "cur_repetition_signals",
     "agg_cms_heavy_hitters",
+    "dedup_semantic_survivors",
+    "evt_cuped_readout",
 ]
 
 SF = "/root/testdata/sf0.001"
