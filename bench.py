@@ -146,6 +146,7 @@ HEADLINE = [
     "agg_cms_heavy_hitters",       # count-min sketch certified vs exact
     "dedup_semantic_survivors",    # SemDeDup cell-blocked dedup
     "evt_cuped_readout",           # CUPED variance-reduced A/B readout
+    "agg_hll_distinct_rollup",     # HLL sketch rollup certified vs exact
     # (stream_attribution stays oracle-graded but unbenched, like
     # stream_stateful_incremental_gate: an availableNow two-batch replay
     # measures trigger/checkpoint latency, not operator cost — its batch

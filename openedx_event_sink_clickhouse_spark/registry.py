@@ -5102,6 +5102,30 @@ def _profile(spark, sf_dir):
                          string_cols=["o_orderstatus", "o_orderpriority"])
 
 
+# HLL distinct rollup, certified. The all-time row's estimate comes
+# from UNIONING the daily sketches (sketch additivity is the claim);
+# the oracle carries the exact columns and the bound flag both engines
+# emit as 1 (the agg_approx_percentiles pattern — estimates themselves
+# are not cross-engine replicable).
+@register("agg_hll_distinct_rollup", """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, user_id
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS INT) AS approx_ok
+FROM e GROUP BY day
+UNION ALL
+SELECT CAST(NULL AS DATE) AS day, CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT), CAST(1 AS INT)
+FROM e
+""")
+def _agg_hll(spark, sf_dir):
+    from .operators.cardinality import distinct_rollup_certified
+    return distinct_rollup_certified(_t(spark, sf_dir, "events"))
+
+
 # CUPED experiment readout. Parity design: per-unit X/Y and all moment
 # sums are DECIMAL (exact, order-independent — the money-sum rule), the
 # variant hash is md5-derived, and theta/adjusted means are ONE double
@@ -6206,16 +6230,16 @@ _PRIORITY = [
     "sim_ivf_topk", "sim_lsh_bucket_topk", "sim_multi_probe_recall",
     "sim_multi_probe_topk", "sim_neardup_pairs", "sim_quantized_recall",
     "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
-    "stream_stateful_incremental_gate", "stream_tumbling_stats",
+    "stream_stateful_incremental_gate",
     # -- NEW in r8: never graded --
     "text_repetition_signals", "cur_repetition_filter",
     "agg_cms_heavy_hitters", "dedup_semantic_survivors",
-    "evt_cuped_readout", "agg_cms_incremental",
-    # (the alphabetically-last r4 entries — t1_tree_ordinals,
-    # text_dsir_importance, text_quality_signals, text_top_ngrams,
-    # text_unigram_logprob — yield their slots to the r8-changed/new
-    # entries; they lead the r9 window, then the r5 cohort
-    # alphabetically: a1_watermarks, agg_rollup_events, …)
+    "evt_cuped_readout", "agg_cms_incremental", "agg_hll_distinct_rollup",
+    # (the alphabetically-last r4 entries — stream_tumbling_stats,
+    # t1_tree_ordinals, text_dsir_importance, text_quality_signals,
+    # text_top_ngrams, text_unigram_logprob — yield their slots to the
+    # r8-changed/new entries; they lead the r9 window, then the r5
+    # cohort alphabetically: a1_watermarks, agg_rollup_events, …)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
