@@ -220,16 +220,25 @@ def cms_sketch(df: DataFrame, key_col: str, width: int = 1024,
 
 
 def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
-                 width: int = 1024, depth: int = 4) -> DataFrame:
+                 width: int = 1024, depth: int = 4,
+                 carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Point-query the sketch for each key in ``keys``: est(key) =
     min over the depth rows of the key's bucket cell. Returns
-    (``key_col``, est_count). The sketch (≤ depth·width rows) rides as a
-    broadcast, so estimation is a narrow map over the key set — no
-    shuffle beyond the final per-key min, which is bounded by the
-    queried keys, not the stream."""
-    ks = keys.select(F.col(key_col)).distinct()
+    (``key_col``, *carry_cols, est_count). The sketch (≤ depth·width
+    rows) rides as a broadcast, so estimation is a narrow map over the
+    key set — no shuffle beyond the final per-key min, which is bounded
+    by the queried keys, not the stream.
+
+    ``carry_cols`` ride through the probe fan-out and the min-groupBy so
+    a caller annotating an existing per-key frame never JOINS BACK to it
+    — DataFrames aren't materialized, so a second reference to the keys
+    frame would re-run its whole lineage (for the certified HH query,
+    a second two-pass scan of the raw stream)."""
+    ks = keys.select(key_col, *carry_cols)
+    if not carry_cols:
+        ks = ks.distinct()
     probes = ks.select(
-        key_col,
+        key_col, *carry_cols,
         F.inline(F.array(*[
             F.struct(F.lit(d).alias("d"),
                      F.pmod(md5_hash32(F.col(key_col).cast("string"),
@@ -237,7 +246,7 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
                             F.lit(width)).alias("bucket"))
             for d in range(depth)])))
     return (probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
-            .groupBy(key_col)
+            .groupBy(key_col, *carry_cols)
             .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long")))
                  .alias("est_count")))
 
@@ -252,14 +261,19 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, k: int = 100,
     family), which is what lets an oracle hash-check a sketch at all.
     At 100 TB the roles invert: the sketch (constant memory, mergeable,
     one pass) answers the hot-key question and the exact recount runs
-    only over sketch-flagged candidates."""
+    only over sketch-flagged candidates.
+
+    exact_count rides THROUGH the estimate's probe fan-out
+    (``carry_cols``) instead of joining back to a second reference of
+    the HH frame — DataFrames re-run their lineage per reference, so the
+    join-back shape would scan the raw stream twice more."""
     hh = heavy_hitters(df, key_col, k=k, total=total)
     est = cms_estimate(cms_sketch(df, key_col, width, depth),
-                       hh.select(key_col), key_col, width, depth)
-    return (hh.join(est, key_col)
-            .select(key_col, "exact_count", "est_count",
-                    (F.col("est_count") - F.col("exact_count"))
-                    .alias("overcount")))
+                       hh, key_col, width, depth,
+                       carry_cols=("exact_count",))
+    return est.select(key_col, "exact_count", "est_count",
+                      (F.col("est_count") - F.col("exact_count"))
+                      .alias("overcount"))
 
 
 def write_cms_table(df: DataFrame, key_col: str, table: str,

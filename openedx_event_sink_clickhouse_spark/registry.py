@@ -5713,12 +5713,11 @@ def _agg_cms_inc(spark, sf_dir):
              .agg(F.count("*").alias("n"),
                   F.count_distinct(F.col("user_id")).alias("k")).first())
     hh = heavy_hitters(ev, "user_id", k=stats["k"], total=stats["n"])
-    est = cms_estimate(cms_from_table(spark, tbl), hh.select("user_id"),
-                       "user_id", width=256, depth=4)
-    return (hh.join(est, "user_id")
-            .select("user_id", "exact_count", "est_count",
-                    (F.col("est_count") - F.col("exact_count"))
-                    .alias("overcount")))
+    est = cms_estimate(cms_from_table(spark, tbl), hh, "user_id",
+                       width=256, depth=4, carry_cols=("exact_count",))
+    return est.select("user_id", "exact_count", "est_count",
+                      (F.col("est_count") - F.col("exact_count"))
+                      .alias("overcount"))
 
 
 REGISTRY["agg_cms_incremental"] = (REGISTRY["agg_cms_incremental"][0],

@@ -331,3 +331,26 @@ def test_repetition_signals_map_only(q, spark, sf_dir):
         plan = plan_of(q[name](spark, sf_dir))
         assert "Exchange" not in plan, name
         assert "Generate" not in plan, name
+
+
+def test_cms_single_hh_subtree_and_broadcast_sketch(q, spark, sf_dir):
+    # exact_count rides through the probe fan-out (carry_cols), so the
+    # exact-HH subtree — two raw-stream scans — appears ONCE, and the
+    # sketch enters as a broadcast: no join back onto a second lineage
+    # of the heavy-hitter frame.
+    plan = plan_of(q["agg_cms_heavy_hitters"](spark, sf_dir))
+    assert plan.count("mapInPandas") <= 1 or \
+        plan.count("MapInPandas") <= 1, plan
+    assert "BroadcastHashJoin [d#" in plan or \
+        "BroadcastHashJoin [d, " in plan or "BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cuped_moments_broadcast_partial_sums(q, spark, sf_dir):
+    # per-unit and per-variant sums are map-side partial; the 1-row
+    # moment frame rides a BroadcastNestedLoopJoin (cross with 1 row),
+    # never a SortMergeJoin or data-sized cartesian.
+    plan = plan_of(q["evt_cuped_readout"](spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
