@@ -5020,6 +5020,52 @@ def _stream_scd2(spark, sf_dir):
                                    "valid_to", "n_versions", "is_current")
 
 
+@register("stream_cms_maintenance", None)  # oracle attached below
+def _stream_cms(spark, sf_dir):
+    # The CMS sketch maintained BY A STREAM, certified end-to-end: two
+    # mtime-ordered micro-batches write their partial cells to
+    # epoch-partition dirs (overwrite-idempotent), then epoch 1 is
+    # REPLAYED through the handler (foreachBatch's at-least-once) —
+    # a double-count would inflate estimates and hash-mismatch. Serving
+    # folds the partitions and estimates for the exact heavy hitters;
+    # sharing agg_cms_heavy_hitters' oracle certifies stream-fold ==
+    # one-pass sketch.
+    import tempfile
+    import uuid
+
+    from .operators.heavyhitters import cms_estimate, heavy_hitters
+    from .streaming.sketch_maintenance import cms_stream_maintainer
+    from .streaming.stateful import EVENT_SCHEMA
+
+    split_dir = _attr_split_dir(spark, sf_dir)
+    m = cms_stream_maintainer(
+        tempfile.mkdtemp(prefix="cms_stream_") + "/cells", "user_id",
+        width=256, depth=4)
+    src = (spark.readStream.schema(EVENT_SCHEMA)
+           .option("pathGlobFilter", "batch*.parquet")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(split_dir))
+    q = (src.writeStream.foreachBatch(m)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix=f"ckpt_cms_{uuid.uuid4().hex[:6]}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    # at-least-once replay of the second batch — must be a no-op
+    import os as _os
+    replay = spark.read.parquet(_os.path.join(split_dir, "batch1.parquet"))
+    m(replay, 1)
+    ev = _t(spark, sf_dir, "events")
+    stats = (ev.filter(F.col("user_id").isNotNull())
+             .agg(F.count("*").alias("n"),
+                  F.count_distinct(F.col("user_id")).alias("k")).first())
+    hh = heavy_hitters(ev, "user_id", k=stats["k"], total=stats["n"])
+    est = cms_estimate(m.fold(spark), hh, "user_id", width=256, depth=4,
+                       carry_cols=("exact_count",))
+    return est.select("user_id", "exact_count", "est_count",
+                      (F.col("est_count") - F.col("exact_count"))
+                      .alias("overcount"))
+
+
 @register("evt_resample_hourly", """
 WITH agg AS (
   SELECT event_type AS key, date_trunc('hour', ts) AS bucket_start,
@@ -5722,6 +5768,11 @@ def _agg_cms_inc(spark, sf_dir):
 
 REGISTRY["agg_cms_incremental"] = (REGISTRY["agg_cms_incremental"][0],
                                    REGISTRY["agg_cms_heavy_hitters"][1])
+# The streaming maintainer shares the same one-pass oracle: epoch-
+# partitioned partials fold to the single-pass sketch iff the replay
+# protocol holds (defined above agg_cms_heavy_hitters, attached here).
+REGISTRY["stream_cms_maintenance"] = (REGISTRY["stream_cms_maintenance"][0],
+                                      REGISTRY["agg_cms_heavy_hitters"][1])
 
 
 def _hh_count_table(spark, sf_dir) -> str:
@@ -6229,16 +6280,16 @@ _PRIORITY = [
     "sim_ivf_topk", "sim_lsh_bucket_topk", "sim_multi_probe_recall",
     "sim_multi_probe_topk", "sim_neardup_pairs", "sim_quantized_recall",
     "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
-    "stream_stateful_incremental_gate",
     # -- NEW in r8: never graded --
     "text_repetition_signals", "cur_repetition_filter",
     "agg_cms_heavy_hitters", "dedup_semantic_survivors",
     "evt_cuped_readout", "agg_cms_incremental", "agg_hll_distinct_rollup",
-    # (the alphabetically-last r4 entries — stream_tumbling_stats,
-    # t1_tree_ordinals, text_dsir_importance, text_quality_signals,
-    # text_top_ngrams, text_unigram_logprob — yield their slots to the
-    # r8-changed/new entries; they lead the r9 window, then the r5
-    # cohort alphabetically: a1_watermarks, agg_rollup_events, …)
+    "stream_cms_maintenance",
+    # (the alphabetically-last r4 entries — stream_stateful_incremental_
+    # gate, stream_tumbling_stats, t1_tree_ordinals, text_dsir_importance,
+    # text_quality_signals, text_top_ngrams, text_unigram_logprob — yield
+    # their slots to the r8-changed/new entries; they lead the r9 window,
+    # then the r5 cohort alphabetically: a1_watermarks, …)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

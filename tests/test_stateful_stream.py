@@ -261,3 +261,49 @@ def test_scd2_maintainer_recovers_stranded_generation(spark, tmp_path):
     mtime = os.path.getmtime(os.path.join(hist_path, "_epoch"))
     m(b1, 1)
     assert os.path.getmtime(os.path.join(hist_path, "_epoch")) == mtime
+
+
+def test_epoch_partitioned_sketch_maintainer_replay_safe(spark, tmp_path):
+    # CMS cells maintained by a 3-batch stream must equal the one-pass
+    # sketch; a replayed epoch overwrites its own partition (no double
+    # count); compact() folds partitions without changing the view.
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.heavyhitters import (
+        cms_sketch)
+    from openedx_event_sink_clickhouse_spark.streaming.sketch_maintenance import (
+        cms_stream_maintainer, counts_stream_maintainer)
+
+    rows = [(i, _ts(i), 100 + i % 9, "e", 1.0, "{}") for i in range(60)]
+    full = spark.createDataFrame(rows, EVENT_SCHEMA)
+    batches = [full.filter((F.col("event_id") >= lo)
+                           & (F.col("event_id") < hi))
+               for lo, hi in ((0, 20), (20, 40), (40, 60))]
+
+    m = cms_stream_maintainer(str(tmp_path / "cms"), "user_id",
+                              width=32, depth=3)
+    for e, b in enumerate(batches):
+        m(b, e)
+    want = sorted(map(tuple, cms_sketch(full, "user_id", 32, 3).collect()))
+    got = lambda: sorted(
+        map(tuple, m.fold(spark).select("d", "bucket", "c").collect()))
+    assert got() == want
+    # at-least-once replay of epoch 1: state unchanged
+    m(batches[1], 1)
+    assert got() == want
+    # compact folds every epoch partition into the base; view unchanged
+    m.compact(spark)
+    import glob as _glob
+    assert _glob.glob(str(tmp_path / "cms" / "epoch=*")) == \
+        [str(tmp_path / "cms" / "epoch=-1")]
+    assert got() == want
+
+    # counts maintainer: same protocol, per-key exact counts
+    c = counts_stream_maintainer(str(tmp_path / "counts"), "user_id")
+    for e, b in enumerate(batches):
+        c(b, e)
+    c(batches[2], 2)  # replay
+    want_counts = sorted(map(tuple, full.groupBy("user_id")
+                             .agg(F.count("*").alias("n_rows")).collect()))
+    assert sorted(map(tuple, c.fold(spark)
+                      .select("user_id", "n_rows").collect())) == want_counts

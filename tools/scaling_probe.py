@@ -49,7 +49,7 @@ DEFAULT_QUERIES = ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
 # Queries scanning the embeddings table: capped at its row count (the
 # driver ships 2000 embedding rows at sf0.1, vs 5000 documents).
 EMB_QUERIES = {"sim_neardup_pairs", "sim_ivf_partitioned", "sim_cosine_topk",
-               "sim_quantized_topk", "sim_semantic_dedup",
+               "sim_quantized_topk", "dedup_semantic_survivors",
                "graph_triangle_count", "graph_pagerank",
                "sim_random_projection"}
 RUNS = 2
