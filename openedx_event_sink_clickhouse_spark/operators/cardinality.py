@@ -64,11 +64,20 @@ def distinct_rollup_certified(events: DataFrame, key_col: str = "user_id",
     exact. At 100 TB the exact columns are the harness and the sketches
     are the product; here both run so the flag is hash-checkable."""
     ev = events.filter(F.col(key_col).isNotNull())
+    # localCheckpoint: the daily frame is referenced twice below (the
+    # per-day report and the union'd all-time estimate), and a plain
+    # DataFrame re-runs its event-scale scan+shuffle per reference —
+    # the lineage trap cms_estimate's carry_cols exists to avoid. The
+    # materialized frame is days×(2 longs + one ≤2^lg_k-byte sketch):
+    # rollup-sized, cheap to pin. glob_exact below is the ONE remaining
+    # event scan, inherent to the certification (global exact distinct
+    # is not derivable from per-day exacts) and absent from the
+    # production path, where the sketches alone serve.
     daily = (ev.groupBy(F.to_date(F.col(ts_col)).alias("day"))
              .agg(F.count("*").alias("n_events"),
                   F.count_distinct(F.col(key_col)).alias("exact_users"),
                   F.expr(f"hll_sketch_agg({key_col}, {lg_k})")
-                  .alias("sketch")))
+                  .alias("sketch"))).localCheckpoint()
     ok = lambda est, exact: (
         F.when(F.abs(est - exact.cast("double"))
                <= F.lit(rel_err) * exact.cast("double"), 1)

@@ -96,11 +96,14 @@ def repetition_filter(docs: DataFrame, text_col: str = "text",
     duplicated n-gram spans. Returns the per-doc signals plus
     (keep, reason), first-violated-rule reason codes in audit order,
     NULL for kept docs. Same scale shape as the signals themselves:
-    map-only, no shuffle (see ``repetition_signals``)."""
-    from .textstats import repetition_signals
+    map-only, no shuffle (see ``textstats.gopher_repetition_signals``;
+    this module's own ``repetition_signals`` is the earlier
+    bigram-fraction variant with a different schema)."""
+    from .textstats import gopher_repetition_signals
 
     r = {**REPETITION_RULES, **(rules or {})}
-    sig = repetition_signals(docs, text_col, top_n=top_n, dup_n=dup_n)
+    sig = gopher_repetition_signals(docs, text_col, top_n=top_n,
+                                    dup_n=dup_n)
     reason = (
         F.when(F.col("dup_word_frac") > r["max_dup_word_frac"],
                F.lit("dup_words"))

@@ -349,14 +349,18 @@ def cell_balanced_sample(emb: DataFrame, cap: int, n_centroids: int = 16,
             .select(F.col("id").alias(id_col), "centroid", "cell_rank"))
 
 
-def semantic_dedup(emb: DataFrame, threshold: float = 0.35,
-                   n_cells: int = 16, id_col: str = "vec_id",
-                   vec_col: str = "embedding",
-                   centroids: list[list[float]] | None = None) -> DataFrame:
-    """SemDeDup-style semantic deduplication (Abbas et al. 2023 — public
-    paper): assign every embedding to a coarse cell, mine near-duplicate
-    pairs ONLY within cells, and keep one representative per duplicate
-    relation. Returns the survivors as (``id_col``, cell).
+def cell_semantic_dedup(emb: DataFrame, threshold: float = 0.35,
+                        n_cells: int = 16, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        centroids: list[list[float]] | None = None
+                        ) -> DataFrame:
+    """CELL-BLOCKED semantic deduplication — the paper-faithful SemDeDup
+    shape (Abbas et al. 2023: k-means cells, pairs mined per cluster),
+    complementing :func:`semantic_dedup` above (SRP-blocked pairs +
+    full connected components): assign every embedding to a coarse
+    cell, mine near-duplicate pairs ONLY within cells, and keep one
+    representative per duplicate relation. Returns the survivors as
+    (``id_col``, cell).
 
     Drop rule: a vector is dropped iff some SAME-CELL vector with a
     smaller id has cosine ≥ ``threshold`` to it — the deterministic

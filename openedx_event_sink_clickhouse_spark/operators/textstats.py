@@ -67,8 +67,8 @@ def quality_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def repetition_signals(docs: DataFrame, text_col: str = "text",
-                       top_n: int = 2, dup_n: int = 5) -> DataFrame:
+def gopher_repetition_signals(docs: DataFrame, text_col: str = "text",
+                              top_n: int = 2, dup_n: int = 5) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
     public paper), per document:
 
@@ -93,7 +93,13 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     n_words = F.size(w)
     top_stats = gram_run_stats(ngrams(w, top_n))
     dup_stats = gram_run_stats(ngrams(w, dup_n))
-    frac = lambda num: F.round(num.cast("double") / n_chars, 6)
+    # zero-length guard: an empty document would otherwise divide by 0
+    # — NULL under non-ANSI Spark vs inf/NaN in an IEEE oracle, and a
+    # NULL signal sails through every > threshold filter rule. 0.0 is
+    # the honest value (no characters, no repetition).
+    frac = lambda num: F.when(
+        n_chars > 0,
+        F.round(num.cast("double") / n_chars, 6)).otherwise(F.lit(0.0))
     return docs.select(
         "doc_id",
         F.round((n_words - F.size(F.array_distinct(w))).cast("double")

@@ -1210,9 +1210,12 @@ SELECT id AS vec_id, CAST(cell AS INT) AS cell
 FROM assign WHERE id NOT IN (SELECT id FROM dropped)
 """)
 def _sim_semdedup(spark, sf_dir):
-    from .operators.similarity import semantic_dedup
-    return semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.35,
-                          n_cells=16)
+    # CELL-blocked (k-means-style) SemDeDup with the pairwise min-id
+    # drop rule — the paper's per-cluster form; the SRP+full-CC sibling
+    # is sim_semantic_dedup.
+    from .operators.similarity import cell_semantic_dedup
+    return cell_semantic_dedup(_t(spark, sf_dir, "embeddings"),
+                               threshold=0.35, n_cells=16)
 
 
 @register("sim_knn_graph", f"""
@@ -1847,8 +1850,12 @@ d3 AS (SELECT doc_id, sum(c * length(gram)) AS dupchars
 SELECT d.doc_id,
   round((len(w) - len(list_distinct(w)))::DOUBLE / len(w), 6)
     AS dup_word_frac,
-  round(coalesce(t.chars, 0)::DOUBLE / nc, 6) AS top_ngram_char_frac,
-  round(coalesce(d3.dupchars, 0)::DOUBLE / nc, 6) AS dup_ngram_char_frac
+  CASE WHEN nc > 0
+       THEN round(coalesce(t.chars, 0)::DOUBLE / nc, 6)
+       ELSE 0.0 END AS top_ngram_char_frac,
+  CASE WHEN nc > 0
+       THEN round(coalesce(d3.dupchars, 0)::DOUBLE / nc, 6)
+       ELSE 0.0 END AS dup_ngram_char_frac
 FROM d LEFT JOIN (SELECT doc_id, chars FROM t2 WHERE rn = 1) t USING (doc_id)
        LEFT JOIN d3 USING (doc_id)
 """
@@ -1865,8 +1872,9 @@ def _tx_rep(spark, sf_dir):
     # dup_n=3 (not Gopher's 5): the synthetic corpus has no repeated
     # 5-grams at all — 3 keeps the signal's tail non-degenerate while
     # exercising the identical fold.
-    from .operators.textstats import repetition_signals
-    return repetition_signals(_t(spark, sf_dir, "documents"), dup_n=3)
+    from .operators.textstats import gopher_repetition_signals
+    return gopher_repetition_signals(_t(spark, sf_dir, "documents"),
+                                     dup_n=3)
 
 
 @register("cur_repetition_filter", f"""

@@ -84,9 +84,13 @@ class Scd2StreamMaintainer:
         # epoch marker (the bucketed sibling's protocol at whole-table
         # granularity): a replayed trigger whose epoch already committed
         # skips, so the non-idempotent merge is never applied twice to
-        # the same generation.
+        # the same generation. EXACT match only — foreachBatch replays
+        # re-fire the last uncommitted epoch; a >= guard would silently
+        # freeze the maintainer forever when an operator restarts the
+        # stream with a fresh checkpoint (epoch ids reset to 0) against
+        # an existing history path.
         marker = os.path.join(self.path, "_epoch")
-        if os.path.isfile(marker) and int(open(marker).read()) >= epoch_id:
+        if os.path.isfile(marker) and int(open(marker).read()) == epoch_id:
             return
         spark = batch_df.sparkSession
         if os.path.isfile(os.path.join(self.path, "_SUCCESS")):

@@ -46,36 +46,79 @@ class EpochPartitionedAppender:
         self.fold_keys = fold_keys
         self.value_cols = value_cols
 
+    def _manifest(self) -> str:
+        return os.path.join(self.path, "_compact_manifest")
+
+    def _scratch(self) -> str:
+        # leading dot: invisible to Spark partition discovery, so a
+        # half-built base can never enter a fold
+        return os.path.join(self.path, ".compact_new")
+
+    def _recover(self) -> None:
+        """Finish (or discard) an interrupted compact. The manifest is
+        written only AFTER the new base's data is complete, so: manifest
+        present → the scratch base supersedes every partition it lists;
+        delete them, install the base, drop the manifest. No manifest →
+        any scratch dir is an incomplete fold; discard it. Either way
+        fold() never sees a row twice or loses one."""
+        if os.path.isfile(self._manifest()):
+            listed = [ln.strip() for ln in open(self._manifest())
+                      if ln.strip()]
+            for d in listed:
+                shutil.rmtree(os.path.join(self.path, d),
+                              ignore_errors=True)
+            base = listed and listed[0].split("=", 1)[0]  # "epoch"
+            target = os.path.join(self.path, f"{base}=-1") if base else None
+            if os.path.isdir(self._scratch()) and target:
+                os.rename(self._scratch(), target)
+            os.remove(self._manifest())
+        shutil.rmtree(self._scratch(), ignore_errors=True)
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        self._recover()
         part = self.partials_fn(batch_df)
         # idempotent: the replayed epoch overwrites its own partition
         part.write.mode("overwrite").parquet(
             os.path.join(self.path, f"epoch={epoch_id}"))
 
     def fold(self, spark) -> DataFrame:
+        self._recover()
         df = spark.read.parquet(self.path)
         return (df.groupBy(*self.fold_keys)
                 .agg(*[F.sum(c).alias(c) for c in self.value_cols]))
 
-    def compact(self, spark, into_epoch: int = -1) -> None:
-        """Fold all epoch partitions into one base partition
-        (``epoch=<into_epoch>``, default -1 — below any real epoch) and
-        drop the originals, bounding partition count as epochs
-        accumulate. Crash-safe the same way the SCD2 swap is: the base
-        writes beside, then the superseded partitions drop; a crash
-        between leaves double-counted epochs at worst UNTIL the next
-        compact — callers wanting stricter semantics compact under the
-        stream's trigger lock (foreachBatch is serial per query)."""
-        folded = self.fold(spark).localCheckpoint()
-        epochs = [d for d in os.listdir(self.path)
-                  if d.startswith("epoch=") and
-                  d != f"epoch={into_epoch}"]
-        folded.write.mode("overwrite").parquet(
-            os.path.join(self.path, f"epoch={into_epoch}"))
-        for d in epochs:
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+    def compact(self, spark) -> None:
+        """Fold the CURRENT epoch partitions into one base partition
+        (``epoch=-1`` — below any real epoch) and drop exactly those,
+        bounding partition count as epochs accumulate.
+
+        Crash-safe manifest protocol (the SCD2 recovery discipline):
+        (1) SNAPSHOT the partition list first — an epoch the stream
+        writes concurrently is neither folded nor deleted, it just
+        survives into the next compact; (2) fold ONLY the snapshot into
+        a dot-prefixed scratch dir Spark's discovery ignores; (3) write
+        a manifest naming the snapshot — the commit point; (4) delete
+        the snapshot dirs, install the scratch as the new base, drop
+        the manifest. A crash before (3) discards the scratch (state
+        untouched); after (3), :meth:`_recover` — run on every entry —
+        finishes the deletes/install, so a partial compact can never
+        double-count a partition into a later fold or delete data that
+        was not folded."""
+        self._recover()
+        snapshot = sorted(d for d in os.listdir(self.path)
+                          if d.startswith("epoch="))
+        if len(snapshot) <= 1:
+            return
+        only = [os.path.join(self.path, d) for d in snapshot]
+        folded = (spark.read.parquet(*only)
+                  .groupBy(*self.fold_keys)
+                  .agg(*[F.sum(c).alias(c) for c in self.value_cols]))
+        folded.write.mode("overwrite").parquet(self._scratch())
+        with open(self._manifest(), "w") as fh:
+            fh.write("\n".join(snapshot))
+        self._recover()
 
 
 def cms_stream_maintainer(path: str, key_col: str, width: int = 1024,

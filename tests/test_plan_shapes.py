@@ -339,8 +339,7 @@ def test_cms_single_hh_subtree_and_broadcast_sketch(q, spark, sf_dir):
     # sketch enters as a broadcast: no join back onto a second lineage
     # of the heavy-hitter frame.
     plan = plan_of(q["agg_cms_heavy_hitters"](spark, sf_dir))
-    assert plan.count("mapInPandas") <= 1 or \
-        plan.count("MapInPandas") <= 1, plan
+    assert plan.count("MapInPandas") == 1, plan
     assert "BroadcastHashJoin [d#" in plan or \
         "BroadcastHashJoin [d, " in plan or "BuildRight" in plan
     assert "SortMergeJoin" not in plan

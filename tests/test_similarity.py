@@ -603,9 +603,9 @@ def test_knn_graph_ranks_true_neighbors(spark):
         assert sims == sorted(sims, reverse=True)
 
 
-def test_semantic_dedup_drops_within_cell_neardups(spark):
+def test_cell_semantic_dedup_drops_within_cell_neardups(spark):
     from openedx_event_sink_clickhouse_spark.operators.similarity import (
-        semantic_dedup)
+        cell_semantic_dedup)
     # two tight clusters on orthogonal axes + one isolated vector.
     # centroids = first 2 vectors (one per cluster by construction).
     rows = [
@@ -618,14 +618,14 @@ def test_semantic_dedup_drops_within_cell_neardups(spark):
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {r.vec_id: r.cell for r in
-           semantic_dedup(emb, threshold=0.9, n_cells=2).collect()}
+           cell_semantic_dedup(emb, threshold=0.9, n_cells=2).collect()}
     assert set(got) == {0, 1, 5}
     assert got[0] == 0 and got[1] == 1
     # cross-cell near-identical vectors are NOT compared (blocking is
     # by cell): a dup of cluster A assigned to cell A only ever meets
     # cell-A vectors. Tighten threshold -> nothing dropped.
     all_kept = {r.vec_id for r in
-                semantic_dedup(emb, threshold=0.999999, n_cells=2).collect()}
+                cell_semantic_dedup(emb, threshold=0.999999, n_cells=2).collect()}
     assert all_kept == {0, 1, 2, 3, 4, 5}
     # min-id representative: survivors are always the smallest id of
     # their pairwise-dup relation

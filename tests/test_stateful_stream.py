@@ -307,3 +307,59 @@ def test_epoch_partitioned_sketch_maintainer_replay_safe(spark, tmp_path):
                              .agg(F.count("*").alias("n_rows")).collect()))
     assert sorted(map(tuple, c.fold(spark)
                       .select("user_id", "n_rows").collect())) == want_counts
+
+
+def test_sketch_compact_crash_recovery(spark, tmp_path):
+    # Simulate the two compact crash windows: (a) scratch written but no
+    # manifest -> discarded, state untouched; (b) manifest written but
+    # deletes/install unfinished -> recovery completes them. Fold must
+    # return the true totals in every state, and a concurrent epoch
+    # written after the snapshot must survive compaction.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.streaming.sketch_maintenance import (
+        counts_stream_maintainer)
+
+    rows = [(i, _ts(i), 100 + i % 5, "e", 1.0, "{}") for i in range(40)]
+    full = spark.createDataFrame(rows, EVENT_SCHEMA)
+    b0 = full.filter(F.col("event_id") < 20)
+    b1 = full.filter(F.col("event_id") >= 20)
+    c = counts_stream_maintainer(str(tmp_path / "counts"), "user_id")
+    c(b0, 0)
+    c(b1, 1)
+    want = sorted(map(tuple, full.groupBy("user_id")
+                      .agg(F.count("*").alias("n_rows")).collect()))
+    got = lambda: sorted(map(tuple, c.fold(spark)
+                             .select("user_id", "n_rows").collect()))
+
+    # (a) crash BEFORE the manifest: a stale scratch dir must be
+    # discarded, never folded (dot-prefix also hides it from discovery)
+    os.makedirs(c._scratch(), exist_ok=True)
+    open(os.path.join(c._scratch(), "junk"), "w").write("x")
+    assert got() == want
+    assert not os.path.isdir(c._scratch())
+
+    # (b) crash AFTER the manifest: scratch holds the folded base, the
+    # manifest lists the snapshot, originals still present. Recovery
+    # (run by fold) must delete exactly the listed partitions and
+    # install the base — totals unchanged, nothing double-counted.
+    snapshot = sorted(d for d in os.listdir(c.path)
+                      if d.startswith("epoch="))
+    folded = (spark.read.parquet(*[os.path.join(c.path, d)
+                                   for d in snapshot])
+              .groupBy("user_id").agg(F.sum("n_rows").alias("n_rows")))
+    folded.write.mode("overwrite").parquet(c._scratch())
+    with open(c._manifest(), "w") as fh:
+        fh.write("\n".join(snapshot))
+    # a concurrent epoch arrives after the snapshot was taken
+    c(b1, 2)
+    want2 = sorted(map(tuple, full.unionByName(b1).groupBy("user_id")
+                       .agg(F.count("*").alias("n_rows")).collect()))
+    assert got() == want2
+    assert not os.path.isfile(c._manifest())
+    dirs = sorted(d for d in os.listdir(c.path) if d.startswith("epoch="))
+    assert dirs == ["epoch=-1", "epoch=2"]
+    # idempotent: a second fold/recover changes nothing
+    assert got() == want2

@@ -166,26 +166,26 @@ def test_dsir_importance_smoothing_handles_oov(spark):
     assert row.importance_weight > 0
 
 
-def test_repetition_signals_golden(spark):
+def test_gopher_repetition_signals_golden(spark):
     from openedx_event_sink_clickhouse_spark.operators.textstats import (
-        repetition_signals)
+        gopher_repetition_signals)
     # doc 1: "a b a b a c" — words 6, distinct 3 -> dup_word_frac 0.5
     #   2-grams: [a b, b a, a b, b a, a c]; top is "a b"×2 (tie with
     #   "b a"×2 broken lexicographically) -> 2*3/11 chars
     #   3-grams: [a b a, b a b, a b a, b a c]; dup "a b a"×2 -> 2*5/11
     df = _docs(spark, [(1, "a b a b a c", "en")])
-    r = repetition_signals(df, dup_n=3).collect()[0]
+    r = gopher_repetition_signals(df, dup_n=3).collect()[0]
     assert r.dup_word_frac == 0.5
     assert r.top_ngram_char_frac == round(6 / 11, 6)
     assert r.dup_ngram_char_frac == round(10 / 11, 6)
     # doc shorter than n words: all gram stats zero, no error
-    short = repetition_signals(_docs(spark, [(2, "hello", "en")]),
-                               dup_n=3).collect()[0]
+    short = gopher_repetition_signals(
+        _docs(spark, [(2, "hello", "en")]), dup_n=3).collect()[0]
     assert short.top_ngram_char_frac == 0.0
     assert short.dup_ngram_char_frac == 0.0
     assert short.dup_word_frac == 0.0
     # no repetition at all -> dup fracs 0, top gram counted once
-    clean = repetition_signals(
+    clean = gopher_repetition_signals(
         _docs(spark, [(3, "w x y z", "en")]), dup_n=3).collect()[0]
     assert clean.dup_word_frac == 0.0
     assert clean.top_ngram_char_frac == round(3 / 7, 6)  # "w x"×1
