@@ -857,6 +857,39 @@ def train_val_test_split(docs: DataFrame, val_frac: float = 0.05,
     return docs.select(F.col(id_col), split.alias("split"))
 
 
+def leakage_safe_split(docs: DataFrame, labels: DataFrame,
+                       val_frac: float = 0.05, test_frac: float = 0.05,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Eval-split assignment that CANNOT leak near-duplicates across the
+    train/test boundary: :func:`train_val_test_split` hashes each doc's
+    own id, so two near-copies routinely land on opposite sides of the
+    boundary — the classic contamination path that inflates eval scores
+    even after in-split dedup. Here the split hash keys on the near-dup
+    CLUSTER id (the min-id label from ``dedup.connected_components``),
+    coalesced to the doc's own id for unclustered docs, so every member
+    of a duplicate cluster shares one split by construction. Returns
+    (doc_id, split_key, split).
+
+    Same determinism contract as the plain split (md5-uniform, stable
+    under corpus growth — with one honest caveat: a NEW duplicate edge
+    can merge clusters and move the merged cluster's members together,
+    which is exactly the behavior you want when a dup is discovered).
+    Plan: one join of the doc spine against the label table —
+    O(duplicated docs), unhinted so AQE broadcasts when small — then the
+    map-only hash. At rest the labels come from the compute-once cluster
+    table (``dedup.write_cluster_table``), not a fresh LSH+CC run."""
+    lab = labels.select(F.col("doc_id").alias(id_col), "cluster_id")
+    keyed = (docs.select(id_col).join(lab, id_col, "left")
+             .select(F.col(id_col),
+                     F.coalesce(F.col("cluster_id"), F.col(id_col))
+                      .alias("split_key")))
+    u = _hash_uniform(F.col("split_key"))
+    split = (F.when(u < test_frac, F.lit("test"))
+             .when(u < test_frac + val_frac, F.lit("val"))
+             .otherwise(F.lit("train")))
+    return keyed.select(id_col, "split_key", split.alias("split"))
+
+
 # Pinned linear quality model: weights over quality_signals features,
 # trained offline (here: hand-set to favor long, low-punctuation,
 # vocabulary-diverse documents — the shape a fastText/logreg quality

@@ -5523,6 +5523,33 @@ def _cur_split(spark, sf_dir):
                                 val_frac=0.05, test_frac=0.05)
 
 
+@register("cur_split_leakage_safe", f"""
+WITH k AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS split_key
+  FROM documents d
+  LEFT JOIN ({_cluster_oracle_sql()}) l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, split_key,
+       CASE WHEN CAST('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8)
+                      AS BIGINT) / 4294967296.0 < 0.05 THEN 'test'
+            WHEN CAST('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8)
+                      AS BIGINT) / 4294967296.0 < 0.10 THEN 'val'
+            ELSE 'train' END AS split
+FROM k
+""")
+def _cur_split_safe(spark, sf_dir):
+    # Leakage-safe eval split: the split hash keys on the near-dup
+    # CLUSTER id (coalesced to the doc id for unclustered docs), so
+    # near-copies can never straddle the train/test boundary — the
+    # contamination path the per-doc split leaves open. Labels serve
+    # from the at-rest cluster table (compute-once), the plain-split
+    # pattern composed with the dedup family's artifact.
+    from .operators.curation import leakage_safe_split
+    return leakage_safe_split(_t(spark, sf_dir, "documents"),
+                              _text_cluster_labels(spark, sf_dir),
+                              val_frac=0.05, test_frac=0.05)
+
+
 @register("dedup_cluster_sizes", None)  # oracle attached just below
 def _ddcs(spark, sf_dir):
     # Dedup ops dashboard: the duplicate-cluster size distribution,
@@ -6287,17 +6314,18 @@ _PRIORITY = [
     "sim_ivf_incremental", "sim_ivf_partitioned", "sim_ivf_recall",
     "sim_ivf_topk", "sim_lsh_bucket_topk", "sim_multi_probe_recall",
     "sim_multi_probe_topk", "sim_neardup_pairs", "sim_quantized_recall",
-    "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
+    "sim_quantized_topk", "skew_salted_agg",
     # -- NEW in r8: never graded --
     "text_repetition_signals", "cur_repetition_filter",
     "agg_cms_heavy_hitters", "dedup_semantic_survivors",
     "evt_cuped_readout", "agg_cms_incremental", "agg_hll_distinct_rollup",
-    "stream_cms_maintenance",
-    # (the alphabetically-last r4 entries — stream_stateful_incremental_
-    # gate, stream_tumbling_stats, t1_tree_ordinals, text_dsir_importance,
-    # text_quality_signals, text_top_ngrams, text_unigram_logprob — yield
-    # their slots to the r8-changed/new entries; they lead the r9 window,
-    # then the r5 cohort alphabetically: a1_watermarks, …)
+    "stream_cms_maintenance", "cur_split_leakage_safe",
+    # (the alphabetically-last r4 entries — stream_session_stats,
+    # stream_stateful_incremental_gate, stream_tumbling_stats,
+    # t1_tree_ordinals, text_dsir_importance, text_quality_signals,
+    # text_top_ngrams, text_unigram_logprob — yield their slots to the
+    # r8-changed/new entries; they lead the r9 window, then the r5
+    # cohort alphabetically: a1_watermarks, …)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -540,3 +540,36 @@ def test_weighted_sample_k_exceeding_population(spark):
     # only the 2 positive-weight rows exist; ranks stay dense 1..2
     assert sorted(r.doc_id for r in got) == [1, 2]
     assert sorted(r.sample_rank for r in got) == [1, 2]
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        leakage_safe_split, train_val_test_split)
+
+    docs = _docs(spark, [(i, f"doc {i}", "en", "s") for i in range(300)])
+    # synthetic cluster labels: docs 3k..3k+2 form a cluster labeled 3k
+    labels = spark.createDataFrame(
+        [(i, (i // 3) * 3, i % 3 == 0) for i in range(300)],
+        "doc_id long, cluster_id long, is_survivor boolean")
+    out = leakage_safe_split(docs, labels, val_frac=0.2, test_frac=0.2)
+    rows = out.collect()
+    assert len(rows) == 300
+    # every cluster member shares one split (the leakage guarantee)
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.split_key, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # all three splits are populated at these fractions
+    assert {r.split for r in rows} == {"train", "val", "test"}
+    # the per-doc split WOULD split some cluster (the bug this fixes)
+    naive = {r.doc_id: r.split
+             for r in train_val_test_split(docs, 0.2, 0.2).collect()}
+    assert any(len({naive[k], naive[k + 1], naive[k + 2]}) > 1
+               for k in range(0, 300, 3))
+    # unclustered docs key on their own id == the plain split's choice
+    out2 = {r.doc_id: r.split for r in leakage_safe_split(
+        docs, labels.filter(F.col("cluster_id") < 0),  # empty labels
+        val_frac=0.2, test_frac=0.2).collect()}
+    assert out2 == naive
