@@ -40,11 +40,15 @@ class EpochPartitionedAppender:
     column)."""
 
     def __init__(self, path: str, partials_fn, fold_keys: list[str],
-                 value_cols: list[str]) -> None:
+                 value_cols: list[str],
+                 agg_exprs: list | None = None) -> None:
         self.path = path
         self.partials_fn = partials_fn
         self.fold_keys = fold_keys
         self.value_cols = value_cols
+        # default merge is summation; sketches with their own merge
+        # operator (HLL union) pass explicit aggregate expressions
+        self.agg_exprs = agg_exprs
 
     def _manifest(self) -> str:
         return os.path.join(self.path, "_compact_manifest")
@@ -83,11 +87,15 @@ class EpochPartitionedAppender:
         part.write.mode("overwrite").parquet(
             os.path.join(self.path, f"epoch={epoch_id}"))
 
+    def _fold_exprs(self) -> list:
+        if self.agg_exprs is not None:
+            return self.agg_exprs
+        return [F.sum(c).alias(c) for c in self.value_cols]
+
     def fold(self, spark) -> DataFrame:
         self._recover()
         df = spark.read.parquet(self.path)
-        return (df.groupBy(*self.fold_keys)
-                .agg(*[F.sum(c).alias(c) for c in self.value_cols]))
+        return df.groupBy(*self.fold_keys).agg(*self._fold_exprs())
 
     def compact(self, spark) -> None:
         """Fold the CURRENT epoch partitions into one base partition
@@ -113,8 +121,7 @@ class EpochPartitionedAppender:
             return
         only = [os.path.join(self.path, d) for d in snapshot]
         folded = (spark.read.parquet(*only)
-                  .groupBy(*self.fold_keys)
-                  .agg(*[F.sum(c).alias(c) for c in self.value_cols]))
+                  .groupBy(*self.fold_keys).agg(*self._fold_exprs()))
         folded.write.mode("overwrite").parquet(self._scratch())
         with open(self._manifest(), "w") as fh:
             fh.write("\n".join(snapshot))
@@ -132,6 +139,25 @@ def cms_stream_maintainer(path: str, key_col: str, width: int = 1024,
     return EpochPartitionedAppender(
         path, lambda b: cms_sketch(b, key_col, width, depth),
         ["d", "bucket"], ["c"])
+
+
+def hll_stream_maintainer(path: str, key_col: str = "user_id",
+                          ts_col: str = "ts", lg_k: int = 14
+                          ) -> EpochPartitionedAppender:
+    """HLL day-cells kept fresh by a stream: each trigger writes its
+    batch's per-day sketches (``cardinality.daily_sketch_table`` shape);
+    the fold UNIONS same-day cells — sketch bytes merge by
+    ``hll_union_agg``, not summation — so ``fold()`` is exactly the
+    at-rest daily sketch table, and any coarser grain unions from there
+    (``cardinality.rollup_estimate``). Per-epoch state is O(days touched
+    by the batch)."""
+    from ..operators.cardinality import daily_sketch_table
+
+    return EpochPartitionedAppender(
+        path, lambda b: daily_sketch_table(b, key_col, ts_col, lg_k),
+        ["day"], ["n_events", "sketch"],
+        agg_exprs=[F.sum("n_events").alias("n_events"),
+                   F.expr("hll_union_agg(sketch, true)").alias("sketch")])
 
 
 def counts_stream_maintainer(path: str, key_col: str

@@ -62,3 +62,32 @@ def test_certified_rollup_flags_and_total_row(spark):
     by_day = {r.day.day: r.exact_users for r in days}
     assert by_day[1] == 400 and by_day[14] == len(
         [u for u in range(400) if u % 14 == 0])
+
+
+def test_hll_stream_maintainer_equals_batch_daily_table(spark, tmp_path):
+    # Stream-maintained day-cells (2 epochs + a replay) must union to
+    # the same estimates as the one-pass daily sketch table, including
+    # days SPLIT ACROSS epochs (same-day cells from different batches
+    # merge by hll_union_agg, not summation).
+    from openedx_event_sink_clickhouse_spark.streaming.sketch_maintenance import (
+        hll_stream_maintainer)
+
+    ev = _events(spark)
+    # split mid-day so day 7 appears in BOTH epochs
+    b0 = ev.filter("user_id < 200")
+    b1 = ev.filter("user_id >= 200")
+    m = hll_stream_maintainer(str(tmp_path / "cells"))
+    m(b0, 0)
+    m(b1, 1)
+    m(b1, 1)  # at-least-once replay: overwrite, never double-union
+    folded = m.fold(spark)
+    want = daily_sketch_table(ev)
+    est = lambda df: {r.day: (r.n_events, int(r.est))
+                      for r in df.selectExpr(
+                          "day", "n_events",
+                          "hll_sketch_estimate(sketch) AS est").collect()}
+    assert est(folded) == est(want)
+    # and the all-time rollup from the stream-maintained cells is exact
+    # at this scale
+    total = rollup_estimate(folded).first()
+    assert abs(total["est_distinct"] - 400) <= 0.05 * 400
