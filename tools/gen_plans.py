@@ -71,6 +71,8 @@ SHOW = [
     "agg_cms_heavy_hitters",
     "dedup_semantic_survivors",
     "evt_cuped_readout",
+    "cur_split_leakage_safe",
+    "agg_hll_distinct_rollup",
 ]
 
 SF = "/root/testdata/sf0.001"
