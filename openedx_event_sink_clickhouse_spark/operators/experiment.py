@@ -46,6 +46,54 @@ def assign_variant(unit, n_variants: int = 2, salt: str = "exp"):
     return F.pmod(md5_hash32(key), F.lit(n_variants)).cast("int")
 
 
+def conversion_ztest(events: DataFrame, *, conversion_type: str = "purchase",
+                     unit_col: str = "user_id", type_col: str = "event_type",
+                     n_variants: int = 2, salt: str = "exp",
+                     z_crit: float = 1.96) -> DataFrame:
+    """Two-proportion z-test on per-unit conversion (Fleiss et al.,
+    standard pooled form — public statistics): a unit converts iff it
+    has ≥ 1 ``conversion_type`` event. Returns one row per variant:
+    (variant, n_units, n_converted, conv_rate, z_score, significant) —
+    z is the pairwise statistic vs variant 0 (control), NULL on the
+    control row itself.
+
+    Determinism: the inputs to the z formula are INTEGER counts (exact
+    in any engine, any partitioning), the variant hash is md5-derived,
+    and z itself is one fixed double formula replicated operand-for-
+    operand in the oracle — the CUPED parity recipe with even less FP
+    surface (no decimal sums needed).
+
+    Plan: one groupBy(unit) max-flag pass (the per-user shuffle any
+    funnel already pays) → O(variants) aggregate; the control row rides
+    back as a 1-row broadcast."""
+    unit = F.col(unit_col)
+    per_unit = (events.groupBy(unit.alias("unit"))
+                .agg(F.max(F.when(F.col(type_col) == conversion_type, 1)
+                           .otherwise(0)).alias("converted"))
+                .withColumn("variant", assign_variant(F.col("unit"),
+                                                      n_variants, salt)))
+    pv = per_unit.groupBy("variant").agg(
+        F.count("*").alias("n_units"),
+        F.sum("converted").cast("long").alias("n_converted"))
+    ctrl = (pv.filter(F.col("variant") == 0)
+            .select(F.col("n_units").alias("_cn"),
+                    F.col("n_converted").alias("_cc")))
+    n1, x1 = F.col("n_units").cast("double"), \
+        F.col("n_converted").cast("double")
+    n0, x0 = F.col("_cn").cast("double"), F.col("_cc").cast("double")
+    p_pool = (x1 + x0) / (n1 + n0)
+    se = F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / n1 + 1.0 / n0))
+    z = F.when((F.col("variant") != 0) & (se != 0.0),
+               (x1 / n1 - x0 / n0) / se)
+    return (pv.crossJoin(F.broadcast(ctrl))
+            .select("variant", "n_units", "n_converted",
+                    F.round(x1 / n1, 6).alias("conv_rate"),
+                    F.round(z, 6).alias("z_score"),
+                    F.when(z.isNull(), F.lit(None).cast("int"))
+                     .otherwise((F.abs(z) > z_crit).cast("int"))
+                     .alias("significant")))
+
+
 def cuped_adjusted_means(events: DataFrame, cutoff, *,
                          unit_col: str = "user_id", ts_col: str = "ts",
                          value_col: str = "value", n_variants: int = 2,

@@ -5180,6 +5180,62 @@ def _agg_hll(spark, sf_dir):
     return distinct_rollup_certified(_t(spark, sf_dir, "events"))
 
 
+# Two-proportion z-test readout (the CUPED sibling): integer count
+# inputs, md5 bucketing, z as one operand-identical double formula.
+@register("evt_ab_conversion_test", """
+WITH pu AS (
+  SELECT user_id AS unit,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+), pv AS (
+  SELECT CAST(CAST('0x' || substr(md5('exp#' || CAST(unit AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 2 AS INT) AS variant,
+         converted
+  FROM pu
+), agg AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM pv GROUP BY variant
+), ctrl AS (
+  SELECT n_units AS cn, n_converted AS cc FROM agg WHERE variant = 0
+), z AS (
+  SELECT variant, n_units, n_converted,
+         CASE WHEN variant <> 0 AND
+              sqrt(((CAST(n_converted AS DOUBLE) + CAST(cc AS DOUBLE))
+                    / (CAST(n_units AS DOUBLE) + CAST(cn AS DOUBLE)))
+                   * (1.0 - (CAST(n_converted AS DOUBLE)
+                             + CAST(cc AS DOUBLE))
+                            / (CAST(n_units AS DOUBLE)
+                               + CAST(cn AS DOUBLE)))
+                   * (1.0 / CAST(n_units AS DOUBLE)
+                      + 1.0 / CAST(cn AS DOUBLE))) <> 0.0
+         THEN (CAST(n_converted AS DOUBLE) / CAST(n_units AS DOUBLE)
+               - CAST(cc AS DOUBLE) / CAST(cn AS DOUBLE))
+              / sqrt(((CAST(n_converted AS DOUBLE) + CAST(cc AS DOUBLE))
+                      / (CAST(n_units AS DOUBLE) + CAST(cn AS DOUBLE)))
+                     * (1.0 - (CAST(n_converted AS DOUBLE)
+                               + CAST(cc AS DOUBLE))
+                              / (CAST(n_units AS DOUBLE)
+                                 + CAST(cn AS DOUBLE)))
+                     * (1.0 / CAST(n_units AS DOUBLE)
+                        + 1.0 / CAST(cn AS DOUBLE)))
+         END AS zval
+  FROM agg CROSS JOIN ctrl
+)
+SELECT variant, n_units, n_converted,
+       round(CAST(n_converted AS DOUBLE) / CAST(n_units AS DOUBLE), 6)
+         AS conv_rate,
+       round(zval, 6) AS z_score,
+       CASE WHEN zval IS NULL THEN CAST(NULL AS INT)
+            WHEN abs(zval) > 1.96 THEN 1 ELSE 0 END AS significant
+FROM z
+""")
+def _evt_ztest(spark, sf_dir):
+    from .operators.experiment import conversion_ztest
+    return conversion_ztest(_t(spark, sf_dir, "events"))
+
+
 # CUPED experiment readout. Parity design: per-unit X/Y and all moment
 # sums are DECIMAL (exact, order-independent — the money-sum rule), the
 # variant hash is md5-derived, and theta/adjusted means are ONE double
@@ -6314,18 +6370,19 @@ _PRIORITY = [
     "sim_ivf_incremental", "sim_ivf_partitioned", "sim_ivf_recall",
     "sim_ivf_topk", "sim_lsh_bucket_topk", "sim_multi_probe_recall",
     "sim_multi_probe_topk", "sim_neardup_pairs", "sim_quantized_recall",
-    "sim_quantized_topk", "skew_salted_agg",
+    "sim_quantized_topk",
     # -- NEW in r8: never graded --
     "text_repetition_signals", "cur_repetition_filter",
     "agg_cms_heavy_hitters", "dedup_semantic_survivors",
     "evt_cuped_readout", "agg_cms_incremental", "agg_hll_distinct_rollup",
     "stream_cms_maintenance", "cur_split_leakage_safe",
-    # (the alphabetically-last r4 entries — stream_session_stats,
-    # stream_stateful_incremental_gate, stream_tumbling_stats,
-    # t1_tree_ordinals, text_dsir_importance, text_quality_signals,
-    # text_top_ngrams, text_unigram_logprob — yield their slots to the
-    # r8-changed/new entries; they lead the r9 window, then the r5
-    # cohort alphabetically: a1_watermarks, …)
+    "evt_ab_conversion_test",
+    # (the alphabetically-last r4 entries — skew_salted_agg,
+    # stream_session_stats, stream_stateful_incremental_gate,
+    # stream_tumbling_stats, t1_tree_ordinals, text_dsir_importance,
+    # text_quality_signals, text_top_ngrams, text_unigram_logprob —
+    # yield their slots to the r8-changed/new entries; they lead the r9
+    # window, then the r5 cohort alphabetically: a1_watermarks, …)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -89,3 +89,46 @@ def test_variant_assignment_deterministic_and_balanced(spark):
                  assign_variant(F.col("id"), n_variants=4).alias("v"))
              .groupBy("v").agg(F.count("*").alias("c")).collect()}
     assert again == counts
+
+
+def test_conversion_ztest_hand_computed_and_detects_effect(spark):
+    import math
+
+    from openedx_event_sink_clickhouse_spark.operators.experiment import (
+        conversion_ztest)
+
+    users = list(range(500))
+    vmap = _variant_map(spark, users)
+    # null effect: every 4th user converts regardless of variant
+    rows = []
+    eid = 0
+    for u in users:
+        rows.append((eid, PRE, u, 1.0)); eid += 1
+    conv_rows = [(eid + i, POST, u, 1.0) for i, u in enumerate(users)
+                 if u % 4 == 0]
+    ev = spark.createDataFrame(
+        [(e, t, u, v, "view") for e, t, u, v in rows]
+        + [(e, t, u, v, "purchase") for e, t, u, v in conv_rows],
+        "event_id long, ts timestamp, user_id long, value double, "
+        "event_type string")
+    out = {r.variant: r for r in conversion_ztest(ev).collect()}
+    assert out[0].z_score is None and out[0].significant is None
+    # hand-compute the pooled z for variant 1
+    n0 = sum(1 for u in users if vmap[u] == 0)
+    n1 = len(users) - n0
+    x0 = sum(1 for u in users if vmap[u] == 0 and u % 4 == 0)
+    x1 = sum(1 for u in users if vmap[u] == 1 and u % 4 == 0)
+    p = (x0 + x1) / (n0 + n1)
+    se = math.sqrt(p * (1 - p) * (1 / n1 + 1 / n0))
+    want_z = (x1 / n1 - x0 / n0) / se
+    assert abs(out[1].z_score - want_z) < 1e-5
+    assert out[1].n_units == n1 and out[1].n_converted == x1
+    assert out[1].significant == (1 if abs(want_z) > 1.96 else 0)
+    # inject a strong real effect: variant 1 users ALL convert
+    extra = [(10_000 + i, POST, u, 1.0, "purchase")
+             for i, u in enumerate(users) if vmap[u] == 1]
+    ev2 = ev.unionByName(spark.createDataFrame(
+        extra, ev.schema))
+    out2 = {r.variant: r for r in conversion_ztest(ev2).collect()}
+    assert out2[1].conv_rate == 1.0 and out2[1].significant == 1
+    assert out2[1].z_score > 10

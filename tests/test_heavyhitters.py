@@ -200,3 +200,27 @@ def test_cms_estimate_one_sided_and_certified(spark):
                 .collect()}
     assert all(est_wide[k] <= est[k] for k in exact)
     assert all(est_wide[k] == exact[k] for k in exact)  # w>>keys: exact
+
+
+def test_cms_extreme_skew_one_key_dominates(spark):
+    # Adversarial skew: one key is 50% of the stream; the sketch's
+    # one-sided guarantee must hold for it and for the long tail, and
+    # the dominant key's estimate stays within eps*n of exact even at a
+    # narrow width (its own mass dominates every cell it lands in).
+    from openedx_event_sink_clickhouse_spark.operators.heavyhitters import (
+        cms_estimate, cms_sketch)
+    rows = [(0,)] * 5000 + [(i,) for i in range(1, 5001)]
+    df = spark.createDataFrame(rows, "k long")
+    width, depth = 64, 4
+    sk = cms_sketch(df, "k", width=width, depth=depth)
+    exact = {r.k: r.c for r in
+             df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    est = {r.k: r.est_count for r in
+           cms_estimate(sk, df.select("k").distinct(), "k",
+                        width=width, depth=depth).collect()}
+    n = 10_000
+    eps = 2.718281828 / width
+    assert all(est[k] >= exact[k] for k in exact)       # one-sided, always
+    assert est[0] - exact[0] <= eps * n                 # hot key tight
+    # mass conservation under skew: total cell mass = depth * n
+    assert sum(r.c for r in sk.collect()) == depth * n
