@@ -148,6 +148,7 @@ HEADLINE = [
     "evt_cuped_readout",           # CUPED variance-reduced A/B readout
     "agg_hll_distinct_rollup",     # HLL sketch rollup certified vs exact
     "cur_split_leakage_safe",      # cluster-keyed leakage-safe eval split
+    "evt_ab_conversion_test",      # pooled two-proportion z-test readout
     # (stream_attribution stays oracle-graded but unbenched, like
     # stream_stateful_incremental_gate: an availableNow two-batch replay
     # measures trigger/checkpoint latency, not operator cost — its batch

@@ -103,3 +103,16 @@ def test_ep3_backfill_from_jdbc_source(spark, derby, tmp_path):
     assert n == 20  # never-dumped 21..40; dumped 1..20 are all stale
     posts = [c for c in read_captures(str(tmp_path)) if c["data"]]
     assert sum(c["data"].count("\n") for c in posts) == 20
+
+
+def test_jdbc_empty_table_probe_degrades_gracefully(spark, derby):
+    # An empty table's bounds probe returns NULL min/max: partitioning
+    # is skipped (no crash on str(None) bounds) and the read yields 0
+    # rows; a start_pk filter on the empty frame is likewise fine.
+    (spark.createDataFrame([], "id int, name string")
+     .write.format("jdbc").option("url", derby)
+     .option("dbtable", "empty_t").option("driver", DERBY_DRIVER).save())
+    df = jdbc_table(spark, derby, "empty_t", "id", driver=DERBY_DRIVER)
+    assert df.count() == 0
+    assert jdbc_table(spark, derby, "empty_t", "id", driver=DERBY_DRIVER,
+                      start_pk=5).count() == 0
