@@ -77,7 +77,7 @@ def distinct_rollup_certified(events: DataFrame, key_col: str = "user_id",
              .agg(F.count("*").alias("n_events"),
                   F.count_distinct(F.col(key_col)).alias("exact_users"),
                   F.expr(f"hll_sketch_agg({key_col}, {lg_k})")
-                  .alias("sketch"))).localCheckpoint()
+                  .alias("sketch"))).localCheckpoint(eager=False)
     ok = lambda est, exact: (
         F.when(F.abs(est - exact.cast("double"))
                <= F.lit(rel_err) * exact.cast("double"), 1)

@@ -75,9 +75,16 @@ def conversion_ztest(events: DataFrame, *, conversion_type: str = "purchase",
     pv = per_unit.groupBy("variant").agg(
         F.count("*").alias("n_units"),
         F.sum("converted").cast("long").alias("n_converted"))
-    ctrl = (pv.filter(F.col("variant") == 0)
-            .select(F.col("n_units").alias("_cn"),
-                    F.col("n_converted").alias("_cc")))
+    # control row via an AGGREGATE (always exactly 1 row, NULLs when no
+    # unit hashed to variant 0) — a filter would make the cross join
+    # empty and silently drop every treatment row; with NULL control
+    # stats the z/significant columns go NULL instead, the same shape
+    # the control row itself gets
+    ctrl = (pv.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n_units")))
+         .alias("_cn"),
+        F.sum(F.when(F.col("variant") == 0, F.col("n_converted")))
+         .alias("_cc")))
     n1, x1 = F.col("n_units").cast("double"), \
         F.col("n_converted").cast("double")
     n0, x0 = F.col("_cn").cast("double"), F.col("_cc").cast("double")

@@ -5198,7 +5198,11 @@ WITH pu AS (
          CAST(sum(converted) AS BIGINT) AS n_converted
   FROM pv GROUP BY variant
 ), ctrl AS (
-  SELECT n_units AS cn, n_converted AS cc FROM agg WHERE variant = 0
+  -- aggregate, not filter: always exactly 1 row (NULLs when variant 0
+  -- is empty), so treatment rows are never dropped by the cross join
+  SELECT sum(CASE WHEN variant = 0 THEN n_units END) AS cn,
+         sum(CASE WHEN variant = 0 THEN n_converted END) AS cc
+  FROM agg
 ), z AS (
   SELECT variant, n_units, n_converted,
          CASE WHEN variant <> 0 AND

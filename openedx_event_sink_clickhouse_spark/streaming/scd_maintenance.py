@@ -170,8 +170,14 @@ class Scd2BucketedMaintainer:
         batch = batch_df.withColumn("_b", self._bucket(F.col(self.key_col)))
         touched = sorted(r["_b"] for r in
                          batch.select("_b").distinct().collect())
-        # at-least-once replay: skip buckets already committed this epoch
-        todo = [b for b in touched if self._epoch_of(b) < epoch_id]
+        # at-least-once replay: skip buckets already committed this
+        # EXACT epoch. Exact match, not <: foreachBatch only ever
+        # re-fires the last uncommitted epoch, and an ordering guard
+        # would silently freeze every bucket forever when an operator
+        # restarts the stream with a fresh checkpoint (epoch ids reset
+        # to 0) against existing history — the same fix as the
+        # whole-table sibling above.
+        todo = [b for b in touched if self._epoch_of(b) != epoch_id]
         if not todo:
             return
         batch = batch.filter(F.col("_b").isin(todo)).drop("_b")

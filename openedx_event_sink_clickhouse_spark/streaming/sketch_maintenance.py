@@ -19,12 +19,42 @@ history tables.
 
 State size: O(partials × epochs). For CMS that is depth·width rows per
 epoch (coordinator-scale forever); for per-key counts it grows with
-epochs — fold into a base table periodically (``compact`` here) the way
-the digest/count tables compact files.
+epochs — fold into a base partition periodically (:meth:`compact`) the
+way the digest/count tables compact files.
+
+Compaction protocol (generation bases + atomic manifest), designed so
+every crash window and replay interleaving converges:
+
+- Bases are GENERATION-NAMED: ``epoch=-1``, ``epoch=-2``, … (negative:
+  below any real epoch). Installing generation g is ONE rename onto a
+  name that never pre-exists, and the delete list (the snapshot: prior
+  base + folded real epochs) never contains the new base — so recovery
+  can re-run the whole delete/install sequence any number of times
+  (the re-runnable-deletes discipline the first draft of this protocol
+  lacked: a delete list containing the install target destroys the
+  fresh base on a replayed recovery).
+- The manifest (JSON: target base + snapshot list) is the commit point,
+  written via temp-file + ``os.rename`` so it is never observed torn.
+- The new base carries a ``_max_epoch`` marker INSIDE the partition dir
+  (underscore files are invisible to parquet readers): the highest real
+  epoch folded in. ``__call__`` skips any epoch ≤ the marker — an
+  at-least-once replay of an epoch the base already subsumes must be a
+  no-op, not a fresh partition that double-counts next to the base.
+- A scratch dir with no manifest is pre-commit debris; only
+  :meth:`compact` itself clears it (the append/fold paths leave it
+  alone — an in-flight compact's scratch must survive concurrent
+  triggers).
+
+Single-compactor assumption: at most one ``compact()`` runs at a time
+(foreachBatch is serial per query; run compaction inside the trigger or
+from one maintenance job). Appends may interleave freely — an epoch the
+stream writes after the snapshot is neither folded nor deleted and
+simply survives into the next compaction.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -36,8 +66,8 @@ class EpochPartitionedAppender:
     """Generic foreachBatch handler: ``partials_fn(batch_df)`` reduces
     the batch to its mergeable partials, which land idempotently in
     ``<path>/epoch=<epoch_id>/``. ``fold(spark)`` returns the merged
-    view via ``fold_exprs`` (groupBy ``fold_keys`` → sum each value
-    column)."""
+    view via ``fold_keys`` → summation (or ``agg_exprs`` for sketches
+    with their own merge operator, e.g. HLL union)."""
 
     def __init__(self, path: str, partials_fn, fold_keys: list[str],
                  value_cols: list[str],
@@ -46,9 +76,9 @@ class EpochPartitionedAppender:
         self.partials_fn = partials_fn
         self.fold_keys = fold_keys
         self.value_cols = value_cols
-        # default merge is summation; sketches with their own merge
-        # operator (HLL union) pass explicit aggregate expressions
         self.agg_exprs = agg_exprs
+
+    # -- layout helpers ----------------------------------------------------
 
     def _manifest(self) -> str:
         return os.path.join(self.path, "_compact_manifest")
@@ -58,34 +88,67 @@ class EpochPartitionedAppender:
         # half-built base can never enter a fold
         return os.path.join(self.path, ".compact_new")
 
+    def _epochs(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(d for d in os.listdir(self.path)
+                      if d.startswith("epoch="))
+
+    def _base_gen(self) -> int:
+        """Current base generation (0 if no base yet)."""
+        gens = [-int(d.split("=")[1]) for d in self._epochs()
+                if int(d.split("=")[1]) < 0]
+        return max(gens, default=0)
+
+    def _max_folded_epoch(self) -> int:
+        """Highest real epoch subsumed by any base partition (−1 if
+        none): replays at or below it are no-ops."""
+        best = -1
+        for d in self._epochs():
+            marker = os.path.join(self.path, d, "_max_epoch")
+            if os.path.isfile(marker):
+                best = max(best, int(open(marker).read()))
+        return best
+
+    # -- crash recovery ----------------------------------------------------
+
     def _recover(self) -> None:
-        """Finish (or discard) an interrupted compact. The manifest is
-        written only AFTER the new base's data is complete, so: manifest
-        present → the scratch base supersedes every partition it lists;
-        delete them, install the base, drop the manifest. No manifest →
-        any scratch dir is an incomplete fold; discard it. Either way
-        fold() never sees a row twice or loses one."""
-        if os.path.isfile(self._manifest()):
-            listed = [ln.strip() for ln in open(self._manifest())
-                      if ln.strip()]
-            for d in listed:
-                shutil.rmtree(os.path.join(self.path, d),
-                              ignore_errors=True)
-            base = listed and listed[0].split("=", 1)[0]  # "epoch"
-            target = os.path.join(self.path, f"{base}=-1") if base else None
-            if os.path.isdir(self._scratch()) and target:
-                os.rename(self._scratch(), target)
-            os.remove(self._manifest())
-        shutil.rmtree(self._scratch(), ignore_errors=True)
+        """Finish an interrupted compaction. The manifest (atomically
+        renamed into place AFTER the scratch base is complete) names the
+        install target and the superseded snapshot; the target is never
+        in the snapshot, so re-running the sequence — install if not yet
+        installed, delete the snapshot, drop the manifest — is
+        idempotent across any number of crashes mid-recovery. No
+        manifest → nothing committed → nothing to do (a stale scratch
+        is left for :meth:`compact` to clear; the append path must not
+        touch an in-flight compact's scratch)."""
+        if not os.path.isfile(self._manifest()):
+            return
+        meta = json.load(open(self._manifest()))
+        target = os.path.join(self.path, meta["target"])
+        if not os.path.isdir(target) and os.path.isdir(self._scratch()):
+            os.rename(self._scratch(), target)
+        for d in meta["snapshot"]:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        os.remove(self._manifest())
+
+    # -- the foreachBatch handler -------------------------------------------
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         self._recover()
+        if epoch_id <= self._max_folded_epoch():
+            # replay of an epoch a compaction already folded into the
+            # base: rewriting its partition would double-count next to
+            # the base rows that subsume it
+            return
         part = self.partials_fn(batch_df)
         # idempotent: the replayed epoch overwrites its own partition
         part.write.mode("overwrite").parquet(
             os.path.join(self.path, f"epoch={epoch_id}"))
+
+    # -- serve / maintenance --------------------------------------------------
 
     def _fold_exprs(self) -> list:
         if self.agg_exprs is not None:
@@ -98,33 +161,36 @@ class EpochPartitionedAppender:
         return df.groupBy(*self.fold_keys).agg(*self._fold_exprs())
 
     def compact(self, spark) -> None:
-        """Fold the CURRENT epoch partitions into one base partition
-        (``epoch=-1`` — below any real epoch) and drop exactly those,
-        bounding partition count as epochs accumulate.
-
-        Crash-safe manifest protocol (the SCD2 recovery discipline):
-        (1) SNAPSHOT the partition list first — an epoch the stream
-        writes concurrently is neither folded nor deleted, it just
-        survives into the next compact; (2) fold ONLY the snapshot into
-        a dot-prefixed scratch dir Spark's discovery ignores; (3) write
-        a manifest naming the snapshot — the commit point; (4) delete
-        the snapshot dirs, install the scratch as the new base, drop
-        the manifest. A crash before (3) discards the scratch (state
-        untouched); after (3), :meth:`_recover` — run on every entry —
-        finishes the deletes/install, so a partial compact can never
-        double-count a partition into a later fold or delete data that
-        was not folded."""
+        """Fold the current partitions (prior base + real epochs) into
+        the next-generation base and drop exactly them, bounding
+        partition count as epochs accumulate. See the module docstring
+        for the crash/replay analysis; in short: snapshot first, fold
+        only the snapshot into scratch, stamp the scratch with the max
+        folded real epoch, commit via an atomically-renamed manifest
+        whose delete list never contains the install target, then let
+        :meth:`_recover` (re-runnable) finish."""
         self._recover()
-        snapshot = sorted(d for d in os.listdir(self.path)
-                          if d.startswith("epoch="))
+        shutil.rmtree(self._scratch(), ignore_errors=True)  # pre-commit debris
+        snapshot = self._epochs()
         if len(snapshot) <= 1:
             return
+        real = [int(d.split("=")[1]) for d in snapshot
+                if int(d.split("=")[1]) >= 0]
+        max_real = max(real, default=self._max_folded_epoch())
+        target = f"epoch=-{self._base_gen() + 1}"
         only = [os.path.join(self.path, d) for d in snapshot]
         folded = (spark.read.parquet(*only)
                   .groupBy(*self.fold_keys).agg(*self._fold_exprs()))
         folded.write.mode("overwrite").parquet(self._scratch())
-        with open(self._manifest(), "w") as fh:
-            fh.write("\n".join(snapshot))
+        # carry the replay watermark inside the new base (underscore
+        # file: parquet readers skip it)
+        prior_max = self._max_folded_epoch()
+        with open(os.path.join(self._scratch(), "_max_epoch"), "w") as fh:
+            fh.write(str(max(max_real, prior_max)))
+        tmp = self._manifest() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"target": target, "snapshot": snapshot}, fh)
+        os.rename(tmp, self._manifest())  # the commit point, atomic
         self._recover()
 
 

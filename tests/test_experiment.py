@@ -132,3 +132,21 @@ def test_conversion_ztest_hand_computed_and_detects_effect(spark):
     out2 = {r.variant: r for r in conversion_ztest(ev2).collect()}
     assert out2[1].conv_rate == 1.0 and out2[1].significant == 1
     assert out2[1].z_score > 10
+
+
+def test_conversion_ztest_empty_control_keeps_treatment_rows(spark):
+    from openedx_event_sink_clickhouse_spark.operators.experiment import (
+        conversion_ztest)
+    # only variant-1 units present: rows must still come back, with
+    # NULL z/significant (the control row's own shape), never an empty
+    # frame that silently hides the treatment stats
+    users = [u for u in range(200)
+             if _variant_map(spark, range(200))[u] == 1][:20]
+    ev = spark.createDataFrame(
+        [(i, POST, u, 1.0, "purchase") for i, u in enumerate(users)],
+        "event_id long, ts timestamp, user_id long, value double, "
+        "event_type string")
+    out = conversion_ztest(ev).collect()
+    assert len(out) == 1 and out[0].variant == 1
+    assert out[0].n_units == len(users) and out[0].conv_rate == 1.0
+    assert out[0].z_score is None and out[0].significant is None

@@ -309,13 +309,22 @@ def test_epoch_partitioned_sketch_maintainer_replay_safe(spark, tmp_path):
                       .select("user_id", "n_rows").collect())) == want_counts
 
 
+
+
 def test_sketch_compact_crash_recovery(spark, tmp_path):
-    # Simulate the two compact crash windows: (a) scratch written but no
-    # manifest -> discarded, state untouched; (b) manifest written but
-    # deletes/install unfinished -> recovery completes them. Fold must
-    # return the true totals in every state, and a concurrent epoch
-    # written after the snapshot must survive compaction.
+    # The compact protocol's crash windows, replayed explicitly:
+    # (a) scratch present, no manifest -> pre-commit debris: folds
+    #     ignore it (dot-prefix) and only compact() clears it;
+    # (b) manifest committed, nothing else done -> recovery installs
+    #     the base, deletes exactly the snapshot, and is IDEMPOTENT —
+    #     a crash mid-recovery (base installed, manifest still present)
+    #     must not delete the fresh base on the replay;
+    # (c) an epoch a compact folded into the base replays through the
+    #     handler -> skipped via the base's _max_epoch watermark, never
+    #     double-counted.
+    import json
     import os
+    import shutil
 
     from pyspark.sql import functions as F
 
@@ -334,32 +343,81 @@ def test_sketch_compact_crash_recovery(spark, tmp_path):
     got = lambda: sorted(map(tuple, c.fold(spark)
                              .select("user_id", "n_rows").collect()))
 
-    # (a) crash BEFORE the manifest: a stale scratch dir must be
-    # discarded, never folded (dot-prefix also hides it from discovery)
+    # (a) stale scratch without a manifest: folds ignore it AND leave it
+    # (an in-flight compact's scratch must survive concurrent triggers);
+    # compact() clears it before starting its own
     os.makedirs(c._scratch(), exist_ok=True)
     open(os.path.join(c._scratch(), "junk"), "w").write("x")
     assert got() == want
-    assert not os.path.isdir(c._scratch())
+    assert os.path.isdir(c._scratch())        # fold left it alone
 
-    # (b) crash AFTER the manifest: scratch holds the folded base, the
-    # manifest lists the snapshot, originals still present. Recovery
-    # (run by fold) must delete exactly the listed partitions and
-    # install the base — totals unchanged, nothing double-counted.
-    snapshot = sorted(d for d in os.listdir(c.path)
-                      if d.startswith("epoch="))
-    folded = (spark.read.parquet(*[os.path.join(c.path, d)
-                                   for d in snapshot])
-              .groupBy("user_id").agg(F.sum("n_rows").alias("n_rows")))
-    folded.write.mode("overwrite").parquet(c._scratch())
+    # (b) real compact, then CRASH SIMULATION mid-recovery: re-create
+    # the manifest after the base is installed; the replayed recovery
+    # must not delete the new base (its name is never in the snapshot)
+    c.compact(spark)
+    dirs = sorted(d for d in os.listdir(c.path) if d.startswith("epoch="))
+    assert dirs == ["epoch=-1"]
+    assert got() == want
+    manifest = {"target": "epoch=-1", "snapshot": ["epoch=0", "epoch=1"]}
     with open(c._manifest(), "w") as fh:
-        fh.write("\n".join(snapshot))
-    # a concurrent epoch arrives after the snapshot was taken
+        json.dump(manifest, fh)
+    assert got() == want                      # idempotent replayed recovery
+    assert not os.path.isfile(c._manifest())
+
+    # (c) replay of a folded epoch: the _max_epoch watermark (inside the
+    # base) makes it a no-op — no epoch=1 partition reappears
+    assert int(open(os.path.join(c.path, "epoch=-1", "_max_epoch"))
+               .read()) == 1
+    c(b1, 1)
+    dirs = sorted(d for d in os.listdir(c.path) if d.startswith("epoch="))
+    assert dirs == ["epoch=-1"]
+    assert got() == want
+    # a genuinely NEW epoch still lands, and the next compact folds it
+    # into generation 2 with the watermark advanced
     c(b1, 2)
     want2 = sorted(map(tuple, full.unionByName(b1).groupBy("user_id")
                        .agg(F.count("*").alias("n_rows")).collect()))
     assert got() == want2
-    assert not os.path.isfile(c._manifest())
+    c.compact(spark)
     dirs = sorted(d for d in os.listdir(c.path) if d.startswith("epoch="))
-    assert dirs == ["epoch=-1", "epoch=2"]
-    # idempotent: a second fold/recover changes nothing
+    assert dirs == ["epoch=-2"]
+    assert int(open(os.path.join(c.path, "epoch=-2", "_max_epoch"))
+               .read()) == 2
     assert got() == want2
+
+
+def test_scd2_maintainers_survive_fresh_checkpoint_restart(spark, tmp_path):
+    # Epoch ids reset to 0 when a stream restarts with a new checkpoint
+    # against EXISTING history. The exact-match replay guards must merge
+    # (possibly re-applying, at-least-once semantics) — an ordering
+    # guard would silently freeze the maintainers forever.
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.streaming.scd_maintenance import (
+        Scd2BucketedMaintainer, Scd2StreamMaintainer)
+
+    rows = [(i, _ts(i), 100 + i % 3, ["a", "b"][(i // 4) % 2], 0.0, "{}")
+            for i in range(24)]
+    full = spark.createDataFrame(rows, EVENT_SCHEMA) \
+        .select("user_id", "ts", "event_id", "event_type")
+    b0 = full.filter(F.col("event_id") < 12)
+    b1 = full.filter(F.col("event_id") >= 12)
+
+    # b1's window starts at minute 12; a frozen maintainer's history
+    # would still end inside b0's window (< minute 12)
+    b1_start = _ts(12)
+
+    m = Scd2StreamMaintainer(str(tmp_path / "h1"), "user_id", "ts",
+                             ["event_type"], tiebreak_col="event_id")
+    m(b0, 7)                     # old stream committed epoch 7
+    m(b1, 0)                     # fresh checkpoint: epoch ids restart
+    assert m.history(spark).agg(
+        F.max("valid_from")).first()[0] >= b1_start
+
+    mb = Scd2BucketedMaintainer(str(tmp_path / "h2"), "user_id", "ts",
+                                ["event_type"], tiebreak_col="event_id",
+                                n_buckets=4)
+    mb(b0, 7)
+    mb(b1, 0)                    # must merge, not silently skip
+    assert mb.history(spark).agg(
+        F.max("valid_from")).first()[0] >= b1_start
