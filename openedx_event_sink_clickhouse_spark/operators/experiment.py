@@ -46,6 +46,44 @@ def assign_variant(unit, n_variants: int = 2, salt: str = "exp"):
     return F.pmod(md5_hash32(key), F.lit(n_variants)).cast("int")
 
 
+def srm_check(events: DataFrame, *, unit_col: str = "user_id",
+              n_variants: int = 2, salt: str = "exp",
+              chi2_crit: float = 3.841) -> DataFrame:
+    """Sample-ratio-mismatch guard: Pearson chi-square of the observed
+    unit counts against equal expected shares. SRM is THE standard
+    validity gate an experimentation pipeline runs before any readout —
+    a significant mismatch means the bucketing/exposure path is broken
+    (redirect loss, bot filtering skew) and every downstream metric is
+    untrustworthy. Returns one row per variant (variant, n_units,
+    expected, chi2, srm_detected); chi2/flag are repeated per row —
+    the whole-experiment statistic, kept per-row so the report unions
+    with other per-variant feeds. Default critical value 3.841 = χ²
+    at p=0.05 for df=1 (two variants); pass the df-appropriate value
+    for more.
+
+    Determinism: integer counts + one double formula (the family
+    recipe). O(variants) after the distinct-unit pass."""
+    unit = F.col(unit_col)
+    pv = (events.select(unit.alias("unit")).distinct()
+          .withColumn("variant", assign_variant(F.col("unit"),
+                                                n_variants, salt))
+          .groupBy("variant").agg(F.count("*").alias("n_units")))
+    tot = pv.agg(F.sum("n_units").alias("_n"),
+                 F.sum(F.col("n_units") * F.col("n_units")).alias("_sq"))
+    n = F.col("_n").cast("double")
+    # chi2 = sum((obs - n/k)^2) / (n/k) = (k*sum(obs^2) - n^2) / n
+    # (equal expected shares let the per-variant sum collapse to moments
+    # both engines compute from the same integers)
+    chi2 = (F.lit(float(n_variants)) * F.col("_sq").cast("double")
+            - n * n) / n
+    return (pv.crossJoin(F.broadcast(tot))
+            .select("variant", "n_units",
+                    F.round(n / F.lit(float(n_variants)), 6)
+                    .alias("expected"),
+                    F.round(chi2, 6).alias("chi2"),
+                    (chi2 > chi2_crit).cast("int").alias("srm_detected")))
+
+
 def conversion_ztest(events: DataFrame, *, conversion_type: str = "purchase",
                      unit_col: str = "user_id", type_col: str = "event_type",
                      n_variants: int = 2, salt: str = "exp",

@@ -5180,6 +5180,38 @@ def _agg_hll(spark, sf_dir):
     return distinct_rollup_certified(_t(spark, sf_dir, "events"))
 
 
+# SRM bucketing-health gate: chi-square of unit counts vs equal
+# shares, from integer moments — (k·Σobs² − n²)/n — so both engines
+# compute the identical double.
+@register("evt_ab_srm_check", """
+WITH pv AS (
+  SELECT CAST(CAST('0x' || substr(md5('exp#' || CAST(unit AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 2 AS INT) AS variant
+  FROM (SELECT DISTINCT user_id AS unit FROM events) t
+), agg AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_units
+  FROM pv GROUP BY variant
+), tot AS (
+  SELECT CAST(sum(n_units) AS BIGINT) AS n,
+         CAST(sum(n_units * n_units) AS BIGINT) AS sq
+  FROM agg
+)
+SELECT variant, n_units,
+       round(CAST(n AS DOUBLE) / 2.0, 6) AS expected,
+       round((2.0 * CAST(sq AS DOUBLE)
+              - CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS chi2,
+       CASE WHEN (2.0 * CAST(sq AS DOUBLE)
+                  - CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE) > 3.841
+            THEN 1 ELSE 0 END AS srm_detected
+FROM agg CROSS JOIN tot
+""")
+def _evt_srm(spark, sf_dir):
+    from .operators.experiment import srm_check
+    return srm_check(_t(spark, sf_dir, "events"))
+
+
 # Two-proportion z-test readout (the CUPED sibling): integer count
 # inputs, md5 bucketing, z as one operand-identical double formula.
 @register("evt_ab_conversion_test", """
@@ -6374,19 +6406,19 @@ _PRIORITY = [
     "sim_ivf_incremental", "sim_ivf_partitioned", "sim_ivf_recall",
     "sim_ivf_topk", "sim_lsh_bucket_topk", "sim_multi_probe_recall",
     "sim_multi_probe_topk", "sim_neardup_pairs", "sim_quantized_recall",
-    "sim_quantized_topk",
     # -- NEW in r8: never graded --
     "text_repetition_signals", "cur_repetition_filter",
     "agg_cms_heavy_hitters", "dedup_semantic_survivors",
     "evt_cuped_readout", "agg_cms_incremental", "agg_hll_distinct_rollup",
     "stream_cms_maintenance", "cur_split_leakage_safe",
-    "evt_ab_conversion_test",
-    # (the alphabetically-last r4 entries — skew_salted_agg,
-    # stream_session_stats, stream_stateful_incremental_gate,
-    # stream_tumbling_stats, t1_tree_ordinals, text_dsir_importance,
-    # text_quality_signals, text_top_ngrams, text_unigram_logprob —
-    # yield their slots to the r8-changed/new entries; they lead the r9
-    # window, then the r5 cohort alphabetically: a1_watermarks, …)
+    "evt_ab_conversion_test", "evt_ab_srm_check",
+    # (the alphabetically-last r4 entries — sim_quantized_topk,
+    # skew_salted_agg, stream_session_stats,
+    # stream_stateful_incremental_gate, stream_tumbling_stats,
+    # t1_tree_ordinals, text_dsir_importance, text_quality_signals,
+    # text_top_ngrams, text_unigram_logprob — yield their slots to the
+    # r8-changed/new entries; they lead the r9 window, then the r5
+    # cohort alphabetically: a1_watermarks, …)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

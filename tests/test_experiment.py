@@ -150,3 +150,29 @@ def test_conversion_ztest_empty_control_keeps_treatment_rows(spark):
     assert len(out) == 1 and out[0].variant == 1
     assert out[0].n_units == len(users) and out[0].conv_rate == 1.0
     assert out[0].z_score is None and out[0].significant is None
+
+
+def test_srm_check_flags_broken_bucketing(spark):
+    from openedx_event_sink_clickhouse_spark.operators.experiment import (
+        srm_check)
+    # healthy md5 bucketing over 2000 units: no SRM
+    ev = spark.createDataFrame(
+        [(i, POST, u, 1.0, "view") for i, u in enumerate(range(2000))],
+        "event_id long, ts timestamp, user_id long, value double, "
+        "event_type string")
+    out = srm_check(ev).collect()
+    assert len(out) == 2
+    assert all(r.srm_detected == 0 for r in out)
+    n = sum(r.n_units for r in out)
+    assert all(r.expected == round(n / 2.0, 6) for r in out)
+    # chi2 matches the closed form on the observed counts
+    obs = {r.variant: r.n_units for r in out}
+    chi2 = sum((obs[v] - n / 2) ** 2 / (n / 2) for v in obs)
+    assert abs(out[0].chi2 - chi2) < 1e-6
+    # simulate exposure loss: drop 30% of variant-1 units -> SRM fires
+    vmap = _variant_map(spark, range(2000))
+    keep = [u for u in range(2000)
+            if vmap[u] == 0 or u % 10 >= 3]
+    ev2 = ev.filter(F.col("user_id").isin(keep))
+    out2 = srm_check(ev2).collect()
+    assert all(r.srm_detected == 1 for r in out2)

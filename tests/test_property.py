@@ -280,3 +280,45 @@ def test_seed_distances_match_bfs(spark, edges, seeds, hops):
         for t in frontier:
             dist[t] = h
     assert got == dist
+
+
+doc_words = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "d", "ee", "fff", "g"]),
+    min_size=0, max_size=40)
+
+
+@given(st.lists(doc_words, min_size=1, max_size=6),
+       st.integers(1, 3))
+@settings(**_PROP)
+def test_gram_run_stats_matches_bruteforce(spark, docs_words, n):
+    # The sorted-run fold's (dupchars, bestc, bestg) vs a dict-count
+    # reference on arbitrary word sequences, including empty docs and
+    # docs shorter than n.
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.functions.text import (
+        gram_run_stats, ngrams)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs_words)],
+        "doc_id long, text string")
+    w = F.split(F.lower(F.col("text")), " ")
+    got = {r.doc_id: r.s for r in df.select(
+        "doc_id", gram_run_stats(ngrams(w, n)).alias("s")).collect()}
+    for i, ws in enumerate(docs_words):
+        # note: split('') == [''] — mirror exactly
+        toks = " ".join(ws).split(" ")
+        grams = [" ".join(toks[j:j + n])
+                 for j in range(len(toks) - n + 1)] if len(toks) >= n else []
+        cnt = Counter(grams)
+        dupchars = sum(c * len(g) for g, c in cnt.items() if c > 1)
+        if cnt:
+            bestc = max(cnt.values())
+            bestg = min(g for g, c in cnt.items() if c == bestc)
+        else:
+            bestc, bestg = 0, ""
+        s = got[i]
+        assert (s["dupchars"], s["bestc"], s["bestg"]) == \
+            (dupchars, bestc, bestg), (i, toks, dict(cnt))
