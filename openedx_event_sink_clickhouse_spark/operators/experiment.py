@@ -48,7 +48,7 @@ def assign_variant(unit, n_variants: int = 2, salt: str = "exp"):
 
 def srm_check(events: DataFrame, *, unit_col: str = "user_id",
               n_variants: int = 2, salt: str = "exp",
-              chi2_crit: float = 3.841) -> DataFrame:
+              chi2_crit: float | None = None) -> DataFrame:
     """Sample-ratio-mismatch guard: Pearson chi-square of the observed
     unit counts against equal expected shares. SRM is THE standard
     validity gate an experimentation pipeline runs before any readout —
@@ -57,14 +57,27 @@ def srm_check(events: DataFrame, *, unit_col: str = "user_id",
     untrustworthy. Returns one row per variant (variant, n_units,
     expected, chi2, srm_detected); chi2/flag are repeated per row —
     the whole-experiment statistic, kept per-row so the report unions
-    with other per-variant feeds. Default critical value 3.841 = χ²
-    at p=0.05 for df=1 (two variants); pass the df-appropriate value
-    for more.
+    with other per-variant feeds. ``chi2_crit`` defaults to 3.841 (χ² at
+    p=0.05, df=1) ONLY for two variants — the cut is df-specific, so any
+    other ``n_variants`` must pass its own (silently applying the df=1
+    value to a 5-arm test would flag ~43% of healthy experiments). NULL
+    units are excluded up front: a NULL would hash to a phantom NULL
+    variant whose count corrupts the moments (the chi2 can even go
+    negative) — and broken exposure logging is exactly what this gate
+    exists to catch, so it must not lie under it.
 
     Determinism: integer counts + one double formula (the family
     recipe). O(variants) after the distinct-unit pass."""
+    if chi2_crit is None:
+        if n_variants != 2:
+            raise ValueError(
+                "chi2_crit defaults to the df=1 value (3.841); pass the "
+                f"df={n_variants - 1} critical value explicitly for "
+                f"n_variants={n_variants}")
+        chi2_crit = 3.841
     unit = F.col(unit_col)
-    pv = (events.select(unit.alias("unit")).distinct()
+    pv = (events.select(unit.alias("unit"))
+          .filter(F.col("unit").isNotNull()).distinct()
           .withColumn("variant", assign_variant(F.col("unit"),
                                                 n_variants, salt))
           .groupBy("variant").agg(F.count("*").alias("n_units")))
@@ -105,7 +118,8 @@ def conversion_ztest(events: DataFrame, *, conversion_type: str = "purchase",
     funnel already pays) → O(variants) aggregate; the control row rides
     back as a 1-row broadcast."""
     unit = F.col(unit_col)
-    per_unit = (events.groupBy(unit.alias("unit"))
+    per_unit = (events.filter(unit.isNotNull())
+                .groupBy(unit.alias("unit"))
                 .agg(F.max(F.when(F.col(type_col) == conversion_type, 1)
                            .otherwise(0)).alias("converted"))
                 .withColumn("variant", assign_variant(F.col("unit"),
@@ -155,7 +169,9 @@ def cuped_adjusted_means(events: DataFrame, cutoff, *,
     ts = F.col(ts_col)
     val = F.col(value_col).cast(DEC)
     zero = F.lit(0).cast(DEC)
-    per_unit = (events
+    # NULL units excluded (srm_check's rationale): a phantom NULL
+    # variant would corrupt the pooled moments and theta
+    per_unit = (events.filter(unit.isNotNull())
                 .groupBy(unit.alias("unit"))
                 .agg(F.sum(F.when(ts < F.lit(cutoff), val).otherwise(zero))
                      .cast(DEC).alias("x"),

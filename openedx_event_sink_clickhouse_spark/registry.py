@@ -5187,7 +5187,8 @@ def _agg_hll(spark, sf_dir):
 WITH pv AS (
   SELECT CAST(CAST('0x' || substr(md5('exp#' || CAST(unit AS VARCHAR)),
                                   1, 8) AS BIGINT) % 2 AS INT) AS variant
-  FROM (SELECT DISTINCT user_id AS unit FROM events) t
+  FROM (SELECT DISTINCT user_id AS unit FROM events
+      WHERE user_id IS NOT NULL) t
 ), agg AS (
   SELECT variant, CAST(count(*) AS BIGINT) AS n_units
   FROM pv GROUP BY variant
@@ -5219,7 +5220,7 @@ WITH pu AS (
   SELECT user_id AS unit,
          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
            AS converted
-  FROM events GROUP BY user_id
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ), pv AS (
   SELECT CAST(CAST('0x' || substr(md5('exp#' || CAST(unit AS VARCHAR)),
                                   1, 8) AS BIGINT) % 2 AS INT) AS variant,
@@ -5288,7 +5289,7 @@ WITH pu AS (
                        THEN CAST(value AS DECIMAL(18,6))
                        ELSE CAST(0 AS DECIMAL(18,6)) END)
               AS DECIMAL(18,6)) AS y
-  FROM events GROUP BY user_id
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ), pv AS (
   SELECT CAST(CAST('0x' || substr(md5('exp#' || CAST(unit AS VARCHAR)),
                                   1, 8) AS BIGINT) % 2 AS INT) AS variant,
