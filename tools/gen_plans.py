@@ -73,6 +73,8 @@ SHOW = [
     "evt_cuped_readout",
     "cur_split_leakage_safe",
     "agg_hll_distinct_rollup",
+    "evt_ab_conversion_test",
+    "evt_ab_srm_check",
 ]
 
 SF = "/root/testdata/sf0.001"
