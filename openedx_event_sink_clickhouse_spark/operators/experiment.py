@@ -171,20 +171,29 @@ def cuped_adjusted_means(events: DataFrame, cutoff, *,
     zero = F.lit(0).cast(DEC)
     # NULL units excluded (srm_check's rationale): a phantom NULL
     # variant would corrupt the pooled moments and theta
+    # Per-unit sums stay at Spark's NATURAL sum type (28,6) — an earlier
+    # draft cast them back to (18,6) here, and under non-ANSI Spark that
+    # narrowing silently NULLs any unit with |Σvalue| ≥ 10^12, dropping
+    # it from theta and the means while the DuckDB twin errors instead
+    # (ADVICE r8). Only the second-moment PRODUCTS below re-narrow,
+    # because (18,6)×(18,6)→(37,12) is the widest product that fits
+    # DECIMAL(38); that documented |x|,|y| < 10^12 bound applies to the
+    # exact-decimal sxx/sxy path only, not the means.
     per_unit = (events.filter(unit.isNotNull())
                 .groupBy(unit.alias("unit"))
                 .agg(F.sum(F.when(ts < F.lit(cutoff), val).otherwise(zero))
-                     .cast(DEC).alias("x"),
+                     .alias("x"),
                      F.sum(F.when(ts >= F.lit(cutoff), val).otherwise(zero))
-                     .cast(DEC).alias("y"))
+                     .alias("y"))
                 .withColumn("variant", assign_variant(F.col("unit"),
                                                       n_variants, salt)))
     # pooled moments: exact decimal sums -> ONE double formula for theta
+    xn, yn = F.col("x").cast(DEC), F.col("y").cast(DEC)
     moments = per_unit.agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+        F.sum(xn * xn).alias("sxx"),
+        F.sum(xn * yn).alias("sxy"))
     per_variant = per_unit.groupBy("variant").agg(
         F.count("*").alias("n_units"),
         F.sum("x").alias("vx"), F.sum("y").alias("vy"))

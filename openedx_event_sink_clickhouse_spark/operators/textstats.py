@@ -100,10 +100,18 @@ def gopher_repetition_signals(docs: DataFrame, text_col: str = "text",
     frac = lambda num: F.when(
         n_chars > 0,
         F.round(num.cast("double") / n_chars, 6)).otherwise(F.lit(0.0))
+    # Same guard for the word-denominator division: a NULL text yields
+    # NULL n_words, and an unguarded NULL dup_word_frac sails through
+    # every `> threshold` filter rule (repetition_filter would emit
+    # keep=1 for it) — the char fractions above already coalesce to 0.0,
+    # so the word fraction must too (ADVICE r8). Mirrored in the DuckDB
+    # oracle (_REPETITION_SQL).
     return docs.select(
         "doc_id",
-        F.round((n_words - F.size(F.array_distinct(w))).cast("double")
-                / n_words, 6).alias("dup_word_frac"),
+        F.when(n_words > 0,
+               F.round((n_words - F.size(F.array_distinct(w))).cast("double")
+                       / n_words, 6)).otherwise(F.lit(0.0))
+         .alias("dup_word_frac"),
         frac(top_stats["bestc"] * F.length(top_stats["bestg"]))
         .alias("top_ngram_char_frac"),
         frac(dup_stats["dupchars"]).alias("dup_ngram_char_frac"),

@@ -45,6 +45,16 @@ every crash window and replay interleaving converges:
   alone — an in-flight compact's scratch must survive concurrent
   triggers).
 
+Run-restart guard: epoch ids are only meaningful WITHIN one checkpoint
+lineage. A stream restarted against this path with a fresh (or rolled
+back) checkpoint restarts ids at 0 — re-delivered batches would be
+silently skipped below the fold watermark (undercount) and would
+overwrite old partitions with differently-bounded batches above it
+(mixed partials). ``__call__`` therefore persists the append frontier
+(``_max_appended`` marker) and FAILS FAST when an epoch id regresses
+below it; the sanctioned reset for a genuinely new run starting at the
+source frontier is :meth:`reset_for_new_run`.
+
 Single-compactor assumption: at most one ``compact()`` runs at a time
 (foreachBatch is serial per query; run compaction inside the trigger or
 from one maintenance job). Appends may interleave freely — an epoch the
@@ -134,19 +144,87 @@ class EpochPartitionedAppender:
 
     # -- the foreachBatch handler -------------------------------------------
 
+    def _max_appended(self) -> int:
+        """Highest real epoch ever appended (−1 if none): the replay
+        frontier. Spark re-delivers at most the LAST unfinished batch,
+        so a legitimate same-run replay always has
+        ``epoch_id >= _max_appended()``."""
+        marker = os.path.join(self.path, "_max_appended")
+        if os.path.isfile(marker):
+            return int(open(marker).read())
+        return -1
+
+    def _stamp_appended(self, epoch_id: int) -> None:
+        marker = os.path.join(self.path, "_max_appended")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(max(epoch_id, self._max_appended())))
+        os.rename(tmp, marker)
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         self._recover()
+        appended = self._max_appended()
+        if epoch_id < appended:
+            # EPOCH REGRESSION (ADVICE r8): a checkpointed stream only
+            # ever re-delivers its last unfinished batch, so an id
+            # BELOW the append frontier means the stream was restarted
+            # against this path with a fresh/rolled-back checkpoint.
+            # Silently skipping (the old `<= max_folded` behavior)
+            # undercounts until the new ids pass the watermark, and
+            # overwriting mixes two runs' batch boundaries — both
+            # corruptions. Fail fast with the two sound recoveries.
+            raise RuntimeError(
+                f"epoch regression at {self.path}: got epoch_id="
+                f"{epoch_id} below the append frontier {appended}. "
+                "The stream was restarted with a fresh or rolled-back "
+                "checkpoint against an existing partials table. Either "
+                "resume from the original checkpoint, or — if the new "
+                "stream starts at the source frontier (no re-delivery "
+                "of already-folded data) — call reset_for_new_run() "
+                "first to fold history into the base and re-open the "
+                "epoch sequence.")
         if epoch_id <= self._max_folded_epoch():
             # replay of an epoch a compaction already folded into the
             # base: rewriting its partition would double-count next to
-            # the base rows that subsume it
+            # the base rows that subsume it. (Reachable only at the
+            # epoch == frontier == folded edge, given the guard above.)
             return
         part = self.partials_fn(batch_df)
         # idempotent: the replayed epoch overwrites its own partition
         part.write.mode("overwrite").parquet(
             os.path.join(self.path, f"epoch={epoch_id}"))
+        self._stamp_appended(epoch_id)
+
+    def reset_for_new_run(self, spark) -> None:
+        """Re-open the epoch sequence for a NEW stream (fresh checkpoint,
+        ids restarting at 0) over this partials table: fold everything
+        into a generation base, then clear the epoch watermark and the
+        append frontier so epochs 0, 1, … append as new data next to the
+        subsumed history. Caller contract: the new stream must start at
+        the SOURCE frontier — if it re-reads data the base already
+        folded, those rows double-count (the same contract as pointing
+        any fresh stream at a pre-loaded table)."""
+        self._recover()
+        if len(self._epochs()) > 1:
+            self.compact(spark)
+        # a lone real epoch (compact() no-ops on a single partition)
+        # would be OVERWRITTEN by the new run's same-numbered epoch —
+        # rebase it by rename; fold() re-aggregates at read time, so a
+        # base holding raw partials is sound.
+        for d in self._epochs():
+            if int(d.split("=")[1]) >= 0:
+                os.rename(os.path.join(self.path, d),
+                          os.path.join(self.path,
+                                       f"epoch=-{self._base_gen() + 1}"))
+        for d in self._epochs():
+            marker = os.path.join(self.path, d, "_max_epoch")
+            if os.path.isfile(marker):
+                os.remove(marker)
+        marker = os.path.join(self.path, "_max_appended")
+        if os.path.isfile(marker):
+            os.remove(marker)
 
     # -- serve / maintenance --------------------------------------------------
 

@@ -137,6 +137,15 @@ def attribution_stream(events: DataFrame,
         # per-trigger batch — the contract's per-user event volume, not
         # the stream.
         chunks = list(pdfs)
+        if not chunks:
+            # Timeout invocation: with a timeoutConf configured,
+            # applyInPandasWithState calls the function with an EMPTY
+            # iterator for timed-out keys. Nothing to attribute; keep
+            # the touch state alive (this handler never expires touches
+            # on its own). Safe no-op under today's NoTimeout too.
+            if touched:
+                state.update((t_ty, t_ts))
+            return
         pdf = (pd.concat(chunks, ignore_index=True)
                if len(chunks) > 1 else chunks[0])
         pdf = pdf.sort_values([ts_col, id_col])

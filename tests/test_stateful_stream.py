@@ -10,6 +10,8 @@ import glob
 import os
 import shutil
 
+import pytest
+
 from openedx_event_sink_clickhouse_spark.streaming.stateful import (
     EVENT_SCHEMA,
     incremental_dump_stream,
@@ -288,8 +290,15 @@ def test_epoch_partitioned_sketch_maintainer_replay_safe(spark, tmp_path):
     got = lambda: sorted(
         map(tuple, m.fold(spark).select("d", "bucket", "c").collect()))
     assert got() == want
-    # at-least-once replay of epoch 1: state unchanged
-    m(batches[1], 1)
+    # at-least-once replay of the LAST epoch (the only epoch a
+    # checkpointed stream ever re-delivers): state unchanged
+    m(batches[2], 2)
+    assert got() == want
+    # an epoch id BELOW the append frontier means a fresh/rolled-back
+    # checkpoint is re-driving this path — fail fast, never mix runs
+    # (ADVICE r8)
+    with pytest.raises(RuntimeError, match="epoch regression"):
+        m(batches[1], 1)
     assert got() == want
     # compact folds every epoch partition into the base; view unchanged
     m.compact(spark)
@@ -309,6 +318,46 @@ def test_epoch_partitioned_sketch_maintainer_replay_safe(spark, tmp_path):
                       .select("user_id", "n_rows").collect())) == want_counts
 
 
+def test_sketch_maintainer_reset_for_new_run(spark, tmp_path):
+    # The sanctioned recovery from a fresh-checkpoint restart: fold
+    # history into a base, clear the epoch watermark + append frontier,
+    # then a NEW stream's epochs 0.. append as new data (never skipped,
+    # never overwriting history).
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.streaming.sketch_maintenance import (
+        counts_stream_maintainer)
+
+    rows = [(i, _ts(i), 100 + i % 4, "e", 1.0, "{}") for i in range(40)]
+    full = spark.createDataFrame(rows, EVENT_SCHEMA)
+    b0 = full.filter(F.col("event_id") < 20)
+    b1 = full.filter(F.col("event_id") >= 20)
+
+    c = counts_stream_maintainer(str(tmp_path / "counts"), "user_id")
+    c(b0, 0)
+    c(b1, 1)
+    with pytest.raises(RuntimeError, match="epoch regression"):
+        c(b1, 0)  # fresh-checkpoint restart without reset: refused
+    c.reset_for_new_run(spark)
+    # new run re-opens at epoch 0 with DIFFERENT batch boundaries
+    c(full.filter(F.col("event_id") % 2 == 0), 0)
+    c(full.filter(F.col("event_id") % 2 == 1), 1)
+    want = sorted(map(tuple, full.unionByName(full)
+                      .groupBy("user_id")
+                      .agg(F.count("*").alias("n_rows")).collect()))
+    assert sorted(map(tuple, c.fold(spark)
+                      .select("user_id", "n_rows").collect())) == want
+
+    # reset with a LONE real epoch (compact() no-ops on one partition):
+    # the partition must be rebased, not left for epoch 0 to overwrite
+    c2 = counts_stream_maintainer(str(tmp_path / "lone"), "user_id")
+    c2(b0, 0)
+    c2.reset_for_new_run(spark)
+    c2(b0, 0)
+    want2 = sorted(map(tuple, b0.unionByName(b0).groupBy("user_id")
+                       .agg(F.count("*").alias("n_rows")).collect()))
+    assert sorted(map(tuple, c2.fold(spark)
+                      .select("user_id", "n_rows").collect())) == want2
 
 
 def test_sketch_compact_crash_recovery(spark, tmp_path):
