@@ -13,12 +13,15 @@ this is the 100 TB training-data path where payloads dwarf text:
   Arrow batch size with ``spark.sql.execution.arrow.maxRecordsPerBatch``
   (set by :func:`tune_for_media`) so one batch of big videos can't OOM an
   executor python worker.
-- **Decode stubs**: the real decoders (PIL/cv2/soundfile) are not in this
-  container. Each op probes for the library and otherwise uses a
-  DETERMINISTIC FAKE decode of our synthetic payload format (documented
-  below) — the Spark-side plumbing (schemas, UDF signatures, batch
-  iteration, column pruning) is real and tested either way;
-  ``strict=True`` surfaces ``NotImplementedError`` instead of the fake.
+- **Decode dispatch**: each payload is SNIFFED by magic bytes. PNG and
+  WAV payloads take the REAL decode branch (:mod:`.media_codecs` —
+  stdlib zlib/wave codecs, PIL preferred when importable), so pixel/
+  sample-level stats, resampling and frame extraction actually run on
+  real containers; anything else falls back to a DETERMINISTIC FAKE
+  over the raw bytes (documented below) so the synthetic corpus stays
+  oracle-checkable. ``strict=True`` raises ``NotImplementedError`` at
+  execution for any payload that would hit the fake — i.e. strict mode
+  guarantees every emitted row came from a real decode.
 
 Synthetic payload format (deterministic, built from the driver's
 ``documents`` table): ``content = utf-8 bytes of the document text``;
@@ -66,11 +69,16 @@ def tune_for_media(spark: SparkSession,
 
 
 def _has_pil() -> bool:
-    try:
-        import PIL  # noqa: F401
-        return True
-    except ImportError:
-        return False
+    from .media_codecs import _has_pil as probe
+    return probe()
+
+
+def _strict_fake(kind_hint: str) -> None:
+    raise NotImplementedError(
+        f"strict real decode requested but the payload is not a "
+        f"recognized real container (PNG/WAV){kind_hint}; install "
+        f"PIL/cv2/soundfile on the executors for wider coverage, or "
+        f"call with strict=False to accept the deterministic fake")
 
 
 def media_table(docs: DataFrame) -> DataFrame:
@@ -112,24 +120,35 @@ DECODE_SCHEMA = T.StructType([
 
 
 def decode_stats(media: DataFrame, strict: bool = False) -> DataFrame:
-    """'Decode' each payload to (n_bytes, checksum). With a real codec lib
-    this would be pixel-buffer stats; the fake reads the raw bytes. The
-    checksum (sum of byte values mod 2^31) is cheap, deterministic, and
+    """Decode each payload to (n_bytes, checksum) over its DECODED
+    content: PNG → de-filtered pixel buffer, WAV → PCM sample buffer
+    (real stdlib codecs, PIL preferred when importable — see
+    :mod:`.media_codecs`); unrecognized payloads fall back to the raw
+    bytes (the fake), or raise under ``strict=True``. The checksum
+    (sum of buffer values mod 2^31) is cheap, deterministic, and — for
+    both the synthetic corpus and the PNG/WAV round-trip corpora —
     DuckDB-recomputable."""
-    use_real = _has_pil()
-    if strict and not use_real:
-        raise NotImplementedError(
-            "real image decode requires PIL/cv2 (not in this container); "
-            "call with strict=False for the deterministic fake")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .media_codecs import decode_payload
         for pdf in batches:
-            content = pdf["content"]
+            n_bytes, checksum = [], []
+            for buf in pdf["content"]:
+                data = bytes(buf)
+                decoded = decode_payload(data)
+                if decoded is None:
+                    if strict:
+                        _strict_fake("")
+                    decoded = data
+                arr = np.frombuffer(decoded, dtype=np.uint8)
+                n_bytes.append(arr.size)
+                checksum.append(int(arr.sum(dtype=np.int64)) % (1 << 31))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "n_bytes": content.map(len).astype("int64"),
-                "checksum": content.map(
-                    lambda b: sum(b) % (1 << 31)).astype("int64"),
+                "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                "checksum": pd.Series(checksum, dtype="int64"),
             })
 
     return _map_in_pandas(media, fn, DECODE_SCHEMA, ["media_id", "content"])
@@ -184,25 +203,40 @@ RESIZE_SCHEMA = T.StructType([
 
 def resize(media: DataFrame, target_w: int = 32, target_h: int = 24,
            strict: bool = False) -> DataFrame:
-    """Resize stub: with PIL this would decode→resample→re-encode; the
-    fake nearest-neighbor samples the byte stream down to
-    ``target_w·target_h`` bytes and rewrites ``meta`` accordingly —
-    exercising the binary-in/binary-out UDF shape and metadata rewrite."""
-    if strict and not _has_pil():
-        raise NotImplementedError(
-            "real resize requires PIL (not in this container); "
-            "call with strict=False for the deterministic fake")
+    """Resize, binary-in/binary-out. PNG payloads take the REAL branch:
+    decode (PIL or the pure zlib reader) → 2-D nearest-neighbor
+    resample → re-encode PNG, with ``meta.codec='png'`` and the new
+    dimensions. Unrecognized payloads keep the fake (1-D nearest-
+    neighbor over the raw byte stream), or raise under ``strict=True``.
+    Both branches share the UDF shape and metadata-rewrite contract."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+
+        from .media_codecs import decode_image, png_encode, sniff
         size = target_w * target_h
         for pdf in batches:
             out_content, out_meta = [], []
             for buf, meta in zip(pdf["content"], pdf["meta"]):
-                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
-                idx = (np.arange(size) * max(arr.size, 1) // size) % max(arr.size, 1)
-                out_content.append(arr[idx].tobytes() if arr.size else b"")
+                data = bytes(buf)
                 m = dict(meta)
+                if sniff(data) == "png":
+                    img = decode_image(data)
+                    src = np.frombuffer(img.pixels, dtype=np.uint8) \
+                        .reshape(img.height, img.width, img.channels)
+                    ys = np.arange(target_h) * img.height // target_h
+                    xs = np.arange(target_w) * img.width // target_w
+                    out = src[ys][:, xs]
+                    out_content.append(png_encode(out.tobytes(), target_w,
+                                                  target_h, img.channels))
+                    m["codec"] = "png"
+                else:
+                    if strict:
+                        _strict_fake(" for resize")
+                    arr = np.frombuffer(data, dtype=np.uint8)
+                    idx = (np.arange(size) * max(arr.size, 1) // size) \
+                        % max(arr.size, 1)
+                    out_content.append(arr[idx].tobytes() if arr.size else b"")
                 m["width"], m["height"] = target_w, target_h
                 out_meta.append(m)
             yield pd.DataFrame({"media_id": pdf["media_id"],
@@ -221,19 +255,24 @@ FRAME_SCHEMA = T.StructType([
 
 def frame_sample(media: DataFrame, every_n: int = 4,
                  frame_bytes: int = 16, strict: bool = False) -> DataFrame:
-    """Frame sampling stub (1 row in → N frame rows out, the fan-out UDF
-    shape): treat the payload as ``frame_bytes``-sized frames, keep every
-    ``every_n``-th. Real impl would seek keyframes via cv2/ffmpeg."""
-    if strict and not _has_pil():
-        raise NotImplementedError(
-            "real frame sampling requires cv2/ffmpeg (not in this "
-            "container); call with strict=False for the deterministic fake")
+    """Frame sampling (1 row in → N frame rows out, the fan-out UDF
+    shape): split the payload into ``frame_bytes``-sized frames, keep
+    every ``every_n``-th. WAV payloads take the REAL branch — frames
+    are windows of the DECODED PCM sample buffer (header stripped by
+    the ``wave`` codec), i.e. real audio chunking. Video keyframe
+    seeking needs cv2/ffmpeg and stays faked (frames over raw bytes);
+    ``strict=True`` raises for any non-WAV payload."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import sniff, wav_decode
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, buf in zip(pdf["media_id"], pdf["content"]):
                 data = bytes(buf)
+                if sniff(data) == "wav":
+                    data = wav_decode(data).samples
+                elif strict:
+                    _strict_fake(" for frame sampling")
                 n_frames = len(data) // frame_bytes
                 for i in range(0, n_frames, every_n):
                     ids.append(mid)
@@ -244,6 +283,67 @@ def frame_sample(media: DataFrame, every_n: int = 4,
                                 "frame": pd.Series(frames, dtype=object)})
 
     return _map_in_pandas(media, fn, FRAME_SCHEMA, ["media_id", "content"])
+
+
+# ---------------------------------------------------------------------------
+# Real-container corpora (PNG / WAV round-trip)
+# ---------------------------------------------------------------------------
+
+PNG_WIDTH = 16
+
+
+def png_media_table(docs: DataFrame) -> DataFrame:
+    """Real-container corpus: each document's utf-8 bytes become the
+    pixel buffer of an 8-bit grayscale PNG — width :data:`PNG_WIDTH`,
+    height ``ceil(n/16)`` (min 1), zero-padded tail. The REAL encoder
+    runs in Arrow batches; :func:`decode_stats` over the result drives
+    the real decode branch end-to-end (signature sniff → IHDR parse →
+    inflate → de-filter), and because the round-trip is lossless the
+    DuckDB oracle recomputes every stat from the text
+    (``mm_png_roundtrip_stats``)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import png_encode
+        for pdf in batches:
+            content, meta = [], []
+            for txt in pdf["text"]:
+                data = (txt or "").encode("utf-8")
+                h = max(1, -(-len(data) // PNG_WIDTH))
+                content.append(png_encode(
+                    data.ljust(PNG_WIDTH * h, b"\x00"), PNG_WIDTH, h, 1))
+                meta.append({"width": PNG_WIDTH, "height": h,
+                             "duration_ms": 0, "sample_rate": 0,
+                             "codec": "png"})
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "kind": "image",
+                                "content": content, "meta": meta})
+
+    return (docs.select("doc_id", "text")
+            .mapInPandas(fn, schema=MEDIA_SCHEMA))
+
+
+def wav_media_table(docs: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Real-container corpus: document bytes as 8-bit mono PCM WAV.
+    :func:`decode_stats` strips the 44-byte RIFF header through the
+    real ``wave`` codec — the oracle twin pins ``n_bytes ==
+    length(text)`` EXACTLY, which the raw-bytes fake cannot produce."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import wav_encode
+        for pdf in batches:
+            content, meta = [], []
+            for txt in pdf["text"]:
+                data = (txt or "").encode("utf-8")
+                content.append(wav_encode(data, sample_rate))
+                meta.append({"width": 0, "height": 0,
+                             "duration_ms": len(data) * 1000 // sample_rate,
+                             "sample_rate": sample_rate, "codec": "wav"})
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "kind": "audio",
+                                "content": content, "meta": meta})
+
+    return (docs.select("doc_id", "text")
+            .mapInPandas(fn, schema=MEDIA_SCHEMA))
 
 
 def media_meta_summary(media: DataFrame) -> DataFrame:

@@ -1848,8 +1848,9 @@ c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
 d3 AS (SELECT doc_id, sum(c * length(gram)) AS dupchars
        FROM c3 WHERE c > 1 GROUP BY doc_id)
 SELECT d.doc_id,
-  round((len(w) - len(list_distinct(w)))::DOUBLE / len(w), 6)
-    AS dup_word_frac,
+  CASE WHEN len(w) > 0
+       THEN round((len(w) - len(list_distinct(w)))::DOUBLE / len(w), 6)
+       ELSE 0.0 END AS dup_word_frac,
   CASE WHEN nc > 0
        THEN round(coalesce(t.chars, 0)::DOUBLE / nc, 6)
        ELSE 0.0 END AS top_ngram_char_frac,
@@ -2660,6 +2661,78 @@ FROM m GROUP BY kind
 def _mm5(spark, sf_dir):
     from .operators.multimodal import media_meta_summary
     return media_meta_summary(_media(spark, sf_dir))
+
+
+# Real-codec round trips (r9): the corpus builders pack each document's
+# bytes into an ACTUAL container (grayscale PNG / PCM WAV via the stdlib
+# codecs in operators/media_codecs.py) and decode_stats(strict=True)
+# real-decodes them — signature sniff, IHDR/RIFF parse, inflate,
+# de-filter. Because the round trip is lossless, DuckDB recomputes every
+# stat from the text: these queries FAIL if the real branch doesn't run
+# (the raw-bytes fake would count container/header bytes). strict=True
+# doubles as the proof that no payload fell back to the fake.
+
+@register("mm_png_roundtrip_stats", f"""
+WITH {_MEDIA_CTE}
+SELECT media_id,
+       16 * greatest(1, (n + 15) // 16) AS n_bytes,
+       CAST(list_sum(list_transform(chars, c -> ord(c))) % 2147483648
+            AS BIGINT) AS checksum
+FROM m
+""")
+def _mm_png(spark, sf_dir):
+    # n_bytes = the DECODED pixel-buffer size (16 · height, zero-padded
+    # final row), NOT the PNG file size — pinning that the pixels came
+    # out of the de-filtered IDAT stream.
+    from .operators.multimodal import decode_stats, png_media_table
+    out = decode_stats(png_media_table(_t(spark, sf_dir, "documents")),
+                       strict=True)
+    return out.select("media_id", F.col("n_bytes").cast("long"), "checksum")
+
+
+@register("mm_wav_roundtrip_stats", f"""
+WITH {_MEDIA_CTE}
+SELECT media_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(chars, c -> ord(c))) % 2147483648
+            AS BIGINT) AS checksum
+FROM m
+""")
+def _mm_wav(spark, sf_dir):
+    # n_bytes == exact text length: the 44-byte RIFF header is stripped
+    # by the real ``wave`` decode — unfalsifiable by the raw-bytes fake.
+    from .operators.multimodal import decode_stats, wav_media_table
+    out = decode_stats(wav_media_table(_t(spark, sf_dir, "documents")),
+                       strict=True)
+    return out.select("media_id", F.col("n_bytes").cast("long"), "checksum")
+
+
+@register("mm_png_resize_stats", f"""
+WITH {_MEDIA_CTE},
+px AS (
+  SELECT media_id, n, chars,
+         greatest(1, (n + 15) // 16) AS sh
+  FROM m
+)
+SELECT media_id, CAST(32 AS BIGINT) AS n_bytes,
+       CAST(list_sum(flatten(list_transform(generate_series(0, 3), r ->
+            list_transform(generate_series(0, 7), c ->
+              CASE WHEN ((r * sh) // 4) * 16 + (c * 16) // 8 < n
+                   THEN ord(chars[((r * sh) // 4) * 16 + (c * 16) // 8 + 1])
+                   ELSE 0 END)))) % 2147483648 AS BIGINT) AS checksum
+FROM px
+""")
+def _mm_png_resize(spark, sf_dir):
+    # Full real image pipeline: encode → decode → 2-D nearest-neighbor
+    # resample (8×4) → re-encode → decode again for stats. The oracle
+    # recomputes the NN index map ((r·sh)//4 row, (c·16)//8 col over the
+    # zero-padded 16-wide pixel grid) straight from the text.
+    from .operators.multimodal import (decode_stats, png_media_table,
+                                       resize)
+    resized = resize(png_media_table(_t(spark, sf_dir, "documents")),
+                     target_w=8, target_h=4, strict=True)
+    return (decode_stats(resized, strict=True)
+            .select("media_id", F.col("n_bytes").cast("long"), "checksum"))
 
 
 # --------------------------------------------------------------------------

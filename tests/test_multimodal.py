@@ -81,10 +81,14 @@ def test_meta_summary_never_reads_payload(media):
     assert "content" not in plan  # struct pruning kept the scan payload-free
 
 
-def test_strict_mode_raises_without_codec_libs(media):
+def test_strict_mode_raises_on_fake_path_payloads(media):
+    # The synthetic corpus payloads are raw utf-8 (not PNG/WAV), so
+    # strict mode — which guarantees every emitted row came from a REAL
+    # decode — must raise at execution (Spark surfaces the executor's
+    # NotImplementedError as a PythonException).
     for fn in (decode_stats, resize, frame_sample):
-        with pytest.raises(NotImplementedError):
-            fn(media, strict=True)
+        with pytest.raises(Exception, match="strict real decode"):
+            fn(media, strict=True).collect()
 
 
 def test_arrow_batch_bound(spark, media):
@@ -176,3 +180,145 @@ def test_perceptual_hash_engines_bit_identical(spark):
             .filter(F.expr("j.phash IS DISTINCT FROM a.phash")).count())
     assert diff == 0
     assert perceptual_hash(media).count() == 65   # auto resolves
+
+
+# ---------------------------------------------------------------------------
+# Real codec branch (media_codecs + the dispatch in decode/resize/frames)
+# ---------------------------------------------------------------------------
+
+def test_png_codec_roundtrip_and_foreign_filters():
+    # Round-trip our own filter-0 encoder, then a FOREIGN-style PNG that
+    # uses every filter type (built against the spec's forward filters,
+    # independently of the decoder under test).
+    import random
+    import struct
+    import zlib
+
+    from openedx_event_sink_clickhouse_spark.operators.media_codecs import (
+        png_decode, png_encode)
+
+    rng = random.Random(7)
+    for w, h, c in [(16, 3, 1), (5, 4, 3), (1, 1, 1), (7, 2, 4)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * c))
+        img = png_decode(png_encode(px, w, h, c))
+        assert (img.width, img.height, img.channels) == (w, h, c)
+        assert img.pixels == px
+
+    def forward_filtered(px, w, h, bpp):
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        stride = w * bpp
+        raw, prev = bytearray(), bytes(stride)
+        for r in range(h):
+            line = px[r * stride:(r + 1) * stride]
+            ft = [0, 1, 2, 3, 4][r % 5]
+            raw.append(ft)
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                up, x = prev[i], line[i]
+                ul = prev[i - bpp] if i >= bpp else 0
+                v = {0: x, 1: x - left, 2: x - up,
+                     3: x - (left + up) // 2,
+                     4: x - paeth(left, up, ul)}[ft] & 0xFF
+                raw.append(v)
+            prev = line
+        def chunk(k, d):
+            return (struct.pack(">I", len(d)) + k + d
+                    + struct.pack(">I", zlib.crc32(k + d) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2}[bpp], 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    for bpp in (1, 3):
+        w, h = 6, 10
+        px = bytes(rng.randrange(256) for _ in range(w * h * bpp))
+        assert png_decode(forward_filtered(px, w, h, bpp)).pixels == px
+
+
+def test_png_codec_matches_pil_when_available():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+    import random
+
+    from openedx_event_sink_clickhouse_spark.operators.media_codecs import (
+        decode_image, png_decode, png_encode)
+
+    rng = random.Random(3)
+    px = bytes(rng.randrange(256) for _ in range(20 * 9))
+    data = png_encode(px, 20, 9, 1)
+    img = PIL.open(io.BytesIO(data))        # PIL reads our encoder
+    assert img.size == (20, 9) and img.tobytes() == px
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")             # our decoder reads PIL
+    assert png_decode(buf.getvalue()).pixels == px
+    assert decode_image(data).pixels == px  # dispatch prefers PIL
+
+
+def test_decode_stats_real_branch_strips_containers(spark, sf_dir):
+    # PNG: stats over the DECODED pixel buffer (zero-padded to 16·h);
+    # WAV: stats over the PCM samples with the RIFF header stripped —
+    # n_bytes == exact text length proves the wave codec ran (the
+    # raw-bytes fake would report +44 header bytes).
+    from openedx_event_sink_clickhouse_spark.operators.multimodal import (
+        PNG_WIDTH, png_media_table, wav_media_table)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    ref = {r.doc_id: r.text.encode() for r in docs.collect()}
+
+    png_stats = decode_stats(png_media_table(docs), strict=True).collect()
+    for r in png_stats:
+        data = ref[r.media_id]
+        h = max(1, -(-len(data) // PNG_WIDTH))
+        assert r.n_bytes == PNG_WIDTH * h
+        assert r.checksum == sum(data) % (1 << 31)   # padding adds 0
+
+    wav_stats = decode_stats(wav_media_table(docs), strict=True).collect()
+    for r in wav_stats:
+        assert r.n_bytes == len(ref[r.media_id])
+        assert r.checksum == sum(ref[r.media_id]) % (1 << 31)
+
+
+def test_resize_real_branch_is_2d_nearest_neighbor(spark, sf_dir):
+    # Real branch: decode → 2-D NN resample → re-encode PNG. Check the
+    # resampled pixels against an independent numpy reference, and that
+    # the output is itself a decodable PNG with rewritten meta.
+    import numpy as np
+
+    from openedx_event_sink_clickhouse_spark.operators.media_codecs import (
+        png_decode)
+    from openedx_event_sink_clickhouse_spark.operators.multimodal import (
+        PNG_WIDTH, png_media_table)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    ref = {r.doc_id: r.text.encode() for r in docs.collect()}
+    out = resize(png_media_table(docs), target_w=8, target_h=4,
+                 strict=True).collect()
+    assert len(out) == 20
+    for r in out:
+        data = ref[r.media_id]
+        h = max(1, -(-len(data) // PNG_WIDTH))
+        src = np.frombuffer(data.ljust(PNG_WIDTH * h, b"\x00"),
+                            dtype=np.uint8).reshape(h, PNG_WIDTH)
+        want = src[np.arange(4) * h // 4][:, np.arange(8) * PNG_WIDTH // 8]
+        img = png_decode(bytes(r.content))
+        assert (img.width, img.height) == (8, 4)
+        assert img.pixels == want.tobytes()
+        assert r.meta.codec == "png"
+        assert (r.meta.width, r.meta.height) == (8, 4)
+
+
+def test_frame_sample_real_branch_uses_decoded_pcm(spark, sf_dir):
+    from openedx_event_sink_clickhouse_spark.operators.multimodal import (
+        wav_media_table)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    ref = {r.doc_id: r.text.encode() for r in docs.collect()}
+    frames = frame_sample(wav_media_table(docs), every_n=2, frame_bytes=8,
+                          strict=True).collect()
+    for r in frames:
+        samples = ref[r.media_id]
+        start = r.frame_idx * 8
+        assert bytes(r.frame) == samples[start:start + 8]  # header gone
