@@ -81,12 +81,21 @@ class EpochPartitionedAppender:
 
     def __init__(self, path: str, partials_fn, fold_keys: list[str],
                  value_cols: list[str],
-                 agg_exprs: list | None = None) -> None:
+                 agg_exprs: list | None = None,
+                 auto_compact_epochs: int | None = None) -> None:
         self.path = path
         self.partials_fn = partials_fn
         self.fold_keys = fold_keys
         self.value_cols = value_cols
         self.agg_exprs = agg_exprs
+        # self-compaction trigger (the layout.py file-count discipline
+        # applied to epoch partitions): when set, an append that leaves
+        # more than this many REAL epoch partitions runs compact()
+        # inline — foreachBatch is serial per query, so the
+        # single-compactor assumption holds by construction. Partition
+        # count (and fold cost) is then bounded at ~auto_compact_epochs
+        # forever instead of growing one dir per trigger.
+        self.auto_compact_epochs = auto_compact_epochs
 
     # -- layout helpers ----------------------------------------------------
 
@@ -196,6 +205,11 @@ class EpochPartitionedAppender:
         part.write.mode("overwrite").parquet(
             os.path.join(self.path, f"epoch={epoch_id}"))
         self._stamp_appended(epoch_id)
+        if self.auto_compact_epochs is not None:
+            real = sum(1 for d in self._epochs()
+                       if int(d.split("=")[1]) >= 0)
+            if real > self.auto_compact_epochs:
+                self.compact(batch_df.sparkSession)
 
     def reset_for_new_run(self, spark) -> None:
         """Re-open the epoch sequence for a NEW stream (fresh checkpoint,
@@ -273,7 +287,9 @@ class EpochPartitionedAppender:
 
 
 def cms_stream_maintainer(path: str, key_col: str, width: int = 1024,
-                          depth: int = 4) -> EpochPartitionedAppender:
+                          depth: int = 4,
+                          auto_compact_epochs: int | None = 64
+                          ) -> EpochPartitionedAppender:
     """CMS cells kept fresh by a stream: per-trigger cost is one narrow
     batch pass emitting ≤ depth·width cells; serving folds
     ≤ depth·width·epochs rows. Pair with ``heavyhitters.cms_estimate``
@@ -282,11 +298,12 @@ def cms_stream_maintainer(path: str, key_col: str, width: int = 1024,
 
     return EpochPartitionedAppender(
         path, lambda b: cms_sketch(b, key_col, width, depth),
-        ["d", "bucket"], ["c"])
+        ["d", "bucket"], ["c"], auto_compact_epochs=auto_compact_epochs)
 
 
 def hll_stream_maintainer(path: str, key_col: str = "user_id",
-                          ts_col: str = "ts", lg_k: int = 14
+                          ts_col: str = "ts", lg_k: int = 14,
+                          auto_compact_epochs: int | None = 64
                           ) -> EpochPartitionedAppender:
     """HLL day-cells kept fresh by a stream: each trigger writes its
     batch's per-day sketches (``cardinality.daily_sketch_table`` shape);
@@ -301,10 +318,12 @@ def hll_stream_maintainer(path: str, key_col: str = "user_id",
         path, lambda b: daily_sketch_table(b, key_col, ts_col, lg_k),
         ["day"], ["n_events", "sketch"],
         agg_exprs=[F.sum("n_events").alias("n_events"),
-                   F.expr("hll_union_agg(sketch, true)").alias("sketch")])
+                   F.expr("hll_union_agg(sketch, true)").alias("sketch")],
+        auto_compact_epochs=auto_compact_epochs)
 
 
-def counts_stream_maintainer(path: str, key_col: str
+def counts_stream_maintainer(path: str, key_col: str,
+                             auto_compact_epochs: int | None = 64
                              ) -> EpochPartitionedAppender:
     """Per-key exact counts kept fresh by a stream (the count table's
     streaming twin): each trigger appends the batch's own groupBy
@@ -314,4 +333,5 @@ def counts_stream_maintainer(path: str, key_col: str
         return (b.filter(F.col(key_col).isNotNull())
                 .groupBy(key_col).agg(F.count("*").alias("n_rows")))
 
-    return EpochPartitionedAppender(path, partials, [key_col], ["n_rows"])
+    return EpochPartitionedAppender(path, partials, [key_col], ["n_rows"],
+                                    auto_compact_epochs=auto_compact_epochs)

@@ -360,6 +360,38 @@ def test_sketch_maintainer_reset_for_new_run(spark, tmp_path):
                       .select("user_id", "n_rows").collect())) == want2
 
 
+def test_sketch_maintainer_auto_compaction_bounds_partitions(spark, tmp_path):
+    # The layout.py file-count discipline applied to epoch partitions:
+    # with auto_compact_epochs=3, ten triggers must leave <= 4 epoch
+    # dirs (one generation base + at most 3 real epochs) and the folded
+    # view must equal the one-shot aggregate at every point.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.streaming.sketch_maintenance import (
+        counts_stream_maintainer)
+
+    rows = [(i, _ts(i % 60), 100 + i % 7, "e", 1.0, "{}") for i in range(100)]
+    full = spark.createDataFrame(rows, EVENT_SCHEMA)
+    c = counts_stream_maintainer(str(tmp_path / "counts"),
+                                 "user_id", auto_compact_epochs=3)
+    for e in range(10):
+        c(full.filter((F.col("event_id") >= e * 10)
+                      & (F.col("event_id") < (e + 1) * 10)), e)
+        dirs = [d for d in os.listdir(c.path) if d.startswith("epoch=")]
+        assert len(dirs) <= 4, dirs
+    want = sorted(map(tuple, full.groupBy("user_id")
+                      .agg(F.count("*").alias("n_rows")).collect()))
+    assert sorted(map(tuple, c.fold(spark)
+                      .select("user_id", "n_rows").collect())) == want
+    # replay of the final epoch after its auto-compaction folded it:
+    # watermark no-op, still no growth, same view
+    c(full.filter(F.col("event_id") >= 90), 9)
+    assert sorted(map(tuple, c.fold(spark)
+                      .select("user_id", "n_rows").collect())) == want
+
+
 def test_sketch_compact_crash_recovery(spark, tmp_path):
     # The compact protocol's crash windows, replayed explicitly:
     # (a) scratch present, no manifest -> pre-commit debris: folds
