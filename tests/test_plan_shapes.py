@@ -353,3 +353,39 @@ def test_cuped_moments_broadcast_partial_sums(q, spark, sf_dir):
     assert "partial_sum" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ab_ztest_broadcasts_control_row(q, spark, sf_dir):
+    # Two-proportion z-test: per-variant counts partial-aggregate
+    # map-side; the 1-row control frame rides a broadcast nested-loop
+    # cross (single probe row), never a SortMergeJoin or a data-sized
+    # cartesian — the same 1-row-broadcast discipline as CUPED.
+    plan = plan_of(q["evt_ab_conversion_test"](spark, sf_dir))
+    assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_hll_rollup_prunes_scan_and_broadcasts_sketch(q, spark, sf_dir):
+    # The grand-total verification row re-reads the raw stream for the
+    # exact count, but the scan must carry ONLY user_id (column
+    # pruning), and the unioned day sketches enter as a broadcast —
+    # no SortMergeJoin anywhere in the rollup.
+    plan = plan_of(q["agg_hll_distinct_rollup"](spark, sf_dir))
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert scan.strip().endswith("struct<user_id:bigint>"), scan
+    assert "hll_union" in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_png_roundtrip_single_scan_single_python_stage(q, spark, sf_dir):
+    # Real-codec round trips: encode+decode fuse into ONE python-worker
+    # pipeline over ONE documents scan — no Exchange (per-row work), no
+    # second scan, and the scan reads only (doc_id, text).
+    for name in ("mm_png_roundtrip_stats", "mm_wav_roundtrip_stats"):
+        plan = plan_of(q[name](spark, sf_dir))
+        assert plan.count("FileScan") == 1, name
+        assert "Exchange" not in plan, name
+        scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+        assert "doc_id" in scan and "text" in scan and "lang" not in scan
