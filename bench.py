@@ -161,6 +161,23 @@ HEADLINE = [
     "dedup_edit_distance",         # prefix-bounded Levenshtein verify
     "dq_schema_drift",             # one-scan two-slice drift report
     "scd2_incremental_merge",      # frontier-only SCD2 history merge
+    # Round-9 tail. The streaming family joins the bench (VERDICT r8
+    # next-steps #6): each stream_* query replays the sf events through
+    # availableNow micro-batch triggers, so its number is trigger
+    # scheduling + checkpoint commit + the stateful operator itself —
+    # deliberately NOT comparable to its batch twin's pure operator
+    # cost (evt_attribution etc.), but exactly the per-trigger latency
+    # a deployment plans around. Keeping them timed ends the blind spot
+    # where a state-store or maintainer regression would be invisible
+    # until production.
+    "stream_attribution",          # applyInPandasWithState last-touch
+    "stream_stateful_incremental_gate",  # per-entity watermark gate
+    "stream_scd2_maintenance",     # foreachBatch SCD2 merge maintainer
+    "stream_cms_maintenance",      # epoch-partitioned sketch maintainer
+    "stream_sliding_counts",       # overlapping sliding windows
+    "stream_debounce_dedup",       # watermarked dropDuplicates
+    "mm_png_roundtrip_stats",      # real PNG encode+decode round trip
+    "mm_png_resize_stats",         # real decode->resample->re-encode
 ]
 
 
