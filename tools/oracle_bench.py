@@ -14,7 +14,10 @@ warmed at sf0.001). Queries whose oracle needs registry-side derived
 state (streaming replays, at-rest table builds) still time the FULL
 Spark path — cache builds land on the first (discarded) run.
 
-Usage: python tools/oracle_bench.py [sf_dir]      (default sf0.1)
+Usage: python tools/oracle_bench.py [sf_dir] [--all]   (default sf0.1)
+       --all widens the scope from bench.py's HEADLINE to EVERY registry
+       query with an oracle twin (the full-coverage ratio the judge
+       re-anchors BASELINE.json against each round).
 """
 
 from __future__ import annotations
@@ -32,7 +35,8 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.1"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (SparkSession.builder.master(f"local[{cpus}]")
              .appName("oracle-bench")
@@ -46,7 +50,13 @@ def main() -> None:
     from bench import HEADLINE
 
     qmap, oracles = ent.queries(), ent.oracle_sql()
-    names = [n for n in HEADLINE if n in qmap and n in oracles]
+    if "--all" in sys.argv:
+        in_headline = [n for n in HEADLINE if n in qmap and n in oracles]
+        rest = sorted(n for n in qmap
+                      if n in oracles and n not in set(in_headline))
+        names = in_headline + rest
+    else:
+        names = [n for n in HEADLINE if n in qmap and n in oracles]
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {cpus}")
