@@ -942,3 +942,31 @@ def quality_score(docs: DataFrame, threshold: float = 0.0,
         "doc_id",
         logit.alias("quality_logit"),
         (logit > F.lit(threshold)).cast("int").alias("keep"))
+
+
+def corpus_data_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus data card: the per-(lang, source) composition report a
+    training-data release ships (docs, chars, whitespace tokens, mean
+    doc length, corpus share) with ROLLUP subtotal rows — per-lang and
+    grand-total — in the same frame (NULL group keys, the SQL rollup
+    convention).
+
+    Plan: ONE scan → map-side partial rollup aggregate; the corpus
+    share divides by the grand-total row via ONE unpartitioned window
+    over the ROLLUP-cardinality frame (langs × sources + langs + 1
+    rows — bounded metadata scale, the registry's ntile-over-rollup
+    precedent, never the corpus)."""
+    toks = F.size(F.array_remove(words(F.col(text_col)), ""))
+    card = (docs.rollup("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length(text_col)).alias("total_chars"),
+                 F.sum(toks).alias("total_tokens"),
+                 F.round(F.avg(F.length(text_col)), 6).alias("avg_chars")))
+    total = F.max(F.when(F.col("lang").isNull()
+                         & F.col("source").isNull(), F.col("n_docs"))) \
+             .over(Window.partitionBy())
+    return card.select(
+        "lang", "source", "n_docs", "total_chars", "total_tokens",
+        "avg_chars",
+        F.round(F.col("n_docs").cast("double") / total, 6)
+         .alias("doc_share"))

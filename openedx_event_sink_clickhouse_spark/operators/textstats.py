@@ -118,6 +118,63 @@ def gopher_repetition_signals(docs: DataFrame, text_col: str = "text",
     )
 
 
+def entropy_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon-entropy quality signals, per document: character-level
+    and word-level distribution entropy in bits (H = log2(n) − Σ cᵢ·
+    log2(cᵢ)/n). Low char entropy flags repeated-glyph gibberish and
+    boilerplate padding; low word entropy flags template spam — the
+    compressibility-style signal CCNet-class pipelines cut on, computed
+    engine-side instead of via an external compressor.
+
+    Plan: MAP-ONLY, the gopher_repetition_signals discipline — sort the
+    symbol array inside the row and fold adjacent runs once with
+    ``aggregate`` (no explode, no groupBy(doc, symbol) shuffle at
+    corpus-token scale). The fold accumulates Σ run·log2(run) in SORTED
+    symbol order, and the DuckDB twin sums ``k·log2(k)`` over a
+    char-ordered list, so both engines add the same IEEE terms in the
+    same sequence. Empty/NULL docs emit 0.0 (the dup_word_frac rule:
+    a NULL signal would sail through every threshold filter)."""
+
+    def run_log_sum(symbols: Column) -> Column:
+        g = F.sort_array(symbols)
+        zero = F.lit(0).cast("long")
+        init = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                        F.lit(0.0).alias("acc"))
+        close = lambda acc: acc["acc"] + F.when(
+            acc["run"] > 1,
+            acc["run"].cast("double") * F.log2(acc["run"].cast("double"))
+        ).otherwise(F.lit(0.0))
+
+        def merge(acc: Column, x: Column) -> Column:
+            same = x == acc["prev"]
+            return F.struct(
+                x.alias("prev"),
+                F.when(same, acc["run"] + 1)
+                 .otherwise(F.lit(1).cast("long")).alias("run"),
+                F.when(same, acc["acc"]).otherwise(close(acc)).alias("acc"),
+            )
+
+        return F.aggregate(g, init, merge, close)
+
+    def entropy(symbols: Column, n: Column) -> Column:
+        return F.when(
+            n > 0,
+            F.round(F.log2(n.cast("double"))
+                    - run_log_sum(symbols) / n.cast("double"), 6)
+        ).otherwise(F.lit(0.0))
+
+    chars = F.split(F.col(text_col), "")
+    w = words(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_words = F.size(w)
+    return docs.select(
+        "doc_id",
+        F.coalesce(n_chars, F.lit(0)).cast("long").alias("n_chars"),
+        entropy(chars, n_chars).alias("char_entropy"),
+        entropy(w, n_words).alias("word_entropy"),
+    )
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count plus a BPE-ish regex token count
     (letter runs / digit runs / single non-alnum marks — the classic

@@ -573,3 +573,24 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         docs, labels.filter(F.col("cluster_id") < 0),  # empty labels
         val_frac=0.2, test_frac=0.2).collect()}
     assert out2 == naive
+
+
+def test_corpus_data_card_rollup_and_shares(spark):
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        corpus_data_card)
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "en", "web"), (1, "c d e", "en", "web"),
+         (2, "f  g", "en", "books"), (3, "h", "fr", "web")],
+        "doc_id long, text string, lang string, source string")
+    rows = {(r.lang, r.source): r for r in corpus_data_card(docs).collect()}
+    # leaf, subtotal and grand-total rows coexist (ROLLUP convention)
+    assert rows[("en", "web")].n_docs == 2
+    assert rows[("en", None)].n_docs == 3
+    assert rows[(None, None)].n_docs == 4
+    # double space does not mint a phantom token
+    assert rows[("en", "books")].total_tokens == 2
+    assert rows[(None, None)].total_tokens == 8
+    assert rows[(None, None)].doc_share == 1.0
+    assert rows[("en", None)].doc_share == 0.75
+    assert rows[("fr", "web")].avg_chars == 1.0

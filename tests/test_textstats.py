@@ -203,3 +203,49 @@ def test_repetition_filter_reason_order(spark):
            repetition_filter(_docs(spark, rows)).collect()}
     assert got[1].keep == 0 and got[1].reason == "dup_words"
     assert got[2].keep == 1 and got[2].reason is None
+
+
+def test_entropy_signals_hand_computed(spark):
+    # Hand-verifiable distributions: uniform chars hit log2(k) exactly;
+    # a single repeated glyph is 0 bits; NULL/empty coalesce to 0.0
+    # (the dup_word_frac rule — no NULL sails through a threshold).
+    import math
+
+    from openedx_event_sink_clickhouse_spark.operators.textstats import (
+        entropy_signals)
+
+    docs = spark.createDataFrame(
+        [(0, "abcd"),          # uniform over 4 chars -> 2.0 bits
+         (1, "aaaa"),          # degenerate -> 0.0
+         (2, "aabb"),          # uniform over 2 -> 1.0
+         (3, "a b a b"),       # words: {a:2, b:2} -> 1.0 bit
+         (4, ""), (5, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in entropy_signals(docs).collect()}
+    assert got[0].char_entropy == 2.0
+    assert got[1].char_entropy == 0.0
+    assert got[2].char_entropy == 1.0
+    assert got[3].word_entropy == 1.0
+    assert got[4].char_entropy == 0.0 and got[4].word_entropy == 0.0
+    assert got[5].char_entropy == 0.0 and got[5].word_entropy == 0.0
+    assert got[5].n_chars == 0
+    # non-trivial distribution vs math.log2 reference: "aab" ->
+    # 3 chars, counts {a:2, b:1}: H = log2(3) - (2*log2(2))/3
+    docs2 = spark.createDataFrame([(0, "aab")], "doc_id long, text string")
+    h = entropy_signals(docs2).collect()[0].char_entropy
+    assert h == round(math.log2(3) - 2 * math.log2(2) / 3, 6)
+
+
+def test_entropy_signals_flag_gibberish_below_prose(spark):
+    from openedx_event_sink_clickhouse_spark.operators.textstats import (
+        entropy_signals)
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "aaaaaaaa aaaaaaaa aaaaaaaa aaaaaaaa"),
+         (2, "spam spam spam spam spam spam spam spam")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in entropy_signals(docs).collect()}
+    assert got[1].char_entropy < got[0].char_entropy   # glyph spam
+    assert got[2].word_entropy == 0.0                  # template spam
+    assert got[0].word_entropy > 2.5                   # real prose
