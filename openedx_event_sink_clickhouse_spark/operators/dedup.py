@@ -527,7 +527,7 @@ def write_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
 
 def append_minhash_index(batch: DataFrame, path: str,
                          text_col: str = "text", id_col: str = "doc_id",
-                         n: int = 3) -> None:
+                         n: int = 3, epoch: int | None = None) -> None:
     """Extend the at-rest LSH index with an arriving batch's bands and
     shingles (``mode("append")`` into both sub-layouts) — after a batch
     is pair-mined, its documents become part of the indexed corpus so
@@ -545,10 +545,25 @@ def append_minhash_index(batch: DataFrame, path: str,
                     lsh_bands(minhash_signature(F.col("hv"))).alias("bands")))
     bands = sigs.select("id", F.posexplode_outer("bands")
                         .alias("band_idx", "band_hash"))
+    counts = (bands.groupBy("band_idx", "band_hash")
+              .agg(F.count("*").alias("n")))
+    if epoch is not None:
+        # Replay-idempotent form for at-least-once foreachBatch drivers
+        # (streaming/dedup_maintenance.py): each sub-layout lands in its
+        # OWN epoch partition with overwrite — a replayed epoch
+        # converges to one copy instead of duplicating appended rows
+        # (the sketch appender's partition-overwrite reduction). Readers
+        # discover epoch as a partition column; every consumer projects
+        # the data columns, so the extra column is inert. NOTE: an index
+        # must be all-flat or all-epoch-partitioned — Spark's partition
+        # discovery rejects mixed layouts.
+        for df, sub in ((bands, "bands"), (counts, "band_counts"),
+                        (base, "shingles")):
+            df.write.mode("overwrite").parquet(
+                f"{path}/{sub}/epoch={epoch}")
+        return
     bands.write.mode("append").parquet(f"{path}/bands")
-    (bands.groupBy("band_idx", "band_hash")
-     .agg(F.count("*").alias("n"))
-     .write.mode("append").parquet(f"{path}/band_counts"))
+    counts.write.mode("append").parquet(f"{path}/band_counts")
     base.write.mode("append").parquet(f"{path}/shingles")
 
 

@@ -5186,6 +5186,82 @@ def _stream_cms(spark, sf_dir):
                       .alias("overcount"))
 
 
+def _docs_split_dir(spark, sf_dir) -> str:
+    """Three-file ascending-id split of the documents table, mtimes
+    forcing file-source order — the daily-ingest replay fixture for the
+    streaming dedup maintainer (new docs get new ids, so batches arrive
+    in ascending id order, the contract that makes per-epoch survivor
+    unions equal the global clustering's survivor set)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    def _build(tmp):
+        _os.makedirs(tmp, exist_ok=True)
+        docs = _t(spark, sf_dir, "documents")
+        hi = docs.agg(F.max("doc_id")).first()[0] + 1
+        cuts = [0, hi // 3, 2 * hi // 3, hi]
+        for i in range(3):
+            d = _os.path.join(tmp, f"_b{i}")
+            (docs.filter((F.col("doc_id") >= cuts[i])
+                         & (F.col("doc_id") < cuts[i + 1]))
+             .coalesce(1).write.parquet(d))
+            part = _glob.glob(_os.path.join(d, "part-*.parquet"))[0]
+            _os.rename(part, _os.path.join(tmp, f"batch{i}.parquet"))
+            _shutil.rmtree(d)
+        t0 = _os.path.getmtime(_os.path.join(tmp, "batch0.parquet"))
+        for i in range(3):
+            _os.utime(_os.path.join(tmp, f"batch{i}.parquet"),
+                      (t0 + 60 * i, t0 + 60 * i))
+        open(_os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    tag = _sf_tag(sf_dir, "documents")
+    return _cached_parquet(f"/tmp/spark_graft_docsplit_{tag}", _build)
+
+
+@register("stream_dedup_maintenance", f"""
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM ({_cluster_oracle_sql()}) c WHERE NOT c.is_survivor)
+""")
+def _stream_dedup(spark, sf_dir):
+    # The INCREMENTAL near-dup loop run AS A STREAM, certified
+    # end-to-end: three ascending-id micro-batches flow through
+    # DedupStreamMaintainer (pair-mine against the at-rest index →
+    # contraction label update → survivor epoch partition → index
+    # append), then the last batch REPLAYS through the handler
+    # (at-least-once) — the exact-match epoch marker makes it a no-op;
+    # a double-applied merge or re-appended index would change the
+    # survivor set and hash-mismatch. The oracle is the GLOBAL
+    # clustering's survivor set (dedup_survivors' SQL): the stream's
+    # per-epoch survivor union must equal a full-corpus recompute,
+    # the update_cluster_labels identity proven one batch at a time.
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.dedup_maintenance import DedupStreamMaintainer
+
+    split_dir = _docs_split_dir(spark, sf_dir)
+    doc_schema = _t(spark, sf_dir, "documents").schema
+    m = DedupStreamMaintainer(
+        tempfile.mkdtemp(prefix="dedup_stream_"),
+        checkpoint_dir=_cc_ckpt_dir())
+    src = (spark.readStream.schema(doc_schema)
+           .option("pathGlobFilter", "batch*.parquet")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(split_dir))
+    q = (src.writeStream.foreachBatch(m)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(
+                     prefix=f"ckpt_dedup_{uuid.uuid4().hex[:6]}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    replay = spark.read.parquet(os.path.join(split_dir, "batch2.parquet"))
+    m(replay, 2)
+    return m.survivors(spark).select("doc_id", "lang", "source")
+
+
 @register("evt_resample_hourly", """
 WITH agg AS (
   SELECT event_type AS key, date_trunc('hour', ts) AS bucket_start,

@@ -1,0 +1,153 @@
+"""Streaming near-duplicate dedup: the ``foreachBatch`` twin of
+``operators.dedup.incremental_dedup_corpus`` — a daily-ingest loop run
+continuously. Each micro-batch is pair-mined against the at-rest
+MinHash index (O(batch + candidates), the corpus is never re-shingled),
+folded into the cluster-label table by contraction
+(``update_cluster_labels`` — identical result to a global recompute),
+and its surviving rows land in an epoch partition; then the batch joins
+the index so the NEXT trigger can match against it.
+
+On-disk state under ``root``::
+
+    root/index/{bands,band_counts,shingles}/epoch=<id>/   (LSH index)
+    root/labels/                                          (cluster labels)
+    root/survivors/epoch=<id>/                            (per-batch output)
+
+Replay safety (foreachBatch is at-least-once), split by write kind:
+
+- **survivors** and the **index epochs** are partition-overwrite
+  idempotent (the ``sketch_maintenance`` reduction): a replayed epoch
+  overwrites exactly its own dirs, converging to one copy.
+- **labels** are non-idempotent (a merge), so they use the
+  ``Scd2StreamMaintainer`` protocol: write-beside → atomic rename swap,
+  with an EXACT-match ``_epoch`` marker as the commit point, written
+  LAST — a replay of a fully-committed epoch is a no-op; a crash
+  anywhere earlier replays against the pre-epoch label table. A replay
+  that runs after the index epoch dir was already written re-mines the
+  batch against itself — harmless: self-pairs are excluded by the
+  ``id_a < id_b`` contract, duplicated batch pairs are ``distinct``-ed
+  inside the contraction, and the survivor anti-join is set-semantics.
+
+Survivor-union identity: with batches arriving in ascending id order
+(the daily-ingest contract — new docs get new ids), the union of the
+per-epoch survivor partitions equals the GLOBAL clustering's survivor
+set over everything ingested (cross-cluster survivors are always the
+lower-id doc), which is what the registry oracle checks end-to-end
+(``stream_dedup_maintenance``).
+
+Greenfield vs the reference (a row-ETL plugin has no dedup at all);
+this is the 100 TB training-data ingest gate run as a stream.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class DedupStreamMaintainer:
+    """``foreachBatch`` handler maintaining an incremental near-dup
+    corpus. Use::
+
+        m = DedupStreamMaintainer(root, checkpoint_dir=cc_ckpt)
+        stream.writeStream.foreachBatch(m).start()
+        clean = m.survivors(spark)     # union of per-epoch survivors
+    """
+
+    def __init__(self, root: str, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 3,
+                 threshold: float = 0.6,
+                 checkpoint_dir: str | None = None) -> None:
+        self.root = root
+        self.index_path = os.path.join(root, "index")
+        self.labels_path = os.path.join(root, "labels")
+        self.survivors_path = os.path.join(root, "survivors")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.threshold = threshold
+        self.checkpoint_dir = checkpoint_dir
+
+    # -- crash recovery (the Scd2StreamMaintainer discipline) -------------
+
+    def _recover_stranded(self) -> None:
+        if not os.path.isdir(self.labels_path):
+            stranded = sorted(glob.glob(f"{self.labels_path}.old*"),
+                              key=lambda p: int(p.rsplit(".old", 1)[1]))
+            if stranded:
+                os.rename(stranded[-1], self.labels_path)
+        for stale in glob.glob(f"{self.labels_path}.next*") + \
+                glob.glob(f"{self.labels_path}.old*"):
+            shutil.rmtree(stale, ignore_errors=True)
+
+    # -- the handler -------------------------------------------------------
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators.dedup import (append_minhash_index,
+                                       connected_components,
+                                       incremental_neardup_pairs,
+                                       minhash_lsh_pairs,
+                                       update_cluster_labels)
+
+        if batch_df.isEmpty():
+            return
+        self._recover_stranded()
+        marker = os.path.join(self.labels_path, "_epoch")
+        if os.path.isfile(marker) and int(open(marker).read()) == epoch_id:
+            return                       # fully-committed epoch replay
+        spark = batch_df.sparkSession
+        bootstrapped = os.path.isfile(
+            os.path.join(self.labels_path, "_SUCCESS"))
+        if bootstrapped:
+            pairs = incremental_neardup_pairs(
+                batch_df, spark, self.index_path, self.text_col,
+                self.id_col, self.n, self.threshold,
+                checkpoint_dir=self.checkpoint_dir)
+            labels = update_cluster_labels(
+                spark.read.parquet(self.labels_path)
+                .select("doc_id", "cluster_id", "is_survivor"),
+                pairs, checkpoint_dir=self.checkpoint_dir)
+        else:
+            pairs = minhash_lsh_pairs(batch_df, self.text_col,
+                                      id_col=self.id_col, n=self.n,
+                                      threshold=self.threshold)
+            labels = connected_components(
+                pairs, checkpoint_dir=self.checkpoint_dir)
+        # 1. labels beside (reads pre-state while writing; the ONE
+        #    execution of the mining+contraction chain)
+        tmp = f"{self.labels_path}.next{epoch_id}"
+        labels.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_epoch"), "w") as fh:
+            fh.write(str(epoch_id))
+        # 2. survivors from the WRITTEN labels (no recompute), into
+        #    their overwrite-idempotent epoch partition
+        losers = (spark.read.parquet(tmp).filter(~F.col("is_survivor"))
+                  .select(F.col("doc_id").alias(self.id_col)))
+        (batch_df.join(F.broadcast(losers), self.id_col, "left_anti")
+         .write.mode("overwrite")
+         .parquet(os.path.join(self.survivors_path, f"epoch={epoch_id}")))
+        # 3. the batch joins the index (overwrite-idempotent epoch dirs)
+        append_minhash_index(batch_df, self.index_path, self.text_col,
+                             self.id_col, self.n, epoch=epoch_id)
+        # 4. commit: swap labels, marker rides inside the new generation
+        old = f"{self.labels_path}.old{epoch_id}"
+        if os.path.isdir(self.labels_path):
+            os.rename(self.labels_path, old)
+        os.rename(tmp, self.labels_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    # -- serve -------------------------------------------------------------
+
+    def labels(self, spark) -> DataFrame:
+        self._recover_stranded()
+        return spark.read.parquet(self.labels_path)
+
+    def survivors(self, spark) -> DataFrame:
+        """Union of the per-epoch survivor partitions (ascending-id
+        batches ⇒ equals the global clustering's survivor set)."""
+        return (spark.read.parquet(self.survivors_path)
+                .drop("epoch"))

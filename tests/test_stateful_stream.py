@@ -392,6 +392,53 @@ def test_sketch_maintainer_auto_compaction_bounds_partitions(spark, tmp_path):
                       .select("user_id", "n_rows").collect())) == want
 
 
+def test_dedup_stream_maintainer_matches_global_clustering(spark, tmp_path,
+                                                           sf_dir):
+    # The incremental near-dup loop as a foreachBatch stream: three
+    # ascending-id batches through the maintainer must yield EXACTLY
+    # the global clustering's survivor set; a committed-epoch replay is
+    # a marker no-op; an UNCOMMITTED-epoch replay (crash before the
+    # label swap — simulated by deleting the marker) re-executes
+    # against an index that already contains the batch and must
+    # converge to the same state, not double-merge.
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs)
+    from openedx_event_sink_clickhouse_spark.streaming.dedup_maintenance import (
+        DedupStreamMaintainer)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = DedupStreamMaintainer(str(tmp_path / "dedup"),
+                              checkpoint_dir=str(tmp_path / "ckpt"))
+    batches = [docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+               for lo, hi in ((0, 170), (170, 340), (340, 10 ** 9))]
+    for e, b in enumerate(batches):
+        m(b, e)
+
+    def survivors():
+        return sorted(r.doc_id for r in
+                      m.survivors(spark).select("doc_id").collect())
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.6)
+    labels = connected_components(pairs,
+                                  checkpoint_dir=str(tmp_path / "ckpt"))
+    losers = labels.filter(~F.col("is_survivor")).select("doc_id")
+    want = sorted(r.doc_id for r in docs.join(losers, "doc_id", "left_anti")
+                  .select("doc_id").collect())
+    assert survivors() == want
+    # committed-epoch replay: exact-match marker, full no-op
+    m(batches[2], 2)
+    assert survivors() == want
+    # uncommitted-epoch replay (crash before the swap): the re-run
+    # mines the batch against itself in the index — self-pairs are
+    # id-ordered away, duplicate pairs distinct-ed, labels converge
+    import os
+    os.remove(os.path.join(m.labels_path, "_epoch"))
+    m(batches[2], 2)
+    assert survivors() == want
+
+
 def test_sketch_compact_crash_recovery(spark, tmp_path):
     # The compact protocol's crash windows, replayed explicitly:
     # (a) scratch present, no manifest -> pre-commit debris: folds
