@@ -212,3 +212,74 @@ def cuped_adjusted_means(events: DataFrame, cutoff, *,
                     F.round(vy / nv, 6).alias("mean_value"),
                     F.round(mean_adj, 6).alias("mean_value_adj"),
                     F.round(F.col("_theta"), 6).alias("theta")))
+
+
+def survival_curves(events: DataFrame, *, unit_col: str = "user_id",
+                    ts_col: str = "ts", type_col: str = "event_type",
+                    event_type: str = "purchase", n_variants: int = 2,
+                    salt: str = "exp") -> DataFrame:
+    """Per-variant Kaplan–Meier time-to-event curves — the survival-
+    analysis readout of the experimentation suite (time-to-conversion
+    with right censoring, the estimator retention/latency studies use
+    when "did they convert" z-tests throw away WHEN).
+
+    Per unit: study entry = its first event of any type; event time =
+    its first ``event_type`` after entry (duration in exact epoch
+    microseconds — integer, engine-stable); units that never convert
+    are right-CENSORED at the corpus's last observed timestamp. Per
+    variant, at each distinct event duration t:
+    ``S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)`` over event times, with
+    censored units leaving the risk set at their censor time.
+
+    Plan: one per-unit groupBy (entry/conversion aggregates in the same
+    pass), one duration-level groupBy, then ONE window per variant
+    (risk set via reverse cumulative endings; the product as
+    exp(Σ ln)). All window frames are duration-cardinality ≤ unit-
+    cardinality; nothing iterates. FP parity: both engines accumulate
+    the SAME ln terms in the SAME duration order (the entropy-fold
+    discipline), and a saturated step (d == n, survival exactly 0 —
+    where Spark's ln yields NULL but an IEEE oracle −inf) is handled by
+    an explicit zero flag instead of the log."""
+    from pyspark.sql import Window
+
+    unit, ts = F.col(unit_col), F.col(ts_col)
+    per_unit = (events.filter(unit.isNotNull())
+                .groupBy(unit.alias("unit"))
+                .agg(F.min(F.unix_micros(ts)).alias("entry_us"),
+                     F.min(F.when(F.col(type_col) == event_type,
+                                  F.unix_micros(ts))).alias("conv_us"),
+                     F.max(F.unix_micros(ts)).alias("_last_us")))
+    study_end = per_unit.agg(F.max("_last_us").alias("end_us"))
+    pu = (per_unit.crossJoin(F.broadcast(study_end))
+          .select(assign_variant(F.col("unit"), n_variants, salt)
+                  .alias("variant"),
+                  F.coalesce(F.col("conv_us") - F.col("entry_us"),
+                             F.col("end_us") - F.col("entry_us"))
+                  .alias("dur_us"),
+                  F.col("conv_us").isNotNull().cast("long").alias("ev")))
+    ends = (pu.groupBy("variant", "dur_us")
+            .agg(F.sum("ev").alias("d"),
+                 F.sum(F.lit(1) - F.col("ev")).alias("c")))
+    w_all = Window.partitionBy("variant")
+    w_cum = (Window.partitionBy("variant").orderBy("dur_us")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    total = F.sum(F.col("d") + F.col("c")).over(w_all)
+    ended_before = (F.sum(F.col("d") + F.col("c")).over(w_cum)
+                    - (F.col("d") + F.col("c")))
+    n_risk = total - ended_before
+    term = F.when(F.col("d") < n_risk,
+                  F.log(1.0 - F.col("d").cast("double")
+                        / n_risk.cast("double"))).otherwise(F.lit(0.0))
+    zero = F.max((F.col("d") >= n_risk).cast("int")).over(w_cum)
+    curve = (ends
+             .withColumn("n_risk", n_risk)
+             .withColumn("_lnsum", F.sum(term).over(w_cum))
+             .withColumn("_zero", zero)
+             .filter(F.col("d") > 0)
+             .select("variant", F.col("dur_us").alias("t_us"),
+                     F.col("n_risk").cast("long").alias("n_risk"),
+                     F.col("d").cast("long").alias("n_events"),
+                     F.when(F.col("_zero") == 1, F.lit(0.0))
+                      .otherwise(F.round(F.exp("_lnsum"), 6))
+                      .alias("survival")))
+    return curve

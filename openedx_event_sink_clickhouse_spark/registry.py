@@ -5466,6 +5466,59 @@ def _evt_ztest(spark, sf_dir):
 # variant hash is md5-derived, and theta/adjusted means are ONE double
 # formula written with identical operand order in both engines. The
 # only FP work is that final scalar formula on exact inputs.
+@register("evt_survival_curves", """
+WITH pu AS (
+  SELECT user_id AS unit,
+         min(epoch_us(ts)) AS entry_us,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) AS conv_us
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), g AS (
+  SELECT max(epoch_us(ts)) AS end_us
+  FROM events WHERE user_id IS NOT NULL
+), u AS (
+  SELECT CAST(CAST('0x' || substr(md5('exp#' || CAST(unit AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 2 AS INT) AS variant,
+         coalesce(conv_us - entry_us,
+                  (SELECT end_us FROM g) - entry_us) AS dur_us,
+         CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM pu
+), e AS (
+  SELECT variant, dur_us, sum(ev) AS d, sum(1 - ev) AS c
+  FROM u GROUP BY variant, dur_us
+), r AS (
+  SELECT variant, dur_us, d,
+         sum(d + c) OVER (PARTITION BY variant)
+         - (sum(d + c) OVER (PARTITION BY variant ORDER BY dur_us
+                             ROWS UNBOUNDED PRECEDING) - (d + c)) AS n_risk
+  FROM e
+), s AS (
+  SELECT variant, dur_us, d, n_risk,
+         sum(CASE WHEN d < n_risk
+                  THEN ln(1.0 - d / CAST(n_risk AS DOUBLE))
+                  ELSE 0.0 END)
+           OVER (PARTITION BY variant ORDER BY dur_us
+                 ROWS UNBOUNDED PRECEDING) AS lnsum,
+         max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+           OVER (PARTITION BY variant ORDER BY dur_us
+                 ROWS UNBOUNDED PRECEDING) AS zeroed
+  FROM r
+)
+SELECT variant, dur_us AS t_us, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CASE WHEN zeroed = 1 THEN 0.0
+            ELSE round(exp(lnsum), 6) END AS survival
+FROM s WHERE d > 0
+""")
+def _evt_survival(spark, sf_dir):
+    # Kaplan-Meier time-to-conversion per variant, right-censored at
+    # the study end; integer microsecond durations keep the grouping
+    # keys engine-stable, and the ln-sum accumulates in duration order
+    # in both engines.
+    from .operators.experiment import survival_curves
+    return survival_curves(_t(spark, sf_dir, "events"))
+
+
 @register("evt_cuped_readout", """
 WITH pu AS (
   SELECT user_id AS unit,

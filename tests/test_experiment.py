@@ -176,3 +176,67 @@ def test_srm_check_flags_broken_bucketing(spark):
     ev2 = ev.filter(F.col("user_id").isin(keep))
     out2 = srm_check(ev2).collect()
     assert all(r.srm_detected == 1 for r in out2)
+
+
+def test_survival_curves_hand_computed_km(spark):
+    # One-variant textbook KM: 4 units entering at t=0 (signup),
+    # conversions at +10s and +20s; units 3 and 4 never convert and are
+    # right-censored at the GLOBAL study end (+20s, unit 2's purchase).
+    #   t=10s: n_risk=4, d=1 -> S = 0.75
+    #   t=20s: n_risk=3 (unit 1 gone; censored-at-t units stay in the
+    #          risk set under the events-precede-censoring tie
+    #          convention), d=1 -> S = 0.75 * (1 - 1/3) = 0.5
+    from openedx_event_sink_clickhouse_spark.operators.experiment import (
+        survival_curves)
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        (1, s(0), 1, "signup", 0.0), (2, s(10), 1, "purchase", 1.0),
+        (3, s(0), 2, "signup", 0.0), (4, s(20), 2, "purchase", 1.0),
+        (5, s(0), 3, "signup", 0.0),
+        (6, s(0), 4, "signup", 0.0), (7, s(15), 4, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    # collapse to one variant so the arithmetic is by hand
+    out = survival_curves(ev, n_variants=1)
+    got = {r.t_us: r for r in out.collect()}
+    assert set(got) == {10_000_000, 20_000_000}
+    r10 = got[10_000_000]
+    assert (r10.n_risk, r10.n_events, r10.survival) == (4, 1, 0.75)
+    r20 = got[20_000_000]
+    assert (r20.n_risk, r20.n_events, r20.survival) == (3, 1, 0.5)
+
+
+def test_survival_curves_variant_split_and_monotone(spark):
+    # Real-shaped data: curves are non-increasing per variant, start
+    # <= 1, and every unit appears in exactly one variant's risk set.
+    import random as _r
+
+    from openedx_event_sink_clickhouse_spark.operators.experiment import (
+        survival_curves)
+
+    rng = _r.Random(5)
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(60):
+        entry = rng.randrange(0, 1000)
+        rows.append((eid, t0 + dt.timedelta(seconds=entry), u,
+                     "signup", 0.0)); eid += 1
+        if rng.random() < 0.6:
+            rows.append((eid, t0 + dt.timedelta(
+                seconds=entry + rng.randrange(1, 500)), u,
+                "purchase", 1.0)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = survival_curves(ev).collect()
+    by_v = {}
+    for r in sorted(out, key=lambda r: (r.variant, r.t_us)):
+        by_v.setdefault(r.variant, []).append(r.survival)
+    assert set(by_v) == {0, 1}
+    for curve in by_v.values():
+        assert all(s <= 1.0 for s in curve)
+        assert curve == sorted(curve, reverse=True)   # non-increasing
