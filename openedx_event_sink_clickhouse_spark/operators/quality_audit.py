@@ -202,3 +202,51 @@ def schema_drift(df: DataFrame, slice_pred, columns: list[str],
         _share(f"_qd_{c}", f"_pd_{c}").alias("distinct_ratio"))
         for c in columns]
     return row.select(F.inline(F.array(*structs)))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Row-level diff between two snapshots of one table — the CDC /
+    data-versioning audit (what changed between yesterday's load and
+    today's): one row per differing key with status
+    ``added`` (key only in new), ``removed`` (only in old), or
+    ``changed`` (present in both, any compared column differs).
+    Identical rows are NOT emitted — the diff is O(churn), not O(table).
+
+    Plan: ONE full outer join on the key (the unavoidable shuffle, on
+    both sides' natural key — co-located for bucketed snapshots), with
+    the change test as a null-safe column comparison (`eqNullSafe`, so
+    NULL→value and value→NULL count as changes) — no row-hash
+    materialization, no second pass. ``compare_cols`` defaults to every
+    non-key column shared by both schemas, so schema drift in either
+    snapshot narrows the comparison instead of crashing it (pair with
+    :func:`schema_drift` to audit the drift itself)."""
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    o = old.select(*key_cols, *compare_cols).alias("o")
+    n = new.select(*key_cols, *compare_cols).alias("n")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"o.{k}") == F.col(f"n.{k}")
+        cond = eq if cond is None else cond & eq
+    in_old = F.col(f"o.{key_cols[0]}").isNotNull()
+    in_new = F.col(f"n.{key_cols[0]}").isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = eq if same is None else same & eq
+    status = (F.when(~in_old, F.lit("added"))
+              .when(~in_new, F.lit("removed"))
+              .otherwise(F.lit("changed")))
+    out_keys = [F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k)
+                for k in key_cols]
+    changed_cols = F.array_compact(F.array(*[
+        F.when(in_old & in_new
+               & ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")), F.lit(c))
+        for c in compare_cols])) if compare_cols else F.array()
+    return (o.join(n, cond, "full_outer")
+            .filter(~in_old | ~in_new | ~(same if same is not None
+                                          else F.lit(True)))
+            .select(*out_keys, status.alias("status"),
+                    F.array_join(changed_cols, ",").alias("changed_cols")))

@@ -6562,6 +6562,56 @@ def _dq_drift(spark, sf_dir):
     return schema_drift(ev, pre, ["event_type", "user_id", "value"])
 
 
+@register("dq_snapshot_diff", """
+WITH old_s AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+), new_s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 91 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 93 <> 0
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       concat_ws(',',
+         CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                   AND o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+              THEN 'o_orderstatus' END,
+         CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                   AND o.o_totalprice IS DISTINCT FROM n.o_totalprice
+              THEN 'o_totalprice' END) AS changed_cols
+FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+""")
+def _dq_snapshot(spark, sf_dir):
+    # CDC-style snapshot diff: two deterministic versions of orders
+    # (dropped keys, injected status/price edits) through ONE full
+    # outer join on the key with null-safe column compares — output is
+    # O(churn): added/removed/changed rows with the changed column
+    # inventory, never the unchanged bulk.
+    from .operators.quality_audit import snapshot_diff
+    orders = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    old = (orders.filter(key % 97 != 0)
+           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    new = (orders.filter(key % 93 != 0)
+           .select("o_orderkey",
+                   F.when(key % 91 == 0, F.lit("X"))
+                    .otherwise(F.col("o_orderstatus"))
+                    .alias("o_orderstatus"),
+                   F.when(key % 89 == 0, F.col("o_totalprice") + 1.0)
+                    .otherwise(F.col("o_totalprice"))
+                    .alias("o_totalprice")))
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
 @register("evt_rolling_actives", """
 WITH du AS (
   SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events

@@ -173,3 +173,31 @@ def test_referential_audit_one_scan_per_fact_table(spark):
     assert plan.count("LogicalRDD") + plan.count("Relation") == 6, plan
     rows = {r.edge for r in rep.collect()}
     assert rows == {"li.a", "li.b", "li.c", "ev.u"}
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    from openedx_event_sink_clickhouse_spark.operators.quality_audit import (
+        snapshot_diff)
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None),
+         (4, "d", 40.0), (5, None, 50.0)],
+        "k long, s string, v double")
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),            # identical -> NOT emitted
+         (2, "B", 20.0),            # changed s
+         (3, "c", 30.0),            # NULL -> value: changed v
+         (5, None, 50.0),           # NULL == NULL under eqNullSafe
+         (6, "f", 60.0)],           # added
+        "k long, s string, v double")
+    got = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(got) == {2, 3, 4, 6}
+    assert (got[2].status, got[2].changed_cols) == ("changed", "s")
+    assert (got[3].status, got[3].changed_cols) == ("changed", "v")
+    assert got[4].status == "removed"
+    assert got[6].status == "added"
+    # compare_cols defaults to the SHARED non-key columns: drift-added
+    # columns in one snapshot must narrow, not crash
+    new2 = new.withColumn("extra", new.v * 2)
+    got2 = snapshot_diff(old, new2, ["k"])
+    assert set(r.k for r in got2.collect()) == {2, 3, 4, 6}
