@@ -79,10 +79,14 @@ def _chunk(kind: bytes, data: bytes) -> bytes:
 
 
 def png_encode(pixels: bytes, width: int, height: int,
-               channels: int = 1) -> bytes:
+               channels: int = 1,
+               text_meta: dict[str, str] | None = None) -> bytes:
     """Minimal standards-compliant PNG writer: 8-bit depth, filter 0 on
     every scanline, one IDAT. ``len(pixels)`` must equal
-    ``width*height*channels``."""
+    ``width*height*channels``. ``text_meta`` embeds tEXt chunks
+    (keyword → latin-1 text, per the PNG spec) between IHDR and IDAT —
+    the sidecar metadata a real asset pipeline reads WITHOUT paying the
+    pixel decode (:func:`png_text_chunks`)."""
     if channels not in _COLOR_TYPE:
         raise ValueError(f"unsupported channel count {channels}")
     stride = width * channels
@@ -91,13 +95,39 @@ def png_encode(pixels: bytes, width: int, height: int,
             f"pixel buffer {len(pixels)}B != {width}x{height}x{channels}")
     ihdr = struct.pack(">IIBBBBB", width, height, 8,
                        _COLOR_TYPE[channels], 0, 0, 0)
+    texts = b"".join(
+        _chunk(b"tEXt", k.encode("latin-1") + b"\x00"
+               + v.encode("latin-1"))
+        for k, v in (text_meta or {}).items())
     raw = bytearray()
     for r in range(height):
         raw.append(0)                          # filter type 0 (None)
         raw += pixels[r * stride:(r + 1) * stride]
-    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr) + texts
             + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
             + _chunk(b"IEND", b""))
+
+
+def png_text_chunks(data: bytes) -> dict[str, str]:
+    """tEXt metadata of a PNG via a chunk WALK — the IDAT stream is
+    never inflated, so reading asset metadata costs O(header), not
+    O(pixels); the dimensions short-cut :func:`png_dimensions` uses the
+    same walk. Raises ``ValueError`` on a non-PNG payload."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    out: dict[str, str] = {}
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(data):
+        (length,), kind = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        if kind == b"tEXt":
+            body = data[pos + 8:pos + 8 + length]
+            key, _, val = body.partition(b"\x00")
+            out[key.decode("latin-1")] = val.decode("latin-1")
+        elif kind == b"IEND":
+            break
+        pos += 12 + length
+    return out
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -149,6 +179,14 @@ def _defilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
             raise ValueError(f"bad PNG filter type {ft} on row {r}")
         prev_start = o
     return bytes(out)
+
+
+def png_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from IHDR alone — no inflate, O(1)."""
+    if not data.startswith(_PNG_SIG) or data[12:16] != b"IHDR":
+        raise ValueError("not a PNG (bad signature/IHDR)")
+    w, h = struct.unpack(">II", data[16:24])
+    return w, h
 
 
 def png_decode(data: bytes) -> DecodedImage:

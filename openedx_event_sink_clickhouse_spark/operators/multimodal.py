@@ -306,11 +306,13 @@ def png_media_table(docs: DataFrame) -> DataFrame:
         from .media_codecs import png_encode
         for pdf in batches:
             content, meta = [], []
-            for txt in pdf["text"]:
+            for txt, lang, source in zip(pdf["text"], pdf["lang"],
+                                         pdf["source"]):
                 data = (txt or "").encode("utf-8")
                 h = max(1, -(-len(data) // PNG_WIDTH))
                 content.append(png_encode(
-                    data.ljust(PNG_WIDTH * h, b"\x00"), PNG_WIDTH, h, 1))
+                    data.ljust(PNG_WIDTH * h, b"\x00"), PNG_WIDTH, h, 1,
+                    text_meta={"lang": str(lang), "source": str(source)}))
                 meta.append({"width": PNG_WIDTH, "height": h,
                              "duration_ms": 0, "sample_rate": 0,
                              "codec": "png"})
@@ -318,8 +320,43 @@ def png_media_table(docs: DataFrame) -> DataFrame:
                                 "kind": "image",
                                 "content": content, "meta": meta})
 
-    return (docs.select("doc_id", "text")
+    return (docs.select("doc_id", "text", "lang", "source")
             .mapInPandas(fn, schema=MEDIA_SCHEMA))
+
+
+PNG_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("key", T.StringType()),
+    T.StructField("value", T.StringType()),
+])
+
+
+def png_metadata(media: DataFrame) -> DataFrame:
+    """In-container metadata extraction WITHOUT decode: walk each PNG's
+    chunk list and emit its tEXt key/value rows (1 asset → N rows, the
+    fan-out UDF shape) — the IDAT stream is never inflated, so this
+    costs O(header bytes) per asset regardless of pixel count. The
+    oracle-checked query (``mm_png_metadata``) pins that the embedded
+    sidecar survives the container round trip exactly."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import png_text_chunks, sniff
+        for pdf in batches:
+            ids, keys, vals = [], [], []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(buf)
+                if sniff(data) != "png":
+                    continue
+                for k, v in png_text_chunks(data).items():
+                    ids.append(mid)
+                    keys.append(k)
+                    vals.append(v)
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "key": pd.Series(keys, dtype=object),
+                                "value": pd.Series(vals, dtype=object)})
+
+    return _map_in_pandas(media, fn, PNG_META_SCHEMA,
+                          ["media_id", "content"])
 
 
 def wav_media_table(docs: DataFrame, sample_rate: int = 16000) -> DataFrame:

@@ -2746,6 +2746,19 @@ def _mm_wav(spark, sf_dir):
     return out.select("media_id", F.col("n_bytes").cast("long"), "checksum")
 
 
+@register("mm_png_metadata", """
+SELECT doc_id AS media_id, 'lang' AS key, lang AS value FROM documents
+UNION ALL
+SELECT doc_id AS media_id, 'source' AS key, source AS value FROM documents
+""")
+def _mm_png_meta(spark, sf_dir):
+    # Metadata WITHOUT decode: each document's (lang, source) rides the
+    # PNG container as tEXt chunks; extraction is a chunk walk that
+    # never inflates IDAT — pinned lossless against the source columns.
+    from .operators.multimodal import png_media_table, png_metadata
+    return png_metadata(png_media_table(_t(spark, sf_dir, "documents")))
+
+
 @register("mm_png_resize_stats", f"""
 WITH {_MEDIA_CTE},
 px AS (

@@ -322,3 +322,19 @@ def test_frame_sample_real_branch_uses_decoded_pcm(spark, sf_dir):
         samples = ref[r.media_id]
         start = r.frame_idx * 8
         assert bytes(r.frame) == samples[start:start + 8]  # header gone
+
+
+def test_png_text_chunks_roundtrip_without_decode():
+    from openedx_event_sink_clickhouse_spark.operators.media_codecs import (
+        png_dimensions, png_encode, png_text_chunks)
+
+    px = bytes(range(64))
+    data = png_encode(px, 8, 8, 1, text_meta={"lang": "en",
+                                              "source": "web"})
+    assert png_text_chunks(data) == {"lang": "en", "source": "web"}
+    assert png_dimensions(data) == (8, 8)
+    # the tEXt walk must also read PNGs with NO metadata (empty dict)
+    assert png_text_chunks(png_encode(px, 8, 8, 1)) == {}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        png_text_chunks(b"not a png")
