@@ -217,7 +217,8 @@ def cuped_adjusted_means(events: DataFrame, cutoff, *,
 def survival_curves(events: DataFrame, *, unit_col: str = "user_id",
                     ts_col: str = "ts", type_col: str = "event_type",
                     event_type: str = "purchase", n_variants: int = 2,
-                    salt: str = "exp") -> DataFrame:
+                    salt: str = "exp",
+                    time_bucket_us: int | None = None) -> DataFrame:
     """Per-variant Kaplan–Meier time-to-event curves — the survival-
     analysis readout of the experimentation suite (time-to-conversion
     with right censoring, the estimator retention/latency studies use
@@ -239,7 +240,13 @@ def survival_curves(events: DataFrame, *, unit_col: str = "user_id",
     the SAME ln terms in the SAME duration order (the entropy-fold
     discipline), and a saturated step (d == n, survival exactly 0 —
     where Spark's ln yields NULL but an IEEE oracle −inf) is handled by
-    an explicit zero flag instead of the log."""
+    an explicit zero flag instead of the log.
+
+    ``time_bucket_us`` floors durations to a grid (grouped KM, the
+    standard published form) — at 10^9 units the exact-microsecond
+    duration frame is unit-cardinality through one window partition per
+    variant; bucketing bounds it at study-length/bucket rows, which is
+    the 100 TB configuration."""
     from pyspark.sql import Window
 
     unit, ts = F.col(unit_col), F.col(ts_col)
@@ -257,6 +264,11 @@ def survival_curves(events: DataFrame, *, unit_col: str = "user_id",
                              F.col("end_us") - F.col("entry_us"))
                   .alias("dur_us"),
                   F.col("conv_us").isNotNull().cast("long").alias("ev")))
+    if time_bucket_us is not None:
+        pu = pu.withColumn(
+            "dur_us",
+            (F.col("dur_us") - F.pmod(F.col("dur_us"),
+                                      F.lit(time_bucket_us))))
     ends = (pu.groupBy("variant", "dur_us")
             .agg(F.sum("ev").alias("d"),
                  F.sum(F.lit(1) - F.col("ev")).alias("c")))
@@ -283,3 +295,82 @@ def survival_curves(events: DataFrame, *, unit_col: str = "user_id",
                       .otherwise(F.round(F.exp("_lnsum"), 6))
                       .alias("survival")))
     return curve
+
+
+def logrank_test(events: DataFrame, *, unit_col: str = "user_id",
+                 ts_col: str = "ts", type_col: str = "event_type",
+                 event_type: str = "purchase", salt: str = "exp",
+                 chi2_crit: float = 3.841) -> DataFrame:
+    """Log-rank test between the two variants' survival curves — the
+    standard significance companion to :func:`survival_curves` (Mantel
+    1966; public statistics): at each distinct event time, variant 0's
+    observed events compare against the hypergeometric expectation
+    under H0 (identical hazards), ``E0 = d·n0/n`` with variance
+    ``V = d·(n0/n)·(n1/n)·(n−d)/(n−1)``; the test statistic is
+    ``χ² = (ΣO0 − ΣE0)² / ΣV``. Two variants only (df=1).
+
+    Returns ONE row: (n_units_0, n_units_1, observed_0, expected_0,
+    variance, chi2, significant).
+
+    Determinism: risk sets and event counts are exact integers from
+    the same duration-level frame as the KM curve; the E/V sums
+    accumulate as cumulative window sums in DURATION ORDER (not a
+    hash-aggregate whose merge order floats), so both engines add the
+    same IEEE terms in the same sequence — the survival-curve
+    discipline extended to the test statistic."""
+    from pyspark.sql import Window
+
+    unit, ts = F.col(unit_col), F.col(ts_col)
+    per_unit = (events.filter(unit.isNotNull())
+                .groupBy(unit.alias("unit"))
+                .agg(F.min(F.unix_micros(ts)).alias("entry_us"),
+                     F.min(F.when(F.col(type_col) == event_type,
+                                  F.unix_micros(ts))).alias("conv_us"),
+                     F.max(F.unix_micros(ts)).alias("_last_us")))
+    study_end = per_unit.agg(F.max("_last_us").alias("end_us"))
+    pu = (per_unit.crossJoin(F.broadcast(study_end))
+          .select(assign_variant(F.col("unit"), 2, salt).alias("variant"),
+                  F.coalesce(F.col("conv_us") - F.col("entry_us"),
+                             F.col("end_us") - F.col("entry_us"))
+                  .alias("dur_us"),
+                  F.col("conv_us").isNotNull().cast("long").alias("ev")))
+    ends = (pu.groupBy("dur_us")
+            .agg(*[F.sum(F.when(F.col("variant") == v, c)
+                         .otherwise(F.lit(0))).alias(f"{n}{v}")
+                   for v in (0, 1)
+                   for n, c in (("d", F.col("ev")),
+                                ("e", F.lit(1)))]))
+    w_all = Window.partitionBy()
+    w_cum = (Window.orderBy("dur_us")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    n0 = (F.sum("e0").over(w_all)
+          - (F.sum("e0").over(w_cum) - F.col("e0"))).cast("double")
+    n1 = (F.sum("e1").over(w_all)
+          - (F.sum("e1").over(w_cum) - F.col("e1"))).cast("double")
+    d = (F.col("d0") + F.col("d1")).cast("double")
+    n = n0 + n1
+    e0 = F.when(d > 0, d * n0 / n).otherwise(F.lit(0.0))
+    v = F.when((d > 0) & (n > 1.0),
+               d * (n0 / n) * (n1 / n) * (n - d) / (n - 1.0)) \
+         .otherwise(F.lit(0.0))
+    acc = (ends
+           .withColumn("_o0", F.sum("d0").over(w_cum).cast("double"))
+           .withColumn("_e0", F.sum(e0).over(w_cum))
+           .withColumn("_v", F.sum(v).over(w_cum))
+           .withColumn("_rn", F.row_number().over(
+               Window.orderBy(F.desc("dur_us"))))
+           .filter(F.col("_rn") == 1))
+    totals = pu.groupBy().pivot("variant", [0, 1]).count()
+    chi2 = F.when(F.col("_v") > 0.0,
+                  (F.col("_o0") - F.col("_e0")) * (F.col("_o0") - F.col("_e0"))
+                  / F.col("_v"))
+    return (acc.crossJoin(F.broadcast(totals))
+            .select(F.col("0").alias("n_units_0"),
+                    F.col("1").alias("n_units_1"),
+                    F.col("_o0").cast("long").alias("observed_0"),
+                    F.round("_e0", 6).alias("expected_0"),
+                    F.round("_v", 6).alias("variance"),
+                    F.round(chi2, 6).alias("chi2"),
+                    F.when(chi2.isNull(), F.lit(None).cast("int"))
+                     .otherwise((chi2 > chi2_crit).cast("int"))
+                     .alias("significant")))

@@ -5532,6 +5532,79 @@ def _evt_survival(spark, sf_dir):
     return survival_curves(_t(spark, sf_dir, "events"))
 
 
+@register("evt_logrank_test", """
+WITH pu AS (
+  SELECT user_id AS unit,
+         min(epoch_us(ts)) AS entry_us,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) AS conv_us
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), g AS (
+  SELECT max(epoch_us(ts)) AS end_us
+  FROM events WHERE user_id IS NOT NULL
+), u AS (
+  SELECT CAST(CAST('0x' || substr(md5('exp#' || CAST(unit AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 2 AS INT) AS variant,
+         coalesce(conv_us - entry_us,
+                  (SELECT end_us FROM g) - entry_us) AS dur_us,
+         CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM pu
+), e AS (
+  SELECT dur_us,
+         sum(CASE WHEN variant = 0 THEN ev ELSE 0 END) AS d0,
+         sum(CASE WHEN variant = 1 THEN ev ELSE 0 END) AS d1,
+         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS e0c,
+         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS e1c
+  FROM u GROUP BY dur_us
+), r AS (
+  SELECT dur_us, d0, d1,
+         CAST(sum(e0c) OVER ()
+              - (sum(e0c) OVER (ORDER BY dur_us ROWS UNBOUNDED PRECEDING)
+                 - e0c) AS DOUBLE) AS n0,
+         CAST(sum(e1c) OVER ()
+              - (sum(e1c) OVER (ORDER BY dur_us ROWS UNBOUNDED PRECEDING)
+                 - e1c) AS DOUBLE) AS n1
+  FROM e
+), t AS (
+  SELECT dur_us, d0,
+         CASE WHEN d0 + d1 > 0
+              THEN CAST(d0 + d1 AS DOUBLE) * n0 / (n0 + n1)
+              ELSE 0.0 END AS e0t,
+         CASE WHEN d0 + d1 > 0 AND n0 + n1 > 1.0
+              THEN CAST(d0 + d1 AS DOUBLE) * (n0 / (n0 + n1))
+                   * (n1 / (n0 + n1))
+                   * ((n0 + n1) - CAST(d0 + d1 AS DOUBLE))
+                   / ((n0 + n1) - 1.0)
+              ELSE 0.0 END AS vt
+  FROM r
+), s AS (
+  SELECT sum(d0) OVER w AS o0, sum(e0t) OVER w AS e0s,
+         sum(vt) OVER w AS vs,
+         row_number() OVER (ORDER BY dur_us DESC) AS rn
+  FROM t WINDOW w AS (ORDER BY dur_us ROWS UNBOUNDED PRECEDING)
+), tot AS (
+  SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS nu0,
+         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nu1
+  FROM u
+)
+SELECT nu0 AS n_units_0, nu1 AS n_units_1,
+       CAST(o0 AS BIGINT) AS observed_0,
+       round(e0s, 6) AS expected_0, round(vs, 6) AS variance,
+       CASE WHEN vs > 0.0
+            THEN round((o0 - e0s) * (o0 - e0s) / vs, 6) END AS chi2,
+       CASE WHEN vs > 0.0 THEN
+            CASE WHEN (o0 - e0s) * (o0 - e0s) / vs > 3.841
+                 THEN 1 ELSE 0 END END AS significant
+FROM s, tot WHERE rn = 1
+""")
+def _evt_logrank(spark, sf_dir):
+    # Log-rank curve-difference test: hypergeometric E/V terms
+    # accumulated as duration-ordered window sums in BOTH engines (the
+    # survival-curve FP discipline applied to the test statistic).
+    from .operators.experiment import logrank_test
+    return logrank_test(_t(spark, sf_dir, "events"))
+
+
 @register("evt_cuped_readout", """
 WITH pu AS (
   SELECT user_id AS unit,

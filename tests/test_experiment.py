@@ -240,3 +240,64 @@ def test_survival_curves_variant_split_and_monotone(spark):
     for curve in by_v.values():
         assert all(s <= 1.0 for s in curve)
         assert curve == sorted(curve, reverse=True)   # non-increasing
+
+
+def test_logrank_null_effect_and_detected_effect(spark):
+    # Hash-split halves of an IDENTICAL conversion process: chi2 must
+    # land well under the df=1 critical value. Then delay every
+    # variant-1 conversion far beyond variant 0's: chi2 must flag.
+    from openedx_event_sink_clickhouse_spark.operators.experiment import (
+        assign_variant, logrank_test)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(200):
+        rows.append((eid, t0, u, "signup", 0.0)); eid += 1
+        # deterministic, variant-independent conversion delay
+        rows.append((eid, t0 + dt.timedelta(seconds=10 + (u * 37) % 500),
+                     u, "purchase", 1.0)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = logrank_test(ev).collect()[0]
+    assert out.n_units_0 + out.n_units_1 == 200
+    assert out.significant == 0, out.chi2
+
+    vmap = _variant_map(spark, range(200))
+    rows2 = []
+    for i, (eid_, ts_, u, ty, val) in enumerate(rows):
+        if ty == "purchase" and vmap[u] == 1:
+            ts_ = ts_ + dt.timedelta(seconds=5000)
+        rows2.append((eid_, ts_, u, ty, val))
+    ev2 = spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long, "
+               "event_type string, value double")
+    out2 = logrank_test(ev2).collect()[0]
+    assert out2.significant == 1, out2.chi2
+    assert out2.chi2 > out.chi2
+
+
+def test_survival_time_bucket_grouping(spark):
+    # Grouped KM: bucketing durations to a 10s grid merges event times
+    # within a bucket; curve rows shrink but the final survival level
+    # (all events processed) is unchanged.
+    from openedx_event_sink_clickhouse_spark.operators.experiment import (
+        survival_curves)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(40):
+        rows.append((eid, t0, u, "signup", 0.0)); eid += 1
+        rows.append((eid, t0 + dt.timedelta(seconds=1 + (u * 7) % 100),
+                     u, "purchase", 1.0)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    exact = survival_curves(ev, n_variants=1).collect()
+    grouped = survival_curves(ev, n_variants=1,
+                              time_bucket_us=10_000_000).collect()
+    assert len(grouped) < len(exact)
+    last = lambda rs: min(r.survival for r in rs)
+    # everyone converts -> both curves end at 0 survival... they end at
+    # the same terminal level regardless of grouping
+    assert last(grouped) == last(exact)
