@@ -242,3 +242,42 @@ def linear_attribution(events: DataFrame,
                     F.col(type_col).alias("touch_type"),
                     F.round(F.col("_conv.cval") / F.col("n_touches"), 6)
                     .alias("credit")))
+
+
+def markov_transitions(events: DataFrame, user_col: str = "user_id",
+                       type_col: str = "event_type", ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       end_state: str = "(end)") -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each ordered pair of consecutive events (total order
+    (ts, id) within a user), count ``from_step → to_step`` and normalize
+    each row of the matrix to a probability. A user's final event
+    transitions to the absorbing ``end_state``, so every observed event
+    emits exactly one transition and each row of the matrix sums to 1 —
+    the chain is a proper stochastic process, not a truncated one.
+
+    This is the generative twin of :func:`top_paths` (which ranks
+    observed n-grams): the transition matrix is what journey simulation,
+    next-step prediction, and absorbing-state analysis consume.
+
+    Scale shape: identical to top_paths — one hash exchange on
+    ``user_col`` for the per-user ``lead`` window, then a groupBy over
+    at most (|types|+1)² keys, so the final exchange carries map-side
+    partials, not events. The row-normalizing totals join is a broadcast
+    of |types| rows. No explode, no full-stream window.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (events
+             .select(F.col(type_col).alias("from_step"),
+                     F.coalesce(F.lead(type_col).over(w),
+                                F.lit(end_state)).alias("to_step")))
+    counts = (pairs.groupBy("from_step", "to_step")
+              .agg(F.count("*").alias("n_transitions")))
+    totals = (counts.groupBy("from_step")
+              .agg(F.sum("n_transitions").alias("_row_total")))
+    return (counts.join(F.broadcast(totals), "from_step")
+            .select("from_step", "to_step",
+                    F.col("n_transitions").cast("bigint")
+                    .alias("n_transitions"),
+                    F.round(F.col("n_transitions").cast("double")
+                            / F.col("_row_total"), 6).alias("prob")))

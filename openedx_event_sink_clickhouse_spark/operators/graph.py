@@ -282,3 +282,31 @@ def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
                 # same documented handle the in-memory CC mode carries).
                 prev.unpersist()
     return ranks.select("id", F.col("r").alias("pagerank"))
+
+
+def clustering_coefficient(edges: DataFrame, id_a: str = "id_a",
+                           id_b: str = "id_b") -> DataFrame:
+    """Per-node LOCAL CLUSTERING COEFFICIENT over an undirected edge
+    list: lcc = triangles / C(degree, 2) — the fraction of a node's
+    neighbor pairs that are themselves connected. On a near-dup
+    similarity graph this is the density signal that separates tight
+    template/boilerplate clusters (lcc → 1: neighbors all mutually
+    similar) from hub-like false-positive bridges (high degree, low
+    lcc), which is how graph-based curation decides "collapse this
+    neighborhood" vs "inspect this hub".
+
+    Pure composition over :func:`triangle_counts` (degree-oriented
+    wedge join — the same three edge-set shuffles, nothing new
+    materializes), plus one map-side ratio. Nodes of degree < 2 have no
+    neighbor pair to close, so lcc is NULL there (not 0 — "undefined"
+    and "open wedges" are different facts). Integer triangle/degree
+    inputs keep the ratio bit-identical cross-engine at 6 decimals.
+    """
+    base = triangle_counts(edges, id_a, id_b)
+    pairs = (F.col("degree").cast("double")
+             * (F.col("degree") - F.lit(1)).cast("double") / F.lit(2.0))
+    return base.select(
+        "id", "degree", "triangles",
+        F.when(F.col("degree") >= 2,
+               F.round(F.col("triangles").cast("double") / pairs, 6))
+        .alias("lcc"))

@@ -292,7 +292,8 @@ def frame_sample(media: DataFrame, every_n: int = 4,
 PNG_WIDTH = 16
 
 
-def png_media_table(docs: DataFrame) -> DataFrame:
+def png_media_table(docs: DataFrame,
+                    meta_cols: tuple[str, ...] = ()) -> DataFrame:
     """Real-container corpus: each document's utf-8 bytes become the
     pixel buffer of an 8-bit grayscale PNG — width :data:`PNG_WIDTH`,
     height ``ceil(n/16)`` (min 1), zero-padded tail. The REAL encoder
@@ -300,19 +301,27 @@ def png_media_table(docs: DataFrame) -> DataFrame:
     the real decode branch end-to-end (signature sniff → IHDR parse →
     inflate → de-filter), and because the round-trip is lossless the
     DuckDB oracle recomputes every stat from the text
-    (``mm_png_roundtrip_stats``)."""
+    (``mm_png_roundtrip_stats``).
+
+    ``meta_cols`` (e.g. ``("lang", "source")``) ride the container as
+    tEXt sidecar chunks for :func:`png_metadata` to extract without
+    decode. Opt-in: the default encode reads ONLY (doc_id, text), so
+    pipelines that never extract metadata keep the 2-column pruned scan
+    (plan-pinned by test_png_roundtrip_single_scan_single_python_stage)
+    instead of dragging every sidecar column through the encoder."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .media_codecs import png_encode
         for pdf in batches:
             content, meta = [], []
-            for txt, lang, source in zip(pdf["text"], pdf["lang"],
-                                         pdf["source"]):
+            sidecars = [pdf[c] for c in meta_cols]
+            for txt, *extras in zip(pdf["text"], *sidecars):
                 data = (txt or "").encode("utf-8")
                 h = max(1, -(-len(data) // PNG_WIDTH))
+                tm = {c: str(v) for c, v in zip(meta_cols, extras)} or None
                 content.append(png_encode(
                     data.ljust(PNG_WIDTH * h, b"\x00"), PNG_WIDTH, h, 1,
-                    text_meta={"lang": str(lang), "source": str(source)}))
+                    text_meta=tm))
                 meta.append({"width": PNG_WIDTH, "height": h,
                              "duration_ms": 0, "sample_rate": 0,
                              "codec": "png"})
@@ -320,7 +329,7 @@ def png_media_table(docs: DataFrame) -> DataFrame:
                                 "kind": "image",
                                 "content": content, "meta": meta})
 
-    return (docs.select("doc_id", "text", "lang", "source")
+    return (docs.select("doc_id", "text", *meta_cols)
             .mapInPandas(fn, schema=MEDIA_SCHEMA))
 
 

@@ -250,3 +250,34 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
                                           else F.lit(True)))
             .select(*out_keys, status.alias("status"),
                     F.array_join(changed_cols, ",").alias("changed_cols")))
+
+
+def k_anonymity_audit(df: DataFrame, qi_cols: list[str],
+                      k: int = 5) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns — the
+    privacy/governance gate a dataset clears before release: every
+    combination of quasi-identifier values must be shared by at least
+    ``k`` rows, or an attacker who knows someone's QI tuple narrows them
+    to < k candidates. Returns one row per observed QI combination:
+    the equivalence-class size, a ``violates_k`` flag, and the
+    re-identification risk (1 / class size). The dataset's k-anonymity
+    level is ``min(class_size)`` over this report; the release decision
+    is usually "suppress or generalize the violating classes".
+
+    NULL is a QI value like any other here (groupBy treats NULLs as one
+    class): an attacker can know a field is missing.
+
+    Scale: one hash aggregate over the QI tuple — map-side partial, the
+    exchange carries one row per equivalence class (≪ rows for any QI
+    set coarse enough to be worth auditing). Skewed classes are
+    EXPECTED (that's what passing the audit looks like) and harmless:
+    count partials absorb them before the shuffle.
+    """
+    return (df.groupBy(*qi_cols)
+            .agg(F.count("*").alias("class_size"))
+            .select(*qi_cols,
+                    F.col("class_size").cast("bigint").alias("class_size"),
+                    (F.col("class_size") < k).cast("int")
+                    .alias("violates_k"),
+                    F.round(F.lit(1.0) / F.col("class_size").cast("double"),
+                            6).alias("reident_risk")))

@@ -1314,6 +1314,45 @@ def _graph_tri(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+@register("graph_clustering_coefficient", f"""
+WITH pairs AS ({_srp_neardup_oracle_sql()}),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs),
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u AS id, count(*) AS degree FROM und GROUP BY u),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b AS id FROM tri
+  UNION ALL SELECT c AS id FROM tri
+),
+tcnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id)
+SELECT deg.id AS vec_id, deg.degree,
+       coalesce(tcnt.triangles, 0) AS triangles,
+       CASE WHEN deg.degree >= 2 THEN
+         round(coalesce(tcnt.triangles, 0)::DOUBLE
+               / (deg.degree::DOUBLE * (deg.degree - 1)::DOUBLE / 2.0), 6)
+       END AS lcc
+FROM deg LEFT JOIN tcnt ON deg.id = tcnt.id
+ORDER BY vec_id
+""")
+def _graph_lcc(spark, sf_dir):
+    # Local clustering coefficient = triangles / C(degree,2) over the
+    # same at-rest similarity pair table — the density signal that
+    # separates tight boilerplate clusters (lcc→1) from low-cohesion
+    # hubs. NULL (not 0) below degree 2: "undefined" ≠ "open wedges".
+    from .operators.graph import clustering_coefficient
+    pairs = _semantic_pairs(spark, sf_dir)
+    return (clustering_coefficient(pairs)
+            .select(F.col("id").alias("vec_id"), "degree", "triangles",
+                    "lcc")
+            .orderBy("vec_id"))
+
+
 def _pagerank_oracle_sql(num_iters: int = 10, damping: float = 0.85,
                          quantize: int = 7,
                          seed_pred: str | None = None) -> str:
@@ -2756,7 +2795,8 @@ def _mm_png_meta(spark, sf_dir):
     # PNG container as tEXt chunks; extraction is a chunk walk that
     # never inflates IDAT — pinned lossless against the source columns.
     from .operators.multimodal import png_media_table, png_metadata
-    return png_metadata(png_media_table(_t(spark, sf_dir, "documents")))
+    return png_metadata(png_media_table(_t(spark, sf_dir, "documents"),
+                                        meta_cols=("lang", "source")))
 
 
 @register("mm_png_resize_stats", f"""
@@ -5850,6 +5890,34 @@ def _fun3(spark, sf_dir):
     return top_paths(_t(spark, sf_dir, "events"), n=3, k=20)
 
 
+@register("evt_markov_transitions", """
+WITH pairs AS (
+  SELECT event_type AS from_step,
+         coalesce(lead(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id),
+                  '(end)') AS to_step
+  FROM events
+), c AS (
+  SELECT from_step, to_step, count(*) AS n_transitions
+  FROM pairs GROUP BY 1, 2
+)
+SELECT from_step, to_step, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / sum(n_transitions) OVER (PARTITION BY from_step), 6)
+         AS prob
+FROM c
+""")
+def _evt_markov(spark, sf_dir):
+    # First-order Markov transition matrix over per-user event
+    # sequences, absorbing '(end)' terminal so rows sum to 1 — the
+    # generative twin of evt_top_paths. One user-hash window + a
+    # |types|²-key groupBy; the row normalizer is a broadcast join in
+    # Spark (the oracle's partitioned window is the same arithmetic
+    # over the same tiny frame).
+    from .operators.funnel import markov_transitions
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
 @register("llm_prepare_corpus", """
 WITH base AS (
   SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents
@@ -6696,6 +6764,33 @@ def _dq_snapshot(spark, sf_dir):
                     .otherwise(F.col("o_totalprice"))
                     .alias("o_totalprice")))
     return snapshot_diff(old, new, ["o_orderkey"])
+
+
+@register("dq_k_anonymity", """
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 2000.0) AS INT) AS acctbal_band,
+         count(*) AS class_size
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, acctbal_band,
+       CAST(class_size AS BIGINT) AS class_size,
+       CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS violates_k,
+       round(1.0 / class_size, 6) AS reident_risk
+FROM c
+""")
+def _dq_kanon(spark, sf_dir):
+    # k-anonymity audit (k=5) over the quasi-identifier tuple
+    # (nation, market segment, coarse balance band): one hash
+    # aggregate → equivalence-class sizes, violation flags, and 1/n
+    # re-identification risk. The governance gate run before a release.
+    from .operators.quality_audit import k_anonymity_audit
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("int")
+        .alias("acctbal_band"))
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment", "acctbal_band"], k=5)
 
 
 @register("evt_rolling_actives", """
