@@ -1,0 +1,97 @@
+"""Mergeable quantile estimation from at-rest histogram sketches.
+
+The exact-percentile operators (``agg_percentiles_lineitem``,
+``agg_approx_percentiles``) answer one-shot questions; what a 100 TB
+pipeline actually maintains is a MERGEABLE summary it can fold across
+epochs/partitions without re-reading data — the same contract the CMS
+(`heavyhitters.py`) and HLL (`cardinality.py`) families already keep for
+counts and cardinality. This module closes the triad with QUANTILES via
+the simplest sketch with an exactly-reproducible cross-engine spec: a
+fixed-range equi-width histogram.
+
+Why a histogram and not KLL/t-digest: those sketches' states depend on
+stream ORDER (compaction schedules, centroid merges), so two engines —
+or two partitionings of the same data — produce different states, which
+is exactly what the DuckDB-oracle hash gate and Spark's own shuffle
+nondeterminism forbid. A fixed-bin histogram's state is a pure
+aggregate: partition-order-free, mergeable by SUM over cells, and its
+quantile estimate is closed-form linear interpolation with bounded error
+``(hi - lo) / n_bins`` per estimate — the error knob is the bin count,
+paid in sketch size (n_bins + 2 cells), not data passes.
+
+The cell table (``epoch?, bucket, n_rows``) follows the repo's sketch
+at-rest layout: append per epoch partition, merge = one groupBy-SUM over
+the cells (never the data), compatible with the epoch-partition-overwrite
+replay discipline of `streaming/sketch_maintenance.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram_sketch(df: DataFrame, value_col: str, lo: float, hi: float,
+                     n_bins: int,
+                     epoch_col: str | None = None) -> DataFrame:
+    """Build the mergeable histogram cell table over ``[lo, hi)`` with
+    ``n_bins`` equi-width bins plus underflow (bucket -1) and overflow
+    (bucket ``n_bins``) cells. Output: (``epoch?``, bucket, n_rows) —
+    one row per non-empty cell.
+
+    Map-side bucket arithmetic + one tiny groupBy (≤ n_bins + 2 keys per
+    epoch): the exchange carries partials, not rows, at any scale. NULL
+    values are excluded (a quantile over NULLs is undefined; callers
+    audit NULL share separately via the profiling operators)."""
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bucket = (F.when(v < lo, F.lit(-1))
+              .when(v >= hi, F.lit(n_bins))
+              .otherwise(F.floor((v - lo) / width).cast("int")))
+    keys = ([F.col(epoch_col).alias("epoch")] if epoch_col else [])
+    out = (df.filter(v.isNotNull())
+           .select(*keys, bucket.alias("bucket"))
+           .groupBy(*(["epoch"] if epoch_col else []), "bucket")
+           .agg(F.count("*").alias("n_rows")))
+    return out
+
+
+def histogram_quantiles(cells: DataFrame, qs: list[float], lo: float,
+                        hi: float, n_bins: int) -> DataFrame:
+    """Estimate quantiles from (possibly multi-epoch) histogram cells:
+    merge by SUM over bucket, cumulative-sum the ≤ n_bins + 2 merged
+    cells, then for each q pick the first bucket whose cumulative count
+    reaches rank ``q · N`` and linearly interpolate inside it. Underflow
+    and overflow estimates clamp to ``lo`` / ``hi`` (the sketch carries
+    no shape information outside its range — by design; widen the range,
+    don't trust extrapolation). Output: (q, n_rows, estimate).
+
+    Everything after the cell merge runs on a frame of at most
+    (n_bins + 2) × |qs| rows — window and join strategy are irrelevant
+    at that size, so the plan cost is the ONE groupBy-SUM over cells."""
+    width = (hi - lo) / n_bins
+    merged = cells.groupBy("bucket").agg(F.sum("n_rows").alias("n_rows"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    cum = merged.select(
+        "bucket", "n_rows",
+        F.sum("n_rows").over(w).alias("cum"),
+        F.sum("n_rows").over(Window.partitionBy()).alias("total"))
+    qdf = cum.sparkSession.createDataFrame([(float(q),) for q in qs],
+                                           "q double")
+    hit = (cum.join(F.broadcast(qdf),
+                    F.col("cum") >= F.col("q") * F.col("total")))
+    first = Window.partitionBy("q").orderBy("bucket")
+    est = (F.col("bucket").cast("double") * width + lo
+           + width * (F.col("q") * F.col("total")
+                      - (F.col("cum") - F.col("n_rows")))
+           / F.col("n_rows").cast("double"))
+    clamped = F.least(F.greatest(
+        F.when(F.col("bucket") == -1, F.lit(float(lo)))
+        .when(F.col("bucket") == n_bins, F.lit(float(hi)))
+        .otherwise(est), F.lit(float(lo))), F.lit(float(hi)))
+    return (hit.withColumn("_rn", F.row_number().over(first))
+            .filter(F.col("_rn") == 1)
+            .select("q", F.col("total").cast("bigint").alias("n_rows"),
+                    F.round(clamped, 6).alias("estimate"))
+            .orderBy("q"))

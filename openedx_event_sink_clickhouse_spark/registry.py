@@ -3179,6 +3179,79 @@ def _agg_hist(spark, sf_dir):
                     .alias("bucket_lo"), "n_events"))
 
 
+@register("agg_histogram_quantiles", """
+WITH v AS (
+  SELECT CAST(value AS DOUBLE) AS v, CAST(ts AS DATE) AS epoch
+  FROM events WHERE value IS NOT NULL
+), cells AS (
+  SELECT epoch,
+         CASE WHEN v < 0.0 THEN -1
+              WHEN v >= 100.0 THEN 20
+              ELSE CAST(floor(v / 5.0) AS INT) END AS bucket,
+         count(*) AS n_rows
+  FROM v GROUP BY 1, 2
+), merged AS (
+  SELECT bucket, sum(n_rows) AS n_rows FROM cells GROUP BY bucket
+), cum AS (
+  SELECT bucket, n_rows,
+         sum(n_rows) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n_rows) OVER () AS total
+  FROM merged
+), qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+hit AS (
+  SELECT q, total, bucket, n_rows, cum,
+         row_number() OVER (PARTITION BY q ORDER BY bucket) AS rn
+  FROM cum JOIN qs ON cum >= q * total
+), est AS (
+  SELECT q, total,
+         least(greatest(
+           CASE WHEN bucket = -1 THEN 0.0
+                WHEN bucket = 20 THEN 100.0
+                ELSE bucket * 5.0
+                     + 5.0 * (q * total - (cum - n_rows)) / n_rows END,
+           0.0), 100.0) AS e
+  FROM hit WHERE rn = 1
+), ex AS (
+  SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q,
+         unnest(quantile_cont(v, [0.5, 0.9, 0.99])) AS exact
+  FROM v
+)
+SELECT est.q, CAST(total AS BIGINT) AS n_rows,
+       round(e, 6) AS estimate, round(exact, 6) AS exact,
+       round(abs(round(e, 6) - exact), 6) AS abs_err
+FROM est JOIN ex ON est.q = ex.q
+ORDER BY est.q
+""")
+def _agg_hist_quant(spark, sf_dir):
+    # Mergeable-quantile triad closer (counts→CMS, distinct→HLL,
+    # quantiles→THIS): per-day histogram cells merged by SUM, then
+    # closed-form linear interpolation — error bounded by the bin width,
+    # measured in-query against the exact percentile (abs_err column),
+    # the same measured-not-asserted discipline as sim_ivf_recall.
+    from .operators.quantiles import histogram_sketch, histogram_quantiles
+    qs = [0.5, 0.9, 0.99]
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.col("value").cast("double").alias("v"),
+                  F.col("ts").cast("date").alias("epoch")))
+    cells = histogram_sketch(ev, "v", 0.0, 100.0, 20, epoch_col="epoch")
+    est = histogram_quantiles(cells, qs, 0.0, 100.0, 20)
+    exact = (ev.agg(F.percentile(F.col("v"),
+                                 F.array(*[F.lit(q) for q in qs]))
+                    .alias("ex"))
+             .select(F.posexplode("ex").alias("i", "exact"))
+             .select(F.element_at(F.array(*[F.lit(q) for q in qs]),
+                                  F.col("i") + 1).alias("q"), "exact"))
+    return (est.join(F.broadcast(exact), "q")
+            .select("q", "n_rows",
+                    F.col("estimate"),
+                    F.round(F.col("exact"), 6).alias("exact"),
+                    F.round(F.abs(
+                        F.col("estimate").cast("double") - F.col("exact")),
+                        6).alias("abs_err"))
+            .orderBy("q"))
+
+
 @register("window_lag_gap_days", """
 SELECT o_orderkey, o_custkey, o_orderdate,
   CAST(date_diff('day',

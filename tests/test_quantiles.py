@@ -1,0 +1,85 @@
+"""Histogram-sketch quantile tests: (a) hand-checkable interpolation,
+(b) THE MERGEABILITY CONTRACT — cells built per-epoch and merged give
+bit-identical estimates to cells built in one pass (the property that
+makes the sketch an at-rest/streaming summary, not a one-shot query),
+(c) the documented error bound |est - exact| <= bin width, (d) range
+clamping at the under/overflow cells."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openedx_event_sink_clickhouse_spark.operators.quantiles import (
+    histogram_quantiles, histogram_sketch)
+
+
+def _vals(spark, xs, with_epoch=False):
+    if with_epoch:
+        rows = [(float(x), i % 3) for i, x in enumerate(xs)]
+        return spark.createDataFrame(rows, "v double, epoch int")
+    return spark.createDataFrame([(float(x),) for x in xs], "v double")
+
+
+def test_hand_computed_interpolation(spark):
+    # 10 values uniform over [0,10), 10 bins of width 1: one value per
+    # bin, cum(b) = b+1, so q=0.5 lands in bucket 4 (cum 5 >= 5) with
+    # est = 4 + 1*(5 - 4)/1 = 5.0
+    df = _vals(spark, [0.5 + i for i in range(10)])
+    cells = histogram_sketch(df, "v", 0.0, 10.0, 10)
+    got = {r.q: r.estimate for r in
+           histogram_quantiles(cells, [0.5, 0.9], 0.0, 10.0, 10).collect()}
+    assert got[0.5] == 5.0
+    assert got[0.9] == 9.0
+
+
+def test_merge_equals_single_pass(spark):
+    xs = [((i * 37) % 100) + 0.25 for i in range(500)]
+    one = histogram_sketch(_vals(spark, xs), "v", 0.0, 100.0, 20)
+    per_epoch = histogram_sketch(_vals(spark, xs, with_epoch=True), "v",
+                                 0.0, 100.0, 20, epoch_col="epoch")
+    qs = [0.1, 0.5, 0.95]
+    a = histogram_quantiles(one, qs, 0.0, 100.0, 20).collect()
+    b = histogram_quantiles(per_epoch, qs, 0.0, 100.0, 20).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # and the merged cell table really is the single-pass one
+    merged = (per_epoch.groupBy("bucket").agg(F.sum("n_rows").alias("n"))
+              .orderBy("bucket").collect())
+    single = one.orderBy("bucket").collect()
+    assert [(r.bucket, r.n) for r in merged] == \
+        [(r.bucket, r.n_rows) for r in single]
+
+
+def test_error_bounded_by_bin_width(spark):
+    import random
+    rng = random.Random(7)
+    xs = [rng.uniform(0, 100) ** 1.3 % 100 for _ in range(2000)]
+    df = _vals(spark, xs)
+    cells = histogram_sketch(df, "v", 0.0, 100.0, 20)
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    est = {r.q: r.estimate for r in
+           histogram_quantiles(cells, qs, 0.0, 100.0, 20).collect()}
+    s = sorted(xs)
+    for q in qs:
+        rank = q * (len(s) - 1)
+        lo, hi = s[int(rank)], s[min(int(rank) + 1, len(s) - 1)]
+        exact = lo + (rank - int(rank)) * (hi - lo)
+        assert abs(est[q] - exact) <= 5.0 + 1e-9, (q, est[q], exact)
+
+
+def test_clamps_at_range_edges(spark):
+    # everything below range: all mass in the underflow cell -> every
+    # quantile clamps to lo; symmetric for overflow -> hi
+    low = _vals(spark, [-5.0, -4.0, -3.0])
+    cells = histogram_sketch(low, "v", 0.0, 10.0, 5)
+    got = histogram_quantiles(cells, [0.5], 0.0, 10.0, 5).collect()
+    assert got[0][2] == 0.0
+    high = _vals(spark, [50.0, 60.0])
+    cells = histogram_sketch(high, "v", 0.0, 10.0, 5)
+    got = histogram_quantiles(cells, [0.5], 0.0, 10.0, 5).collect()
+    assert got[0][2] == 10.0
+
+
+def test_nulls_excluded(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (9.0,)], "v double")
+    cells = histogram_sketch(df, "v", 0.0, 10.0, 10)
+    got = histogram_quantiles(cells, [0.5], 0.0, 10.0, 10).collect()
+    assert got[0].n_rows == 2
