@@ -1183,8 +1183,8 @@ def _pq_cb_literal(codebooks: list[list[list[float]]]) -> str:
 
 
 def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
-              id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              keep: tuple[str, ...] = ()) -> DataFrame:
     """Product-quantization encoding: each vector becomes ``m`` small
     codes — subspace ``s``'s code is the argmin-squared-L2 centroid of
     its s-th subvector (ties → lowest centroid id). Returns
@@ -1209,12 +1209,49 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
             f"element_at(transform(array({_as_double_sql(vec_col)}), v -> "
             f"transform(sequence(0, {m - 1}), s -> CAST({code} AS INT))"
             f"), 1)), 1)")
-    return emb.select(F.col(id_col).alias("id"),
+    return emb.select(F.col(id_col).alias("id"), *keep,
                       F.expr(expr).alias("codes"))
 
 
 def _as_double_sql(vec_col: str) -> str:
     return f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+
+
+def _adc_score_expr(pv: list[float],
+                    codebooks: list[list[list[float]]]
+                    ) -> tuple[str, float]:
+    """Asymmetric-distance scoring expression over a ``codes`` column:
+    the probe×centroid dot products (LUT) and centroid squared norms
+    are computed coordinator-side (m×k floats — the standard ANN model
+    footprint) and ride the expression as literals, so a row's
+    approximate cosine is m array lookups + one division, no arithmetic
+    on vector elements. Returns (SQL expr, probe norm) — shared by
+    :func:`pq_topk` (whole-corpus ADC) and :func:`ivfpq_topk_at_rest`
+    (ADC within probed IVF cells)."""
+    import math
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qn = math.sqrt(sum(x * x for x in pv))
+    lut = [[sum(pv[s * sub + i] * c[i] for i in range(sub))
+            for c in codebooks[s]] for s in range(m)]
+    n2 = [[sum(x * x for x in c) for c in codebooks[s]]
+          for s in range(m)]
+
+    def mat(rows):
+        return "array(" + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in r) + ")"
+            for r in rows) + ")"
+
+    num = (f"aggregate(sequence(0, {m - 1}), 0.0D, (a, s) -> "
+           f"a + element_at(element_at({mat(lut)}, s + 1), "
+           f"element_at(codes, s + 1) + 1))")
+    dvn = (f"sqrt(aggregate(sequence(0, {m - 1}), 0.0D, (a, s) -> "
+           f"a + element_at(element_at({mat(n2)}, s + 1), "
+           f"element_at(codes, s + 1) + 1)))")
+    qcos = (f"CASE WHEN {dvn} * {qn!r}D > 0.0D "
+            f"THEN ({num}) / ({dvn} * {qn!r}D) ELSE 0.0D END")
+    return qcos, qn
 
 
 def pq_topk(emb: DataFrame, probe_vec: list[float],
@@ -1239,36 +1276,81 @@ def pq_topk(emb: DataFrame, probe_vec: list[float],
     Near-ties at the shortlist cut are absorbed by the same 5×-over-k
     margin argument as the scalar-quantized path (measured there:
     adjacent-gap ≈ 3e-5 vs ≤ 1e-14 cross-engine FP divergence)."""
-    import math
-
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
     pv = [float(x) for x in probe_vec]
-    qn = math.sqrt(sum(x * x for x in pv))
-    lut = [[sum(pv[s * sub + i] * c[i] for i in range(sub))
-            for c in codebooks[s]] for s in range(m)]
-    n2 = [[sum(x * x for x in c) for c in codebooks[s]]
-          for s in range(m)]
-
-    def mat(name, rows):
-        return "array(" + ",".join(
-            "array(" + ",".join(f"{x!r}D" for x in r) + ")"
-            for r in rows) + ")"
-
-    num = (f"aggregate(sequence(0, {m - 1}), 0.0D, (a, s) -> "
-           f"a + element_at(element_at({mat('L', lut)}, s + 1), "
-           f"element_at(codes, s + 1) + 1))")
-    dvn = (f"sqrt(aggregate(sequence(0, {m - 1}), 0.0D, (a, s) -> "
-           f"a + element_at(element_at({mat('N', n2)}, s + 1), "
-           f"element_at(codes, s + 1) + 1)))")
-    qcos = (f"CASE WHEN {dvn} * {qn!r}D > 0.0D "
-            f"THEN ({num}) / ({dvn} * {qn!r}D) ELSE 0.0D END")
+    qcos, qn = _adc_score_expr(pv, codebooks)
     if codes is None:
         codes = pq_encode(emb, codebooks, id_col, vec_col)
     coarse = codes
     if exclude_id is not None:
         coarse = coarse.filter(F.col("id") != exclude_id)
     shortlist = (coarse.select("id", F.expr(qcos).alias("_qcos"))
+                 .orderBy(F.desc("_qcos"), "id")
+                 .limit(rescore_factor * k)
+                 .select(F.col("id").alias(id_col)))
+    return _rescore_with_literal_probe(emb, shortlist, pv, qn, k,
+                                       id_col, vec_col)
+
+
+def write_ivfpq_codes(emb: DataFrame, path: str,
+                      codebooks: list[list[list[float]]],
+                      n_centroids: int = 16, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      centroids: list[list[float]] | None = None) -> None:
+    """Materialize the IVF-PQ index: every vector's ``m`` one-byte PQ
+    codes, PARTITIONED BY its coarse IVF cell — the composed at-rest
+    form of :func:`write_ivf_partitioned` (cell layout, full vectors)
+    and :func:`pq_encode` (codes, no layout), and the billion-vector
+    default (Jégou et al., TPAMI'11): a probe that searches ``nprobe``
+    cells opens only those directories (partition pruning) and reads
+    ~m bytes per resident vector — the two compressions multiply.
+    Idempotent layout job like the other index writers."""
+    base = _vec_base(emb, id_col, vec_col)
+    assigned = _assign(base, _centroid_frame(base, n_centroids, centroids))
+    coded = pq_encode(
+        assigned.select("id", "v", F.col("centroid").alias("cell")),
+        codebooks, id_col="id", vec_col="v", keep=("cell",))
+    coded.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+
+def ivfpq_topk_at_rest(spark, path: str, probe_vec: list[float],
+                       centroids: list[list[float]],
+                       codebooks: list[list[list[float]]],
+                       emb: DataFrame, k: int = 10, nprobe: int = 4,
+                       rescore_factor: int = 5, exclude_id=None,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ search against a :func:`write_ivfpq_codes` index: the
+    coordinator ranks cells by probe↔centroid cosine (k×dim model,
+    plain Python — the standard ANN coordinator footprint), the scan
+    reads ONLY the top-``nprobe`` cell directories (partition filter —
+    plan-pinned), ADC scores residents from their codes alone via the
+    shared :func:`_adc_score_expr` literal LUT, and the
+    ``rescore_factor·k`` shortlist re-ranks exactly on full-precision
+    vectors. Returns (vec_id, cosine_sim) with exact scores.
+
+    IO per probe = nprobe/n_centroids of the corpus × m bytes per
+    vector — at 100 TB of raw vectors with m=8, nprobe=4/64 this is a
+    ~6 GB index read, which is the entire reason this composition is
+    the production shape. Recall is measured, not asserted
+    (``sim_ivfpq_recall``)."""
+    import math
+
+    pv = [float(x) for x in probe_vec]
+    pn = math.sqrt(sum(x * x for x in pv))
+
+    def cos(c):
+        cn = math.sqrt(sum(x * x for x in c))
+        d = sum(a * b for a, b in zip(pv, c))
+        return d / (cn * pn) if cn and pn else 0.0
+
+    ranked = sorted(enumerate(centroids), key=lambda t: (-cos(t[1]), t[0]))
+    cells = [cid for cid, _ in ranked[:nprobe]]
+
+    qcos, qn = _adc_score_expr(pv, codebooks)
+    codes = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    if exclude_id is not None:
+        codes = codes.filter(F.col("id") != exclude_id)
+    shortlist = (codes.select("id", F.expr(qcos).alias("_qcos"))
                  .orderBy(F.desc("_qcos"), "id")
                  .limit(rescore_factor * k)
                  .select(F.col("id").alias(id_col)))

@@ -1750,6 +1750,102 @@ def _sim_pq(spark, sf_dir):
     return pq_topk(emb, probe, cb, k=10, rescore_factor=5, exclude_id=0)
 
 
+@register("sim_ivfpq_topk", f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),
+assign AS (
+  SELECT id, cid AS cell FROM (
+    SELECT e.id, c.cid,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM e CROSS JOIN cents c) t
+  WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE id = 0),
+pcells AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (ORDER BY {_cos_sql('c.cv', 'q.qv')} DESC,
+                              c.cid) AS rn
+    FROM cents c, q) t
+  WHERE rn <= 4
+),
+cand AS (
+  SELECT a.id FROM assign a JOIN pcells p ON a.cell = p.cid
+  WHERE a.id <> 0
+),
+subq AS (SELECT unnest(generate_series(0, 7)) AS s),
+dists AS (
+  SELECT e.id, sq.s, c.cid,
+     list_sum(list_transform(generate_series(1, 8),
+        i -> (e.v[sq.s * 8 + i] - c.cv[sq.s * 8 + i]) ^ 2)) AS d
+  FROM e JOIN cand USING (id), subq sq, cents c
+),
+codes AS (
+  SELECT id, s, cid AS code FROM (
+    SELECT id, s, cid,
+           row_number() OVER (PARTITION BY id, s
+                              ORDER BY d ASC, cid ASC) AS rn
+    FROM dists) t
+  WHERE rn = 1
+),
+parts AS (
+  SELECT cd.id,
+     list_sum(list_transform(generate_series(1, 8),
+        i -> q.qv[cd.s * 8 + i] * c.cv[cd.s * 8 + i])) AS lut,
+     list_sum(list_transform(generate_series(1, 8),
+        i -> c.cv[cd.s * 8 + i] ^ 2)) AS n2
+  FROM codes cd JOIN cents c ON c.cid = cd.code CROSS JOIN q
+),
+score AS (
+  SELECT id, sum(lut) AS num, sqrt(sum(n2)) AS dvn FROM parts GROUP BY id
+),
+qn AS (SELECT sqrt(list_sum(list_transform(qv, x -> x * x))) AS n FROM q),
+coarse AS (
+  SELECT s.id FROM score s, qn
+  ORDER BY (CASE WHEN s.dvn * qn.n > 0 THEN s.num / (s.dvn * qn.n)
+                 ELSE 0 END) DESC, s.id
+  LIMIT 50
+)
+SELECT id AS vec_id, round(c2, 6) AS cosine_sim FROM (
+  SELECT e.id, {_cos_sql('e.v', 'q.qv')} AS c2
+  FROM e JOIN coarse USING (id), q) t
+ORDER BY c2 DESC, id LIMIT 10
+""")
+def _sim_ivfpq(spark, sf_dir):
+    # The composed billion-vector architecture (IVF coarse pruning ×
+    # PQ code compression, Jégou et al. TPAMI'11): probe ranks the 16
+    # cells coordinator-side, the at-rest code table is read with a
+    # PARTITION filter (only the 4 probed cell dirs open), residents
+    # ADC-score from their 8 one-byte codes, and the 5k shortlist
+    # re-ranks exactly. Same deterministic models as sim_pq_topk
+    # (first-16 codebooks) and sim_ivf_topk (first-16 centroids).
+    from .operators.similarity import (ivfpq_topk_at_rest,
+                                       pq_codebooks_from_first_k,
+                                       write_ivfpq_codes)
+    emb = _t(spark, sf_dir, "embeddings")
+    cb_key = (spark.sparkContext.applicationId, "pqcb", sf_dir)
+    cb = _QTOPK_MEMO.get(cb_key)
+    if cb is None:
+        cb = pq_codebooks_from_first_k(emb, m=8, n_centroids=16,
+                                       dim=EMB_DIM)
+        _QTOPK_MEMO[cb_key] = cb
+    model_key = (spark.sparkContext.applicationId, "ivfmodel", sf_dir)
+    model = _QTOPK_MEMO.get(model_key)
+    if model is None:
+        model = [r.embedding for r in
+                 emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+                 .collect()]
+        _QTOPK_MEMO[model_key] = model
+    tag = _sf_tag(sf_dir, "embeddings")
+    path = _cached_parquet(
+        f"/tmp/spark_graft_ivfpq_v1_{tag}",
+        lambda p: write_ivfpq_codes(emb, p, cb, n_centroids=16))
+    return ivfpq_topk_at_rest(spark, path, model[0], model, cb, emb,
+                              k=10, nprobe=4, rescore_factor=5,
+                              exclude_id=0)
+
+
 def _srp_oracle_sql(num_planes: int = 6, num_tables: int = 2) -> str:
     bks = _srp_bucket_exprs(num_planes, EMB_DIM, num_tables)
     sig_cols = ", ".join(f"{b} AS b{t}" for t, b in enumerate(bks))

@@ -708,3 +708,56 @@ def test_pq_codebooks_kmeans_beat_first_k_and_degenerate_correctly(spark, sf_dir
     for s1, s2 in zip(tr, tr2):
         for c1, c2 in zip(s1, s2):
             assert c1 == pytest.approx(c2, abs=1e-9)
+
+
+def test_ivfpq_at_rest_prunes_cells_and_recall(spark, sf_dir, tmp_path):
+    # Composed IVF-PQ: (a) the code-table scan must carry a partition
+    # filter and read only the nprobe probed cell dirs; (b) returned
+    # scores are EXACT (rescore) and recall@10 vs brute force is high;
+    # (c) the coarse scan reads codes, never the embedding column.
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        brute_force_topk, ivfpq_topk_at_rest, pq_codebooks_from_first_k,
+        write_ivfpq_codes)
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    emb = load_table(spark, "embeddings", sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    cb = pq_codebooks_from_first_k(emb, m=8, n_centroids=16, dim=dim)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_codes(emb, path, cb, n_centroids=16)
+    model = [r.embedding for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()]
+    got = ivfpq_topk_at_rest(spark, path, model[0], model, cb, emb,
+                             k=10, nprobe=4, rescore_factor=5,
+                             exclude_id=0)
+    rows = got.collect()
+    assert len(rows) == 10
+
+    exact = {r.vec_id: r.cosine_sim
+             for r in brute_force_topk(emb, probe_id=0, k=10).collect()}
+    hits = sum(1 for r in rows if r.vec_id in exact)
+    assert hits >= 8, f"recall@10 = {hits / 10}"
+    # exact rescore: returned scores equal the brute-force scores
+    for r in rows:
+        if r.vec_id in exact:
+            assert r.cosine_sim == exact[r.vec_id]
+
+    # Partition pruning: the code-table scan carries `cell IN (<the 4
+    # probed cells>)` as a PARTITION filter (file-count metrics for this
+    # layout family are pinned by
+    # test_ivf_partitioned_prunes_cells_and_matches_in_memory; the AQE
+    # wrapper here hides leaf metrics, so the filter text is the pin).
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    code_leaves = [ln for ln in plan.splitlines()
+                   if "FileScan" in ln and "codes" in ln]
+    assert code_leaves
+    for ln in code_leaves:
+        assert "PartitionFilters: [cell" in ln and " IN " in ln
+        # coarse scan reads codes, never full vectors — those enter
+        # only at the O(k·rescore_factor) rescore join
+        assert "embedding" not in ln
+    cells_read = sorted(
+        int(x) for x in
+        code_leaves[0].split("PartitionFilters: [cell")[1]
+        .split("IN (")[1].split(")")[0].split(","))
+    assert len(cells_read) == 4
