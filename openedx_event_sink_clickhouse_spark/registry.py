@@ -6306,6 +6306,41 @@ def _llmrel(spark, sf_dir):
     return release_corpus(scrub, None, n=8, n_shards=16, bench_grams=bg)
 
 
+def _zorder_terms_sql(col: str, bits: int, n: int, offset: int) -> str:
+    return " + ".join(f"((({col} >> {i}) & 1) << {i * n + offset})"
+                      for i in range(bits))
+
+
+@register("cur_zorder_key", f"""
+WITH b AS (
+  SELECT o_orderkey,
+         o_custkey % 65536 AS x,
+         CAST(datediff('day', DATE '1992-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+  FROM orders
+)
+SELECT o_orderkey, x, y,
+       CAST({_zorder_terms_sql('x', 16, 2, 0)}
+            + {_zorder_terms_sql('y', 16, 2, 1)} AS BIGINT) AS zkey
+FROM b
+""")
+def _cur_zorder(spark, sf_dir):
+    # Morton z-key over (customer bucket, order day): the multi-dim
+    # clustering key behind write_zordered — bit interleave unrolled as
+    # pure codegen'd Column arithmetic, no UDF, no shuffle. The layout
+    # writer + both-dimension file-skipping property are pinned in
+    # tests/test_zorder.py (parquet footer stats, engine-agnostic).
+    from .operators.zorder import zorder_key
+    o = _t(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long").alias("y"))
+    return b.select("o_orderkey", "x", "y",
+                    zorder_key(["x", "y"], 16).alias("zkey"))
+
+
 @register("cur_shuffle_shards", """
 WITH k AS (
   SELECT doc_id,
