@@ -374,3 +374,70 @@ def logrank_test(events: DataFrame, *, unit_col: str = "user_id",
                     F.when(chi2.isNull(), F.lit(None).cast("int"))
                      .otherwise((chi2 > chi2_crit).cast("int"))
                      .alias("significant")))
+
+
+def jackknife_ratio_ci(events: DataFrame, *, unit_col: str = "user_id",
+                       value_col: str = "value", n_buckets: int = 20,
+                       n_variants: int = 2, salt: str = "exp",
+                       bucket_salt: str = "jk",
+                       z_crit: float = 1.96) -> DataFrame:
+    """Delete-one-bucket jackknife CI for the per-unit mean — the
+    variance workhorse of large-scale experimentation (next to the
+    z-test's closed form): the units of each variant hash into
+    ``n_buckets`` folds, and the ratio metric θ = Σvalue / Σunits is
+    recomputed with each fold deleted; the spread of those leave-one-out
+    estimates IS the sampling variance, with no normality assumption on
+    the per-unit distribution and no per-unit moment algebra — which is
+    why it generalizes to any ratio metric (revenue/user,
+    clicks/session) where the delta method needs a new derivation each
+    time. Returns one row per variant:
+    (variant, n_units, theta, se_jack, ci_lo, ci_hi).
+
+    Plan shape: ONE per-unit reduce (the only event-scale shuffle, the
+    same reduce every readout here starts with), then everything runs on
+    n_variants × n_buckets rows — the fold deletion is arithmetic on
+    bucket totals (θ_i = (N - n_i)/(D - d_i)), never a re-scan per fold,
+    so 20 folds cost the same one pass as 1000 would. Money sums ride
+    DECIMAL(18,6) so bucket totals are order-exact cross-engine; θ's
+    division happens in double on those exact sums."""
+    unit = (events.filter(F.col(unit_col).isNotNull())
+            .groupBy(F.col(unit_col).alias("unit"))
+            .agg(F.sum(F.col(value_col).cast("decimal(18,6)"))
+                 .alias("uval")))
+    bkey = F.concat(F.lit(f"{bucket_salt}#"), F.col("unit").cast("string"))
+    per_bucket = (unit
+                  .select(assign_variant(F.col("unit"), n_variants, salt)
+                          .alias("variant"),
+                          F.pmod(md5_hash32(bkey), F.lit(n_buckets))
+                          .alias("bucket"),
+                          F.col("uval"))
+                  .groupBy("variant", "bucket")
+                  .agg(F.sum("uval").alias("n_b"),
+                       F.count("*").alias("d_b")))
+    tot = (per_bucket.groupBy("variant")
+           .agg(F.sum("n_b").alias("n_tot"), F.sum("d_b").alias("d_tot"),
+                F.count("*").alias("n_folds")))
+    folds = (per_bucket.join(F.broadcast(tot), "variant")
+             .select("variant", "n_folds", "n_tot", "d_tot",
+                     ((F.col("n_tot") - F.col("n_b")).cast("double")
+                      / (F.col("d_tot") - F.col("d_b")).cast("double"))
+                     .alias("theta_i")))
+    stats = (folds.groupBy("variant")
+             .agg(F.first("n_folds").alias("b"),
+                  F.first("n_tot").alias("n_tot"),
+                  F.first("d_tot").alias("d_tot"),
+                  F.avg("theta_i").alias("tbar"),
+                  F.sum(F.col("theta_i") * F.col("theta_i")).alias("tsq")))
+    theta = F.col("n_tot").cast("double") / F.col("d_tot").cast("double")
+    # Σ(θ_i - θ̄)² = Σθ_i² - B·θ̄² ; var_jk = (B-1)/B · that
+    var = ((F.col("b") - 1).cast("double") / F.col("b").cast("double")
+           * (F.col("tsq") - F.col("b").cast("double")
+              * F.col("tbar") * F.col("tbar")))
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (stats.select(
+        "variant", F.col("d_tot").cast("bigint").alias("n_units"),
+        F.round(theta, 6).alias("theta"),
+        F.round(se, 6).alias("se_jack"),
+        F.round(theta - z_crit * se, 6).alias("ci_lo"),
+        F.round(theta + z_crit * se, 6).alias("ci_hi"))
+        .orderBy("variant"))

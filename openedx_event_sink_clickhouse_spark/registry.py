@@ -5814,6 +5814,57 @@ def _evt_logrank(spark, sf_dir):
     return logrank_test(_t(spark, sf_dir, "events"))
 
 
+@register("evt_jackknife_ci", """
+WITH pu AS (
+  SELECT user_id AS unit, sum(CAST(value AS DECIMAL(18,6))) AS uval
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), pb AS (
+  SELECT CAST(CAST('0x' || substr(md5('exp#' || CAST(unit AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 2 AS INT) AS variant,
+         CAST(CAST('0x' || substr(md5('jk#' || CAST(unit AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 20 AS INT) AS bucket,
+         uval
+  FROM pu
+), g AS (
+  SELECT variant, bucket, sum(uval) AS n_b, count(*) AS d_b
+  FROM pb GROUP BY 1, 2
+), t AS (
+  SELECT variant, sum(n_b) AS n_tot, sum(d_b) AS d_tot,
+         count(*) AS b
+  FROM g GROUP BY variant
+), f AS (
+  SELECT g.variant, t.b, t.n_tot, t.d_tot,
+         CAST(t.n_tot - g.n_b AS DOUBLE)
+           / CAST(t.d_tot - g.d_b AS DOUBLE) AS theta_i
+  FROM g JOIN t USING (variant)
+), s AS (
+  SELECT variant, max(b) AS b, max(n_tot) AS n_tot, max(d_tot) AS d_tot,
+         avg(theta_i) AS tbar, sum(theta_i * theta_i) AS tsq
+  FROM f GROUP BY variant
+), r AS (
+  SELECT variant, n_tot, d_tot,
+         CAST(n_tot AS DOUBLE) / CAST(d_tot AS DOUBLE) AS theta,
+         sqrt(greatest(
+           CAST(b - 1 AS DOUBLE) / CAST(b AS DOUBLE)
+             * (tsq - CAST(b AS DOUBLE) * tbar * tbar), 0.0)) AS se
+  FROM s
+)
+SELECT variant, CAST(d_tot AS BIGINT) AS n_units,
+       round(theta, 6) AS theta, round(se, 6) AS se_jack,
+       round(theta - 1.96 * se, 6) AS ci_lo,
+       round(theta + 1.96 * se, 6) AS ci_hi
+FROM r ORDER BY variant
+""")
+def _evt_jackknife(spark, sf_dir):
+    # Delete-one-bucket jackknife CI for the per-unit mean: 20 md5
+    # folds, fold deletion as arithmetic on bucket totals (one per-unit
+    # reduce, then 40 rows) — the assumption-free variance companion to
+    # the z-test/CUPED readouts; DECIMAL sums keep the bucket totals
+    # order-exact cross-engine.
+    from .operators.experiment import jackknife_ratio_ci
+    return jackknife_ratio_ci(_t(spark, sf_dir, "events"))
+
+
 @register("evt_cuped_readout", """
 WITH pu AS (
   SELECT user_id AS unit,

@@ -301,3 +301,41 @@ def test_survival_time_bucket_grouping(spark):
     # everyone converts -> both curves end at 0 survival... they end at
     # the same terminal level regardless of grouping
     assert last(grouped) == last(exact)
+
+
+def test_jackknife_matches_closed_form_se(spark):
+    # For the plain per-unit mean, the delete-one-bucket jackknife must
+    # land near the textbook s/sqrt(n) — that is the calibration check
+    # (Efron: the jackknife variance estimator is consistent for smooth
+    # statistics; the ratio here reduces to the mean since every unit
+    # has weight 1).
+    import math
+    import random
+    from openedx_event_sink_clickhouse_spark.operators.experiment import (
+        jackknife_ratio_ci)
+    rng = random.Random(11)
+    rows, eid = [], 0
+    vals = {}
+    for u in range(400):
+        v = rng.uniform(0, 10)
+        vals[u] = v
+        rows.append((eid, POST, u, v))
+        eid += 1
+    df = _events(spark, rows)
+    got = {r.variant: r for r in
+           jackknife_ratio_ci(df, n_buckets=20).collect()}
+    vm = _variant_map(spark, list(vals))
+    for variant in (0, 1):
+        us = [vals[u] for u in vals if vm[u] == variant]
+        n = len(us)
+        mean = sum(us) / n
+        sd = math.sqrt(sum((x - mean) ** 2 for x in us) / (n - 1))
+        se = sd / math.sqrt(n)
+        r = got[variant]
+        assert r.n_units == n
+        assert abs(r.theta - mean) < 1e-6
+        # jackknife SE within 25% of closed form (exact equality is not
+        # expected: folds are size-~n/20, not size-1)
+        assert abs(r.se_jack - se) / se < 0.25, (r.se_jack, se)
+        assert r.ci_lo < r.theta < r.ci_hi
+        assert abs((r.theta - r.ci_lo) - 1.96 * r.se_jack) < 1e-5
