@@ -417,3 +417,54 @@ def tfidf_cosine_from_index(spark, path: str, query_terms: list[str],
                     .alias("_score"))
             .orderBy(F.desc("_score"), "doc_id").limit(k)
             .select("doc_id", F.round("_score", 6).alias("tfidf_cosine")))
+
+
+def positional_postings(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Positional posting rows (doc_id, pos, term), 0-based — the index
+    grain phrase and proximity queries need (document-level postings
+    can only say "both words occur somewhere"). One posexplode, no
+    aggregation: callers reduce after filtering to THEIR terms, so the
+    unfiltered explode never shuffles."""
+    toks = words(F.col(text_col))
+    return (docs
+            .select(F.col(id_col).alias("doc_id"),
+                    F.posexplode_outer(toks).alias("pos", "term"))
+            .filter(F.col("term").isNotNull() & (F.col("term") != "")))
+
+
+def phrase_search(docs: DataFrame, phrase: list[str],
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact consecutive-phrase search via POSITION ALGEBRA over the
+    positional postings: a phrase of n terms occurs at start ``s`` iff
+    term ``i`` appears at ``s + i`` for every i — so each posting row
+    for phrase term i votes for start ``pos - i``, and a (doc, start)
+    group that collects all n distinct i's is a match. Returns
+    (doc_id, n_occurrences, first_pos) per matching document.
+
+    Scale shape: the postings explode is FILTERED to the phrase's terms
+    before anything shuffles (an IN-list the scan can push), so the
+    exchange carries only the phrase terms' occurrence rows — at 100 TB
+    that is the same candidate set a term-bucketed postings index would
+    serve, and the adjacency check is a groupBy, not a per-document
+    string walk. Repeated phrase terms are handled by counting DISTINCT
+    term indexes per start (each position may vote for several i's).
+    The DuckDB oracle recomputes matches by direct window-over-words
+    scanning, pinning index-plan == scan semantics."""
+    n = len(phrase)
+    spark = docs.sparkSession
+    idx = spark.createDataFrame(list(enumerate(phrase)),
+                                "i int, term string")
+    pp = (positional_postings(docs, text_col, id_col)
+          .filter(F.col("term").isin(phrase)))
+    votes = (pp.join(F.broadcast(idx), "term")
+             .select("doc_id", (F.col("pos") - F.col("i")).alias("start"),
+                     "i")
+             .filter(F.col("start") >= 0))
+    occ = (votes.groupBy("doc_id", "start")
+           .agg(F.countDistinct("i").alias("_k"))
+           .filter(F.col("_k") == n))
+    return (occ.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_occurrences"),
+                 F.min("start").cast("bigint").alias("first_pos")))

@@ -6110,6 +6110,30 @@ def _fun3(spark, sf_dir):
     return top_paths(_t(spark, sf_dir, "events"), n=3, k=20)
 
 
+@register("ret_phrase_search", """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id,
+         list_filter(generate_series(1, greatest(len(w) - 1, 0)),
+                     s -> w[s] = 'the' AND w[s + 1] = 'table') AS starts
+  FROM w
+)
+SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_occurrences,
+       CAST(starts[1] - 1 AS BIGINT) AS first_pos
+FROM s WHERE len(starts) > 0
+""")
+def _ret_phrase(spark, sf_dir):
+    # Exact phrase query ("the table") via position algebra over the
+    # positional postings — term i votes for start pos-i, a (doc,
+    # start) group holding all n indexes is a match. The oracle
+    # recomputes by direct window-over-words scanning: index plan ==
+    # scan semantics, checked.
+    from .operators.retrieval import phrase_search
+    return phrase_search(_t(spark, sf_dir, "documents"),
+                         ["the", "table"])
+
+
 @register("evt_markov_transitions", """
 WITH pairs AS (
   SELECT event_type AS from_step,

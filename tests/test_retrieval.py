@@ -255,3 +255,31 @@ def test_keyword_extraction_prefers_rare_terms(spark):
         kw.setdefault(r.doc_id, []).append((r.kw_rank, r.term))
     top0 = [t for _, t in sorted(kw[0])]
     assert set(top0) == {"zebra", "quantum"}   # not the df=3 'the' 
+
+
+def test_phrase_search_position_algebra(spark):
+    from openedx_event_sink_clickhouse_spark.operators.retrieval import (
+        phrase_search)
+    docs = spark.createDataFrame([
+        (1, "the table is the table"),     # 2 occurrences, first at 0
+        (2, "table the nothing"),          # words present, wrong order
+        (3, "a the table b"),              # 1 occurrence at pos 1
+        (4, "the the table"),              # overlap guard: 1 occ at 1
+        (5, "no match here"),
+        (6, ""),
+    ], "doc_id long, text string")
+    got = {r.doc_id: (r.n_occurrences, r.first_pos)
+           for r in phrase_search(docs, ["the", "table"]).collect()}
+    assert got == {1: (2, 0), 3: (1, 1), 4: (1, 1)}
+
+    # repeated-term phrase: "a a" in "a a a" occurs at starts 0 and 1
+    docs2 = spark.createDataFrame([(1, "a a a"), (2, "a b a")],
+                                  "doc_id long, text string")
+    got2 = {r.doc_id: (r.n_occurrences, r.first_pos)
+            for r in phrase_search(docs2, ["a", "a"]).collect()}
+    assert got2 == {1: (2, 0)}
+
+    # three-term phrase
+    got3 = phrase_search(docs, ["is", "the", "table"]).collect()
+    assert [(r.doc_id, r.n_occurrences, r.first_pos) for r in got3] == \
+        [(1, 1, 2)]
