@@ -14,7 +14,7 @@ shape (dims broadcast, facts scanned once per audited edge).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -281,3 +281,48 @@ def k_anonymity_audit(df: DataFrame, qi_cols: list[str],
                     .alias("violates_k"),
                     F.round(F.lit(1.0) / F.col("class_size").cast("double"),
                             6).alias("reident_risk")))
+
+
+def benford_audit(df: DataFrame, value_col: str,
+                  chi2_crit: float = 15.507) -> DataFrame:
+    """Benford's-law first-significant-digit audit — the forensic
+    screen for fabricated or systematically manipulated numeric columns
+    (naturally-grown magnitudes follow P(d) = log10(1 + 1/d); invented
+    numbers rarely do). One row per digit 1-9: observed count/share,
+    the Benford expectation, the whole-column Pearson chi-square and a
+    flag (default critical value: chi2(8 dof) at 0.05 = 15.507) —
+    repeated per row, srm_check's report convention.
+
+    First digit = floor(v / 10^floor(log10(v))) on |v| > 0 (zero/NULL
+    rows carry no leading digit and are excluded — audit completeness
+    separately). Plan: one map-side digit expr + a 9-key groupBy; the
+    chi-square folds over the 9-row frame. Expected shares are embedded
+    as coordinator-computed literals, so both engines test against the
+    identical expectation."""
+    import math
+
+    spark = df.sparkSession
+    exp_rows = [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]
+    expected = spark.createDataFrame(exp_rows,
+                                     "digit int, expected_share double")
+    v = F.abs(F.col(value_col).cast("double"))
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))) \
+             .cast("int")
+    counts = (df.filter(v > 0).select(digit.alias("digit"))
+              .groupBy("digit").agg(F.count("*").alias("n_rows")))
+    j = (expected.join(counts, "digit", "left")
+         .select("digit", F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+                 "expected_share"))
+    w = Window.partitionBy()
+    total = F.sum("n_rows").over(w)
+    exp_n = total.cast("double") * F.col("expected_share")
+    chi2 = F.sum((F.col("n_rows") - exp_n) * (F.col("n_rows") - exp_n)
+                 / exp_n).over(w)
+    return (j.select(
+        "digit", F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(F.col("n_rows").cast("double") / total, 6)
+        .alias("observed_share"),
+        F.round("expected_share", 6).alias("expected_share"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > chi2_crit).cast("int").alias("benford_flag"))
+        .orderBy("digit"))

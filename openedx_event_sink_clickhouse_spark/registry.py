@@ -7045,6 +7045,52 @@ def _dq_snapshot(spark, sf_dir):
     return snapshot_diff(old, new, ["o_orderkey"])
 
 
+def _benford_values_sql() -> str:
+    import math
+    # CAST: a bare decimal literal types as DECIMAL in DuckDB, which
+    # would drag the chi-square arithmetic into DECIMAL(38) overflow —
+    # the expectation must be the same DOUBLE Spark's literal frame has.
+    return ", ".join(f"({d}, CAST({math.log10(1.0 + 1.0 / d)!r} AS DOUBLE))"
+                     for d in range(1, 10))
+
+
+@register("dq_benford_audit", f"""
+WITH p(digit, expected_share) AS (VALUES {_benford_values_sql()}),
+v AS (SELECT abs(CAST(o_totalprice AS DOUBLE)) AS v FROM orders),
+d AS (
+  SELECT CAST(floor(v / power(10.0, floor(log10(v)))) AS INT) AS digit
+  FROM v WHERE v > 0
+), c AS (SELECT digit, count(*) AS n_rows FROM d GROUP BY digit),
+j AS (
+  SELECT p.digit, coalesce(c.n_rows, 0) AS n_rows, p.expected_share
+  FROM p LEFT JOIN c USING (digit)
+), t AS (
+  SELECT digit, n_rows, expected_share, sum(n_rows) OVER () AS total
+  FROM j
+), x AS (
+  SELECT digit, n_rows, expected_share, total,
+         sum((n_rows - total * expected_share)
+             * (n_rows - total * expected_share)
+             / (total * expected_share)) OVER () AS chi2
+  FROM t
+)
+SELECT digit, CAST(n_rows AS BIGINT) AS n_rows,
+       round(n_rows / CAST(total AS DOUBLE), 6) AS observed_share,
+       round(expected_share, 6) AS expected_share,
+       round(chi2, 6) AS chi2,
+       CASE WHEN chi2 > 15.507 THEN 1 ELSE 0 END AS benford_flag
+FROM x ORDER BY digit
+""")
+def _dq_benford(spark, sf_dir):
+    # Benford first-digit forensic audit on order totals: map-side
+    # digit expr, 9-key groupBy, chi-square fold over the 9-row frame;
+    # expected shares are coordinator literals so both engines test the
+    # identical expectation. (o_totalprice is a SUM of priced line
+    # items — a naturally-grown magnitude, the Benford use case.)
+    from .operators.quality_audit import benford_audit
+    return benford_audit(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 @register("dq_k_anonymity", """
 WITH c AS (
   SELECT c_nationkey, c_mktsegment,

@@ -201,3 +201,26 @@ def test_snapshot_diff_statuses_and_null_safety(spark):
     new2 = new.withColumn("extra", new.v * 2)
     got2 = snapshot_diff(old, new2, ["k"])
     assert set(r.k for r in got2.collect()) == {2, 3, 4, 6}
+
+
+def test_benford_audit_passes_powers_and_flags_uniform(spark):
+    from openedx_event_sink_clickhouse_spark.operators.quality_audit import (
+        benford_audit)
+    # powers of 2 are a classic Benford-conforming sequence
+    pw = spark.createDataFrame([(float(2 ** k),) for k in range(1, 250)],
+                               "v double")
+    rows = benford_audit(pw, "v").collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert rows[0].benford_flag == 0
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-4
+    # digit-1-only data is maximally non-Benford
+    uni = spark.createDataFrame([(1000.0 + i,) for i in range(500)],
+                                "v double")
+    rows = benford_audit(uni, "v").collect()
+    assert rows[0].benford_flag == 1
+    assert rows[0].observed_share == 1.0
+    assert rows[8].n_rows == 0
+    # zero/NULL excluded, negatives take |v|
+    mix = spark.createDataFrame([(0.0,), (None,), (-200.0,)], "v double")
+    got = {r.digit: r.n_rows for r in benford_audit(mix, "v").collect()}
+    assert got[2] == 1 and sum(got.values()) == 1
