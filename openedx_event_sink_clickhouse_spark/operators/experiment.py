@@ -30,7 +30,7 @@ O(variants) with the 1-row moment frame riding as a broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashes import md5_hash32
@@ -441,3 +441,79 @@ def jackknife_ratio_ci(events: DataFrame, *, unit_col: str = "user_id",
         F.round(theta - z_crit * se, 6).alias("ci_lo"),
         F.round(theta + z_crit * se, 6).alias("ci_hi"))
         .orderBy("variant"))
+
+
+def sequential_monitoring(events: DataFrame, *,
+                          conversion_type: str = "purchase",
+                          unit_col: str = "user_id", ts_col: str = "ts",
+                          type_col: str = "event_type",
+                          n_variants: int = 2, salt: str = "exp",
+                          obf_c: float = 2.2414) -> DataFrame:
+    """Group-sequential monitoring of a two-proportion experiment: one
+    row per calendar-day LOOK with the cumulative per-variant unit and
+    converter counts, the pooled two-proportion z at that look, the
+    information fraction, and an O'Brien-Fleming-shaped boundary
+    ``obf_c / sqrt(t)`` (the canonical conservative-early /
+    near-nominal-late spending shape; ``obf_c`` defaults to the 5-look
+    two-sided α=0.05 constant — callers tune it to their look schedule).
+    Peeking at a fixed-horizon z every day inflates false positives
+    several-fold; this is the standard correction, emitted as a
+    dashboard-ready curve rather than a single end-of-test verdict.
+    Returns (look_day, n_0, n_1, conv_0, conv_1, info_frac, z,
+    boundary, crossed).
+
+    Plan: ONE per-unit reduce over events (exposure day = first event,
+    conversion day = first conversion — the same reduce every readout
+    here starts with), then two tiny per-day aggregates and cumulative
+    windows over the ~|days| look frame. No unit×look expansion: a
+    look's cumulative counts are window sums of per-day increments, so
+    the cost is independent of the number of looks."""
+    day = F.col(ts_col).cast("date")
+    per_unit = (events.filter(F.col(unit_col).isNotNull())
+                .groupBy(F.col(unit_col).alias("unit"))
+                .agg(F.min(day).alias("exposure_day"),
+                     F.min(F.when(F.col(type_col) == conversion_type, day))
+                     .alias("conv_day"))
+                .select(assign_variant(F.col("unit"), n_variants, salt)
+                        .alias("variant"),
+                        "exposure_day", "conv_day"))
+    v0, v1 = F.col("variant") == 0, F.col("variant") == 1
+    exp_add = (per_unit.groupBy(F.col("exposure_day").alias("look_day"))
+               .agg(F.sum(v0.cast("long")).alias("e0"),
+                    F.sum(v1.cast("long")).alias("e1")))
+    conv_add = (per_unit.filter(F.col("conv_day").isNotNull())
+                .groupBy(F.col("conv_day").alias("look_day"))
+                .agg(F.sum(v0.cast("long")).alias("c0"),
+                     F.sum(v1.cast("long")).alias("c1")))
+    days = events.select(day.alias("look_day")).distinct()
+    j = (days.join(exp_add, "look_day", "left")
+         .join(conv_add, "look_day", "left")
+         .select("look_day",
+                 *[F.coalesce(c, F.lit(0)).alias(c)
+                   for c in ("e0", "e1", "c0", "c1")]))
+    w = (Window.orderBy("look_day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy()
+    cum = j.select(
+        "look_day",
+        F.sum("e0").over(w).alias("n_0"), F.sum("e1").over(w).alias("n_1"),
+        F.sum("c0").over(w).alias("conv_0"),
+        F.sum("c1").over(w).alias("conv_1"),
+        (F.sum("e0").over(wall) + F.sum("e1").over(wall)).alias("_ntot"))
+    n0d, n1d = F.col("n_0").cast("double"), F.col("n_1").cast("double")
+    p0 = F.col("conv_0").cast("double") / n0d
+    p1 = F.col("conv_1").cast("double") / n1d
+    pp = ((F.col("conv_0") + F.col("conv_1")).cast("double")
+          / (n0d + n1d))
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / n0d + 1.0 / n1d))
+    t = (n0d + n1d) / F.col("_ntot").cast("double")
+    bound = obf_c / F.sqrt(t)
+    z = F.when((F.col("n_0") > 0) & (F.col("n_1") > 0) & (se > 0.0),
+               (p1 - p0) / se)
+    return cum.select(
+        "look_day", "n_0", "n_1", "conv_0", "conv_1",
+        F.round(t, 6).alias("info_frac"),
+        F.round(z, 6).alias("z"),
+        F.round(bound, 6).alias("boundary"),
+        F.when(z.isNotNull() & (F.abs(z) > bound), 1).otherwise(0)
+        .alias("crossed")).orderBy("look_day")

@@ -5814,6 +5814,78 @@ def _evt_logrank(spark, sf_dir):
     return logrank_test(_t(spark, sf_dir, "events"))
 
 
+@register("evt_sequential_monitoring", """
+WITH pu AS (
+  SELECT user_id AS unit,
+         min(CAST(ts AS DATE)) AS exposure_day,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ts AS DATE) END) AS conv_day
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), pv AS (
+  SELECT CAST(CAST('0x' || substr(md5('exp#' || CAST(unit AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 2 AS INT) AS variant,
+         exposure_day, conv_day
+  FROM pu
+), ea AS (
+  SELECT exposure_day AS look_day,
+         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS e0,
+         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS e1
+  FROM pv GROUP BY 1
+), ca AS (
+  SELECT conv_day AS look_day,
+         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS c1
+  FROM pv WHERE conv_day IS NOT NULL GROUP BY 1
+), days AS (SELECT DISTINCT CAST(ts AS DATE) AS look_day FROM events),
+j AS (
+  SELECT d.look_day, coalesce(e0, 0) AS e0, coalesce(e1, 0) AS e1,
+         coalesce(c0, 0) AS c0, coalesce(c1, 0) AS c1
+  FROM days d LEFT JOIN ea USING (look_day) LEFT JOIN ca USING (look_day)
+), cum AS (
+  SELECT look_day,
+         sum(e0) OVER wd AS n_0, sum(e1) OVER wd AS n_1,
+         sum(c0) OVER wd AS conv_0, sum(c1) OVER wd AS conv_1,
+         sum(e0) OVER () + sum(e1) OVER () AS ntot
+  FROM j WINDOW wd AS (ORDER BY look_day ROWS UNBOUNDED PRECEDING)
+), x AS (
+  SELECT look_day, n_0, n_1, conv_0, conv_1,
+         (CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE))
+           / CAST(ntot AS DOUBLE) AS t,
+         CASE WHEN n_0 > 0 AND n_1 > 0 THEN
+           sqrt(CAST(conv_0 + conv_1 AS DOUBLE)
+                  / (CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE))
+                * (1.0 - CAST(conv_0 + conv_1 AS DOUBLE)
+                     / (CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE)))
+                * (1.0 / CAST(n_0 AS DOUBLE) + 1.0 / CAST(n_1 AS DOUBLE)))
+         END AS se,
+         CASE WHEN n_0 > 0 AND n_1 > 0 THEN
+           CAST(conv_1 AS DOUBLE) / CAST(n_1 AS DOUBLE)
+             - CAST(conv_0 AS DOUBLE) / CAST(n_0 AS DOUBLE)
+         END AS diff
+  FROM cum
+), y AS (
+  SELECT look_day, n_0, n_1, conv_0, conv_1, t,
+         CASE WHEN se > 0.0 THEN diff / se END AS z,
+         CAST(2.2414 AS DOUBLE) / sqrt(t) AS bound
+  FROM x
+)
+SELECT look_day, n_0, n_1, conv_0, conv_1,
+       round(t, 6) AS info_frac, round(z, 6) AS z,
+       round(bound, 6) AS boundary,
+       CASE WHEN z IS NOT NULL AND abs(z) > bound
+            THEN 1 ELSE 0 END AS crossed
+FROM y ORDER BY look_day
+""")
+def _evt_seqmon(spark, sf_dir):
+    # Group-sequential monitoring curve: cumulative two-proportion z
+    # per daily look against the O'Brien-Fleming-shaped boundary
+    # c/sqrt(t) — the peeking-corrected twin of evt_ab_conversion_test.
+    # One per-unit reduce; looks are window sums over per-day
+    # increments, never a unit×look expansion.
+    from .operators.experiment import sequential_monitoring
+    return sequential_monitoring(_t(spark, sf_dir, "events"))
+
+
 @register("evt_jackknife_ci", """
 WITH pu AS (
   SELECT user_id AS unit, sum(CAST(value AS DECIMAL(18,6))) AS uval

@@ -339,3 +339,61 @@ def test_jackknife_matches_closed_form_se(spark):
         assert abs(r.se_jack - se) / se < 0.25, (r.se_jack, se)
         assert r.ci_lo < r.theta < r.ci_hi
         assert abs((r.theta - r.ci_lo) - 1.96 * r.se_jack) < 1e-5
+
+
+def test_sequential_monitoring_boundary_and_cumulatives(spark):
+    # A/A (null effect): cumulative counts must telescope to the full
+    # population, the boundary must DECREASE with information (OBF
+    # shape), and the final-look boundary must sit near the nominal
+    # critical value — while a huge injected effect crosses early.
+    import datetime as dt
+    from openedx_event_sink_clickhouse_spark.operators.experiment import (
+        assign_variant, sequential_monitoring)
+    rows, eid = [], 0
+    for day in range(10):
+        ts = dt.datetime(2024, 1, 1 + day)
+        for u in range(day * 40, (day + 1) * 40):   # 40 new units/day
+            rows.append((eid, ts, u, 0.0))
+            eid += 1
+            if u % 5 == 0:   # variant-independent conversions
+                rows.append((eid + 10000, ts, u, 1.0))
+    df = spark.createDataFrame(
+        [(e, t, u, v) for (e, t, u, v) in rows],
+        "event_id long, ts timestamp, user_id long, value double")
+    conv = df.withColumn(
+        "event_type",
+        F.when(F.col("event_id") >= 10000, "purchase").otherwise("view"))
+    out = sequential_monitoring(conv).collect()
+    assert len(out) == 10
+    last = out[-1]
+    assert last.n_0 + last.n_1 == 400
+    assert last.conv_0 + last.conv_1 == 80
+    assert last.info_frac == 1.0
+    bounds = [r.boundary for r in out]
+    assert bounds == sorted(bounds, reverse=True)
+    assert abs(last.boundary - 2.2414) < 1e-6
+    # null effect: no look crosses
+    assert all(r.crossed == 0 for r in out)
+
+    # now a strong real effect: variant-1 units convert, variant-0 never
+    vm = {r.u: r.v for r in spark.createDataFrame(
+        [(u,) for u in range(400)], "u long")
+        .select("u", assign_variant(F.col("u")).alias("v")).collect()}
+    rows2 = [(e, t, u, v) for (e, t, u, v) in rows if e < 10000]
+    eid2 = 20000
+    conv2_rows = []
+    for day in range(10):
+        ts = dt.datetime(2024, 1, 1 + day)
+        for u in range(day * 40, (day + 1) * 40):
+            if vm[u] == 1:
+                conv2_rows.append((eid2, ts, u, 1.0))
+                eid2 += 1
+    df2 = spark.createDataFrame(
+        rows2 + conv2_rows,
+        "event_id long, ts timestamp, user_id long, value double")
+    conv2 = df2.withColumn(
+        "event_type",
+        F.when(F.col("event_id") >= 20000, "purchase").otherwise("view"))
+    out2 = sequential_monitoring(conv2).collect()
+    assert out2[-1].crossed == 1
+    assert any(r.crossed == 1 and r.info_frac < 1.0 for r in out2)
