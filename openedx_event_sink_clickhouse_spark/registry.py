@@ -5408,6 +5408,67 @@ def _stream_cms(spark, sf_dir):
                       .alias("overcount"))
 
 
+@register("stream_quantile_maintenance", None)  # oracle attached below
+def _stream_quantiles(spark, sf_dir):
+    # The histogram-quantile sketch maintained BY A STREAM: two
+    # mtime-ordered micro-batches append their ≤22 bucket-count cells
+    # to epoch partitions, epoch 1 is REPLAYED (at-least-once) — a
+    # double-count would shift every interpolated estimate and
+    # hash-mismatch. Serving folds the cells and estimates; sharing
+    # agg_histogram_quantiles' oracle certifies stream-fold ==
+    # one-pass sketch, the same certification stream_cms_maintenance
+    # gives the CMS.
+    import os as _os
+    import tempfile
+    import uuid
+
+    from .operators.quantiles import histogram_quantiles
+    from .streaming.sketch_maintenance import histogram_stream_maintainer
+    from .streaming.stateful import EVENT_SCHEMA
+
+    split_dir = _attr_split_dir(spark, sf_dir)
+    m = histogram_stream_maintainer(
+        tempfile.mkdtemp(prefix="hist_stream_") + "/cells", "value",
+        0.0, 100.0, 20)
+    src = (spark.readStream.schema(EVENT_SCHEMA)
+           .option("pathGlobFilter", "batch*.parquet")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(split_dir))
+    q = (src.writeStream.foreachBatch(m)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix=f"ckpt_hq_{uuid.uuid4().hex[:6]}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    replay = spark.read.parquet(_os.path.join(split_dir, "batch1.parquet"))
+    m(replay, 1)
+    qs = [0.5, 0.9, 0.99]
+    est = histogram_quantiles(m.fold(spark), qs, 0.0, 100.0, 20)
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.col("value").cast("double").alias("v")))
+    exact = (ev.agg(F.percentile(F.col("v"),
+                                 F.array(*[F.lit(x) for x in qs]))
+                    .alias("ex"))
+             .select(F.posexplode("ex").alias("i", "exact"))
+             .select(F.element_at(F.array(*[F.lit(x) for x in qs]),
+                                  F.col("i") + 1).alias("q"), "exact"))
+    return (est.join(F.broadcast(exact), "q")
+            .select("q", "n_rows", F.col("estimate"),
+                    F.round(F.col("exact"), 6).alias("exact"),
+                    F.round(F.abs(
+                        F.col("estimate").cast("double") - F.col("exact")),
+                        6).alias("abs_err"))
+            .orderBy("q"))
+
+
+# Stream-fold == one-pass sketch: the maintainer's folded cells must
+# reproduce the batch query's merged histogram exactly, so the streaming
+# twin shares its oracle (attached after both entries exist).
+REGISTRY["stream_quantile_maintenance"] = (
+    REGISTRY["stream_quantile_maintenance"][0],
+    REGISTRY["agg_histogram_quantiles"][1])
+
+
 def _docs_split_dir(spark, sf_dir) -> str:
     """Three-file ascending-id split of the documents table, mtimes
     forcing file-source order — the daily-ingest replay fixture for the

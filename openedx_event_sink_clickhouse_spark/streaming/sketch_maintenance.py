@@ -335,3 +335,20 @@ def counts_stream_maintainer(path: str, key_col: str,
 
     return EpochPartitionedAppender(path, partials, [key_col], ["n_rows"],
                                     auto_compact_epochs=auto_compact_epochs)
+
+
+def histogram_stream_maintainer(path: str, value_col: str, lo: float,
+                                hi: float, n_bins: int,
+                                auto_compact_epochs: int | None = 64
+                                ) -> EpochPartitionedAppender:
+    """Histogram-sketch cells (the mergeable-quantile summary,
+    ``operators/quantiles.py``) kept fresh by a stream: each trigger
+    appends its batch's ≤ n_bins + 2 bucket counts; ``fold()`` is the
+    merged cell table ``histogram_quantiles`` estimates from. Per-epoch
+    state is O(n_bins) — coordinator-scale forever, like CMS — so
+    compaction is a nicety here, not a necessity."""
+    from ..operators.quantiles import histogram_sketch
+
+    return EpochPartitionedAppender(
+        path, lambda b: histogram_sketch(b, value_col, lo, hi, n_bins),
+        ["bucket"], ["n_rows"], auto_compact_epochs=auto_compact_epochs)
