@@ -2881,6 +2881,47 @@ def _mm_wav(spark, sf_dir):
     return out.select("media_id", F.col("n_bytes").cast("long"), "checksum")
 
 
+@register("mm_wav_silence_segments", """
+WITH ch AS (
+  SELECT doc_id AS media_id,
+         unnest(generate_series(1, length(text))) AS i
+  FROM documents
+), a AS (
+  SELECT ch.media_id, ch.i - 1 AS pos,
+         abs(ord(substr(d.text, CAST(ch.i AS INT), 1)) - 128) AS amp
+  FROM ch JOIN documents d ON d.doc_id = ch.media_id
+), f AS (
+  SELECT media_id, pos FROM a WHERE amp < 64
+), g AS (
+  SELECT media_id, pos,
+         pos - row_number() OVER (PARTITION BY media_id
+                                  ORDER BY pos) AS grp
+  FROM f
+), seg AS (
+  SELECT media_id, min(pos) AS start_pos, max(pos) AS end_pos,
+         count(*) AS n_samples
+  FROM g GROUP BY media_id, grp
+  HAVING count(*) >= 4
+)
+SELECT media_id,
+       CAST(row_number() OVER (PARTITION BY media_id
+                               ORDER BY start_pos) - 1 AS INT) AS seg_idx,
+       start_pos, end_pos, CAST(n_samples AS BIGINT) AS n_samples
+FROM seg
+""")
+def _mm_wav_seg(spark, sf_dir):
+    # Voice-activity/silence segmentation over REAL-decoded PCM: the
+    # wave codec strips the RIFF header, numpy finds maximal runs of
+    # ≥4 samples with |s-128| < 64 inside the same Arrow batch. The
+    # oracle re-derives segments from the text by window-function
+    # island detection — decode + segmentation certified end-to-end
+    # (header bytes in the buffer would shift every position).
+    from .operators.multimodal import wav_media_table, wav_silence_segments
+    return wav_silence_segments(
+        wav_media_table(_t(spark, sf_dir, "documents")),
+        threshold=64, min_len=4, strict=True)
+
+
 @register("mm_png_metadata", """
 SELECT doc_id AS media_id, 'lang' AS key, lang AS value FROM documents
 UNION ALL

@@ -338,3 +338,31 @@ def test_png_text_chunks_roundtrip_without_decode():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         png_text_chunks(b"not a png")
+
+
+def test_wav_silence_segments_hand_checked(spark):
+    # 8-bit PCM: 128 = midpoint (amplitude 0). Build a signal with two
+    # quiet runs separated by loud samples; min_len filters the short
+    # run out.
+    from openedx_event_sink_clickhouse_spark.operators.media_codecs import (
+        wav_encode)
+    from openedx_event_sink_clickhouse_spark.operators.multimodal import (
+        wav_silence_segments)
+    quiet, loud = 130, 250
+    sig = ([quiet] * 5 + [loud] * 3 + [quiet] * 2 + [loud] * 2
+           + [quiet] * 4)
+    wav = wav_encode(bytes(sig))
+    media = spark.createDataFrame([(1, bytearray(wav))],
+                                  "media_id long, content binary")
+    got = [(r.seg_idx, r.start_pos, r.end_pos, r.n_samples)
+           for r in wav_silence_segments(media, threshold=32, min_len=4)
+           .orderBy("seg_idx").collect()]
+    assert got == [(0, 0, 4, 5), (1, 12, 15, 4)]
+    # strict mode rejects non-WAV payloads
+    import pytest
+    bad = spark.createDataFrame([(2, bytearray(b"not a wav"))],
+                                "media_id long, content binary")
+    with pytest.raises(Exception):
+        wav_silence_segments(bad, strict=True).collect()
+    # non-strict skips them silently
+    assert wav_silence_segments(bad, strict=False).count() == 0
