@@ -95,3 +95,63 @@ def histogram_quantiles(cells: DataFrame, qs: list[float], lo: float,
             .select("q", F.col("total").cast("bigint").alias("n_rows"),
                     F.round(clamped, 6).alias("estimate"))
             .orderBy("q"))
+
+
+def grouped_histogram_sketch(df: DataFrame, group_cols: list[str],
+                             value_col: str, lo: float, hi: float,
+                             n_bins: int) -> DataFrame:
+    """Per-group histogram cells: (group..., bucket, n_rows) — the
+    grouped twin of :func:`histogram_sketch`, still one map-side bucket
+    expr + one groupBy with ≤ (n_bins + 2) cells per group. This is the
+    shape that makes QUANTILE-PER-KEY viable at 100 TB: the exact
+    alternative (sort-within-group percentile) shuffles every row by
+    group; this exchanges only group×cell partials."""
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bucket = (F.when(v < lo, F.lit(-1))
+              .when(v >= hi, F.lit(n_bins))
+              .otherwise(F.floor((v - lo) / width).cast("int")))
+    return (df.filter(v.isNotNull())
+            .select(*group_cols, bucket.alias("bucket"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.count("*").alias("n_rows")))
+
+
+def grouped_histogram_quantiles(cells: DataFrame, group_cols: list[str],
+                                qs: list[float], lo: float, hi: float,
+                                n_bins: int) -> DataFrame:
+    """Per-group quantile estimates from per-group cells: the same
+    cumulative + first-covering-bucket interpolation as
+    :func:`histogram_quantiles`, with every window PARTITIONED BY the
+    group — so the frame per partition stays ≤ n_bins + 2 rows and the
+    plan holds one hash exchange on the group key regardless of group
+    count. Output: (group..., q, n_rows, estimate)."""
+    width = (hi - lo) / n_bins
+    merged = (cells.groupBy(*group_cols, "bucket")
+              .agg(F.sum("n_rows").alias("n_rows")))
+    wg = (Window.partitionBy(*group_cols).orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy(*group_cols)
+    cum = merged.select(
+        *group_cols, "bucket", "n_rows",
+        F.sum("n_rows").over(wg).alias("cum"),
+        F.sum("n_rows").over(wall).alias("total"))
+    qdf = cum.sparkSession.createDataFrame([(float(q),) for q in qs],
+                                           "q double")
+    hit = (cum.join(F.broadcast(qdf),
+                    F.col("cum") >= F.col("q") * F.col("total")))
+    first = Window.partitionBy(*group_cols, "q").orderBy("bucket")
+    est = (F.col("bucket").cast("double") * width + lo
+           + width * (F.col("q") * F.col("total")
+                      - (F.col("cum") - F.col("n_rows")))
+           / F.col("n_rows").cast("double"))
+    clamped = F.least(F.greatest(
+        F.when(F.col("bucket") == -1, F.lit(float(lo)))
+        .when(F.col("bucket") == n_bins, F.lit(float(hi)))
+        .otherwise(est), F.lit(float(lo))), F.lit(float(hi)))
+    return (hit.withColumn("_rn", F.row_number().over(first))
+            .filter(F.col("_rn") == 1)
+            .select(*group_cols, "q",
+                    F.col("total").cast("bigint").alias("n_rows"),
+                    F.round(clamped, 6).alias("estimate"))
+            .orderBy(*group_cols, "q"))

@@ -3389,6 +3389,55 @@ def _agg_hist_quant(spark, sf_dir):
             .orderBy("q"))
 
 
+@register("agg_grouped_quantiles", """
+WITH v AS (
+  SELECT event_type AS key, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), cells AS (
+  SELECT key,
+         CASE WHEN v < 0.0 THEN -1
+              WHEN v >= 100.0 THEN 20
+              ELSE CAST(floor(v / 5.0) AS INT) END AS bucket,
+         count(*) AS n_rows
+  FROM v GROUP BY 1, 2
+), cum AS (
+  SELECT key, bucket, n_rows,
+         sum(n_rows) OVER (PARTITION BY key ORDER BY bucket
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n_rows) OVER (PARTITION BY key) AS total
+  FROM cells
+), qs AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q),
+hit AS (
+  SELECT key, q, total, bucket, n_rows, cum,
+         row_number() OVER (PARTITION BY key, q ORDER BY bucket) AS rn
+  FROM cum JOIN qs ON cum >= q * total
+)
+SELECT key, q, CAST(total AS BIGINT) AS n_rows,
+       round(least(greatest(
+         CASE WHEN bucket = -1 THEN 0.0
+              WHEN bucket = 20 THEN 100.0
+              ELSE bucket * 5.0
+                   + 5.0 * (q * total - (cum - n_rows)) / n_rows END,
+         0.0), 100.0), 6) AS estimate
+FROM hit WHERE rn = 1
+ORDER BY key, q
+""")
+def _agg_grouped_quant(spark, sf_dir):
+    # Quantiles PER KEY from per-group histogram cells: the exchange
+    # carries group×cell partials (≤22 per key), never rows — the shape
+    # that keeps per-key p50/p95 viable when the exact sort-within-group
+    # percentile would shuffle the full table.
+    from .operators.quantiles import (grouped_histogram_quantiles,
+                                      grouped_histogram_sketch)
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.col("event_type").alias("key"),
+                  F.col("value").cast("double").alias("v")))
+    cells = grouped_histogram_sketch(ev, ["key"], "v", 0.0, 100.0, 20)
+    return grouped_histogram_quantiles(cells, ["key"], [0.5, 0.95],
+                                       0.0, 100.0, 20)
+
+
 @register("window_lag_gap_days", """
 SELECT o_orderkey, o_custkey, o_orderdate,
   CAST(date_diff('day',

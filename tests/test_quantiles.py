@@ -83,3 +83,39 @@ def test_nulls_excluded(spark):
     cells = histogram_sketch(df, "v", 0.0, 10.0, 10)
     got = histogram_quantiles(cells, [0.5], 0.0, 10.0, 10).collect()
     assert got[0].n_rows == 2
+
+
+def test_grouped_quantiles_match_ungrouped_per_group(spark):
+    from openedx_event_sink_clickhouse_spark.operators.quantiles import (
+        grouped_histogram_quantiles, grouped_histogram_sketch)
+    rows = ([("a", float((i * 13) % 50)) for i in range(300)]
+            + [("b", float((i * 7) % 90) + 5.0) for i in range(200)])
+    df = spark.createDataFrame(rows, "k string, v double")
+    cells = grouped_histogram_sketch(df, ["k"], "v", 0.0, 100.0, 20)
+    got = {(r.k, r.q): (r.n_rows, r.estimate)
+           for r in grouped_histogram_quantiles(
+               cells, ["k"], [0.5, 0.95], 0.0, 100.0, 20).collect()}
+    assert got[("a", 0.5)][0] == 300 and got[("b", 0.5)][0] == 200
+    for k in ("a", "b"):
+        one = df.filter(F.col("k") == k)
+        c1 = histogram_sketch(one, "v", 0.0, 100.0, 20)
+        want = {r.q: r.estimate for r in
+                histogram_quantiles(c1, [0.5, 0.95],
+                                    0.0, 100.0, 20).collect()}
+        assert got[(k, 0.5)][1] == want[0.5]
+        assert got[(k, 0.95)][1] == want[0.95]
+
+
+def test_grouped_quantiles_single_group_exchange(spark):
+    # plan hygiene: ONE hash exchange on the group key feeds both the
+    # cumulative and total windows and the merge — no per-q re-shuffle
+    from openedx_event_sink_clickhouse_spark.operators.quantiles import (
+        grouped_histogram_quantiles, grouped_histogram_sketch)
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    cells = grouped_histogram_sketch(df, ["k"], "v", 0.0, 10.0, 5)
+    out = grouped_histogram_quantiles(cells, ["k"], [0.5], 0.0, 10.0, 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_group_exchanges = sum(
+        1 for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "k#" in ln)
+    assert n_group_exchanges <= 2  # sketch agg + window stack share
