@@ -517,3 +517,41 @@ def sequential_monitoring(events: DataFrame, *,
         F.round(bound, 6).alias("boundary"),
         F.when(z.isNotNull() & (F.abs(z) > bound), 1).otherwise(0)
         .alias("crossed")).orderBy("look_day")
+
+
+def power_mde(events: DataFrame, *, conversion_type: str = "purchase",
+              unit_col: str = "user_id", type_col: str = "event_type",
+              n_variants: int = 2, salt: str = "exp",
+              z_alpha: float = 1.959964, z_beta: float = 0.841621
+              ) -> DataFrame:
+    """Minimum detectable effect at the CURRENT sample: given the
+    observed per-variant unit counts and the pooled conversion rate,
+    the absolute lift a two-proportion test would detect with power
+    1-β (defaults: α=0.05 two-sided, power 0.80) —
+    ``mde = (z_{α/2} + z_β) · sqrt(p(1-p)(1/n₀+1/n₁))``. The readout
+    every experiment review asks for BEFORE interpreting a null result:
+    "could this test even have seen the effect we care about?". One
+    row: (n_0, n_1, pooled_rate, mde_abs, mde_rel).
+
+    Same single per-unit reduce as the z-test; the MDE arithmetic runs
+    on one row."""
+    per_unit = (events.filter(F.col(unit_col).isNotNull())
+                .groupBy(F.col(unit_col).alias("unit"))
+                .agg(F.max((F.col(type_col) == conversion_type)
+                           .cast("int")).alias("converted"))
+                .select(assign_variant(F.col("unit"), n_variants, salt)
+                        .alias("variant"), "converted"))
+    v0, v1 = F.col("variant") == 0, F.col("variant") == 1
+    row = per_unit.agg(
+        F.sum(v0.cast("long")).alias("n_0"),
+        F.sum(v1.cast("long")).alias("n_1"),
+        F.sum("converted").cast("long").alias("n_conv"))
+    n0d, n1d = F.col("n_0").cast("double"), F.col("n_1").cast("double")
+    p = F.col("n_conv").cast("double") / (n0d + n1d)
+    se = F.sqrt(p * (1.0 - p) * (1.0 / n0d + 1.0 / n1d))
+    mde = (z_alpha + z_beta) * se
+    return row.select(
+        "n_0", "n_1",
+        F.round(p, 6).alias("pooled_rate"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(F.when(p > 0.0, mde / p), 6).alias("mde_rel"))

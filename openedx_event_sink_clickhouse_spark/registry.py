@@ -5965,6 +5965,51 @@ def _evt_logrank(spark, sf_dir):
     return logrank_test(_t(spark, sf_dir, "events"))
 
 
+@register("evt_power_mde", """
+WITH pu AS (
+  SELECT user_id AS unit,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), pv AS (
+  SELECT CAST(CAST('0x' || substr(md5('exp#' || CAST(unit AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 2 AS INT) AS variant,
+         converted
+  FROM pu
+), m AS (
+  SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_0,
+         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_1,
+         sum(converted) AS n_conv
+  FROM pv
+), x AS (
+  SELECT n_0, n_1,
+         CAST(n_conv AS DOUBLE)
+           / (CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE)) AS p,
+         sqrt(CAST(n_conv AS DOUBLE)
+                / (CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE))
+              * (1.0 - CAST(n_conv AS DOUBLE)
+                   / (CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE)))
+              * (1.0 / CAST(n_0 AS DOUBLE) + 1.0 / CAST(n_1 AS DOUBLE)))
+           AS se
+  FROM m
+)
+SELECT CAST(n_0 AS BIGINT) AS n_0, CAST(n_1 AS BIGINT) AS n_1,
+       round(p, 6) AS pooled_rate,
+       round((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+             * se, 6) AS mde_abs,
+       CASE WHEN p > 0.0
+            THEN round((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                       * se / p, 6) END AS mde_rel
+FROM x
+""")
+def _evt_power(spark, sf_dir):
+    # Minimum detectable effect at the current sample (alpha=.05
+    # two-sided, power .80): the "could this test even see it" readout
+    # run before interpreting a null — one per-unit reduce, one row.
+    from .operators.experiment import power_mde
+    return power_mde(_t(spark, sf_dir, "events"))
+
+
 @register("evt_sequential_monitoring", """
 WITH pu AS (
   SELECT user_id AS unit,
