@@ -310,3 +310,73 @@ def clustering_coefficient(edges: DataFrame, id_a: str = "id_a",
         F.when(F.col("degree") >= 2,
                F.round(F.col("triangles").cast("double") / pairs, 6))
         .alias("lcc"))
+
+
+def neighbor_jaccard(edges: DataFrame, id_a: str = "id_a",
+                     id_b: str = "id_b") -> DataFrame:
+    """Per-EDGE neighbor-set Jaccard — the classic link-strength /
+    link-prediction score: for an edge (a,b),
+    ``|N(a)∩N(b)| / |N(a)∪N(b) − {a,b}|``. On a near-dup graph this
+    grades each pair by how much of their neighborhoods agree: an edge
+    inside a tight duplicate cluster scores → 1, a spurious bridge
+    between unrelated clusters scores → 0 — the per-edge refinement of
+    :func:`clustering_coefficient`'s per-node view, and the standard
+    pre-filter before trusting transitive closure over noisy pairs.
+
+    Common-neighbor counts are triangle counts PER EDGE: the same
+    degree-oriented wedge join as :func:`triangle_counts` (out-degree
+    bounded O(sqrt m), hub-safe), with each closed triangle credited to
+    its three edges via one explode. Integer counts + one double
+    division = bit-identical cross-engine. Returns
+    (id_a, id_b, common_neighbors, jaccard) for every input edge,
+    zero-common edges included."""
+    und = (edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+           .union(edges.select(F.col(id_b).alias("u"),
+                               F.col(id_a).alias("v"))))
+    deg = und.groupBy("u").agg(F.count("*").alias("d")) \
+             .select(F.col("u").alias("id"), "d")
+    da, db = deg.alias("da"), deg.alias("db")
+    e = (edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+         .join(da, F.col("a") == F.col("da.id"))
+         .join(db, F.col("b") == F.col("db.id"))
+         .select(
+             F.when((F.col("da.d") < F.col("db.d"))
+                    | ((F.col("da.d") == F.col("db.d"))
+                       & (F.col("a") < F.col("b"))),
+                    F.struct(F.col("a").alias("s"), F.col("b").alias("t")))
+             .otherwise(
+                    F.struct(F.col("b").alias("s"), F.col("a").alias("t")))
+             .alias("e"))
+         .select("e.s", "e.t"))
+    w1 = e.select(F.col("s").alias("apex"), F.col("t").alias("t1"))
+    w2 = e.select(F.col("s").alias("apex"), F.col("t").alias("t2"))
+    closing = e.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tri = (w1.join(w2, "apex")
+           .join(closing, ["t1", "t2"])
+           .select("apex", "t1", "t2"))
+    # credit each triangle to its 3 edges, normalized (lo, hi)
+    per_edge = (tri.select(F.explode(F.array(
+        F.struct(F.least("apex", "t1").alias("lo"),
+                 F.greatest("apex", "t1").alias("hi")),
+        F.struct(F.least("apex", "t2").alias("lo"),
+                 F.greatest("apex", "t2").alias("hi")),
+        F.struct(F.least("t1", "t2").alias("lo"),
+                 F.greatest("t1", "t2").alias("hi")))).alias("p"))
+        .groupBy("p.lo", "p.hi")
+        .agg(F.count("*").alias("common")))
+    base = (edges.select(F.least(id_a, id_b).alias("lo"),
+                         F.greatest(id_a, id_b).alias("hi"))
+            .join(per_edge, ["lo", "hi"], "left")
+            .join(da, F.col("lo") == F.col("da.id"))
+            .join(db, F.col("hi") == F.col("db.id"))
+            .select(F.col("lo").alias(id_a), F.col("hi").alias(id_b),
+                    F.coalesce("common", F.lit(0)).alias("common"),
+                    F.col("da.d").alias("d_a"), F.col("db.d").alias("d_b")))
+    union_sz = (F.col("d_a") + F.col("d_b") - 2 - F.col("common"))
+    return base.select(
+        id_a, id_b,
+        F.col("common").cast("bigint").alias("common_neighbors"),
+        F.round(F.when(union_sz > 0,
+                       F.col("common").cast("double")
+                       / union_sz.cast("double"))
+                .otherwise(F.lit(0.0)), 6).alias("jaccard"))

@@ -1353,6 +1353,44 @@ def _graph_lcc(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+@register("graph_edge_jaccard", f"""
+WITH pairs AS ({_srp_neardup_oracle_sql()}),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs),
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u AS id, count(*) AS d FROM und GROUP BY u),
+cn AS (
+  SELECT e.u AS lo, e.v AS hi, count(*) AS common
+  FROM e
+  JOIN und n1 ON n1.u = e.u
+  JOIN und n2 ON n2.u = e.v AND n2.v = n1.v
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       CAST(coalesce(cn.common, 0) AS BIGINT) AS common_neighbors,
+       round(CASE WHEN da.d + db.d - 2 - coalesce(cn.common, 0) > 0
+                  THEN CAST(coalesce(cn.common, 0) AS DOUBLE)
+                       / CAST(da.d + db.d - 2 - coalesce(cn.common, 0)
+                              AS DOUBLE)
+                  ELSE 0.0 END, 6) AS jaccard
+FROM pairs p
+LEFT JOIN cn ON cn.lo = p.id_a AND cn.hi = p.id_b
+JOIN deg da ON da.id = p.id_a
+JOIN deg db ON db.id = p.id_b
+ORDER BY p.id_a, p.id_b
+""")
+def _graph_jacc(spark, sf_dir):
+    # Per-edge neighbor Jaccard over the at-rest similarity pairs —
+    # link-strength grading (tight-cluster edges → 1, spurious bridges
+    # → 0) via the degree-oriented wedge join, each triangle credited
+    # to its 3 edges; the oracle counts common neighbors by the direct
+    # two-hop join, which agrees because each common neighbor of (a,b)
+    # closes exactly one triangle containing that edge.
+    from .operators.graph import neighbor_jaccard
+    pairs = _semantic_pairs(spark, sf_dir)
+    return (neighbor_jaccard(pairs)
+            .orderBy("id_a", "id_b"))
+
+
 def _pagerank_oracle_sql(num_iters: int = 10, damping: float = 0.85,
                          quantize: int = 7,
                          seed_pred: str | None = None) -> str:

@@ -225,3 +225,22 @@ def test_pagerank_leaves_no_pinned_blocks_in_reliable_mode(spark, tmp_path):
              checkpoint_dir=str(tmp_path / "ck")).collect()
     leaked = spark.sparkContext._jsc.getPersistentRDDs()
     assert leaked.size() == 0
+
+
+def test_neighbor_jaccard_hand_checked(spark):
+    from openedx_event_sink_clickhouse_spark.operators.graph import (
+        neighbor_jaccard)
+    # K4 on {1,2,3,4} plus a pendant 5-1: every K4 edge has 2 common
+    # neighbors, union = 3+3-2-2=2 → jaccard 1.0 except edges at node 1
+    # (degree 4: union 3 → 2/3); pendant edge (1,5): 0 common.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)],
+        "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): (r.common_neighbors, r.jaccard)
+           for r in neighbor_jaccard(edges).collect()}
+    assert got[(2, 3)] == (2, 1.0)
+    assert got[(2, 4)] == (2, 1.0)
+    assert got[(3, 4)] == (2, 1.0)
+    assert got[(1, 2)] == (2, round(2 / 3, 6))
+    assert got[(1, 5)] == (0, 0.0)
+    assert len(got) == 7
