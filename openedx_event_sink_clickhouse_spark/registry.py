@@ -6003,6 +6003,94 @@ def _evt_logrank(spark, sf_dir):
     return logrank_test(_t(spark, sf_dir, "events"))
 
 
+@register("evt_churn_labels", """
+WITH pu AS (
+  SELECT user_id AS unit,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                            - INTERVAL 14 DAY
+                   AND ts < TIMESTAMP '2024-01-20 00:00:00'
+                  THEN 1 ELSE 0 END) AS n_events,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                            - INTERVAL 14 DAY
+                   AND ts < TIMESTAMP '2024-01-20 00:00:00'
+                   AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS n_conversions,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                            - INTERVAL 14 DAY
+                   AND ts < TIMESTAMP '2024-01-20 00:00:00'
+                  THEN CAST(value AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS val,
+         count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                                       - INTERVAL 14 DAY
+                              AND ts < TIMESTAMP '2024-01-20 00:00:00'
+                             THEN CAST(ts AS DATE) END) AS days_active,
+         max(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                            - INTERVAL 14 DAY
+                   AND ts < TIMESTAMP '2024-01-20 00:00:00'
+                  THEN CAST(ts AS DATE) END) AS last_day,
+         max(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                   AND ts < TIMESTAMP '2024-01-20 00:00:00'
+                            + INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END) AS active_in_label
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+)
+SELECT unit, n_events, n_conversions,
+       round(CAST(val AS DOUBLE), 6) AS total_value,
+       CAST(days_active AS BIGINT) AS days_active,
+       CAST(datediff('day', last_day, DATE '2024-01-20') AS BIGINT)
+         AS recency_days,
+       1 - active_in_label AS churned
+FROM pu WHERE n_events > 0
+""")
+def _evt_churn(spark, sf_dir):
+    # Point-in-time-correct churn training rows: features strictly
+    # before the cutoff, label strictly at/after — the time split lives
+    # INSIDE the aggregate expressions of one per-user reduce, so a
+    # leaking second snapshot cannot exist.
+    from .operators.labeling import churn_labels
+    return churn_labels(_t(spark, sf_dir, "events"),
+                        "2024-01-20 00:00:00",
+                        horizon_days=7, feature_days=14)
+
+
+@register("evt_rfm_segments", """
+WITH pu AS (
+  SELECT user_id AS unit,
+         max(CAST(ts AS DATE)) AS last_day,
+         count(*) AS frequency,
+         sum(CAST(value AS DECIMAL(18,6))) AS val
+  FROM events
+  WHERE user_id IS NOT NULL AND ts < TIMESTAMP '2024-01-20 00:00:00'
+  GROUP BY user_id
+), base AS (
+  SELECT unit,
+         CAST(datediff('day', last_day, DATE '2024-01-20') AS BIGINT)
+           AS recency_days,
+         CAST(frequency AS BIGINT) AS frequency,
+         round(CAST(val AS DOUBLE), 6) AS monetary
+  FROM pu
+)
+SELECT unit, recency_days, frequency, monetary,
+       ntile(5) OVER (ORDER BY recency_days ASC, unit ASC) AS r_tile,
+       ntile(5) OVER (ORDER BY frequency DESC, unit ASC) AS f_tile,
+       ntile(5) OVER (ORDER BY monetary DESC, unit ASC) AS m_tile,
+       CAST(ntile(5) OVER (ORDER BY recency_days ASC, unit ASC)
+            AS VARCHAR)
+         || CAST(ntile(5) OVER (ORDER BY frequency DESC, unit ASC)
+                 AS VARCHAR)
+         || CAST(ntile(5) OVER (ORDER BY monetary DESC, unit ASC)
+                 AS VARCHAR) AS segment
+FROM base
+""")
+def _evt_rfm(spark, sf_dir):
+    # RFM quintile segmentation as of the cutoff: rank tiles over the
+    # REDUCED per-user frame (window_ntile_spend's documented pattern),
+    # deterministic unit-id tie-breaks, "111" = champions.
+    from .operators.labeling import rfm_segments
+    return rfm_segments(_t(spark, sf_dir, "events"),
+                        "2024-01-20 00:00:00")
+
+
 @register("evt_power_mde", """
 WITH pu AS (
   SELECT user_id AS unit,
