@@ -98,3 +98,46 @@ def distinct_rollup_certified(events: DataFrame, key_col: str = "user_id",
                      ok(F.col("_est"), F.col("exact_users"))
                      .alias("approx_ok")))
     return per_day.unionByName(total)
+
+
+def kmv_sketch(df, key_col: str, k: int = 256):
+    """Bottom-k (KMV) distinct sketch: the ``k`` smallest 60-bit md5
+    hashes over the column's distinct values — the third mergeable
+    distinct-count summary next to HLL (library sketch bytes) and the
+    exact digest tables, and the only one of the three that is BOTH
+    engine-reproducible in plain SQL (md5 arithmetic, no opaque state)
+    and a uniform DISTINCT-VALUE SAMPLE as a side effect (the bottom-k
+    keys are a hash-uniform draw — usable for profiling "what are these
+    values" where HLL only counts them).
+
+    Mergeable by construction: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    bottom-k(B)) — union partial sketches and re-cut (test-pinned).
+    Plan: distinct → hash → global bottom-k, which Spark executes as
+    per-partition TakeOrdered partials + one k-row merge — no full
+    sort, no single-partition shuffle. Returns (pos, hash_val, key)
+    rows, pos 1..k ascending by hash."""
+    from pyspark.sql import Window
+    from ..functions.hashes import md5_hash64
+
+    hashed = (df.select(F.col(key_col).cast("string").alias("key"))
+              .filter(F.col("key").isNotNull()).distinct()
+              .select("key", md5_hash64(F.col("key")).alias("hash_val")))
+    bk = hashed.orderBy("hash_val", "key").limit(k)
+    w = Window.orderBy("hash_val", "key")
+    return bk.select(F.row_number().over(w).alias("pos"),
+                     "hash_val", "key")
+
+
+def kmv_estimate(sketch, k: int = 256):
+    """Distinct-count estimate from a KMV sketch: ``(k-1) / R_k`` with
+    ``R_k`` = the k-th smallest hash normalized to (0,1] over the
+    60-bit hash space (Bar-Yossef et al. 2002). If the sketch holds
+    fewer than ``k`` rows the count was below k and the sketch IS the
+    exact distinct set. One row: (n_kept, estimate)."""
+    agg = sketch.agg(F.count("*").alias("n_kept"),
+                     F.max("hash_val").alias("_rk"))
+    rk_norm = F.col("_rk").cast("double") / F.lit(float(1 << 60))
+    est = F.when(F.col("n_kept") < k,
+                 F.col("n_kept").cast("double")) \
+           .otherwise((k - 1) / rk_norm)
+    return agg.select("n_kept", F.round(est, 6).alias("estimate"))

@@ -3427,6 +3427,55 @@ def _agg_hist_quant(spark, sf_dir):
             .orderBy("q"))
 
 
+@register("agg_kmv_distinct", """
+WITH d AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS key
+  FROM events WHERE user_id IS NOT NULL
+), h AS (
+  SELECT key, CAST('0x' || substr(md5(key), 1, 15) AS BIGINT) AS hash_val
+  FROM d
+), bk AS (
+  SELECT hash_val FROM h ORDER BY hash_val, key LIMIT 256
+), agg AS (
+  SELECT count(*) AS n_kept, max(hash_val) AS rk FROM bk
+), ex AS (SELECT count(*) AS exact_distinct FROM d)
+SELECT CAST(n_kept AS BIGINT) AS n_kept,
+       round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+                  ELSE CAST(255 AS DOUBLE)
+                       / (CAST(rk AS DOUBLE) / 1152921504606846976.0)
+             END, 6) AS estimate,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       round(abs(round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+                            ELSE CAST(255 AS DOUBLE)
+                                 / (CAST(rk AS DOUBLE)
+                                    / 1152921504606846976.0)
+                       END, 6) - exact_distinct)
+             / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+FROM agg, ex
+""")
+def _agg_kmv(spark, sf_dir):
+    # KMV bottom-k distinct sketch (Bar-Yossef et al. 2002): k smallest
+    # md5 hashes of the distinct keys, estimate (k-1)/R_k — the
+    # plain-SQL-reproducible mergeable distinct counter next to HLL,
+    # doubling as a uniform distinct-value sample; error measured
+    # in-query against the exact count.
+    from .operators.cardinality import kmv_estimate, kmv_sketch
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "user_id", k=256)
+    est = kmv_estimate(sk, k=256)
+    exact = (ev.filter(F.col("user_id").isNotNull())
+             .agg(F.count_distinct(F.col("user_id").cast("string"))
+                  .alias("exact_distinct")))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("n_kept", "estimate",
+                    F.col("exact_distinct").cast("bigint")
+                    .alias("exact_distinct"),
+                    F.round(F.abs(F.col("estimate")
+                                  - F.col("exact_distinct"))
+                            / F.col("exact_distinct").cast("double"), 6)
+                    .alias("rel_err")))
+
+
 @register("agg_grouped_quantiles", """
 WITH v AS (
   SELECT event_type AS key, CAST(value AS DOUBLE) AS v

@@ -91,3 +91,28 @@ def test_hll_stream_maintainer_equals_batch_daily_table(spark, tmp_path):
     # at this scale
     total = rollup_estimate(folded).first()
     assert abs(total["est_distinct"] - 400) <= 0.05 * 400
+
+
+def test_kmv_merge_equals_whole_and_estimates_within_tolerance(spark):
+    from openedx_event_sink_clickhouse_spark.operators.cardinality import (
+        kmv_estimate, kmv_sketch)
+    from pyspark.sql import functions as F
+    a = spark.createDataFrame([(i,) for i in range(3000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(2000, 6000)], "k long")
+    whole = a.union(b)
+    k = 128
+    # mergeability: bottom-k of (bottom-k(A) U bottom-k(B)) == bottom-k(whole)
+    pa = kmv_sketch(a, "k", k).select("hash_val", "key")
+    pb = kmv_sketch(b, "k", k).select("hash_val", "key")
+    merged = (pa.union(pb).distinct()
+              .orderBy("hash_val", "key").limit(k))
+    want = kmv_sketch(whole, "k", k).select("hash_val", "key")
+    assert [tuple(r) for r in merged.collect()] == \
+        [tuple(r) for r in want.collect()]
+    # estimator: within 30% at k=128 (theory: rel sd ~ 1/sqrt(k-2) ~ 9%)
+    est = kmv_estimate(kmv_sketch(whole, "k", k), k).first().estimate
+    assert abs(est - 6000) / 6000 < 0.3, est
+    # small sets are exact
+    small = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    row = kmv_estimate(kmv_sketch(small, "k", k), k).first()
+    assert row.n_kept == 50 and row.estimate == 50.0
