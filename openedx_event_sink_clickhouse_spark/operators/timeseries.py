@@ -146,3 +146,44 @@ def rolling_actives(events: DataFrame, window_days: int = 7,
             .select("day", "dau", "wau",
                     F.round(F.col("dau").cast("double") / F.col("wau"), 6)
                     .alias("stickiness")))
+
+
+def mad_flags(series: DataFrame, key_col: str, value_col: str,
+              threshold: float = 3.5) -> DataFrame:
+    """Robust per-key outlier flags via MEDIAN / MAD — the companion to
+    :func:`zscore_flags` for series where the anomaly itself poisons
+    the moments: one hour of 100× traffic drags the mean and stddev so
+    far that the z-score UNDER-flags (masking), while the median and
+    the median absolute deviation barely move (50% breakdown point vs
+    0%). The standard robust z is ``0.6745 · (x − median) / MAD``
+    (Iglewicz & Hoaglin's modified z-score; 0.6745 rescales MAD to σ
+    under normality), flagged above ``threshold`` (their recommended
+    3.5).
+
+    Two tiny groupBys over the already-resampled series (median, then
+    MAD of the joined residuals) — the series is buckets × keys,
+    orders of magnitude below events, so the exact percentile
+    aggregate is safe here; at raw-event scale use the grouped
+    histogram sketch (`operators/quantiles.py`) for the median
+    instead. A constant key (MAD 0) yields NULL scores and no flags —
+    "undefined", not "infinitely anomalous"."""
+    v = F.col(value_col).cast("double")
+    med = (series.groupBy(F.col(key_col).alias("_k"))
+           .agg(F.percentile(v, F.lit(0.5)).alias("_med")))
+    joined = series.join(F.broadcast(med),
+                         F.col(key_col) == F.col("_k")).drop("_k")
+    mad = (joined.groupBy(F.col(key_col).alias("_k"))
+           .agg(F.percentile(F.abs(v - F.col("_med")), F.lit(0.5))
+                .alias("_mad")))
+    full = joined.join(F.broadcast(mad),
+                       F.col(key_col) == F.col("_k")).drop("_k")
+    rz = 0.6745 * (v - F.col("_med")) / F.col("_mad")
+    return (full
+            .withColumn("median", F.round(F.col("_med"), 6))
+            .withColumn("mad", F.round(F.col("_mad"), 6))
+            .withColumn("robust_z",
+                        F.round(F.when(F.col("_mad") > 0, rz), 6))
+            .withColumn("is_anomaly",
+                        F.when(F.abs(F.col("robust_z")) > threshold, 1)
+                        .otherwise(0).cast("int"))
+            .drop("_med", "_mad"))

@@ -6406,6 +6406,55 @@ def _ts_zscore(spark, sf_dir):
                 "is_anomaly")
 
 
+@register("evt_anomaly_mad", """
+WITH agg AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT key, min(bucket_start) AS lo, max(bucket_start) AS hi
+  FROM agg GROUP BY key
+), spine AS (
+  SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+           AS bucket_start
+  FROM bounds
+), filled AS (
+  SELECT s.key, s.bucket_start, coalesce(a.n_events, 0) AS n_events
+  FROM spine s LEFT JOIN agg a USING (key, bucket_start)
+), med AS (
+  SELECT key, quantile_cont(CAST(n_events AS DOUBLE), 0.5) AS m
+  FROM filled GROUP BY key
+), mad AS (
+  SELECT f.key,
+         quantile_cont(abs(CAST(f.n_events AS DOUBLE) - med.m), 0.5)
+           AS d
+  FROM filled f JOIN med USING (key) GROUP BY f.key
+), z AS (
+  SELECT f.key, f.bucket_start, f.n_events,
+         round(med.m, 6) AS median, round(mad.d, 6) AS mad,
+         round(CASE WHEN mad.d > 0
+               THEN 0.6745 * (CAST(f.n_events AS DOUBLE) - med.m) / mad.d
+               END, 6) AS robust_z
+  FROM filled f JOIN med USING (key) JOIN mad USING (key)
+)
+SELECT key AS event_type, CAST(bucket_start AS TIMESTAMP) AS bucket_start,
+       n_events, median, mad, robust_z,
+       CASE WHEN abs(robust_z) > 3.5 THEN 1 ELSE 0 END AS is_anomaly
+FROM z
+""")
+def _ts_mad(spark, sf_dir):
+    # Robust (median/MAD) outlier flags over the same gap-filled hourly
+    # series as evt_anomaly_zscore — the masking-resistant twin: a
+    # spike can't hide itself by inflating the stddev it is judged
+    # against. Modified z per Iglewicz & Hoaglin (0.6745·(x−med)/MAD,
+    # cut 3.5); flags on the ROUNDED score, engine-stable.
+    from .operators.timeseries import mad_flags, resample_gapfill
+    series = resample_gapfill(_t(spark, sf_dir, "events"))
+    return (mad_flags(series, "event_type", "n_events")
+            .select("event_type", "bucket_start", "n_events",
+                    "median", "mad", "robust_z", "is_anomaly"))
+
+
 SCD2_ASOF_TS = "2024-01-10 00:00:00"
 
 

@@ -312,3 +312,29 @@ def test_rolling_actives_empty_input(spark):
         rolling_actives)
     ev = spark.createDataFrame([], "user_id long, ts timestamp")
     assert rolling_actives(ev).count() == 0
+
+
+def test_mad_flags_resist_masking_where_zscore_fails(spark):
+    # One colossal spike in an otherwise flat series: it inflates the
+    # stddev enough to shrink ITS OWN z-score (masking); the median/MAD
+    # pair barely moves, so the robust score still screams. Use enough
+    # flat buckets that the z-score stays under 3 while the robust z
+    # is far above 3.5.
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        mad_flags, zscore_flags)
+    from pyspark.sql import functions as F
+    rows = [("k", i, 10 + (i % 3)) for i in range(8)] + [("k", 8, 1000)]
+    s = spark.createDataFrame(rows, "key string, bucket int, n long")
+    robust = {r.bucket: r for r in mad_flags(s, "key", "n").collect()}
+    classic = {r.bucket: r for r in zscore_flags(s, "key", "n").collect()}
+    assert robust[8].is_anomaly == 1
+    assert classic[8].is_anomaly == 0          # masked: z < 3
+    assert abs(classic[8].zscore) < 3.0
+    assert robust[8].robust_z > 100
+    # flat buckets stay unflagged in both
+    assert all(robust[b].is_anomaly == 0 for b in range(8))
+    # constant key: MAD 0 -> NULL scores, no flags
+    c = spark.createDataFrame([("c", i, 5) for i in range(4)],
+                              "key string, bucket int, n long")
+    out = mad_flags(c, "key", "n").collect()
+    assert all(r.robust_z is None and r.is_anomaly == 0 for r in out)
