@@ -7718,17 +7718,17 @@ _PRIORITY = [
     "sim_ivfpq_topk", "cur_zorder_key", "ret_phrase_search",
     "graph_clustering_coefficient", "graph_edge_jaccard",
     "dq_k_anonymity", "dq_benford_audit", "dq_snapshot_diff",
+    "evt_churn_labels", "evt_rfm_segments", "agg_kmv_distinct",
+    "evt_anomaly_mad",
     # -- the r4-graded stragglers (oldest grades anywhere) --
     "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
     "stream_stateful_incremental_gate", "stream_tumbling_stats",
     "t1_tree_ordinals", "text_dsir_importance", "text_quality_signals",
     "text_top_ngrams", "text_unigram_logprob",
-    # -- the r5 cohort, alphabetical (first 7 of 40) --
+    # -- the r5 cohort, alphabetical (first 3 of 40) --
     "a1_watermarks", "agg_rollup_events", "cur_chunk_documents",
-    "cur_decontaminate", "cur_mix_interleave", "dedup_clusters",
-    "dedup_remove_spans",
-    # (remaining r5 cohort — dedup_simhash … tpch_q6 — leads the r10
-    # window, then the r6 cohort alphabetically)
+    # (remaining r5 cohort — cur_decontaminate … tpch_q6 — leads the
+    # r10 window, then the r6 cohort alphabetically)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
