@@ -281,3 +281,58 @@ def markov_transitions(events: DataFrame, user_col: str = "user_id",
                     .alias("n_transitions"),
                     F.round(F.col("n_transitions").cast("double")
                             / F.col("_row_total"), 6).alias("prob")))
+
+
+def funnel_latency(events: DataFrame, steps: list[str],
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type") -> DataFrame:
+    """Time-to-convert between consecutive funnel stages: for each user
+    who reached step *i*, the delta from their step *i-1* completion to
+    their step *i* completion (the same earliest-completion stage
+    frames as :func:`funnel`), aggregated per step pair into
+    (step_idx, from_step, to_step, n_users, p50_seconds, p90_seconds).
+    The dashboard next to conversion rate — "WHERE do users stall",
+    which the rate alone can't say.
+
+    Deltas are exact integer MICROSECONDS (``unix_micros``) so the
+    percentile inputs are engine-identical; the interpolated result
+    divides to seconds once at the end. The percentile aggregate runs
+    per step pair over one-row-per-converted-user deltas — user-scale,
+    the documented boundary where the exact form swaps for the grouped
+    histogram sketch (`operators/quantiles.py`)."""
+    if len(steps) < 2:
+        raise ValueError("funnel_latency needs at least two steps")
+    reached = (events.filter(F.col(type_col) == steps[0])
+               .groupBy(user_col)
+               .agg(F.min(ts_col).alias("_t")))
+    stages = [reached]
+    for step in steps[1:]:
+        nxt = (events.filter(F.col(type_col) == step)
+               .join(stages[-1].select(user_col,
+                                       F.col("_t").alias("_prev")),
+                     user_col)
+               .filter(F.col(ts_col) > F.col("_prev"))
+               .groupBy(user_col)
+               .agg(F.min(ts_col).alias("_t")))
+        stages.append(nxt)
+    out = None
+    for i in range(1, len(steps)):
+        prev, cur = stages[i - 1], stages[i]
+        deltas = (cur.join(prev.select(user_col,
+                                       F.col("_t").alias("_pt")),
+                           user_col)
+                  .select((F.unix_micros(F.col("_t"))
+                           - F.unix_micros(F.col("_pt"))).alias("_d")))
+        row = deltas.agg(
+            F.count("*").alias("n_users"),
+            F.percentile(F.col("_d"), F.lit(0.5)).alias("_p50"),
+            F.percentile(F.col("_d"), F.lit(0.9)).alias("_p90")
+        ).select(
+            F.lit(i + 1).alias("step_idx"),
+            F.lit(steps[i - 1]).alias("from_step"),
+            F.lit(steps[i]).alias("to_step"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.round(F.col("_p50") / 1e6, 6).alias("p50_seconds"),
+            F.round(F.col("_p90") / 1e6, 6).alias("p90_seconds"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -380,3 +380,43 @@ def neighbor_jaccard(edges: DataFrame, id_a: str = "id_a",
                        F.col("common").cast("double")
                        / union_sz.cast("double"))
                 .otherwise(F.lit(0.0)), 6).alias("jaccard"))
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 8,
+          id_a: str = "id_a", id_b: str = "id_b",
+          cut_every: int = 2) -> DataFrame:
+    """k-core extraction by ``rounds`` PEELING iterations: repeatedly
+    drop nodes whose degree within the surviving subgraph is < ``k``.
+    The k-core is the classic robust-density region — unlike a raw
+    degree cut, membership survives the removal of its weakest
+    neighbors, which is what makes it the "keep the genuinely dense
+    duplicate mass, shed the hair" selector on near-dup graphs (and the
+    usual seed set for community/influence work). Returns
+    (id, degree) for nodes alive after the final round, degree measured
+    in the surviving subgraph.
+
+    FIXED-ITERATION SPEC, the pagerank discipline: the published result
+    is "``rounds`` peels", bit-reproducible in both engines (the oracle
+    unrolls the same rounds as materialized CTEs); peeling converges in
+    a handful of rounds on bounded-degeneracy graphs, and a converged
+    round is a no-op so extra rounds are safe. Integer degrees — no FP
+    surface at all. Each round is one semi-join (edges ⋈ survivors ×2)
+    + one degree groupBy over the shrinking edge set; lineage is cut
+    every ``cut_every`` rounds so plan depth stays bounded."""
+    und = (edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+           .union(edges.select(F.col(id_b).alias("u"),
+                               F.col(id_a).alias("v"))))
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    alive = deg.filter(F.col("d") >= k).select(F.col("u").alias("id"))
+    for r in range(1, rounds):
+        e = (und.join(alive.withColumnRenamed("id", "u"), "u", "leftsemi")
+             .join(alive.withColumnRenamed("id", "v"), "v", "leftsemi"))
+        deg = e.groupBy("u").agg(F.count("*").alias("d"))
+        alive = deg.filter(F.col("d") >= k).select(F.col("u").alias("id"))
+        if r % cut_every == 0:
+            alive = alive.localCheckpoint(eager=False)
+    e = (und.join(alive.withColumnRenamed("id", "u"), "u", "leftsemi")
+         .join(alive.withColumnRenamed("id", "v"), "v", "leftsemi"))
+    return (e.groupBy(F.col("u").alias("id"))
+            .agg(F.count("*").cast("bigint").alias("degree"))
+            .filter(F.col("degree") >= k))

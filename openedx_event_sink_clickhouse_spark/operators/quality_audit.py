@@ -326,3 +326,52 @@ def benford_audit(df: DataFrame, value_col: str,
         F.round(chi2, 6).alias("chi2"),
         (chi2 > chi2_crit).cast("int").alias("benford_flag"))
         .orderBy("digit"))
+
+
+def psi_drift(df: DataFrame, value_col: str, slice_pred,
+              lo: float, hi: float, n_bins: int = 10) -> DataFrame:
+    """Population Stability Index between two slices of one column —
+    the standard ML-ops drift monitor (PSI < 0.1 stable, 0.1–0.25
+    drifting, > 0.25 action): bucket both slices on the same fixed
+    grid (under/overflow cells included), smooth empty cells with a
+    half-count so the log ratio is always finite, and fold
+    ``Σ (p−q)·ln(p/q)``. One row per bucket with the per-bucket
+    contribution plus the whole-column PSI and verdict repeated per row
+    (the srm_check report convention). ``slice_pred`` is the Column
+    predicate naming the REFERENCE slice; rows failing it are the
+    comparison slice.
+
+    One scan, one ≤ n_bins+2-key groupBy of conditional counts; the
+    PSI fold runs over the bucket frame. NULLs are excluded from both
+    slices (audit completeness separately). Laplace-style smoothing
+    (count+0.5 per cell) keeps the statistic defined when a bucket
+    empties on one side — the alternative, dropping the bucket, hides
+    exactly the novel-mass drift PSI exists to flag."""
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / n_bins
+    bucket = (F.when(v < lo, F.lit(-1))
+              .when(v >= hi, F.lit(n_bins))
+              .otherwise(F.floor((v - lo) / width).cast("int")))
+    counts = (df.filter(v.isNotNull())
+              .select(bucket.alias("bucket"),
+                      slice_pred.cast("int").alias("_ref"))
+              .groupBy("bucket")
+              .agg(F.sum("_ref").cast("long").alias("n_ref"),
+                   F.sum(1 - F.col("_ref")).cast("long").alias("n_cmp")))
+    w = Window.partitionBy()
+    p = ((F.col("n_ref").cast("double") + 0.5)
+         / (F.sum("n_ref").over(w).cast("double")
+            + 0.5 * F.count(F.lit(1)).over(w).cast("double")))
+    q = ((F.col("n_cmp").cast("double") + 0.5)
+         / (F.sum("n_cmp").over(w).cast("double")
+            + 0.5 * F.count(F.lit(1)).over(w).cast("double")))
+    contrib = (p - q) * F.log(p / q)
+    psi = F.sum(contrib).over(w)
+    return (counts.select(
+        "bucket", "n_ref", "n_cmp",
+        F.round(contrib, 6).alias("psi_contrib"),
+        F.round(psi, 6).alias("psi"),
+        F.when(psi > 0.25, F.lit("action"))
+         .when(psi > 0.1, F.lit("drifting"))
+         .otherwise(F.lit("stable")).alias("verdict"))
+        .orderBy("bucket"))

@@ -1391,6 +1391,66 @@ def _graph_jacc(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _copurchase_pairs_sql() -> str:
+    return ("""SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS id_a,
+                greatest(a.l_partkey, b.l_partkey) AS id_b
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey""")
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
+    # Unrolled fixed-round peel — one (edge-restrict, degree, filter)
+    # CTE pair per round, MATERIALIZED throughout (the DuckDB inline-CTE
+    # exponential-replay trap pagerank's oracle documents).
+    lines = [f"WITH pairs AS MATERIALIZED ({_copurchase_pairs_sql()}),",
+             "und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs"
+             " UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),",
+             f"s1 AS MATERIALIZED (SELECT u AS id FROM und GROUP BY u"
+             f" HAVING count(*) >= {k}),"]
+    prev = "s1"
+    for r in range(2, rounds + 1):
+        lines.append(
+            f"e{r} AS MATERIALIZED (SELECT und.u, und.v FROM und"
+            f" JOIN {prev} a ON und.u = a.id"
+            f" JOIN {prev} b ON und.v = b.id),")
+        lines.append(
+            f"s{r} AS MATERIALIZED (SELECT u AS id FROM e{r} GROUP BY u"
+            f" HAVING count(*) >= {k}),")
+        prev = f"s{r}"
+    lines.append(
+        f"ef AS (SELECT und.u FROM und"
+        f" JOIN {prev} a ON und.u = a.id"
+        f" JOIN {prev} b ON und.v = b.id)")
+    lines.append(
+        f"SELECT u AS vec_id, CAST(count(*) AS BIGINT) AS degree"
+        f" FROM ef GROUP BY u HAVING count(*) >= {k} ORDER BY vec_id")
+    return "\n".join(lines)
+
+
+@register("graph_kcore", _kcore_oracle_sql(k=75))
+def _graph_kcore(spark, sf_dir):
+    # 75-core of the part CO-PURCHASE graph (parts sharing an order —
+    # the classic bipartite projection; the at-rest similarity graph is
+    # a forest at sf scale, whose empty core would be a weak oracle) by
+    # 8 fixed peeling rounds — pagerank's fixed-iteration discipline,
+    # integer degrees, zero FP surface. k=75 sits just below the sf0.01
+    # graph's collapse point (probed: 75-core = 1938/2000 parts, 85-core
+    # = 0), so the peel provably removes mass AND provably keeps a
+    # nontrivial core — both failure directions are live in the hash.
+    from .operators.graph import kcore
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("id_a"),
+                     F.col("b.l_partkey").alias("id_b"))
+             .distinct())
+    return (kcore(pairs, k=75, rounds=8)
+            .select(F.col("id").alias("vec_id"), "degree")
+            .orderBy("vec_id"))
+
+
 def _pagerank_oracle_sql(num_iters: int = 10, damping: float = 0.85,
                          quantize: int = 7,
                          seed_pred: str | None = None) -> str:
@@ -6522,6 +6582,40 @@ def _fun1(spark, sf_dir):
                   ["view", "click", "purchase"])
 
 
+@register("evt_funnel_latency", """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+d2 AS (SELECT epoch_us(s2.t) - epoch_us(s1.t) AS d
+       FROM s2 JOIN s1 USING (user_id)),
+d3 AS (SELECT epoch_us(s3.t) - epoch_us(s2.t) AS d
+       FROM s3 JOIN s2 USING (user_id))
+SELECT 2 AS step_idx, 'view' AS from_step, 'click' AS to_step,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(quantile_cont(CAST(d AS DOUBLE), 0.5) / 1e6, 6)
+         AS p50_seconds,
+       round(quantile_cont(CAST(d AS DOUBLE), 0.9) / 1e6, 6)
+         AS p90_seconds
+FROM d2
+UNION ALL
+SELECT 3, 'click', 'purchase', CAST(count(*) AS BIGINT),
+       round(quantile_cont(CAST(d AS DOUBLE), 0.5) / 1e6, 6),
+       round(quantile_cont(CAST(d AS DOUBLE), 0.9) / 1e6, 6)
+FROM d3
+""")
+def _fun_latency(spark, sf_dir):
+    # Time-to-convert between funnel stages (earliest-completion
+    # semantics shared with evt_funnel): integer-microsecond deltas
+    # into per-pair p50/p90 — "where do users stall", the companion
+    # the conversion rate can't answer.
+    from .operators.funnel import funnel_latency
+    return funnel_latency(_t(spark, sf_dir, "events"),
+                          ["view", "click", "purchase"])
+
+
 @register("evt_funnel_windowed", """
 WITH s1 AS (SELECT user_id, min(ts) AS t, min(ts) AS t0 FROM events
             WHERE event_type = 'view' GROUP BY 1),
@@ -7535,6 +7629,54 @@ def _dq_snapshot(spark, sf_dir):
                     .otherwise(F.col("o_totalprice"))
                     .alias("o_totalprice")))
     return snapshot_diff(old, new, ["o_orderkey"])
+
+
+@register("dq_psi_drift", """
+WITH v AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+              THEN 1 ELSE 0 END AS ref
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT CASE WHEN v < 0.0 THEN -1
+              WHEN v >= 100.0 THEN 10
+              ELSE CAST(floor(v / 10.0) AS INT) END AS bucket,
+         sum(ref) AS n_ref, sum(1 - ref) AS n_cmp
+  FROM v GROUP BY 1
+), x AS (
+  SELECT bucket, n_ref, n_cmp,
+         (CAST(n_ref AS DOUBLE) + 0.5)
+           / (CAST(sum(n_ref) OVER () AS DOUBLE)
+              + 0.5 * CAST(count(*) OVER () AS DOUBLE)) AS p,
+         (CAST(n_cmp AS DOUBLE) + 0.5)
+           / (CAST(sum(n_cmp) OVER () AS DOUBLE)
+              + 0.5 * CAST(count(*) OVER () AS DOUBLE)) AS q
+  FROM c
+), y AS (
+  SELECT bucket, n_ref, n_cmp, (p - q) * ln(p / q) AS contrib FROM x
+), z AS (
+  SELECT bucket, n_ref, n_cmp, contrib,
+         sum(contrib) OVER () AS psi
+  FROM y
+)
+SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cmp AS BIGINT) AS n_cmp,
+       round(contrib, 6) AS psi_contrib, round(psi, 6) AS psi,
+       CASE WHEN psi > 0.25 THEN 'action'
+            WHEN psi > 0.1 THEN 'drifting'
+            ELSE 'stable' END AS verdict
+FROM z ORDER BY bucket
+""")
+def _dq_psi(spark, sf_dir):
+    # Population Stability Index between the pre/post-cutoff slices of
+    # the event value — the standard ML-ops input-drift monitor: shared
+    # fixed grid, half-count smoothing so novel-mass buckets stay
+    # finite, one scan + one bucket-frame fold.
+    from .operators.quality_audit import psi_drift
+    return psi_drift(
+        _t(spark, sf_dir, "events"), "value",
+        F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"),
+        0.0, 100.0, n_bins=10)
 
 
 def _benford_values_sql() -> str:

@@ -224,3 +224,35 @@ def test_last_touch_attribution_single_exchange_sort(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Sort ") == 1, plan
+
+
+def test_funnel_latency_hand_checked(spark):
+    import datetime as dt
+    from openedx_event_sink_clickhouse_spark.operators.funnel import (
+        funnel_latency)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: view@0 click@10 purchase@70
+        (1, at(0), 1, "view", 0.0), (2, at(10), 1, "click", 0.0),
+        (3, at(70), 1, "purchase", 0.0),
+        # user 2: view@0 click@30 (no purchase)
+        (4, at(0), 2, "view", 0.0), (5, at(30), 2, "click", 0.0),
+        # user 3: click only (never enters funnel)
+        (6, at(5), 3, "click", 0.0),
+        # user 1 pre-view click must NOT count (strictly-after rule)
+        (7, at(0), 4, "click", 0.0), (8, at(1), 4, "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = {(r.from_step, r.to_step): r for r in
+           funnel_latency(df, ["view", "click", "purchase"]).collect()}
+    vc = out[("view", "click")]
+    assert vc.n_users == 2
+    assert vc.p50_seconds == 20.0       # median of {10, 30}
+    cp = out[("click", "purchase")]
+    assert cp.n_users == 1 and cp.p50_seconds == 60.0

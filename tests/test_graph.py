@@ -244,3 +244,25 @@ def test_neighbor_jaccard_hand_checked(spark):
     assert got[(1, 2)] == (2, round(2 / 3, 6))
     assert got[(1, 5)] == (0, 0.0)
     assert len(got) == 7
+
+
+def test_kcore_peels_to_fixpoint(spark):
+    from openedx_event_sink_clickhouse_spark.operators.graph import kcore
+    # K4 {1,2,3,4} + a tail 4-5-6 + a triangle {7,8,9} hanging off 1 via
+    # 7-1. 3-core: K4 only — the triangle {7,8,9} has degree 2 inside
+    # itself (dies at k=3), and the tail peels away; crucially node 4
+    # must survive even though the tail inflates its raw degree, and a
+    # SINGLE peel would still leave 7 connected to the core via 1.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (7, 8), (7, 9), (8, 9), (1, 7)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.degree for r in kcore(df, k=3, rounds=8).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=2: the triangle survives too (and keeps its 1-7 bridge? no —
+    # bridge endpoints have in-subgraph degree >= 2 each: 1 and 7 both
+    # survive, so the edge stays and degrees count it)
+    got2 = {r.id: r.degree for r in kcore(df, k=2, rounds=8).collect()}
+    assert set(got2) == {1, 2, 3, 4, 7, 8, 9}
+    assert got2[7] == 3 and got2[1] == 4
+    # k larger than any density: empty
+    assert kcore(df, k=4, rounds=8).count() == 0

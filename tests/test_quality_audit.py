@@ -224,3 +224,29 @@ def test_benford_audit_passes_powers_and_flags_uniform(spark):
     mix = spark.createDataFrame([(0.0,), (None,), (-200.0,)], "v double")
     got = {r.digit: r.n_rows for r in benford_audit(mix, "v").collect()}
     assert got[2] == 1 and sum(got.values()) == 1
+
+
+def test_psi_drift_detects_shift_and_stays_quiet_on_none(spark):
+    from openedx_event_sink_clickhouse_spark.operators.quality_audit import (
+        psi_drift)
+    from pyspark.sql import functions as F
+    import math
+    # identical slices -> PSI ~ 0 (exactly 0 with equal counts/smoothing)
+    same = spark.createDataFrame(
+        [(float(i % 100), i % 2) for i in range(2000)], "v double, s int")
+    out = psi_drift(same, "v", F.col("s") == 1, 0.0, 100.0).collect()
+    assert all(r.verdict == "stable" for r in out)
+    assert abs(out[0].psi) < 1e-9
+    # mass moved from low to high buckets -> action
+    rows = ([(float(i % 40), 1) for i in range(1000)]
+            + [(60.0 + (i % 40), 0) for i in range(1000)])
+    drift = spark.createDataFrame(rows, "v double, s int")
+    out = psi_drift(drift, "v", F.col("s") == 1, 0.0, 100.0).collect()
+    assert out[0].psi > 0.25
+    assert all(r.verdict == "action" for r in out)
+    # hand-check one bucket's contribution formula
+    r0 = next(r for r in out if r.bucket == 0)
+    n_buckets = len(out)
+    p = (r0.n_ref + 0.5) / (1000 + 0.5 * n_buckets)
+    q = (r0.n_cmp + 0.5) / (1000 + 0.5 * n_buckets)
+    assert abs(r0.psi_contrib - round((p - q) * math.log(p / q), 6)) < 1e-6
