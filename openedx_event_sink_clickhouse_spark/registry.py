@@ -7867,10 +7867,9 @@ _PRIORITY = [
     "stream_stateful_incremental_gate", "stream_tumbling_stats",
     "t1_tree_ordinals", "text_dsir_importance", "text_quality_signals",
     "text_top_ngrams", "text_unigram_logprob",
-    # -- the r5 cohort, alphabetical (first 3 of 40) --
-    "a1_watermarks", "agg_rollup_events", "cur_chunk_documents",
-    # (remaining r5 cohort — cur_decontaminate … tpch_q6 — leads the
-    # r10 window, then the r6 cohort alphabetically)
+    "evt_funnel_latency", "dq_psi_drift", "graph_kcore",
+    # (the r5 cohort — a1_watermarks … tpch_q6 — leads the r10 window,
+    # then the r6 cohort alphabetically)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
