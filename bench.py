@@ -191,6 +191,13 @@ HEADLINE = [
     "graph_edge_jaccard",          # per-edge common-neighbor grading
     "dq_benford_audit",            # first-digit forensic screen
     "mm_wav_silence_segments",     # real PCM decode + run detection
+    "evt_funnel_latency",          # stage time-to-convert percentiles
+    "dq_psi_drift",                # population-stability drift monitor
+    "graph_kcore",                 # fixed-round peel on co-purchases
+    "agg_kmv_distinct",            # bottom-k mergeable distinct sketch
+    "evt_churn_labels",            # point-in-time training labels
+    "evt_rfm_segments",            # RFM quintile segmentation
+    "evt_anomaly_mad",             # robust median/MAD outlier flags
 ]
 
 

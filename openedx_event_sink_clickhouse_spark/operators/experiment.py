@@ -414,14 +414,21 @@ def jackknife_ratio_ci(events: DataFrame, *, unit_col: str = "user_id",
                   .groupBy("variant", "bucket")
                   .agg(F.sum("uval").alias("n_b"),
                        F.count("*").alias("d_b")))
-    tot = (per_bucket.groupBy("variant")
-           .agg(F.sum("n_b").alias("n_tot"), F.sum("d_b").alias("d_tot"),
-                F.count("*").alias("n_folds")))
-    folds = (per_bucket.join(F.broadcast(tot), "variant")
-             .select("variant", "n_folds", "n_tot", "d_tot",
-                     ((F.col("n_tot") - F.col("n_b")).cast("double")
-                      / (F.col("d_tot") - F.col("d_b")).cast("double"))
-                     .alias("theta_i")))
+    # Totals as WINDOW sums over the (variants × buckets)-row frame — a
+    # groupBy+join formulation was measured to re-run the whole per-unit
+    # reduce for the totals branch (Spark reuses exchanges, not
+    # arbitrary subtrees), i.e. two event scans instead of one.
+    wv = Window.partitionBy("variant")
+    folds = (per_bucket.select(
+        "variant",
+        F.count(F.lit(1)).over(wv).alias("n_folds"),
+        F.sum("n_b").over(wv).alias("n_tot"),
+        F.sum("d_b").over(wv).alias("d_tot"),
+        F.col("n_b"), F.col("d_b"))
+        .select("variant", "n_folds", "n_tot", "d_tot",
+                ((F.col("n_tot") - F.col("n_b")).cast("double")
+                 / (F.col("d_tot") - F.col("d_b")).cast("double"))
+                .alias("theta_i")))
     stats = (folds.groupBy("variant")
              .agg(F.first("n_folds").alias("b"),
                   F.first("n_tot").alias("n_tot"),
@@ -477,17 +484,33 @@ def sequential_monitoring(events: DataFrame, *,
                 .select(assign_variant(F.col("unit"), n_variants, salt)
                         .alias("variant"),
                         "exposure_day", "conv_day"))
-    v0, v1 = F.col("variant") == 0, F.col("variant") == 1
-    exp_add = (per_unit.groupBy(F.col("exposure_day").alias("look_day"))
-               .agg(F.sum(v0.cast("long")).alias("e0"),
-                    F.sum(v1.cast("long")).alias("e1")))
-    conv_add = (per_unit.filter(F.col("conv_day").isNotNull())
-                .groupBy(F.col("conv_day").alias("look_day"))
-                .agg(F.sum(v0.cast("long")).alias("c0"),
-                     F.sum(v1.cast("long")).alias("c1")))
+    # Exposure and conversion increments in ONE pass over the per-unit
+    # frame: each unit explodes to its (exposure_day, is_exposure) entry
+    # plus — when it converted — its (conv_day, is_conversion) entry.
+    # Separate groupBys on the two day columns would re-run the whole
+    # per-unit reduce per branch (Spark reuses exchanges, not arbitrary
+    # subtrees): three event scans instead of two.
+    v0 = F.col("variant") == 0
+    entries = per_unit.select(
+        "variant",
+        # outer explode: the array is never empty (the exposure entry is
+        # unconditional), and explode_outer dodges the inferred
+        # size()>0 filter that re-evaluates the generator input (the
+        # InferFiltersFromGenerate double-evaluation)
+        F.explode_outer(F.array_compact(F.array(
+            F.struct(F.col("exposure_day").alias("d"),
+                     F.lit(1).alias("is_exp")),
+            F.when(F.col("conv_day").isNotNull(),
+                   F.struct(F.col("conv_day").alias("d"),
+                            F.lit(0).alias("is_exp")))))).alias("x"))
+    is_exp = F.col("x.is_exp") == 1
+    adds = (entries.groupBy(F.col("x.d").alias("look_day"))
+            .agg(F.sum((is_exp & v0).cast("long")).alias("e0"),
+                 F.sum((is_exp & ~v0).cast("long")).alias("e1"),
+                 F.sum((~is_exp & v0).cast("long")).alias("c0"),
+                 F.sum((~is_exp & ~v0).cast("long")).alias("c1")))
     days = events.select(day.alias("look_day")).distinct()
-    j = (days.join(exp_add, "look_day", "left")
-         .join(conv_add, "look_day", "left")
+    j = (days.join(adds, "look_day", "left")
          .select("look_day",
                  *[F.coalesce(c, F.lit(0)).alias(c)
                    for c in ("e0", "e1", "c0", "c1")]))

@@ -263,8 +263,12 @@ def markov_transitions(events: DataFrame, user_col: str = "user_id",
     Scale shape: identical to top_paths — one hash exchange on
     ``user_col`` for the per-user ``lead`` window, then a groupBy over
     at most (|types|+1)² keys, so the final exchange carries map-side
-    partials, not events. The row-normalizing totals join is a broadcast
-    of |types| rows. No explode, no full-stream window.
+    partials, not events. Row normalization is a window over that
+    already-tiny counts frame (a broadcast-join formulation was
+    measured to RE-SCAN the event stream for the totals branch — Spark
+    reuses exchanges, not arbitrary subtrees — so the window form does
+    one event scan where the join form did two). No explode, no
+    full-stream window.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     pairs = (events
@@ -273,14 +277,12 @@ def markov_transitions(events: DataFrame, user_col: str = "user_id",
                                 F.lit(end_state)).alias("to_step")))
     counts = (pairs.groupBy("from_step", "to_step")
               .agg(F.count("*").alias("n_transitions")))
-    totals = (counts.groupBy("from_step")
-              .agg(F.sum("n_transitions").alias("_row_total")))
-    return (counts.join(F.broadcast(totals), "from_step")
-            .select("from_step", "to_step",
-                    F.col("n_transitions").cast("bigint")
-                    .alias("n_transitions"),
-                    F.round(F.col("n_transitions").cast("double")
-                            / F.col("_row_total"), 6).alias("prob")))
+    wt = Window.partitionBy("from_step")
+    return counts.select(
+        "from_step", "to_step",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.round(F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(wt), 6).alias("prob"))
 
 
 def funnel_latency(events: DataFrame, steps: list[str],

@@ -75,6 +75,24 @@ SHOW = [
     "agg_hll_distinct_rollup",
     "evt_ab_conversion_test",
     "evt_ab_srm_check",
+    "agg_histogram_quantiles",
+    "agg_grouped_quantiles",
+    "sim_ivfpq_topk",
+    "cur_zorder_key",
+    "ret_phrase_search",
+    "evt_markov_transitions",
+    "evt_sequential_monitoring",
+    "evt_jackknife_ci",
+    "graph_edge_jaccard",
+    "graph_kcore",
+    "dq_benford_audit",
+    "dq_psi_drift",
+    "evt_churn_labels",
+    "evt_rfm_segments",
+    "agg_kmv_distinct",
+    "evt_anomaly_mad",
+    "evt_funnel_latency",
+    "mm_wav_silence_segments",
 ]
 
 SF = "/root/testdata/sf0.001"
