@@ -1446,7 +1446,8 @@ def _graph_kcore(spark, sf_dir):
              .select(F.col("a.l_partkey").alias("id_a"),
                      F.col("b.l_partkey").alias("id_b"))
              .distinct())
-    return (kcore(pairs, k=75, rounds=8)
+    return (kcore(pairs, k=75, rounds=8,
+                  checkpoint_dir=_cc_ckpt_dir())
             .select(F.col("id").alias("vec_id"), "degree")
             .orderBy("vec_id"))
 
