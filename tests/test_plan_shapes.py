@@ -389,3 +389,39 @@ def test_png_roundtrip_single_scan_single_python_stage(q, spark, sf_dir):
         assert "Exchange" not in plan, name
         scan = plan[plan.index("ReadSchema"):].splitlines()[0]
         assert "doc_id" in scan and "text" in scan and "lang" not in scan
+
+
+def test_r9_readouts_scan_events_once(q, spark, sf_dir):
+    # The subtree-reuse trap, pinned: Spark reuses EXCHANGES, not
+    # arbitrary subtrees, so a groupBy+join normalizer/totals branch
+    # re-runs its upstream reduce — these readouts were rewritten to
+    # window-over-reduced-frame / fused-explode forms that scan the
+    # event table exactly once (sequential monitoring keeps a second
+    # scan: the look-calendar spine is a one-column distinct by design).
+    for name, scans in (("evt_markov_transitions", 1),
+                        ("evt_jackknife_ci", 1),
+                        ("evt_power_mde", 1),
+                        ("evt_churn_labels", 1),
+                        ("evt_sequential_monitoring", 2)):
+        plan = plan_of(q[name](spark, sf_dir))
+        assert plan.count("FileScan") == scans, name
+
+
+def test_zorder_key_is_pure_projection(q, spark, sf_dir):
+    # Morton interleave must stay a map-only codegen'd projection: one
+    # scan, zero exchanges, no UDF (BatchEvalPython) anywhere.
+    plan = plan_of(q["cur_zorder_key"](spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_grouped_quantiles_exchange_only_on_group_key(q, spark, sf_dir):
+    # Per-key quantiles: the cell aggregate is partial before its one
+    # exchange, the window stack reuses the key partitioning, and the
+    # q-list join is a broadcast — never a sort-merge join, never an
+    # event-scale window.
+    plan = plan_of(q["agg_grouped_quantiles"](spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan
