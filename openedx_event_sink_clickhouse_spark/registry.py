@@ -6697,6 +6697,61 @@ def _fun3(spark, sf_dir):
     return top_paths(_t(spark, sf_dir, "events"), n=3, k=20)
 
 
+_DOCS_COLS_SQL = "SELECT doc_id, text, lang, source FROM documents"
+
+
+@register("src_csv_roundtrip", _DOCS_COLS_SQL)
+def _src_csv(spark, sf_dir):
+    # Source-format parity: documents written as quoted CSV, read back
+    # through the PERMISSIVE tolerant reader with an explicit schema —
+    # the oracle compares against the BASE parquet table, so the hash
+    # certifies the full encode→parse round trip (quoting, escaping,
+    # header, type recovery) with zero tolerance consumed.
+    from pyspark.sql import types as T
+
+    from .sources.tolerant import read_csv_tolerant
+    tag = _sf_tag(sf_dir, "documents")
+    path = _cached_parquet(
+        f"/tmp/spark_graft_docs_csv_v1_{tag}",
+        lambda p: (_t(spark, sf_dir, "documents")
+                   .select("doc_id", "text", "lang", "source")
+                   .write.option("header", True).option("quoteAll", True)
+                   .csv(p)))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ])
+    df, _rep = read_csv_tolerant(spark, path, schema, header=True)
+    return df.select("doc_id", "text", "lang", "source")
+
+
+@register("src_jsonl_roundtrip", _DOCS_COLS_SQL)
+def _src_jsonl(spark, sf_dir):
+    # JSONL — the LLM corpus interchange format — as a first-class
+    # source: write one document object per line, read back through the
+    # tolerant PERMISSIVE reader with an explicit schema (no inference
+    # pass), hash-checked against the base table.
+    from pyspark.sql import types as T
+
+    from .sources.tolerant import read_jsonl_tolerant
+    tag = _sf_tag(sf_dir, "documents")
+    path = _cached_parquet(
+        f"/tmp/spark_graft_docs_jsonl_v1_{tag}",
+        lambda p: (_t(spark, sf_dir, "documents")
+                   .select("doc_id", "text", "lang", "source")
+                   .write.json(p)))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ])
+    df, _rep = read_jsonl_tolerant(spark, path, schema)
+    return df.select("doc_id", "text", "lang", "source")
+
+
 @register("ret_phrase_search", """
 WITH w AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents

@@ -66,3 +66,37 @@ def read_csv_tolerant(spark: SparkSession, path: str, schema: T.StructType,
             f"{allow_errors_num} and allow_errors_ratio={allow_errors_ratio}")
     return (df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL),
             report)
+
+
+def read_jsonl_tolerant(spark: SparkSession, path: str,
+                        schema: T.StructType,
+                        allow_errors_num: int = 1,
+                        allow_errors_ratio: float = 0.1,
+                        **json_options
+                        ) -> tuple[DataFrame, ToleranceReport]:
+    """PERMISSIVE JSON-lines read under the same AND-of-limits
+    tolerance policy as :func:`read_csv_tolerant`. JSONL is the lingua
+    franca of LLM corpus interchange (one document object per line), so
+    the engine's source axis carries it first-class: explicit schema
+    (no inference pass over 100 TB), malformed lines routed to the
+    corrupt column (dead-letterable, never silently dropped), load
+    failure only when bad rows exceed BOTH the absolute and ratio
+    limits."""
+    full = T.StructType(schema.fields + [T.StructField(CORRUPT_COL,
+                                                       T.StringType())])
+    df = (spark.read.schema(full)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", CORRUPT_COL)
+          .options(**json_options)
+          .json(path))
+    df = df.cache()
+    total = df.count()
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).count()
+    report = ToleranceReport(total=total, bad=bad)
+    if bad > allow_errors_num and report.ratio > allow_errors_ratio:
+        df.unpersist()
+        raise TooManyErrors(
+            f"{bad}/{total} malformed rows exceed allow_errors_num="
+            f"{allow_errors_num} and allow_errors_ratio={allow_errors_ratio}")
+    return (df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL),
+            report)
