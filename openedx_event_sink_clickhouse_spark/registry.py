@@ -7918,13 +7918,14 @@ _PRIORITY = [
     "dq_k_anonymity", "dq_benford_audit", "dq_snapshot_diff",
     "evt_churn_labels", "evt_rfm_segments", "agg_kmv_distinct",
     "evt_anomaly_mad",
+    "src_csv_roundtrip", "src_jsonl_roundtrip",
     # -- the r4-graded stragglers (oldest grades anywhere) --
     "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
     "stream_stateful_incremental_gate", "stream_tumbling_stats",
     "t1_tree_ordinals", "text_dsir_importance", "text_quality_signals",
-    "text_top_ngrams", "text_unigram_logprob",
     "evt_funnel_latency", "dq_psi_drift", "graph_kcore",
-    # (the r5 cohort — a1_watermarks … tpch_q6 — leads the r10 window,
+    # (text_top_ngrams / text_unigram_logprob rejoin the r4 stragglers
+    # in the r10 window, then the r5 cohort — a1_watermarks … tpch_q6 —
     # then the r6 cohort alphabetically)
 ]
 
