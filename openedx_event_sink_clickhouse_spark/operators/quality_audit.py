@@ -375,3 +375,39 @@ def psi_drift(df: DataFrame, value_col: str, slice_pred,
          .when(psi > 0.1, F.lit("drifting"))
          .otherwise(F.lit("stable")).alias("verdict"))
         .orderBy("bucket"))
+
+
+def expectation_suite(df: DataFrame,
+                      expectations: list[tuple[str, "F.Column"]],
+                      n_rows_alias: str = "n_rows") -> DataFrame:
+    """Declarative data-contract audit: each expectation is
+    ``(name, row_predicate)``; the report has one row per expectation
+    with the violation count, violation share, and a pass flag — the
+    Great-Expectations-style gate a dataset clears before publication,
+    kept engine-side and hash-checkable.
+
+    ONE aggregate pass evaluates every expectation simultaneously
+    (conditional counts), then the per-expectation rows inline-explode
+    from the single 1-row frame — the referential_audit fusion trick,
+    so N expectations cost one table scan regardless of N. Predicates
+    are ordinary Columns: membership, ranges, nullability, regexes —
+    anything map-side. (Cross-row expectations — uniqueness,
+    referential integrity — have their own one-pass operators:
+    :func:`uniqueness_audit`, :func:`referential_audit`.) A predicate
+    that evaluates to NULL (e.g. a range check on a NULL value) counts
+    as a VIOLATION — three-valued logic must not let missing data slip
+    through a contract whose whole job is catching it."""
+    aggs = [F.count("*").alias("_n")]
+    for i, (_, pred) in enumerate(expectations):
+        aggs.append(F.sum((~F.coalesce(pred, F.lit(False)))
+                          .cast("long")).alias(f"_v{i}"))
+    row = df.agg(*aggs)
+    structs = [F.struct(
+        F.lit(name).alias("expectation"),
+        F.col(f"_v{i}").alias("n_violations"),
+        F.col("_n").alias(n_rows_alias),
+        F.round(F.col(f"_v{i}").cast("double") / F.col("_n"), 6)
+        .alias("violation_share"),
+        (F.col(f"_v{i}") == 0).cast("int").alias("passed"))
+        for i, (name, _) in enumerate(expectations)]
+    return row.select(F.inline(F.array(*structs)))

@@ -7687,6 +7687,54 @@ def _dq_snapshot(spark, sf_dir):
     return snapshot_diff(old, new, ["o_orderkey"])
 
 
+@register("dq_expectations", """
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN coalesce(o_orderkey IS NOT NULL, FALSE)
+                  THEN 0 ELSE 1 END) AS v0,
+         sum(CASE WHEN coalesce(o_totalprice > 0, FALSE)
+                  THEN 0 ELSE 1 END) AS v1,
+         sum(CASE WHEN coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE)
+                  THEN 0 ELSE 1 END) AS v2,
+         sum(CASE WHEN coalesce(
+                    CAST(o_orderdate AS DATE) >= DATE '1992-01-01'
+                    AND CAST(o_orderdate AS DATE) <= DATE '1998-12-31',
+                    FALSE) THEN 0 ELSE 1 END) AS v3,
+         sum(CASE WHEN coalesce(
+                    regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)
+                  THEN 0 ELSE 1 END) AS v4
+  FROM orders
+)
+SELECT x.expectation, x.n_violations, m.n AS n_rows,
+       round(CAST(x.n_violations AS DOUBLE) / m.n, 6) AS violation_share,
+       CASE WHEN x.n_violations = 0 THEN 1 ELSE 0 END AS passed
+FROM m, LATERAL (VALUES
+  ('orderkey_not_null', v0), ('totalprice_positive', v1),
+  ('status_in_domain', v2), ('orderdate_in_range', v3),
+  ('priority_pattern', v4)) AS x(expectation, n_violations)
+""")
+def _dq_expect(spark, sf_dir):
+    # Declarative data-contract gate: five expectations (nullability,
+    # range, domain membership, date window, regex shape) evaluated in
+    # ONE aggregate pass with NULL-evaluating predicates counted as
+    # violations — three-valued logic must not let missing data slip a
+    # contract. Per-expectation rows inline-explode from the 1-row
+    # frame (the referential_audit fusion trick).
+    from .operators.quality_audit import expectation_suite
+    o = _t(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    exps = [
+        ("orderkey_not_null", F.col("o_orderkey").isNotNull()),
+        ("totalprice_positive", F.col("o_totalprice") > 0),
+        ("status_in_domain", F.col("o_orderstatus").isin("O", "F", "P")),
+        ("orderdate_in_range",
+         (day >= F.lit("1992-01-01").cast("date"))
+         & (day <= F.lit("1998-12-31").cast("date"))),
+        ("priority_pattern", F.col("o_orderpriority").rlike("^[1-5]-")),
+    ]
+    return expectation_suite(o, exps)
+
+
 @register("dq_psi_drift", """
 WITH v AS (
   SELECT CAST(value AS DOUBLE) AS v,

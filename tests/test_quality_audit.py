@@ -250,3 +250,28 @@ def test_psi_drift_detects_shift_and_stays_quiet_on_none(spark):
     p = (r0.n_ref + 0.5) / (1000 + 0.5 * n_buckets)
     q = (r0.n_cmp + 0.5) / (1000 + 0.5 * n_buckets)
     assert abs(r0.psi_contrib - round((p - q) * math.log(p / q), 6)) < 1e-6
+
+
+def test_expectation_suite_one_pass_and_null_counts_as_violation(spark):
+    from openedx_event_sink_clickhouse_spark.operators.quality_audit import (
+        expectation_suite)
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -1.0, "B"), (3, None, "A"), (None, 5.0, "C")],
+        "id long, v double, s string")
+    out = {r.expectation: r for r in expectation_suite(df, [
+        ("id_not_null", F.col("id").isNotNull()),
+        ("v_positive", F.col("v") > 0),          # NULL v must violate
+        ("s_in_domain", F.col("s").isin("A", "B")),
+    ]).collect()}
+    assert out["id_not_null"].n_violations == 1
+    assert out["v_positive"].n_violations == 2   # -1.0 AND the NULL
+    assert out["s_in_domain"].n_violations == 1
+    assert all(r.n_rows == 4 for r in out.values())
+    assert out["v_positive"].passed == 0
+    assert out["v_positive"].violation_share == 0.5
+    # one pass: a single scan feeds every expectation
+    plan = expectation_suite(df, [
+        ("a", F.col("id").isNotNull()), ("b", F.col("v") > 0),
+    ])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 1
