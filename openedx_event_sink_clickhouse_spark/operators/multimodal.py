@@ -626,3 +626,71 @@ def wav_silence_segments(media: DataFrame, threshold: int = 32,
 
     return _map_in_pandas(media, fn, SEGMENT_SCHEMA,
                           ["media_id", "content"])
+
+
+NORMALIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("rms_before", T.DoubleType()),
+    T.StructField("rms_after", T.DoubleType()),
+    T.StructField("checksum", T.LongType()),
+])
+
+
+def wav_normalize_gain(media: DataFrame, target_rms: float = 40.0,
+                       strict: bool = False) -> DataFrame:
+    """Loudness (RMS gain) normalization over real 8-bit PCM — the
+    audio-curation step before training on speech: decode, scale every
+    sample's midpoint offset by ``target_rms / rms``, clip to the 8-bit
+    range, RE-ENCODE through the real ``wave`` writer, and decode the
+    re-encoded container again for the after-stats — so the emitted
+    (rms_before, rms_after, checksum) certify the full
+    decode→DSP→encode→decode loop, not just the arithmetic. Silent
+    payloads (rms 0) pass through at unit gain rather than dividing by
+    zero.
+
+    Quantization is EXPLICIT floor(x + 0.5) (not numpy's banker's
+    rint), so the DuckDB twin replays sample-exact integers; rms enters
+    as an exact integer square sum before the one double sqrt."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .media_codecs import decode_payload, sniff, wav_encode
+        for pdf in batches:
+            ids, rb, ra, ck = [], [], [], []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(buf)
+                if sniff(data) != "wav":
+                    if strict:
+                        _strict_fake("wav_normalize_gain")
+                    continue
+                s = np.frombuffer(decode_payload(data), dtype=np.uint8)
+                if s.size == 0:
+                    continue
+                off = s.astype(np.int64) - 128
+                rms = float(np.sqrt(int((off * off).sum()) / s.size))
+                gain = (target_rms / rms) if rms > 0 else 1.0
+                sp = np.clip(np.floor(128.0 + off * gain + 0.5),
+                             0.0, 255.0).astype(np.uint8)
+                # re-encode + re-decode: the after-stats come from the
+                # round-tripped container, certifying the writer too
+                s2 = np.frombuffer(decode_payload(wav_encode(
+                    sp.tobytes())), dtype=np.uint8)
+                off2 = s2.astype(np.int64) - 128
+                ids.append(mid)
+                rb.append(rms)
+                ra.append(float(np.sqrt(int((off2 * off2).sum())
+                                        / s2.size)))
+                ck.append(int(s2.sum(dtype=np.int64)) % (1 << 31))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "rms_before": pd.Series(rb, dtype="float64"),
+                "rms_after": pd.Series(ra, dtype="float64"),
+                "checksum": pd.Series(ck, dtype="int64"),
+            })
+
+    out = _map_in_pandas(media, fn, NORMALIZE_SCHEMA,
+                         ["media_id", "content"])
+    return out.select("media_id", F.round("rms_before", 6).alias("rms_before"),
+                      F.round("rms_after", 6).alias("rms_after"),
+                      "checksum")

@@ -3021,6 +3021,49 @@ def _mm_wav_seg(spark, sf_dir):
         threshold=64, min_len=4, strict=True)
 
 
+@register("mm_wav_normalize_gain", """
+WITH m AS (
+  SELECT doc_id AS media_id, length(text) AS n,
+         regexp_extract_all(text, '.') AS chars
+  FROM documents WHERE length(text) > 0
+), r AS (
+  SELECT media_id, n, chars,
+         sqrt(CAST(list_sum(list_transform(chars,
+                ch -> (ord(ch) - 128) * (ord(ch) - 128))) AS DOUBLE)
+              / n) AS rms
+  FROM m
+), g AS (
+  SELECT media_id, n, chars, rms,
+         CASE WHEN rms > 0 THEN CAST(40.0 AS DOUBLE) / rms
+              ELSE CAST(1.0 AS DOUBLE) END AS gain
+  FROM r
+), s AS (
+  SELECT media_id, rms, n,
+         list_transform(chars, ch ->
+           CAST(least(greatest(
+             floor(128.0 + (ord(ch) - 128) * gain + 0.5),
+             0.0), 255.0) AS BIGINT)) AS sp
+  FROM g
+)
+SELECT media_id, round(rms, 6) AS rms_before,
+       round(sqrt(CAST(list_sum(list_transform(sp,
+               x -> (x - 128) * (x - 128))) AS DOUBLE) / n), 6)
+         AS rms_after,
+       CAST(list_sum(sp) % 2147483648 AS BIGINT) AS checksum
+FROM s
+""")
+def _mm_wav_gain(spark, sf_dir):
+    # RMS loudness normalization through the REAL codec loop
+    # (decode → gain → clip → re-encode → re-decode): explicit
+    # floor(x+0.5) quantization so the oracle replays sample-exact
+    # integers from the text; after-stats come from the round-tripped
+    # container, so the hash certifies the writer too.
+    from .operators.multimodal import wav_media_table, wav_normalize_gain
+    return wav_normalize_gain(
+        wav_media_table(_t(spark, sf_dir, "documents")),
+        target_rms=40.0, strict=True)
+
+
 @register("mm_png_metadata", """
 SELECT doc_id AS media_id, 'lang' AS key, lang AS value FROM documents
 UNION ALL

@@ -366,3 +366,29 @@ def test_wav_silence_segments_hand_checked(spark):
         wav_silence_segments(bad, strict=True).collect()
     # non-strict skips them silently
     assert wav_silence_segments(bad, strict=False).count() == 0
+
+
+def test_wav_normalize_gain_hits_target_rms(spark):
+    import math
+    from openedx_event_sink_clickhouse_spark.operators.media_codecs import (
+        wav_encode)
+    from openedx_event_sink_clickhouse_spark.operators.multimodal import (
+        wav_normalize_gain)
+    # quiet square wave around the midpoint: rms 4, target 40 -> gain 10
+    sig = [124, 132] * 50
+    media = spark.createDataFrame(
+        [(1, bytearray(wav_encode(bytes(sig))))],
+        "media_id long, content binary")
+    r = wav_normalize_gain(media, target_rms=40.0).first()
+    assert r.rms_before == 4.0
+    assert abs(r.rms_after - 40.0) < 1.0     # quantization residue only
+    # samples land on 128±40 exactly (no clipping at gain 10)
+    assert r.checksum == sum([88, 168] * 50)
+    # clipping: loud signal scaled UP clips at the rails and undershoots
+    loud = [28, 228] * 50                    # rms 100, target 200 impossible
+    media2 = spark.createDataFrame(
+        [(2, bytearray(wav_encode(bytes(loud))))],
+        "media_id long, content binary")
+    r2 = wav_normalize_gain(media2, target_rms=200.0).first()
+    assert r2.rms_after < 200.0
+    assert r2.checksum == sum([0, 255] * 50)
