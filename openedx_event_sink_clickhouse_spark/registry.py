@@ -5689,6 +5689,76 @@ def _stream_cms(spark, sf_dir):
                       .alias("overcount"))
 
 
+@register("stream_expectations_maintenance", """
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN coalesce(event_id IS NOT NULL, FALSE)
+                  THEN 0 ELSE 1 END) AS v0,
+         sum(CASE WHEN coalesce(user_id IS NOT NULL, FALSE)
+                  THEN 0 ELSE 1 END) AS v1,
+         sum(CASE WHEN coalesce(value >= 0 AND value <= 100, FALSE)
+                  THEN 0 ELSE 1 END) AS v2,
+         sum(CASE WHEN coalesce(event_type IN
+                    ('view', 'click', 'purchase', 'login', 'logout'),
+                    FALSE) THEN 0 ELSE 1 END) AS v3
+  FROM events
+)
+SELECT x.expectation, x.n_violations, m.n AS n_rows,
+       round(CAST(x.n_violations AS DOUBLE) / m.n, 6) AS violation_share,
+       CASE WHEN x.n_violations = 0 THEN 1 ELSE 0 END AS passed
+FROM m, LATERAL (VALUES
+  ('event_id_not_null', v0), ('user_id_not_null', v1),
+  ('value_in_range', v2), ('type_in_domain', v3))
+  AS x(expectation, n_violations)
+ORDER BY x.expectation
+""")
+def _stream_expectations(spark, sf_dir):
+    # The data-contract gate maintained BY A STREAM: each trigger
+    # appends its batch's per-expectation conditional counts to an
+    # epoch partition; epoch 1 is REPLAYED (at-least-once) — a
+    # double-count would inflate violation shares and hash-mismatch.
+    # The fold must equal the one-pass whole-table report the oracle
+    # computes directly from events.
+    import os as _os
+    import tempfile
+    import uuid
+
+    from .streaming.sketch_maintenance import expectations_stream_maintainer
+    from .streaming.stateful import EVENT_SCHEMA
+
+    exps = [
+        ("event_id_not_null", F.col("event_id").isNotNull()),
+        ("user_id_not_null", F.col("user_id").isNotNull()),
+        ("value_in_range",
+         (F.col("value") >= 0) & (F.col("value") <= 100)),
+        ("type_in_domain", F.col("event_type").isin(
+            "view", "click", "purchase", "login", "logout")),
+    ]
+    split_dir = _attr_split_dir(spark, sf_dir)
+    m = expectations_stream_maintainer(
+        tempfile.mkdtemp(prefix="expect_stream_") + "/cells", exps)
+    src = (spark.readStream.schema(EVENT_SCHEMA)
+           .option("pathGlobFilter", "batch*.parquet")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(split_dir))
+    q = (src.writeStream.foreachBatch(m)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix=f"ckpt_ex_{uuid.uuid4().hex[:6]}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    replay = spark.read.parquet(_os.path.join(split_dir, "batch1.parquet"))
+    m(replay, 1)
+    folded = m.fold(spark)
+    return (folded.select(
+        "expectation",
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(F.col("n_violations").cast("double")
+                / F.col("n_rows"), 6).alias("violation_share"),
+        (F.col("n_violations") == 0).cast("int").alias("passed"))
+        .orderBy("expectation"))
+
+
 @register("stream_quantile_maintenance", None)  # oracle attached below
 def _stream_quantiles(spark, sf_dir):
     # The histogram-quantile sketch maintained BY A STREAM: two

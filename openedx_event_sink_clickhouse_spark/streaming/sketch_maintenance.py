@@ -352,3 +352,25 @@ def histogram_stream_maintainer(path: str, value_col: str, lo: float,
     return EpochPartitionedAppender(
         path, lambda b: histogram_sketch(b, value_col, lo, hi, n_bins),
         ["bucket"], ["n_rows"], auto_compact_epochs=auto_compact_epochs)
+
+
+def expectations_stream_maintainer(path: str, expectations,
+                                   auto_compact_epochs: int | None = 64
+                                   ) -> EpochPartitionedAppender:
+    """Data-contract counters kept fresh by a stream: each trigger
+    appends its batch's per-expectation (violations, rows) counts —
+    ``operators/quality_audit.expectation_suite`` run per micro-batch —
+    and ``fold()`` sums them into the whole-stream contract report.
+    Conditional counts are pure aggregates (SUM-mergeable, order-free),
+    so the epoch-partition-overwrite replay protocol applies unchanged:
+    the governance dashboard never double-counts an at-least-once
+    redelivery. Per-epoch state is O(|expectations|)."""
+    from ..operators.quality_audit import expectation_suite
+
+    def partials(b: DataFrame) -> DataFrame:
+        return expectation_suite(b, expectations).select(
+            "expectation", "n_violations", "n_rows")
+
+    return EpochPartitionedAppender(
+        path, partials, ["expectation"], ["n_violations", "n_rows"],
+        auto_compact_epochs=auto_compact_epochs)
