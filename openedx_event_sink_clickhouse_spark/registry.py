@@ -8081,10 +8081,10 @@ _PRIORITY = [
     "evt_anomaly_mad",
     "src_csv_roundtrip", "src_jsonl_roundtrip",
     "dq_expectations", "mm_wav_normalize_gain",
+    "stream_expectations_maintenance",
     # -- the r4-graded stragglers (oldest grades anywhere) --
     "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
     "stream_stateful_incremental_gate", "stream_tumbling_stats",
-    "t1_tree_ordinals",
     "evt_funnel_latency", "dq_psi_drift", "graph_kcore",
     # (text_top_ngrams / text_unigram_logprob rejoin the r4 stragglers
     # in the r10 window, then the r5 cohort — a1_watermarks … tpch_q6 —
