@@ -198,6 +198,11 @@ HEADLINE = [
     "evt_churn_labels",            # point-in-time training labels
     "evt_rfm_segments",            # RFM quintile segmentation
     "evt_anomaly_mad",             # robust median/MAD outlier flags
+    "dq_expectations",             # N contract checks, one scan
+    "src_csv_roundtrip",           # CSV write->tolerant-read parity
+    "src_jsonl_roundtrip",         # JSONL write->tolerant-read parity
+    "mm_wav_normalize_gain",       # decode->DSP->re-encode loop
+    "stream_expectations_maintenance",  # per-trigger contract counts
 ]
 
 
