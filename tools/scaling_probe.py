@@ -51,7 +51,8 @@ DEFAULT_QUERIES = ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
 EMB_QUERIES = {"sim_neardup_pairs", "sim_ivf_partitioned", "sim_cosine_topk",
                "sim_quantized_topk", "dedup_semantic_survivors",
                "graph_triangle_count", "graph_pagerank",
-               "sim_random_projection"}
+               "sim_random_projection", "sim_ivfpq_topk",
+               "graph_edge_jaccard"}
 RUNS = 2
 
 
