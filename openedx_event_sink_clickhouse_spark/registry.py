@@ -5444,6 +5444,51 @@ REGISTRY["llm_bpe_packing"] = (
         "{BPE}", _bpe_oracle_sql(BPE_PINNED_MERGES)))
 
 
+@register("text_tokenizer_fertility", """
+WITH bpe AS ({BPE}),
+w AS (
+  SELECT doc_id, lang,
+         len(string_split(lower(text), ' ')) AS n_words
+  FROM documents
+)
+SELECT w.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(w.n_words) AS BIGINT) AS n_words,
+       round(CAST(sum(b.n_bpe_tokens) AS DOUBLE)
+             / sum(w.n_words), 6) AS fertility
+FROM w JOIN bpe b USING (doc_id)
+GROUP BY w.lang
+""")
+def _tx_fertility(spark, sf_dir):
+    # Tokenizer fertility (true BPE tokens per whitespace word) by
+    # language — the per-stratum cost audit a multilingual corpus runs
+    # before budgeting training tokens (a lang whose fertility is 2×
+    # pays 2× the compute per word; the mix plan must know). Encoder is
+    # the pinned hash-audited model, Arrow-batched; the rollup is a
+    # |langs|-key groupBy. Oracle chains the BPE replay SQL.
+    from .operators.bpe import bpe_encode_stats
+    docs = _t(spark, sf_dir, "documents")
+    counts = bpe_encode_stats(docs, BPE_PINNED_MERGES) \
+        .select("doc_id", "n_bpe_tokens")
+    w = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("n_words"))
+    return (w.join(counts, "doc_id")
+            .groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_bpe_tokens").cast("bigint")
+                 .alias("n_bpe_tokens"),
+                 F.sum("n_words").cast("bigint").alias("n_words"),
+                 F.round(F.sum("n_bpe_tokens").cast("double")
+                         / F.sum("n_words"), 6).alias("fertility")))
+
+
+REGISTRY["text_tokenizer_fertility"] = (
+    REGISTRY["text_tokenizer_fertility"][0],
+    REGISTRY["text_tokenizer_fertility"][1].replace(
+        "{BPE}", _bpe_oracle_sql(BPE_PINNED_MERGES)))
+
+
 @register("text_dsir_importance", """
 WITH ct AS (
   SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS word
@@ -8081,10 +8126,10 @@ _PRIORITY = [
     "evt_anomaly_mad",
     "src_csv_roundtrip", "src_jsonl_roundtrip",
     "dq_expectations", "mm_wav_normalize_gain",
-    "stream_expectations_maintenance",
+    "stream_expectations_maintenance", "text_tokenizer_fertility",
     # -- the r4-graded stragglers (oldest grades anywhere) --
     "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
-    "stream_stateful_incremental_gate", "stream_tumbling_stats",
+    "stream_stateful_incremental_gate",
     "evt_funnel_latency", "dq_psi_drift", "graph_kcore",
     # (text_top_ngrams / text_unigram_logprob rejoin the r4 stragglers
     # in the r10 window, then the r5 cohort — a1_watermarks … tpch_q6 —
