@@ -203,6 +203,7 @@ HEADLINE = [
     "src_jsonl_roundtrip",         # JSONL write->tolerant-read parity
     "mm_wav_normalize_gain",       # decode->DSP->re-encode loop
     "stream_expectations_maintenance",  # per-trigger contract counts
+    "text_tokenizer_fertility",    # BPE tokens/word by lang
 ]
 
 
