@@ -187,3 +187,161 @@ def mad_flags(series: DataFrame, key_col: str, value_col: str,
                         F.when(F.abs(F.col("robust_z")) > threshold, 1)
                         .otherwise(0).cast("int"))
             .drop("_med", "_mad"))
+
+def ewma_smooth(series: DataFrame, key_col: str, order_col: str,
+                value_col: str, depth: int = 8,
+                out_col: str = "ewma") -> DataFrame:
+    """Exponentially-weighted moving average over a REGULAR series
+    (run after :func:`resample_gapfill` — on a gappy series the decay
+    would silently skip time). The textbook recursive EWMA is not a
+    window aggregate (each output depends on the previous output), so
+    the distributed formulation truncates the impulse response at
+    ``depth`` taps and evaluates it as an explicit lag convolution:
+
+        ewma_t = sum_i w_i * x_{t-i} / sum_i w_i,   w_i = 2^-i
+
+    normalized over the taps that exist, so the series head is a proper
+    weighted mean, not a biased ramp. The dyadic decay (alpha = 0.5) is
+    chosen deliberately: 2^-i is EXACT in binary floating point, the
+    taps are summed in fixed expression order, and the counts are
+    integers — so the whole expression is bit-identical across engines
+    (an arbitrary alpha works the same way but needs its weight
+    literals emitted at full repr precision). Truncation error is
+    bounded by the dropped tail: 2^-depth < 0.4% of total weight at
+    the default 8 taps.
+
+    Cost: ONE (key)-partitioned Exchange+Sort shared by all ``depth``
+    lags — Spark evaluates the lag family over a single window frame,
+    and the convolution itself is a map-side expression tree."""
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    v = F.col(value_col).cast("double")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(depth):
+        li = v if i == 0 else F.lag(v, i).over(w)
+        wt = F.lit(2.0 ** -i)
+        num = num + F.when(li.isNotNull(), li * wt).otherwise(F.lit(0.0))
+        den = den + F.when(li.isNotNull(), wt).otherwise(F.lit(0.0))
+    return series.withColumn(out_col, F.round(num / den, 6))
+
+
+def autocorrelation(series: DataFrame, key_col: str, order_col: str,
+                    value_col: str, lags: tuple = (1, 2, 3)) -> DataFrame:
+    """Per-key autocorrelation function at the given lags over a
+    REGULAR series: Pearson r between (x_t, x_{t-k}) pairs — the
+    diagnostic that tells a monitoring consumer whether a series is
+    self-predictable (high ACF → forecastable, alert on residuals)
+    or noise (alert on raw z). Returns (key, lag, n_pairs, acf).
+
+    Engine-parity discipline: the moments are EXACT integer sums
+    (counts in, BIGINT sums of x, y, xy, x², y²), so the only floating
+    point is one fixed Pearson expression per output row — library
+    ``corr()`` aggregates differ across engines by accumulation
+    algorithm and are avoided. Plan shape: ONE (key)-partitioned
+    Exchange+Sort computes every lag column, the lag set fans out
+    map-side via an exploded struct array (no per-lag re-scan), and
+    one groupBy reduces (key, lag) — lag count is free at 100 TB."""
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    x = F.col(value_col).cast("long")
+    # Window expressions must sit at the top level of a projection —
+    # compute the lag family first (one shared frame), THEN fan out.
+    lagged = series.select(
+        F.col(key_col), x.alias("_x"),
+        *[F.lag(x, k).over(w).alias(f"_y{k}") for k in lags])
+    pairs = F.array(*[
+        F.struct(F.lit(k).alias("lag"), F.col(f"_y{k}").alias("y"))
+        for k in lags])
+    xl = (lagged
+          .select(F.col(key_col), F.col("_x"),
+                  F.explode(pairs).alias("_p"))
+          .select(key_col, "_x", F.col("_p.lag").alias("lag"),
+                  F.col("_p.y").alias("_y"))
+          .filter(F.col("_y").isNotNull()))
+    g = (xl.groupBy(key_col, "lag")
+         .agg(F.count("*").cast("long").alias("n_pairs"),
+              F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+              F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+              F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+              F.sum(F.col("_y") * F.col("_y")).alias("_syy")))
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return (g.select(key_col, "lag", "n_pairs",
+                     F.round(F.when((vx > 0) & (vy > 0),
+                                    cov / F.sqrt(vx) / F.sqrt(vy)), 6)
+                     .alias("acf")))
+
+
+def trend_fit(series: DataFrame, key_col: str, day_col: str,
+              value_col: str) -> DataFrame:
+    """Per-key OLS line fit over a daily series: slope (units/day),
+    intercept (fitted level at the key's first day), and R² — the
+    one-pass summary behind every "is this metric growing?" readout
+    and the de-trending step before seasonal analysis. Returns
+    (key, n_days, slope, intercept, r2).
+
+    The regressor is the integer day index relative to the KEY'S OWN
+    first day (a window min — keys onboarded late aren't penalized
+    with a global origin), so every sum in the normal equations is an
+    exact BIGINT and the slope/intercept/R² are one fixed double
+    expression each — reproducible across engines, unlike library
+    ``regr_slope`` accumulators. One window + one groupBy, both on
+    the key — a single Exchange at day-grain (≪ events)."""
+    wk = Window.partitionBy(key_col)
+    t = F.datediff(F.col(day_col), F.min(day_col).over(wk)).cast("long")
+    y = F.col(value_col).cast("long")
+    g = (series
+         .select(F.col(key_col), t.alias("_t"), y.alias("_y"))
+         .groupBy(key_col)
+         .agg(F.count("*").cast("long").alias("n_days"),
+              F.sum("_t").alias("_st"), F.sum("_y").alias("_sy"),
+              F.sum(F.col("_t") * F.col("_y")).alias("_sty"),
+              F.sum(F.col("_t") * F.col("_t")).alias("_stt"),
+              F.sum(F.col("_y") * F.col("_y")).alias("_syy")))
+    n = F.col("n_days").cast("double")
+    st, sy = F.col("_st").cast("double"), F.col("_sy").cast("double")
+    sty = F.col("_sty").cast("double")
+    stt, syy = F.col("_stt").cast("double"), F.col("_syy").cast("double")
+    dt = n * stt - st * st
+    dy = n * syy - sy * sy
+    slope = (n * sty - st * sy) / dt
+    r2num = (n * sty - st * sy) * (n * sty - st * sy)
+    return (g.select(
+        key_col, "n_days",
+        F.round(F.when(dt > 0, slope), 6).alias("slope"),
+        F.round(F.when(dt > 0, (sy - slope * st) / n), 6)
+        .alias("intercept"),
+        F.round(F.when((dt > 0) & (dy > 0), r2num / (dt * dy)), 6)
+        .alias("r2")))
+
+
+def seasonal_profile(series: DataFrame, key_col: str, bucket_col: str,
+                     value_col: str) -> DataFrame:
+    """Hour-of-day seasonal index per key over a gap-filled hourly
+    series: mean events in each of the 24 hour slots, and that mean as
+    a multiple of the key's overall hourly mean (index 2.0 = "this hour
+    runs 2× the key's average") — the profile a seasonal-naive
+    forecaster or a dynamic-threshold alerter consumes. MUST run on the
+    gap-filled series: on raw events a silent dead hour simply isn't a
+    row, inflating its slot's apparent mean. Returns
+    (key, hour_of_day, n_buckets, mean_events, seasonal_index).
+
+    Integer sums (bucket counts and event counts) → one divide per
+    output row; the overall mean comes from a window re-aggregate over
+    the 24-row-per-key profile, not a second pass over the series."""
+    g = (series.groupBy(F.col(key_col),
+                        F.hour(bucket_col).alias("hour_of_day"))
+         .agg(F.count("*").cast("long").alias("n_buckets"),
+              F.sum(F.col(value_col).cast("long")).alias("_s")))
+    wk = Window.partitionBy(key_col)
+    tot_s = F.sum("_s").over(wk).cast("double")
+    tot_n = F.sum("n_buckets").over(wk).cast("double")
+    mean = F.col("_s").cast("double") / F.col("n_buckets").cast("double")
+    return (g.select(key_col, "hour_of_day", "n_buckets",
+                     F.round(mean, 6).alias("mean_events"),
+                     F.round(F.when(tot_s > 0, mean / (tot_s / tot_n)), 6)
+                     .alias("seasonal_index")))

@@ -8088,6 +8088,182 @@ def _cur_card(spark, sf_dir):
     return corpus_data_card(_t(spark, sf_dir, "documents"))
 
 
+
+
+# --------------------------------------------------------------------------
+# Round-9b time-series analytics: EWMA smoothing, ACF, OLS trend, seasonal
+# profile. All four keep the floating point down to ONE fixed expression per
+# output row (integer/dyadic-exact sums underneath) so the DuckDB twin is
+# bit-identical; all four run on the gap-filled hourly grid where a silent
+# dead hour must be an explicit zero (`operators/timeseries.py`).
+
+_FILLED_HOURLY = """WITH agg AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT key, min(bucket_start) AS lo, max(bucket_start) AS hi
+  FROM agg GROUP BY key
+), spine AS (
+  SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+           AS bucket_start
+  FROM bounds
+), filled AS (
+  SELECT s.key AS event_type, CAST(s.bucket_start AS TIMESTAMP)
+           AS bucket_start,
+         coalesce(a.n_events, 0) AS n_events
+  FROM spine s LEFT JOIN agg a USING (key, bucket_start)
+)"""
+
+
+@register("evt_ewma_smoothing", _FILLED_HOURLY + """
+SELECT event_type, bucket_start, n_events,
+       round((
+        0.0
+        + CASE WHEN CAST(n_events AS DOUBLE) IS NOT NULL THEN (CAST(n_events AS DOUBLE)) * 1.0 ELSE 0.0 END
+        + CASE WHEN lag(CAST(n_events AS DOUBLE), 1) OVER w IS NOT NULL THEN (lag(CAST(n_events AS DOUBLE), 1) OVER w) * 0.5 ELSE 0.0 END
+        + CASE WHEN lag(CAST(n_events AS DOUBLE), 2) OVER w IS NOT NULL THEN (lag(CAST(n_events AS DOUBLE), 2) OVER w) * 0.25 ELSE 0.0 END
+        + CASE WHEN lag(CAST(n_events AS DOUBLE), 3) OVER w IS NOT NULL THEN (lag(CAST(n_events AS DOUBLE), 3) OVER w) * 0.125 ELSE 0.0 END
+        + CASE WHEN lag(CAST(n_events AS DOUBLE), 4) OVER w IS NOT NULL THEN (lag(CAST(n_events AS DOUBLE), 4) OVER w) * 0.0625 ELSE 0.0 END
+        + CASE WHEN lag(CAST(n_events AS DOUBLE), 5) OVER w IS NOT NULL THEN (lag(CAST(n_events AS DOUBLE), 5) OVER w) * 0.03125 ELSE 0.0 END
+        + CASE WHEN lag(CAST(n_events AS DOUBLE), 6) OVER w IS NOT NULL THEN (lag(CAST(n_events AS DOUBLE), 6) OVER w) * 0.015625 ELSE 0.0 END
+        + CASE WHEN lag(CAST(n_events AS DOUBLE), 7) OVER w IS NOT NULL THEN (lag(CAST(n_events AS DOUBLE), 7) OVER w) * 0.0078125 ELSE 0.0 END
+       ) / (
+        0.0
+        + CASE WHEN CAST(n_events AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END
+        + CASE WHEN lag(CAST(n_events AS DOUBLE), 1) OVER w IS NOT NULL THEN 0.5 ELSE 0.0 END
+        + CASE WHEN lag(CAST(n_events AS DOUBLE), 2) OVER w IS NOT NULL THEN 0.25 ELSE 0.0 END
+        + CASE WHEN lag(CAST(n_events AS DOUBLE), 3) OVER w IS NOT NULL THEN 0.125 ELSE 0.0 END
+        + CASE WHEN lag(CAST(n_events AS DOUBLE), 4) OVER w IS NOT NULL THEN 0.0625 ELSE 0.0 END
+        + CASE WHEN lag(CAST(n_events AS DOUBLE), 5) OVER w IS NOT NULL THEN 0.03125 ELSE 0.0 END
+        + CASE WHEN lag(CAST(n_events AS DOUBLE), 6) OVER w IS NOT NULL THEN 0.015625 ELSE 0.0 END
+        + CASE WHEN lag(CAST(n_events AS DOUBLE), 7) OVER w IS NOT NULL THEN 0.0078125 ELSE 0.0 END
+       ), 6) AS ewma
+FROM filled
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+""")
+def _ts_ewma(spark, sf_dir):
+    # 8-tap truncated EWMA with dyadic decay over the gap-filled hourly
+    # series: the recursive filter recast as a lag convolution (one
+    # shared Exchange+Sort for all taps); 2^-i weights are binary-exact
+    # so the smoothing is bit-identical cross-engine.
+    from .operators.timeseries import ewma_smooth, resample_gapfill
+    series = (resample_gapfill(_t(spark, sf_dir, "events"))
+              .select("event_type", "bucket_start", "n_events"))
+    return ewma_smooth(series, "event_type", "bucket_start", "n_events")
+
+
+@register("evt_autocorrelation", _FILLED_HOURLY + """, lagged AS (
+  SELECT event_type, n_events AS x,
+         lag(n_events, 1) OVER w AS y1,
+         lag(n_events, 2) OVER w AS y2,
+         lag(n_events, 3) OVER w AS y3
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+), long AS (
+  SELECT event_type, 1 AS lag_k, x, y1 AS y FROM lagged WHERE y1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2, x, y2 FROM lagged WHERE y2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3, x, y3 FROM lagged WHERE y3 IS NOT NULL
+), g AS (
+  SELECT event_type, lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM long GROUP BY 1, 2
+)
+SELECT event_type, lag_k, n_pairs,
+       round(CASE WHEN n_pairs * sxx - sx * sx > 0
+                   AND n_pairs * syy - sy * sy > 0
+             THEN (n_pairs * sxy - sx * sy)
+                  / sqrt(n_pairs * sxx - sx * sx)
+                  / sqrt(n_pairs * syy - sy * sy) END, 6) AS acf
+FROM g
+""")
+def _ts_acf(spark, sf_dir):
+    # Autocorrelation at lags 1..3 of the gap-filled hourly counts:
+    # exact-integer moments, one Pearson expression per (key, lag) row.
+    from .operators.timeseries import autocorrelation, resample_gapfill
+    series = (resample_gapfill(_t(spark, sf_dir, "events"))
+              .select("event_type", "bucket_start", "n_events"))
+    return (autocorrelation(series, "event_type", "bucket_start",
+                            "n_events")
+            .withColumnRenamed("lag", "lag_k"))
+
+
+@register("evt_trend_fit", """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type,
+         date_diff('day', min(day) OVER (PARTITION BY event_type), day)
+           AS t, y
+  FROM d
+), g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(t) AS DOUBLE) AS st, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(t * y) AS DOUBLE) AS sty,
+         CAST(sum(t * t) AS DOUBLE) AS stt,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM idx GROUP BY 1
+)
+SELECT event_type, n_days,
+       round(CASE WHEN n_days * stt - st * st > 0
+             THEN (n_days * sty - st * sy) / (n_days * stt - st * st)
+             END, 6) AS slope,
+       round(CASE WHEN n_days * stt - st * st > 0
+             THEN (sy - (n_days * sty - st * sy)
+                        / (n_days * stt - st * st) * st) / n_days
+             END, 6) AS intercept,
+       round(CASE WHEN n_days * stt - st * st > 0
+                   AND n_days * syy - sy * sy > 0
+             THEN (n_days * sty - st * sy) * (n_days * sty - st * sy)
+                  / ((n_days * stt - st * st) * (n_days * syy - sy * sy))
+             END, 6) AS r2
+FROM g
+""")
+def _ts_trend(spark, sf_dir):
+    # Per-type OLS trend over the daily counts: day index relative to
+    # the key's own first day keeps every normal-equation sum an exact
+    # BIGINT; slope/intercept/R² are one double expression each.
+    from .operators.timeseries import trend_fit
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").cast("long").alias("y")))
+    return trend_fit(daily, "event_type", "day", "y")
+
+
+@register("evt_seasonality_profile", _FILLED_HOURLY + """, g AS (
+  SELECT event_type, CAST(extract(hour FROM bucket_start) AS INT)
+           AS hour_of_day,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(n_events) AS BIGINT) AS s
+  FROM filled GROUP BY 1, 2
+)
+SELECT event_type, hour_of_day, n_buckets,
+       round(CAST(s AS DOUBLE) / n_buckets, 6) AS mean_events,
+       round(CASE WHEN sum(s) OVER (PARTITION BY event_type) > 0
+             THEN (CAST(s AS DOUBLE) / n_buckets)
+                  / (CAST(sum(s) OVER (PARTITION BY event_type) AS DOUBLE)
+                     / CAST(sum(n_buckets) OVER (PARTITION BY event_type)
+                            AS DOUBLE)) END, 6) AS seasonal_index
+FROM g
+""")
+def _ts_season(spark, sf_dir):
+    # Hour-of-day seasonal index per type over the gap-filled grid (a
+    # dead hour must count as zero, not vanish); overall mean via a
+    # window over the 24-row profile, not a second series pass.
+    from .operators.timeseries import resample_gapfill, seasonal_profile
+    series = (resample_gapfill(_t(spark, sf_dir, "events"))
+              .select("event_type", "bucket_start", "n_events"))
+    return seasonal_profile(series, "event_type", "bucket_start",
+                            "n_events")
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 9 (late

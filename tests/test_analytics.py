@@ -338,3 +338,92 @@ def test_mad_flags_resist_masking_where_zscore_fails(spark):
                               "key string, bucket int, n long")
     out = mad_flags(c, "key", "n").collect()
     assert all(r.robust_z is None and r.is_anomaly == 0 for r in out)
+
+
+def test_ewma_known_values(spark):
+    # Hand-computed 8-tap dyadic EWMA: series [4, 0, 2] for one key.
+    # t0: 4/1 = 4; t1: (0*1 + 4*0.5)/(1.5) = 4/3; t2: (2 + 0 + 4*.25)/1.75.
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        ewma_smooth)
+    rows = [("k", i, v) for i, v in enumerate([4, 0, 2])]
+    df = spark.createDataFrame(rows, ["key", "t", "x"])
+    out = {r.t: r.ewma for r in
+           ewma_smooth(df, "key", "t", "x").collect()}
+    assert out[0] == 4.0
+    assert abs(out[1] - 4 / 3) < 1e-6
+    assert abs(out[2] - 3 / 1.75) < 1e-6
+
+
+def test_ewma_normalizes_at_series_head(spark):
+    # A constant series must smooth to the constant EVERYWHERE, including
+    # the head rows where fewer than `depth` taps exist — that is the
+    # normalization-by-available-weight property.
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        ewma_smooth)
+    df = spark.createDataFrame([("k", i, 7) for i in range(12)],
+                               ["key", "t", "x"])
+    assert all(r.ewma == 7.0 for r in
+               ewma_smooth(df, "key", "t", "x").collect())
+
+
+def test_autocorrelation_alternating_series(spark):
+    # x = +1/-1 alternating: ACF(1) = -1, ACF(2) = +1 exactly.
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        autocorrelation)
+    df = spark.createDataFrame(
+        [("k", i, 1 if i % 2 == 0 else -1) for i in range(20)],
+        ["key", "t", "x"])
+    out = {r.lag: r.acf for r in
+           autocorrelation(df, "key", "t", "x", lags=(1, 2)).collect()}
+    assert abs(out[1] + 1.0) < 1e-6
+    assert abs(out[2] - 1.0) < 1e-6
+
+
+def test_trend_fit_exact_line(spark):
+    # y = 3t + 5 fits exactly: slope 3, intercept 5, r2 == 1; the day
+    # index is relative to the KEY's own first day (late onboarding must
+    # not shift the slope).
+    import datetime
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        trend_fit)
+    d0 = datetime.date(2024, 3, 10)
+    rows = [("k", d0 + datetime.timedelta(days=i), 3 * i + 5)
+            for i in range(10)]
+    df = spark.createDataFrame(rows, ["key", "day", "y"])
+    r = trend_fit(df, "key", "day", "y").collect()[0]
+    assert (r.slope, r.intercept, r.r2) == (3.0, 5.0, 1.0)
+    assert r.n_days == 10
+
+
+def test_trend_fit_constant_series_null_fit(spark):
+    # A single-day key has zero regressor variance: slope/r2 must be
+    # NULL, not a division blowup.
+    import datetime
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        trend_fit)
+    df = spark.createDataFrame([("k", datetime.date(2024, 3, 10), 4)],
+                               ["key", "day", "y"])
+    r = trend_fit(df, "key", "day", "y").collect()[0]
+    assert r.slope is None and r.r2 is None
+
+
+def test_seasonal_profile_index_mean_is_one(spark):
+    # Seasonal indices weighted by bucket counts must average to 1 per
+    # key, and a 2×-traffic hour must index at 2× the flat hours' level.
+    import datetime
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        seasonal_profile)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(4):
+        for h in range(24):
+            n = 20 if h == 9 else 10
+            rows.append(("k", t0 + datetime.timedelta(days=d, hours=h), n))
+    df = spark.createDataFrame(rows, ["key", "bucket", "n"])
+    out = seasonal_profile(df, "key", "bucket", "n").collect()
+    assert len(out) == 24
+    mean_idx = sum(r.seasonal_index * r.n_buckets for r in out) \
+        / sum(r.n_buckets for r in out)
+    assert abs(mean_idx - 1.0) < 1e-6
+    by_hour = {r.hour_of_day: r.seasonal_index for r in out}
+    assert abs(by_hour[9] / by_hour[10] - 2.0) < 1e-6
