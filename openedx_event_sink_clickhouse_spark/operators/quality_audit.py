@@ -411,3 +411,49 @@ def expectation_suite(df: DataFrame,
         (F.col(f"_v{i}") == 0).cast("int").alias("passed"))
         for i, (name, _) in enumerate(expectations)]
     return row.select(F.inline(F.array(*structs)))
+
+
+def partition_completeness(events: DataFrame, ts_col: str = "ts",
+                           ) -> DataFrame:
+    """Ingest-completeness audit at hourly-partition grain: for every
+    calendar day in the table's observed range, how many hourly
+    partitions SHOULD exist (24 for interior days, clipped by the
+    global first/last observed hour on the boundary days) vs how many
+    actually hold rows — the freshness/backfill gate a 100 TB
+    hour-partitioned event lake runs before promoting a day to
+    consumers. A day the pipeline never wrote AT ALL still emits (the
+    spine generates days, observation joins in) — silent whole-day
+    holes are precisely what an observed-only groupBy cannot flag.
+    Returns (day, expected_hours, observed_hours, missing_hours,
+    completeness).
+
+    Plan: one scan reduces events to the observed (day, hour) grid +
+    one 1-row global-bounds aggregate; the day spine generates from the
+    bounds and broadcast-joins both. All arithmetic is integer hours
+    from epoch — no float until the final ratio."""
+    hr = F.date_trunc("hour", F.col(ts_col))
+    obs = (events.select(hr.alias("_h")).distinct()
+           .groupBy(F.to_date("_h").alias("day"))
+           .agg(F.count("*").cast("long").alias("observed_hours")))
+    bounds = events.agg(F.min(hr).alias("_lo"), F.max(hr).alias("_hi"))
+    spine = bounds.select(
+        "_lo", "_hi",
+        F.explode(F.sequence(F.to_date("_lo"), F.to_date("_hi"),
+                             F.expr("INTERVAL 1 DAY"))).alias("day"))
+    day_start = F.col("day").cast("timestamp")
+    day_last = F.to_timestamp(
+        F.concat(F.col("day").cast("string"), F.lit(" 23:00:00")))
+    lo_clip = F.greatest(day_start, F.col("_lo"))
+    hi_clip = F.least(day_last, F.col("_hi"))
+    expected = ((F.unix_timestamp(hi_clip) - F.unix_timestamp(lo_clip))
+                / F.lit(3600) + F.lit(1)).cast("long")
+    exp = spine.select("day", expected.alias("expected_hours"))
+    return (exp.join(obs, "day", "left")
+            .select("day", "expected_hours",
+                    F.coalesce("observed_hours", F.lit(0)).cast("long")
+                    .alias("observed_hours"))
+            .withColumn("missing_hours",
+                        F.col("expected_hours") - F.col("observed_hours"))
+            .withColumn("completeness",
+                        F.round(F.col("observed_hours").cast("double")
+                                / F.col("expected_hours"), 6)))

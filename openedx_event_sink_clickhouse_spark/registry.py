@@ -8264,6 +8264,131 @@ def _ts_season(spark, sf_dir):
                             "n_events")
 
 
+
+
+@register("agg_grouping_sets", """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_price,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+""")
+def _agg_gsets(spark, sf_dir):
+    # Explicit GROUPING SETS (the general form behind cube/rollup):
+    # status×priority detail, status subtotals, grand total in ONE
+    # shuffle — the expand operator replays each row per set, vs three
+    # separate scans. Money sums ride DECIMAL (exact, order-free).
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .cast("double"), 2).alias("total_price"),
+             F.grouping("o_orderstatus").cast("int").alias("g_status"),
+             F.grouping("o_orderpriority").cast("int")
+             .alias("g_priority")))
+
+
+@register("unpivot_lineitem_metrics", """
+SELECT l_orderkey, l_linenumber, metric, round(value, 6) AS value
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_discount, l_tax
+      FROM lineitem WHERE l_orderkey <= 500)
+UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount,
+                              l_tax))
+""")
+def _unpivot_li(spark, sf_dir):
+    # Wide->long melt (the metrics-store interchange shape): 4 measure
+    # columns become (metric, value) rows via the native Expand-based
+    # unpivot — map-side only, no shuffle, no per-metric re-scan. The
+    # orderkey filter bounds the demo output; at scale the melt runs
+    # unfiltered as a map stage feeding a metric-partitioned writer.
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") <= 500))
+    metrics = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return (li.unpivot(["l_orderkey", "l_linenumber"], metrics,
+                       "metric", "value")
+            .select("l_orderkey", "l_linenumber", "metric",
+                    F.round("value", 6).alias("value")))
+
+
+@register("evt_interval_union", """
+WITH iv AS (
+  SELECT user_id, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+  FROM events GROUP BY user_id, event_type, CAST(ts AS DATE)
+), f AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), ids AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM f
+), isl AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS n,
+         min(s) AS lo, max(e) AS hi
+  FROM ids GROUP BY 1, 2
+)
+SELECT user_id AS key, CAST(sum(n) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       round(CAST(sum(hi - lo) AS DOUBLE) / 1e6, 6) AS covered_seconds
+FROM isl GROUP BY user_id
+""")
+def _iv_union(spark, sf_dir):
+    # Gaps-and-islands merge of overlapping per-(type, day) activity
+    # segments into each user's disjoint covered time — the deduped
+    # "total engaged seconds" metric. One window (running-max-end
+    # island flag) instead of a quadratic range self-join.
+    from .operators.intervals import interval_union
+    ev = _t(spark, sf_dir, "events")
+    iv = (ev.groupBy("user_id", "event_type", F.to_date("ts"))
+          .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")))
+    return interval_union(iv, "user_id")
+
+
+@register("dq_partition_completeness", """
+WITH hrs AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events),
+b AS (SELECT min(h) AS lo, max(h) AS hi FROM hrs),
+obs AS (
+  SELECT CAST(h AS DATE) AS day, CAST(count(*) AS BIGINT)
+           AS observed_hours
+  FROM hrs GROUP BY 1
+), spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS DATE), CAST(hi AS DATE),
+                                     INTERVAL 1 DAY)) AS DATE) AS day,
+         lo, hi
+  FROM b
+), exp AS (
+  SELECT day,
+         CAST((epoch(least(CAST(day AS TIMESTAMP) + INTERVAL 23 HOUR, hi))
+               - epoch(greatest(CAST(day AS TIMESTAMP), lo))) / 3600 + 1
+              AS BIGINT) AS expected_hours
+  FROM spine
+)
+SELECT e.day, e.expected_hours,
+       coalesce(o.observed_hours, 0) AS observed_hours,
+       e.expected_hours - coalesce(o.observed_hours, 0) AS missing_hours,
+       round(CAST(coalesce(o.observed_hours, 0) AS DOUBLE)
+             / e.expected_hours, 6) AS completeness
+FROM exp e LEFT JOIN obs o USING (day)
+""")
+def _dq_pcomplete(spark, sf_dir):
+    # Hourly-partition completeness per day: expected hours clipped by
+    # the global observed bounds on boundary days, day spine generated
+    # from the bounds so whole-day holes still emit a row.
+    from .operators.quality_audit import partition_completeness
+    return partition_completeness(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 9 (late

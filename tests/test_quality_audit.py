@@ -275,3 +275,26 @@ def test_expectation_suite_one_pass_and_null_counts_as_violation(spark):
         ("a", F.col("id").isNotNull()), ("b", F.col("v") > 0),
     ])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") <= 1
+
+
+def test_partition_completeness_flags_holes(spark):
+    # Three hourly partitions on day 1 (global range starts 00:00, so a
+    # full 24 expected), a WHOLE missing day 2 (expected 24, observed 0
+    # -- the spine must still emit it), and one hour on day 3 (global
+    # range ends 07:00 -> boundary-clipped to 8 expected).
+    import datetime
+    from openedx_event_sink_clickhouse_spark.operators.quality_audit import (
+        partition_completeness)
+    t = datetime.datetime
+    rows = [(1, t(2024, 3, 1, 0, 5)), (2, t(2024, 3, 1, 1, 10)),
+            (3, t(2024, 3, 1, 5, 59)), (4, t(2024, 3, 3, 7, 30))]
+    ev = spark.createDataFrame(rows, ["event_id", "ts"])
+    out = {str(r.day): r for r in partition_completeness(ev).collect()}
+    assert len(out) == 3
+    d1, d2, d3 = out["2024-03-01"], out["2024-03-02"], out["2024-03-03"]
+    # day 1: global lo is 00:00, so no clip -> 24 expected, 3 observed
+    assert (d1.expected_hours, d1.observed_hours, d1.missing_hours) == (24, 3, 21)
+    # day 2: interior day, full 24 expected, total hole
+    assert (d2.expected_hours, d2.observed_hours, d2.completeness) == (24, 0, 0.0)
+    # day 3: clipped to [00:00, 07:00] -> 8 expected, 1 observed
+    assert (d3.expected_hours, d3.observed_hours) == (8, 1)
