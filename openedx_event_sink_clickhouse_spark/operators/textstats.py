@@ -351,3 +351,146 @@ def dsir_importance(docs: DataFrame, target: DataFrame,
                  F.round(F.exp(F.avg("lr")), 6).alias("importance_weight"))
             .select(F.col("id").alias(id_col), "n_tokens",
                     "avg_log_ratio", "importance_weight"))
+
+
+def bigram_logprob(docs: DataFrame, lam: float = 0.75,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document interpolated-bigram LM score against the corpus's
+    own distribution — one model-capacity step above
+    :func:`unigram_logprob` (a doc of common words in UNCOMMON order now
+    scores low, which the unigram model cannot see). Each position
+    i >= 1 contributes ln(lam * p(w_i | w_{i-1}) + (1-lam) * p(w_i)):
+    Jelinek-Mercer interpolation, whose unigram floor keeps unseen
+    continuations finite without Katz-style backoff bookkeeping.
+    ``lam`` defaults to a dyadic 0.75 (exact in binary FP). Returns
+    (doc_id, n_bigrams, avg_logprob, bigram_ppl); one-word docs have no
+    bigram and drop out, as in the DuckDB twin.
+
+    Plan: bigram lists build MAP-ONLY per doc (the let-bound
+    ``ngrams`` transform — no O(words²) re-split), so the only
+    token-scale shuffles are the two count models (gram, word) and the
+    score joins, all unhinted so AQE broadcasts the vocab while it fits
+    and degrades to shuffle joins at web scale. Document text never
+    shuffles."""
+    w = words(F.col(text_col))
+    grams = (docs.select(F.col(id_col).alias("id"),
+                         F.explode(ngrams(w, 2)).alias("g"))
+             .select("id", "g",
+                     F.split("g", " ").getItem(0).alias("_w1"),
+                     F.split("g", " ").getItem(1).alias("_w2")))
+    tok = docs.select(F.explode(w).alias("word"))
+    uni = tok.groupBy("word").agg(F.count("*").alias("c1"))
+    tot = uni.agg(F.sum("c1").cast("double").alias("n"))
+    bi = grams.groupBy("g").agg(F.count("*").alias("c2"))
+    u1 = uni.select(F.col("word").alias("_w1"), F.col("c1").alias("_c_prev"))
+    u2 = uni.select(F.col("word").alias("_w2"), F.col("c1").alias("_c_cur"))
+    p_bi = F.col("c2").cast("double") / F.col("_c_prev").cast("double")
+    p_uni = F.col("_c_cur").cast("double") / F.col("n")
+    scored = (grams.join(bi, "g").join(u1, "_w1").join(u2, "_w2")
+              .crossJoin(F.broadcast(tot))
+              .select("id", F.log(F.lit(lam) * p_bi
+                                  + F.lit(1.0 - lam) * p_uni).alias("lp")))
+    return (scored.groupBy("id")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.round(F.avg("lp"), 6).alias("avg_logprob"),
+                 F.round(F.exp(-F.avg("lp")), 6).alias("bigram_ppl"))
+            .select(F.col("id").alias(id_col), "n_bigrams",
+                    "avg_logprob", "bigram_ppl"))
+
+
+def vocab_growth(docs: DataFrame, deciles: int = 10,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct vocabulary and total
+    tokens after the first 10%, 20%, ... of the corpus (by doc id) —
+    the readout that says whether a corpus is still contributing new
+    types or has saturated (flattening type/token ratio → diminishing
+    deduplication value of further ingestion). Returns one row per
+    decile: (decile, threshold_doc, n_tokens, vocab_size,
+    type_token_ratio). Thresholds derive from the corpus's own max id,
+    so the curve is scale-free across sf dirs.
+
+    Scale shape: a word enters the vocabulary at its MIN doc id — one
+    token-scale aggregate — and each of the 10 checkpoints then counts
+    words whose first appearance precedes it: vocab-scale rows × 10 via
+    a broadcast threshold fan-out, never a re-scan of the corpus per
+    checkpoint. Token totals fan the per-doc count frame out the same
+    way. All integers until the final ratio."""
+    w = words(F.col(text_col))
+    tok = docs.select(F.col(id_col).alias("id"),
+                      F.explode(w).alias("word"))
+    fd = tok.groupBy("word").agg(F.min("id").alias("_fd"))
+    per_doc = docs.select(F.col(id_col).alias("id"),
+                          F.size(w).cast("long").alias("_nt"))
+    thresholds = (docs.agg(F.max(F.col(id_col)).alias("_mx"))
+                  .select(F.explode(F.sequence(
+                      F.lit(1), F.lit(deciles))).alias("decile"), "_mx")
+                  .select("decile",
+                          F.floor(F.col("_mx") * F.col("decile")
+                                  / F.lit(deciles)).cast("long")
+                          .alias("threshold_doc")))
+    vocab = (fd.crossJoin(F.broadcast(thresholds))
+             .filter(F.col("_fd") <= F.col("threshold_doc"))
+             .groupBy("decile", "threshold_doc")
+             .agg(F.count("*").cast("long").alias("vocab_size")))
+    toks = (per_doc.crossJoin(F.broadcast(thresholds))
+            .filter(F.col("id") <= F.col("threshold_doc"))
+            .groupBy("decile", "threshold_doc")
+            .agg(F.sum("_nt").cast("long").alias("n_tokens")))
+    return (toks.join(vocab, ["decile", "threshold_doc"])
+            .select("decile", "threshold_doc", "n_tokens", "vocab_size",
+                    F.round(F.col("vocab_size").cast("double")
+                            / F.col("n_tokens"), 6)
+                    .alias("type_token_ratio")))
+
+
+def zipf_fit(docs: DataFrame, top_k: int = 100,
+             text_col: str = "text") -> DataFrame:
+    """Zipf-law fit over the top-``top_k`` word frequencies: OLS slope
+    of ln(freq) on ln(rank) (a healthy natural-language corpus sits
+    near -1; template/boilerplate-heavy corpora flatten, spam inflates
+    the head) — a one-row corpus-forensics gate next to the Benford
+    audit. Returns (n_terms, zipf_slope, zipf_intercept, r2).
+
+    Engine parity for a REGRESSION ON LOGS: each ln is rounded to 9
+    decimals and every regression moment accumulates as an exact
+    DECIMAL of those rounded values (doubles would sum in
+    engine-specific order) — the fit is then one fixed double
+    expression. The frequency table reduces token-scale data once;
+    ranking the top-k is a single-partition window over k rows, the
+    standard coordinator-scale model fit."""
+    from pyspark.sql import Window
+    tok = docs.select(F.explode(words(F.col(text_col))).alias("word"))
+    freq = tok.groupBy("word").agg(F.count("*").alias("c"))
+    top = (freq.orderBy(F.col("c").desc(), F.col("word")).limit(top_k)
+           .withColumn("rk", F.row_number().over(
+               Window.orderBy(F.col("c").desc(), F.col("word")))))
+    x = F.round(F.log(F.col("rk").cast("double")), 9)
+    y = F.round(F.log(F.col("c").cast("double")), 9)
+    pts = top.select(x.alias("_x"), y.alias("_y"))
+    g = pts.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum(F.col("_x").cast("decimal(18,9)")).alias("_sx"),
+        F.sum(F.col("_y").cast("decimal(18,9)")).alias("_sy"),
+        F.sum(F.round(F.col("_x") * F.col("_y"), 12)
+              .cast("decimal(30,12)")).alias("_sxy"),
+        F.sum(F.round(F.col("_x") * F.col("_x"), 12)
+              .cast("decimal(30,12)")).alias("_sxx"),
+        F.sum(F.round(F.col("_y") * F.col("_y"), 12)
+              .cast("decimal(30,12)")).alias("_syy"))
+    n = F.col("n_terms").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    slope = (n * sxy - sx * sy) / dx
+    return g.select(
+        "n_terms",
+        F.round(F.when(dx > 0, slope), 6).alias("zipf_slope"),
+        F.round(F.when(dx > 0, (sy - slope * sx) / n), 6)
+        .alias("zipf_intercept"),
+        F.round(F.when((dx > 0) & (dy > 0),
+                       (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / (dx * dy)), 6).alias("r2"))

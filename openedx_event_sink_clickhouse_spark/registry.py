@@ -8389,6 +8389,128 @@ def _dq_pcomplete(spark, sf_dir):
     return partition_completeness(_t(spark, sf_dir, "events"))
 
 
+
+
+@register("text_bigram_logprob", """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+tok AS (SELECT unnest(w) AS word FROM toks),
+uni AS (SELECT word, count(*) AS c1 FROM tok GROUP BY word),
+tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM toks WHERE len(w) >= 2
+),
+bi AS (SELECT g, count(*) AS c2 FROM big GROUP BY g),
+scored AS (
+  SELECT b.doc_id,
+         ln(0.75 * (bi.c2 / u1.c1) + 0.25 * (u2.c1 / tot.n)) AS lp
+  FROM big b JOIN bi USING (g)
+  JOIN uni u1 ON u1.word = string_split(b.g, ' ')[1]
+  JOIN uni u2 ON u2.word = string_split(b.g, ' ')[2]
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 6) AS avg_logprob,
+       round(exp(-avg(lp)), 6) AS bigram_ppl
+FROM scored GROUP BY doc_id
+""")
+def _tx_bigram(spark, sf_dir):
+    # Jelinek-Mercer interpolated bigram LM (lam = dyadic 0.75): word
+    # ORDER now scores, not just word choice. Bigram lists build
+    # map-only (let-bound ngrams transform); only the count models and
+    # score joins shuffle, unhinted so AQE broadcasts a fitting vocab.
+    from .operators.textstats import bigram_logprob
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@register("text_vocab_growth", """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+tok AS (SELECT doc_id AS id, unnest(w) AS word FROM toks),
+fd AS (SELECT word, min(id) AS fd FROM tok GROUP BY word),
+mx AS (SELECT max(doc_id) AS m FROM documents),
+th AS (
+  SELECT CAST(d AS INT) AS decile,
+         CAST(floor(m * d / 10) AS BIGINT) AS threshold_doc
+  FROM mx, unnest(generate_series(1, 10)) AS t(d)
+),
+vocab AS (
+  SELECT decile, threshold_doc, CAST(count(*) AS BIGINT) AS vocab_size
+  FROM fd CROSS JOIN th WHERE fd <= threshold_doc GROUP BY 1, 2
+),
+tk AS (
+  SELECT decile, threshold_doc,
+         CAST(sum(len(w)) AS BIGINT) AS n_tokens
+  FROM toks CROSS JOIN th WHERE doc_id <= threshold_doc GROUP BY 1, 2
+)
+SELECT decile, threshold_doc, n_tokens, vocab_size,
+       round(CAST(vocab_size AS DOUBLE) / n_tokens, 6)
+         AS type_token_ratio
+FROM tk JOIN vocab USING (decile, threshold_doc)
+""")
+def _tx_heaps(spark, sf_dir):
+    # Heaps-law vocabulary growth at corpus deciles: a word enters at
+    # its MIN doc id (one token-scale aggregate); the 10 checkpoints
+    # fan out over vocab-scale rows via broadcast, never re-scanning
+    # the corpus per checkpoint.
+    from .operators.textstats import vocab_growth
+    return vocab_growth(_t(spark, sf_dir, "documents"))
+
+
+@register("text_zipf_fit", """
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+freq AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rk
+  FROM freq ORDER BY c DESC, word LIMIT 100
+),
+pts AS (
+  SELECT round(ln(CAST(rk AS DOUBLE)), 9) AS x,
+         round(ln(CAST(c AS DOUBLE)), 9) AS y
+  FROM top
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(x * y, 12) AS DECIMAL(30,12))) AS DOUBLE)
+           AS sxy,
+         CAST(sum(CAST(round(x * x, 12) AS DECIMAL(30,12))) AS DOUBLE)
+           AS sxx,
+         CAST(sum(CAST(round(y * y, 12) AS DECIMAL(30,12))) AS DOUBLE)
+           AS syy
+  FROM pts
+)
+SELECT n_terms,
+       round(CASE WHEN n_terms * sxx - sx * sx > 0
+             THEN (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)
+             END, 6) AS zipf_slope,
+       round(CASE WHEN n_terms * sxx - sx * sx > 0
+             THEN (sy - (n_terms * sxy - sx * sy)
+                        / (n_terms * sxx - sx * sx) * sx) / n_terms
+             END, 6) AS zipf_intercept,
+       round(CASE WHEN n_terms * sxx - sx * sx > 0
+                   AND n_terms * syy - sy * sy > 0
+             THEN (n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
+                  / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy))
+             END, 6) AS r2
+FROM g
+""")
+def _tx_zipf(spark, sf_dir):
+    # Zipf slope over the top-100 frequencies: logs rounded to 9dp and
+    # accumulated as exact DECIMALs (double sums are engine-order-
+    # dependent); the fit itself is one fixed double expression.
+    from .operators.textstats import zipf_fit
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 9 (late
