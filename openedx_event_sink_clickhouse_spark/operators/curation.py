@@ -970,3 +970,28 @@ def corpus_data_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "avg_chars",
         F.round(F.col("n_docs").cast("double") / total, 6)
          .alias("doc_share"))
+
+
+def reservoir_per_key(df: DataFrame, key_col: str, id_col: str,
+                      k: int = 20) -> DataFrame:
+    """Deterministic fixed-size sample PER KEY: exactly min(k, |key|)
+    rows from every key, chosen by ranking on the md5 of the row id —
+    the engine-reproducible stand-in for per-key reservoir sampling
+    (true reservoirs are RNG- and scan-order-dependent; the hash rank
+    is a function of the DATA, so re-runs, retries, and both engines
+    agree row-for-row). Complements Bernoulli sampling
+    (``sample_corpus``): rate-based sampling starves small keys —
+    a 30-doc language at 1% yields 0 docs — while this guarantees
+    every key its k. Returns (key, id, sample_rank).
+
+    Plan: one hash projection + one key-partitioned TOP-K window.
+    Spark rewrites the rank filter into WindowGroupLimit (per-partition
+    partial top-k before the exchange), so the shuffle carries at most
+    k rows per key per map task, not the corpus."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("key").orderBy(
+        F.md5(F.col("id").cast("string")), "id")
+    return (df.select(F.col(key_col).alias("key"),
+                      F.col(id_col).alias("id"))
+            .withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k))

@@ -155,3 +155,41 @@ def grouped_histogram_quantiles(cells: DataFrame, group_cols: list[str],
                     F.col("total").cast("bigint").alias("n_rows"),
                     F.round(clamped, 6).alias("estimate"))
             .orderBy(*group_cols, "q"))
+
+
+def winsorized_stats(df: DataFrame, group_col: str, value_col: str,
+                     lo_q: float = 0.05, hi_q: float = 0.95) -> DataFrame:
+    """Per-group winsorized mean: values are CAPPED at the group's
+    [lo_q, hi_q] percentiles before averaging — the robust location
+    estimate for heavy-tailed metrics where trimming (dropping the
+    tails) throws information away and the raw mean chases outliers.
+    Returns (group, n_rows, p_lo, p_hi, n_capped_low, n_capped_high,
+    raw_mean, winsorized_mean).
+
+    Two passes over the GROUP-REDUCED axis: one exact-percentile
+    aggregate per group (the documented boundary — at raw-100 TB grain
+    swap in the grouped histogram sketch for the cut points, same plan
+    otherwise), then a broadcast join re-scans the values once to cap
+    and average. Engine parity: means accumulate as exact DECIMALs of
+    6dp-rounded values, never order-dependent double sums; Spark
+    ``percentile`` == DuckDB ``quantile_cont`` (established
+    bit-identical on this data)."""
+    v = F.col(value_col).cast("double")
+    cuts = (df.groupBy(F.col(group_col).alias("_g"))
+            .agg(F.expr(f"percentile({value_col}, {lo_q})").alias("_plo"),
+                 F.expr(f"percentile({value_col}, {hi_q})").alias("_phi")))
+    j = df.join(F.broadcast(cuts), F.col(group_col) == F.col("_g"))
+    capped = F.least(F.greatest(v, F.col("_plo")), F.col("_phi"))
+    dec = lambda c: F.round(c, 6).cast("decimal(28,6)")
+    return (j.groupBy(F.col(group_col))
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.round(F.min("_plo"), 6).alias("p_lo"),
+                 F.round(F.max("_phi"), 6).alias("p_hi"),
+                 F.sum(F.when(v < F.col("_plo"), 1).otherwise(0))
+                 .cast("long").alias("n_capped_low"),
+                 F.sum(F.when(v > F.col("_phi"), 1).otherwise(0))
+                 .cast("long").alias("n_capped_high"),
+                 F.round(F.sum(dec(v)).cast("double")
+                         / F.count("*"), 6).alias("raw_mean"),
+                 F.round(F.sum(dec(capped)).cast("double")
+                         / F.count("*"), 6).alias("winsorized_mean")))

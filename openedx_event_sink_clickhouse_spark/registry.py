@@ -8511,6 +8511,96 @@ def _tx_zipf(spark, sf_dir):
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+
+
+@register("evt_basket_lift", """
+WITH grid AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+tot AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM grid),
+item_n AS (SELECT i, count(*) AS n_i FROM grid GROUP BY i),
+pairs AS (
+  SELECT a.i AS item_a, bb.i AS item_b,
+         CAST(count(*) AS BIGINT) AS pair_count
+  FROM grid a JOIN grid bb ON a.b = bb.b AND a.i < bb.i
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, pair_count,
+       round(CAST(pair_count AS DOUBLE) / tot.n, 6) AS support,
+       round(CAST(pair_count AS DOUBLE) / CAST(na.n_i AS DOUBLE), 6)
+         AS confidence,
+       round(CAST(pair_count AS DOUBLE) * tot.n
+             / (CAST(na.n_i AS DOUBLE) * CAST(nb.n_i AS DOUBLE)), 6)
+         AS lift
+FROM pairs
+JOIN item_n na ON na.i = item_a
+JOIN item_n nb ON nb.i = item_b
+CROSS JOIN tot
+ORDER BY pair_count DESC, item_a, item_b
+LIMIT 50
+""")
+def _basket(spark, sf_dir):
+    # Market-basket pair mining: self-join on the basket key bounds
+    # expansion at C(basket,2) per order (never corpus-quadratic); the
+    # item-frequency model joins as an AQE-broadcastable dim. Exact
+    # integer counts; support/confidence/lift are fixed expressions.
+    from .operators.basket import basket_lift
+    return basket_lift(_t(spark, sf_dir, "lineitem"))
+
+
+@register("cur_winsorized_stats", """
+WITH cuts AS (
+  SELECT l_returnflag AS g,
+         quantile_cont(l_extendedprice, 0.05) AS plo,
+         quantile_cont(l_extendedprice, 0.95) AS phi
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       round(min(plo), 6) AS p_lo, round(max(phi), 6) AS p_hi,
+       CAST(sum(CASE WHEN l_extendedprice < plo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_capped_low,
+       CAST(sum(CASE WHEN l_extendedprice > phi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_capped_high,
+       round(CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(28,6)))
+                  AS DOUBLE) / count(*), 6) AS raw_mean,
+       round(CAST(sum(CAST(round(least(greatest(l_extendedprice, plo),
+                                       phi), 6) AS DECIMAL(28,6)))
+                  AS DOUBLE) / count(*), 6) AS winsorized_mean
+FROM lineitem JOIN cuts ON l_returnflag = g
+GROUP BY l_returnflag
+""")
+def _winsor(spark, sf_dir):
+    # Robust per-group location: cap at the group's own [p05, p95]
+    # before averaging; means ride exact DECIMALs of 6dp-rounded
+    # values, never order-dependent double sums.
+    from .operators.quantiles import winsorized_stats
+    return winsorized_stats(_t(spark, sf_dir, "lineitem"),
+                            "l_returnflag", "l_extendedprice")
+
+
+@register("cur_reservoir_per_key", """
+SELECT lang AS key, doc_id AS id, sample_rank
+FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= 20
+""")
+def _reservoir(spark, sf_dir):
+    # Deterministic k-per-key sample: md5-rank top-k guarantees every
+    # key its k rows (Bernoulli sampling starves small keys); Spark
+    # rewrites the rank filter to WindowGroupLimit so each map task
+    # ships at most k rows per key into the exchange.
+    from .operators.curation import reservoir_per_key
+    return (reservoir_per_key(_t(spark, sf_dir, "documents"),
+                              "lang", "doc_id")
+            .withColumn("sample_rank",
+                        F.col("sample_rank").cast("long")))
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 9 (late

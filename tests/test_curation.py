@@ -594,3 +594,33 @@ def test_corpus_data_card_rollup_and_shares(spark):
     assert rows[(None, None)].doc_share == 1.0
     assert rows[("en", None)].doc_share == 0.75
     assert rows[("fr", "web")].avg_chars == 1.0
+
+
+def test_reservoir_per_key_exact_k_every_key(spark):
+    # 100-row key vs 3-row key: big key yields exactly k, small key
+    # yields ALL its rows -- the guarantee Bernoulli sampling lacks.
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        reservoir_per_key)
+    rows = [("big", i) for i in range(100)] + [("small", 1000 + i)
+                                               for i in range(3)]
+    df = spark.createDataFrame(rows, ["lang", "doc_id"])
+    out = reservoir_per_key(df, "lang", "doc_id", k=10).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r)
+    assert len(by_key["big"]) == 10
+    assert len(by_key["small"]) == 3
+    # deterministic: a re-run selects the identical id set
+    again = {r.id for r in
+             reservoir_per_key(df, "lang", "doc_id", k=10).collect()}
+    assert {r.id for r in out} == again
+
+
+def test_reservoir_rank_filter_becomes_group_limit(spark):
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        reservoir_per_key)
+    df = spark.createDataFrame([("a", i) for i in range(50)],
+                               ["lang", "doc_id"])
+    plan = (reservoir_per_key(df, "lang", "doc_id", k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "WindowGroupLimit" in plan, plan

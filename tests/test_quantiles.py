@@ -119,3 +119,31 @@ def test_grouped_quantiles_single_group_exchange(spark):
         1 for ln in plan.splitlines()
         if "Exchange hashpartitioning" in ln and "k#" in ln)
     assert n_group_exchanges <= 2  # sketch agg + window stack share
+
+
+def test_winsorized_mean_resists_outlier(spark):
+    # 19 values of 10 plus one 10000: raw mean ~509.5, winsorized mean
+    # must collapse near 10 (the outlier caps at p95).
+    from openedx_event_sink_clickhouse_spark.operators.quantiles import (
+        winsorized_stats)
+    rows = [("g", 10.0)] * 19 + [("g", 10000.0)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    r = winsorized_stats(df, "grp", "v").collect()[0]
+    assert r.raw_mean == 509.5
+    assert r.n_capped_high == 1 and r.n_capped_low == 0
+    assert r.winsorized_mean < 60  # p95 interpolates near 10, far from 1e4
+    assert r.p_lo == 10.0
+
+
+def test_winsorized_groups_use_own_cuts(spark):
+    # Each group caps at ITS OWN percentiles: a group of constants is
+    # untouched even when another group has wild values.
+    from openedx_event_sink_clickhouse_spark.operators.quantiles import (
+        winsorized_stats)
+    rows = [("flat", 5.0)] * 10 + [("wild", float(x))
+                                   for x in (1, 2, 3, 1000, 5000)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = {r.grp: r for r in winsorized_stats(df, "grp", "v").collect()}
+    assert out["flat"].winsorized_mean == 5.0
+    assert out["flat"].n_capped_low == 0 == out["flat"].n_capped_high
+    assert out["wild"].winsorized_mean < out["wild"].raw_mean
