@@ -457,3 +457,31 @@ def partition_completeness(events: DataFrame, ts_col: str = "ts",
             .withColumn("completeness",
                         F.round(F.col("observed_hours").cast("double")
                                 / F.col("expected_hours"), 6)))
+
+
+def l_diversity_audit(df: DataFrame, qi_cols: list[str],
+                      sensitive_col: str, l: int = 3) -> DataFrame:
+    """l-diversity audit — the companion gate to
+    :func:`k_anonymity_audit` that k-anonymity alone cannot provide: a
+    class of 50 records is k-anonymous but leaks completely if all 50
+    share one sensitive value (the homogeneity attack). Per
+    quasi-identifier equivalence class: size, count of DISTINCT
+    sensitive values, a violates_l flag, and the majority-value share
+    (the attacker's confidence under a homogeneity attack). Returns
+    one row per class.
+
+    One hash aggregate over (QI, sensitive) then one over QI — the
+    exchange carries value-class pairs, never rows. The majority share
+    is exact-integer max-count / class size."""
+    per_val = (df.groupBy(*qi_cols, F.col(sensitive_col).alias("_sv"))
+               .agg(F.count("*").alias("_c")))
+    return (per_val.groupBy(*qi_cols)
+            .agg(F.sum("_c").cast("long").alias("class_size"),
+                 F.count("*").cast("long").alias("n_sensitive"),
+                 F.max("_c").alias("_mx"))
+            .select(*qi_cols, "class_size", "n_sensitive",
+                    F.when(F.col("n_sensitive") < l, 1).otherwise(0)
+                    .cast("int").alias("violates_l"),
+                    F.round(F.col("_mx").cast("double")
+                            / F.col("class_size"), 6)
+                    .alias("majority_share")))

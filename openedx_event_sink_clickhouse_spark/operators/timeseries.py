@@ -345,3 +345,49 @@ def seasonal_profile(series: DataFrame, key_col: str, bucket_col: str,
                      F.round(mean, 6).alias("mean_events"),
                      F.round(F.when(tot_s > 0, mean / (tot_s / tot_n)), 6)
                      .alias("seasonal_index")))
+
+
+def forecast_backtest(series: DataFrame, key_col: str, day_col: str,
+                      value_col: str, horizon_days: int = 7,
+                      season_days: int = 7) -> DataFrame:
+    """Backtest of the two zero-parameter forecasters every real
+    forecast must beat — naive (tomorrow = today) and seasonal-naive
+    (tomorrow = same weekday last week) — on each key's last
+    ``horizon_days`` of daily values. Returns (key, model, n_days,
+    mae): if a trained model's MAE doesn't beat the seasonal-naive
+    row, its pipeline is burning compute for nothing. This is the
+    standard M-competition baseline discipline, as a query.
+
+    The holdout is PER KEY (the trailing window of that key's own max
+    day), and both models are evaluated through ONE lag-window pass:
+    absolute errors are integer |y - lag(y)| sums, so the MAE is exact
+    division — no float accumulation. Keys too short for a full
+    horizon+season history contribute the days they have; days whose
+    lag falls before the series start drop (no fabricated zeros
+    scored)."""
+    w = Window.partitionBy(key_col).orderBy(day_col)
+    wk = Window.partitionBy(key_col)
+    y = F.col(value_col).cast("long")
+    lagged = series.select(
+        F.col(key_col), F.col(day_col), y.alias("_y"),
+        F.lag(y, 1).over(w).alias("_naive"),
+        F.lag(y, season_days).over(w).alias("_seasonal"),
+        F.max(day_col).over(wk).alias("_mx"))
+    hold = lagged.filter(
+        F.datediff(F.col("_mx"), F.col(day_col)) < horizon_days)
+    stacked = (hold.select(
+        F.col(key_col),
+        F.explode(F.array(
+            F.struct(F.lit("naive").alias("model"),
+                     F.col("_naive").alias("yhat")),
+            F.struct(F.lit("seasonal_naive").alias("model"),
+                     F.col("_seasonal").alias("yhat")))).alias("_m"),
+        F.col("_y"))
+        .select(key_col, F.col("_m.model").alias("model"),
+                F.col("_m.yhat").alias("_yhat"), "_y")
+        .filter(F.col("_yhat").isNotNull()))
+    return (stacked.groupBy(key_col, "model")
+            .agg(F.count("*").cast("long").alias("n_days"),
+                 F.round(F.sum(F.abs(F.col("_y") - F.col("_yhat")))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("mae")))

@@ -8601,6 +8601,90 @@ def _reservoir(spark, sf_dir):
                         F.col("sample_rank").cast("long")))
 
 
+
+
+@register("evt_forecast_backtest", """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), lagd AS (
+  SELECT event_type, day, y,
+         lag(y, 1) OVER w AS naive,
+         lag(y, 7) OVER w AS seasonal,
+         max(day) OVER (PARTITION BY event_type) AS mx
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), hold AS (
+  SELECT * FROM lagd WHERE date_diff('day', day, mx) < 7
+), stacked AS (
+  SELECT event_type, 'naive' AS model, y, naive AS yhat
+  FROM hold WHERE naive IS NOT NULL
+  UNION ALL
+  SELECT event_type, 'seasonal_naive', y, seasonal
+  FROM hold WHERE seasonal IS NOT NULL
+)
+SELECT event_type, model, CAST(count(*) AS BIGINT) AS n_days,
+       round(CAST(sum(abs(y - yhat)) AS DOUBLE) / count(*), 6) AS mae
+FROM stacked GROUP BY 1, 2
+""")
+def _ts_backtest(spark, sf_dir):
+    # Naive vs seasonal-naive forecast MAE on each key's trailing week
+    # — the M-competition baseline a trained model must beat. One
+    # lag-window pass; absolute errors are exact integer sums.
+    from .operators.timeseries import forecast_backtest
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").cast("long").alias("y")))
+    return forecast_backtest(daily, "event_type", "day", "y")
+
+
+@register("dq_l_diversity", """
+WITH pv AS (
+  SELECT c_nationkey, CAST(floor(c_acctbal / 2000.0) AS INT)
+           AS acctbal_band,
+         c_mktsegment, count(*) AS c
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, acctbal_band,
+       CAST(sum(c) AS BIGINT) AS class_size,
+       CAST(count(*) AS BIGINT) AS n_sensitive,
+       CAST(CASE WHEN count(*) < 3 THEN 1 ELSE 0 END AS INT)
+         AS violates_l,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS majority_share
+FROM pv GROUP BY 1, 2
+""")
+def _dq_ldiv(spark, sf_dir):
+    # l-diversity (l=3) over the k-anonymity QI classes with market
+    # segment as the sensitive attribute: catches the homogeneity
+    # attack k-anonymity alone cannot (a large class whose members all
+    # share one sensitive value). Exchange carries value-class pairs.
+    from .operators.quality_audit import l_diversity_audit
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("int")
+        .alias("acctbal_band"),
+        "c_mktsegment")
+    return l_diversity_audit(cust, ["c_nationkey", "acctbal_band"],
+                             "c_mktsegment", l=3)
+
+
+@register("src_orc_roundtrip", _DOCS_COLS_SQL)
+def _src_orc(spark, sf_dir):
+    # ORC — the third at-rest columnar interchange format after
+    # parquet and the text sources: written with Spark's native ORC
+    # writer, read back typed (self-describing schema, no inference
+    # pass), hash-checked against the BASE parquet table so the full
+    # encode→decode round trip is in the oracle, not asserted.
+    tag = _sf_tag(sf_dir, "documents")
+    path = _cached_parquet(
+        f"/tmp/spark_graft_docs_orc_v1_{tag}",
+        lambda p: (_t(spark, sf_dir, "documents")
+                   .select("doc_id", "text", "lang", "source")
+                   .write.orc(p)))
+    return (spark.read.orc(path)
+            .select("doc_id", "text", "lang", "source"))
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 9 (late

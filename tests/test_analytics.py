@@ -427,3 +427,36 @@ def test_seasonal_profile_index_mean_is_one(spark):
     assert abs(mean_idx - 1.0) < 1e-6
     by_hour = {r.hour_of_day: r.seasonal_index for r in out}
     assert abs(by_hour[9] / by_hour[10] - 2.0) < 1e-6
+
+
+def test_forecast_backtest_seasonal_beats_naive_on_weekly_pattern(spark):
+    # A strict weekly pattern: seasonal-naive is PERFECT (mae 0) on the
+    # holdout, naive is not; per-key holdout is the key's own last week.
+    import datetime
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        forecast_backtest)
+    d0 = datetime.date(2024, 1, 1)
+    weekly = [10, 20, 30, 40, 50, 5, 1]
+    rows = [("k", d0 + datetime.timedelta(days=i), weekly[i % 7])
+            for i in range(28)]
+    df = spark.createDataFrame(rows, ["key", "day", "y"])
+    out = {r.model: r for r in
+           forecast_backtest(df, "key", "day", "y").collect()}
+    assert out["seasonal_naive"].mae == 0.0
+    assert out["naive"].mae > 0
+    assert out["seasonal_naive"].n_days == 7 == out["naive"].n_days
+
+
+def test_forecast_backtest_short_series_drops_missing_lags(spark):
+    # A 3-day series: the 7-lag seasonal model has no valid holdout
+    # prediction -> no seasonal row; naive scores the 2 days it can.
+    import datetime
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        forecast_backtest)
+    d0 = datetime.date(2024, 1, 1)
+    rows = [("k", d0 + datetime.timedelta(days=i), 5 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, ["key", "day", "y"])
+    out = {r.model: r for r in
+           forecast_backtest(df, "key", "day", "y").collect()}
+    assert "seasonal_naive" not in out
+    assert out["naive"].n_days == 2 and out["naive"].mae == 1.0

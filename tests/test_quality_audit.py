@@ -298,3 +298,19 @@ def test_partition_completeness_flags_holes(spark):
     assert (d2.expected_hours, d2.observed_hours, d2.completeness) == (24, 0, 0.0)
     # day 3: clipped to [00:00, 07:00] -> 8 expected, 1 observed
     assert (d3.expected_hours, d3.observed_hours) == (8, 1)
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    # Class A: 4 rows, all sensitive='x' -> n_sensitive=1, violates,
+    # majority share 1.0. Class B: 3 rows, 3 distinct -> passes l=3.
+    from openedx_event_sink_clickhouse_spark.operators.quality_audit import (
+        l_diversity_audit)
+    rows = [("A", "x")] * 4 + [("B", "x"), ("B", "y"), ("B", "z")]
+    df = spark.createDataFrame(rows, ["qi", "sens"])
+    out = {r.qi: r for r in
+           l_diversity_audit(df, ["qi"], "sens", l=3).collect()}
+    a, b = out["A"], out["B"]
+    assert (a.class_size, a.n_sensitive, a.violates_l) == (4, 1, 1)
+    assert a.majority_share == 1.0
+    assert (b.n_sensitive, b.violates_l) == (3, 0)
+    assert abs(b.majority_share - 1 / 3) < 1e-6
