@@ -204,6 +204,23 @@ HEADLINE = [
     "mm_wav_normalize_gain",       # decode->DSP->re-encode loop
     "stream_expectations_maintenance",  # per-trigger contract counts
     "text_tokenizer_fertility",    # BPE tokens/word by lang
+    "evt_ewma_smoothing",          # 8-tap lag-convolution EWMA
+    "evt_autocorrelation",         # exact-moment ACF at lags 1-3
+    "evt_trend_fit",               # per-key OLS slope/intercept/R2
+    "evt_seasonality_profile",     # hour-of-day seasonal index
+    "agg_grouping_sets",           # one-Expand multi-level aggregate
+    "unpivot_lineitem_metrics",    # map-only wide->long melt
+    "evt_interval_union",          # gaps-and-islands coverage merge
+    "dq_partition_completeness",   # hourly-partition freshness gate
+    "text_bigram_logprob",         # interpolated bigram LM scoring
+    "text_vocab_growth",           # Heaps-law decile checkpoints
+    "text_zipf_fit",               # decimal-exact log-log OLS
+    "evt_basket_lift",             # basket-bounded pair mining
+    "cur_winsorized_stats",        # robust capped means per group
+    "cur_reservoir_per_key",       # md5-rank k-per-key sample
+    "evt_forecast_backtest",       # naive vs seasonal-naive MAE
+    "dq_l_diversity",              # homogeneity-attack audit
+    "src_orc_roundtrip",           # ORC write->typed-read parity
 ]
 
 

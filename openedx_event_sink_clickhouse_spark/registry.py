@@ -8711,26 +8711,36 @@ _PRIORITY = [
     "mm_png_roundtrip_stats", "mm_wav_roundtrip_stats",
     "mm_png_resize_stats", "text_entropy_signals", "cur_data_card",
     "mm_png_metadata", "mm_wav_silence_segments",
-    "evt_survival_curves", "evt_logrank_test", "evt_jackknife_ci",
-    "evt_sequential_monitoring", "evt_power_mde",
+    "evt_survival_curves", "evt_logrank_test",
+    "evt_sequential_monitoring",
     "evt_markov_transitions",
-    "agg_histogram_quantiles", "agg_grouped_quantiles",
+    "agg_histogram_quantiles",
     "stream_quantile_maintenance", "stream_dedup_maintenance",
     "sim_ivfpq_topk", "cur_zorder_key", "ret_phrase_search",
-    "graph_clustering_coefficient", "graph_edge_jaccard",
-    "dq_k_anonymity", "dq_benford_audit", "dq_snapshot_diff",
-    "evt_churn_labels", "evt_rfm_segments", "agg_kmv_distinct",
-    "evt_anomaly_mad",
+    "graph_clustering_coefficient",
+    "dq_k_anonymity",
+    "evt_churn_labels",
     "src_csv_roundtrip", "src_jsonl_roundtrip",
     "dq_expectations", "mm_wav_normalize_gain",
-    "stream_expectations_maintenance", "text_tokenizer_fertility",
-    # -- the r4-graded stragglers (oldest grades anywhere) --
-    "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
-    "stream_stateful_incremental_gate",
-    "evt_funnel_latency", "dq_psi_drift", "graph_kcore",
-    # (text_top_ngrams / text_unigram_logprob rejoin the r4 stragglers
-    # in the r10 window, then the r5 cohort — a1_watermarks … tpch_q6 —
-    # then the r6 cohort alphabetically)
+    "stream_expectations_maintenance",
+    # -- NEW in r9 session 2: never in a driver sample --
+    "evt_ewma_smoothing", "evt_autocorrelation", "evt_trend_fit",
+    "evt_seasonality_profile", "agg_grouping_sets",
+    "unpivot_lineitem_metrics", "evt_interval_union",
+    "dq_partition_completeness", "text_bigram_logprob",
+    "text_vocab_growth", "text_zipf_fit", "evt_basket_lift",
+    "cur_winsorized_stats", "cur_reservoir_per_key",
+    "evt_forecast_backtest", "dq_l_diversity", "src_orc_roundtrip",
+    # (rotated to the r10 window: the seven r4-graded stragglers —
+    # sim_quantized_topk, skew_salted_agg, stream_session_stats,
+    # stream_stateful_incremental_gate, evt_funnel_latency,
+    # dq_psi_drift, graph_kcore — plus ten never-sampled r9 entries
+    # whose FAMILY keeps an in-window sibling: agg_grouped_quantiles,
+    # graph_edge_jaccard, evt_jackknife_ci, evt_power_mde,
+    # evt_rfm_segments, dq_snapshot_diff, dq_benford_audit,
+    # agg_kmv_distinct, evt_anomaly_mad, text_tokenizer_fertility;
+    # then text_top_ngrams / text_unigram_logprob, the r5 cohort —
+    # a1_watermarks … tpch_q6 — and the r6 cohort alphabetically)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
