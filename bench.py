@@ -221,6 +221,9 @@ HEADLINE = [
     "evt_forecast_backtest",       # naive vs seasonal-naive MAE
     "dq_l_diversity",              # homogeneity-attack audit
     "src_orc_roundtrip",           # ORC write->typed-read parity
+    "agg_kmv_set_ops",             # theta-sketch union/inter/jaccard
+    "graph_label_propagation",     # fixed-round BSP community labels
+    "evt_deseasonalized_anomaly",  # residual-vs-slot-mean MAD flags
 ]
 
 

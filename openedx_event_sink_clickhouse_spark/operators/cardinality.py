@@ -141,3 +141,72 @@ def kmv_estimate(sketch, k: int = 256):
                  F.col("n_kept").cast("double")) \
            .otherwise((k - 1) / rk_norm)
     return agg.select("n_kept", F.round(est, 6).alias("estimate"))
+
+
+def kmv_set_ops(df_a, df_b, key_col: str, k: int = 64):
+    """Theta-sketch-style SET ALGEBRA on two KMV sketches: estimated
+    union, intersection, and Jaccard between two key sets from two
+    bounded bottom-k summaries — the query that answers "how much do
+    these audiences overlap" without ever joining the raw sets. With
+    sketches this small the join sides are k rows each; the exact
+    answer needs a full distinct-join of both sets.
+
+    Mechanics (Dasgupta et al., theta sketches): θ = min over the FULL
+    sketches of their k-th hash (a sketch with < k rows kept
+    everything, so its θ is the whole hash space); hashes strictly
+    below θ form a uniform sample of the union in which BOTH sketches
+    are complete, so |X| ≈ count_X(<θ) / (θ / 2^60) for X ∈ {A∪B, A∩B}
+    and Jaccard = the ratio of those counts. When neither sketch
+    fills, θ spans the space and the "estimates" are exact — the
+    degenerate case is correct, not special-cased.
+
+    Returns ONE row: (n_a_kept, n_b_kept, theta_norm, union_est,
+    inter_est, jaccard_est, exact_union, exact_inter) — exact twins
+    ride along so the oracle hash certifies the estimator's error, not
+    just its arithmetic."""
+    from ..functions.hashes import md5_hash64
+
+    full_space = float(1 << 60)
+
+    def hashes(df):
+        return (df.select(F.col(key_col).cast("string").alias("key"))
+                .filter(F.col("key").isNotNull()).distinct()
+                .select("key", md5_hash64(F.col("key")).alias("h")))
+
+    ha, hb = hashes(df_a), hashes(df_b)
+    ska = ha.orderBy("h", "key").limit(k)
+    skb = hb.orderBy("h", "key").limit(k)
+    # per-sketch θ: k-th hash if full, else the hash-space top
+    def theta_of(sk, name):
+        return sk.agg(
+            F.count("*").alias(f"n_{name}_kept"),
+            F.when(F.count("*") < k, F.lit(1 << 60).cast("long"))
+            .otherwise(F.max("h")).alias(f"_th_{name}"))
+
+    th = (theta_of(ska, "a").crossJoin(theta_of(skb, "b"))
+          .select("n_a_kept", "n_b_kept",
+                  F.least("_th_a", "_th_b").alias("_theta")))
+    below = lambda sk: (sk.crossJoin(F.broadcast(th))
+                        .filter(F.col("h") < F.col("_theta"))
+                        .select("h"))
+    ca, cb = below(ska), below(skb)
+    nu = ca.union(cb).distinct().agg(F.count("*").alias("_nu"))
+    ni = ca.join(cb, "h").agg(F.count("*").alias("_ni"))
+    ex_u = (ha.select("key").union(hb.select("key")).distinct()
+            .agg(F.count("*").cast("long").alias("exact_union")))
+    ex_i = (ha.select("key").join(hb.select("key"), "key")
+            .agg(F.count("*").cast("long").alias("exact_inter")))
+    tn = F.col("_theta").cast("double") / F.lit(full_space)
+    return (th.crossJoin(F.broadcast(nu)).crossJoin(F.broadcast(ni))
+            .crossJoin(F.broadcast(ex_u)).crossJoin(F.broadcast(ex_i))
+            .select("n_a_kept", "n_b_kept",
+                    F.round(tn, 9).alias("theta_norm"),
+                    F.round(F.col("_nu").cast("double") / tn, 6)
+                    .alias("union_est"),
+                    F.round(F.col("_ni").cast("double") / tn, 6)
+                    .alias("inter_est"),
+                    F.round(F.when(F.col("_nu") > 0,
+                                   F.col("_ni").cast("double")
+                                   / F.col("_nu").cast("double")), 6)
+                    .alias("jaccard_est"),
+                    "exact_union", "exact_inter"))

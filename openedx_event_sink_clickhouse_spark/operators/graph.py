@@ -453,3 +453,40 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 8,
     return (e.groupBy(F.col("u").alias("id"))
             .agg(F.count("*").cast("bigint").alias("degree"))
             .filter(F.col("degree") >= k))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Synchronous label propagation for community detection, run for a
+    FIXED number of rounds (pagerank's fixed-iteration discipline — LPA
+    famously oscillates under free-running synchronous updates, so a
+    bounded unroll with a deterministic tie-break is the reproducible
+    form): every node starts as its own label; each round it adopts the
+    label most frequent among its neighbors, ties broken to the
+    SMALLEST label id. Returns (node, label) after ``rounds`` rounds.
+
+    Each round is one edge-scale join (labels onto edges) + one
+    (node, label) count + one per-node argmax window — the BSP shape;
+    nothing driver-side. ``edges`` must be symmetric (src, dst);
+    isolated nodes keep their own label (left join back onto the node
+    set). The argmax window orders by (count DESC, label ASC), a total
+    order, so both engines pick identical labels."""
+    from pyspark.sql import Window
+
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        nbr = (edges.join(labels.withColumnRenamed("node", "src"), "src")
+               .groupBy(F.col("dst").alias("node"), "label")
+               .agg(F.count("*").alias("_c")))
+        w = Window.partitionBy("node").orderBy(
+            F.col("_c").desc(), F.col("label").asc())
+        picked = (nbr.withColumn("_rk", F.row_number().over(w))
+                  .filter(F.col("_rk") == 1)
+                  .select("node", "label"))
+        labels = (nodes.join(picked, "node", "left")
+                  .select("node",
+                          F.coalesce(picked["label"],
+                                     F.col("node")).alias("label")))
+    return labels

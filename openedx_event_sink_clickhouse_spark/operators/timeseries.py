@@ -391,3 +391,32 @@ def forecast_backtest(series: DataFrame, key_col: str, day_col: str,
                  F.round(F.sum(F.abs(F.col("_y") - F.col("_yhat")))
                          .cast("double") / F.count("*"), 6)
                  .alias("mae")))
+
+
+def deseasonalized_residuals(series: DataFrame, key_col: str,
+                             bucket_col: str, value_col: str) -> DataFrame:
+    """Residuals against the hour-of-day seasonal profile: value minus
+    the key's own mean for that hour slot — the de-seasonalization step
+    that lets an anomaly detector see a 3am spike that is tiny in
+    absolute terms but enormous FOR 3AM (and, conversely, stop flagging
+    every ordinary 12pm peak). Feed the output to :func:`mad_flags`.
+    Returns the series plus (slot_mean, residual).
+
+    The profile is a (key, hour) aggregate over the already-gap-filled
+    grid joined back by broadcast — integer sums, one exact division,
+    one subtraction; no second pass over raw events."""
+    g = (series.groupBy(F.col(key_col).alias("_k"),
+                        F.hour(bucket_col).alias("_h"))
+         .agg(F.sum(F.col(value_col).cast("long")).alias("_s"),
+              F.count("*").alias("_n")))
+    slot = F.col("_s").cast("double") / F.col("_n").cast("double")
+    prof = g.select("_k", "_h", slot.alias("_slot_mean"))
+    j = series.join(
+        F.broadcast(prof),
+        (F.col(key_col) == F.col("_k"))
+        & (F.hour(bucket_col) == F.col("_h")))
+    return (j.withColumn("slot_mean", F.round(F.col("_slot_mean"), 6))
+            .withColumn("residual",
+                        F.round(F.col(value_col).cast("double")
+                                - F.col("_slot_mean"), 6))
+            .drop("_k", "_h", "_slot_mean"))

@@ -8685,6 +8685,179 @@ def _src_orc(spark, sf_dir):
             .select("doc_id", "text", "lang", "source"))
 
 
+
+
+@register("agg_kmv_set_ops", """
+WITH ha AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL
+), hha AS (
+  SELECT key, CAST('0x' || substr(md5(key), 1, 15) AS BIGINT) AS h
+  FROM ha
+), hb AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL
+), hhb AS (
+  SELECT key, CAST('0x' || substr(md5(key), 1, 15) AS BIGINT) AS h
+  FROM hb
+),
+ska AS (SELECT key, h FROM hha ORDER BY h, key LIMIT 64),
+skb AS (SELECT key, h FROM hhb ORDER BY h, key LIMIT 64),
+tha AS (
+  SELECT count(*) AS n_a_kept,
+         CASE WHEN count(*) < 64 THEN 1152921504606846976
+              ELSE max(h) END AS th_a
+  FROM ska
+),
+thb AS (
+  SELECT count(*) AS n_b_kept,
+         CASE WHEN count(*) < 64 THEN 1152921504606846976
+              ELSE max(h) END AS th_b
+  FROM skb
+),
+th AS (
+  SELECT n_a_kept, n_b_kept, least(th_a, th_b) AS theta FROM tha, thb
+),
+ca AS (SELECT h FROM ska, th WHERE h < theta),
+cb AS (SELECT h FROM skb, th WHERE h < theta),
+nu AS (SELECT count(*) AS nu FROM (
+         SELECT DISTINCT h FROM (SELECT h FROM ca UNION ALL
+                                 SELECT h FROM cb))),
+ni AS (SELECT count(*) AS ni FROM ca JOIN cb USING (h)),
+exu AS (SELECT CAST(count(*) AS BIGINT) AS exact_union FROM (
+          SELECT key FROM ha UNION SELECT key FROM hb)),
+exi AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter
+        FROM ha JOIN hb USING (key))
+SELECT CAST(n_a_kept AS BIGINT) AS n_a_kept,
+       CAST(n_b_kept AS BIGINT) AS n_b_kept,
+       round(CAST(theta AS DOUBLE) / 1152921504606846976.0, 9)
+         AS theta_norm,
+       round(CAST(nu AS DOUBLE)
+             / (CAST(theta AS DOUBLE) / 1152921504606846976.0), 6)
+         AS union_est,
+       round(CAST(ni AS DOUBLE)
+             / (CAST(theta AS DOUBLE) / 1152921504606846976.0), 6)
+         AS inter_est,
+       round(CASE WHEN nu > 0 THEN CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE)
+             END, 6) AS jaccard_est,
+       exact_union, exact_inter
+FROM th, nu, ni, exu, exi
+""")
+def _kmv_setops(spark, sf_dir):
+    # Theta-sketch set algebra on two KMV sketches (click vs view
+    # audiences): θ = min k-th hash over the full sketches; hashes
+    # below θ are a uniform union sample complete in BOTH sketches, so
+    # union/intersection/Jaccard estimate from k-bounded state. Exact
+    # twins ride along — the hash certifies the estimator's ERROR.
+    from .operators.cardinality import kmv_set_ops
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "view")
+    return kmv_set_ops(a, b, "user_id", k=64)
+
+
+@register("graph_label_propagation", """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+l0 AS (SELECT node, node AS label FROM nodes),
+r1c AS (
+  SELECT e.dst AS node, l0.label, count(*) AS c
+  FROM e JOIN l0 ON l0.node = e.src GROUP BY 1, 2
+),
+r1p AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rk
+    FROM r1c) WHERE rk = 1
+),
+l1 AS (
+  SELECT n.node, coalesce(p.label, n.node) AS label
+  FROM nodes n LEFT JOIN r1p p USING (node)
+),
+r2c AS (
+  SELECT e.dst AS node, l1.label, count(*) AS c
+  FROM e JOIN l1 ON l1.node = e.src GROUP BY 1, 2
+),
+r2p AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rk
+    FROM r2c) WHERE rk = 1
+)
+SELECT n.node, coalesce(p.label, n.node) AS label
+FROM nodes n LEFT JOIN r2p p USING (node)
+""")
+def _graph_lpa(spark, sf_dir):
+    # 2-round synchronous label propagation over the part co-purchase
+    # graph: fixed-round unroll (free-running sync LPA oscillates) with
+    # a (count DESC, label ASC) total-order tie-break so both engines
+    # pick identical labels. One edge join + one argmax window per
+    # round — the BSP shape, nothing driver-side.
+    from .operators.graph import label_propagation
+    li = (_t(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct())
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, (F.col("a.o") == F.col("b.o"))
+                    & (F.col("a.p") != F.col("b.p")))
+             .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+             .distinct())
+    return label_propagation(edges, rounds=2)
+
+
+@register("evt_deseasonalized_anomaly", _FILLED_HOURLY + """, prof AS (
+  SELECT event_type AS k, extract(hour FROM bucket_start) AS h,
+         CAST(sum(n_events) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM filled GROUP BY 1, 2
+), res AS (
+  SELECT f.event_type, f.bucket_start, f.n_events,
+         round(CAST(p.s AS DOUBLE) / p.nb, 6) AS slot_mean,
+         round(CAST(f.n_events AS DOUBLE)
+               - CAST(p.s AS DOUBLE) / p.nb, 6) AS residual
+  FROM filled f JOIN prof p
+    ON f.event_type = p.k AND extract(hour FROM f.bucket_start) = p.h
+), med AS (
+  SELECT event_type, quantile_cont(residual, 0.5) AS m
+  FROM res GROUP BY event_type
+), mad AS (
+  SELECT r.event_type, quantile_cont(abs(r.residual - med.m), 0.5) AS d
+  FROM res r JOIN med USING (event_type) GROUP BY r.event_type
+)
+SELECT r.event_type, r.bucket_start, r.n_events, r.slot_mean, r.residual,
+       round(med.m, 6) AS median, round(mad.d, 6) AS mad,
+       round(CASE WHEN mad.d > 0
+             THEN 0.6745 * (r.residual - med.m) / mad.d END, 6)
+         AS robust_z,
+       CAST(CASE WHEN abs(round(CASE WHEN mad.d > 0
+                 THEN 0.6745 * (r.residual - med.m) / mad.d END, 6)) > 3.5
+            THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM res r JOIN med USING (event_type) JOIN mad USING (event_type)
+""")
+def _ts_deseason(spark, sf_dir):
+    # Seasonality-aware anomaly flags: residual against the key's own
+    # hour-of-day mean, then median/MAD robust z on the residuals — a
+    # 3am spike that is tiny in absolute terms but enormous FOR 3am now
+    # flags, and the ordinary noon peak stops flagging. Composes three
+    # at-rest operators over one gap-filled grid.
+    from .operators.timeseries import (deseasonalized_residuals,
+                                       mad_flags, resample_gapfill)
+    series = (resample_gapfill(_t(spark, sf_dir, "events"))
+              .select("event_type", "bucket_start", "n_events"))
+    res = deseasonalized_residuals(series, "event_type", "bucket_start",
+                                   "n_events")
+    return (mad_flags(res, "event_type", "residual")
+            .select("event_type", "bucket_start", "n_events",
+                    "slot_mean", "residual", "median", "mad",
+                    "robust_z", "is_anomaly"))
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 9 (late
@@ -8711,13 +8884,12 @@ _PRIORITY = [
     "mm_png_roundtrip_stats", "mm_wav_roundtrip_stats",
     "mm_png_resize_stats", "text_entropy_signals", "cur_data_card",
     "mm_png_metadata", "mm_wav_silence_segments",
-    "evt_survival_curves", "evt_logrank_test",
+    "evt_survival_curves",
     "evt_sequential_monitoring",
     "evt_markov_transitions",
     "agg_histogram_quantiles",
-    "stream_quantile_maintenance", "stream_dedup_maintenance",
+    "stream_quantile_maintenance",
     "sim_ivfpq_topk", "cur_zorder_key", "ret_phrase_search",
-    "graph_clustering_coefficient",
     "dq_k_anonymity",
     "evt_churn_labels",
     "src_csv_roundtrip", "src_jsonl_roundtrip",
@@ -8731,6 +8903,8 @@ _PRIORITY = [
     "text_vocab_growth", "text_zipf_fit", "evt_basket_lift",
     "cur_winsorized_stats", "cur_reservoir_per_key",
     "evt_forecast_backtest", "dq_l_diversity", "src_orc_roundtrip",
+    "agg_kmv_set_ops", "graph_label_propagation",
+    "evt_deseasonalized_anomaly",
     # (rotated to the r10 window: the seven r4-graded stragglers —
     # sim_quantized_topk, skew_salted_agg, stream_session_stats,
     # stream_stateful_incremental_gate, evt_funnel_latency,
@@ -8738,7 +8912,9 @@ _PRIORITY = [
     # whose FAMILY keeps an in-window sibling: agg_grouped_quantiles,
     # graph_edge_jaccard, evt_jackknife_ci, evt_power_mde,
     # evt_rfm_segments, dq_snapshot_diff, dq_benford_audit,
-    # agg_kmv_distinct, evt_anomaly_mad, text_tokenizer_fertility;
+    # agg_kmv_distinct, evt_anomaly_mad, text_tokenizer_fertility,
+    # evt_logrank_test, stream_dedup_maintenance,
+    # graph_clustering_coefficient;
     # then text_top_ngrams / text_unigram_logprob, the r5 cohort —
     # a1_watermarks … tpch_q6 — and the r6 cohort alphabetically)
 ]

@@ -460,3 +460,23 @@ def test_forecast_backtest_short_series_drops_missing_lags(spark):
            forecast_backtest(df, "key", "day", "y").collect()}
     assert "seasonal_naive" not in out
     assert out["naive"].n_days == 2 and out["naive"].mae == 1.0
+
+
+def test_deseasonalized_residual_zero_on_pure_seasonal_series(spark):
+    # A perfectly periodic daily pattern has zero residual everywhere;
+    # one injected spike leaves every other residual untouched and is
+    # the only |residual| > 0 row (spike effect confined to its slot's
+    # mean shift, which stays small over many days).
+    import datetime
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        deseasonalized_residuals)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(10):
+        for h in range(24):
+            n = 10 + h  # pure hour-of-day pattern
+            rows.append(("k", t0 + datetime.timedelta(days=d, hours=h), n))
+    df = spark.createDataFrame(rows, ["key", "bucket", "n"])
+    out = deseasonalized_residuals(df, "key", "bucket", "n").collect()
+    assert all(r.residual == 0.0 for r in out)
+    assert all(r.slot_mean == 10.0 + r.bucket.hour for r in out)

@@ -116,3 +116,33 @@ def test_kmv_merge_equals_whole_and_estimates_within_tolerance(spark):
     small = spark.createDataFrame([(i,) for i in range(50)], "k long")
     row = kmv_estimate(kmv_sketch(small, "k", k), k).first()
     assert row.n_kept == 50 and row.estimate == 50.0
+
+
+def test_kmv_set_ops_exact_when_sketches_fit(spark):
+    # Sets of 30/40 with 20 overlap, k=64 -> neither sketch fills:
+    # theta spans the space and estimates ARE the exact answers.
+    a = spark.createDataFrame([(i,) for i in range(30)], ["user_id"])
+    b = spark.createDataFrame([(i,) for i in range(10, 50)], ["user_id"])
+    from openedx_event_sink_clickhouse_spark.operators.cardinality import (
+        kmv_set_ops)
+    r = kmv_set_ops(a, b, "user_id", k=64).collect()[0]
+    assert (r.n_a_kept, r.n_b_kept) == (30, 40)
+    assert r.theta_norm == 1.0
+    assert (r.union_est, r.inter_est) == (50.0, 20.0)
+    assert (r.exact_union, r.exact_inter) == (50, 20)
+    assert abs(r.jaccard_est - 0.4) < 1e-9
+
+
+def test_kmv_set_ops_estimates_within_bound_when_full(spark):
+    # 1000/1000 with 500 overlap at k=64: estimates must land within
+    # ~4/sqrt(k) relative error of truth (generous 50% envelope).
+    a = spark.createDataFrame([(i,) for i in range(1000)], ["user_id"])
+    b = spark.createDataFrame([(i,) for i in range(500, 1500)],
+                              ["user_id"])
+    from openedx_event_sink_clickhouse_spark.operators.cardinality import (
+        kmv_set_ops)
+    r = kmv_set_ops(a, b, "user_id", k=64).collect()[0]
+    assert r.theta_norm < 1.0
+    assert abs(r.union_est - 1500) / 1500 < 0.5
+    assert abs(r.inter_est - 500) / 500 < 0.5
+    assert (r.exact_union, r.exact_inter) == (1500, 500)

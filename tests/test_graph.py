@@ -266,3 +266,32 @@ def test_kcore_peels_to_fixpoint(spark):
     assert got2[7] == 3 and got2[1] == 4
     # k larger than any density: empty
     assert kcore(df, k=4, rounds=8).count() == 0
+
+
+def test_label_propagation_two_cliques_converge(spark):
+    # Two disjoint triangles: after 2 rounds every node carries its
+    # clique's minimum id (tie-break -> smallest label dominates).
+    edges = []
+    for clique in ([1, 2, 3], [10, 11, 12]):
+        for s in clique:
+            for d in clique:
+                if s != d:
+                    edges.append((s, d))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    from openedx_event_sink_clickhouse_spark.operators.graph import (
+        label_propagation)
+    out = {r.node: r.label for r in label_propagation(df, rounds=2).collect()}
+    assert {out[n] for n in (1, 2, 3)} == {1}
+    assert {out[n] for n in (10, 11, 12)} == {10}
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    # A node with two equally-frequent neighbor labels must adopt the
+    # SMALLEST (the cross-engine total order).
+    df = spark.createDataFrame(
+        [(5, 9), (9, 5), (7, 9), (9, 7)], ["src", "dst"])
+    from openedx_event_sink_clickhouse_spark.operators.graph import (
+        label_propagation)
+    out = {r.node: r.label for r in
+           label_propagation(df, rounds=1).collect()}
+    assert out[9] == 5  # ties between labels 5 and 7 break low
