@@ -425,3 +425,55 @@ def test_grouped_quantiles_exchange_only_on_group_key(q, spark, sf_dir):
     assert plan.count("FileScan") == 1
     assert "partial_count" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_unpivot_is_map_only_expand(q, spark, sf_dir):
+    # The melt must be a shuffle-free Expand over one pruned scan: no
+    # Exchange anywhere, and the scan reads only the 6 needed columns.
+    df = q["unpivot_lineitem_metrics"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "Expand" in plan
+    assert "Exchange" not in plan, plan
+    assert "l_shipdate" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_grouping_sets_single_expand_single_exchange(q, spark, sf_dir):
+    # Detail + subtotal + grand total must ride ONE Expand and ONE
+    # aggregation exchange, not three scans.
+    df = q["agg_grouping_sets"](spark, sf_dir)
+    df.collect()
+    # AQE prints final + initial plan; count the final section only.
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_basket_lift_reuses_grid_exchange_and_topk(q, spark, sf_dir):
+    # The self-join's two sides are the SAME deduped grid: Catalyst must
+    # reuse the dedup exchange, and the LIMIT must compile to
+    # TakeOrderedAndProject (no global sort).
+    df = q["evt_basket_lift"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "ReusedExchange" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_timeseries_lag_family_shares_one_window_sort(q, spark, sf_dir):
+    # All 8 EWMA taps must evaluate over ONE key-partitioned
+    # Exchange+Sort on the gap-filled grid (the spine join contributes
+    # its own exchanges; the WINDOW itself must appear once).
+    df = q["evt_ewma_smoothing"](spark, sf_dir)
+    df.collect()
+    # AQE prints final + initial plan; count the final section only.
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    # the window's sort runs once: exactly one Sort keyed on
+    # (event_type, bucket_start) serves all 8 lag taps
+    assert plan.count("Sort [event_type") == 1, plan
+
+
+def test_reservoir_sample_plan_group_limit(q, spark, sf_dir):
+    plan = plan_of(q["cur_reservoir_per_key"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
