@@ -455,7 +455,8 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 8,
             .filter(F.col("degree") >= k))
 
 
-def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+def label_propagation(edges: DataFrame, rounds: int = 2,
+                      checkpoint_dir: str | None = None) -> DataFrame:
     """Synchronous label propagation for community detection, run for a
     FIXED number of rounds (pagerank's fixed-iteration discipline — LPA
     famously oscillates under free-running synchronous updates, so a
@@ -469,9 +470,23 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
     nothing driver-side. ``edges`` must be symmetric (src, dst);
     isolated nodes keep their own label (left join back onto the node
     set). The argmax window orders by (count DESC, label ASC), a total
-    order, so both engines pick identical labels."""
+    order, so both engines pick identical labels.
+
+    Unlike :func:`kcore` — whose per-round MATERIALIZING actions force
+    the edge frame to be checkpointed up front — this unroll is ONE
+    lazy plan with no intermediate actions, so Catalyst's exchange
+    reuse already deduplicates the edge-mine subtree across rounds:
+    an sf0.1 A/B measured the raw lineage at 3.10 s vs 3.44 s with an
+    up-front reliable checkpoint (the extra write+read costs more than
+    it saves). ``checkpoint_dir`` therefore defaults OFF; pass it only
+    for deep unrolls where plan size itself becomes the problem (many
+    rounds), where it bounds the plan like kcore's cut_every."""
     from pyspark.sql import Window
 
+    if checkpoint_dir is not None:
+        spark = edges.sparkSession
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        edges = edges.checkpoint(eager=True)
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct())

@@ -8808,6 +8808,8 @@ def _graph_lpa(spark, sf_dir):
                     & (F.col("a.p") != F.col("b.p")))
              .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
              .distinct())
+    # no checkpoint: the 2-round unroll is one lazy plan, so exchange
+    # reuse already dedupes the mine (A/B in the operator docstring).
     return label_propagation(edges, rounds=2)
 
 
