@@ -322,3 +322,39 @@ def test_gram_run_stats_matches_bruteforce(spark, docs_words, n):
         s = got[i]
         assert (s["dupchars"], s["bestc"], s["bestg"]) == \
             (dupchars, bestc, bestg), (i, toks, dict(cnt))
+
+
+iv_rows = st.lists(
+    st.tuples(st.integers(0, 2),             # key
+              st.integers(0, 400),           # start minute
+              st.integers(1, 120)),          # duration minutes
+    min_size=1, max_size=25)
+
+
+@given(iv_rows)
+@settings(**_PROP)
+def test_interval_union_matches_bruteforce_merge(spark, rows):
+    from openedx_event_sink_clickhouse_spark.operators.intervals import (
+        interval_union)
+    df = spark.createDataFrame(
+        [(f"k{k}", _dt(s), _dt(s + d)) for k, s, d in rows],
+        "key string, start_ts timestamp, end_ts timestamp")
+    got = {r.key: r for r in interval_union(df, "key").collect()}
+
+    # brute-force: sort, sweep, merge on touch-or-overlap
+    by_key: dict = {}
+    for k, s, d in rows:
+        by_key.setdefault(f"k{k}", []).append((s, s + d))
+    for k, ivs in by_key.items():
+        ivs.sort()
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        covered = sum(e - s for s, e in islands) * 60.0  # minutes -> sec
+        r = got[k]
+        assert r.n_intervals == len(ivs)
+        assert r.n_islands == len(islands), (k, ivs, islands)
+        assert r.covered_seconds == covered

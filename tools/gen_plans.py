@@ -93,6 +93,16 @@ SHOW = [
     "evt_anomaly_mad",
     "evt_funnel_latency",
     "mm_wav_silence_segments",
+    "evt_ewma_smoothing",
+    "evt_basket_lift",
+    "text_bigram_logprob",
+    "agg_grouping_sets",
+    "unpivot_lineitem_metrics",
+    "evt_interval_union",
+    "cur_reservoir_per_key",
+    "agg_kmv_set_ops",
+    "graph_label_propagation",
+    "evt_deseasonalized_anomaly",
 ]
 
 SF = "/root/testdata/sf0.001"
