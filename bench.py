@@ -224,6 +224,9 @@ HEADLINE = [
     "agg_kmv_set_ops",             # theta-sketch union/inter/jaccard
     "graph_label_propagation",     # fixed-round BSP community labels
     "evt_deseasonalized_anomaly",  # residual-vs-slot-mean MAD flags
+    "scd1_apply_changelog",        # CDC MERGE INTO snapshot fold
+    "cur_weighted_reservoir",      # Efraimidis-Spirakis k-per-key
+    "evt_cohort_ltv",              # DECIMAL-exact cohort LTV curves
 ]
 
 

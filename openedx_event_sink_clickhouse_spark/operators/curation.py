@@ -995,3 +995,40 @@ def reservoir_per_key(df: DataFrame, key_col: str, id_col: str,
                       F.col(id_col).alias("id"))
             .withColumn("sample_rank", F.row_number().over(w))
             .filter(F.col("sample_rank") <= k))
+
+
+def weighted_reservoir_per_key(df: DataFrame, key_col: str, id_col: str,
+                               weight_col: str, k: int = 20) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per key, deterministic:
+    Efraimidis-Spirakis A-ES — each row draws a uniform u and ranks by
+    u^(1/w), keeping the top k, which provably selects each subset with
+    probability proportional to its weights. Here u is md5-uniform in
+    the row id, so the draw is a pure function of the DATA (re-runs and
+    both engines pick the identical sample), and the rank key is the
+    monotone-equivalent ln(u)/w — no pow, one log. The
+    quality-weighted corpus draw: longer/higher-quality docs
+    proportionally likelier, small keys still guaranteed min(k, |key|)
+    rows. Returns (key, id, weight, sample_rank).
+
+    Cross-engine ordering discipline: the score is rounded to 12
+    decimals BEFORE ranking with an id tie-break after it, so a 1-ulp
+    libm difference in ln cannot flip adjacent ranks. Zero/negative
+    weights are excluded (A-ES is undefined there), matching the SQL
+    twin's WHERE. Plan: one projection + one per-key top-k window
+    (WindowGroupLimit — map tasks ship at most k rows per key)."""
+    from pyspark.sql import Window
+    from ..functions.hashes import md5_hash64
+
+    u = (md5_hash64(F.col(id_col).cast("string")).cast("double")
+         + F.lit(1.0)) / F.lit(float(1 << 60))
+    score = F.round(F.log(u) / F.col(weight_col).cast("double"), 12)
+    w = Window.partitionBy("key").orderBy(
+        F.col("_score").desc(), F.col("id"))
+    return (df.filter(F.col(weight_col) > 0)
+            .select(F.col(key_col).alias("key"),
+                    F.col(id_col).alias("id"),
+                    F.col(weight_col).alias("weight"),
+                    score.alias("_score"))
+            .withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k)
+            .drop("_score"))

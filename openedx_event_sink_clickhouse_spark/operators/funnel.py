@@ -338,3 +338,46 @@ def funnel_latency(events: DataFrame, steps: list[str],
             F.round(F.col("_p90") / 1e6, 6).alias("p90_seconds"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def cohort_ltv(orders: DataFrame, cust_col: str = "o_custkey",
+               date_col: str = "o_orderdate",
+               amount_col: str = "o_totalprice") -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by FIRST-order
+    month, revenue accumulated by months-since-cohort — the growth
+    readout behind "does a newer cohort monetize faster", and the
+    payback-period input for acquisition spend. Returns one row per
+    (cohort_month, age_months): cohort size, that month's revenue, the
+    running cumulative, and cumulative LTV per user.
+
+    Discipline: money sums ride DECIMAL(18,2) end-to-end (the window
+    cumulative included) — exact, order-free; the age index is pure
+    integer month arithmetic ((y*12+m) deltas — no timestamp
+    subtraction ambiguity). One customer-grain reduce (first order),
+    one (cohort, age) aggregate, one cohort-partitioned running-sum
+    window over the small curve frame."""
+    from pyspark.sql import Window
+
+    first = (orders.groupBy(F.col(cust_col).alias("_c"))
+             .agg(F.date_trunc("month", F.min(date_col)).alias("_cm")))
+    sz = (first.groupBy("_cm")
+          .agg(F.count("*").cast("long").alias("n_customers")))
+    mi = lambda c: F.year(c) * 12 + F.month(c)
+    rev = (orders.join(first, orders[cust_col] == F.col("_c"))
+           .groupBy(F.col("_cm"),
+                    (mi(F.col(date_col)) - mi(F.col("_cm")))
+                    .cast("int").alias("age_months"))
+           .agg(F.sum(F.col(amount_col).cast("decimal(18,2)"))
+                .alias("_rev")))
+    w = Window.partitionBy("_cm").orderBy("age_months")
+    cum = rev.withColumn("_cum", F.sum("_rev").over(w))
+    return (cum.join(sz, "_cm")
+            .select(F.col("_cm").cast("date").alias("cohort_month"),
+                    "age_months", "n_customers",
+                    F.round(F.col("_rev").cast("double"), 2)
+                    .alias("revenue"),
+                    F.round(F.col("_cum").cast("double"), 2)
+                    .alias("cum_revenue"),
+                    F.round(F.col("_cum").cast("double")
+                            / F.col("n_customers"), 6)
+                    .alias("ltv_per_user")))

@@ -144,3 +144,57 @@ def current_of(history: DataFrame) -> DataFrame:
     to last-wins dedup over the source log, but served from the (much
     smaller) collapsed history."""
     return history.filter(F.col("is_current"))
+
+
+def apply_changelog(base: DataFrame, changes: DataFrame, key_col: str,
+                    seq_cols: list[str], op_col: str = "op",
+                    update_cols: list[str] | None = None) -> DataFrame:
+    """SCD TYPE-1 CDC apply: fold a changelog of upserts/deletes into a
+    base snapshot, producing the new snapshot — the "latest state only"
+    companion to the type-2 history merge above, and the core of every
+    lakehouse MERGE INTO. ``changes`` rows carry ``op_col`` ∈
+    {'U','D'} plus new values for ``update_cols``; ``seq_cols`` is the
+    total order that decides last-wins within a key (make it total —
+    include a unique id — or the winner is engine-dependent).
+
+    Semantics: per key, only the LAST change applies (a delete
+    resurrected by a later upsert is an insert — the fold must not
+    short-circuit on seeing a D). U on an existing key updates
+    ``update_cols`` and keeps every other base column; U on an absent
+    key inserts (non-updated columns NULL); D drops the key; keys
+    without changes pass through untouched.
+
+    Plan: the changelog collapses to one row per key FIRST (the
+    max_by-style last-wins groupBy — change-scale, not base-scale),
+    then ONE full-outer-shaped join against base applies the fold.
+    At 100 TB base-scale this is the standard copy-on-write MERGE
+    shape; pair it with `sources/bucketing.py` to co-locate the join
+    and `layout.py`-style partition overwrite to rewrite only touched
+    partitions."""
+    from pyspark.sql import Window
+
+    update_cols = update_cols or [
+        c for c in changes.columns
+        if c not in {key_col, op_col, *seq_cols}]
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).desc() for c in seq_cols])
+    last = (changes
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col(key_col).alias("_k"),
+                    F.col(op_col).alias("_op"),
+                    *[F.col(c).alias(f"_new_{c}") for c in update_cols]))
+    j = base.join(last, base[key_col] == last["_k"], "full_outer")
+    keep = (F.col("_op").isNull()                     # untouched base row
+            | (F.col("_op") == F.lit("U")))          # update or insert
+    out_cols = []
+    for c in base.columns:
+        if c == key_col:
+            out_cols.append(F.coalesce(base[key_col], F.col("_k"))
+                            .alias(key_col))
+        elif c in update_cols:
+            out_cols.append(F.when(F.col("_op") == "U", F.col(f"_new_{c}"))
+                            .otherwise(base[c]).alias(c))
+        else:
+            out_cols.append(base[c].alias(c))
+    return j.filter(keep).select(*out_cols)

@@ -8860,6 +8860,101 @@ def _ts_deseason(spark, sf_dir):
                     "robust_z", "is_anomaly"))
 
 
+
+
+@register("scd1_apply_changelog", """
+WITH ch AS (
+  SELECT user_id AS k,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         round(value * 100, 2) AS nb,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+), last AS (SELECT k, op, nb FROM ch WHERE rk = 1)
+SELECT coalesce(c.c_custkey, l.k) AS c_custkey,
+       c.c_name,
+       CASE WHEN l.op = 'U' THEN l.nb ELSE c.c_acctbal END AS c_acctbal
+FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.k
+WHERE l.op IS NULL OR l.op = 'U'
+""")
+def _scd1_apply(spark, sf_dir):
+    # SCD type-1 CDC apply (the lakehouse MERGE INTO): fold a
+    # last-wins changelog (latest event per user: 'error' = delete,
+    # else upsert of the balance) into the customer snapshot. The
+    # changelog collapses to one row per key FIRST (change-scale),
+    # then one full-outer join applies it — untouched keys pass
+    # through, deletes drop, a delete resurrected by a later upsert
+    # inserts.
+    from .operators.scd import apply_changelog
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("user_id").alias("c_custkey"), "ts", "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.round(F.col("value") * 100, 2).alias("c_acctbal"))
+    return apply_changelog(base, changes, "c_custkey",
+                           seq_cols=["ts", "event_id"],
+                           update_cols=["c_acctbal"])
+
+
+@register("cur_weighted_reservoir", """
+SELECT key, id, weight, sample_rank FROM (
+  SELECT lang AS key, doc_id AS id, n_chars AS weight,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY
+           round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 15) AS BIGINT) + 1.0)
+                    / 1152921504606846976.0)
+                 / CAST(n_chars AS DOUBLE), 12) DESC, doc_id)
+           AS BIGINT) AS sample_rank
+  FROM documents WHERE n_chars > 0
+) WHERE sample_rank <= 20
+""")
+def _cur_wres(spark, sf_dir):
+    # Efraimidis-Spirakis weighted sampling without replacement, k per
+    # key: rank by the monotone-equivalent ln(u)/w of u^(1/w) with an
+    # md5-uniform u — a pure function of the data, identical across
+    # engines and re-runs; score rounded to 12dp + id tie-break so a
+    # 1-ulp ln difference cannot flip ranks.
+    from .operators.curation import weighted_reservoir_per_key
+    return (weighted_reservoir_per_key(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", "n_chars")
+        .withColumn("sample_rank", F.col("sample_rank").cast("long")))
+
+
+@register("evt_cohort_ltv", """
+WITH first AS (
+  SELECT o_custkey AS c, date_trunc('month', min(o_orderdate)) AS cm
+  FROM orders GROUP BY 1
+), sz AS (
+  SELECT cm, CAST(count(*) AS BIGINT) AS n_customers FROM first GROUP BY cm
+), rev AS (
+  SELECT f.cm,
+         CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+              - (year(f.cm) * 12 + month(f.cm)) AS INT) AS age_months,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders o JOIN first f ON o.o_custkey = f.c
+  GROUP BY 1, 2
+), c AS (
+  SELECT cm, age_months, r,
+         sum(r) OVER (PARTITION BY cm ORDER BY age_months) AS cumr
+  FROM rev
+)
+SELECT CAST(c.cm AS DATE) AS cohort_month, age_months, n_customers,
+       round(CAST(r AS DOUBLE), 2) AS revenue,
+       round(CAST(cumr AS DOUBLE), 2) AS cum_revenue,
+       round(CAST(cumr AS DOUBLE) / n_customers, 6) AS ltv_per_user
+FROM c JOIN sz USING (cm)
+""")
+def _cohort_ltv(spark, sf_dir):
+    # Cohort LTV curves: first-order-month cohorts, DECIMAL money
+    # end-to-end (window cumulative included), integer month-index
+    # ages; one customer-grain reduce + one curve-frame window.
+    from .operators.funnel import cohort_ltv
+    return cohort_ltv(_t(spark, sf_dir, "orders"))
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 9 (late
@@ -8893,9 +8988,7 @@ _PRIORITY = [
     "stream_quantile_maintenance",
     "sim_ivfpq_topk", "cur_zorder_key", "ret_phrase_search",
     "dq_k_anonymity",
-    "evt_churn_labels",
     "src_csv_roundtrip", "src_jsonl_roundtrip",
-    "dq_expectations", "mm_wav_normalize_gain",
     "stream_expectations_maintenance",
     # -- NEW in r9 session 2: never in a driver sample --
     "evt_ewma_smoothing", "evt_autocorrelation", "evt_trend_fit",
@@ -8907,6 +9000,7 @@ _PRIORITY = [
     "evt_forecast_backtest", "dq_l_diversity", "src_orc_roundtrip",
     "agg_kmv_set_ops", "graph_label_propagation",
     "evt_deseasonalized_anomaly",
+    "scd1_apply_changelog", "cur_weighted_reservoir", "evt_cohort_ltv",
     # (rotated to the r10 window: the seven r4-graded stragglers —
     # sim_quantized_topk, skew_salted_agg, stream_session_stats,
     # stream_stateful_incremental_gate, evt_funnel_latency,
@@ -8916,7 +9010,8 @@ _PRIORITY = [
     # evt_rfm_segments, dq_snapshot_diff, dq_benford_audit,
     # agg_kmv_distinct, evt_anomaly_mad, text_tokenizer_fertility,
     # evt_logrank_test, stream_dedup_maintenance,
-    # graph_clustering_coefficient;
+    # graph_clustering_coefficient, evt_churn_labels,
+    # dq_expectations, mm_wav_normalize_gain;
     # then text_top_ngrams / text_unigram_logprob, the r5 cohort —
     # a1_watermarks … tpch_q6 — and the r6 cohort alphabetically)
 ]

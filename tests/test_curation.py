@@ -624,3 +624,25 @@ def test_reservoir_rank_filter_becomes_group_limit(spark):
     plan = (reservoir_per_key(df, "lang", "doc_id", k=5)
             ._jdf.queryExecution().executedPlan().toString())
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_weighted_reservoir_proportional_to_weight(spark):
+    # One heavy id (weight 1000) among 200 light ones (weight 1), k=50:
+    # across the md5-deterministic draw the heavy id must be selected
+    # (P(miss) under A-ES is (1 - 1000/1199)^... effectively nil), and
+    # zero-weight rows must never appear.
+    from openedx_event_sink_clickhouse_spark.operators.curation import (
+        weighted_reservoir_per_key)
+    rows = [("k", 0, 1000.0)] + [("k", i, 1.0) for i in range(1, 201)] \
+        + [("k", 999, 0.0)]
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "w"])
+    out = weighted_reservoir_per_key(df, "lang", "doc_id", "w", k=50) \
+        .collect()
+    ids = {r.id for r in out}
+    assert len(out) == 50
+    assert 0 in ids          # the heavy row is in the sample
+    assert 999 not in ids    # zero weight excluded
+    # determinism: identical re-draw
+    again = {r.id for r in weighted_reservoir_per_key(
+        df, "lang", "doc_id", "w", k=50).collect()}
+    assert ids == again

@@ -256,3 +256,31 @@ def test_funnel_latency_hand_checked(spark):
     assert vc.p50_seconds == 20.0       # median of {10, 30}
     cp = out[("click", "purchase")]
     assert cp.n_users == 1 and cp.p50_seconds == 60.0
+
+
+def test_cohort_ltv_hand_computed(spark):
+    # Cohort 2024-01: users A (orders 100 in Jan, 50 in Mar) and B
+    # (order 10 in Jan). Cohort 2024-02: user C (order 7).
+    import datetime as dt
+    rows = [
+        ("A", dt.datetime(2024, 1, 5), 100.0),
+        ("A", dt.datetime(2024, 3, 20), 50.0),
+        ("B", dt.datetime(2024, 1, 9), 10.0),
+        ("C", dt.datetime(2024, 2, 1), 7.0),
+    ]
+    df = spark.createDataFrame(rows,
+                               "o_custkey string, o_orderdate timestamp, "
+                               "o_totalprice double")
+    from openedx_event_sink_clickhouse_spark.operators.funnel import (
+        cohort_ltv)
+    out = {(str(r.cohort_month), r.age_months): r
+           for r in cohort_ltv(df).collect()}
+    jan0 = out[("2024-01-01", 0)]
+    assert (jan0.n_customers, jan0.revenue, jan0.cum_revenue) == (2, 110.0, 110.0)
+    assert jan0.ltv_per_user == 55.0
+    jan2 = out[("2024-01-01", 2)]
+    assert (jan2.revenue, jan2.cum_revenue, jan2.ltv_per_user) == (50.0, 160.0, 80.0)
+    feb0 = out[("2024-02-01", 0)]
+    assert (feb0.n_customers, feb0.ltv_per_user) == (1, 7.0)
+    # age-1 month with no orders emits no row (curve is observed months)
+    assert ("2024-01-01", 1) not in out
