@@ -227,6 +227,7 @@ HEADLINE = [
     "scd1_apply_changelog",        # CDC MERGE INTO snapshot fold
     "cur_weighted_reservoir",      # Efraimidis-Spirakis k-per-key
     "evt_cohort_ltv",              # DECIMAL-exact cohort LTV curves
+    "stream_scd1_maintenance",     # seq-guarded streaming CDC fold
 ]
 
 

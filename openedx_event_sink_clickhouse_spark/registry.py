@@ -8955,6 +8955,69 @@ def _cohort_ltv(spark, sf_dir):
     return cohort_ltv(_t(spark, sf_dir, "orders"))
 
 
+
+
+@register("stream_scd1_maintenance", """
+WITH ch AS (
+  SELECT user_id AS k,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         round(value * 100, 2) AS nb,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+), last AS (SELECT k, op, nb FROM ch WHERE rk = 1)
+SELECT coalesce(c.c_custkey, l.k) AS c_custkey,
+       c.c_name,
+       CASE WHEN l.op = 'U' THEN l.nb ELSE c.c_acctbal END AS c_acctbal
+FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.k
+WHERE l.op IS NULL OR l.op = 'U'
+""")
+def _stream_scd1(spark, sf_dir):
+    # The SCD1 CDC apply driven end-to-end from a stream: two
+    # mtime-ordered micro-batches fold into an at-rest snapshot whose
+    # rows carry their last-applied sequence, then batch 0 is REPLAYED
+    # through the handler (foreachBatch's at-least-once) — the older
+    # seqs lose to the newer state, so the replay is a no-op or the
+    # hash breaks. Sharing scd1_apply_changelog's oracle certifies
+    # stream fold + seq guard + tombstones == one batch MERGE.
+    import tempfile
+    import uuid
+
+    from .streaming.scd_maintenance import Scd1SnapshotMaintainer
+    from .streaming.stateful import EVENT_SCHEMA
+
+    split_dir = _attr_split_dir(spark, sf_dir)
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+
+    def as_changes(df):
+        return df.select(
+            F.col("user_id").alias("c_custkey"), "ts", "event_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+            F.round(F.col("value") * 100, 2).alias("c_acctbal"))
+
+    m = Scd1SnapshotMaintainer(
+        tempfile.mkdtemp(prefix="scd1_snap_") + "/state",
+        "c_custkey", seq_cols=["ts", "event_id"],
+        update_cols=["c_acctbal"],
+        seed=base.select("c_custkey", "c_acctbal"))
+    src_stream = (spark.readStream.schema(EVENT_SCHEMA)
+                  .option("pathGlobFilter", "batch*.parquet")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(split_dir))
+    q = (as_changes(src_stream).writeStream.foreachBatch(m)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix=f"ckpt_scd1_{uuid.uuid4().hex[:6]}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    # at-least-once replay: re-deliver batch 0 (older seqs must lose)
+    import os as _os
+    replay = spark.read.parquet(_os.path.join(split_dir, "batch0.parquet"))
+    m(as_changes(replay), 99)
+    return m.snapshot(spark, base=base)
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 9 (late
@@ -8988,7 +9051,7 @@ _PRIORITY = [
     "stream_quantile_maintenance",
     "sim_ivfpq_topk", "cur_zorder_key", "ret_phrase_search",
     "dq_k_anonymity",
-    "src_csv_roundtrip", "src_jsonl_roundtrip",
+    "src_csv_roundtrip",
     "stream_expectations_maintenance",
     # -- NEW in r9 session 2: never in a driver sample --
     "evt_ewma_smoothing", "evt_autocorrelation", "evt_trend_fit",
@@ -9001,6 +9064,7 @@ _PRIORITY = [
     "agg_kmv_set_ops", "graph_label_propagation",
     "evt_deseasonalized_anomaly",
     "scd1_apply_changelog", "cur_weighted_reservoir", "evt_cohort_ltv",
+    "stream_scd1_maintenance",
     # (rotated to the r10 window: the seven r4-graded stragglers —
     # sim_quantized_topk, skew_salted_agg, stream_session_stats,
     # stream_stateful_incremental_gate, evt_funnel_latency,
@@ -9011,7 +9075,7 @@ _PRIORITY = [
     # agg_kmv_distinct, evt_anomaly_mad, text_tokenizer_fertility,
     # evt_logrank_test, stream_dedup_maintenance,
     # graph_clustering_coefficient, evt_churn_labels,
-    # dq_expectations, mm_wav_normalize_gain;
+    # dq_expectations, mm_wav_normalize_gain, src_jsonl_roundtrip;
     # then text_top_ngrams / text_unigram_logprob, the r5 cohort —
     # a1_watermarks … tpch_q6 — and the r6 cohort alphabetically)
 ]

@@ -31,6 +31,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 class Scd2StreamMaintainer:
@@ -215,3 +216,90 @@ class Scd2BucketedMaintainer:
         dirs = glob.glob(os.path.join(self.path, "_bucket=*"))
         return spark.read.parquet(*dirs)
 
+
+
+class Scd1SnapshotMaintainer:
+    """Streaming SCD TYPE-1 maintenance: a foreachBatch handler that
+    folds each micro-batch CHANGELOG into an at-rest current-state
+    snapshot — the streaming twin of ``operators.scd.apply_changelog``
+    and the "latest values only" sibling of the SCD2 maintainers above.
+
+    Replay safety comes from the DATA, not an epoch protocol: the
+    snapshot carries each row's last-applied sequence, and the fold is
+    last-wins by (seq) across state ∪ batch — so a re-delivered batch
+    (foreachBatch is at-least-once) re-loses to the newer state rows
+    and the fold is idempotent. Deletes are retained as TOMBSTONES
+    (op='D' with their seq) rather than physically removed: without
+    the tombstone, a replayed older upsert would resurrect a deleted
+    key. ``snapshot()`` filters tombstones at serve time; compacting
+    tombstones out is safe once no replay can reach past their seq
+    (the streaming-watermark argument, documented not automated).
+
+    Each trigger rewrites the snapshot via an atomic generation swap
+    (write gen_N+1, rename). At 100 TB the swap is the bucketed
+    partial-rewrite protocol Scd2BucketedMaintainer demonstrates —
+    same fold, per-bucket IO."""
+
+    def __init__(self, path: str, key_col: str, seq_cols: list[str],
+                 update_cols: list[str], op_col: str = "op",
+                 seed: DataFrame | None = None) -> None:
+        self.path = path
+        self.key_col = key_col
+        self.seq_cols = seq_cols
+        self.update_cols = update_cols
+        self.op_col = op_col
+        self._seeded = False
+        self._seed = seed
+
+    def _state(self, spark) -> DataFrame | None:
+        if os.path.isdir(self.path):
+            return spark.read.parquet(self.path)
+        return None
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch.sparkSession
+        cols = [self.key_col, self.op_col, *self.seq_cols,
+                *self.update_cols]
+        state = self._state(spark)
+        if state is None and self._seed is not None:
+            # seed rows: op='U' at a sequence below any real change
+            seed = self._seed.select(
+                F.col(self.key_col), F.lit("U").alias(self.op_col),
+                *[F.lit(None).cast(batch.schema[c].dataType).alias(c)
+                  for c in self.seq_cols],
+                *[F.col(c) for c in self.update_cols])
+            state = seed
+        merged = batch.select(*cols) if state is None else \
+            state.select(*cols).unionByName(batch.select(*cols))
+        # last-wins: NULL seq (the seed) sorts last under desc_nulls_last
+        w = Window.partitionBy(self.key_col).orderBy(
+            *[F.col(c).desc_nulls_last() for c in self.seq_cols])
+        folded = (merged.withColumn("_rk", F.row_number().over(w))
+                  .filter(F.col("_rk") == 1).drop("_rk"))
+        tmp = f"{self.path}.gen{epoch_id}"
+        folded.write.mode("overwrite").parquet(tmp)
+        old = f"{self.path}.old{epoch_id}"
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def snapshot(self, spark, base: DataFrame | None = None) -> DataFrame:
+        """Current state: tombstones filtered, one row per live key.
+        The maintained state carries only (key, op, seq, update_cols);
+        pass ``base`` to re-attach the NON-updated base columns by a
+        serve-time left join — the same projection
+        ``operators.scd.apply_changelog`` produces (updated keys keep
+        their base attributes, inserted keys get NULLs)."""
+        live = (spark.read.parquet(self.path)
+                .filter(F.col(self.op_col) != "D")
+                .select(self.key_col, *self.update_cols))
+        if base is None:
+            return live
+        others = [c for c in base.columns
+                  if c != self.key_col and c not in self.update_cols]
+        return (live.join(base.select(self.key_col, *others),
+                          self.key_col, "left")
+                .select(self.key_col, *others, *self.update_cols))

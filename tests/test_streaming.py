@@ -625,3 +625,40 @@ def test_asof_enrich_stream_via_foreach_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     assert len(epochs) > 1            # genuinely replayed in pieces
     assert set(out) == batch and len(out) == len(batch)
+
+
+def test_scd1_maintainer_replay_and_tombstones(spark, tmp_path):
+    # Drive the foreachBatch handler directly: batch semantics, replay
+    # idempotence (older seqs lose), and tombstones blocking
+    # resurrection by a replayed older upsert.
+    import datetime as dt
+
+    from openedx_event_sink_clickhouse_spark.streaming.scd_maintenance import (
+        Scd1SnapshotMaintainer)
+    T = dt.datetime
+    base = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0)],
+        "k long, name string, bal double")
+    m = Scd1SnapshotMaintainer(
+        str(tmp_path / "state"), "k", seq_cols=["ts", "eid"],
+        update_cols=["bal"], seed=base.select("k", "bal"))
+
+    b0 = spark.createDataFrame(
+        [(1, T(2024, 1, 1), 1, "U", 50.0)],
+        "k long, ts timestamp, eid long, op string, bal double")
+    b1 = spark.createDataFrame(
+        [(1, T(2024, 1, 2), 2, "D", None),    # delete alice (after update)
+         (2, T(2024, 1, 2), 3, "U", 99.0)],
+        "k long, ts timestamp, eid long, op string, bal double")
+    m(b0, 0)
+    m(b1, 1)
+    snap = {r.k: r for r in m.snapshot(spark, base=base).collect()}
+    assert set(snap) == {2}
+    assert snap[2].bal == 99.0 and snap[2].name == "bob"
+
+    # replay batch 0: the old upsert must NOT resurrect deleted key 1
+    # and must not regress key 2
+    m(b0, 0)
+    snap2 = {r.k: (r.name, r.bal)
+             for r in m.snapshot(spark, base=base).collect()}
+    assert snap2 == {2: ("bob", 99.0)}
