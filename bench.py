@@ -229,6 +229,7 @@ HEADLINE = [
     "evt_cohort_ltv",              # DECIMAL-exact cohort LTV curves
     "stream_scd1_maintenance",     # seq-guarded streaming CDC fold
     "window_rank_suite",           # ANSI rank functions, one exchange
+    "join_incremental_view",       # delta-join IVM refresh
 ]
 
 

@@ -79,3 +79,30 @@ def test_flagship_runs_and_is_incremental(spark, sf_dir):
                     "event_data_json", "dump_id", "time_last_dumped"]
     row = out.orderBy("event_id").first()
     assert len(row["dump_id"]) == 36 and row["dump_id"].count("-") == 4
+
+
+def test_incremental_join_view_matches_full_join(spark):
+    # Split both sides; the maintained view must equal the full join —
+    # including cross-quadrant matches (old order x delta line, delta
+    # order x old line) and the true-incremental path where view_old is
+    # the materialized old x old quadrant.
+    from openedx_event_sink_clickhouse_spark.operators.incremental import (
+        incremental_join_view)
+    a = spark.createDataFrame(
+        [(1, "old"), (2, "old"), (3, "new"), (4, "new")], "k long, ta string")
+    b = spark.createDataFrame(
+        [(1, 10, "old"), (3, 30, "old"), (2, 20, "new"), (3, 31, "new"),
+         (4, 40, "new")],
+        "k long, v long, tb string")
+    a_old, da = a.filter("ta = 'old'"), a.filter("ta = 'new'")
+    b_old, db = b.filter("tb = 'old'"), b.filter("tb = 'new'")
+    full = {(r.k, r.v) for r in a.join(b, "k").collect()}
+
+    boot = incremental_join_view(None, a_old, da, b_old, db, on="k")
+    assert {(r.k, r.v) for r in boot.collect()} == full
+
+    view_old = a_old.join(b_old, "k")
+    incr = incremental_join_view(view_old, a_old, da, b_old, db, on="k")
+    assert {(r.k, r.v) for r in incr.collect()} == full
+    # and row multiplicity matches too (no doubled quadrant)
+    assert incr.count() == a.join(b, "k").count()
