@@ -230,6 +230,8 @@ HEADLINE = [
     "stream_scd1_maintenance",     # seq-guarded streaming CDC fold
     "window_rank_suite",           # ANSI rank functions, one exchange
     "join_incremental_view",       # delta-join IVM refresh
+    "join_dynamic_partition_pruning",  # runtime-pruned partitioned scan
+    "stream_seasonal_profile_maintenance",  # gap-filled profile by stream
 ]
 
 

@@ -9090,6 +9090,108 @@ def _ivm_join(spark, sf_dir):
                        "o_orderdate", "l_extendedprice", "l_returnflag")
 
 
+
+
+@register("join_dynamic_partition_pruning", """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1
+), top3 AS (
+  SELECT day, c FROM d ORDER BY c DESC, day LIMIT 3
+), camp AS (
+  SELECT day,
+         CASE WHEN extract(day FROM day) % 2 = 0
+              THEN 'flash' ELSE 'steady' END AS kind
+  FROM top3
+)
+SELECT e.day, CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS value_sum
+FROM (SELECT CAST(ts AS DATE) AS day, value FROM events) e
+JOIN camp ON e.day = camp.day
+WHERE camp.kind = 'flash'
+GROUP BY e.day
+""")
+def _dpp_join(spark, sf_dir):
+    # DYNAMIC partition pruning, demonstrated for real: the event fact
+    # lives day-partitioned at rest; the campaign dim (top-3 traffic
+    # days, built once) filters to 'flash' days at runtime, and Spark
+    # reuses the dim broadcast as a pruning subquery on the fact scan —
+    # the scan opens ONLY the flash-day partition dirs
+    # (PartitionFilters: [dynamicpruning...], plan-pinned in
+    # tests/test_plan_shapes.py). At 100 TB this is the difference
+    # between reading 3 days and reading the year: the day list is not
+    # known until the dim filter runs, so static pruning cannot do it.
+    tag = _sf_tag(sf_dir, "events")
+    fact_path = _cached_parquet(
+        f"/tmp/spark_graft_events_byday_v1_{tag}",
+        lambda p: (_t(spark, sf_dir, "events")
+                   .withColumn("day", F.to_date("ts"))
+                   .write.partitionBy("day").parquet(p)))
+
+    def build_camp(p):
+        ev = _t(spark, sf_dir, "events")
+        top3 = (ev.groupBy(F.to_date("ts").alias("day"))
+                .agg(F.count("*").alias("c"))
+                .orderBy(F.col("c").desc(), "day").limit(3))
+        (top3.select("day",
+                     F.when(F.dayofmonth("day") % 2 == 0, F.lit("flash"))
+                     .otherwise(F.lit("steady")).alias("kind"))
+         .coalesce(1).write.parquet(p))
+    camp_path = _cached_parquet(
+        f"/tmp/spark_graft_campaign_days_v1_{tag}", build_camp)
+
+    fact = (spark.read.parquet(fact_path)
+            .select(F.col("day").cast("date").alias("day"), "value"))
+    dim = (spark.read.parquet(camp_path)
+           .filter(F.col("kind") == "flash")
+           .select(F.col("day").cast("date").alias("day")))
+    return (fact.join(dim, "day")
+            .groupBy("day")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                         .cast("double"), 2).alias("value_sum")))
+
+
+
+
+@register("stream_seasonal_profile_maintenance", None)  # oracle below
+def _stream_season(spark, sf_dir):
+    # The hour-of-day seasonal profile maintained BY A STREAM, sharing
+    # the batch query's oracle: per-(key, hour) counts SUM-merge and
+    # per-key span bounds MIN/MAX-merge across epoch partitions, and
+    # the gap-filled denominator (a dead 3am counts as zero buckets)
+    # reconstructs ARITHMETICALLY from the folded span — so the stream
+    # never needs to see the gaps it must account for. Epoch 1 replays
+    # through the handler: overwrite-idempotence or the hash breaks.
+    import os as _os
+    import tempfile
+    import uuid
+
+    from .streaming.sketch_maintenance import SeasonalProfileMaintainer
+    from .streaming.stateful import EVENT_SCHEMA
+
+    split_dir = _attr_split_dir(spark, sf_dir)
+    m = SeasonalProfileMaintainer(
+        tempfile.mkdtemp(prefix="season_stream_") + "/profile")
+    src_stream = (spark.readStream.schema(EVENT_SCHEMA)
+                  .option("pathGlobFilter", "batch*.parquet")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(split_dir))
+    q = (src_stream.writeStream.foreachBatch(m)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix=f"ckpt_ssn_{uuid.uuid4().hex[:6]}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    replay = spark.read.parquet(_os.path.join(split_dir, "batch1.parquet"))
+    m(replay, 1)
+    return m.serve(spark)
+
+
+REGISTRY["stream_seasonal_profile_maintenance"] = (
+    REGISTRY["stream_seasonal_profile_maintenance"][0],
+    REGISTRY["evt_seasonality_profile"][1])
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 9 (late
@@ -9114,10 +9216,9 @@ _PRIORITY = [
     "stream_cms_maintenance", "stream_attribution",
     # -- NEW in r9: never in a driver sample --
     "mm_png_roundtrip_stats", "mm_wav_roundtrip_stats",
-    "mm_png_resize_stats", "text_entropy_signals", "cur_data_card",
+    "text_entropy_signals", "cur_data_card",
     "mm_png_metadata", "mm_wav_silence_segments",
     "evt_survival_curves",
-    "evt_sequential_monitoring",
     "evt_markov_transitions",
     "agg_histogram_quantiles",
     "stream_quantile_maintenance",
@@ -9135,7 +9236,8 @@ _PRIORITY = [
     "evt_deseasonalized_anomaly",
     "scd1_apply_changelog", "cur_weighted_reservoir", "evt_cohort_ltv",
     "stream_scd1_maintenance", "window_rank_suite",
-    "join_incremental_view",
+    "join_incremental_view", "join_dynamic_partition_pruning",
+    "stream_seasonal_profile_maintenance",
     # (rotated to the r10 window: the seven r4-graded stragglers —
     # sim_quantized_topk, skew_salted_agg, stream_session_stats,
     # stream_stateful_incremental_gate, evt_funnel_latency,
@@ -9147,7 +9249,8 @@ _PRIORITY = [
     # evt_logrank_test, stream_dedup_maintenance,
     # graph_clustering_coefficient, evt_churn_labels,
     # dq_expectations, mm_wav_normalize_gain, src_jsonl_roundtrip,
-    # src_csv_roundtrip, dq_k_anonymity;
+    # src_csv_roundtrip, dq_k_anonymity, mm_png_resize_stats,
+    # evt_sequential_monitoring;
     # then text_top_ngrams / text_unigram_logprob, the r5 cohort —
     # a1_watermarks … tpch_q6 — and the r6 cohort alphabetically)
 ]

@@ -374,3 +374,84 @@ def expectations_stream_maintainer(path: str, expectations,
     return EpochPartitionedAppender(
         path, partials, ["expectation"], ["n_violations", "n_rows"],
         auto_compact_epochs=auto_compact_epochs)
+
+
+class SeasonalProfileMaintainer:
+    """Hour-of-day seasonal profile kept fresh by a stream — the
+    monitoring-model twin of ``operators.timeseries.seasonal_profile``.
+    The subtlety is GAP-FILL: the batch profile averages over every
+    hourly bucket in each key's [first, last] span (a dead 3am must
+    count as a zero bucket), but a stream never sees the gaps. The
+    trick is that the gap-filled denominator is ARITHMETIC: maintain
+    two mergeable summaries — per-(key, hour) event counts (SUM-merge)
+    and per-key span bounds (MIN/MAX-merge) — and reconstruct each hour
+    slot's bucket count at serve time from the span alone:
+
+        H       = span hours = (hi - lo)/3600 + 1
+        base, r = H div 24, H mod 24
+        n_buckets(h) = base + [ (h - hour(lo)) mod 24 < r ]
+
+    Both summaries land in epoch partitions (overwrite-idempotent under
+    at-least-once replay, the module's standard protocol); ``serve``
+    folds them, generates the full key × 24-slot grid from the bounds
+    (a slot with zero events in the whole span must still emit), and
+    computes mean + seasonal index with the same integer-exact
+    expressions as the batch operator — so the streaming profile shares
+    the batch query's oracle verbatim."""
+
+    def __init__(self, path: str, key_col: str = "event_type",
+                 ts_col: str = "ts") -> None:
+        self.key_col, self.ts_col = key_col, ts_col
+        bucket = F.date_trunc("hour", F.col(ts_col))
+
+        def count_partials(b: DataFrame) -> DataFrame:
+            return (b.groupBy(F.col(key_col).alias("key"),
+                              F.hour(ts_col).alias("hod"))
+                    .agg(F.count("*").cast("long").alias("s")))
+
+        def bound_partials(b: DataFrame) -> DataFrame:
+            return (b.groupBy(F.col(key_col).alias("key"))
+                    .agg(F.min(bucket).alias("lo"),
+                         F.max(bucket).alias("hi")))
+
+        self.counts = EpochPartitionedAppender(
+            os.path.join(path, "counts"), count_partials,
+            ["key", "hod"], ["s"], auto_compact_epochs=64)
+        self.bounds = EpochPartitionedAppender(
+            os.path.join(path, "bounds"), bound_partials,
+            ["key"], ["lo", "hi"],
+            agg_exprs=[F.min("lo").alias("lo"), F.max("hi").alias("hi")],
+            auto_compact_epochs=64)
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        self.counts(batch, epoch_id)
+        self.bounds(batch, epoch_id)
+
+    def serve(self, spark) -> DataFrame:
+        b = self.bounds.fold(spark)
+        c = self.counts.fold(spark)
+        hours = (F.unix_timestamp("hi") - F.unix_timestamp("lo")) \
+            / F.lit(3600) + F.lit(1)
+        grid = (b.select("key", "lo",
+                         hours.cast("long").alias("_H"),
+                         F.explode(F.sequence(F.lit(0), F.lit(23)))
+                         .alias("hod")))
+        base = (F.col("_H") / 24).cast("long")
+        rem = F.col("_H") % 24
+        offset = F.pmod(F.col("hod") - F.hour("lo"), F.lit(24))
+        n_buckets = (base + F.when(offset < rem, 1).otherwise(0)) \
+            .cast("long")
+        j = (grid.join(c, ["key", "hod"], "left")
+             .select("key", "hod", n_buckets.alias("n_buckets"),
+                     F.coalesce("s", F.lit(0)).cast("long").alias("_s")))
+        from pyspark.sql import Window
+        wk = Window.partitionBy("key")
+        tot_s = F.sum("_s").over(wk).cast("double")
+        tot_n = F.sum("n_buckets").over(wk).cast("double")
+        mean = F.col("_s").cast("double") / F.col("n_buckets").cast("double")
+        return (j.select(F.col("key").alias(self.key_col),
+                         F.col("hod").alias("hour_of_day"), "n_buckets",
+                         F.round(mean, 6).alias("mean_events"),
+                         F.round(F.when(tot_s > 0,
+                                        mean / (tot_s / tot_n)), 6)
+                         .alias("seasonal_index")))

@@ -477,3 +477,15 @@ def test_timeseries_lag_family_shares_one_window_sort(q, spark, sf_dir):
 def test_reservoir_sample_plan_group_limit(q, spark, sf_dir):
     plan = plan_of(q["cur_reservoir_per_key"](spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(q, spark, sf_dir):
+    # The fact side is day-partitioned at rest and the day list is only
+    # known after the dim filter runs: the executed scan must carry a
+    # dynamicpruning PartitionFilter (and therefore open only the
+    # selected day dirs at 100 TB).
+    df = q["join_dynamic_partition_pruning"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan, plan
+    assert "PartitionFilters" in plan

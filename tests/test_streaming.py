@@ -662,3 +662,38 @@ def test_scd1_maintainer_replay_and_tombstones(spark, tmp_path):
     snap2 = {r.k: (r.name, r.bal)
              for r in m.snapshot(spark, base=base).collect()}
     assert snap2 == {2: ("bob", 99.0)}
+
+
+def test_seasonal_profile_maintainer_gapfill_arithmetic(spark, tmp_path):
+    # Two direct-handler batches spanning 2024-01-01 10:00 .. 01-02 13:00
+    # (span 28 hourly buckets: base=1, remainder=4 -> hours 10..13 get 2
+    # buckets, others 1), with hour 11 DEAD in both batches: the served
+    # profile must still emit hour 11 with mean 0, and a replayed epoch
+    # must change nothing.
+    import datetime as dt
+
+    from openedx_event_sink_clickhouse_spark.streaming.sketch_maintenance import (
+        SeasonalProfileMaintainer)
+    T = dt.datetime
+    m = SeasonalProfileMaintainer(str(tmp_path / "prof"), "k", "ts")
+    b0 = spark.createDataFrame(
+        [("k", T(2024, 1, 1, 10, 5)), ("k", T(2024, 1, 1, 12, 30)),
+         ("k", T(2024, 1, 1, 12, 40))], "k string, ts timestamp")
+    b1 = spark.createDataFrame(
+        [("k", T(2024, 1, 2, 13, 59))], "k string, ts timestamp")
+    m(b0, 0)
+    m(b1, 1)
+    out = {r.hour_of_day: r for r in m.serve(spark).collect()}
+    assert len(out) == 24
+    # span = 10:00 Jan1 .. 13:00 Jan2 inclusive = 28 buckets
+    assert sum(r.n_buckets for r in out.values()) == 28
+    assert out[10].n_buckets == 2 and out[13].n_buckets == 2
+    assert out[9].n_buckets == 1 and out[14].n_buckets == 1
+    assert out[11].mean_events == 0.0        # dead slot still emits
+    assert out[12].mean_events == 1.0        # 2 events / 2 buckets
+    before = {(r.hour_of_day, r.mean_events, r.n_buckets)
+              for r in m.serve(spark).collect()}
+    m(b1, 1)  # at-least-once replay: epoch overwrite, not double-count
+    after = {(r.hour_of_day, r.mean_events, r.n_buckets)
+             for r in m.serve(spark).collect()}
+    assert before == after
