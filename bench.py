@@ -232,6 +232,7 @@ HEADLINE = [
     "join_incremental_view",       # delta-join IVM refresh
     "join_dynamic_partition_pruning",  # runtime-pruned partitioned scan
     "stream_seasonal_profile_maintenance",  # gap-filled profile by stream
+    "evt_bot_detection",           # inter-event-cadence abuse signals
 ]
 
 

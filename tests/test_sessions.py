@@ -69,3 +69,38 @@ def test_sessionize_single_exchange(spark, sf_dir):
     # lag + running sum share one (user_id) partitioning and one sort
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Sort ") == 1, plan
+
+
+def test_bot_signals_flag_machine_cadence(spark):
+    # One scripted user fires every 2s exactly; nine humans are minutes
+    # apart with jitter. The bot's median gap must sit below the p05 cut
+    # (is_suspect=1) with near-zero IQR; humans stay unflagged.
+    import datetime as dt
+    T0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for i in range(30):  # the bot: metronome cadence
+        rows.append((0, T0 + dt.timedelta(seconds=2 * i), eid, "click"))
+        eid += 1
+    for u in range(1, 10):  # humans: minutes apart, varying
+        for i in range(10):
+            rows.append((u, T0 + dt.timedelta(minutes=3 * i + (u + i) % 5),
+                         eid, "view"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    from openedx_event_sink_clickhouse_spark.operators.sessions import (
+        bot_signals)
+    out = {r.user_id: r for r in bot_signals(df).collect()}
+    assert out[0].is_suspect == 1
+    assert out[0].median_gap_s == 2.0 and out[0].gap_iqr_s == 0.0
+    assert all(out[u].is_suspect == 0 for u in range(1, 10))
+
+
+def test_bot_signals_single_event_users_dropped(spark):
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 0, "x")],
+        "user_id long, ts timestamp, event_id long, event_type string")
+    from openedx_event_sink_clickhouse_spark.operators.sessions import (
+        bot_signals)
+    assert bot_signals(df).collect() == []
