@@ -233,6 +233,8 @@ HEADLINE = [
     "join_dynamic_partition_pruning",  # runtime-pruned partitioned scan
     "stream_seasonal_profile_maintenance",  # gap-filled profile by stream
     "evt_bot_detection",           # inter-event-cadence abuse signals
+    "dq_bounded_contribution",     # DP sensitivity-capped counts
+    "text_feature_hashing",        # vocabulary-free signed features
 ]
 
 

@@ -485,3 +485,35 @@ def l_diversity_audit(df: DataFrame, qi_cols: list[str],
                     F.round(F.col("_mx").cast("double")
                             / F.col("class_size"), 6)
                     .alias("majority_share")))
+
+
+def bounded_contribution_counts(events: DataFrame, group_col: str,
+                                user_col: str = "user_id",
+                                cap: int = 5) -> DataFrame:
+    """Per-group event counts with each user's contribution CAPPED at
+    ``cap`` — the sensitivity-bounding step every differential-privacy
+    release pipeline runs before adding noise (unbounded, one hyper-
+    active user moves a count arbitrarily; capped, the count's
+    sensitivity is exactly ``cap`` and the later noise scale is
+    knowable), and a robustness win on its own (the bot in the
+    engagement numbers). Deterministic — the capping itself is exact
+    and engine-reproducible; noise injection is the caller's layer
+    (engine RNG cannot be oracle-matched). Returns per group: raw
+    count, capped count, contributing users, and the mass share the
+    cap removed.
+
+    Two hash aggregates: (group, user) then group — the exchange
+    carries user-group pairs, never rows."""
+    per_user = (events.groupBy(F.col(group_col), F.col(user_col))
+                .agg(F.count("*").alias("_c")))
+    return (per_user.groupBy(group_col)
+            .agg(F.sum("_c").cast("long").alias("raw_count"),
+                 F.sum(F.least(F.col("_c"), F.lit(cap))).cast("long")
+                 .alias("capped_count"),
+                 F.count("*").cast("long").alias("n_users"),
+                 F.sum(F.when(F.col("_c") > cap, 1).otherwise(0))
+                 .cast("long").alias("n_capped_users"))
+            .withColumn("mass_removed",
+                        F.round((F.col("raw_count")
+                                 - F.col("capped_count")).cast("double")
+                                / F.col("raw_count"), 6)))

@@ -494,3 +494,33 @@ def zipf_fit(docs: DataFrame, top_k: int = 100,
         F.round(F.when((dx > 0) & (dy > 0),
                        (n * sxy - sx * sy) * (n * sxy - sx * sy)
                        / (dx * dy)), 6).alias("r2"))
+
+
+def feature_hashing(docs: DataFrame, dim: int = 16,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): fixed-dimension
+    signed token-count features with NO vocabulary — each token maps to
+    slot md5(token) mod dim with sign from an independent hash bit (the
+    signed variant keeps collision bias zero-mean), so featurization is
+    one stateless map regardless of vocabulary size. The classic cheap
+    featurizer for linear classifiers / dedup pre-filters where a BPE
+    or vocab model is too heavy. Returns (doc_id, f_0 .. f_{dim-1}),
+    flat scalar columns (the harness's canonicalizer cannot hash
+    list cells — the established flat-projection rule).
+
+    Plan: explode → two md5 expressions → one (doc, slot) pivot via
+    conditional sums in a single groupBy(doc) — no shuffle wider than
+    the doc grain, no model state anywhere."""
+    from ..functions.hashes import md5_hash32, md5_hash64
+
+    tok = docs.select(F.col(id_col).alias("id"),
+                      F.explode(words(F.col(text_col))).alias("w"))
+    slot = (md5_hash64(F.col("w")) % dim).alias("_slot")
+    sign = F.when(md5_hash32(F.col("w"), seed=1) % 2 == 0,
+                  F.lit(1)).otherwise(F.lit(-1)).alias("_sign")
+    hashed = tok.select("id", slot, sign)
+    aggs = [F.sum(F.when(F.col("_slot") == j, F.col("_sign"))
+                  .otherwise(0)).cast("long").alias(f"f_{j}")
+            for j in range(dim)]
+    return (hashed.groupBy(F.col("id").alias(id_col)).agg(*aggs))

@@ -314,3 +314,16 @@ def test_l_diversity_flags_homogeneous_class(spark):
     assert a.majority_share == 1.0
     assert (b.n_sensitive, b.violates_l) == (3, 0)
     assert abs(b.majority_share - 1 / 3) < 1e-6
+
+
+def test_bounded_contribution_caps_hyperactive_user(spark):
+    # User 1 fires 100 events, users 2-4 one each: capped count is
+    # 5 + 3 = 8 and the removed-mass share reflects the bot's excess.
+    rows = [("click", 1)] * 100 + [("click", u) for u in (2, 3, 4)]
+    df = spark.createDataFrame(rows, ["event_type", "user_id"])
+    from openedx_event_sink_clickhouse_spark.operators.quality_audit import (
+        bounded_contribution_counts)
+    r = bounded_contribution_counts(df, "event_type", cap=5).collect()[0]
+    assert (r.raw_count, r.capped_count) == (103, 8)
+    assert (r.n_users, r.n_capped_users) == (4, 1)
+    assert abs(r.mass_removed - 95 / 103) < 1e-6

@@ -321,3 +321,21 @@ def test_zipf_fit_single_term_null_fit(spark):
                                  ["doc_id", "text"])
     r = zipf_fit(docs).collect()[0]
     assert r.n_terms == 1 and r.zipf_slope is None
+
+
+def test_feature_hashing_fixed_dim_and_sign_consistency(spark):
+    # Same token always lands in the same signed slot: a doc of one
+    # repeated word has |f_slot| == count and all other slots 0; two
+    # docs sharing the word agree on slot and sign direction.
+    from openedx_event_sink_clickhouse_spark.operators.textstats import (
+        feature_hashing)
+    docs = spark.createDataFrame(
+        [(0, "spark spark spark"), (1, "spark")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in feature_hashing(docs, dim=8).collect()}
+    v0 = [out[0][f"f_{j}"] for j in range(8)]
+    v1 = [out[1][f"f_{j}"] for j in range(8)]
+    nz0 = [(j, x) for j, x in enumerate(v0) if x != 0]
+    nz1 = [(j, x) for j, x in enumerate(v1) if x != 0]
+    assert len(nz0) == 1 and len(nz1) == 1
+    assert nz0[0][0] == nz1[0][0]          # same slot
+    assert nz0[0][1] == 3 * nz1[0][1]      # same sign, 3x magnitude
