@@ -235,6 +235,8 @@ HEADLINE = [
     "evt_bot_detection",           # inter-event-cadence abuse signals
     "dq_bounded_contribution",     # DP sensitivity-capped counts
     "text_feature_hashing",        # vocabulary-free signed features
+    "rec_item_neighbors",          # item-CF cosine neighbor model
+    "rec_user_items",              # owned x k recommendation scoring
 ]
 
 
