@@ -489,3 +489,16 @@ def test_dynamic_partition_pruning_reaches_fact_scan(q, spark, sf_dir):
     plan = plan_of(df)
     assert "dynamicpruning" in plan, plan
     assert "PartitionFilters" in plan
+
+
+def test_item_cf_group_limits_and_no_sort_merge(q, spark, sf_dir):
+    # Both per-item neighbor ranking and per-user rec ranking must
+    # compile to WindowGroupLimit (map tasks ship <= k rows per key),
+    # the ownership exclusion must be an anti join, and no join in the
+    # pipeline may fall back to sort-merge at this scale.
+    df = q["rec_user_items"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan, plan
