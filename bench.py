@@ -237,6 +237,10 @@ HEADLINE = [
     "text_feature_hashing",        # vocabulary-free signed features
     "rec_item_neighbors",          # item-CF cosine neighbor model
     "rec_user_items",              # owned x k recommendation scoring
+    "evt_rolling_correlation",     # trailing metric-coupling monitor
+    "evt_cusum_changepoint",       # level-shift location + test stat
+    "agg_gini_concentration",      # whale-dominance scalar
+    "agg_abc_classification",      # Pareto 80/20 unit classes
 ]
 
 

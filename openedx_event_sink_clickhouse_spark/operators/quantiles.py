@@ -193,3 +193,78 @@ def winsorized_stats(df: DataFrame, group_col: str, value_col: str,
                          / F.count("*"), 6).alias("raw_mean"),
                  F.round(F.sum(dec(capped)).cast("double")
                          / F.count("*"), 6).alias("winsorized_mean")))
+
+
+def gini_concentration(df: DataFrame, unit_col: str,
+                       value_col: str) -> DataFrame:
+    """Gini coefficient of value concentration across units — the
+    one-number answer to "how whale-dominated is this revenue" (0 =
+    perfectly even, →1 = one unit holds everything), the concentration
+    gate next to the Benford and PSI monitors. Returns one row:
+    (n_units, total_value, gini).
+
+    Rank formulation over the sorted unit totals:
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n with x ascending — exact under
+    DECIMAL unit sums and integer ranks (the rank-weighted sum stays
+    DECIMAL); one unit-grain reduce + one global sort of the UNIT
+    frame (units ≪ rows; the sort is rank assignment, not data
+    movement of the fact table). Ties on value order by unit id, which
+    leaves G unchanged (equal x_i commute in the weighted sum)."""
+    from pyspark.sql import Window
+
+    per = (df.groupBy(F.col(unit_col).alias("_u"))
+           .agg(F.sum(F.col(value_col).cast("decimal(18,2)"))
+                .alias("_x")))
+    w = Window.orderBy(F.col("_x").asc(), F.col("_u").asc())
+    ranked = per.select("_x", F.row_number().over(w).alias("_i"))
+    g = ranked.agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_i")).alias("_sxi"))
+    n = F.col("n_units").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxi = F.col("_sxi").cast("double")
+    return g.select(
+        "n_units",
+        F.round(sx, 2).alias("total_value"),
+        F.round(F.when(sx > 0,
+                       F.lit(2.0) * sxi / (n * sx) - (n + 1) / n), 6)
+        .alias("gini"))
+
+
+def abc_classification(df: DataFrame, unit_col: str, value_col: str,
+                       a_cut: float = 0.8,
+                       b_cut: float = 0.95) -> DataFrame:
+    """Pareto / ABC classification: units ranked by value, classed A
+    while the running cumulative share is below ``a_cut``, B below
+    ``b_cut``, else C — the 80/20 inventory-policy primitive ("A items
+    get daily counts, C items get annual"). Returns one row per unit:
+    (unit, value, value_share, cum_share, abc_class, rank).
+
+    DECIMAL value sums and a DECIMAL running cumulative keep the class
+    boundaries exact and order-free; the rank window is a global sort
+    of the UNIT frame only. The class tests the cumulative share UP TO
+    AND INCLUDING the unit, so the unit that crosses a boundary takes
+    the lower class — the convention that keeps class A's total share
+    >= a_cut."""
+    from pyspark.sql import Window
+
+    per = (df.groupBy(F.col(unit_col).alias("unit"))
+           .agg(F.sum(F.col(value_col).cast("decimal(18,2)"))
+                .alias("_x")))
+    w = Window.orderBy(F.col("_x").desc(), F.col("unit"))
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(F.sum("_x").alias("_t"))
+    ranked = (per.crossJoin(F.broadcast(tot))
+              .select("unit", "_x", "_t",
+                      F.row_number().over(w).cast("long").alias("rank"),
+                      F.sum("_x").over(wc).alias("_cum")))
+    share = F.col("_x").cast("double") / F.col("_t").cast("double")
+    cum = F.col("_cum").cast("double") / F.col("_t").cast("double")
+    cls = (F.when(cum <= a_cut, "A")
+           .when(cum <= b_cut, "B").otherwise("C"))
+    return ranked.select(
+        "unit", F.round(F.col("_x").cast("double"), 2).alias("value"),
+        F.round(share, 6).alias("value_share"),
+        F.round(cum, 6).alias("cum_share"),
+        cls.alias("abc_class"), "rank")

@@ -420,3 +420,96 @@ def deseasonalized_residuals(series: DataFrame, key_col: str,
                         F.round(F.col(value_col).cast("double")
                                 - F.col("_slot_mean"), 6))
             .drop("_k", "_h", "_slot_mean"))
+
+
+def rolling_correlation(series: DataFrame, key_a: str, key_b: str,
+                        key_col: str, bucket_col: str, value_col: str,
+                        window: int = 24) -> DataFrame:
+    """Rolling Pearson correlation between TWO keys' series on a shared
+    regular grid — the metric-coupling monitor ("are errors tracking
+    traffic?"; a correlation break is itself an incident signal).
+    Returns one row per bucket: both values and the trailing-``window``
+    correlation (NULL until the window fills and when either side is
+    locally constant).
+
+    The two series join on the gap-filled bucket grid (inner — both
+    keys span the same range by construction of the grid), then ONE
+    ordered window computes all six moment sums over integer counts —
+    exact, so the correlation is a fixed expression per row. The window
+    is rows-based on the regular grid: time-based on a gappy series
+    would silently compare unequal spans."""
+    a = (series.filter(F.col(key_col) == key_a)
+         .select(F.col(bucket_col).alias("bucket"),
+                 F.col(value_col).cast("long").alias("_xa")))
+    b = (series.filter(F.col(key_col) == key_b)
+         .select(F.col(bucket_col).alias("bucket"),
+                 F.col(value_col).cast("long").alias("_xb")))
+    j = a.join(b, "bucket")
+    w = (Window.orderBy("bucket")
+         .rowsBetween(-(window - 1), 0))
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sa = F.sum("_xa").over(w).cast("double")
+    sb = F.sum("_xb").over(w).cast("double")
+    sab = F.sum(F.col("_xa") * F.col("_xb")).over(w).cast("double")
+    saa = F.sum(F.col("_xa") * F.col("_xa")).over(w).cast("double")
+    sbb = F.sum(F.col("_xb") * F.col("_xb")).over(w).cast("double")
+    va = n * saa - sa * sa
+    vb = n * sbb - sb * sb
+    corr = (n * sab - sa * sb) / F.sqrt(va) / F.sqrt(vb)
+    full = F.count(F.lit(1)).over(w) >= window
+    return (j.select(F.col("bucket").alias(bucket_col),
+                     F.col("_xa").alias("value_a"),
+                     F.col("_xb").alias("value_b"),
+                     F.round(F.when(full & (va > 0) & (vb > 0), corr), 6)
+                     .alias("rolling_corr")))
+
+
+def cusum_changepoint(series: DataFrame, key_col: str, bucket_col: str,
+                      value_col: str, threshold: float = 3.0) -> DataFrame:
+    """Offline CUSUM changepoint test per key: the cumulative sum of
+    deviations from the key's own mean, C_t = Σ_{i<=t}(x_i − μ), peaks
+    at a level shift's location — the standard "WHEN did the metric
+    change" answer that pointwise detectors (z, MAD) cannot give,
+    because a small persistent shift never trips a pointwise threshold
+    but accumulates linearly in C_t. Returns one row per key:
+    (changepoint_bucket, cusum_stat, significant), where cusum_stat =
+    max_t |C_t| / (σ·√n) (the Brownian-bridge normalization; > ~1.36
+    is the 5% Kolmogorov line, ``threshold`` defaults stricter) and the
+    changepoint is the argmax bucket.
+
+    Every sum is exact-integer; C_t, σ and the statistic are fixed
+    double expressions; the per-key argmax is a 1-row-per-key
+    WindowGroupLimit over (|C| DESC, bucket). One ordered window + one
+    key window — a constant series (σ=0) reports NULL stat, no flag."""
+    w = Window.partitionBy(key_col).orderBy(bucket_col) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.partitionBy(key_col)
+    x = F.col(value_col).cast("long")
+    cum = F.sum(x).over(w).cast("double")
+    t = F.count(F.lit(1)).over(w).cast("double")
+    n = F.count(F.lit(1)).over(wk).cast("double")
+    s = F.sum(x).over(wk).cast("double")
+    sq = F.sum(x * x).over(wk).cast("double")
+    mu = s / n
+    var = (sq - s * s / n) / (n - F.lit(1.0))
+    c_t = cum - t * mu
+    # the statistic is guarded AT COMPUTATION, not just at projection:
+    # a constant key has var 0 and an unguarded divide throws under
+    # ANSI mode instead of flowing NULL.
+    scored = series.select(
+        F.col(key_col), F.col(bucket_col),
+        F.abs(c_t).alias("_absc"),
+        F.when(var > 0, F.abs(c_t) / (F.sqrt(var) * F.sqrt(n)))
+        .alias("_stat"),
+        var.alias("_var"))
+    pick = Window.partitionBy(key_col).orderBy(
+        F.col("_absc").desc(), F.col(bucket_col))
+    return (scored.withColumn("_rk", F.row_number().over(pick))
+            .filter(F.col("_rk") == 1)
+            .select(key_col,
+                    F.col(bucket_col).alias("changepoint_bucket"),
+                    F.round(F.when(F.col("_var") > 0, F.col("_stat")), 6)
+                    .alias("cusum_stat"),
+                    F.when((F.col("_var") > 0)
+                           & (F.col("_stat") > threshold), 1)
+                    .otherwise(0).cast("int").alias("significant")))

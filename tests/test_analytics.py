@@ -480,3 +480,45 @@ def test_deseasonalized_residual_zero_on_pure_seasonal_series(spark):
     out = deseasonalized_residuals(df, "key", "bucket", "n").collect()
     assert all(r.residual == 0.0 for r in out)
     assert all(r.slot_mean == 10.0 + r.bucket.hour for r in out)
+
+
+def test_rolling_correlation_perfect_and_anti(spark):
+    # B = 2A -> corr +1 once the window fills; C = -A + 100 -> corr -1.
+    import datetime
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        a = (i * 7) % 13  # varying series
+        rows += [("a", t0 + datetime.timedelta(hours=i), a),
+                 ("b", t0 + datetime.timedelta(hours=i), 2 * a),
+                 ("c", t0 + datetime.timedelta(hours=i), 100 - a)]
+    df = spark.createDataFrame(rows, ["key", "bucket", "n"])
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        rolling_correlation)
+    pos = rolling_correlation(df, "a", "b", "key", "bucket", "n",
+                              window=10).collect()
+    neg = rolling_correlation(df, "a", "c", "key", "bucket", "n",
+                              window=10).collect()
+    assert all(r.rolling_corr is None for r in pos[:9])  # window not full
+    assert all(r.rolling_corr == 1.0 for r in pos[9:])
+    assert all(r.rolling_corr == -1.0 for r in neg[9:])
+
+
+def test_cusum_finds_level_shift_location(spark):
+    # 40 buckets at 10, then 40 at 20: |C_t| peaks exactly at the last
+    # pre-shift bucket (index 39), and the shift is significant; a
+    # constant control key reports NULL stat, no flag.
+    import datetime
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [("shift", t0 + datetime.timedelta(hours=i),
+             10 if i < 40 else 20) for i in range(80)]
+    rows += [("flat", t0 + datetime.timedelta(hours=i), 7)
+             for i in range(80)]
+    df = spark.createDataFrame(rows, ["key", "bucket", "n"])
+    from openedx_event_sink_clickhouse_spark.operators.timeseries import (
+        cusum_changepoint)
+    out = {r.key: r for r in
+           cusum_changepoint(df, "key", "bucket", "n").collect()}
+    assert out["shift"].changepoint_bucket == t0 + datetime.timedelta(hours=39)
+    assert out["shift"].significant == 1
+    assert out["flat"].cusum_stat is None and out["flat"].significant == 0

@@ -147,3 +147,32 @@ def test_winsorized_groups_use_own_cuts(spark):
     assert out["flat"].winsorized_mean == 5.0
     assert out["flat"].n_capped_low == 0 == out["flat"].n_capped_high
     assert out["wild"].winsorized_mean < out["wild"].raw_mean
+
+
+def test_gini_extremes(spark):
+    from openedx_event_sink_clickhouse_spark.operators.quantiles import (
+        gini_concentration)
+    even = spark.createDataFrame([(u, 10.0) for u in range(10)],
+                                 ["u", "v"])
+    r = gini_concentration(even, "u", "v").collect()[0]
+    assert r.gini == 0.0 and r.n_units == 10
+    # one whale holds everything among n=10: G = (n-1)/n = 0.9
+    whale = spark.createDataFrame(
+        [(0, 1000.0)] + [(u, 0.0) for u in range(1, 10)], ["u", "v"])
+    r2 = gini_concentration(whale, "u", "v").collect()[0]
+    assert abs(r2.gini - 0.9) < 1e-6
+
+
+def test_abc_boundary_unit_takes_lower_class(spark):
+    # Values 50, 30, 15, 5 (total 100): cum shares .5, .8, .95, 1.0 —
+    # the unit that lands exactly ON a boundary keeps the lower class
+    # (A's total share >= a_cut by convention).
+    df = spark.createDataFrame(
+        [(1, 50.0), (2, 30.0), (3, 15.0), (4, 5.0)], ["u", "v"])
+    from openedx_event_sink_clickhouse_spark.operators.quantiles import (
+        abc_classification)
+    out = {r.unit: r for r in abc_classification(df, "u", "v").collect()}
+    assert out[1].abc_class == "A" and out[2].abc_class == "A"
+    assert out[3].abc_class == "B"
+    assert out[4].abc_class == "C"
+    assert out[4].cum_share == 1.0
