@@ -259,8 +259,14 @@ def abc_classification(df: DataFrame, unit_col: str, value_col: str,
               .select("unit", "_x", "_t",
                       F.row_number().over(w).cast("long").alias("rank"),
                       F.sum("_x").over(wc).alias("_cum")))
-    share = F.col("_x").cast("double") / F.col("_t").cast("double")
-    cum = F.col("_cum").cast("double") / F.col("_t").cast("double")
+    # total guarded (the gini_concentration discipline in this module):
+    # an all-zero or exactly-offsetting value column would otherwise be
+    # an ANSI divide error, not NULL shares.
+    t_pos = F.col("_t").cast("double") > 0
+    share = F.when(t_pos,
+                   F.col("_x").cast("double") / F.col("_t").cast("double"))
+    cum = F.when(t_pos,
+                 F.col("_cum").cast("double") / F.col("_t").cast("double"))
     cls = (F.when(cum <= a_cut, "A")
            .when(cum <= b_cut, "B").otherwise("C"))
     return ranked.select(

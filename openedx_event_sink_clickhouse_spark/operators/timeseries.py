@@ -359,20 +359,30 @@ def forecast_backtest(series: DataFrame, key_col: str, day_col: str,
     standard M-competition baseline discipline, as a query.
 
     The holdout is PER KEY (the trailing window of that key's own max
-    day), and both models are evaluated through ONE lag-window pass:
-    absolute errors are integer |y - lag(y)| sums, so the MAE is exact
-    division — no float accumulation. Keys too short for a full
-    horizon+season history contribute the days they have; days whose
-    lag falls before the series start drop (no fabricated zeros
-    scored)."""
-    w = Window.partitionBy(key_col).orderBy(day_col)
+    day). The lags are CALENDAR joins — the prediction for day d reads
+    the key's value at exactly d-1 / d-``season_days`` via equi-joins
+    on (key, shifted day) — NOT row-offset window lags: on a series
+    with missing days a row lag silently compares a Tuesday against
+    whatever the 7th-previous OBSERVED day was, while the holdout
+    filter stays calendar-based, scoring the wrong baseline. A day
+    whose calendar lag has no observation contributes nothing (no
+    fabricated zeros scored). Absolute errors are exact integer sums,
+    so the MAE is one exact division."""
     wk = Window.partitionBy(key_col)
     y = F.col(value_col).cast("long")
-    lagged = series.select(
-        F.col(key_col), F.col(day_col), y.alias("_y"),
-        F.lag(y, 1).over(w).alias("_naive"),
-        F.lag(y, season_days).over(w).alias("_seasonal"),
-        F.max(day_col).over(wk).alias("_mx"))
+    base = series.select(F.col(key_col), F.col(day_col), y.alias("_y"),
+                         F.max(day_col).over(wk).alias("_mx"))
+
+    def shifted(days: int, out: str) -> DataFrame:
+        return series.select(
+            F.col(key_col),
+            F.date_add(F.col(day_col), days).alias(day_col),
+            y.alias(out))
+
+    lagged = (base
+              .join(shifted(1, "_naive"), [key_col, day_col], "left")
+              .join(shifted(season_days, "_seasonal"),
+                    [key_col, day_col], "left"))
     hold = lagged.filter(
         F.datediff(F.col("_mx"), F.col(day_col)) < horizon_days)
     stacked = (hold.select(
@@ -432,8 +442,13 @@ def rolling_correlation(series: DataFrame, key_a: str, key_b: str,
     correlation (NULL until the window fills and when either side is
     locally constant).
 
-    The two series join on the gap-filled bucket grid (inner — both
-    keys span the same range by construction of the grid), then ONE
+    The two series INNER-join on the bucket grid, i.e. the correlation
+    is computed over the keys' OVERLAP — each key's gap-filled spine
+    covers its own [first, last] range, so a key that starts later
+    truncates the joined series to the shared span (buckets outside it
+    have no pair to correlate against; they are dropped, and the first
+    ``window``-1 rows of the overlap report NULL until the frame
+    fills). Then ONE
     ordered window computes all six moment sums over integer counts —
     exact, so the correlation is a fixed expression per row. The window
     is rows-based on the regular grid: time-based on a gappy series
@@ -491,7 +506,11 @@ def cusum_changepoint(series: DataFrame, key_col: str, bucket_col: str,
     s = F.sum(x).over(wk).cast("double")
     sq = F.sum(x * x).over(wk).cast("double")
     mu = s / n
-    var = (sq - s * s / n) / (n - F.lit(1.0))
+    # variance guarded for BOTH degenerate shapes: a single-bucket key
+    # makes the (n-1) denominator itself zero (an ANSI divide error
+    # before the var>0 test could ever run), a constant key makes var
+    # 0 — either way the statistic is NULL, not a crash.
+    var = F.when(n > F.lit(1.0), (sq - s * s / n) / (n - F.lit(1.0)))
     c_t = cum - t * mu
     # the statistic is guarded AT COMPUTATION, not just at projection:
     # a constant key has var 0 and an unguarded divide throws under

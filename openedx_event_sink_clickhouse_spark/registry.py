@@ -8609,11 +8609,12 @@ WITH d AS (
          CAST(count(*) AS BIGINT) AS y
   FROM events GROUP BY 1, 2
 ), lagd AS (
-  SELECT event_type, day, y,
-         lag(y, 1) OVER w AS naive,
-         lag(y, 7) OVER w AS seasonal,
-         max(day) OVER (PARTITION BY event_type) AS mx
-  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+  SELECT d.event_type, d.day, d.y,
+         n.y AS naive, s.y AS seasonal,
+         max(d.day) OVER (PARTITION BY d.event_type) AS mx
+  FROM d
+  LEFT JOIN d n ON n.event_type = d.event_type AND n.day = d.day - 1
+  LEFT JOIN d s ON s.event_type = d.event_type AND s.day = d.day - 7
 ), hold AS (
   SELECT * FROM lagd WHERE date_diff('day', day, mx) < 7
 ), stacked AS (
@@ -8957,21 +8958,7 @@ def _cohort_ltv(spark, sf_dir):
 
 
 
-@register("stream_scd1_maintenance", """
-WITH ch AS (
-  SELECT user_id AS k,
-         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-         round(value * 100, 2) AS nb,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY ts DESC, event_id DESC) AS rk
-  FROM events
-), last AS (SELECT k, op, nb FROM ch WHERE rk = 1)
-SELECT coalesce(c.c_custkey, l.k) AS c_custkey,
-       c.c_name,
-       CASE WHEN l.op = 'U' THEN l.nb ELSE c.c_acctbal END AS c_acctbal
-FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.k
-WHERE l.op IS NULL OR l.op = 'U'
-""")
+@register("stream_scd1_maintenance", None)  # shares the batch oracle below
 def _stream_scd1(spark, sf_dir):
     # The SCD1 CDC apply driven end-to-end from a stream: two
     # mtime-ordered micro-batches fold into an at-rest snapshot whose
@@ -9016,6 +9003,14 @@ def _stream_scd1(spark, sf_dir):
     replay = spark.read.parquet(_os.path.join(split_dir, "batch0.parquet"))
     m(as_changes(replay), 99)
     return m.snapshot(spark, base=base)
+
+
+# One oracle, two paths (the stream_seasonal/quantile reuse idiom): the
+# streaming fold must equal the batch MERGE exactly, so de-synchronized
+# oracle copies would defeat the claim the hash makes.
+REGISTRY["stream_scd1_maintenance"] = (
+    REGISTRY["stream_scd1_maintenance"][0],
+    REGISTRY["scd1_apply_changelog"][1])
 
 
 

@@ -160,6 +160,23 @@ class Scd2BucketedMaintainer:
             return int(open(marker).read().strip())
         return -1
 
+    def _recover_stranded_buckets(self) -> None:
+        # Crash-atomicity for the per-bucket two-rename swap below: a
+        # crash between rename(dst, old) and rename(src, dst) leaves
+        # the bucket's ONLY history copy in <dst>.old with dst absent.
+        # Without this recovery, the replay would (a) merge without
+        # that bucket's history and (b) rmtree the stranded copy first
+        # — permanently losing every prior interval in the bucket. On
+        # entry, any <bucket>.old whose bucket dir is absent renames
+        # back; an .old WITH its bucket present was superseded (its
+        # cleanup rmtree just didn't finish) and is dropped.
+        for old in glob.glob(os.path.join(self.path, "_bucket=*.old")):
+            dst = old[:-len(".old")]
+            if not os.path.isdir(dst):
+                os.rename(old, dst)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import functions as F
 
@@ -167,6 +184,7 @@ class Scd2BucketedMaintainer:
 
         if batch_df.isEmpty():
             return
+        self._recover_stranded_buckets()
         spark = batch_df.sparkSession
         batch = batch_df.withColumn("_b", self._bucket(F.col(self.key_col)))
         touched = sorted(r["_b"] for r in
@@ -213,7 +231,9 @@ class Scd2BucketedMaintainer:
         shutil.rmtree(scratch, ignore_errors=True)
 
     def history(self, spark) -> DataFrame:
-        dirs = glob.glob(os.path.join(self.path, "_bucket=*"))
+        self._recover_stranded_buckets()
+        dirs = [d for d in glob.glob(os.path.join(self.path, "_bucket=*"))
+                if not d.endswith(".old")]
         return spark.read.parquet(*dirs)
 
 
@@ -248,8 +268,27 @@ class Scd1SnapshotMaintainer:
         self.seq_cols = seq_cols
         self.update_cols = update_cols
         self.op_col = op_col
-        self._seeded = False
         self._seed = seed
+
+    def _recover_stranded(self) -> None:
+        # Crash-atomicity (the Scd2StreamMaintainer recipe): the swap
+        # below is two renames (path -> .old{e}, .gen{e} -> path). A
+        # crash between them leaves the whole snapshot stranded in
+        # .old{e} with path absent — without recovery the next trigger
+        # rebuilds from seed + one batch, silently dropping every
+        # previously applied change. Restore the newest stranded
+        # generation; drop uncommitted .gen* scratch and superseded
+        # .old* (path present).
+        import glob as _glob
+        if not os.path.isdir(self.path):
+            stranded = sorted(
+                _glob.glob(f"{self.path}.old*"),
+                key=lambda p: int(p.rsplit(".old", 1)[1]))
+            if stranded:
+                os.rename(stranded[-1], self.path)
+        for stale in _glob.glob(f"{self.path}.gen*") + \
+                _glob.glob(f"{self.path}.old*"):
+            shutil.rmtree(stale, ignore_errors=True)
 
     def _state(self, spark) -> DataFrame | None:
         if os.path.isdir(self.path):
@@ -259,6 +298,12 @@ class Scd1SnapshotMaintainer:
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import Window
 
+        if batch.isEmpty():
+            # idle trigger: no fold, no rewrite — and critically, no
+            # empty-snapshot materialization that would suppress the
+            # seed path on the first real batch.
+            return
+        self._recover_stranded()
         spark = batch.sparkSession
         cols = [self.key_col, self.op_col, *self.seq_cols,
                 *self.update_cols]
@@ -293,6 +338,7 @@ class Scd1SnapshotMaintainer:
         serve-time left join — the same projection
         ``operators.scd.apply_changelog`` produces (updated keys keep
         their base attributes, inserted keys get NULLs)."""
+        self._recover_stranded()
         live = (spark.read.parquet(self.path)
                 .filter(F.col(self.op_col) != "D")
                 .select(self.key_col, *self.update_cols))

@@ -441,7 +441,13 @@ class SeasonalProfileMaintainer:
         offset = F.pmod(F.col("hod") - F.hour("lo"), F.lit(24))
         n_buckets = (base + F.when(offset < rem, 1).otherwise(0)) \
             .cast("long")
+        # A key whose span is under 24 hours has hour slots with ZERO
+        # buckets: the batch grid never emits them (its spine only
+        # covers the span), and an unfiltered 0/0 mean is an ANSI
+        # divide error — so drop them BEFORE the division, keeping the
+        # serve output identical to the batch oracle for short spans.
         j = (grid.join(c, ["key", "hod"], "left")
+             .filter(n_buckets > 0)
              .select("key", "hod", n_buckets.alias("n_buckets"),
                      F.coalesce("s", F.lit(0)).cast("long").alias("_s")))
         from pyspark.sql import Window

@@ -697,3 +697,86 @@ def test_seasonal_profile_maintainer_gapfill_arithmetic(spark, tmp_path):
     after = {(r.hour_of_day, r.mean_events, r.n_buckets)
              for r in m.serve(spark).collect()}
     assert before == after
+
+
+def test_scd1_maintainer_recovers_stranded_generation(spark, tmp_path):
+    # Simulate a crash BETWEEN the two swap renames: state stranded in
+    # .old, path absent. snapshot()/next trigger must restore it, not
+    # silently rebuild from seed.
+    import datetime as dt
+    import os
+
+    from openedx_event_sink_clickhouse_spark.streaming.scd_maintenance import (
+        Scd1SnapshotMaintainer)
+    T = dt.datetime
+    base = spark.createDataFrame([(1, "a", 10.0)],
+                                 "k long, name string, bal double")
+    m = Scd1SnapshotMaintainer(
+        str(tmp_path / "state"), "k", seq_cols=["ts", "eid"],
+        update_cols=["bal"], seed=base.select("k", "bal"))
+    b0 = spark.createDataFrame(
+        [(1, T(2024, 1, 1), 1, "U", 42.0)],
+        "k long, ts timestamp, eid long, op string, bal double")
+    m(b0, 0)
+    os.rename(m.path, m.path + ".old7")  # crash window simulated
+    snap = {r.k: r.bal for r in m.snapshot(spark, base=base).collect()}
+    assert snap == {1: 42.0}  # recovered, not seed-rebuilt
+
+
+def test_scd1_maintainer_empty_batch_is_noop(spark, tmp_path):
+    from openedx_event_sink_clickhouse_spark.streaming.scd_maintenance import (
+        Scd1SnapshotMaintainer)
+    base = spark.createDataFrame([(1, 10.0)], "k long, bal double")
+    m = Scd1SnapshotMaintainer(
+        str(tmp_path / "state"), "k", seq_cols=["ts", "eid"],
+        update_cols=["bal"], seed=base)
+    empty = spark.createDataFrame(
+        [], "k long, ts timestamp, eid long, op string, bal double")
+    m(empty, 0)  # must not materialize an empty snapshot
+    import os
+    assert not os.path.isdir(m.path)
+
+
+def test_seasonal_profile_maintainer_short_span_no_zero_slots(spark,
+                                                              tmp_path):
+    # Span of 3 hours: exactly 3 slots emit (the batch-grid semantics),
+    # never 24 rows with 0/0 means.
+    import datetime as dt
+    from openedx_event_sink_clickhouse_spark.streaming.sketch_maintenance import (
+        SeasonalProfileMaintainer)
+    T = dt.datetime
+    m = SeasonalProfileMaintainer(str(tmp_path / "prof"), "k", "ts")
+    b = spark.createDataFrame(
+        [("k", T(2024, 1, 1, 10, 5)), ("k", T(2024, 1, 1, 12, 30))],
+        "k string, ts timestamp")
+    m(b, 0)
+    out = m.serve(spark).collect()
+    assert len(out) == 3
+    assert {r.hour_of_day for r in out} == {10, 11, 12}
+    assert all(r.n_buckets == 1 for r in out)
+
+
+def test_scd2_bucketed_recovers_stranded_bucket(spark, tmp_path):
+    # Strand one bucket's history in <dir>.old (the mid-swap crash) and
+    # verify both history() and the next trigger restore it instead of
+    # merging without it and rmtree-ing the only copy.
+    import datetime as dt
+    import glob
+    import os
+
+    from openedx_event_sink_clickhouse_spark.streaming.scd_maintenance import (
+        Scd2BucketedMaintainer)
+    T = dt.datetime
+    m = Scd2BucketedMaintainer(str(tmp_path / "hist"), "k", "ts",
+                               ["attr"], tiebreak_col="eid", n_buckets=4)
+    b0 = spark.createDataFrame(
+        [(1, T(2024, 1, 1), 1, "x"), (2, T(2024, 1, 1), 2, "y")],
+        "k long, ts timestamp, eid long, attr string")
+    m(b0, 0)
+    buckets = [d for d in glob.glob(os.path.join(m.path, "_bucket=*"))
+               if not d.endswith(".old")]
+    victim = buckets[0]
+    os.rename(victim, victim + ".old")  # mid-swap crash simulated
+    hist = m.history(spark)
+    assert hist.count() == 2  # both keys' history visible again
+    assert os.path.isdir(victim) and not os.path.isdir(victim + ".old")
