@@ -103,6 +103,16 @@ SHOW = [
     "agg_kmv_set_ops",
     "graph_label_propagation",
     "evt_deseasonalized_anomaly",
+    "evt_rolling_correlation",
+    "evt_cusum_changepoint",
+    "agg_gini_concentration",
+    "agg_abc_classification",
+    "join_incremental_view",
+    "join_dynamic_partition_pruning",
+    "scd1_apply_changelog",
+    "evt_bot_detection",
+    "text_feature_hashing",
+    "rec_user_items",
 ]
 
 SF = "/root/testdata/sf0.001"
