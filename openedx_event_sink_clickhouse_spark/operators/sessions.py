@@ -72,16 +72,24 @@ def bot_signals(events: DataFrame, user_col: str = "user_id",
     REGULAR gaps. Emits per user: event count, active span, event
     rate, the median inter-event gap, the gap IQR (regularity — a
     human's gaps vary, a cron's don't), distinct event types, and an
-    ``is_suspect`` flag for users whose median gap sits below the
+    ``is_suspect`` flag for users whose median gap sits at or below the
     population's ``gap_quantile`` cut (a RELATIVE cut: absolute
-    thresholds go stale as traffic changes). Returns one row per user
-    with >= 2 events.
+    thresholds go stale as traffic changes). The cut is DISCRETE — the
+    smallest median whose cumulative population share reaches
+    ``gap_quantile`` — i.e. an actual data value, not an interpolated
+    one: an interpolated cut carries a cross-engine last-ulp tie
+    surface on the ``med <= cut`` boundary (ADVICE r9 / the r9 driver
+    hash flake), while cume_dist is an exact integer ratio and the
+    medians of integer-microsecond gaps are exact multiples of 0.25 µs,
+    so the flag is bit-deterministic. Returns one row per user with
+    >= 2 events.
 
     Plan: one (user)-window lag pass over events computes gaps in
     integer microseconds; one groupBy reduces to user grain (exact
     percentiles are safe there — users ≪ events; at extreme user
     cardinality the grouped histogram sketch supplies the medians);
-    the population cut is a 1-row broadcast against the user frame."""
+    the cut is an ordered pass over the user-grain frame reduced to a
+    1-row broadcast against it."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
@@ -99,7 +107,15 @@ def bot_signals(events: DataFrame, user_col: str = "user_id",
               F.count_distinct(type_col).cast("long")
               .alias("n_event_types"))
          .filter(F.col("n_events") >= 2))
-    cut = g.agg(F.expr(f"percentile(_med, {gap_quantile})").alias("_cut"))
+    # min median whose cume_dist >= q: cume_dist is rank/n — a double
+    # quotient of the same integers in every engine, so the >= against
+    # the same double literal cannot flip. (percentile(_med, q) would
+    # interpolate with an inexact q-derived fraction — engines disagree
+    # in the last ulp exactly when the cut lands on a user's med.)
+    wq = Window.orderBy("_med")
+    cut = (g.select("_med", F.cume_dist().over(wq).alias("_cd"))
+           .filter(F.col("_cd") >= gap_quantile)
+           .agg(F.min("_med").alias("_cut")))
     rate = F.when(F.col("_span_h") > 0,
                   F.col("n_events") / F.col("_span_h"))
     return (g.crossJoin(F.broadcast(cut))

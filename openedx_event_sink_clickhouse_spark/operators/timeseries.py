@@ -505,13 +505,15 @@ def cusum_changepoint(series: DataFrame, key_col: str, bucket_col: str,
     n = F.count(F.lit(1)).over(wk).cast("double")
     s = F.sum(x).over(wk).cast("double")
     sq = F.sum(x * x).over(wk).cast("double")
-    mu = s / n
     # variance guarded for BOTH degenerate shapes: a single-bucket key
     # makes the (n-1) denominator itself zero (an ANSI divide error
     # before the var>0 test could ever run), a constant key makes var
     # 0 — either way the statistic is NULL, not a crash.
     var = F.when(n > F.lit(1.0), (sq - s * s / n) / (n - F.lit(1.0)))
-    c_t = cum - t * mu
+    # (t*s)/n, NOT t*(s/n): the UNROUNDED |C_t| feeds the argmax, so the
+    # FP association must match the oracle bit-for-bit or near-tied
+    # maxima can pick different changepoint buckets per engine.
+    c_t = cum - t * s / n
     # the statistic is guarded AT COMPUTATION, not just at projection:
     # a constant key has var 0 and an unguarded divide throws under
     # ANSI mode instead of flowing NULL.

