@@ -502,3 +502,57 @@ def test_item_cf_group_limits_and_no_sort_merge(q, spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_rolling_correlation_single_window_sort(q, spark, sf_dir):
+    # wave-3 pin (VERDICT r9 #6): the paired-series window stack must
+    # share ONE Window over one Sort — de-synchronized window specs
+    # would re-sort per expression. The three broadcast joins are the
+    # hourly-spine alignment; a SortMergeJoin there means a broadcast
+    # hint was lost.
+    plan = plan_of(q["evt_rolling_correlation"](spark, sf_dir))
+    assert plan.count("Window") == 1 and plan.count("Sort ") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_cusum_windows_share_key_partitioning(q, spark, sf_dir):
+    # Four window frames (cumulative, key-stats, argmax pick) over ONE
+    # key must reuse the same hashpartitioning: exactly the gapfill
+    # aggregate's exchange plus one for the window stack. A third
+    # exchange means a window spec drifted off the key.
+    plan = plan_of(q["evt_cusum_changepoint"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_gini_single_exchange_and_total_broadcast(q, spark, sf_dir):
+    # Lorenz ordering: one customer-grain exchange, one ordered window;
+    # the corpus total joins back as a 1-row broadcast (SinglePartition
+    # aggregate), never a per-row recompute.
+    plan = plan_of(q["agg_gini_concentration"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1 and plan.count("Sort ") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_abc_classification_bounded_exchanges(q, spark, sf_dir):
+    # Cumulative-share classing: the per-key reduce + the share window's
+    # exchange, a 1-row grand-total broadcast (the BroadcastNestedLoop
+    # is that single-row join — bounded by construction), no SMJ.
+    plan = plan_of(q["agg_abc_classification"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bot_detection_two_exchanges_one_row_cut(q, spark, sf_dir):
+    # One lag-window pass + one user-grain reduce = two hash exchanges;
+    # the discrete population cut is ONE ordered pass (SinglePartition
+    # over the user-grain frame — users << events) rejoined as a 1-row
+    # broadcast. A third hash exchange means the gap window and the
+    # groupBy stopped sharing the user partitioning.
+    plan = plan_of(q["evt_bot_detection"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
