@@ -241,6 +241,9 @@ HEADLINE = [
     "evt_cusum_changepoint",       # level-shift location + test stat
     "agg_gini_concentration",      # whale-dominance scalar
     "agg_abc_classification",      # Pareto 80/20 unit classes
+    "sim_range_search",            # radius retrieval (map-only scan)
+    "text_ngram_diversity",        # distinct-n mode-collapse readout
+    "evt_dau_mau",                 # DAU/WAU stickiness ratio
 ]
 
 

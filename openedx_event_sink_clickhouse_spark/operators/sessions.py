@@ -129,3 +129,43 @@ def bot_signals(events: DataFrame, user_col: str = "user_id",
                     "n_event_types",
                     F.when(F.col("_med") <= F.col("_cut"), 1)
                     .otherwise(0).cast("int").alias("is_suspect")))
+
+
+def dau_mau(events: DataFrame, user_col: str = "user_id",
+            ts_col: str = "ts", period: str = "month") -> DataFrame:
+    """DAU/MAU (or DAU/WAU with ``period="week"``) stickiness per
+    calendar period: average daily active users over period active
+    users — the engagement ratio product dashboards lead with (a
+    stickiness near active-days/period means daily habit; near
+    1/days means drive-by traffic). Returns one row per period:
+    (period_start, avg_dau, n_active_days, pau, stickiness).
+
+    Plan: ONE (period, day) distinct-count aggregate and one
+    period-grain distinct-count aggregate, both map-side partial; the
+    period-grain PAU frame (rows = periods) broadcasts onto the per-day
+    DAU average. No window, no self-join — the shape survives any event
+    volume because every shuffle is keyed on calendar grain. Exact
+    distinct counts are the point at period grain; at extreme user
+    cardinality the HLL sketch rollup (``agg_hll_distinct_rollup``)
+    serves the same ratio approximately. ``date_trunc('week')``
+    truncates to ISO Monday in both Spark and DuckDB, so the weekly
+    grain is oracle-parity-safe."""
+    d = (events.filter(F.col(user_col).isNotNull())
+         .select(F.date_trunc(period, F.col(ts_col))
+                 .alias("period_start"),
+                 F.date_trunc("day", F.col(ts_col)).alias("day"),
+                 F.col(user_col).alias("_u")))
+    dau = (d.groupBy("period_start", "day")
+           .agg(F.count_distinct("_u").alias("_dau")))
+    pau = (d.groupBy("period_start")
+           .agg(F.count_distinct("_u").cast("long").alias("pau")))
+    avg = (dau.groupBy("period_start")
+           .agg(F.avg("_dau").alias("_avg_dau"),
+                F.count("*").cast("long").alias("n_active_days")))
+    return (avg.join(F.broadcast(pau), "period_start")
+            .select("period_start",
+                    F.round(F.col("_avg_dau"), 6).alias("avg_dau"),
+                    "n_active_days", "pau",
+                    F.round(F.col("_avg_dau") / F.col("pau"), 6)
+                    .alias("stickiness"))
+            .orderBy("period_start"))

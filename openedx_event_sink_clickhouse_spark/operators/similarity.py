@@ -53,6 +53,45 @@ def brute_force_topk(emb: DataFrame, probe_id, k: int = 20,
             .select(id_col, F.round("_cos", 6).alias("cosine_sim")))
 
 
+def radius_search(emb: DataFrame, n_probes: int = 10,
+                  threshold: float = 0.3, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Range (radius) search: EVERY corpus vector within a cosine
+    threshold of each probe (ids < ``n_probes``) — the other half of
+    vector retrieval next to top-k. Top-k answers "the best k no matter
+    how bad"; radius answers "everything at least this similar, no
+    matter how many" — the form candidate generation for near-dup
+    verification and recall-bounded retrieval actually needs (a top-k
+    silently truncates dense neighborhoods; a radius never does).
+    Returns (probe_id, vec_id, cosine_sim), unranked.
+
+    Plan: identical scan shape to :func:`multi_probe_topk` — probe set
+    (with norms) broadcasts, corpus streams through ONE map pass scoring
+    all probes per row — but the window rank is replaced by a plain
+    filter, so the operator is map-only after the scan: no shuffle at
+    all, embarrassingly parallel at any corpus size. At 100 TB the same
+    filter runs inside the IVF cell-pruned scan
+    (:func:`ivf_topk_partitioned`'s layout) to cut the scanned fraction.
+
+    Engine determinism: the threshold compares the 6-dp ROUNDED cosine
+    (mirrored in the oracle), so the keep/drop boundary is quantized —
+    the lesson of the r9 flag-boundary flakes applied at design time."""
+    base = emb.select(F.col(id_col).alias("id"),
+                      as_double(F.col(vec_col)).alias("v"))
+    probes = (base.filter(F.col("id") < n_probes)
+              .select(F.col("id").alias("probe_id"),
+                      F.col("v").alias("pv"),
+                      l2_norm(F.col("v")).alias("pn")))
+    corpus = (base.filter(F.col("id") >= n_probes)
+              .withColumn("nv", l2_norm(F.col("v"))))
+    return (corpus.crossJoin(F.broadcast(probes))
+            .select("probe_id", F.col("id").alias(id_col),
+                    F.round(cosine_with_norms(F.col("v"), F.col("pv"),
+                                              F.col("nv"), F.col("pn")),
+                            6).alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold))
+
+
 def mmr_diversify(emb: DataFrame, probe_id, k: int = 10, pool: int = 20,
                   lam: float = 0.7, mu: float = 0.3,
                   id_col: str = "vec_id",

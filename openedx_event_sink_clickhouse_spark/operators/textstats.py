@@ -266,6 +266,47 @@ def corpus_language_profile(docs: DataFrame, text_col: str = "text") -> DataFram
     )
 
 
+def ngram_diversity(docs: DataFrame, text_col: str = "text",
+                    group_col: str = "source") -> DataFrame:
+    """Distinct-n corpus diversity per group: unique-to-total unigram
+    and bigram ratios — the distinct-1/distinct-2 readout (Li et al.,
+    NAACL 2016, "A Diversity-Promoting Objective Function") that flags
+    MODE COLLAPSE in a corpus slice before training does: synthetic or
+    template-generated sources repeat the same n-grams, so their
+    distinct ratio craters while per-doc quality signals stay normal.
+    Returns (group, total/distinct unigrams, diversity_1, total/distinct
+    bigrams, diversity_2).
+
+    Plan: two explode→partial-aggregated groupBys (the Zipf-skewed hot
+    grams pre-reduce map-side, same shape as the vocabulary builds) on
+    the low-cardinality group key, joined at group grain. No window, no
+    self-join; at 100 TB swap ``count_distinct`` for the HLL sketch
+    (``operators/cardinality.py``) in the same plan."""
+    from ..functions.text import ngrams, words
+
+    uni = (docs.select(F.col(group_col),
+                       F.explode(words(F.col(text_col))).alias("g"))
+           .groupBy(group_col)
+           .agg(F.count("*").cast("long").alias("total_unigrams"),
+                F.count_distinct("g").cast("long")
+                .alias("distinct_unigrams")))
+    bi = (docs.select(F.col(group_col),
+                      F.explode(ngrams(words(F.col(text_col)), 2))
+                      .alias("g"))
+          .groupBy(group_col)
+          .agg(F.count("*").cast("long").alias("total_bigrams"),
+               F.count_distinct("g").cast("long").alias("distinct_bigrams")))
+    return (uni.join(bi, group_col)
+            .select(group_col, "total_unigrams", "distinct_unigrams",
+                    F.round(F.col("distinct_unigrams")
+                            / F.col("total_unigrams"), 6)
+                    .alias("diversity_1"),
+                    "total_bigrams", "distinct_bigrams",
+                    F.round(F.col("distinct_bigrams")
+                            / F.col("total_bigrams"), 6)
+                    .alias("diversity_2")))
+
+
 def unigram_logprob(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Per-document unigram language-model score against the corpus's own

@@ -37,7 +37,7 @@ def _run(spark, src, ckpt, out):
          .writeStream.format("parquet").option("path", out)
          .option("checkpointLocation", ckpt)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     return {r.event_id for r in spark.read.parquet(out).collect()}
 
 

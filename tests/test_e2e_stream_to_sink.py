@@ -68,7 +68,7 @@ def test_stream_gate_serialize_sink(spark, tmp_path):
          .writeStream.foreachBatch(write_batch)
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     captures = read_captures(cap)
     assert all(c["params"]["query"] ==

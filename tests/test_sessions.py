@@ -104,3 +104,29 @@ def test_bot_signals_single_event_users_dropped(spark):
     from openedx_event_sink_clickhouse_spark.operators.sessions import (
         bot_signals)
     assert bot_signals(df).collect() == []
+
+
+def test_dau_mau_stickiness(spark):
+    # One ISO week (2024-01-01 is a Monday): users {1,2} active Mon,
+    # {1} active Tue -> DAU avg (2+1)/2 = 1.5 over WAU {1,2} = 2 ->
+    # stickiness 0.75; a second week with one drive-by user -> 1.0.
+    import datetime as dt
+
+    from openedx_event_sink_clickhouse_spark.operators.sessions import (
+        dau_mau)
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 10), 2, "view", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 2, 9), 1, "view", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 8, 9), 3, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.period_start: r for r in dau_mau(ev, period="week").collect()}
+    w1 = got[dt.datetime(2024, 1, 1)]
+    assert (w1.avg_dau, w1.n_active_days, w1.pau, w1.stickiness) \
+        == (1.5, 2, 2, 0.75)
+    w2 = got[dt.datetime(2024, 1, 8)]
+    assert (w2.avg_dau, w2.pau, w2.stickiness) == (1.0, 1, 1.0)

@@ -761,3 +761,24 @@ def test_ivfpq_at_rest_prunes_cells_and_recall(spark, sf_dir, tmp_path):
         code_leaves[0].split("PartitionFilters: [cell")[1]
         .split("IN (")[1].split(")")[0].split(","))
     assert len(cells_read) == 4
+
+
+def test_radius_search_exact_threshold_semantics(spark):
+    # Hand-checkable geometry: probe 0 = x-axis. id 10 parallel (cos 1),
+    # id 11 orthogonal (cos 0), id 12 at 45 deg (cos ~0.7071), id 13
+    # anti-parallel (cos -1). threshold 0.5 keeps exactly {10, 12}; the
+    # probe itself and other probes (id < n_probes) never appear.
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        radius_search)
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),            # probes
+        (10, [2.0, 0.0]), (11, [0.0, 3.0]),
+        (12, [1.0, 1.0]), (13, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = radius_search(emb, n_probes=2, threshold=0.5)
+    hits = {(r.probe_id, r.vec_id): r.cosine_sim for r in got.collect()}
+    assert set(hits) == {(0, 10), (0, 12), (1, 11), (1, 12)}
+    assert hits[(0, 10)] == 1.0
+    assert abs(hits[(0, 12)] - 0.707107) < 1e-9   # round(sqrt(2)/2, 6)

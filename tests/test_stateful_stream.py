@@ -57,7 +57,7 @@ def test_watermark_state_survives_micro_batches(spark, tmp_path):
     q = (gated.writeStream.format("memory").queryName("gated")
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     got = {r.event_id for r in spark.sql("SELECT * FROM gated").collect()}
     assert got == {1, 2, 3, 5, 7}
@@ -109,7 +109,7 @@ def test_attribution_stream_matches_batch_operator(spark, tmp_path):
          .writeStream.format("memory").queryName("attr")
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     got = {tuple(r) for r in spark.sql("SELECT * FROM attr").collect()}
     want = {tuple(r) for r in last_touch_attribution(
@@ -154,7 +154,7 @@ def test_scd2_stream_maintenance_equals_batch_history(spark, tmp_path):
     q = (stream.writeStream.foreachBatch(m)
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     log = spark.createDataFrame(rows, EVENT_SCHEMA) \
         .select("user_id", "ts", "event_id", "event_type")
@@ -610,3 +610,21 @@ def test_epoch_replay_correct_under_mtime_ties(spark, tmp_path):
             .groupBy("event_type").agg(F.count("*").alias("n")).collect()}
     got = {(r["event_type"], r["n_rows"]) for r in m.fold(spark).collect()}
     assert got == want
+
+
+def test_epoch_recorder_guards():
+    # Pure-python contract of the replay utility: a short file count or
+    # an unknown file must refuse with a clear error, never hand back a
+    # guessed epoch id (guessing is the exact failure the class exists
+    # to prevent).
+    from openedx_event_sink_clickhouse_spark.streaming.replay import (
+        EpochRecorder)
+
+    rec = EpochRecorder(lambda df, eid: None)
+    rec.file_epochs = {"batch0.parquet": 0}
+    with pytest.raises(RuntimeError, match="expected 2 source files"):
+        rec.epoch_of("batch0.parquet", 2)
+    rec.file_epochs = {"batch0.parquet": 0, "batch1.parquet": 1}
+    with pytest.raises(RuntimeError, match="never consumed"):
+        rec.epoch_of("batch9.parquet", 2)
+    assert rec.epoch_of("batch1.parquet", 2) == 1

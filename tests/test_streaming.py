@@ -99,7 +99,7 @@ def test_run_dispatch_stream_end_to_end(spark, tmp_path, make_source):
         stream,
         {m: make_handler(m) for m in ("course_overviews", "user_profile")},
         checkpoint_dir=str(tmp_path / "ckpt"))
-    q.awaitTermination(60)
+    assert q.awaitTermination(60)
     got = {p[:-5]: json.load(open(out / p, encoding="utf-8"))
            for p in os.listdir(out)}
     assert got == {"course_overviews": ["c1", "c2"], "user_profile": ["u1"]}
@@ -125,7 +125,7 @@ def test_kafka_decode_corrupt_values_dead_letter(spark):
 def _collect_stream(spark, df, name):
     q = (df.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -143,7 +143,7 @@ def test_quality_filter_runs_on_streams(spark, sf_dir, tmp_path):
     q = (quality_filter(stream_src).writeStream.format("memory")
          .queryName("qf_mem").outputMode("append")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM qf_mem").collect()}
     assert got == batch
 
@@ -189,7 +189,7 @@ def test_debounce_dedup_stream_equals_batch(spark, sf_dir, tmp_path):
     q = (debounce_dedup(stream_src).writeStream.format("memory")
          .queryName("debounce_mem").outputMode("append")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM debounce_mem").collect()}
     assert got == batch
 
@@ -227,7 +227,7 @@ def test_stream_stream_range_join_equals_batch(spark, sf_dir, tmp_path):
                        "p_ts", "p_value")
          .writeStream.format("memory").queryName("ssj_mem")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
     got = {tuple(r) for r in spark.sql("SELECT * FROM ssj_mem").collect()}
     assert got == batch_rows
 
@@ -246,7 +246,7 @@ def test_scrub_pii_runs_on_streams(spark, sf_dir, tmp_path):
     q = (scrub_pii(stream_src).writeStream.format("memory")
          .queryName("pii_mem").outputMode("append")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM pii_mem").collect()}
     assert got == batch
 
@@ -295,7 +295,7 @@ def test_clean_lines_stream_via_foreach_batch(spark, sf_dir, tmp_path):
     q = (stream_src.writeStream.foreachBatch(handle)
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     assert set(out) == batch and len(out) == len(batch)
 
 
@@ -344,7 +344,7 @@ def test_incremental_dedup_stream_maintains_digest_state(spark, sf_dir,
     q = (src.writeStream.foreachBatch(handle)
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     want = {r.keep_id for r in exact_dedup(docs).collect()}
     got_ids = [i for i, _ in survivors]
@@ -375,7 +375,7 @@ def test_bm25_runs_per_batch_via_foreach_batch(spark, sf_dir, tmp_path):
     q = (src.writeStream.foreachBatch(handle)
          .option("checkpointLocation", str(tmp_path / "ckpt2"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     assert out == batch
 
 
@@ -402,7 +402,7 @@ def test_brute_force_topk_runs_per_batch_via_foreach_batch(spark, sf_dir,
     q = (src.writeStream.foreachBatch(handle)
          .option("checkpointLocation", str(tmp_path / "ckpt_ann"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     assert out == batch
 
 
@@ -432,7 +432,7 @@ def test_release_corpus_runs_per_batch_via_foreach_batch(spark, sf_dir,
     q = (src.writeStream.foreachBatch(handle)
          .option("checkpointLocation", str(tmp_path / "ckpt_rel"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     assert sorted(out) == batch
 
 
@@ -471,7 +471,7 @@ def test_ivf_stream_maintenance_parity_and_drift_signal(spark, sf_dir,
            .option("maxFilesPerTrigger", "1")
            .parquet(str(tmp_path / "in")))
     q = maintain_ivf_stream(src, m, str(tmp_path / "ckpt"))
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     full_path = str(tmp_path / "ivf_full")
     write_ivf_partitioned(emb, full_path, n_centroids=16)
@@ -573,7 +573,7 @@ def test_neardup_stream_maintains_index_and_labels(spark, sf_dir, tmp_path):
     q = (src.writeStream.foreachBatch(handle)
          .option("checkpointLocation", str(tmp_path / "sck"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     got = {r.doc_id: (r.cluster_id, r.is_survivor) for r in
            spark.read.parquet(labels_dir).collect()}
@@ -622,7 +622,7 @@ def test_asof_enrich_stream_via_foreach_batch(spark, sf_dir, tmp_path):
     q = (stream_src.writeStream.foreachBatch(handle)
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     assert len(epochs) > 1            # genuinely replayed in pieces
     assert set(out) == batch and len(out) == len(batch)
 

@@ -339,3 +339,23 @@ def test_feature_hashing_fixed_dim_and_sign_consistency(spark):
     assert len(nz0) == 1 and len(nz1) == 1
     assert nz0[0][0] == nz1[0][0]          # same slot
     assert nz0[0][1] == 3 * nz1[0][1]      # same sign, 3x magnitude
+
+
+def test_ngram_diversity_ratios(spark):
+    # "a a a a" collapses to 1 distinct unigram / 4 total (diversity_1 =
+    # 0.25) and 1 distinct bigram / 3 (0.333333); "a b c d" is fully
+    # diverse (1.0 / 1.0). Mode collapse shows as a cratered ratio.
+    from openedx_event_sink_clickhouse_spark.operators.textstats import (
+        ngram_diversity)
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a", "dup"), (2, "a b c d", "fresh")],
+        "doc_id long, text string, source string")
+    got = {r.source: r for r in ngram_diversity(docs).collect()}
+    d = got["dup"]
+    assert (d.total_unigrams, d.distinct_unigrams) == (4, 1)
+    assert d.diversity_1 == 0.25
+    assert (d.total_bigrams, d.distinct_bigrams) == (3, 1)
+    assert d.diversity_2 == 0.333333
+    f = got["fresh"]
+    assert f.diversity_1 == 1.0 and f.diversity_2 == 1.0
