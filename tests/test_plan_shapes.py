@@ -556,3 +556,40 @@ def test_bot_detection_two_exchanges_one_row_cut(q, spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_radius_search_is_map_only(q, spark, sf_dir):
+    # The radius scan must stay embarrassingly parallel: broadcast
+    # probes (the BroadcastNestedLoopJoin + its BroadcastExchange ARE
+    # the bounded probe broadcast), one corpus pass, a plain filter —
+    # ZERO shuffle exchanges. A hash/range/single partitioning here
+    # means someone added a rank/window and broke the operator's
+    # reason to exist next to top-k.
+    plan = plan_of(q["sim_range_search"](spark, sf_dir))
+    for shuffle in ("Exchange hashpartitioning",
+                    "Exchange rangepartitioning",
+                    "Exchange SinglePartition"):
+        assert shuffle not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ngram_diversity_two_distinct_aggs_broadcast_join(q, spark, sf_dir):
+    # Two explode->distinct-count stacks (2 exchanges each: the
+    # (group, gram) dedup grain then the group grain) joined by
+    # broadcast at group grain. A SortMergeJoin would mean the
+    # group-grain frames stopped broadcasting.
+    plan = plan_of(q["text_ngram_diversity"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 4, plan
+    assert plan.count("Generate") == 2
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_dau_mau_calendar_keyed_aggs_broadcast_pau(q, spark, sf_dir):
+    # Calendar-grain distinct stacks only (five exchanges: day-grain
+    # DAU 2 + its period rollup 1 + period-grain PAU 2), PAU joined by
+    # broadcast. No window, no self-join.
+    plan = plan_of(q["evt_dau_mau"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 5, plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "Window" not in plan
