@@ -29,6 +29,10 @@ STREAM_QUERIES = [
     "stream_scd2_maintenance",
     "stream_seasonal_profile_maintenance",
     "stream_dedup_maintenance",
+    # the memory-sink stateful twins share the changed await/replay
+    # surface — fence them too
+    "stream_attribution",
+    "stream_stateful_incremental_gate",
 ]
 
 PERTURBATIONS = [
