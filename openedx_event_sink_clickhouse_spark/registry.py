@@ -5956,8 +5956,13 @@ def _stream_dedup(spark, sf_dir):
                      prefix=f"ckpt_dedup_{uuid.uuid4().hex[:6]}"))
          .trigger(availableNow=True).start())
     _await_stream(q)
+    # the maintainer's survivor-union identity assumes ascending-id
+    # delivery (the daily-ingest contract) — assert the source kept it
+    epochs = [rec.epoch_of(f"batch{i}.parquet", 3) for i in range(3)]
+    if epochs != sorted(epochs):
+        raise RuntimeError(f"file-source order violated: {rec.file_epochs}")
     replay = spark.read.parquet(os.path.join(split_dir, "batch2.parquet"))
-    m(replay, rec.epoch_of("batch2.parquet", 3))
+    m(replay, epochs[2])
     return m.survivors(spark).select("doc_id", "lang", "source")
 
 

@@ -628,3 +628,55 @@ def test_epoch_recorder_guards():
     with pytest.raises(RuntimeError, match="never consumed"):
         rec.epoch_of("batch9.parquet", 2)
     assert rec.epoch_of("batch1.parquet", 2) == 1
+
+
+def test_scd2_bucketed_rolls_back_marker_less_swap(spark, tmp_path):
+    # ADVICE r9: a crash between rename(src, dst) and the _epoch marker
+    # write leaves dst = the MERGED generation with no marker and .old =
+    # the pre-merge copy. Recovery must roll BACK to .old — keeping the
+    # marker-less merged dst makes the epoch replay re-merge the batch
+    # into already-merged history (double-counted n_versions, the exact
+    # corruption the marker protocol exists to prevent).
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from openedx_event_sink_clickhouse_spark.operators.scd import (
+        scd2_history)
+    from openedx_event_sink_clickhouse_spark.streaming.scd_maintenance import (
+        Scd2BucketedMaintainer)
+
+    rows = [(i, _ts(i), 100 + i % 2, ["a", "b"][(i // 4) % 2], 0.0, "{}")
+            for i in range(24)]
+    full = spark.createDataFrame(rows, EVENT_SCHEMA) \
+        .select("user_id", "ts", "event_id", "event_type")
+    b0 = full.filter(F.col("event_id") < 12)
+    b1 = full.filter(F.col("event_id") >= 12)
+    m = Scd2BucketedMaintainer(str(tmp_path / "hist"), "user_id", "ts",
+                               ["event_type"], tiebreak_col="event_id",
+                               n_buckets=1)
+    m(b0, 0)
+    bucket = m._bucket_dir(0)
+    pre = str(tmp_path / "pre_merge_copy")
+    _sh.copytree(bucket, pre)
+    m(b1, 1)
+    # reconstruct the crash window: merged dst, marker missing, .old =
+    # the stranded pre-merge generation
+    os.remove(os.path.join(bucket, "_epoch"))
+    _sh.rmtree(f"{bucket}.old", ignore_errors=True)
+    os.rename(pre, f"{bucket}.old")
+
+    m(b1, 1)  # the at-least-once replay of the interrupted epoch
+    want = scd2_history(full, "user_id", "ts", ["event_type"],
+                        tiebreak_col="event_id")
+    key = lambda r: (r["user_id"], r["valid_from"])
+    got = sorted(m.history(spark).select(*want.columns).collect(), key=key)
+    assert [tuple(r) for r in got] == \
+        [tuple(r) for r in sorted(want.collect(), key=key)]
+    assert any(r.n_versions > 1 for r in got)  # merged, not bootstrapped
+
+    # and the COMMITTED case still drops a stale .old: marker present,
+    # leftover old copy, replayed epoch is a no-op that cleans it
+    os.makedirs(f"{bucket}.old", exist_ok=True)
+    m(b1, 1)
+    assert not os.path.isdir(f"{bucket}.old")
