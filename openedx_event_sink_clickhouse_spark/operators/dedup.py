@@ -1133,3 +1133,82 @@ def edit_distance_verify(pairs: DataFrame, docs: DataFrame,
             .select("id_a", "id_b",
                     F.levenshtein("_sa", "_sb").alias("edit_distance"))
             .filter(F.col("edit_distance") <= max_dist))
+
+
+def allpairs_jaccard(docs: DataFrame, threshold: float = 0.7,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 3) -> DataFrame:
+    """EXACT set-similarity self-join via AllPairs prefix filtering
+    (Bayardo, Ma & Srikant, WWW'07): every pair (id_a < id_b) whose
+    distinct word-``n``-gram shingle sets have Jaccard >= ``threshold``,
+    with zero false negatives — the ground truth that
+    :func:`minhash_lsh_pairs` approximates, at a cost that stays
+    sub-quadratic whenever the shingle vocabulary is non-degenerate.
+
+    Why the candidate bound is lossless: order the vocabulary globally
+    by (document frequency asc, token asc) and sort each doc's set in
+    that order. If two sets of sizes s_a, s_b share NO token among the
+    first ``p = s - ceil(t*s) + 1`` tokens of either, their overlap is
+    at most min(s_a, s_b) - p < t * s — so any pair at or above the
+    threshold MUST collide on a prefix token, and only prefix tokens
+    need to be joined. Rare-first ordering makes those prefixes the
+    lowest-frequency tokens, which is what shrinks the join.
+
+    All threshold arithmetic is exact integer math (the float is read
+    as a decimal fraction num/den): prefix length uses
+    ceil(num*s/den) = (num*s + den - 1) div den, the size bound is
+    min(s_a,s_b)*den >= max(s_a,s_b)*num, and the final keep/drop is
+    inter*den >= num*union — no FP boundary anywhere for an oracle to
+    disagree on (the 6-dp `jaccard` column is display-only).
+
+    Plan shape / 100 TB: tokens explode narrow from the shingle arrays;
+    the df table is vocab-scale (too big to assume broadcastable — a
+    plain shuffle join on token, AQE free to pick); per-doc sort is
+    O(s log s) inside an array; the candidate join shuffles ONLY prefix
+    tokens bucketed by token (rare-first means small buckets); verify
+    joins the candidate PAIRS (not corpus²) back to the shingle arrays.
+    No global rank is materialized — (df, token) structs ARE the total
+    order, so there is no vocab-scale single-partition window anywhere.
+    """
+    from fractions import Fraction
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    base = (with_shingles(docs, text_col, n)
+            .select(F.col(id_col).alias("id"), "shingles"))
+    tok = base.select("id", F.explode("shingles").alias("token"))
+    df = tok.groupBy("token").agg(F.count("*").alias("df"))
+    toks = (tok.join(df, "token")
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("df", "token")))
+                  .alias("toks"),
+                 F.count("*").alias("s")))
+    p = (F.col("s")
+         - F.floor((F.lit(num) * F.col("s") + F.lit(den - 1)) / F.lit(den))
+         + F.lit(1)).cast("int")
+    pref = (toks.select("id", "s",
+                        F.explode(F.slice("toks", F.lit(1), p)).alias("pt"))
+            .select("id", "s", F.col("pt.token").alias("token")))
+    a = pref.select(F.col("id").alias("id_a"), F.col("s").alias("sa"),
+                    "token")
+    b = pref.select(F.col("id").alias("id_b"), F.col("s").alias("sb"),
+                    "token")
+    cand = (a.join(b, "token")
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.least("sa", "sb") * den
+                       >= F.greatest("sa", "sb") * num))
+            .select("id_a", "id_b").distinct())
+    xa = base.select(F.col("id").alias("id_a"),
+                     F.col("shingles").alias("sh_a"))
+    xb = base.select(F.col("id").alias("id_b"),
+                     F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("bigint")
+    return (cand.join(xa, "id_a").join(xb, "id_b")
+            .select("id_a", "id_b",
+                    inter.alias("intersect_size"),
+                    union.alias("union_size"))
+            .filter(F.col("intersect_size") * den
+                    >= num * F.col("union_size"))
+            .withColumn("jaccard",
+                        F.round(F.col("intersect_size").cast("double")
+                                / F.col("union_size"), 6)))

@@ -9695,6 +9695,39 @@ def _dau_mau(spark, sf_dir):
     return dau_mau(_t(spark, sf_dir, "events"), period="week")
 
 
+def _allpairs_sql() -> str:
+    # BRUTE-FORCE oracle on purpose: it joins EVERY co-occurring token
+    # (no prefix filter), so a hash match certifies the Spark side's
+    # prefix-filter candidate bound is lossless — not just that both
+    # engines agree on the filtered pairs they happened to generate.
+    from .functions.text import shingles_sql
+    sh = shingles_sql("text", 3)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({sh}) AS token FROM documents),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM tok GROUP BY 1),
+i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS isz
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, isz AS intersect_size,
+       sa.s + sb.s - isz AS union_size,
+       round(CAST(isz AS DOUBLE) / (sa.s + sb.s - isz), 6) AS jaccard
+FROM i JOIN sz sa ON i.id_a = sa.doc_id JOIN sz sb ON i.id_b = sb.doc_id
+WHERE isz * 10 >= 7 * (sa.s + sb.s - isz)
+"""
+
+
+@register("dedup_allpairs_jaccard", _allpairs_sql())
+def _dd_allpairs(spark, sf_dir):
+    # EXACT Jaccard pair join (AllPairs prefix filtering) — the lossless
+    # counterpart of dedup_minhash_lsh: same shingle sets, no hashing,
+    # no false negatives. All keep/drop arithmetic is integer-exact
+    # (7/10 ratios), so the only double column is display-rounded.
+    from .operators.dedup import allpairs_jaccard
+    return allpairs_jaccard(_t(spark, sf_dir, "documents"), threshold=0.7)
+
+
 _PRIORITY = [
     "flagship_incremental_dump",
     # -- FIXED in r10 (the two r9 driver hash-flakes): must re-grade --

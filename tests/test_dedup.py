@@ -635,3 +635,73 @@ def test_edit_distance_verify_bounds_and_integer_metric(spark):
     assert (1, 3) not in got          # far pair filtered by max_dist
     # prefix bound: the differing tails sit beyond char 256 -> distance 0
     assert got[(4, 5)] == 0
+
+
+# ---------------------------------------------------------------------------
+# allpairs_jaccard: exact prefix-filtered set-similarity join
+# ---------------------------------------------------------------------------
+
+def _brute_pairs(spark, docs, threshold, n=3):
+    # Ground truth with NO candidate filtering: full pair cross join over
+    # the same shingle sets, exact integer keep/drop.
+    from fractions import Fraction
+    from pyspark.sql import functions as F
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        with_shingles)
+    frac = Fraction(str(threshold))
+    base = with_shingles(docs, "text", n).select(
+        F.col("doc_id").alias("id"), "shingles")
+    a = base.select(F.col("id").alias("id_a"),
+                    F.col("shingles").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"),
+                    F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("bigint")
+    out = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+           .select("id_a", "id_b", inter.alias("i"), union.alias("u"))
+           .filter(F.col("i") * frac.denominator
+                   >= frac.numerator * F.col("u")))
+    return {(r["id_a"], r["id_b"], r["i"], r["u"]) for r in out.collect()}
+
+
+def _fuzz_corpus(spark):
+    # Deterministic word-soup corpus with planted exact dups, near dups
+    # (1-2 word edits), and disjoint docs — plus a doc too short to
+    # shingle (must vanish, not crash).
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    rows = []
+    for d in range(12):
+        seq = [words[(d * 7 + i * 3) % len(words)] for i in range(20)]
+        rows.append((d, " ".join(seq)))
+    rows.append((12, rows[3][1]))                       # exact dup of 3
+    rows.append((13, rows[5][1].replace("alpha", "zeta", 1)))  # near dup
+    rows.append((14, "too short"))                      # < 3 words
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_allpairs_matches_bruteforce(spark):
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        allpairs_jaccard)
+    docs = _fuzz_corpus(spark)
+    for t in (0.5, 0.7, 0.9):
+        got = {(r["id_a"], r["id_b"], r["intersect_size"], r["union_size"])
+               for r in allpairs_jaccard(docs, threshold=t).collect()}
+        assert got == _brute_pairs(spark, docs, t), f"threshold {t}"
+
+
+def test_allpairs_exact_boundary_pair_kept(spark):
+    # Two 10-shingle sets sharing exactly 7 shingles: jaccard = 7/13
+    # under union semantics — craft instead a containment-style pair
+    # whose jaccard lands EXACTLY on the threshold: |A|=12 grams,
+    # B = first 9 grams of A => inter=9, union=12, jaccard=0.75.
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        allpairs_jaccard)
+    words = [f"w{i}" for i in range(14)]        # 14 words -> 12 3-grams
+    a_text = " ".join(words)
+    b_text = " ".join(words[:11])               # 11 words -> 9 3-grams
+    docs = spark.createDataFrame([(0, a_text), (1, b_text)],
+                                 ["doc_id", "text"])
+    kept = allpairs_jaccard(docs, threshold=0.75).collect()
+    assert len(kept) == 1 and kept[0]["jaccard"] == 0.75
+    assert allpairs_jaccard(docs, threshold=0.7500001).collect() == []
