@@ -9718,6 +9718,34 @@ WHERE isz * 10 >= 7 * (sa.s + sb.s - isz)
 """
 
 
+@register("sim_embedding_covariance", """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (
+  SELECT g.i, h.j,
+         CAST(v[g.i + 1] AS DECIMAL(12,8)) AS xi,
+         CAST(v[h.j + 1] AS DECIMAL(12,8)) AS xj
+  FROM e, generate_series(0, 7) g(i), generate_series(0, 7) h(j)
+  WHERE g.i <= h.j),
+a AS (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+         sum(xi * xj) AS pij, sum(xi) AS si, sum(xj) AS sj
+  FROM x GROUP BY 1, 2)
+SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j, n,
+       round((CAST(pij AS DOUBLE)
+              - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0), 6) AS cov
+FROM a
+""")
+def _sim_cov(spark, sf_dir):
+    # Sufficient-statistics covariance (the PCA/whitening input): ONE
+    # groupBy-less aggregate with exact-decimal moments (order-free, so
+    # the oracle hash is reproducible), then a 1-row literal explode to
+    # (dim_i, dim_j) grain. The full-dim eigh path is pca_fit (pytest
+    # vs numpy — eigendecomposition has no SQL twin).
+    from .operators.pca import embedding_covariance
+    return embedding_covariance(_t(spark, sf_dir, "embeddings"), dims=8)
+
+
 @register("dedup_allpairs_jaccard", _allpairs_sql())
 def _dd_allpairs(spark, sf_dir):
     # EXACT Jaccard pair join (AllPairs prefix filtering) — the lossless
