@@ -578,3 +578,69 @@ def power_mde(events: DataFrame, *, conversion_type: str = "purchase",
         F.round(p, 6).alias("pooled_rate"),
         F.round(mde, 6).alias("mde_abs"),
         F.round(F.when(p > 0.0, mde / p), 6).alias("mde_rel"))
+
+
+def ols_two_feature(events: DataFrame, *, group_col: str = "event_type",
+                    value_col: str = "value",
+                    ts_col: str = "ts") -> DataFrame:
+    """Per-group two-feature OLS (value ~ hour-of-day + day-of-month)
+    solved in CLOSED FORM from sufficient statistics — the distributed-
+    regression pattern: ONE aggregate pass builds the exact normal-
+    equation moments (integer features, DECIMAL(18,6) target, so every
+    sum is order-independent), then the centered 2×2 system is inverted
+    symbolically in a single double expression per coefficient. No
+    gradient loop, no per-row Python, no second pass.
+
+    Guards: a collinear/degenerate group (det <= 0) yields NULL betas
+    (Cauchy–Schwarz makes det < 0 impossible in exact math; <= keeps
+    the FP boundary one-sided), and r2 is NULL when the target has no
+    variance. Extends :func:`timeseries.trend_fit` (one regressor) to
+    the multi-feature normal-equations form used for quick covariate
+    readouts at fact-table scale."""
+    y = F.col(value_col).cast(DEC)
+    x1 = F.hour(ts_col).cast("long")
+    x2 = F.dayofmonth(ts_col).cast("long")
+    g = (events.filter(F.col(value_col).isNotNull())
+         .select(F.col(group_col).alias("grp"),
+                 x1.alias("x1"), x2.alias("x2"), y.alias("y"))
+         .groupBy("grp")
+         .agg(F.count("*").alias("n"),
+              F.sum("x1").alias("sx1"), F.sum("x2").alias("sx2"),
+              F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+              F.sum(F.col("x1") * F.col("x2")).alias("sx1x2"),
+              F.sum(F.col("x2") * F.col("x2")).alias("sx2x2"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"),
+              F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+              F.sum(F.col("x2") * F.col("y")).alias("sx2y")))
+    n = F.col("n").cast("double")
+    d = {c: F.col(c).cast("double")
+         for c in ("sx1", "sx2", "sx1x1", "sx1x2", "sx2x2",
+                   "sy", "syy", "sx1y", "sx2y")}
+    s11 = d["sx1x1"] - d["sx1"] * d["sx1"] / n
+    s12 = d["sx1x2"] - d["sx1"] * d["sx2"] / n
+    s22 = d["sx2x2"] - d["sx2"] * d["sx2"] / n
+    s1y = d["sx1y"] - d["sx1"] * d["sy"] / n
+    s2y = d["sx2y"] - d["sx2"] * d["sy"] / n
+    syy = d["syy"] - d["sy"] * d["sy"] / n
+    det = s11 * s22 - s12 * s12
+    out = (g.withColumn("_det", det)
+           .withColumn("beta1",
+                       F.when(F.col("_det") > 0,
+                              (s22 * s1y - s12 * s2y) / F.col("_det")))
+           .withColumn("beta2",
+                       F.when(F.col("_det") > 0,
+                              (s11 * s2y - s12 * s1y) / F.col("_det")))
+           .withColumn("beta0",
+                       d["sy"] / n - F.col("beta1") * (d["sx1"] / n)
+                       - F.col("beta2") * (d["sx2"] / n))
+           .withColumn("_syy", syy)
+           .withColumn("r2",
+                       F.when((F.col("_det") > 0) & (F.col("_syy") > 0),
+                              (F.col("beta1") * s1y
+                               + F.col("beta2") * s2y) / F.col("_syy"))))
+    return out.select(F.col("grp").alias(group_col), "n",
+                      F.round("beta0", 6).alias("beta0"),
+                      F.round("beta1", 6).alias("beta1"),
+                      F.round("beta2", 6).alias("beta2"),
+                      F.round("r2", 6).alias("r2"))

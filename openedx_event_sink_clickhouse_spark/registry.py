@@ -9746,6 +9746,57 @@ def _sim_cov(spark, sf_dir):
     return embedding_covariance(_t(spark, sf_dir, "embeddings"), dims=8)
 
 
+@register("evt_ols_readout", """
+WITH m AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) AS DOUBLE) AS nd,
+         CAST(sum(x1) AS DOUBLE) AS sx1, CAST(sum(x2) AS DOUBLE) AS sx2,
+         CAST(sum(x1 * x1) AS DOUBLE) AS sx1x1,
+         CAST(sum(x1 * x2) AS DOUBLE) AS sx1x2,
+         CAST(sum(x2 * x2) AS DOUBLE) AS sx2x2,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(y * y) AS DOUBLE) AS syy_raw,
+         CAST(sum(x1 * y) AS DOUBLE) AS sx1y,
+         CAST(sum(x2 * y) AS DOUBLE) AS sx2y
+  FROM (SELECT event_type AS grp,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x1,
+               CAST(EXTRACT(day FROM ts) AS BIGINT) AS x2,
+               CAST(value AS DECIMAL(18,6)) AS y
+        FROM events WHERE value IS NOT NULL)
+  GROUP BY 1),
+s AS (
+  SELECT grp, n, nd, sx1, sx2, sy,
+         sx1x1 - sx1 * sx1 / nd AS s11,
+         sx1x2 - sx1 * sx2 / nd AS s12,
+         sx2x2 - sx2 * sx2 / nd AS s22,
+         sx1y - sx1 * sy / nd AS s1y,
+         sx2y - sx2 * sy / nd AS s2y,
+         syy_raw - sy * sy / nd AS syy
+  FROM m),
+b AS (
+  SELECT *, s11 * s22 - s12 * s12 AS det FROM s),
+c AS (
+  SELECT *,
+         CASE WHEN det > 0 THEN (s22 * s1y - s12 * s2y) / det END AS beta1,
+         CASE WHEN det > 0 THEN (s11 * s2y - s12 * s1y) / det END AS beta2
+  FROM b)
+SELECT grp AS event_type, n,
+       round(sy / nd - beta1 * (sx1 / nd) - beta2 * (sx2 / nd), 6)
+         AS beta0,
+       round(beta1, 6) AS beta1, round(beta2, 6) AS beta2,
+       round(CASE WHEN det > 0 AND syy > 0
+             THEN (beta1 * s1y + beta2 * s2y) / syy END, 6) AS r2
+FROM c
+""")
+def _evt_ols(spark, sf_dir):
+    # Multi-feature OLS from sufficient statistics: one aggregate pass
+    # builds exact-decimal normal-equation moments per event_type, the
+    # centered 2x2 system is inverted symbolically in doubles — the
+    # same closed form, same FP association, in both engines.
+    from .operators.experiment import ols_two_feature
+    return ols_two_feature(_t(spark, sf_dir, "events"))
+
+
 @register("dedup_allpairs_jaccard", _allpairs_sql())
 def _dd_allpairs(spark, sf_dir):
     # EXACT Jaccard pair join (AllPairs prefix filtering) — the lossless

@@ -397,3 +397,55 @@ def test_sequential_monitoring_boundary_and_cumulatives(spark):
     out2 = sequential_monitoring(conv2).collect()
     assert out2[-1].crossed == 1
     assert any(r.crossed == 1 and r.info_frac < 1.0 for r in out2)
+
+
+# ---------------------------------------------------------------------------
+# ols_two_feature: closed-form normal equations vs a numpy lstsq oracle
+# ---------------------------------------------------------------------------
+
+def test_ols_two_feature_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pytest
+    from openedx_event_sink_clickhouse_spark.operators.experiment import (
+        ols_two_feature)
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    ev = load_table(spark, "events", sf_dir)
+    rows = ev.select("event_type", "ts", "value").collect()
+    got = {r["event_type"]: r for r in ols_two_feature(ev).collect()}
+    by_type: dict = {}
+    for r in rows:
+        if r["value"] is None:
+            continue
+        # mirror the operator's DECIMAL(18,6) target quantization
+        y = round(r["value"], 6)
+        by_type.setdefault(r["event_type"], []).append(
+            (r["ts"].hour, r["ts"].day, y))
+    assert set(got) == set(by_type)
+    for et, pts in by_type.items():
+        x = np.array([[1.0, p[0], p[1]] for p in pts])
+        y = np.array([p[2] for p in pts])
+        beta, *_ = np.linalg.lstsq(x, y, rcond=None)
+        assert got[et]["n"] == len(pts)
+        assert got[et]["beta0"] == pytest.approx(beta[0], abs=1e-5)
+        assert got[et]["beta1"] == pytest.approx(beta[1], abs=1e-5)
+        assert got[et]["beta2"] == pytest.approx(beta[2], abs=1e-5)
+        pred = x @ beta
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        assert got[et]["r2"] == pytest.approx(1 - ss_res / ss_tot, abs=1e-6)
+
+
+def test_ols_two_feature_degenerate_group_yields_nulls(spark):
+    import datetime as dt
+    from openedx_event_sink_clickhouse_spark.operators.experiment import (
+        ols_two_feature)
+    # every event at the same hour AND day -> zero feature variance ->
+    # det == 0 -> NULL betas/r2, never a divide blow-up
+    t0 = dt.datetime(2024, 1, 5, 9, 0, 0)
+    df = spark.createDataFrame(
+        [(i, t0, "click", float(i)) for i in range(10)],
+        ["event_id", "ts", "event_type", "value"])
+    row = ols_two_feature(df).collect()[0]
+    assert row["n"] == 10
+    assert row["beta0"] is None and row["beta1"] is None
+    assert row["beta2"] is None and row["r2"] is None
