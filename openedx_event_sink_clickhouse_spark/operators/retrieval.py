@@ -468,3 +468,41 @@ def phrase_search(docs: DataFrame, phrase: list[str],
     return (occ.groupBy("doc_id")
             .agg(F.count("*").cast("bigint").alias("n_occurrences"),
                  F.min("start").cast("bigint").alias("first_pos")))
+
+
+def query_likelihood_topk(docs: DataFrame, query_terms: list[str],
+                          k: int = 10, mu: float = 100.0,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Language-model retrieval: Dirichlet-smoothed query likelihood
+    (Zhai & Lafferty, SIGIR'01) — the third ranking family beside BM25
+    and TF-IDF cosine. score(d) = Σ_t ln((tf + μ·p(t|C)) / (dl + μ))
+    over the query terms, where p(t|C) = cf(t)/|C| is the collection
+    unigram LM; absent terms contribute the smoothed floor, so longer
+    documents aren't spuriously rewarded for covering more terms.
+
+    Plan: postings are filtered to the query terms before any
+    aggregation (O(query postings)); the per-term collection constants
+    and |C| are tiny broadcast frames; the candidate set (docs with
+    ≥1 hit) cross-joins only the |q|-row term frame, then left-joins
+    its own hits — per-candidate work is O(|q|). Ranking is
+    TakeOrderedAndProject. Query terms absent from the corpus drop out
+    of the constants frame identically in both engines (their smoothed
+    contribution would be -inf for every candidate equally)."""
+    terms = _doc_terms(docs, text_col, id_col)
+    hits = terms.filter(F.col("term").isin(query_terms))
+    total = docs.select(
+        F.sum(F.size(words(F.col(text_col)))).cast("double").alias("c"))
+    consts = hits.groupBy("term").agg(
+        F.sum("tf").cast("double").alias("cf"))
+    cands = hits.select("doc_id", "dl").distinct()
+    x = (cands.crossJoin(F.broadcast(consts))
+         .join(hits.select("doc_id", "term", "tf"),
+               ["doc_id", "term"], "left")
+         .crossJoin(F.broadcast(total)))
+    contrib = F.log((F.coalesce(F.col("tf"), F.lit(0))
+                     + F.lit(mu) * (F.col("cf") / F.col("c")))
+                    / (F.col("dl") + F.lit(mu)))
+    scored = x.groupBy("doc_id").agg(F.sum(contrib).alias("_s"))
+    return (scored.orderBy(F.desc("_s"), "doc_id").limit(k)
+            .select("doc_id", F.round("_s", 6).alias("ql")))

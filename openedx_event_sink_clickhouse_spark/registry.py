@@ -9746,6 +9746,38 @@ def _sim_cov(spark, sf_dir):
     return embedding_covariance(_t(spark, sf_dir, "embeddings"), dims=8)
 
 
+@register("ret_query_likelihood", f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+tot AS (SELECT CAST(sum(len(string_split(lower(text), ' '))) AS DOUBLE)
+               AS c
+        FROM documents),
+q AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf
+      WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+      GROUP BY 1),
+cand AS (SELECT DISTINCT doc_id, dl FROM tf
+         WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})),
+x AS (SELECT c.doc_id, c.dl, q.term, q.cf, coalesce(t.tf, 0) AS tf0
+      FROM cand c CROSS JOIN q
+      LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.term = q.term),
+s AS (SELECT doc_id,
+             sum(ln((tf0 + 100.0 * (cf / tot.c)) / (dl + 100.0))) AS s
+      FROM x CROSS JOIN tot GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS ql FROM s ORDER BY s DESC, doc_id LIMIT 10
+""")
+def _ret_ql(spark, sf_dir):
+    # Dirichlet-smoothed query likelihood (Zhai & Lafferty SIGIR'01):
+    # the LM ranking family beside BM25/TF-IDF. Same constants-broadcast
+    # + query-postings-pruned shape as the BM25 path; absent terms pay
+    # the smoothed floor so candidates are length-normalized fairly.
+    from .operators.retrieval import query_likelihood_topk
+    return query_likelihood_topk(_t(spark, sf_dir, "documents"),
+                                 list(BM25_QUERY_TERMS), k=10)
+
+
 @register("evt_ols_readout", """
 WITH m AS (
   SELECT grp, CAST(count(*) AS BIGINT) AS n,

@@ -283,3 +283,36 @@ def test_phrase_search_position_algebra(spark):
     got3 = phrase_search(docs, ["is", "the", "table"]).collect()
     assert [(r.doc_id, r.n_occurrences, r.first_pos) for r in got3] == \
         [(1, 1, 2)]
+
+
+def test_query_likelihood_matches_hand_computation(spark):
+    import math
+    from openedx_event_sink_clickhouse_spark.operators.retrieval import (
+        query_likelihood_topk)
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"),        # tf(apple)=2, dl=3
+         (1, "banana cherry"),             # no apple, dl=2
+         (2, "durian durian durian")],     # no query term -> not candidate
+        ["doc_id", "text"])
+    mu = 2.0
+    out = {r["doc_id"]: r["ql"]
+           for r in query_likelihood_topk(
+               docs, ["apple", "banana"], k=10, mu=mu).collect()}
+    # collection: |C|=8, cf(apple)=2, cf(banana)=2 -> p=0.25 each
+    def score(tfs, dl):
+        return round(sum(math.log((tf + mu * 0.25) / (dl + mu))
+                         for tf in tfs), 6)
+    assert out == {0: score([2, 1], 3), 1: score([0, 1], 2)}
+    # doc 0 must outrank doc 1; doc 2 is not a candidate
+    assert out[0] > out[1] and 2 not in out
+
+
+def test_query_likelihood_absent_term_drops_out(spark):
+    from openedx_event_sink_clickhouse_spark.operators.retrieval import (
+        query_likelihood_topk)
+    docs = spark.createDataFrame(
+        [(0, "apple banana"), (1, "banana banana")], ["doc_id", "text"])
+    with_ghost = query_likelihood_topk(
+        docs, ["banana", "zzz_not_in_corpus"], k=5).collect()
+    without = query_likelihood_topk(docs, ["banana"], k=5).collect()
+    assert sorted(map(tuple, with_ghost)) == sorted(map(tuple, without))
