@@ -61,3 +61,52 @@ def profile_table(df: DataFrame, numeric_cols: list[str],
             F.col(f"_max_{c}").alias("max_str")))
     return (wide.select(F.explode(F.array(*rows)).alias("p"))
             .select("p.*"))
+
+
+def grouped_moments(df: DataFrame, group_col: str = "event_type",
+                    value_col: str = "value") -> DataFrame:
+    """Per-group mean/std/skewness/excess-kurtosis in ONE aggregate pass
+    from exact integer power sums — the heavy-tail detector a quality
+    pipeline runs over score distributions (perplexity, length, spend)
+    before choosing winsorization cut points.
+
+    Exactness: the value is quantized once to milli-units
+    (DECIMAL(18,3)·1000 → BIGINT; a double can never land on a 3-dp
+    rounding tie, so the cast is engine-agnostic), and Σm..Σm⁴ are
+    summed as DECIMAL(38,0) — order-independent integers (the DuckDB
+    twin sums HUGEINT), so the one double formula per statistic sees
+    bit-identical inputs in both engines. Skew/kurtosis are scale
+    invariant, so the milli scaling cancels; mean/std divide it back
+    out. m⁴ ≤ 1e21/row keeps Σm⁴ inside 38 digits up to ~1e17 rows of
+    |value| ≤ 1e5 — far past any real partition. pow() is avoided
+    (libm varies): m2^1.5 is written m2·sqrt(m2), IEEE-exact everywhere.
+
+    Plan: map-side partial aggregate → tiny per-group row; no window,
+    no second pass, no Python."""
+    m = (F.col(value_col).cast("decimal(18,3)") * 1000).cast("long")
+    md = F.col("_m").cast("decimal(38,0)")
+    base = (df.filter(F.col(value_col).isNotNull())
+            .select(F.col(group_col).alias("grp"), m.alias("_m")))
+    m2 = md * md
+    g = base.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum(md).alias("s1"), F.sum(m2).alias("s2"),
+        F.sum(m2 * md).alias("s3"), F.sum(m2 * m2).alias("s4"))
+    nd = F.col("n").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3, s4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    m2c = s2 - s1 * s1 / nd
+    m3c = s3 - F.lit(3.0) * s2 * s1 / nd \
+        + F.lit(2.0) * s1 * s1 * s1 / (nd * nd)
+    m4c = s4 - F.lit(4.0) * s3 * s1 / nd \
+        + F.lit(6.0) * s2 * s1 * s1 / (nd * nd) \
+        - F.lit(3.0) * s1 * s1 * s1 * s1 / (nd * nd * nd)
+    skew = F.when(m2c > 0, F.sqrt(nd) * m3c / (m2c * F.sqrt(m2c)))
+    kurt = F.when(m2c > 0, nd * m4c / (m2c * m2c) - F.lit(3.0))
+    std = F.when((F.col("n") > 1) & (m2c >= 0),
+                 F.sqrt(m2c / (nd - F.lit(1.0))) / F.lit(1000.0))
+    return g.select(F.col("grp").alias(group_col), "n",
+                    F.round(s1 / nd / F.lit(1000.0), 6).alias("mean"),
+                    F.round(std, 6).alias("std"),
+                    F.round(skew, 6).alias("skewness"),
+                    F.round(kurt, 6).alias("kurtosis_excess"))

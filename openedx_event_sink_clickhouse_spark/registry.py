@@ -9746,6 +9746,47 @@ def _sim_cov(spark, sf_dir):
     return embedding_covariance(_t(spark, sf_dir, "embeddings"), dims=8)
 
 
+@register("agg_moment_profile", """
+WITH b AS (
+  SELECT event_type AS grp,
+         CAST(CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT)
+              AS HUGEINT) AS m
+  FROM events WHERE value IS NOT NULL),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(m) AS DOUBLE) AS s1,
+         CAST(sum(m * m) AS DOUBLE) AS s2,
+         CAST(sum(m * m * m) AS DOUBLE) AS s3,
+         CAST(sum((m * m) * (m * m)) AS DOUBLE) AS s4,
+         CAST(count(*) AS DOUBLE) AS nd
+  FROM b GROUP BY 1),
+c AS (
+  SELECT *,
+         s2 - s1 * s1 / nd AS m2c,
+         s3 - 3.0 * s2 * s1 / nd + 2.0 * s1 * s1 * s1 / (nd * nd) AS m3c,
+         s4 - 4.0 * s3 * s1 / nd + 6.0 * s2 * s1 * s1 / (nd * nd)
+            - 3.0 * s1 * s1 * s1 * s1 / (nd * nd * nd) AS m4c
+  FROM g)
+SELECT grp AS event_type, n,
+       round(s1 / nd / 1000.0, 6) AS mean,
+       round(CASE WHEN n > 1 AND m2c >= 0
+             THEN sqrt(m2c / (nd - 1.0)) / 1000.0 END, 6) AS std,
+       round(CASE WHEN m2c > 0
+             THEN sqrt(nd) * m3c / (m2c * sqrt(m2c)) END, 6) AS skewness,
+       round(CASE WHEN m2c > 0
+             THEN nd * m4c / (m2c * m2c) - 3.0 END, 6) AS kurtosis_excess
+FROM c
+""")
+def _agg_moments(spark, sf_dir):
+    # One-pass higher moments per group: exact integer power sums
+    # (milli-unit quantization, DECIMAL(38,0) vs HUGEINT twins), one
+    # double formula per statistic with matched association; pow() is
+    # avoided in favor of IEEE-exact sqrt. The heavy-tail readout that
+    # precedes winsorization (cur_winsorized_stats picks its cuts here).
+    from .operators.profile import grouped_moments
+    return grouped_moments(_t(spark, sf_dir, "events"))
+
+
 @register("ret_query_likelihood", f"""
 WITH toks AS (
   SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,

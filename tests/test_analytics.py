@@ -522,3 +522,53 @@ def test_cusum_finds_level_shift_location(spark):
     assert out["shift"].changepoint_bucket == t0 + datetime.timedelta(hours=39)
     assert out["shift"].significant == 1
     assert out["flat"].cusum_stat is None and out["flat"].significant == 0
+
+
+# ---------------------------------------------------------------------------
+# grouped_moments: one-pass skew/kurtosis vs a scipy-style numpy oracle
+# ---------------------------------------------------------------------------
+
+def test_grouped_moments_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pytest
+    from openedx_event_sink_clickhouse_spark.operators.profile import (
+        grouped_moments)
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    ev = load_table(spark, "events", sf_dir)
+    got = {r["event_type"]: r for r in grouped_moments(ev).collect()}
+    vals: dict = {}
+    for r in ev.select("event_type", "value").collect():
+        if r["value"] is not None:
+            # mirror the operator's milli-unit quantization
+            vals.setdefault(r["event_type"], []).append(
+                round(r["value"], 3))
+    assert set(got) == set(vals)
+    for et, xs in vals.items():
+        a = np.array(xs, dtype="float64")
+        n = len(a)
+        mc = a - a.mean()
+        m2, m3, m4 = (mc ** 2).mean(), (mc ** 3).mean(), (mc ** 4).mean()
+        assert got[et]["n"] == n
+        assert got[et]["mean"] == pytest.approx(a.mean(), abs=1e-6)
+        assert got[et]["std"] == pytest.approx(a.std(ddof=1), rel=1e-6)
+        assert got[et]["skewness"] == pytest.approx(
+            m3 / m2 ** 1.5, rel=1e-5, abs=1e-6)
+        assert got[et]["kurtosis_excess"] == pytest.approx(
+            m4 / m2 ** 2 - 3.0, rel=1e-5, abs=1e-6)
+
+
+def test_grouped_moments_degenerate_groups(spark):
+    from openedx_event_sink_clickhouse_spark.operators.profile import (
+        grouped_moments)
+    df = spark.createDataFrame(
+        [(0, "const", 5.0), (1, "const", 5.0),   # zero variance
+         (2, "single", 7.25),                    # n == 1
+         (3, "nulls", None)],                    # NULL-only -> excluded
+        ["event_id", "event_type", "value"])
+    out = {r["event_type"]: r for r in grouped_moments(df).collect()}
+    assert set(out) == {"const", "single"}
+    c = out["const"]
+    assert (c["mean"], c["std"]) == (5.0, 0.0)
+    assert c["skewness"] is None and c["kurtosis_excess"] is None
+    s = out["single"]
+    assert s["mean"] == 7.25 and s["std"] is None
