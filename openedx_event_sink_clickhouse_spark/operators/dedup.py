@@ -1177,17 +1177,7 @@ def allpairs_jaccard(docs: DataFrame, threshold: float = 0.7,
             .select(F.col(id_col).alias("id"), "shingles"))
     tok = base.select("id", F.explode("shingles").alias("token"))
     df = tok.groupBy("token").agg(F.count("*").alias("df"))
-    toks = (tok.join(df, "token")
-            .groupBy("id")
-            .agg(F.array_sort(F.collect_list(F.struct("df", "token")))
-                  .alias("toks"),
-                 F.count("*").alias("s")))
-    p = (F.col("s")
-         - F.floor((F.lit(num) * F.col("s") + F.lit(den - 1)) / F.lit(den))
-         + F.lit(1)).cast("int")
-    pref = (toks.select("id", "s",
-                        F.explode(F.slice("toks", F.lit(1), p)).alias("pt"))
-            .select("id", "s", F.col("pt.token").alias("token")))
+    pref = _allpairs_prefix_frame(base, df, num, den)
     a = pref.select(F.col("id").alias("id_a"), F.col("s").alias("sa"),
                     "token")
     b = pref.select(F.col("id").alias("id_b"), F.col("s").alias("sb"),
@@ -1206,6 +1196,113 @@ def allpairs_jaccard(docs: DataFrame, threshold: float = 0.7,
     return (cand.join(xa, "id_a").join(xb, "id_b")
             .select("id_a", "id_b",
                     inter.alias("intersect_size"),
+                    union.alias("union_size"))
+            .filter(F.col("intersect_size") * den
+                    >= num * F.col("union_size"))
+            .withColumn("jaccard",
+                        F.round(F.col("intersect_size").cast("double")
+                                / F.col("union_size"), 6)))
+
+
+def _allpairs_prefix_frame(base: DataFrame, df: DataFrame,
+                           num: int, den: int) -> DataFrame:
+    """(id, s, token) prefix explosion under the (df asc, token asc)
+    order, shared by the self-join and the at-rest/incremental paths.
+    ``df`` may be STALE for new tokens (left join, missing df → 0):
+    any single total order keeps the prefix bound lossless — document
+    frequency only tunes how small the prefixes are — and df=0 sorts
+    unseen tokens rare-first, which is also the right heuristic."""
+    tok = base.select("id", F.explode("shingles").alias("token"))
+    toks = (tok.join(df, "token", "left")
+            .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("df", "token")))
+                  .alias("toks"),
+                 F.count("*").alias("s")))
+    p = (F.col("s")
+         - F.floor((F.lit(num) * F.col("s") + F.lit(den - 1)) / F.lit(den))
+         + F.lit(1)).cast("int")
+    return (toks.select("id", "s",
+                        F.explode(F.slice("toks", F.lit(1), p)).alias("pt"))
+            .select("id", "s", F.col("pt.token").alias("token")))
+
+
+def write_allpairs_index(corpus: DataFrame, path: str,
+                         threshold: float = 0.7, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 3) -> None:
+    """Materialize the at-rest AllPairs index: the frozen token-df
+    table, the corpus prefix postings, and the per-doc shingle arrays.
+    Incremental batches probe these instead of re-shingling the corpus
+    — the same at-rest move as the LSH band index and BM25 stats.
+    At 100 TB, bucket ``prefix`` by token and ``docs`` by id so the
+    probe joins are co-located; here plain parquet keeps the demo
+    engine-only."""
+    from fractions import Fraction
+    frac = Fraction(str(threshold))
+    base = (with_shingles(corpus, text_col, n)
+            .select(F.col(id_col).alias("id"), "shingles"))
+    tok = base.select("id", F.explode("shingles").alias("token"))
+    df = tok.groupBy("token").agg(F.count("*").alias("df"))
+    df.write.mode("overwrite").parquet(f"{path}/df")
+    spark = corpus.sparkSession
+    dfr = spark.read.parquet(f"{path}/df")
+    pref = _allpairs_prefix_frame(base, dfr, frac.numerator,
+                                  frac.denominator)
+    pref.write.mode("overwrite").parquet(f"{path}/prefix")
+    base.write.mode("overwrite").parquet(f"{path}/docs")
+
+
+def allpairs_incremental_pairs(batch: DataFrame, spark, path: str,
+                               threshold: float = 0.7,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               n: int = 3) -> DataFrame:
+    """Incremental exact set-similarity join: all pairs TOUCHING the
+    arriving batch (batch×corpus and batch×batch) with exact Jaccard
+    >= threshold, probing the :func:`write_allpairs_index` artifacts —
+    O(batch + candidate postings); the corpus is never re-shingled.
+
+    Correctness under the FROZEN order: old tokens keep their indexed
+    df, unseen tokens get df=0, so the combined order is a consistent
+    extension of the build-time order — old docs' stored prefixes are
+    unchanged under it, and the prefix-collision bound stays lossless.
+    Output matches the from-scratch :func:`allpairs_jaccard` restricted
+    to pairs with at least one batch side (the oracle checks exactly
+    that identity)."""
+    from fractions import Fraction
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    dfr = spark.read.parquet(f"{path}/df")
+    cpref = spark.read.parquet(f"{path}/prefix")
+    cdocs = spark.read.parquet(f"{path}/docs")
+    bbase = (with_shingles(batch, text_col, n)
+             .select(F.col(id_col).alias("id"), "shingles"))
+    bpref = _allpairs_prefix_frame(bbase, dfr, num, den)
+
+    def sides(l, r):
+        a = l.select(F.col("id").alias("id_a"), F.col("s").alias("sa"),
+                     "token")
+        b = r.select(F.col("id").alias("id_b"), F.col("s").alias("sb"),
+                     "token")
+        return (a.join(b, "token")
+                .filter((F.col("id_a") < F.col("id_b"))
+                        & (F.least("sa", "sb") * den
+                           >= F.greatest("sa", "sb") * num))
+                .select("id_a", "id_b"))
+
+    # cross pairs can land either way around by id; probe both
+    # orientations of the same join rather than sorting post hoc
+    cand = (sides(cpref, bpref).union(sides(bpref, cpref))
+            .union(sides(bpref, bpref)).distinct())
+    alldocs = cdocs.union(bbase)
+    xa = alldocs.select(F.col("id").alias("id_a"),
+                        F.col("shingles").alias("sh_a"))
+    xb = alldocs.select(F.col("id").alias("id_b"),
+                        F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("bigint")
+    return (cand.join(xa, "id_a").join(xb, "id_b")
+            .select("id_a", "id_b", inter.alias("intersect_size"),
                     union.alias("union_size"))
             .filter(F.col("intersect_size") * den
                     >= num * F.col("union_size"))

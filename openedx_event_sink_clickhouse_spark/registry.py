@@ -9880,6 +9880,48 @@ def _dd_allpairs(spark, sf_dir):
     return allpairs_jaccard(_t(spark, sf_dir, "documents"), threshold=0.7)
 
 
+def _allpairs_index_path(spark, sf_dir) -> str:
+    """At-rest AllPairs index (frozen df + corpus prefixes + shingle
+    arrays) over the corpus half — the exact-join twin of the MinHash
+    band index, sharing the same sf-relative split."""
+    docs = _t(spark, sf_dir, "documents")
+    thr = _nd_split(spark, sf_dir)
+
+    def build(tmp):
+        import os as _os
+
+        from .operators.dedup import write_allpairs_index
+        write_allpairs_index(docs.filter(F.col("doc_id") < thr), tmp,
+                             threshold=0.7)
+        open(_os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return _cached_parquet(
+        f"/tmp/spark_graft_apindex_v1_{_sf_tag(sf_dir, 'documents')}", build)
+
+
+@register("dedup_allpairs_incremental", None)  # oracle attached below
+def _dd_allpairs_inc(spark, sf_dir):
+    # Incremental EXACT set-similarity join: the batch (ids >= split)
+    # probes the at-rest prefix index — O(batch + candidate postings),
+    # the corpus is never re-shingled. Unseen tokens take df=0 in the
+    # FROZEN order (a consistent extension, so the prefix bound stays
+    # lossless — operator docstring has the argument). Oracle = the
+    # from-scratch brute-force join minus corpus-internal pairs.
+    from .operators.dedup import allpairs_incremental_pairs
+    docs = _t(spark, sf_dir, "documents")
+    thr = _nd_split(spark, sf_dir)
+    return allpairs_incremental_pairs(
+        docs.filter(F.col("doc_id") >= thr), spark,
+        _allpairs_index_path(spark, sf_dir), threshold=0.7)
+
+
+REGISTRY["dedup_allpairs_incremental"] = (
+    REGISTRY["dedup_allpairs_incremental"][0], f"""
+SELECT * FROM ({_allpairs_sql()})
+WHERE NOT (id_a < {_ND_SPLIT_SQL} AND id_b < {_ND_SPLIT_SQL})
+""")
+
+
 _PRIORITY = [
     "flagship_incremental_dump",
     # -- FIXED in r10 (the two r9 driver hash-flakes): must re-grade --

@@ -705,3 +705,25 @@ def test_allpairs_exact_boundary_pair_kept(spark):
     kept = allpairs_jaccard(docs, threshold=0.75).collect()
     assert len(kept) == 1 and kept[0]["jaccard"] == 0.75
     assert allpairs_jaccard(docs, threshold=0.7500001).collect() == []
+
+
+def test_allpairs_incremental_equals_restricted_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        allpairs_incremental_pairs,
+        allpairs_jaccard,
+        write_allpairs_index,
+    )
+    docs = _fuzz_corpus(spark)
+    split = 10                       # ids < 10 corpus, >= 10 batch
+    idx = str(tmp_path / "apidx")
+    write_allpairs_index(docs.filter(F.col("doc_id") < split), idx,
+                         threshold=0.5)
+    inc = allpairs_incremental_pairs(
+        docs.filter(F.col("doc_id") >= split), spark, idx, threshold=0.5)
+    got = {(r["id_a"], r["id_b"], r["intersect_size"], r["union_size"])
+           for r in inc.collect()}
+    full = {(r["id_a"], r["id_b"], r["intersect_size"], r["union_size"])
+            for r in allpairs_jaccard(docs, threshold=0.5).collect()
+            if r["id_a"] >= split or r["id_b"] >= split}
+    assert got == full and got      # non-empty: 12/13 are planted dups
