@@ -644,3 +644,70 @@ def ols_two_feature(events: DataFrame, *, group_col: str = "event_type",
                       F.round("beta1", 6).alias("beta1"),
                       F.round("beta2", 6).alias("beta2"),
                       F.round("r2", 6).alias("r2"))
+
+
+def did_readout(events: DataFrame, cutoff, *, unit_col: str = "user_id",
+                value_col: str = "value", ts_col: str = "ts",
+                salt: str = "exp") -> DataFrame:
+    """Difference-in-differences readout over the hash-randomized 2×2
+    (variant × pre/post) design: cell means from exact-decimal sums,
+    did = (treat_post − treat_pre) − (control_post − control_pre), a
+    pooled large-sample SE from the four cell variances
+    (sqrt(Σ s²/n)), and the z statistic. The classic launch-guardrail
+    readout when a clean A/B isn't available pre-period.
+
+    One aggregate pass: all twelve cell moments are conditional sums in
+    a single groupBy-less agg (map-side partial), so the fact table is
+    scanned once. Decimal moments keep every sum order-independent (the
+    CUPED (19,6)-product convention for Σy²); each derived statistic is
+    one double formula with the association mirrored in the oracle.
+    Degenerate cells degrade softly: an empty cell NULLs the means/did,
+    any cell with n<2 NULLs se/z."""
+    v = assign_variant(F.col(unit_col), 2, salt)
+    post = F.col(ts_col) >= F.lit(cutoff)
+    y = F.col(value_col).cast(DEC)
+    y19 = F.col("y").cast("decimal(19,6)")
+    zero = F.lit(0).cast(DEC)
+    zeroq = F.lit(0).cast("decimal(38,12)")
+    base = (events.filter(F.col(unit_col).isNotNull()
+                          & F.col(value_col).isNotNull())
+            .select(v.alias("vr"), post.alias("po"), y.alias("y")))
+    aggs = []
+    for vr in (0, 1):
+        for po in (False, True):
+            t = f"{vr}{int(po)}"
+            cond = (F.col("vr") == vr) & (F.col("po") == F.lit(po))
+            aggs += [
+                F.sum(F.when(cond, 1).otherwise(0)).alias(f"n{t}"),
+                F.sum(F.when(cond, F.col("y")).otherwise(zero))
+                 .alias(f"s{t}"),
+                F.sum(F.when(cond, y19 * y19).otherwise(zeroq))
+                 .alias(f"q{t}")]
+    g = base.agg(*aggs)
+    m, va, nn = {}, {}, {}
+    for t in ("00", "01", "10", "11"):
+        nd = F.col(f"n{t}").cast("double")
+        sd = F.col(f"s{t}").cast("double")
+        qd = F.col(f"q{t}").cast("double")
+        nn[t] = nd
+        m[t] = F.when(F.col(f"n{t}") > 0, sd / nd)
+        va[t] = F.when(F.col(f"n{t}") > 1,
+                       (qd - sd * sd / nd) / (nd - F.lit(1.0)))
+    did = (m["11"] - m["10"]) - (m["01"] - m["00"])
+    se = F.sqrt(va["00"] / nn["00"] + va["01"] / nn["01"]
+                + va["10"] / nn["10"] + va["11"] / nn["11"])
+    out = (g.withColumn("_did", did).withColumn("_se", se)
+           .withColumn("_z", F.when(F.col("_se") > 0,
+                                    F.col("_did") / F.col("_se"))))
+    return out.select(
+        F.col("n00").alias("n_control_pre"),
+        F.col("n01").alias("n_control_post"),
+        F.col("n10").alias("n_treat_pre"),
+        F.col("n11").alias("n_treat_post"),
+        F.round(m["00"], 6).alias("mean_control_pre"),
+        F.round(m["01"], 6).alias("mean_control_post"),
+        F.round(m["10"], 6).alias("mean_treat_pre"),
+        F.round(m["11"], 6).alias("mean_treat_post"),
+        F.round("_did", 6).alias("did"),
+        F.round("_se", 6).alias("se"),
+        F.round("_z", 6).alias("z"))

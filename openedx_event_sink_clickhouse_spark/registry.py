@@ -9746,6 +9746,71 @@ def _sim_cov(spark, sf_dir):
     return embedding_covariance(_t(spark, sf_dir, "embeddings"), dims=8)
 
 
+def _did_sql() -> str:
+    conds = {"00": "vr = 0 AND NOT po", "01": "vr = 0 AND po",
+             "10": "vr = 1 AND NOT po", "11": "vr = 1 AND po"}
+    moments = ",\n    ".join(
+        f"CAST(sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS n{t},\n"
+        f"    sum(CASE WHEN {c} THEN y"
+        f" ELSE CAST(0 AS DECIMAL(18,6)) END) AS s{t},\n"
+        f"    sum(CASE WHEN {c} THEN CAST(y AS DECIMAL(19,6))"
+        f" * CAST(y AS DECIMAL(19,6))"
+        f" ELSE CAST(0 AS DECIMAL(38,12)) END) AS q{t}"
+        for t, c in conds.items())
+    stats = ",\n    ".join(
+        f"CASE WHEN n{t} > 0 THEN CAST(s{t} AS DOUBLE)"
+        f" / CAST(n{t} AS DOUBLE) END AS m{t},\n"
+        f"    CASE WHEN n{t} > 1 THEN (CAST(q{t} AS DOUBLE)"
+        f" - CAST(s{t} AS DOUBLE) * CAST(s{t} AS DOUBLE)"
+        f" / CAST(n{t} AS DOUBLE))"
+        f" / (CAST(n{t} AS DOUBLE) - 1.0) END AS v{t}"
+        for t in conds)
+    return f"""
+WITH b AS (
+  SELECT CAST(CAST('0x' || substr(md5('exp#' || CAST(user_id AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 2 AS INT) AS vr,
+         (ts >= TIMESTAMP '2024-01-15 00:00:00') AS po,
+         CAST(value AS DECIMAL(18,6)) AS y
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+g AS (
+  SELECT
+    {moments}
+  FROM b),
+c AS (
+  SELECT *,
+    {stats}
+  FROM g),
+d AS (
+  SELECT *, (m11 - m10) - (m01 - m00) AS did,
+         sqrt(v00 / CAST(n00 AS DOUBLE) + v01 / CAST(n01 AS DOUBLE)
+              + v10 / CAST(n10 AS DOUBLE)
+              + v11 / CAST(n11 AS DOUBLE)) AS se
+  FROM c)
+SELECT n00 AS n_control_pre, n01 AS n_control_post,
+       n10 AS n_treat_pre, n11 AS n_treat_post,
+       round(m00, 6) AS mean_control_pre,
+       round(m01, 6) AS mean_control_post,
+       round(m10, 6) AS mean_treat_pre,
+       round(m11, 6) AS mean_treat_post,
+       round(did, 6) AS did, round(se, 6) AS se,
+       round(CASE WHEN se > 0 THEN did / se END, 6) AS z
+FROM d
+"""
+
+
+@register("evt_did_readout", _did_sql())
+def _evt_did(spark, sf_dir):
+    # Difference-in-differences over the hash-randomized 2x2: twelve
+    # conditional decimal moments in ONE groupBy-less aggregate (single
+    # fact scan), then each statistic as one association-matched double
+    # formula. Same md5 bucketing and cutoff as the CUPED readout.
+    import datetime as _dt
+
+    from .operators.experiment import did_readout
+    return did_readout(_t(spark, sf_dir, "events"),
+                       _dt.datetime(2024, 1, 15))
+
+
 @register("agg_moment_profile", """
 WITH b AS (
   SELECT event_type AS grp,

@@ -449,3 +449,46 @@ def test_ols_two_feature_degenerate_group_yields_nulls(spark):
     assert row["n"] == 10
     assert row["beta0"] is None and row["beta1"] is None
     assert row["beta2"] is None and row["r2"] is None
+
+
+def test_did_readout_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pytest
+    from openedx_event_sink_clickhouse_spark.operators.experiment import (
+        assign_variant, did_readout)
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    cutoff = dt.datetime(2024, 1, 15)
+    ev = load_table(spark, "events", sf_dir)
+    row = did_readout(ev, cutoff).collect()[0]
+    tagged = ev.filter(F.col("user_id").isNotNull()
+                       & F.col("value").isNotNull()).select(
+        assign_variant(F.col("user_id")).alias("vr"), "ts", "value")
+    cells: dict = {t: [] for t in ("00", "01", "10", "11")}
+    for r in tagged.collect():
+        t = f"{r['vr']}{int(r['ts'] >= cutoff)}"
+        cells[t].append(round(r["value"], 6))
+    names = {"00": "control_pre", "01": "control_post",
+             "10": "treat_pre", "11": "treat_post"}
+    ms, vs = {}, {}
+    for t, xs in cells.items():
+        a = np.array(xs)
+        assert row[f"n_{names[t]}"] == len(a)
+        assert row[f"mean_{names[t]}"] == pytest.approx(a.mean(), abs=1e-6)
+        ms[t], vs[t] = a.mean(), a.var(ddof=1)
+    did = (ms["11"] - ms["10"]) - (ms["01"] - ms["00"])
+    se = float(np.sqrt(sum(vs[t] / len(cells[t]) for t in cells)))
+    assert row["did"] == pytest.approx(did, abs=1e-6)
+    assert row["se"] == pytest.approx(se, abs=1e-6)
+    assert row["z"] == pytest.approx(did / se, abs=1e-4)
+
+
+def test_did_readout_degenerate_cells(spark):
+    from openedx_event_sink_clickhouse_spark.operators.experiment import (
+        did_readout)
+    # one lonely user -> at most one variant occupied; empty cells must
+    # NULL the did/se/z, never divide by zero
+    t0 = dt.datetime(2024, 1, 10)
+    df = spark.createDataFrame([(1, t0, 5.0)], ["user_id", "ts", "value"])
+    row = did_readout(df, dt.datetime(2024, 1, 15)).collect()[0]
+    assert row["did"] is None and row["se"] is None and row["z"] is None
+    assert (row["n_control_pre"] + row["n_treat_pre"]) == 1
