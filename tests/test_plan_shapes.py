@@ -593,3 +593,41 @@ def test_dau_mau_calendar_keyed_aggs_broadcast_pau(q, spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 5, plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_sufficient_statistics_family_single_exchange(q, spark, sf_dir):
+    # The four moment-reduction readouts added in r10 share one shape:
+    # ONE aggregate pass (map-side partials -> a single exchange), no
+    # window, no self-join — de-optimizing any of them into a second
+    # shuffle is a regression this pin catches.
+    for name in ("sim_embedding_covariance", "agg_moment_profile",
+                 "evt_ols_readout", "evt_did_readout"):
+        plan = plan_of(q[name](spark, sf_dir))
+        assert plan.count("Exchange") == 1, (name, plan)
+        assert "partial_" in plan, name
+
+
+def test_query_likelihood_pruned_and_top_k(q, spark, sf_dir):
+    plan = plan_of(q["ret_query_likelihood"](spark, sf_dir))
+    # ranking must be TakeOrderedAndProject (never a global sort) and
+    # the 1-row constants cross joins must stay broadcast, never a
+    # cartesian of row data
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_allpairs_never_builds_a_cartesian(q, spark, sf_dir):
+    # the entire point of prefix filtering: candidates come from a
+    # token-bucketed join, not any corpus x corpus product
+    for name in ("dedup_allpairs_jaccard", "dedup_allpairs_incremental"):
+        plan = plan_of(q[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_allpairs_incremental_probes_index_artifacts(q, spark, sf_dir):
+    # the batch path must read the at-rest df/prefix/docs parquet, not
+    # re-derive them from the corpus text
+    plan = plan_of(q["dedup_allpairs_incremental"](spark, sf_dir))
+    for artifact in ("/df", "/prefix", "/docs"):
+        assert artifact in plan, artifact
