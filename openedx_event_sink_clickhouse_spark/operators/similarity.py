@@ -1692,3 +1692,42 @@ def random_projection(emb: DataFrame, out_dim: int = 16, seed: int = 0,
         return emb.select(F.col(id_col),
                           *[c.alias(f"proj_{j}") for j, c in enumerate(comps)])
     return emb.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def matryoshka_recall(emb: DataFrame, dims: tuple[int, ...] = (8, 16, 32),
+                      n_probes: int = 10, k: int = 10,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Recall@k of PREFIX-TRUNCATED embeddings against the full-dim
+    exact ranking — the evaluation behind matryoshka representation
+    learning (Kusupati et al., NeurIPS'22): if the first d coordinates
+    carry the signal, a d-dim index answers at a fraction of the
+    memory/FLOPs and this curve says what that truncation costs on YOUR
+    corpus. Returns one row per d: (dims_kept, mean_recall), measured
+    — never asserted — like :func:`ivf_recall_curve`.
+
+    Plan: one exact full-dim reference (:func:`multi_probe_topk`), one
+    truncated top-k per d over ``slice(vec, 1, d)`` — each a narrow
+    map pass + probe-partitioned window; compare joins are
+    (probes × k)-row broadcasts. At scale the truncated pass is the
+    cheap one (d/D of the FLOPs), which is the whole point."""
+    exact = multi_probe_topk(emb, n_probes, k, id_col, vec_col) \
+        .select("probe_id", id_col)
+    denom = float(n_probes * k)
+    parts = []
+    for d in dims:
+        trunc = emb.select(
+            F.col(id_col),
+            F.slice(as_double(F.col(vec_col)), 1, d).alias("_tv"))
+        hit = (multi_probe_topk(trunc, n_probes, k, id_col, "_tv")
+               .select("probe_id", id_col).withColumn("_hit", F.lit(1)))
+        parts.append(
+            exact.join(F.broadcast(hit), ["probe_id", id_col], "left")
+            .agg((F.count("_hit").cast("double") / F.lit(denom))
+                 .alias("_r"))
+            .select(F.lit(d).cast("int").alias("dims_kept"),
+                    F.round("_r", 6).alias("mean_recall")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("dims_kept")

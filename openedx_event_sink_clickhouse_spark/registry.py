@@ -9746,6 +9746,52 @@ def _sim_cov(spark, sf_dir):
     return embedding_covariance(_t(spark, sf_dir, "embeddings"), dims=8)
 
 
+def _matryoshka_sql(dims=(8, 16, 32), n_probes=10, k=10) -> str:
+    denom = float(n_probes * k)
+    ts = ",\n".join(
+        f"t{d} AS (SELECT id, list_slice(v, 1, {d}) AS tv FROM e)"
+        for d in dims)
+    aps = ",\n".join(f"""
+ap{d} AS (
+  SELECT pid, id FROM (
+    SELECT p.id AS pid, x.id,
+           row_number() OVER (PARTITION BY p.id
+               ORDER BY {_cos_sql('x.tv', 'p.tv')} DESC, x.id) AS rn
+    FROM t{d} x CROSS JOIN t{d} p
+    WHERE x.id >= {n_probes} AND p.id < {n_probes}) s
+  WHERE rn <= {k})""" for d in dims)
+    branches = "\nUNION ALL\n".join(f"""
+SELECT CAST({d} AS INT) AS dims_kept,
+       round(CAST(count(a.id) AS DOUBLE) / {denom}, 6) AS mean_recall
+FROM ex LEFT JOIN ap{d} a ON ex.pid = a.pid AND ex.id = a.id"""
+                                    for d in dims)
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (
+  SELECT pid, id FROM (
+    SELECT p.id AS pid, x.id,
+           row_number() OVER (PARTITION BY p.id
+               ORDER BY {_cos_sql('x.v', 'p.v')} DESC, x.id) AS rn
+    FROM e x CROSS JOIN e p
+    WHERE x.id >= {n_probes} AND p.id < {n_probes}) s
+  WHERE rn <= {k}),
+{ts},
+{aps}
+{branches}
+"""
+
+
+@register("sim_matryoshka_recall", _matryoshka_sql())
+def _sim_mrl(spark, sf_dir):
+    # Matryoshka truncation curve (Kusupati et al. NeurIPS'22): what
+    # recall@10 costs when the index keeps only the first 8/16/32 of 64
+    # dims. Measured against the exact full-dim ranking, same compare
+    # shape as sim_ivf_recall — broadcast (probes x k) hit joins.
+    from .operators.similarity import matryoshka_recall
+    return matryoshka_recall(_t(spark, sf_dir, "embeddings"),
+                             dims=(8, 16, 32), n_probes=10, k=10)
+
+
 def _did_sql() -> str:
     conds = {"00": "vr = 0 AND NOT po", "01": "vr = 0 AND po",
              "10": "vr = 1 AND NOT po", "11": "vr = 1 AND po"}

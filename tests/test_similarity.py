@@ -782,3 +782,20 @@ def test_radius_search_exact_threshold_semantics(spark):
     assert set(hits) == {(0, 10), (0, 12), (1, 11), (1, 12)}
     assert hits[(0, 10)] == 1.0
     assert abs(hits[(0, 12)] - 0.707107) < 1e-9   # round(sqrt(2)/2, 6)
+
+
+def test_matryoshka_recall_monotone_and_full_dim_perfect(spark, sf_dir):
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        matryoshka_recall)
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = {r["dims_kept"]: r["mean_recall"]
+            for r in matryoshka_recall(emb, dims=(8, 32, 64),
+                                       n_probes=5, k=5).collect()}
+    assert set(rows) == {8, 32, 64}
+    # keeping ALL dims must reproduce the exact ranking bit-for-bit
+    assert rows[64] == 1.0
+    # truncation can only lose signal on random-ish embeddings; allow
+    # equality (plateaus happen) but never an inversion beyond noise
+    assert rows[8] <= rows[32] + 1e-9
+    assert 0.0 <= rows[8] <= 1.0
