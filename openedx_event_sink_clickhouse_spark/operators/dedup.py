@@ -1309,3 +1309,29 @@ def allpairs_incremental_pairs(batch: DataFrame, spark, path: str,
             .withColumn("jaccard",
                         F.round(F.col("intersect_size").cast("double")
                                 / F.col("union_size"), 6)))
+
+
+def survivors_by_quality(labels: DataFrame, scores: DataFrame,
+                         id_col: str = "doc_id",
+                         score_col: str = "quality_logit") -> DataFrame:
+    """Quality-aware survivor selection: within each duplicate cluster
+    keep the HIGHEST-QUALITY member (ties → min id), not the min-id one.
+    Min-id is an arbitrary tie-break; a production dedup keeps the
+    cleanest representative — pairing the cluster labels with the
+    pinned quality logit makes "which copy survives" a modeling choice
+    instead of an accident of ingestion order.
+
+    One join of the label table to the score table (both O(clustered
+    docs) ≪ corpus), one cluster-partitioned rank window; clusters are
+    near-dup groups, so window state per key is tiny. The unrounded
+    logit orders the window — it is bit-identical cross-engine by the
+    quality model's association-matched contract; the OUTPUT logit is
+    6-dp display-rounded like every score column."""
+    from pyspark.sql import Window
+    j = (labels.select(id_col, "cluster_id")
+         .join(scores.select(id_col, score_col), id_col))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc(score_col), id_col)
+    return (j.withColumn("_rn", F.row_number().over(w))
+            .select(id_col, "cluster_id",
+                    F.round(score_col, 6).alias(score_col),
+                    (F.col("_rn") == 1).alias("is_survivor")))

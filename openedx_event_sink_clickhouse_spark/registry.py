@@ -9746,6 +9746,42 @@ def _sim_cov(spark, sf_dir):
     return embedding_covariance(_t(spark, sf_dir, "embeddings"), dims=8)
 
 
+@register("dedup_survivors_by_quality", None)  # oracle attached below
+def _dds_quality(spark, sf_dir):
+    # Quality-aware survivor choice: the cluster labels (same live
+    # LSH -> connected-components chain as dedup_clusters) joined to
+    # the pinned quality logit; the best-scoring member survives, ties
+    # to min id. The "which copy do we keep" policy knob that min-id
+    # survivor selection hard-codes.
+    from .operators.curation import quality_score
+    from .operators.dedup import (connected_components, minhash_lsh_pairs,
+                                  survivors_by_quality)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.6)
+    labels = connected_components(pairs, checkpoint_dir=_cc_ckpt_dir())
+    return survivors_by_quality(labels, quality_score(docs))
+
+
+def _survivors_by_quality_oracle() -> str:
+    return f"""
+WITH c AS ({_cluster_oracle_sql()}),
+q AS (SELECT doc_id, quality_logit
+      FROM ({REGISTRY['cur_quality_score'][1]})),
+j AS (SELECT c.doc_id, c.cluster_id, q.quality_logit
+      FROM c JOIN q USING (doc_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                ORDER BY quality_logit DESC, doc_id) AS rn FROM j)
+SELECT doc_id, cluster_id, round(quality_logit, 6) AS quality_logit,
+       (rn = 1) AS is_survivor
+FROM r
+"""
+
+
+REGISTRY["dedup_survivors_by_quality"] = (
+    REGISTRY["dedup_survivors_by_quality"][0],
+    _survivors_by_quality_oracle())
+
+
 def _matryoshka_sql(dims=(8, 16, 32), n_probes=10, k=10) -> str:
     denom = float(n_probes * k)
     ts = ",\n".join(

@@ -727,3 +727,22 @@ def test_allpairs_incremental_equals_restricted_recompute(spark, tmp_path):
             for r in allpairs_jaccard(docs, threshold=0.5).collect()
             if r["id_a"] >= split or r["id_b"] >= split}
     assert got == full and got      # non-empty: 12/13 are planted dups
+
+
+def test_survivors_by_quality_prefers_high_score(spark):
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        survivors_by_quality)
+    labels = spark.createDataFrame(
+        [(0, 0, False), (1, 0, True), (5, 5, True), (7, 5, False)],
+        ["doc_id", "cluster_id", "is_survivor"])
+    scores = spark.createDataFrame(
+        [(0, 2.5), (1, -1.0), (5, 0.5), (7, 0.5)],
+        ["doc_id", "quality_logit"])
+    out = {r["doc_id"]: r for r in
+           survivors_by_quality(labels, scores).collect()}
+    # cluster 0: doc 0 outscores doc 1 (min-id would have kept 1)
+    assert out[0]["is_survivor"] and not out[1]["is_survivor"]
+    # cluster 5: exact score tie -> min id survives
+    assert out[5]["is_survivor"] and not out[7]["is_survivor"]
+    # exactly one survivor per cluster
+    assert sum(r["is_survivor"] for r in out.values()) == 2
