@@ -83,15 +83,32 @@ def grouped_moments(df: DataFrame, group_col: str = "event_type",
 
     Plan: map-side partial aggregate → tiny per-group row; no window,
     no second pass, no Python."""
+    return moment_stats(moment_sums(df, group_col, value_col), group_col)
+
+
+def moment_sums(df: DataFrame, group_col: str = "event_type",
+                value_col: str = "value") -> DataFrame:
+    """The MERGEABLE half of :func:`grouped_moments`: per-group exact
+    integer power sums (n, Σm..Σm⁴ over milli-units as DECIMAL(38,0)).
+    Plain sums are commutative/associative, so partial frames from any
+    batch split fold to the one-pass result by groupBy-sum — which is
+    what lets a stream maintain them per epoch partition
+    (:func:`streaming.sketch_maintenance.moments_stream_maintainer`)."""
     m = (F.col(value_col).cast("decimal(18,3)") * 1000).cast("long")
     md = F.col("_m").cast("decimal(38,0)")
     base = (df.filter(F.col(value_col).isNotNull())
-            .select(F.col(group_col).alias("grp"), m.alias("_m")))
+            .select(F.col(group_col), m.alias("_m")))
     m2 = md * md
-    g = base.groupBy("grp").agg(
+    return base.groupBy(group_col).agg(
         F.count("*").alias("n"),
         F.sum(md).alias("s1"), F.sum(m2).alias("s2"),
         F.sum(m2 * md).alias("s3"), F.sum(m2 * m2).alias("s4"))
+
+
+def moment_stats(g: DataFrame,
+                 group_col: str = "event_type") -> DataFrame:
+    """The readout half of :func:`grouped_moments`: one double formula
+    per statistic over the (folded) exact power sums."""
     nd = F.col("n").cast("double")
     s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
     s3, s4 = F.col("s3").cast("double"), F.col("s4").cast("double")
@@ -105,7 +122,7 @@ def grouped_moments(df: DataFrame, group_col: str = "event_type",
     kurt = F.when(m2c > 0, nd * m4c / (m2c * m2c) - F.lit(3.0))
     std = F.when((F.col("n") > 1) & (m2c >= 0),
                  F.sqrt(m2c / (nd - F.lit(1.0))) / F.lit(1000.0))
-    return g.select(F.col("grp").alias(group_col), "n",
+    return g.select(F.col(group_col), "n",
                     F.round(s1 / nd / F.lit(1000.0), 6).alias("mean"),
                     F.round(std, 6).alias("std"),
                     F.round(skew, 6).alias("skewness"),

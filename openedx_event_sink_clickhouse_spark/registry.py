@@ -9746,6 +9746,41 @@ def _sim_cov(spark, sf_dir):
     return embedding_covariance(_t(spark, sf_dir, "embeddings"), dims=8)
 
 
+@register("stream_moment_maintenance", None)  # oracle attached below
+def _stream_moments(spark, sf_dir):
+    # The moment profile maintained BY A STREAM: per-trigger exact power
+    # sums land in epoch partitions (overwrite-idempotent), epoch 1 is
+    # REPLAYED through the recorded file->epoch mapping (at-least-once;
+    # a double-count would shift every statistic), then moment_stats
+    # over the fold must equal the one-pass batch profile — sharing
+    # agg_moment_profile's oracle certifies stream-fold == one-pass,
+    # the same certification the CMS/quantile maintainers carry.
+    import os as _os
+    import tempfile
+    import uuid
+
+    from .operators.profile import moment_stats
+    from .streaming.sketch_maintenance import moments_stream_maintainer
+    from .streaming.stateful import EVENT_SCHEMA
+
+    split_dir = _attr_split_dir(spark, sf_dir)
+    m = moments_stream_maintainer(
+        tempfile.mkdtemp(prefix="mom_stream_") + "/sums")
+    src = (spark.readStream.schema(EVENT_SCHEMA)
+           .option("pathGlobFilter", "batch*.parquet")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(split_dir))
+    rec = _EpochRecorder(m)
+    q = (src.writeStream.foreachBatch(rec)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix=f"ckpt_mom_{uuid.uuid4().hex[:6]}"))
+         .trigger(availableNow=True).start())
+    _await_stream(q)
+    replay = spark.read.parquet(_os.path.join(split_dir, "batch1.parquet"))
+    m(replay, rec.epoch_of("batch1.parquet", 2))
+    return moment_stats(m.fold(spark))
+
+
 @register("dedup_survivors_by_quality", None)  # oracle attached below
 def _dds_quality(spark, sf_dir):
     # Quality-aware survivor choice: the cluster labels (same live
@@ -9932,6 +9967,14 @@ def _agg_moments(spark, sf_dir):
     # precedes winsorization (cur_winsorized_stats picks its cuts here).
     from .operators.profile import grouped_moments
     return grouped_moments(_t(spark, sf_dir, "events"))
+
+
+# Stream-fold == one-pass: integer power sums are associative, so the
+# maintained fold must reproduce the batch profile bit-for-bit — the
+# shared oracle IS that certification.
+REGISTRY["stream_moment_maintenance"] = (
+    REGISTRY["stream_moment_maintenance"][0],
+    REGISTRY["agg_moment_profile"][1])
 
 
 @register("ret_query_likelihood", f"""

@@ -461,3 +461,23 @@ class SeasonalProfileMaintainer:
                          F.round(F.when(tot_s > 0,
                                         mean / (tot_s / tot_n)), 6)
                          .alias("seasonal_index")))
+
+
+def moments_stream_maintainer(path: str, group_col: str = "event_type",
+                              value_col: str = "value",
+                              auto_compact_epochs: int | None = 64
+                              ) -> EpochPartitionedAppender:
+    """Per-group exact power sums (n, Σm..Σm⁴ — ``profile.moment_sums``)
+    kept fresh by a stream: integer sums are the textbook mergeable
+    partial, so the epoch-partition-overwrite replay protocol applies
+    unchanged and ``fold()`` groupBy-sums to EXACTLY the one-pass sums —
+    ``profile.moment_stats`` over the fold equals the batch
+    ``grouped_moments`` bit-for-bit (shared oracle certifies it).
+    Per-epoch state is O(batch groups); compact periodically like the
+    count table."""
+    from ..operators.profile import moment_sums
+
+    return EpochPartitionedAppender(
+        path, lambda b: moment_sums(b, group_col, value_col),
+        [group_col], ["n", "s1", "s2", "s3", "s4"],
+        auto_compact_epochs=auto_compact_epochs)

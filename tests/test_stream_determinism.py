@@ -33,6 +33,8 @@ STREAM_QUERIES = [
     # surface — fence them too
     "stream_attribution",
     "stream_stateful_incremental_gate",
+    # r10 session-2 addition: power-sum maintainer (same replay protocol)
+    "stream_moment_maintenance",
 ]
 
 PERTURBATIONS = [
