@@ -517,3 +517,42 @@ def bounded_contribution_counts(events: DataFrame, group_col: str,
                         F.round((F.col("raw_count")
                                  - F.col("capped_count")).cast("double")
                                 / F.col("raw_count"), 6)))
+
+
+def dp_laplace_release(events: DataFrame, group_col: str = "event_type",
+                       user_col: str = "user_id", cap: int = 5,
+                       epsilon: float = 1.0,
+                       salt: str = "dp") -> DataFrame:
+    """Laplace-mechanism release over the sensitivity-bounded counts:
+    noisy_count = capped_count + Lap(cap/ε), the ε-DP release step that
+    :func:`bounded_contribution_counts` prepares for. The noise is
+    DERANDOMIZED for oracle parity — the uniform driving the inverse
+    CDF comes from the md5 hash of the (salted) group key,
+    u = (h32 + 0.5)/2³², so the mechanism's TRANSFORM is certified
+    cross-engine while a production deployment swaps in a real RNG for
+    the uniform (one line; the privacy analysis is about the noise
+    DISTRIBUTION, which the inverse CDF fixes, not the entropy source —
+    a salted-hash uniform is a pedagogical stand-in, not a privacy
+    claim). +0.5 keeps u in (0,1) and off the u=0.5 sign boundary
+    (h32 is an integer, so u can never equal 0.5 exactly and
+    ln(1-2|u-0.5|) never sees 0). ln at 6-dp output rounding is the
+    repo's established cross-engine-safe surface.
+
+    The capped_count column rides along for the demo's auditability; a
+    real release drops it. Plan: the two bounded-contribution hash
+    aggregates plus a map-only noise projection — nothing new shuffles.
+    """
+    from ..functions.hashes import md5_hash32
+    b = float(cap) / float(epsilon)
+    g = bounded_contribution_counts(events, group_col, user_col, cap) \
+        .select(group_col, "capped_count")
+    h = md5_hash32(F.concat(F.lit(f"{salt}#"),
+                            F.col(group_col).cast("string")))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    noise = (F.lit(-b) * F.signum(u - F.lit(0.5))
+             * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))))
+    return g.select(
+        group_col, "capped_count",
+        F.lit(float(cap)).alias("sensitivity"),
+        F.lit(float(epsilon)).alias("epsilon"),
+        F.round(F.col("capped_count") + noise, 6).alias("noisy_count"))

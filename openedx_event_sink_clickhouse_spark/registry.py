@@ -9285,6 +9285,38 @@ def _dq_bounded(spark, sf_dir):
                                        "event_type", cap=5)
 
 
+@register("dq_dp_release", """
+WITH pu AS (
+  SELECT event_type, user_id, count(*) AS c
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, CAST(sum(least(c, 5)) AS BIGINT) AS capped_count
+  FROM pu GROUP BY 1
+), n AS (
+  SELECT event_type, capped_count,
+         (CAST(CAST('0x' || substr(md5('dp#' || event_type), 1, 8)
+                    AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+  FROM g
+)
+SELECT event_type, capped_count,
+       CAST(5.0 AS DOUBLE) AS sensitivity, CAST(1.0 AS DOUBLE) AS epsilon,
+       round(capped_count
+             + (-5.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+         AS noisy_count
+FROM n
+""")
+def _dq_dp(spark, sf_dir):
+    # Laplace-mechanism release over the sensitivity-bounded counts —
+    # the noise layer dq_bounded_contribution prepares for, with the
+    # inverse-CDF transform derandomized via the md5 uniform so both
+    # engines certify the mechanism (production swaps the entropy
+    # source, not the transform). u = (h32+0.5)/2^32 can never sit on
+    # the 0.5 sign boundary or reach ln(0).
+    from .operators.quality_audit import dp_laplace_release
+    return dp_laplace_release(_t(spark, sf_dir, "events"),
+                              cap=5, epsilon=1.0)
+
+
 @register("text_feature_hashing", """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w

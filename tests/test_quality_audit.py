@@ -327,3 +327,44 @@ def test_bounded_contribution_caps_hyperactive_user(spark):
     assert (r.raw_count, r.capped_count) == (103, 8)
     assert (r.n_users, r.n_capped_users) == (4, 1)
     assert abs(r.mass_removed - 95 / 103) < 1e-6
+
+
+def test_dp_release_noise_distribution_and_determinism(spark, sf_dir):
+    import math
+    from openedx_event_sink_clickhouse_spark.functions.hashes import (
+        md5_hash32)
+    from openedx_event_sink_clickhouse_spark.operators.quality_audit import (
+        dp_laplace_release)
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    ev = load_table(spark, "events", sf_dir)
+    out = {r["event_type"]: r for r in
+           dp_laplace_release(ev, cap=5, epsilon=1.0).collect()}
+    # reproduce one group's noise by hand from the md5 uniform
+    import hashlib
+    for et, r in out.items():
+        h = int(hashlib.md5(f"dp#{et}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        want = r["capped_count"] + (-5.0) * math.copysign(1.0, u - 0.5) \
+            * math.log(1.0 - 2.0 * abs(u - 0.5))
+        assert r["noisy_count"] == round(want, 6), et
+        assert r["sensitivity"] == 5.0 and r["epsilon"] == 1.0
+    # deterministic across reruns
+    again = {r["event_type"]: r["noisy_count"]
+             for r in dp_laplace_release(ev, cap=5, epsilon=1.0).collect()}
+    assert again == {k: v["noisy_count"] for k, v in out.items()}
+
+
+def test_dp_release_epsilon_scales_noise(spark, sf_dir):
+    from openedx_event_sink_clickhouse_spark.operators.quality_audit import (
+        dp_laplace_release)
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    ev = load_table(spark, "events", sf_dir)
+    tight = {r["event_type"]: r for r in
+             dp_laplace_release(ev, cap=5, epsilon=10.0).collect()}
+    loose = {r["event_type"]: r for r in
+             dp_laplace_release(ev, cap=5, epsilon=0.1).collect()}
+    for et in tight:
+        noise_tight = abs(tight[et]["noisy_count"] - tight[et]["capped_count"])
+        noise_loose = abs(loose[et]["noisy_count"] - loose[et]["capped_count"])
+        # same uniform, scale b differs by exactly 100x
+        assert abs(noise_loose - 100.0 * noise_tight) < 1e-3, et
