@@ -505,3 +505,75 @@ def label_propagation(edges: DataFrame, rounds: int = 2,
                           F.coalesce(picked["label"],
                                      F.col("node")).alias("label")))
     return labels
+
+
+def adamic_adar(edges: DataFrame, id_a: str = "id_a",
+                id_b: str = "id_b") -> DataFrame:
+    """Per-edge Adamic–Adar score — the frequency-weighted
+    link-prediction refinement of :func:`neighbor_jaccard`:
+    ``AA(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w))``, so a common neighbor
+    shared with half the graph contributes almost nothing while a rare
+    mutual contact is strong evidence (Adamic & Adar, 2003). Returns
+    (id_a, id_b, common_neighbors, adamic_adar) for every input edge.
+
+    Same degree-oriented wedge join as :func:`triangle_counts` (hub-safe
+    O(√m) out-degrees), but the per-triangle explode carries WHICH node
+    is the common neighbor of each credited edge, so the weight can
+    look up that node's degree. Each 1/ln(deg) weight is quantized to
+    DECIMAL(18,9) BEFORE summing — decimal sums are order-free, so the
+    aggregate is engine-reproducible (a raw double sum would depend on
+    partition order); a common neighbor has degree ≥ 2 by construction,
+    so ln is never 0. The 9-dp round sits in the same accepted last-ulp
+    libm-ln risk class documented at :func:`pagerank`."""
+    und = (edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+           .union(edges.select(F.col(id_b).alias("u"),
+                               F.col(id_a).alias("v"))))
+    deg = und.groupBy("u").agg(F.count("*").alias("d")) \
+             .select(F.col("u").alias("id"), "d")
+    da, db = deg.alias("da"), deg.alias("db")
+    e = (edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+         .join(da, F.col("a") == F.col("da.id"))
+         .join(db, F.col("b") == F.col("db.id"))
+         .select(
+             F.when((F.col("da.d") < F.col("db.d"))
+                    | ((F.col("da.d") == F.col("db.d"))
+                       & (F.col("a") < F.col("b"))),
+                    F.struct(F.col("a").alias("s"), F.col("b").alias("t")))
+             .otherwise(
+                    F.struct(F.col("b").alias("s"), F.col("a").alias("t")))
+             .alias("e"))
+         .select("e.s", "e.t"))
+    w1 = e.select(F.col("s").alias("apex"), F.col("t").alias("t1"))
+    w2 = e.select(F.col("s").alias("apex"), F.col("t").alias("t2"))
+    closing = e.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tri = (w1.join(w2, "apex")
+           .join(closing, ["t1", "t2"])
+           .select("apex", "t1", "t2"))
+    # credit each triangle to its 3 edges, carrying the edge's common
+    # neighbor (the triangle's third vertex)
+    per_edge = (tri.select(F.explode(F.array(
+        F.struct(F.least("apex", "t1").alias("lo"),
+                 F.greatest("apex", "t1").alias("hi"),
+                 F.col("t2").alias("w")),
+        F.struct(F.least("apex", "t2").alias("lo"),
+                 F.greatest("apex", "t2").alias("hi"),
+                 F.col("t1").alias("w")),
+        F.struct(F.least("t1", "t2").alias("lo"),
+                 F.greatest("t1", "t2").alias("hi"),
+                 F.col("apex").alias("w")))).alias("p"))
+        .select("p.lo", "p.hi", "p.w")
+        .join(deg.select(F.col("id").alias("w"),
+                         F.col("d").alias("dw")), "w")
+        .groupBy("lo", "hi")
+        .agg(F.count("*").alias("common"),
+             F.sum(F.round(F.lit(1.0) / F.log("dw"), 9)
+                   .cast("decimal(18,9)")).alias("aas")))
+    zero = F.lit(0).cast("decimal(18,9)")
+    return (edges.select(F.least(id_a, id_b).alias("lo"),
+                         F.greatest(id_a, id_b).alias("hi"))
+            .join(per_edge, ["lo", "hi"], "left")
+            .select(F.col("lo").alias(id_a), F.col("hi").alias(id_b),
+                    F.coalesce("common", F.lit(0)).cast("bigint")
+                    .alias("common_neighbors"),
+                    F.round(F.coalesce(F.col("aas"), zero).cast("double"),
+                            6).alias("adamic_adar")))

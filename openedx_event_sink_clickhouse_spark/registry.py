@@ -1399,6 +1399,42 @@ def _graph_jacc(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+@register("graph_adamic_adar", f"""
+WITH pairs AS ({_srp_neardup_oracle_sql()}),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs),
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u AS id, count(*) AS d FROM und GROUP BY u),
+cn AS (
+  SELECT e.u AS lo, e.v AS hi, n1.v AS w
+  FROM e
+  JOIN und n1 ON n1.u = e.u
+  JOIN und n2 ON n2.u = e.v AND n2.v = n1.v
+),
+aa AS (
+  SELECT lo, hi, CAST(count(*) AS BIGINT) AS common,
+         sum(CAST(round(1.0 / ln(d.d), 9) AS DECIMAL(18,9))) AS aas
+  FROM cn JOIN deg d ON d.id = cn.w
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       CAST(coalesce(aa.common, 0) AS BIGINT) AS common_neighbors,
+       round(CAST(coalesce(aa.aas, CAST(0 AS DECIMAL(18,9))) AS DOUBLE), 6)
+         AS adamic_adar
+FROM pairs p
+LEFT JOIN aa ON aa.lo = p.id_a AND aa.hi = p.id_b
+ORDER BY p.id_a, p.id_b
+""")
+def _graph_aa(spark, sf_dir):
+    # Adamic-Adar over the same at-rest similarity edges: the rare-
+    # common-neighbor link-prediction weight (1/ln deg), summed as
+    # 9-dp decimals so the aggregate is order-free; the oracle's direct
+    # two-hop join names each common neighbor exactly once per edge,
+    # matching the wedge-join's third-vertex credit.
+    from .operators.graph import adamic_adar
+    pairs = _semantic_pairs(spark, sf_dir)
+    return adamic_adar(pairs).orderBy("id_a", "id_b")
+
+
 def _copurchase_pairs_sql() -> str:
     return ("""SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS id_a,
                 greatest(a.l_partkey, b.l_partkey) AS id_b

@@ -295,3 +295,30 @@ def test_label_propagation_deterministic_tiebreak(spark):
     out = {r.node: r.label for r in
            label_propagation(df, rounds=1).collect()}
     assert out[9] == 5  # ties between labels 5 and 7 break low
+
+
+def test_adamic_adar_hand_computed(spark):
+    import math
+    from openedx_event_sink_clickhouse_spark.operators.graph import (
+        adamic_adar)
+    # square 1-2-3-4 plus diagonal 1-3: edge (1,3) has common neighbors
+    # {2, 4} (deg 2 each); edge (1,2) has common neighbor {3} (deg 3);
+    # edge (2,3) likewise {1} (deg 3); (3,4)/(1,4) have {1,3}∩... = {3}? no:
+    # N(3)={1,2,4}, N(4)={1,3} -> common {1} (deg 3).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)], ["id_a", "id_b"])
+    out = {(r["id_a"], r["id_b"]): r for r in adamic_adar(edges).collect()}
+    w2, w3 = 1.0 / math.log(2.0), 1.0 / math.log(3.0)
+    q = lambda x: round(x, 9)          # operator quantizes each weight
+    assert out[(1, 3)]["common_neighbors"] == 2
+    assert out[(1, 3)]["adamic_adar"] == round(q(w2) + q(w2), 6)
+    for e in ((1, 2), (2, 3), (3, 4), (1, 4)):
+        assert out[e]["common_neighbors"] == 1
+        assert out[e]["adamic_adar"] == round(q(w3), 6), e
+    # disconnected edge scores zero, still present
+    out2 = {(r["id_a"], r["id_b"]): r
+            for r in adamic_adar(edges.union(
+                spark.createDataFrame([(8, 9)], ["id_a", "id_b"])))
+            .collect()}
+    assert out2[(8, 9)]["common_neighbors"] == 0
+    assert out2[(8, 9)]["adamic_adar"] == 0.0
