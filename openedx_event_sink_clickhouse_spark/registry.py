@@ -10196,6 +10196,8 @@ _PRIORITY = [
     "dedup_allpairs_jaccard", "dedup_allpairs_incremental",
     "sim_embedding_covariance", "evt_ols_readout",
     "ret_query_likelihood", "agg_moment_profile", "evt_did_readout",
+    "stream_moment_maintenance", "sim_matryoshka_recall",
+    "dedup_survivors_by_quality", "dq_dp_release", "graph_adamic_adar",
     # -- the rotation the r9 window promised: r4-graded stragglers --
     "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
     "evt_funnel_latency", "dq_psi_drift", "graph_kcore",
@@ -10207,14 +10209,14 @@ _PRIORITY = [
     "text_tokenizer_fertility", "evt_logrank_test",
     "graph_clustering_coefficient", "evt_churn_labels", "dq_expectations",
     "mm_wav_normalize_gain", "src_jsonl_roundtrip", "src_csv_roundtrip",
-    "dq_k_anonymity", "mm_png_resize_stats", "evt_sequential_monitoring",
-    "cur_data_card", "mm_decode_stats",
     # (after these 50: the judge-verified r9 stragglers the additions
-    # displaced — mm_resize, text_entropy_signals,
-    # mm_wav_silence_segments, evt_markov_transitions,
-    # agg_histogram_quantiles, mm_png_metadata, ret_phrase_search —
-    # then the r9-graded cohort and the r5-r8 cohorts; every entry has
-    # at least one green driver grade or a judge verification)
+    # displaced — dq_k_anonymity, mm_png_resize_stats,
+    # evt_sequential_monitoring, cur_data_card, mm_decode_stats,
+    # mm_resize, text_entropy_signals, mm_wav_silence_segments,
+    # evt_markov_transitions, agg_histogram_quantiles, mm_png_metadata,
+    # ret_phrase_search — then the r9-graded cohort and the r5-r8
+    # cohorts; every entry has at least one green driver grade or a
+    # judge verification)
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -631,3 +631,28 @@ def test_allpairs_incremental_probes_index_artifacts(q, spark, sf_dir):
     plan = plan_of(q["dedup_allpairs_incremental"](spark, sf_dir))
     for artifact in ("/df", "/prefix", "/docs"):
         assert artifact in plan, artifact
+
+
+def test_dp_release_only_bounded_contribution_exchanges(q, spark, sf_dir):
+    # the Laplace layer must stay a map-only projection over the two
+    # bounded-contribution aggregates — a third exchange means the
+    # noise stage started shuffling
+    plan = plan_of(q["dq_dp_release"](spark, sf_dir))
+    assert plan.count("Exchange") == 2, plan
+    assert "partial_" in plan
+
+
+def test_adamic_adar_stays_wedge_shaped(q, spark, sf_dir):
+    # like the jaccard/triangle family: token of the hub-safe oriented
+    # wedge join is that NO cartesian/unbounded product ever appears
+    plan = plan_of(q["graph_adamic_adar"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_survivors_one_window_two_exchanges(q, spark, sf_dir):
+    # label<->score join + one cluster-partitioned rank window; a
+    # second window (or a corpus-wide shuffle) is a regression
+    plan = plan_of(q["dedup_survivors_by_quality"](spark, sf_dir))
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange") == 2, plan
