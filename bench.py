@@ -244,6 +244,18 @@ HEADLINE = [
     "sim_range_search",            # radius retrieval (map-only scan)
     "text_ngram_diversity",        # distinct-n mode-collapse readout
     "evt_dau_mau",                 # DAU/WAU stickiness ratio
+    "dedup_allpairs_jaccard",      # exact set-similarity self-join
+    "dedup_allpairs_incremental",  # batch probe of the at-rest index
+    "dedup_survivors_by_quality",  # quality-logit survivor policy
+    "sim_embedding_covariance",    # sufficient-statistics covariance
+    "sim_matryoshka_recall",       # prefix-truncation recall curve
+    "ret_query_likelihood",        # Dirichlet-smoothed LM ranking
+    "agg_moment_profile",          # one-pass skew/kurtosis
+    "evt_ols_readout",             # normal-equation OLS
+    "evt_did_readout",             # diff-in-diff 2x2
+    "stream_moment_maintenance",   # power-sum stream maintainer
+    "dq_dp_release",               # Laplace release over bounded counts
+    "graph_adamic_adar",           # weighted common-neighbor scores
 ]
 
 
