@@ -113,6 +113,17 @@ SHOW = [
     "evt_bot_detection",
     "text_feature_hashing",
     "rec_user_items",
+    "dedup_allpairs_jaccard",
+    "dedup_allpairs_incremental",
+    "dedup_survivors_by_quality",
+    "sim_embedding_covariance",
+    "sim_matryoshka_recall",
+    "ret_query_likelihood",
+    "agg_moment_profile",
+    "evt_ols_readout",
+    "evt_did_readout",
+    "dq_dp_release",
+    "graph_adamic_adar",
 ]
 
 SF = "/root/testdata/sf0.001"
