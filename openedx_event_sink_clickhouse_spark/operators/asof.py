@@ -78,3 +78,74 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         for c in out_vals.values():
             out = out.withColumn(c, F.when(fresh, F.col(c)))
     return out
+
+
+def asof_nearest(left: DataFrame, right: DataFrame, key: str,
+                 left_ts: str, right_ts: str,
+                 value_cols: list[str], prefix: str = "asof_",
+                 tolerance_us: int | None = None) -> DataFrame:
+    """Nearest-in-time join (pandas ``merge_asof(direction='nearest')``):
+    every ``left`` row gets the ``right`` row with the SMALLEST absolute
+    time distance per key — sensor/state alignment where the relevant
+    snapshot may sit just after the event as well as before. Ties
+    (equidistant before/after) take the earlier (backward) row, matching
+    pandas. Adds ``prefix``-named value copies plus
+    ``prefix+delta_us`` (signed: positive = matched row is earlier).
+
+    Same union-merge-scan shape as :func:`asof_join` — ONE shuffle on
+    the key, ONE sort, with the backward candidate read from a
+    preceding-rows frame and the forward candidate from a
+    following-rows frame over the same sorted partition (two WindowExpr,
+    one Window sort — no second exchange). Distances compare as exact
+    integer microseconds (``unix_micros``), so the tie surface is
+    integral, never FP. ``tolerance_us`` bounds |delta| with the same
+    post-filter NULL-revert semantics as ``asof_join``'s staleness
+    bound."""
+    out_vals = {c: f"{prefix}{c}" for c in [right_ts, *value_cols]}
+
+    l_tagged = left.withColumn("_ts", F.col(left_ts)) \
+                   .withColumn("_side", F.lit(1))
+    for c in out_vals.values():
+        l_tagged = l_tagged.withColumn(c, F.lit(None))
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).alias(c) for c in left.columns if c != key],
+        F.col(right_ts).alias(out_vals[right_ts]),
+        *[F.col(c).alias(out_vals[c]) for c in value_cols],
+    )
+    cols = [key, "_ts", "_side"] + \
+           [c for c in left.columns if c != key] + list(out_vals.values())
+    unioned = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
+
+    sort = Window.partitionBy(key).orderBy("_ts", "_side")
+    wb = sort.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = sort.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    filled = unioned.select(
+        *[c for c in cols if c not in out_vals.values()],
+        *[F.last(c, ignorenulls=True).over(wb).alias(f"_b_{c}")
+          for c in out_vals.values()],
+        *[F.first(c, ignorenulls=True).over(wf).alias(f"_f_{c}")
+          for c in out_vals.values()])
+    lrows = filled.filter(F.col("_side") == 1)
+
+    rts_out = out_vals[right_ts]
+    l_us = F.unix_micros(F.col(left_ts))
+    b_us = F.unix_micros(F.col(f"_b_{rts_out}"))
+    f_us = F.unix_micros(F.col(f"_f_{rts_out}"))
+    take_back = F.col(f"_f_{rts_out}").isNull() | (
+        F.col(f"_b_{rts_out}").isNotNull()
+        & ((l_us - b_us) <= (f_us - l_us)))
+    picked = lrows.select(
+        *[c for c in left.columns],
+        *[F.when(take_back, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
+          .alias(c) for c in out_vals.values()])
+    delta = (F.unix_micros(F.col(left_ts))
+             - F.unix_micros(F.col(rts_out))).cast("bigint")
+    out = picked.withColumn(f"{prefix}delta_us", delta)
+    if tolerance_us is not None:
+        fresh = F.abs(F.col(f"{prefix}delta_us")) <= F.lit(tolerance_us)
+        for c in [*out_vals.values(), f"{prefix}delta_us"]:
+            out = out.withColumn(c, F.when(fresh, F.col(c)))
+    return out

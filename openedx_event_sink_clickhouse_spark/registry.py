@@ -2570,6 +2570,60 @@ def _asof1(spark, sf_dir):
                       "asof_ts", "asof_value")
 
 
+@register("asof_nearest_purchase", """
+WITH p AS (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+u AS (
+  SELECT user_id, ts, 1 AS tag, event_id, event_type, value,
+         CAST(NULL AS TIMESTAMP_NS) AS rts, CAST(NULL AS DOUBLE) AS rval
+  FROM events
+  UNION ALL
+  SELECT user_id, ts, 0 AS tag, NULL, NULL, NULL, ts, value FROM p),
+w AS (
+  SELECT *,
+    last_value(rts IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, tag
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bts,
+    last_value(rval IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, tag
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bval,
+    first_value(rts IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, tag
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fts,
+    first_value(rval IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, tag
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fval
+  FROM u),
+c AS (
+  SELECT *,
+    (fts IS NULL OR (bts IS NOT NULL AND
+       epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts)))
+      AS take_back
+  FROM w WHERE tag = 1)
+SELECT event_id, user_id, ts, event_type, value,
+  CASE WHEN take_back THEN bts ELSE fts END AS asof_ts,
+  CASE WHEN take_back THEN bval ELSE fval END AS asof_value,
+  CAST(epoch_us(ts)
+       - epoch_us(CASE WHEN take_back THEN bts ELSE fts END) AS BIGINT)
+    AS asof_delta_us
+FROM c
+""")
+def _asof_nearest(spark, sf_dir):
+    # Nearest-in-time enrichment (merge_asof direction='nearest'): the
+    # backward and forward candidates come from two frames over ONE
+    # sorted partition scan; distances compare as exact integer micros,
+    # equidistant ties take the earlier row. DuckDB has no nearest ASOF
+    # operator, so the oracle is the same union-merge-scan spelled in
+    # window SQL.
+    from .operators.asof import asof_nearest
+    events = _t(spark, sf_dir, "events")
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "value"))
+    out = asof_nearest(events, purchases, "user_id", "ts", "ts", ["value"])
+    return out.select("event_id", "user_id", "ts", "event_type", "value",
+                      "asof_ts", "asof_value", "asof_delta_us")
+
+
 @register("asof_recent_purchase", """
 WITH p AS (
   SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'

@@ -66,3 +66,52 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     loose = {r.eid: r.asof_v for r in
              asof_join(left, right, "k", "ts", "ts", ["v"]).collect()}
     assert loose[100] == 7.0
+
+
+def test_asof_nearest_picks_closer_side_and_breaks_ties_backward(spark):
+    import datetime as dt
+    from openedx_event_sink_clickhouse_spark.operators.asof import (
+        asof_nearest)
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 1, t(10)),   # back at 8 (d=2), fwd at 13 (d=3) -> back
+         (2, 1, t(12)),   # back at 8 (d=4), fwd at 13 (d=1) -> fwd
+         (3, 1, t(5)),    # no back -> fwd at 8
+         (4, 1, t(20)),   # no fwd -> back at 13
+         (5, 2, t(9))],   # key with no right rows -> NULLs
+        ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [(1, t(8), 80.0), (1, t(13), 130.0)],
+        ["user_id", "ts", "value"])
+    out = {r["event_id"]: r for r in
+           asof_nearest(left, right, "user_id", "ts", "ts",
+                        ["value"]).collect()}
+    assert out[1]["asof_value"] == 80.0 and out[1]["asof_delta_us"] == 2_000_000
+    assert out[2]["asof_value"] == 130.0 and out[2]["asof_delta_us"] == -1_000_000
+    assert out[3]["asof_value"] == 80.0
+    assert out[4]["asof_value"] == 130.0
+    assert out[5]["asof_value"] is None and out[5]["asof_delta_us"] is None
+    # exact tie: left at 10.5 between 8 and 13. Use integer-second grid:
+    # left at 9 -> back d=1 vs fwd d=4 -> back; craft a true tie at 10.5us
+    tie_left = spark.createDataFrame(
+        [(9, 1, dt.datetime(2024, 1, 1, 0, 0, 10, 500000))],
+        ["event_id", "user_id", "ts"])
+    tie = asof_nearest(tie_left, right, "user_id", "ts", "ts",
+                       ["value"]).collect()[0]
+    assert tie["asof_value"] == 80.0      # equidistant -> earlier row
+
+
+def test_asof_nearest_tolerance_reverts_to_null(spark):
+    import datetime as dt
+    from openedx_event_sink_clickhouse_spark.operators.asof import (
+        asof_nearest)
+    left = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 5))], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)], ["user_id", "ts", "value"])
+    hit = asof_nearest(left, right, "user_id", "ts", "ts", ["value"],
+                       tolerance_us=5 * 86_400_000_000).collect()[0]
+    assert hit["asof_value"] == 1.0
+    miss = asof_nearest(left, right, "user_id", "ts", "ts", ["value"],
+                        tolerance_us=86_400_000_000).collect()[0]
+    assert miss["asof_value"] is None and miss["asof_delta_us"] is None

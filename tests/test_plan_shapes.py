@@ -656,3 +656,12 @@ def test_quality_survivors_one_window_two_exchanges(q, spark, sf_dir):
     plan = plan_of(q["dedup_survivors_by_quality"](spark, sf_dir))
     assert plan.count("Window") == 1, plan
     assert plan.count("Exchange") == 2, plan
+
+
+def test_asof_nearest_one_exchange_one_sort_one_window(q, spark, sf_dir):
+    # backward and forward candidates must come from frames over the
+    # SAME sorted partition scan — a second sort or exchange means the
+    # two directions stopped sharing the merge scan
+    plan = plan_of(q["asof_nearest_purchase"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan
