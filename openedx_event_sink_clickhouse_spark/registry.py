@@ -10252,6 +10252,7 @@ _PRIORITY = [
     "ret_query_likelihood", "agg_moment_profile", "evt_did_readout",
     "stream_moment_maintenance", "sim_matryoshka_recall",
     "dedup_survivors_by_quality", "dq_dp_release", "graph_adamic_adar",
+    "asof_nearest_purchase",
     # -- the rotation the r9 window promised: r4-graded stragglers --
     "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
     "evt_funnel_latency", "dq_psi_drift", "graph_kcore",
@@ -10262,9 +10263,9 @@ _PRIORITY = [
     "dq_benford_audit", "agg_kmv_distinct", "evt_anomaly_mad",
     "text_tokenizer_fertility", "evt_logrank_test",
     "graph_clustering_coefficient", "evt_churn_labels", "dq_expectations",
-    "mm_wav_normalize_gain", "src_jsonl_roundtrip", "src_csv_roundtrip",
+    "mm_wav_normalize_gain", "src_jsonl_roundtrip",
     # (after these 50: the judge-verified r9 stragglers the additions
-    # displaced — dq_k_anonymity, mm_png_resize_stats,
+    # displaced — src_csv_roundtrip, dq_k_anonymity, mm_png_resize_stats,
     # evt_sequential_monitoring, cur_data_card, mm_decode_stats,
     # mm_resize, text_entropy_signals, mm_wav_silence_segments,
     # evt_markov_transitions, agg_histogram_quantiles, mm_png_metadata,
