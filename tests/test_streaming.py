@@ -780,3 +780,64 @@ def test_scd2_bucketed_recovers_stranded_bucket(spark, tmp_path):
     hist = m.history(spark)
     assert hist.count() == 2  # both keys' history visible again
     assert os.path.isdir(victim) and not os.path.isdir(victim + ".old")
+
+
+def test_watermark_late_drop_and_append_emission_semantics(spark, tmp_path):
+    """Pin Spark's append-mode watermark contract on a 4-batch file
+    fixture (kept as a TEST, not an oracle query, deliberately: the
+    late-row filter uses a watermark that LAGS the displayed one by a
+    batch — an implementation detail that could shift across Spark
+    versions, which is a flake surface an oracle hash must never sit
+    on). What this pins:
+      - rows below the lagging filter watermark ARE dropped
+        (numRowsDroppedByWatermark) once the lag catches up;
+      - a late row arriving before the filter catches up is ACCEPTED
+        (batch 1's 00:30 row lands despite wm showing 04:00);
+      - append mode emits exactly the windows whose end <= final
+        watermark; later windows stay in state, unemitted."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    t = lambda *a: dt.datetime(2024, 1, 1, *a)
+    batches = [
+        [(1, t(3, 30)), (2, t(5, 0))],   # wm(display) -> 04:00 after
+        [(3, t(0, 30)), (4, t(3, 45))],  # accepted: filter wm still 0
+        [(5, t(6, 0))],                  # advances wm to 05:00
+        [(6, t(3, 50)), (7, t(0, 45))],  # dropped: filter wm now 04:00
+    ]
+    d = str(tmp_path / "wmfix")
+    os.makedirs(d)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        tmp = os.path.join(d, f"_b{i}")
+        b.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(d, f"batch{i}.parquet"))
+        shutil.rmtree(tmp)
+        os.utime(os.path.join(d, f"batch{i}.parquet"),
+                 (now - 1000 + i * 100,) * 2)
+    src = (spark.readStream.schema("event_id long, ts timestamp")
+           .option("pathGlobFilter", "batch*.parquet")
+           .option("maxFilesPerTrigger", 1).parquet(d))
+    agg = (src.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w")).count())
+    q = (agg.writeStream.format("memory").queryName("wm_semantics")
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp())
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300), "stream did not finish"
+    dropped = [p["stateOperators"][0]["numRowsDroppedByWatermark"]
+               for p in q.recentProgress if p["numInputRows"]]
+    assert dropped == [0, 0, 0, 2], dropped
+    got = {(str(r["start"]), r["count"]) for r in spark.sql(
+        "select w.start as start, count from wm_semantics").collect()}
+    assert got == {("2024-01-01 00:00:00", 1),   # 00:30 accepted late
+                   ("2024-01-01 03:00:00", 2)}   # 03:30 + accepted 03:45
+    # [05:00) and [06:00) windows: end > final watermark 05:00 -> held
