@@ -254,6 +254,7 @@ HEADLINE = [
     "evt_ols_readout",             # normal-equation OLS
     "evt_did_readout",             # diff-in-diff 2x2
     "stream_moment_maintenance",   # power-sum stream maintainer
+    "stream_hll_maintenance",      # HLL day-cell stream maintainer
     "dq_dp_release",               # Laplace release over bounded counts
     "graph_adamic_adar",           # weighted common-neighbor scores
 ]

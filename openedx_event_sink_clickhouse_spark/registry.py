@@ -9903,6 +9903,42 @@ def _stream_moments(spark, sf_dir):
     return moment_stats(m.fold(spark))
 
 
+@register("stream_hll_maintenance", None)  # oracle attached below
+def _stream_hll(spark, sf_dir):
+    # The daily HLL sketch table maintained BY A STREAM: per-trigger
+    # day-cells land in epoch partitions, epoch 1 is REPLAYED through
+    # the recorded file->epoch mapping (a double-union is harmless to
+    # HLL registers, but a double-COUNT of n_events is not — the
+    # maintained counts ride through the report so a replay bug breaks
+    # the hash), then the certified rollup is served from the fold.
+    # Shares agg_hll_distinct_rollup's oracle: stream-fold == one-pass.
+    import os as _os
+    import tempfile
+    import uuid
+
+    from .operators.cardinality import certified_report_from_sketches
+    from .streaming.sketch_maintenance import hll_stream_maintainer
+    from .streaming.stateful import EVENT_SCHEMA
+
+    split_dir = _attr_split_dir(spark, sf_dir)
+    m = hll_stream_maintainer(
+        tempfile.mkdtemp(prefix="hll_stream_") + "/cells")
+    src = (spark.readStream.schema(EVENT_SCHEMA)
+           .option("pathGlobFilter", "batch*.parquet")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(split_dir))
+    rec = _EpochRecorder(m)
+    q = (src.writeStream.foreachBatch(rec)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix=f"ckpt_hll_{uuid.uuid4().hex[:6]}"))
+         .trigger(availableNow=True).start())
+    _await_stream(q)
+    replay = spark.read.parquet(_os.path.join(split_dir, "batch1.parquet"))
+    m(replay, rec.epoch_of("batch1.parquet", 2))
+    return certified_report_from_sketches(m.fold(spark),
+                                          _t(spark, sf_dir, "events"))
+
+
 @register("dedup_survivors_by_quality", None)  # oracle attached below
 def _dds_quality(spark, sf_dir):
     # Quality-aware survivor choice: the cluster labels (same live
@@ -10097,6 +10133,12 @@ def _agg_moments(spark, sf_dir):
 REGISTRY["stream_moment_maintenance"] = (
     REGISTRY["stream_moment_maintenance"][0],
     REGISTRY["agg_moment_profile"][1])
+# Same certification for the HLL day-cell maintainer: register-max
+# merging is deterministic, so the stream fold must reproduce the
+# one-pass certified rollup report exactly.
+REGISTRY["stream_hll_maintenance"] = (
+    REGISTRY["stream_hll_maintenance"][0],
+    REGISTRY["agg_hll_distinct_rollup"][1])
 
 
 @register("ret_query_likelihood", f"""
@@ -10250,7 +10292,8 @@ _PRIORITY = [
     "dedup_allpairs_jaccard", "dedup_allpairs_incremental",
     "sim_embedding_covariance", "evt_ols_readout",
     "ret_query_likelihood", "agg_moment_profile", "evt_did_readout",
-    "stream_moment_maintenance", "sim_matryoshka_recall",
+    "stream_moment_maintenance", "stream_hll_maintenance",
+    "sim_matryoshka_recall",
     "dedup_survivors_by_quality", "dq_dp_release", "graph_adamic_adar",
     "asof_nearest_purchase",
     # -- the rotation the r9 window promised: r4-graded stragglers --
@@ -10263,9 +10306,9 @@ _PRIORITY = [
     "dq_benford_audit", "agg_kmv_distinct", "evt_anomaly_mad",
     "text_tokenizer_fertility", "evt_logrank_test",
     "graph_clustering_coefficient", "evt_churn_labels", "dq_expectations",
-    "mm_wav_normalize_gain", "src_jsonl_roundtrip",
+    "mm_wav_normalize_gain",
     # (after these 50: the judge-verified r9 stragglers the additions
-    # displaced — src_csv_roundtrip, dq_k_anonymity, mm_png_resize_stats,
+    # displaced — src_jsonl_roundtrip, src_csv_roundtrip, dq_k_anonymity, mm_png_resize_stats,
     # evt_sequential_monitoring, cur_data_card, mm_decode_stats,
     # mm_resize, text_entropy_signals, mm_wav_silence_segments,
     # evt_markov_transitions, agg_histogram_quantiles, mm_png_metadata,

@@ -33,8 +33,10 @@ STREAM_QUERIES = [
     # surface — fence them too
     "stream_attribution",
     "stream_stateful_incremental_gate",
-    # r10 session-2 addition: power-sum maintainer (same replay protocol)
+    # r10 session-2 additions: power-sum + HLL day-cell maintainers
+    # (same replay protocol)
     "stream_moment_maintenance",
+    "stream_hll_maintenance",
 ]
 
 PERTURBATIONS = [
