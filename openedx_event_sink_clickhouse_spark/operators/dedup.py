@@ -1335,3 +1335,50 @@ def survivors_by_quality(labels: DataFrame, scores: DataFrame,
             .select(id_col, "cluster_id",
                     F.round(score_col, 6).alias(score_col),
                     (F.col("_rn") == 1).alias("is_survivor")))
+
+
+def weighted_jaccard_verify(pairs: DataFrame, docs: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            n: int = 3) -> DataFrame:
+    """Multiset (generalized) Jaccard over candidate pairs:
+    ``Σ_g min(c_a, c_b) / Σ_g max(c_a, c_b)`` with shingle
+    MULTIPLICITIES — the verify metric set-Jaccard is blind to
+    (a document that repeats one paragraph five times has the same
+    shingle SET as one clean copy; the multiset ratio sees the
+    repetition). Complements the set-Jaccard / Levenshtein / hamming
+    verify passes over the same candidate stream.
+
+    Entirely integer arithmetic: Σmax = total_a + total_b − Σmin (per
+    gram, min+max = c_a+c_b; one-sided grams contribute c to max), so
+    only the shared-gram Σmin join and two per-doc totals are needed —
+    the join is (pairs × their grams), candidate-bounded, never
+    corpus². Returns (id_a, id_b, intersect_weight, union_weight,
+    weighted_jaccard)."""
+    from ..functions.text import ngrams, words
+    base = ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("id"),
+        ngrams(words(F.col(text_col)), n).alias("grams"))
+    tf = (base.select("id", F.explode("grams").alias("g"))
+          .groupBy("id", "g").agg(F.count("*").alias("c")))
+    tot = base.select("id", F.size("grams").cast("bigint").alias("t"))
+    ta = tf.select(F.col("id").alias("id_a"), "g", F.col("c").alias("ca"))
+    tb = tf.select(F.col("id").alias("id_b"), "g", F.col("c").alias("cb"))
+    smin = (pairs.select("id_a", "id_b")
+            .join(ta, "id_a").join(tb, ["id_b", "g"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.least("ca", "cb")).alias("smin")))
+    xa = tot.select(F.col("id").alias("id_a"), F.col("t").alias("tota"))
+    xb = tot.select(F.col("id").alias("id_b"), F.col("t").alias("totb"))
+    return (pairs.select("id_a", "id_b")
+            .join(smin, ["id_a", "id_b"], "left")
+            .join(xa, "id_a").join(xb, "id_b")
+            .select("id_a", "id_b",
+                    F.coalesce("smin", F.lit(0)).cast("bigint")
+                    .alias("intersect_weight"),
+                    (F.col("tota") + F.col("totb")
+                     - F.coalesce("smin", F.lit(0))).cast("bigint")
+                    .alias("union_weight"))
+            .withColumn("weighted_jaccard",
+                        F.round(F.col("intersect_weight").cast("double")
+                                / F.col("union_weight"), 6)))

@@ -10234,6 +10234,47 @@ def _dd_allpairs(spark, sf_dir):
     return allpairs_jaccard(_t(spark, sf_dir, "documents"), threshold=0.7)
 
 
+def _weighted_jaccard_sql() -> str:
+    from .functions.text import ngrams_sql
+    g3 = ngrams_sql("text", 3)
+    return f"""
+WITH pairs AS ({_allpairs_sql()}),
+tfm AS (
+  SELECT doc_id, unnest({g3}) AS g FROM documents),
+tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+       FROM tfm GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS t
+        FROM tfm GROUP BY 1),
+smin AS (
+  SELECT p.id_a, p.id_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS smin
+  FROM pairs p
+  JOIN tf a ON a.doc_id = p.id_a
+  JOIN tf b ON b.doc_id = p.id_b AND b.g = a.g
+  GROUP BY 1, 2)
+SELECT p.id_a, p.id_b,
+       CAST(coalesce(s.smin, 0) AS BIGINT) AS intersect_weight,
+       CAST(xa.t + xb.t - coalesce(s.smin, 0) AS BIGINT) AS union_weight,
+       round(CAST(coalesce(s.smin, 0) AS DOUBLE)
+             / (xa.t + xb.t - coalesce(s.smin, 0)), 6) AS weighted_jaccard
+FROM pairs p
+LEFT JOIN smin s ON s.id_a = p.id_a AND s.id_b = p.id_b
+JOIN tot xa ON xa.doc_id = p.id_a
+JOIN tot xb ON xb.doc_id = p.id_b
+"""
+
+
+@register("dedup_weighted_jaccard", _weighted_jaccard_sql())
+def _dd_weighted(spark, sf_dir):
+    # Multiset-Jaccard verify over the exact AllPairs candidates: the
+    # repetition-aware metric (min/max over shingle MULTIPLICITIES) in
+    # pure integer arithmetic — sum-max derived as tot_a+tot_b-sum_min,
+    # so no per-gram outer join is needed.
+    from .operators.dedup import allpairs_jaccard, weighted_jaccard_verify
+    docs = _t(spark, sf_dir, "documents")
+    pairs = allpairs_jaccard(docs, threshold=0.7)
+    return weighted_jaccard_verify(pairs, docs)
+
+
 def _allpairs_index_path(spark, sf_dir) -> str:
     """At-rest AllPairs index (frozen df + corpus prefixes + shingle
     arrays) over the corpus half — the exact-join twin of the MinHash
@@ -10294,7 +10335,8 @@ _PRIORITY = [
     "ret_query_likelihood", "agg_moment_profile", "evt_did_readout",
     "stream_moment_maintenance", "stream_hll_maintenance",
     "sim_matryoshka_recall",
-    "dedup_survivors_by_quality", "dq_dp_release", "graph_adamic_adar",
+    "dedup_survivors_by_quality", "dedup_weighted_jaccard",
+    "dq_dp_release", "graph_adamic_adar",
     "asof_nearest_purchase",
     # -- the rotation the r9 window promised: r4-graded stragglers --
     "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
@@ -10306,9 +10348,8 @@ _PRIORITY = [
     "dq_benford_audit", "agg_kmv_distinct", "evt_anomaly_mad",
     "text_tokenizer_fertility", "evt_logrank_test",
     "graph_clustering_coefficient", "evt_churn_labels", "dq_expectations",
-    "mm_wav_normalize_gain",
     # (after these 50: the judge-verified r9 stragglers the additions
-    # displaced — src_jsonl_roundtrip, src_csv_roundtrip, dq_k_anonymity, mm_png_resize_stats,
+    # displaced — mm_wav_normalize_gain, src_jsonl_roundtrip, src_csv_roundtrip, dq_k_anonymity, mm_png_resize_stats,
     # evt_sequential_monitoring, cur_data_card, mm_decode_stats,
     # mm_resize, text_entropy_signals, mm_wav_silence_segments,
     # evt_markov_transitions, agg_histogram_quantiles, mm_png_metadata,

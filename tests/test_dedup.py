@@ -746,3 +746,28 @@ def test_survivors_by_quality_prefers_high_score(spark):
     assert out[5]["is_survivor"] and not out[7]["is_survivor"]
     # exactly one survivor per cluster
     assert sum(r["is_survivor"] for r in out.values()) == 2
+
+
+def test_weighted_jaccard_sees_repetition_set_jaccard_misses(spark):
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        allpairs_jaccard, weighted_jaccard_verify)
+    words = [f"w{i}" for i in range(12)]
+    clean = " ".join(words)
+    # repeat the same text 3x: identical shingle SET (plus the two seam
+    # grams), very different multiset
+    repeated = " ".join(words * 3)
+    docs = spark.createDataFrame(
+        [(0, clean), (1, clean), (2, repeated)], ["doc_id", "text"])
+    pairs = allpairs_jaccard(docs, threshold=0.5)
+    out = {(r["id_a"], r["id_b"]): r
+           for r in weighted_jaccard_verify(pairs, docs).collect()}
+    # exact duplicates: weighted jaccard 1.0
+    assert out[(0, 1)]["weighted_jaccard"] == 1.0
+    # clean-vs-repeated: high SET jaccard (same grams) but the multiset
+    # ratio collapses toward |clean|/|repeated| ~ 10/34
+    wj = out[(0, 2)]["weighted_jaccard"]
+    sj = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert sj[(0, 2)] > 0.8 and wj < 0.35, (sj[(0, 2)], wj)
+    # hand check: shared grams min-sum = 10 (each clean gram once),
+    # totals 10 and 34 -> 10 / (10 + 34 - 10)
+    assert wj == round(10 / 34, 6)
