@@ -29,6 +29,37 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _tagged_union(left: DataFrame, right: DataFrame, key: str,
+                  left_ts: str, right_ts: str, value_cols: list[str],
+                  out_vals: dict) -> tuple[DataFrame, list[str]]:
+    """Shared merge-scan prelude for the as-of family: tag left rows 1
+    and right rows 0 (right sorts first on timestamp ties, so a right
+    row AT a left row's timestamp matches), align columns, union, and
+    attach ``_r`` — the candidate right row as ONE struct, so every
+    downstream fill moves the matched row atomically."""
+    l_tagged = left.withColumn("_ts", F.col(left_ts)) \
+                   .withColumn("_side", F.lit(1))
+    for c in out_vals.values():
+        l_tagged = l_tagged.withColumn(c, F.lit(None))
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).alias(c) for c in left.columns if c != key],
+        F.col(right_ts).alias(out_vals[right_ts]),
+        *[F.col(c).alias(out_vals[c]) for c in value_cols],
+    )
+    # align column order/names for the union (left has `key` twice via
+    # left.columns — select once each by position below)
+    cols = [key, "_ts", "_side"] + \
+           [c for c in left.columns if c != key] + list(out_vals.values())
+    unioned = (l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
+               .withColumn("_r", F.when(
+                   F.col("_side") == 0,
+                   F.struct(*[F.col(c) for c in out_vals.values()]))))
+    return unioned, cols
+
+
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
               value_cols: list[str], prefix: str = "asof_",
@@ -45,33 +76,23 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     the already-merged frame (the latest-at-or-before row is the only
     candidate, so bounding it needs no second scan or window)."""
     out_vals = {c: f"{prefix}{c}" for c in [right_ts, *value_cols]}
-
-    l_tagged = left.withColumn("_ts", F.col(left_ts)) \
-                   .withColumn("_side", F.lit(1))
-    for c in out_vals.values():
-        l_tagged = l_tagged.withColumn(c, F.lit(None))
-
-    r_tagged = right.select(
-        F.col(key),
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
-        *[F.lit(None).alias(c) for c in left.columns if c != key],
-        F.col(right_ts).alias(out_vals[right_ts]),
-        *[F.col(c).alias(out_vals[c]) for c in value_cols],
-    )
-    # align column order/names for the union (left has `key` twice via
-    # left.columns — select once each by position below)
-    cols = [key, "_ts", "_side"] + \
-           [c for c in left.columns if c != key] + list(out_vals.values())
-    unioned = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
-
+    unioned, cols = _tagged_union(left, right, key, left_ts, right_ts,
+                                  value_cols, out_vals)
     w = (Window.partitionBy(key).orderBy("_ts", "_side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # the matched row travels as ONE struct, so a NULL value column in
+    # the latest right row stays NULL instead of being backfilled from
+    # an older row (the per-column stitch would return a ts and a value
+    # from DIFFERENT rows — native ASOF JOIN semantics are atomic)
     filled = unioned.select(
         *[c for c in cols if c not in out_vals.values()],
-        *[F.last(c, ignorenulls=True).over(w).alias(c)
-          for c in out_vals.values()])
-    out = filled.filter(F.col("_side") == 1).drop("_ts", "_side")
+        F.last("_r", ignorenulls=True).over(w).alias("_b"))
+    out = (filled.filter(F.col("_side") == 1)
+           .select(*[c for c in cols
+                     if c not in out_vals.values()
+                     and c not in ("_ts", "_side")],
+                   *[F.col(f"_b.{c}").alias(c)
+                     for c in out_vals.values()]))
     if tolerance is not None:
         fresh = (F.col(out_vals[right_ts])
                  >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}"))
@@ -102,44 +123,29 @@ def asof_nearest(left: DataFrame, right: DataFrame, key: str,
     post-filter NULL-revert semantics as ``asof_join``'s staleness
     bound."""
     out_vals = {c: f"{prefix}{c}" for c in [right_ts, *value_cols]}
-
-    l_tagged = left.withColumn("_ts", F.col(left_ts)) \
-                   .withColumn("_side", F.lit(1))
-    for c in out_vals.values():
-        l_tagged = l_tagged.withColumn(c, F.lit(None))
-    r_tagged = right.select(
-        F.col(key),
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
-        *[F.lit(None).alias(c) for c in left.columns if c != key],
-        F.col(right_ts).alias(out_vals[right_ts]),
-        *[F.col(c).alias(out_vals[c]) for c in value_cols],
-    )
-    cols = [key, "_ts", "_side"] + \
-           [c for c in left.columns if c != key] + list(out_vals.values())
-    unioned = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
-
+    unioned, cols = _tagged_union(left, right, key, left_ts, right_ts,
+                                  value_cols, out_vals)
     sort = Window.partitionBy(key).orderBy("_ts", "_side")
     wb = sort.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wf = sort.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # each direction's candidate travels as ONE struct (same atomicity
+    # note as asof_join: a NULL value in the nearest row must not be
+    # backfilled from a farther row)
     filled = unioned.select(
         *[c for c in cols if c not in out_vals.values()],
-        *[F.last(c, ignorenulls=True).over(wb).alias(f"_b_{c}")
-          for c in out_vals.values()],
-        *[F.first(c, ignorenulls=True).over(wf).alias(f"_f_{c}")
-          for c in out_vals.values()])
+        F.last("_r", ignorenulls=True).over(wb).alias("_b"),
+        F.first("_r", ignorenulls=True).over(wf).alias("_f"))
     lrows = filled.filter(F.col("_side") == 1)
 
     rts_out = out_vals[right_ts]
     l_us = F.unix_micros(F.col(left_ts))
-    b_us = F.unix_micros(F.col(f"_b_{rts_out}"))
-    f_us = F.unix_micros(F.col(f"_f_{rts_out}"))
-    take_back = F.col(f"_f_{rts_out}").isNull() | (
-        F.col(f"_b_{rts_out}").isNotNull()
-        & ((l_us - b_us) <= (f_us - l_us)))
+    b_us = F.unix_micros(F.col(f"_b.{rts_out}"))
+    f_us = F.unix_micros(F.col(f"_f.{rts_out}"))
+    take_back = F.col("_f").isNull() | (
+        F.col("_b").isNotNull() & ((l_us - b_us) <= (f_us - l_us)))
     picked = lrows.select(
         *[c for c in left.columns],
-        *[F.when(take_back, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
+        *[F.when(take_back, F.col(f"_b.{c}")).otherwise(F.col(f"_f.{c}"))
           .alias(c) for c in out_vals.values()])
     delta = (F.unix_micros(F.col(left_ts))
              - F.unix_micros(F.col(rts_out))).cast("bigint")

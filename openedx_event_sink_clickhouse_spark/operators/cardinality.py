@@ -78,18 +78,32 @@ def distinct_rollup_certified(events: DataFrame, key_col: str = "user_id",
                   F.count_distinct(F.col(key_col)).alias("exact_users"),
                   F.expr(f"hll_sketch_agg({key_col}, {lg_k})")
                   .alias("sketch"))).localCheckpoint(eager=False)
+    return _assemble_certified_report(daily, ev, key_col, rel_err)
+
+
+def _assemble_certified_report(d: DataFrame, ev: DataFrame, key_col: str,
+                               rel_err: float) -> DataFrame:
+    """Shared report tail for the batch and stream-served certified
+    rollups: ONE copy of the tolerance flag, the per-day projection,
+    and the all-time union row, so the two paths cannot drift apart
+    (the stream query's oracle IS the batch query's oracle). ``d`` is a
+    materialized (day, n_events, exact_users, sketch) frame; a NULL
+    exact_users (a maintained day the batch table cannot certify)
+    yields a NULL flag — visible, never silently dropped."""
     ok = lambda est, exact: (
-        F.when(F.abs(est - exact.cast("double"))
+        F.when(exact.isNull(), F.lit(None))
+         .when(F.abs(est - exact.cast("double"))
                <= F.lit(rel_err) * exact.cast("double"), 1)
          .otherwise(0).cast("int"))
-    per_day = daily.select(
-        "day", "n_events", "exact_users",
+    per_day = d.select(
+        "day", F.col("n_events").cast("long").alias("n_events"),
+        "exact_users",
         ok(F.expr("cast(hll_sketch_estimate(sketch) as double)"),
            F.col("exact_users")).alias("approx_ok"))
     glob_exact = ev.agg(F.count("*").alias("n_events"),
                         F.count_distinct(F.col(key_col))
                         .alias("exact_users"))
-    glob_est = daily.agg(
+    glob_est = d.agg(
         F.expr("cast(hll_sketch_estimate(hll_union_agg(sketch, true)) "
                "as double)").alias("_est"))
     total = (glob_exact.crossJoin(F.broadcast(glob_est))
@@ -228,25 +242,9 @@ def certified_report_from_sketches(daily: DataFrame, events: DataFrame,
     ev = events.filter(F.col(key_col).isNotNull())
     exact = (ev.groupBy(F.to_date(F.col(ts_col)).alias("day"))
              .agg(F.count_distinct(F.col(key_col)).alias("exact_users")))
-    d = daily.join(exact, "day").localCheckpoint(eager=False)
-    ok = lambda est, ex: (
-        F.when(F.abs(est - ex.cast("double"))
-               <= F.lit(rel_err) * ex.cast("double"), 1)
-         .otherwise(0).cast("int"))
-    per_day = d.select(
-        "day", F.col("n_events").cast("long").alias("n_events"),
-        "exact_users",
-        ok(F.expr("cast(hll_sketch_estimate(sketch) as double)"),
-           F.col("exact_users")).alias("approx_ok"))
-    glob_exact = ev.agg(F.count("*").alias("n_events"),
-                        F.count_distinct(F.col(key_col))
-                        .alias("exact_users"))
-    glob_est = d.agg(
-        F.expr("cast(hll_sketch_estimate(hll_union_agg(sketch, true)) "
-               "as double)").alias("_est"))
-    total = (glob_exact.crossJoin(F.broadcast(glob_est))
-             .select(F.lit(None).cast("date").alias("day"),
-                     "n_events", "exact_users",
-                     ok(F.col("_est"), F.col("exact_users"))
-                     .alias("approx_ok")))
-    return per_day.unionByName(total)
+    # LEFT join FROM the maintained table: a day the batch table cannot
+    # certify keeps its row (NULL exact -> NULL flag) and its sketch
+    # stays inside the all-time union — maintained state is never
+    # silently dropped from the report it is supposed to certify.
+    d = daily.join(exact, "day", "left").localCheckpoint(eager=False)
+    return _assemble_certified_report(d, ev, key_col, rel_err)

@@ -1178,15 +1178,32 @@ def allpairs_jaccard(docs: DataFrame, threshold: float = 0.7,
     tok = base.select("id", F.explode("shingles").alias("token"))
     df = tok.groupBy("token").agg(F.count("*").alias("df"))
     pref = _allpairs_prefix_frame(base, df, num, den)
-    a = pref.select(F.col("id").alias("id_a"), F.col("s").alias("sa"),
-                    "token")
-    b = pref.select(F.col("id").alias("id_b"), F.col("s").alias("sb"),
-                    "token")
-    cand = (a.join(b, "token")
+    cand = _allpairs_cand_sides(pref, pref, num, den).distinct()
+    return _allpairs_verify(cand, base, num, den)
+
+
+def _allpairs_cand_sides(l: DataFrame, r: DataFrame,
+                         num: int, den: int) -> DataFrame:
+    """Prefix-token candidate join (id_a < id_b) with the lossless size
+    bound min(s_a,s_b)·den >= max(s_a,s_b)·num — ONE copy of the
+    threshold arithmetic for the live self-join and every incremental
+    orientation."""
+    a = l.select(F.col("id").alias("id_a"), F.col("s").alias("sa"),
+                 "token")
+    b = r.select(F.col("id").alias("id_b"), F.col("s").alias("sb"),
+                 "token")
+    return (a.join(b, "token")
             .filter((F.col("id_a") < F.col("id_b"))
                     & (F.least("sa", "sb") * den
                        >= F.greatest("sa", "sb") * num))
-            .select("id_a", "id_b").distinct())
+            .select("id_a", "id_b"))
+
+
+def _allpairs_verify(cand: DataFrame, base: DataFrame,
+                     num: int, den: int) -> DataFrame:
+    """Exact verification tail shared by the live and incremental
+    joins: candidate pairs back to their shingle arrays, integer
+    keep/drop, display-rounded jaccard."""
     xa = base.select(F.col("id").alias("id_a"),
                      F.col("shingles").alias("sh_a"))
     xb = base.select(F.col("id").alias("id_b"),
@@ -1250,6 +1267,12 @@ def write_allpairs_index(corpus: DataFrame, path: str,
                                   frac.denominator)
     pref.write.mode("overwrite").parquet(f"{path}/prefix")
     base.write.mode("overwrite").parquet(f"{path}/docs")
+    # the stored prefixes are only lossless for probes AT OR ABOVE the
+    # build threshold — record it so a probe can refuse a lossy read
+    import json as _json
+    import os as _os
+    with open(_os.path.join(path, "_meta.json"), "w") as fh:
+        _json.dump({"threshold": str(frac), "n": n}, fh)
 
 
 def allpairs_incremental_pairs(batch: DataFrame, spark, path: str,
@@ -1272,43 +1295,38 @@ def allpairs_incremental_pairs(batch: DataFrame, spark, path: str,
     from fractions import Fraction
     frac = Fraction(str(threshold))
     num, den = frac.numerator, frac.denominator
+    import json as _json
+    import os as _os
+    meta_path = _os.path.join(path, "_meta.json")
+    if _os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = _json.load(fh)
+        built = Fraction(meta["threshold"])
+        # stored prefixes were sized for the BUILD threshold; probing
+        # below it would silently drop pairs from an operator whose
+        # contract is zero false negatives — refuse, don't guess
+        if frac < built:
+            raise ValueError(
+                f"allpairs index at {path} was built for threshold "
+                f"{float(built)}; probing at {threshold} would be lossy "
+                f"(rebuild the index at the lower threshold)")
+        if meta.get("n", n) != n:
+            raise ValueError(
+                f"allpairs index at {path} was built with n={meta['n']}, "
+                f"probe requested n={n}")
     dfr = spark.read.parquet(f"{path}/df")
     cpref = spark.read.parquet(f"{path}/prefix")
     cdocs = spark.read.parquet(f"{path}/docs")
     bbase = (with_shingles(batch, text_col, n)
              .select(F.col(id_col).alias("id"), "shingles"))
     bpref = _allpairs_prefix_frame(bbase, dfr, num, den)
-
-    def sides(l, r):
-        a = l.select(F.col("id").alias("id_a"), F.col("s").alias("sa"),
-                     "token")
-        b = r.select(F.col("id").alias("id_b"), F.col("s").alias("sb"),
-                     "token")
-        return (a.join(b, "token")
-                .filter((F.col("id_a") < F.col("id_b"))
-                        & (F.least("sa", "sb") * den
-                           >= F.greatest("sa", "sb") * num))
-                .select("id_a", "id_b"))
-
     # cross pairs can land either way around by id; probe both
     # orientations of the same join rather than sorting post hoc
-    cand = (sides(cpref, bpref).union(sides(bpref, cpref))
-            .union(sides(bpref, bpref)).distinct())
-    alldocs = cdocs.union(bbase)
-    xa = alldocs.select(F.col("id").alias("id_a"),
-                        F.col("shingles").alias("sh_a"))
-    xb = alldocs.select(F.col("id").alias("id_b"),
-                        F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("bigint")
-    return (cand.join(xa, "id_a").join(xb, "id_b")
-            .select("id_a", "id_b", inter.alias("intersect_size"),
-                    union.alias("union_size"))
-            .filter(F.col("intersect_size") * den
-                    >= num * F.col("union_size"))
-            .withColumn("jaccard",
-                        F.round(F.col("intersect_size").cast("double")
-                                / F.col("union_size"), 6)))
+    cand = (_allpairs_cand_sides(cpref, bpref, num, den)
+            .union(_allpairs_cand_sides(bpref, cpref, num, den))
+            .union(_allpairs_cand_sides(bpref, bpref, num, den))
+            .distinct())
+    return _allpairs_verify(cand, cdocs.union(bbase), num, den)
 
 
 def survivors_by_quality(labels: DataFrame, scores: DataFrame,

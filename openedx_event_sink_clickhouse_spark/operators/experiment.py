@@ -666,7 +666,14 @@ def did_readout(events: DataFrame, cutoff, *, unit_col: str = "user_id",
     v = assign_variant(F.col(unit_col), 2, salt)
     post = F.col(ts_col) >= F.lit(cutoff)
     y = F.col(value_col).cast(DEC)
-    y19 = F.col("y").cast("decimal(19,6)")
+    # Σy² follows CUPED's asymmetric-width convention exactly: Spark
+    # squares the (18,6) operand ((18,6)×(18,6) → (37,12), exact),
+    # while the ORACLE casts to (19,6) first because DuckDB sizes a
+    # decimal product at w1+w2 and needs 19+19=38 to hold that same
+    # exact value. Squaring a (19,6) on the SPARK side would pass 38
+    # digits (19+19+1) and silently truncate the product to scale 11 —
+    # a last-digit divergence on any 6-significant-decimal value.
+    yq = F.col("y") * F.col("y")
     zero = F.lit(0).cast(DEC)
     zeroq = F.lit(0).cast("decimal(38,12)")
     base = (events.filter(F.col(unit_col).isNotNull()
@@ -681,7 +688,7 @@ def did_readout(events: DataFrame, cutoff, *, unit_col: str = "user_id",
                 F.sum(F.when(cond, 1).otherwise(0)).alias(f"n{t}"),
                 F.sum(F.when(cond, F.col("y")).otherwise(zero))
                  .alias(f"s{t}"),
-                F.sum(F.when(cond, y19 * y19).otherwise(zeroq))
+                F.sum(F.when(cond, yq).otherwise(zeroq))
                  .alias(f"q{t}")]
     g = base.agg(*aggs)
     m, va, nn = {}, {}, {}

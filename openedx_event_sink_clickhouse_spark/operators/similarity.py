@@ -1713,7 +1713,6 @@ def matryoshka_recall(emb: DataFrame, dims: tuple[int, ...] = (8, 16, 32),
     cheap one (d/D of the FLOPs), which is the whole point."""
     exact = multi_probe_topk(emb, n_probes, k, id_col, vec_col) \
         .select("probe_id", id_col)
-    denom = float(n_probes * k)
     parts = []
     for d in dims:
         trunc = emb.select(
@@ -1721,10 +1720,13 @@ def matryoshka_recall(emb: DataFrame, dims: tuple[int, ...] = (8, 16, 32),
             F.slice(as_double(F.col(vec_col)), 1, d).alias("_tv"))
         hit = (multi_probe_topk(trunc, n_probes, k, id_col, "_tv")
                .select("probe_id", id_col).withColumn("_hit", F.lit(1)))
+        # denominator = the ACTUAL exact-reference row count, not
+        # n_probes*k: a corpus smaller than k per probe must still be
+        # able to score recall 1.0 at the identity truncation
         parts.append(
             exact.join(F.broadcast(hit), ["probe_id", id_col], "left")
-            .agg((F.count("_hit").cast("double") / F.lit(denom))
-                 .alias("_r"))
+            .agg((F.count("_hit").cast("double")
+                  / F.count("*").cast("double")).alias("_r"))
             .select(F.lit(d).cast("int").alias("dims_kept"),
                     F.round("_r", 6).alias("mean_recall")))
     out = parts[0]

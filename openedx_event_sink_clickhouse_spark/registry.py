@@ -2580,19 +2580,25 @@ u AS (
   UNION ALL
   SELECT user_id, ts, 0 AS tag, NULL, NULL, NULL, ts, value FROM p),
 w AS (
+  -- the candidate row travels as ONE struct (atomic match: a NULL
+  -- value in the nearest row is never backfilled from a farther row)
   SELECT *,
-    last_value(rts IGNORE NULLS) OVER
+    (last_value(CASE WHEN rts IS NOT NULL
+        THEN struct_pack(rts := rts, rval := rval) END IGNORE NULLS) OVER
       (PARTITION BY user_id ORDER BY ts, tag
-       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bts,
-    last_value(rval IGNORE NULLS) OVER
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).rts AS bts,
+    (last_value(CASE WHEN rts IS NOT NULL
+        THEN struct_pack(rts := rts, rval := rval) END IGNORE NULLS) OVER
       (PARTITION BY user_id ORDER BY ts, tag
-       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bval,
-    first_value(rts IGNORE NULLS) OVER
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).rval AS bval,
+    (first_value(CASE WHEN rts IS NOT NULL
+        THEN struct_pack(rts := rts, rval := rval) END IGNORE NULLS) OVER
       (PARTITION BY user_id ORDER BY ts, tag
-       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fts,
-    first_value(rval IGNORE NULLS) OVER
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)).rts AS fts,
+    (first_value(CASE WHEN rts IS NOT NULL
+        THEN struct_pack(rts := rts, rval := rval) END IGNORE NULLS) OVER
       (PARTITION BY user_id ORDER BY ts, tag
-       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fval
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)).rval AS fval
   FROM u),
 c AS (
   SELECT *,
@@ -9976,7 +9982,6 @@ REGISTRY["dedup_survivors_by_quality"] = (
 
 
 def _matryoshka_sql(dims=(8, 16, 32), n_probes=10, k=10) -> str:
-    denom = float(n_probes * k)
     ts = ",\n".join(
         f"t{d} AS (SELECT id, list_slice(v, 1, {d}) AS tv FROM e)"
         for d in dims)
@@ -9991,7 +9996,8 @@ ap{d} AS (
   WHERE rn <= {k})""" for d in dims)
     branches = "\nUNION ALL\n".join(f"""
 SELECT CAST({d} AS INT) AS dims_kept,
-       round(CAST(count(a.id) AS DOUBLE) / {denom}, 6) AS mean_recall
+       round(CAST(count(a.id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_recall
 FROM ex LEFT JOIN ap{d} a ON ex.pid = a.pid AND ex.id = a.id"""
                                     for d in dims)
     return f"""

@@ -115,3 +115,22 @@ def test_asof_nearest_tolerance_reverts_to_null(spark):
     miss = asof_nearest(left, right, "user_id", "ts", "ts", ["value"],
                         tolerance_us=86_400_000_000).collect()[0]
     assert miss["asof_value"] is None and miss["asof_delta_us"] is None
+
+
+def test_asof_match_is_atomic_when_value_is_null(spark):
+    import datetime as dt
+    from openedx_event_sink_clickhouse_spark.operators.asof import (
+        asof_join, asof_nearest)
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([(1, 1, t(11))],
+                                 ["event_id", "user_id", "ts"])
+    # nearest/latest right row (t=10) carries a NULL value: the match
+    # must return THAT row's NULL, never backfill the value from t=5
+    right = spark.createDataFrame([(1, t(5), 7.0), (1, t(10), None)],
+                                  ["user_id", "ts", "value"])
+    j = asof_join(left, right, "user_id", "ts", "ts", ["value"]).collect()[0]
+    assert j["asof_ts"] == t(10) and j["asof_value"] is None
+    n = asof_nearest(left, right, "user_id", "ts", "ts",
+                     ["value"]).collect()[0]
+    assert n["asof_ts"] == t(10) and n["asof_value"] is None
+    assert n["asof_delta_us"] == 1_000_000

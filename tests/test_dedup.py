@@ -771,3 +771,26 @@ def test_weighted_jaccard_sees_repetition_set_jaccard_misses(spark):
     # hand check: shared grams min-sum = 10 (each clean gram once),
     # totals 10 and 34 -> 10 / (10 + 34 - 10)
     assert wj == round(10 / 34, 6)
+
+
+def test_allpairs_index_refuses_lossy_probe_threshold(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        allpairs_incremental_pairs, write_allpairs_index)
+    docs = _fuzz_corpus(spark)
+    idx = str(tmp_path / "apidx_t")
+    write_allpairs_index(docs.filter(F.col("doc_id") < 10), idx,
+                         threshold=0.7)
+    batch = docs.filter(F.col("doc_id") >= 10)
+    # probing BELOW the build threshold would silently lose pairs
+    with pytest.raises(ValueError, match="would be lossy"):
+        allpairs_incremental_pairs(batch, spark, idx, threshold=0.5)
+    # probing AT or ABOVE it is lossless (longer stored prefixes only
+    # add candidates) — both must run
+    assert allpairs_incremental_pairs(batch, spark, idx,
+                                      threshold=0.7).count() >= 0
+    assert allpairs_incremental_pairs(batch, spark, idx,
+                                      threshold=0.9).count() >= 0
+    with pytest.raises(ValueError, match="n="):
+        allpairs_incremental_pairs(batch, spark, idx, threshold=0.7, n=2)

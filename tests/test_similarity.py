@@ -799,3 +799,19 @@ def test_matryoshka_recall_monotone_and_full_dim_perfect(spark, sf_dir):
     # equality (plateaus happen) but never an inversion beyond noise
     assert rows[8] <= rows[32] + 1e-9
     assert 0.0 <= rows[8] <= 1.0
+
+
+def test_matryoshka_full_dim_recall_is_one_even_on_tiny_corpus(spark):
+    # corpus smaller than k per probe: the identity truncation must
+    # still score 1.0 (review finding: a hardcoded n_probes*k
+    # denominator capped it below 1)
+    import random
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        matryoshka_recall)
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["dims_kept"]: r["mean_recall"]
+           for r in matryoshka_recall(emb, dims=(16,), n_probes=3,
+                                      k=10).collect()}
+    assert out[16] == 1.0
