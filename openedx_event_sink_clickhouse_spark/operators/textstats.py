@@ -565,3 +565,45 @@ def feature_hashing(docs: DataFrame, dim: int = 16,
                   .otherwise(0)).cast("long").alias(f"f_{j}")
             for j in range(dim)]
     return (hashed.groupBy(F.col("id").alias(id_col)).agg(*aggs))
+
+
+def term_burstiness(docs: DataFrame, top_k: int = 20,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Term burstiness (Church & Gale, 1995): the variance-to-mean
+    ratio (Fano factor) of a term's per-document count ACROSS the whole
+    corpus, zeros included — the forensic beside the Zipf/Heaps fits.
+    A Poisson-scattered term sits near 1.0; content words clump
+    (burstiness ≫ 1) while function words spread evenly (≈ 1) — a
+    synthetic/template corpus shows the wrong profile (its "content"
+    terms are stamped uniformly, so their burstiness collapses toward
+    the function-word band).
+
+    Zeros never enumerate: a doc without the term contributes 0 to both
+    Σc and Σc², so the corpus-wide moments are the term's own tf sums
+    plus the document COUNT — mean = Σc/N, var = (Σc² − (Σc)²/N)/(N−1),
+    all from exact integer sums (one double formula each, association
+    mirrored in the oracle). Scope is the top ``top_k`` terms by
+    document frequency (ties to term text) via TakeOrderedAndProject —
+    the stable high-signal slice, not a vocab-scale report."""
+    from ..functions.text import words
+    tf = (docs.select(F.col(id_col).alias("id"),
+                      F.explode(words(F.col(text_col))).alias("w"))
+          .groupBy("id", "w").agg(F.count("*").alias("c")))
+    stats = tf.groupBy("w").agg(
+        F.count("*").alias("df"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"))
+    n_docs = docs.select(F.count("*").alias("n"))
+    nd = F.col("n").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    mean = s1 / nd
+    var = (s2 - s1 * s1 / nd) / (nd - F.lit(1.0))
+    return (stats.crossJoin(F.broadcast(n_docs))
+            .orderBy(F.desc("df"), "w").limit(top_k)
+            .select(F.col("w").alias("term"),
+                    F.col("df").cast("bigint").alias("df"),
+                    F.col("s1").cast("bigint").alias("total_tf"),
+                    F.round(mean, 6).alias("mean_tf"),
+                    F.round(var, 6).alias("variance_tf"),
+                    F.round(var / mean, 6).alias("burstiness")))

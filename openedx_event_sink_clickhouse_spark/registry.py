@@ -9381,6 +9381,36 @@ def _dq_bounded(spark, sf_dir):
                                        "event_type", cap=5)
 
 
+@register("text_term_burstiness", """
+WITH tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+  GROUP BY 1, 2),
+stats AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+SELECT w AS term, df, s1 AS total_tf,
+       round(s1 / nd, 6) AS mean_tf,
+       round((s2 - s1 * s1 / nd) / (nd - 1.0), 6) AS variance_tf,
+       round(((s2 - s1 * s1 / nd) / (nd - 1.0)) / (s1 / nd), 6)
+         AS burstiness
+FROM stats, n
+ORDER BY df DESC, w LIMIT 20
+""")
+def _tx_burst(spark, sf_dir):
+    # Church-Gale burstiness (Fano factor of per-doc term counts with
+    # zeros included — which never enumerate, since absent docs add 0
+    # to both moment sums): content terms clump >> 1, function words
+    # sit near 1. Integer moments, one double formula each, top-20 by
+    # df via TakeOrderedAndProject.
+    from .operators.textstats import term_burstiness
+    return term_burstiness(_t(spark, sf_dir, "documents"), top_k=20)
+
+
 @register("dq_dp_release", """
 WITH pu AS (
   SELECT event_type, user_id, count(*) AS c
@@ -10343,7 +10373,7 @@ _PRIORITY = [
     "sim_matryoshka_recall",
     "dedup_survivors_by_quality", "dedup_weighted_jaccard",
     "dq_dp_release", "graph_adamic_adar",
-    "asof_nearest_purchase",
+    "asof_nearest_purchase", "text_term_burstiness",
     # -- the rotation the r9 window promised: r4-graded stragglers --
     "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
     "evt_funnel_latency", "dq_psi_drift", "graph_kcore",
@@ -10353,9 +10383,9 @@ _PRIORITY = [
     "evt_power_mde", "evt_rfm_segments", "dq_snapshot_diff",
     "dq_benford_audit", "agg_kmv_distinct", "evt_anomaly_mad",
     "text_tokenizer_fertility", "evt_logrank_test",
-    "graph_clustering_coefficient", "evt_churn_labels", "dq_expectations",
+    "graph_clustering_coefficient", "evt_churn_labels",
     # (after these 50: the judge-verified r9 stragglers the additions
-    # displaced — mm_wav_normalize_gain, src_jsonl_roundtrip, src_csv_roundtrip, dq_k_anonymity, mm_png_resize_stats,
+    # displaced — dq_expectations, mm_wav_normalize_gain, src_jsonl_roundtrip, src_csv_roundtrip, dq_k_anonymity, mm_png_resize_stats,
     # evt_sequential_monitoring, cur_data_card, mm_decode_stats,
     # mm_resize, text_entropy_signals, mm_wav_silence_segments,
     # evt_markov_transitions, agg_histogram_quantiles, mm_png_metadata,

@@ -359,3 +359,28 @@ def test_ngram_diversity_ratios(spark):
     assert d.diversity_2 == 0.333333
     f = got["fresh"]
     assert f.diversity_1 == 1.0 and f.diversity_2 == 1.0
+
+
+def test_term_burstiness_separates_clumped_from_even_terms(spark):
+    import numpy as np
+    import pytest
+    from openedx_event_sink_clickhouse_spark.operators.textstats import (
+        term_burstiness)
+    # "the" appears once in EVERY doc (even); "spark" appears 8 times
+    # in one doc only (maximally bursty); both have comparable total tf
+    docs = [(i, "the filler words here now") for i in range(8)]
+    docs.append((8, "the " + " ".join(["spark"] * 8)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["term"]: r for r in term_burstiness(df, top_k=10).collect()}
+    n = 9
+    # hand oracle for any term: counts vector over all 9 docs
+    def fano(counts):
+        a = np.array(counts + [0] * (n - len(counts)), dtype=float)
+        return a.var(ddof=1) / a.mean()
+    assert out["the"]["df"] == 9 and out["the"]["total_tf"] == 9
+    assert out["the"]["burstiness"] == pytest.approx(fano([1] * 9), abs=1e-6)
+    assert out["spark"]["burstiness"] == pytest.approx(fano([8]), abs=1e-6)
+    # the clumped term must dominate the even one by an order of magnitude
+    assert out["spark"]["burstiness"] > 10 * out["the"]["burstiness"]
+    # zeros-included mean: total_tf / n_docs, not total_tf / df
+    assert out["spark"]["mean_tf"] == pytest.approx(8 / 9, abs=1e-6)
