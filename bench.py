@@ -257,6 +257,7 @@ HEADLINE = [
     "stream_hll_maintenance",      # HLL day-cell stream maintainer
     "dq_dp_release",               # Laplace release over bounded counts
     "graph_adamic_adar",           # weighted common-neighbor scores
+    "text_term_burstiness",        # Church-Gale Fano-factor forensics
 ]
 
 
