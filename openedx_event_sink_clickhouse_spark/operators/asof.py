@@ -78,7 +78,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     out_vals = {c: f"{prefix}{c}" for c in [right_ts, *value_cols]}
     unioned, cols = _tagged_union(left, right, key, left_ts, right_ts,
                                   value_cols, out_vals)
-    w = (Window.partitionBy(key).orderBy("_ts", "_side")
+    # Tie-break past (_ts, _side) by the right row's own values: if the
+    # right side carries duplicate (key, ts) rows, last() must pick a
+    # DETERMINISTIC one (the max by value columns), not whichever the
+    # shuffle happened to order — a cross-run hash surface otherwise
+    # (ADVICE r10). Left rows tie as all-NULL and are unaffected.
+    w = (Window.partitionBy(key)
+         .orderBy("_ts", "_side", *[F.col(c) for c in out_vals.values()])
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     # the matched row travels as ONE struct, so a NULL value column in
     # the latest right row stays NULL instead of being backfilled from
@@ -125,7 +131,12 @@ def asof_nearest(left: DataFrame, right: DataFrame, key: str,
     out_vals = {c: f"{prefix}{c}" for c in [right_ts, *value_cols]}
     unioned, cols = _tagged_union(left, right, key, left_ts, right_ts,
                                   value_cols, out_vals)
-    sort = Window.partitionBy(key).orderBy("_ts", "_side")
+    # same deterministic duplicate-(key, ts) tie-break as asof_join;
+    # backward takes the max-by-value tied row (last over ascending),
+    # forward the min (first over ascending) — both pinned in the oracle
+    sort = (Window.partitionBy(key)
+            .orderBy("_ts", "_side",
+                     *[F.col(c) for c in out_vals.values()]))
     wb = sort.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wf = sort.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     # each direction's candidate travels as ONE struct (same atomicity

@@ -1298,22 +1298,30 @@ def allpairs_incremental_pairs(batch: DataFrame, spark, path: str,
     import json as _json
     import os as _os
     meta_path = _os.path.join(path, "_meta.json")
-    if _os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            meta = _json.load(fh)
-        built = Fraction(meta["threshold"])
-        # stored prefixes were sized for the BUILD threshold; probing
-        # below it would silently drop pairs from an operator whose
-        # contract is zero false negatives — refuse, don't guess
-        if frac < built:
-            raise ValueError(
-                f"allpairs index at {path} was built for threshold "
-                f"{float(built)}; probing at {threshold} would be lossy "
-                f"(rebuild the index at the lower threshold)")
-        if meta.get("n", n) != n:
-            raise ValueError(
-                f"allpairs index at {path} was built with n={meta['n']}, "
-                f"probe requested n={n}")
+    if not _os.path.exists(meta_path):
+        # an index without its build manifest cannot prove the probe is
+        # at-or-above its build threshold — proceeding unguarded could
+        # silently drop pairs from an operator whose contract is zero
+        # false negatives (ADVICE r10); refuse, don't guess
+        raise ValueError(
+            f"allpairs index at {path} has no _meta.json build manifest; "
+            f"cannot verify the probe threshold is lossless — rebuild "
+            f"the index with write_allpairs_index")
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    built = Fraction(meta["threshold"])
+    # stored prefixes were sized for the BUILD threshold; probing
+    # below it would silently drop pairs from an operator whose
+    # contract is zero false negatives — refuse, don't guess
+    if frac < built:
+        raise ValueError(
+            f"allpairs index at {path} was built for threshold "
+            f"{float(built)}; probing at {threshold} would be lossy "
+            f"(rebuild the index at the lower threshold)")
+    if meta.get("n", n) != n:
+        raise ValueError(
+            f"allpairs index at {path} was built with n={meta['n']}, "
+            f"probe requested n={n}")
     dfr = spark.read.parquet(f"{path}/df")
     cpref = spark.read.parquet(f"{path}/prefix")
     cdocs = spark.read.parquet(f"{path}/docs")
@@ -1326,7 +1334,12 @@ def allpairs_incremental_pairs(batch: DataFrame, spark, path: str,
             .union(_allpairs_cand_sides(bpref, cpref, num, den))
             .union(_allpairs_cand_sides(bpref, bpref, num, den))
             .distinct())
-    return _allpairs_verify(cand, cdocs.union(bbase), num, den)
+    # a re-delivered or updated id must not appear twice in the verify
+    # base (duplicate rows duplicate candidate-pair matches — ADVICE
+    # r10): the BATCH copy wins, indexed rows with a batch id drop
+    base = (cdocs.join(bbase.select("id"), "id", "left_anti")
+            .union(bbase))
+    return _allpairs_verify(cand, base, num, den)
 
 
 def survivors_by_quality(labels: DataFrame, scores: DataFrame,

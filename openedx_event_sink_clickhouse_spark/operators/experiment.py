@@ -313,11 +313,19 @@ def logrank_test(events: DataFrame, *, unit_col: str = "user_id",
     variance, chi2, significant).
 
     Determinism: risk sets and event counts are exact integers from
-    the same duration-level frame as the KM curve; the E/V sums
-    accumulate as cumulative window sums in DURATION ORDER (not a
-    hash-aggregate whose merge order floats), so both engines add the
-    same IEEE terms in the same sequence — the survival-curve
-    discipline extended to the test statistic."""
+    the same duration-level frame as the KM curve; each per-time E/V
+    term is a fixed-shape IEEE expression of exact integers (so its
+    bits are engine-identical), FLOOR-QUANTIZED to BIGINT at 1e-8
+    before summation — integer sums are association-free, so neither
+    engine's window-aggregation tree nor any hash-merge order can
+    perturb a single bit, and the published statistics are single
+    divisions of the summed integers (no ``round()``, whose
+    half-boundary behavior is engine/version-dependent — the r10
+    driver hash-mismatch class). Quantization bias is < n_times·1e-8,
+    far below the χ² decision granularity. BIGINT headroom: terms
+    ≤ d·1e8 ≤ ~1e12, summed over distinct durations — overflow needs
+    > 9·10¹⁸, i.e. ≳10⁷ conversions per distinct time, beyond any
+    realistic cohort."""
     from pyspark.sql import Window
 
     unit, ts = F.col(unit_col), F.col(ts_col)
@@ -349,14 +357,16 @@ def logrank_test(events: DataFrame, *, unit_col: str = "user_id",
           - (F.sum("e1").over(w_cum) - F.col("e1"))).cast("double")
     d = (F.col("d0") + F.col("d1")).cast("double")
     n = n0 + n1
-    e0 = F.when(d > 0, d * n0 / n).otherwise(F.lit(0.0))
-    v = F.when((d > 0) & (n > 1.0),
-               d * (n0 / n) * (n1 / n) * (n - d) / (n - 1.0)) \
-         .otherwise(F.lit(0.0))
+    e0q = F.when(d > 0, F.floor(d * n0 / n * F.lit(1e8))) \
+           .otherwise(F.lit(0).cast("long"))
+    vq = F.when((d > 0) & (n > 1.0),
+                F.floor(d * (n0 / n) * (n1 / n) * (n - d) / (n - 1.0)
+                        * F.lit(1e8))) \
+          .otherwise(F.lit(0).cast("long"))
     acc = (ends
            .withColumn("_o0", F.sum("d0").over(w_cum).cast("double"))
-           .withColumn("_e0", F.sum(e0).over(w_cum))
-           .withColumn("_v", F.sum(v).over(w_cum))
+           .withColumn("_e0", F.sum(e0q).over(w_cum) / F.lit(1e8))
+           .withColumn("_v", F.sum(vq).over(w_cum) / F.lit(1e8))
            .withColumn("_rn", F.row_number().over(
                Window.orderBy(F.desc("dur_us"))))
            .filter(F.col("_rn") == 1))
@@ -368,9 +378,9 @@ def logrank_test(events: DataFrame, *, unit_col: str = "user_id",
             .select(F.col("0").alias("n_units_0"),
                     F.col("1").alias("n_units_1"),
                     F.col("_o0").cast("long").alias("observed_0"),
-                    F.round("_e0", 6).alias("expected_0"),
-                    F.round("_v", 6).alias("variance"),
-                    F.round(chi2, 6).alias("chi2"),
+                    F.col("_e0").alias("expected_0"),
+                    F.col("_v").alias("variance"),
+                    chi2.alias("chi2"),
                     F.when(chi2.isNull(), F.lit(None).cast("int"))
                      .otherwise((chi2 > chi2_crit).cast("int"))
                      .alias("significant")))

@@ -39,9 +39,14 @@ def churn_labels(events: DataFrame, cutoff, horizon_days: int = 7,
     (unit, n_events, n_conversions, total_value, days_active,
     recency_days, churned).
 
-    Money features ride DECIMAL sums (order-exact) and publish as
-    rounded doubles; recency is whole days from the unit's last
-    pre-cutoff event to the cutoff."""
+    Money features accumulate as BIGINT micro-units
+    (``floor(value·1e6)`` — floor of a correctly-rounded IEEE product
+    is exact and engine-identical, unlike a double→DECIMAL cast whose
+    half-boundary rounding is engine/version-dependent) and publish as
+    one integer-by-constant division — so ``total_value`` is
+    bit-deterministic under ANY engine pair and ANY aggregation merge
+    order; recency is whole days from the unit's last pre-cutoff event
+    to the cutoff."""
     ts, cut = F.col(ts_col), F.lit(cutoff).cast("timestamp")
     feat_lo = F.date_sub(cut, feature_days)
     lab_hi = F.date_add(cut, horizon_days)
@@ -54,16 +59,16 @@ def churn_labels(events: DataFrame, cutoff, horizon_days: int = 7,
         F.sum(in_feat.cast("long")).alias("n_events"),
         F.sum((in_feat & (F.col(type_col) == conversion_type))
               .cast("long")).alias("n_conversions"),
-        F.sum(F.when(in_feat, F.col(value_col).cast("decimal(18,6)"))
-              .otherwise(F.lit(0).cast("decimal(18,6)")))
-        .alias("_val"),
+        F.sum(F.when(in_feat, F.floor(F.col(value_col) * F.lit(1e6)))
+              .otherwise(F.lit(0).cast("long")))
+        .alias("_val_u"),
         F.count_distinct(F.when(in_feat, day)).alias("days_active"),
         F.max(F.when(in_feat, day)).alias("_last_day"),
         F.max(in_label.cast("int")).alias("_active_in_label")))
     return (per_unit.filter(F.col("n_events") > 0)
             .select(
         "unit", "n_events", "n_conversions",
-        F.round(F.col("_val").cast("double"), 6).alias("total_value"),
+        (F.col("_val_u") / F.lit(1e6)).alias("total_value"),
         F.col("days_active").cast("bigint").alias("days_active"),
         F.datediff(cut.cast("date"), F.col("_last_day"))
         .cast("bigint").alias("recency_days"),

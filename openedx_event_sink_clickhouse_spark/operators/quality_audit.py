@@ -406,7 +406,7 @@ def expectation_suite(df: DataFrame,
         F.lit(name).alias("expectation"),
         F.col(f"_v{i}").alias("n_violations"),
         F.col("_n").alias(n_rows_alias),
-        F.round(F.col(f"_v{i}").cast("double") / F.col("_n"), 6)
+        (F.col(f"_v{i}").cast("double") / F.col("_n"))
         .alias("violation_share"),
         (F.col(f"_v{i}") == 0).cast("int").alias("passed"))
         for i, (name, _) in enumerate(expectations)]

@@ -77,57 +77,81 @@ def bot_signals(events: DataFrame, user_col: str = "user_id",
     thresholds go stale as traffic changes). The cut is DISCRETE — the
     smallest median whose cumulative population share reaches
     ``gap_quantile`` — i.e. an actual data value, not an interpolated
-    one: an interpolated cut carries a cross-engine last-ulp tie
-    surface on the ``med <= cut`` boundary (ADVICE r9 / the r9 driver
-    hash flake), while cume_dist is an exact integer ratio and the
-    medians of integer-microsecond gaps are exact multiples of 0.25 µs,
-    so the flag is bit-deterministic. Returns one row per user with
-    >= 2 events.
+    one. Returns one row per user with >= 2 events.
+
+    Determinism (the r9/r10 driver hash-flake lesson): every output is
+    either an exact integer or a SINGLE IEEE division of exact
+    integers — never ``round()`` of an engine-native interpolated
+    quantile. The median and quartiles are computed EXACTLY in integer
+    quarter-microseconds from the per-user sorted gap list (linear
+    interpolation at q = m/4 lands on quarter-unit rationals:
+    ``q4 = (4-r)·v[lo] + r·v[lo+1]`` with ``h4 = m·(n-1)``,
+    ``lo = h4 div 4``, ``r = h4 mod 4`` — pure BIGINT arithmetic, the
+    same formula DuckDB's ``quantile_cont`` interpolates in floating
+    point), and the published seconds values are ``q4 / 4e6`` — one
+    correctly-rounded division of the same BIGINT in any IEEE engine,
+    so the bits cannot differ regardless of the other engine's
+    quantile or round() implementation. The suspect flag compares
+    integers against an integer cut.
 
     Plan: one (user)-window lag pass over events computes gaps in
-    integer microseconds; one groupBy reduces to user grain (exact
-    percentiles are safe there — users ≪ events; at extreme user
-    cardinality the grouped histogram sketch supplies the medians);
-    the cut is an ordered pass over the user-grain frame reduced to a
-    1-row broadcast against it."""
+    integer microseconds; one groupBy reduces to user grain, collecting
+    the per-user gap list (user event counts are bounded — the list is
+    session-history sized, never corpus-sized; at extreme per-user
+    volume the grouped histogram sketch supplies the medians); the cut
+    is an ordered pass over the user-grain frame reduced to a 1-row
+    broadcast against it."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     us = F.unix_micros(F.col(ts_col))
     gap = (us - F.lag(us).over(w)).alias("_gap")
+
+    def _q4(mult: int) -> F.Column:
+        # exact linear-interpolated quantile at q = mult/4, in quarter
+        # units: h4 = mult*(m-1); lo = h4 div 4 (0-based); r = h4 mod 4
+        return F.expr(f"""
+            CASE WHEN ({mult} * (size(_gl) - 1)) % 4 = 0
+                 THEN 4 * element_at(_gl,
+                          CAST(({mult} * (size(_gl) - 1)) DIV 4 AS INT) + 1)
+                 ELSE (4 - ({mult} * (size(_gl) - 1)) % 4)
+                      * element_at(_gl,
+                          CAST(({mult} * (size(_gl) - 1)) DIV 4 AS INT) + 1)
+                      + (({mult} * (size(_gl) - 1)) % 4)
+                      * element_at(_gl,
+                          CAST(({mult} * (size(_gl) - 1)) DIV 4 AS INT) + 2)
+            END""")
+
     g = (events.select(F.col(user_col), F.col(type_col), us.alias("_us"),
                        gap)
          .groupBy(user_col)
          .agg(F.count("*").cast("long").alias("n_events"),
-              ((F.max("_us") - F.min("_us")) / F.lit(3.6e9))
-              .alias("_span_h"),
-              F.expr("percentile(_gap, 0.5)").alias("_med"),
-              (F.expr("percentile(_gap, 0.75)")
-               - F.expr("percentile(_gap, 0.25)")).alias("_iqr"),
+              F.max("_us").alias("_hi"), F.min("_us").alias("_lo"),
+              F.sort_array(F.expr("collect_list(_gap)")).alias("_gl"),
               F.count_distinct(type_col).cast("long")
               .alias("n_event_types"))
-         .filter(F.col("n_events") >= 2))
+         .filter(F.col("n_events") >= 2)
+         .withColumn("_med4", _q4(2))
+         .withColumn("_iqr4", _q4(3) - _q4(1))
+         .drop("_gl"))
     # min median whose cume_dist >= q: cume_dist is rank/n — a double
     # quotient of the same integers in every engine, so the >= against
-    # the same double literal cannot flip. (percentile(_med, q) would
-    # interpolate with an inexact q-derived fraction — engines disagree
-    # in the last ulp exactly when the cut lands on a user's med.)
-    wq = Window.orderBy("_med")
-    cut = (g.select("_med", F.cume_dist().over(wq).alias("_cd"))
+    # the same double literal cannot flip; med4/cut4 are BIGINTs.
+    wq = Window.orderBy("_med4")
+    cut = (g.select("_med4", F.cume_dist().over(wq).alias("_cd"))
            .filter(F.col("_cd") >= gap_quantile)
-           .agg(F.min("_med").alias("_cut")))
-    rate = F.when(F.col("_span_h") > 0,
-                  F.col("n_events") / F.col("_span_h"))
+           .agg(F.min("_med4").alias("_cut4")))
+    span_h = (F.col("_hi") - F.col("_lo")) / F.lit(3.6e9)
+    rate = F.when(F.col("_hi") > F.col("_lo"),
+                  F.col("n_events") / span_h)
     return (g.crossJoin(F.broadcast(cut))
             .select(user_col, "n_events",
-                    F.round(F.col("_span_h"), 6).alias("span_hours"),
-                    F.round(rate, 6).alias("events_per_hour"),
-                    F.round(F.col("_med") / F.lit(1e6), 6)
-                    .alias("median_gap_s"),
-                    F.round(F.col("_iqr") / F.lit(1e6), 6)
-                    .alias("gap_iqr_s"),
+                    span_h.alias("span_hours"),
+                    rate.alias("events_per_hour"),
+                    (F.col("_med4") / F.lit(4e6)).alias("median_gap_s"),
+                    (F.col("_iqr4") / F.lit(4e6)).alias("gap_iqr_s"),
                     "n_event_types",
-                    F.when(F.col("_med") <= F.col("_cut"), 1)
+                    F.when(F.col("_med4") <= F.col("_cut4"), 1)
                     .otherwise(0).cast("int").alias("is_suspect")))
 
 

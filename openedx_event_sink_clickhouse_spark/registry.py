@@ -2551,9 +2551,13 @@ def _q6(spark, sf_dir):
 # As-of join (operators/asof.py): enrich every event with the user's
 # most recent at-or-before purchase — oracle is DuckDB's NATIVE ASOF
 # JOIN, pinning the merge-scan semantics (ties: right-at-timestamp wins).
+# Duplicate (user_id, ts) right rows are pre-reduced to the max-value
+# row (native ASOF picks one arbitrarily): the same deterministic
+# max-by-value tie-break the operator's window order pins (ADVICE r10).
 @register("asof_last_purchase", """
 WITH p AS (
-  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+  SELECT user_id, ts, max(value) AS value FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
 )
 SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value,
        p.ts AS asof_ts, p.value AS asof_value
@@ -2585,19 +2589,19 @@ w AS (
   SELECT *,
     (last_value(CASE WHEN rts IS NOT NULL
         THEN struct_pack(rts := rts, rval := rval) END IGNORE NULLS) OVER
-      (PARTITION BY user_id ORDER BY ts, tag
+      (PARTITION BY user_id ORDER BY ts, tag, rts NULLS FIRST, rval NULLS FIRST
        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).rts AS bts,
     (last_value(CASE WHEN rts IS NOT NULL
         THEN struct_pack(rts := rts, rval := rval) END IGNORE NULLS) OVER
-      (PARTITION BY user_id ORDER BY ts, tag
+      (PARTITION BY user_id ORDER BY ts, tag, rts NULLS FIRST, rval NULLS FIRST
        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).rval AS bval,
     (first_value(CASE WHEN rts IS NOT NULL
         THEN struct_pack(rts := rts, rval := rval) END IGNORE NULLS) OVER
-      (PARTITION BY user_id ORDER BY ts, tag
+      (PARTITION BY user_id ORDER BY ts, tag, rts NULLS FIRST, rval NULLS FIRST
        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)).rts AS fts,
     (first_value(CASE WHEN rts IS NOT NULL
         THEN struct_pack(rts := rts, rval := rval) END IGNORE NULLS) OVER
-      (PARTITION BY user_id ORDER BY ts, tag
+      (PARTITION BY user_id ORDER BY ts, tag, rts NULLS FIRST, rval NULLS FIRST
        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)).rval AS fval
   FROM u),
 c AS (
@@ -5833,8 +5837,7 @@ def _stream_cms(spark, sf_dir):
     # replay re-delivers under the epoch the stream ACTUALLY assigned
     # the file (recorded, not assumed from listing order).
     import os as _os
-    replay = spark.read.parquet(_os.path.join(split_dir, "batch1.parquet"))
-    m(replay, rec.epoch_of("batch1.parquet", 2))
+    rec.replay(spark, split_dir, "batch1.parquet", 2)
     ev = _t(spark, sf_dir, "events")
     stats = (ev.filter(F.col("user_id").isNotNull())
              .agg(F.count("*").alias("n"),
@@ -5862,7 +5865,7 @@ WITH m AS (
   FROM events
 )
 SELECT x.expectation, x.n_violations, m.n AS n_rows,
-       round(CAST(x.n_violations AS DOUBLE) / m.n, 6) AS violation_share,
+       CAST(x.n_violations AS DOUBLE) / m.n AS violation_share,
        CASE WHEN x.n_violations = 0 THEN 1 ELSE 0 END AS passed
 FROM m, LATERAL (VALUES
   ('event_id_not_null', v0), ('user_id_not_null', v1),
@@ -5905,15 +5908,14 @@ def _stream_expectations(spark, sf_dir):
                  tempfile.mkdtemp(prefix=f"ckpt_ex_{uuid.uuid4().hex[:6]}"))
          .trigger(availableNow=True).start())
     _await_stream(q)
-    replay = spark.read.parquet(_os.path.join(split_dir, "batch1.parquet"))
-    m(replay, rec.epoch_of("batch1.parquet", 2))
+    rec.replay(spark, split_dir, "batch1.parquet", 2)
     folded = m.fold(spark)
     return (folded.select(
         "expectation",
         F.col("n_violations").cast("bigint").alias("n_violations"),
         F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.round(F.col("n_violations").cast("double")
-                / F.col("n_rows"), 6).alias("violation_share"),
+        (F.col("n_violations").cast("double")
+         / F.col("n_rows")).alias("violation_share"),
         (F.col("n_violations") == 0).cast("int").alias("passed"))
         .orderBy("expectation"))
 
@@ -5950,8 +5952,7 @@ def _stream_quantiles(spark, sf_dir):
                  tempfile.mkdtemp(prefix=f"ckpt_hq_{uuid.uuid4().hex[:6]}"))
          .trigger(availableNow=True).start())
     _await_stream(q)
-    replay = spark.read.parquet(_os.path.join(split_dir, "batch1.parquet"))
-    m(replay, rec.epoch_of("batch1.parquet", 2))
+    rec.replay(spark, split_dir, "batch1.parquet", 2)
     qs = [0.5, 0.9, 0.99]
     est = histogram_quantiles(m.fold(spark), qs, 0.0, 100.0, 20)
     ev = (_t(spark, sf_dir, "events")
@@ -6057,8 +6058,7 @@ def _stream_dedup(spark, sf_dir):
     epochs = [rec.epoch_of(f"batch{i}.parquet", 3) for i in range(3)]
     if epochs != sorted(epochs):
         raise RuntimeError(f"file-source order violated: {rec.file_epochs}")
-    replay = spark.read.parquet(os.path.join(split_dir, "batch2.parquet"))
-    m(replay, epochs[2])
+    rec.replay(spark, split_dir, "batch2.parquet", 3)
     return m.survivors(spark).select("doc_id", "lang", "source")
 
 
@@ -6353,20 +6353,25 @@ WITH pu AS (
                  - e1c) AS DOUBLE) AS n1
   FROM e
 ), t AS (
+  -- per-time E/V terms: fixed-shape IEEE expressions of exact integers
+  -- FLOOR-QUANTIZED to BIGINT at 1e-8 — integer window sums are
+  -- association-free, and no round() appears anywhere downstream
   SELECT dur_us, d0,
          CASE WHEN d0 + d1 > 0
-              THEN CAST(d0 + d1 AS DOUBLE) * n0 / (n0 + n1)
-              ELSE 0.0 END AS e0t,
+              THEN CAST(floor(CAST(d0 + d1 AS DOUBLE) * n0 / (n0 + n1)
+                              * 1e8) AS BIGINT)
+              ELSE 0 END AS e0q,
          CASE WHEN d0 + d1 > 0 AND n0 + n1 > 1.0
-              THEN CAST(d0 + d1 AS DOUBLE) * (n0 / (n0 + n1))
-                   * (n1 / (n0 + n1))
-                   * ((n0 + n1) - CAST(d0 + d1 AS DOUBLE))
-                   / ((n0 + n1) - 1.0)
-              ELSE 0.0 END AS vt
+              THEN CAST(floor(CAST(d0 + d1 AS DOUBLE) * (n0 / (n0 + n1))
+                              * (n1 / (n0 + n1))
+                              * ((n0 + n1) - CAST(d0 + d1 AS DOUBLE))
+                              / ((n0 + n1) - 1.0) * 1e8) AS BIGINT)
+              ELSE 0 END AS vq
   FROM r
 ), s AS (
-  SELECT sum(d0) OVER w AS o0, sum(e0t) OVER w AS e0s,
-         sum(vt) OVER w AS vs,
+  SELECT CAST(sum(d0) OVER w AS DOUBLE) AS o0,
+         sum(e0q) OVER w / 1e8 AS e0s,
+         sum(vq) OVER w / 1e8 AS vs,
          row_number() OVER (ORDER BY dur_us DESC) AS rn
   FROM t WINDOW w AS (ORDER BY dur_us ROWS UNBOUNDED PRECEDING)
 ), tot AS (
@@ -6376,9 +6381,9 @@ WITH pu AS (
 )
 SELECT nu0 AS n_units_0, nu1 AS n_units_1,
        CAST(o0 AS BIGINT) AS observed_0,
-       round(e0s, 6) AS expected_0, round(vs, 6) AS variance,
+       e0s AS expected_0, vs AS variance,
        CASE WHEN vs > 0.0
-            THEN round((o0 - e0s) * (o0 - e0s) / vs, 6) END AS chi2,
+            THEN (o0 - e0s) * (o0 - e0s) / vs END AS chi2,
        CASE WHEN vs > 0.0 THEN
             CASE WHEN (o0 - e0s) * (o0 - e0s) / vs > 3.841
                  THEN 1 ELSE 0 END END AS significant
@@ -6407,8 +6412,8 @@ WITH pu AS (
          sum(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
                             - INTERVAL 14 DAY
                    AND ts < TIMESTAMP '2024-01-20 00:00:00'
-                  THEN CAST(value AS DECIMAL(18,6))
-                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS val,
+                  THEN CAST(floor(value * 1e6) AS BIGINT)
+                  ELSE 0 END) AS val_u,
          count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
                                        - INTERVAL 14 DAY
                               AND ts < TIMESTAMP '2024-01-20 00:00:00'
@@ -6424,7 +6429,11 @@ WITH pu AS (
   FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 )
 SELECT unit, n_events, n_conversions,
-       round(CAST(val AS DOUBLE), 6) AS total_value,
+       -- BIGINT micro-units / 1e6: one correctly-rounded IEEE division
+       -- of exact integers — bit-identical in any engine (no DECIMAL
+       -- cast, no round(): both are engine/version-dependent at half
+       -- boundaries; the r10 driver hash-mismatch class)
+       val_u / 1e6 AS total_value,
        CAST(days_active AS BIGINT) AS days_active,
        CAST(datediff('day', last_day, DATE '2024-01-20') AS BIGINT)
          AS recency_days,
@@ -7985,7 +7994,7 @@ WITH m AS (
   FROM orders
 )
 SELECT x.expectation, x.n_violations, m.n AS n_rows,
-       round(CAST(x.n_violations AS DOUBLE) / m.n, 6) AS violation_share,
+       CAST(x.n_violations AS DOUBLE) / m.n AS violation_share,
        CASE WHEN x.n_violations = 0 THEN 1 ELSE 0 END AS passed
 FROM m, LATERAL (VALUES
   ('orderkey_not_null', v0), ('totalprice_positive', v1),
@@ -9304,8 +9313,7 @@ def _stream_season(spark, sf_dir):
                  tempfile.mkdtemp(prefix=f"ckpt_ssn_{uuid.uuid4().hex[:6]}"))
          .trigger(availableNow=True).start())
     _await_stream(q)
-    replay = spark.read.parquet(_os.path.join(split_dir, "batch1.parquet"))
-    m(replay, rec.epoch_of("batch1.parquet", 2))
+    rec.replay(spark, split_dir, "batch1.parquet", 2)
     return m.serve(spark)
 
 
@@ -9322,27 +9330,47 @@ WITH gaps AS (
          epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), g AS (
+), g0 AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-         (max(us) - min(us)) / 3.6e9 AS span_h,
-         quantile_cont(gap, 0.5) AS med,
-         quantile_cont(gap, 0.75) - quantile_cont(gap, 0.25) AS iqr,
+         max(us) AS hi, min(us) AS lo,
+         list_sort(list(gap) FILTER (WHERE gap IS NOT NULL)) AS gl,
          CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
   FROM gaps GROUP BY user_id HAVING count(*) >= 2
+), g AS (
+  -- EXACT quarter-microsecond quantiles (pure BIGINT arithmetic) —
+  -- never quantile_cont's FP interpolation: q4 = (4-r)*v[lo]+r*v[lo+1]
+  -- with h4 = m*(len-1), lo = h4//4, r = h4%4, for q = m/4
+  SELECT user_id, n_events, hi, lo, n_event_types,
+    CASE WHEN (2*(len(gl)-1)) % 4 = 0
+         THEN 4 * gl[(2*(len(gl)-1))//4 + 1]
+         ELSE (4 - (2*(len(gl)-1)) % 4) * gl[(2*(len(gl)-1))//4 + 1]
+              + ((2*(len(gl)-1)) % 4) * gl[(2*(len(gl)-1))//4 + 2]
+    END AS med4,
+    (CASE WHEN (3*(len(gl)-1)) % 4 = 0
+          THEN 4 * gl[(3*(len(gl)-1))//4 + 1]
+          ELSE (4 - (3*(len(gl)-1)) % 4) * gl[(3*(len(gl)-1))//4 + 1]
+               + ((3*(len(gl)-1)) % 4) * gl[(3*(len(gl)-1))//4 + 2]
+     END)
+    - (CASE WHEN (1*(len(gl)-1)) % 4 = 0
+            THEN 4 * gl[(1*(len(gl)-1))//4 + 1]
+            ELSE (4 - (1*(len(gl)-1)) % 4) * gl[(1*(len(gl)-1))//4 + 1]
+                 + ((1*(len(gl)-1)) % 4) * gl[(1*(len(gl)-1))//4 + 2]
+       END) AS iqr4
+  FROM g0
 ), cut AS (
   -- discrete cut (min med whose cume_dist >= q): cume_dist is an exact
-  -- integer ratio, unlike quantile_cont's inexact 0.05-interpolation,
-  -- so the med <= cut boundary cannot flip across engines (ADVICE r9)
-  SELECT min(med) AS c FROM (
-    SELECT med, cume_dist() OVER (ORDER BY med) AS cd FROM g
+  -- integer ratio and med4 a BIGINT, so the <= cannot flip engines
+  SELECT min(med4) AS c4 FROM (
+    SELECT med4, cume_dist() OVER (ORDER BY med4) AS cd FROM g
   ) WHERE cd >= 0.05)
-SELECT user_id, n_events, round(span_h, 6) AS span_hours,
-       round(CASE WHEN span_h > 0 THEN n_events / span_h END, 6)
-         AS events_per_hour,
-       round(med / 1e6, 6) AS median_gap_s,
-       round(iqr / 1e6, 6) AS gap_iqr_s,
+SELECT user_id, n_events,
+       (hi - lo) / 3.6e9 AS span_hours,
+       CASE WHEN hi > lo
+            THEN n_events / ((hi - lo) / 3.6e9) END AS events_per_hour,
+       med4 / 4e6 AS median_gap_s,
+       iqr4 / 4e6 AS gap_iqr_s,
        n_event_types,
-       CAST(CASE WHEN med <= cut.c THEN 1 ELSE 0 END AS INT)
+       CAST(CASE WHEN med4 <= cut.c4 THEN 1 ELSE 0 END AS INT)
          AS is_suspect
 FROM g, cut
 """)
@@ -9934,8 +9962,7 @@ def _stream_moments(spark, sf_dir):
                  tempfile.mkdtemp(prefix=f"ckpt_mom_{uuid.uuid4().hex[:6]}"))
          .trigger(availableNow=True).start())
     _await_stream(q)
-    replay = spark.read.parquet(_os.path.join(split_dir, "batch1.parquet"))
-    m(replay, rec.epoch_of("batch1.parquet", 2))
+    rec.replay(spark, split_dir, "batch1.parquet", 2)
     return moment_stats(m.fold(spark))
 
 
@@ -9969,8 +9996,7 @@ def _stream_hll(spark, sf_dir):
                  tempfile.mkdtemp(prefix=f"ckpt_hll_{uuid.uuid4().hex[:6]}"))
          .trigger(availableNow=True).start())
     _await_stream(q)
-    replay = spark.read.parquet(_os.path.join(split_dir, "batch1.parquet"))
-    m(replay, rec.epoch_of("batch1.parquet", 2))
+    rec.replay(spark, split_dir, "batch1.parquet", 2)
     return certified_report_from_sketches(m.fold(spark),
                                           _t(spark, sf_dir, "events"))
 
@@ -10327,7 +10353,7 @@ def _allpairs_index_path(spark, sf_dir) -> str:
         open(_os.path.join(tmp, "_SUCCESS"), "w").close()
 
     return _cached_parquet(
-        f"/tmp/spark_graft_apindex_v1_{_sf_tag(sf_dir, 'documents')}", build)
+        f"/tmp/spark_graft_apindex_v2_{_sf_tag(sf_dir, 'documents')}", build)
 
 
 @register("dedup_allpairs_incremental", None)  # oracle attached below

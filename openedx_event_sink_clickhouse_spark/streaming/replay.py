@@ -83,3 +83,25 @@ class EpochRecorder:
             raise RuntimeError(
                 f"{basename} never consumed; saw {sorted(self.file_epochs)}")
         return self.file_epochs[basename]
+
+    def replay(self, spark, split_dir: str, basename: str,
+               n_expected: int) -> int:
+        """Re-deliver the FULL epoch that consumed ``basename`` — every
+        file the stream actually assigned to that epoch, unioned, under
+        the recorded epoch id — exactly what foreachBatch's
+        at-least-once contract re-delivers after a crash.
+
+        Replaying ``basename`` ALONE under its epoch id is only
+        equivalent when the trigger consumed exactly that one file; if
+        the source ever groups files differently (rate-limit config,
+        listing races), a single-file replay OVERWRITES the epoch
+        partition with a subset of its original content and silently
+        undercounts (the r9/r10 ``stream_expectations_maintenance``
+        driver-red mechanism). Replaying the recorded file SET is
+        overwrite-idempotent no matter how the stream batched."""
+        e = self.epoch_of(basename, n_expected)
+        files = sorted(b for b, ep in self.file_epochs.items() if ep == e)
+        df = spark.read.parquet(
+            *[os.path.join(split_dir, f) for f in files])
+        self.inner(df, e)
+        return e
