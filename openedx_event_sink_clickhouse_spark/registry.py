@@ -10381,43 +10381,38 @@ WHERE NOT (id_a < {_ND_SPLIT_SQL} AND id_b < {_ND_SPLIT_SQL})
 
 _PRIORITY = [
     "flagship_incremental_dump",
-    # -- FIXED in r10 (the two r9 driver hash-flakes): must re-grade --
+    # -- the r10 driver-reds, fixed by EXACTIFICATION this round (pure
+    #    integer/decimal arithmetic, no round(double), full-epoch
+    #    replay); bitwise-identical cross-engine per AUDIT_BITWISE.json
+    #    and 10x single-session fence-stable per FENCE.json --
     "stream_expectations_maintenance", "evt_bot_detection",
-    # -- changed in r10 (recorded-epoch replay protocol, awaitTermination
-    #    guard, CUSUM FP-association parity): re-grade the whole family --
+    "evt_logrank_test", "evt_churn_labels",
+    # -- never driver-graded (the full set, computed from
+    #    CORRECTNESS_r1..r10): must receive their first grade --
+    "agg_histogram_quantiles", "cur_data_card", "dq_expectations",
+    "dq_k_anonymity", "evt_markov_transitions",
+    "evt_sequential_monitoring", "mm_png_metadata",
+    "mm_png_resize_stats", "mm_wav_normalize_gain",
+    "mm_wav_silence_segments", "ret_phrase_search",
+    "src_csv_roundtrip", "src_jsonl_roundtrip", "text_entropy_signals",
+    # -- full-epoch replay protocol landed this round (EpochRecorder.
+    #    replay): re-grade every maintainer that replays --
     "stream_cms_maintenance", "stream_quantile_maintenance",
     "stream_scd1_maintenance", "stream_scd2_maintenance",
     "stream_seasonal_profile_maintenance", "stream_dedup_maintenance",
-    "stream_attribution", "stream_stateful_incremental_gate",
-    "evt_cusum_changepoint",
-    # -- NEW in r10: never in a driver sample --
-    "sim_range_search", "text_ngram_diversity", "evt_dau_mau",
-    "dedup_allpairs_jaccard", "dedup_allpairs_incremental",
-    "sim_embedding_covariance", "evt_ols_readout",
-    "ret_query_likelihood", "agg_moment_profile", "evt_did_readout",
-    "stream_moment_maintenance", "stream_hll_maintenance",
-    "sim_matryoshka_recall",
-    "dedup_survivors_by_quality", "dedup_weighted_jaccard",
-    "dq_dp_release", "graph_adamic_adar",
-    "asof_nearest_purchase", "text_term_burstiness",
-    # -- the rotation the r9 window promised: r4-graded stragglers --
-    "sim_quantized_topk", "skew_salted_agg", "stream_session_stats",
-    "evt_funnel_latency", "dq_psi_drift", "graph_kcore",
-    # -- never driver-sampled (judge-verified in r9's 31/31 run; rotate
-    #    them through a driver window too) --
-    "agg_grouped_quantiles", "graph_edge_jaccard", "evt_jackknife_ci",
-    "evt_power_mde", "evt_rfm_segments", "dq_snapshot_diff",
-    "dq_benford_audit", "agg_kmv_distinct", "evt_anomaly_mad",
-    "text_tokenizer_fertility", "evt_logrank_test",
-    "graph_clustering_coefficient", "evt_churn_labels",
-    # (after these 50: the judge-verified r9 stragglers the additions
-    # displaced — dq_expectations, mm_wav_normalize_gain, src_jsonl_roundtrip, src_csv_roundtrip, dq_k_anonymity, mm_png_resize_stats,
-    # evt_sequential_monitoring, cur_data_card, mm_decode_stats,
-    # mm_resize, text_entropy_signals, mm_wav_silence_segments,
-    # evt_markov_transitions, agg_histogram_quantiles, mm_png_metadata,
-    # ret_phrase_search — then the r9-graded cohort and the r5-r8
-    # cohorts; every entry has at least one green driver grade or a
-    # judge verification)
+    "stream_hll_maintenance", "stream_moment_maintenance",
+    "stream_stateful_incremental_gate",
+    # -- otherwise changed this round (asof tie-breaks, allpairs verify
+    #    base dedupe + meta guard, tfidf single-aggregation rewrite) --
+    "ret_tfidf_cosine", "asof_last_purchase", "asof_nearest_purchase",
+    "dedup_allpairs_incremental", "dedup_allpairs_jaccard",
+    # -- rotation: the oldest driver grades still on r4/r5 --
+    "t1_tree_ordinals", "stream_tumbling_stats", "text_quality_signals",
+    "text_unigram_logprob", "text_top_ngrams", "text_dsir_importance",
+    "s1_full_scan", "s2_range_scan", "s3_in_list_filter",
+    "s5_limit_after_filter", "s6_point_lookup", "s7_dim_enrich_join",
+    "s9_parent_child_expand", "p1_projection_rename",
+    "p2_p3_dump_metadata", "p5_casts_flags", "t2_last_wins_dedup",
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -1,10 +1,40 @@
 from __future__ import annotations
 
+import os
+import signal
+
 import pytest
 
 from openedx_event_sink_clickhouse_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# Per-test watchdog (VERDICT r10 item 9): a hung streaming test must
+# FAIL the certification run, not stall it silently. pytest-timeout is
+# not installable in this container, so this is the same idea on
+# SIGALRM: the handler raises in the main thread, which interrupts
+# blocking py4j socket reads. 600 s is ~20x the slowest legitimate
+# test; override with PYTEST_PER_TEST_TIMEOUT=0 to disable.
+_WATCHDOG_S = int(os.environ.get("PYTEST_PER_TEST_TIMEOUT", "600"))
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    if _WATCHDOG_S <= 0 or not hasattr(signal, "SIGALRM"):
+        return (yield)
+
+    def _alarm(signum, frame):
+        raise TimeoutError(
+            f"{item.nodeid} exceeded the {_WATCHDOG_S}s per-test "
+            f"watchdog (tests/conftest.py)")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.setitimer(signal.ITIMER_REAL, _WATCHDOG_S)
+    try:
+        return (yield)
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old)
 
 
 @pytest.fixture(scope="session")
