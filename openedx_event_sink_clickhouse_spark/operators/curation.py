@@ -957,19 +957,24 @@ def corpus_data_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
     rows — bounded metadata scale, the registry's ntile-over-rollup
     precedent, never the corpus)."""
     toks = F.size(F.array_remove(words(F.col(text_col)), ""))
+    # avg_chars and doc_share are single divisions of exact BIGINT
+    # sums (engine-native avg() may accumulate doubles in merge order;
+    # round(double) flips at half boundaries across engine versions —
+    # both r10 driver-red classes), published raw
     card = (docs.rollup("lang", "source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum(F.length(text_col)).alias("total_chars"),
-                 F.sum(toks).alias("total_tokens"),
-                 F.round(F.avg(F.length(text_col)), 6).alias("avg_chars")))
+                 F.sum(toks).alias("total_tokens"))
+            .withColumn("avg_chars",
+                        F.col("total_chars").cast("double")
+                        / F.col("n_docs")))
     total = F.max(F.when(F.col("lang").isNull()
                          & F.col("source").isNull(), F.col("n_docs"))) \
              .over(Window.partitionBy())
     return card.select(
         "lang", "source", "n_docs", "total_chars", "total_tokens",
         "avg_chars",
-        F.round(F.col("n_docs").cast("double") / total, 6)
-         .alias("doc_share"))
+        (F.col("n_docs").cast("double") / total).alias("doc_share"))
 
 
 def reservoir_per_key(df: DataFrame, key_col: str, id_col: str,

@@ -281,8 +281,10 @@ def markov_transitions(events: DataFrame, user_col: str = "user_id",
     return counts.select(
         "from_step", "to_step",
         F.col("n_transitions").cast("bigint").alias("n_transitions"),
-        F.round(F.col("n_transitions").cast("double")
-                / F.sum("n_transitions").over(wt), 6).alias("prob"))
+        # raw integer-ratio division (bit-identical in any engine;
+        # round() is the engine-version-sensitive part, VERDICT r10)
+        (F.col("n_transitions").cast("double")
+         / F.sum("n_transitions").over(wt)).alias("prob"))
 
 
 def funnel_latency(events: DataFrame, steps: list[str],

@@ -279,8 +279,12 @@ def k_anonymity_audit(df: DataFrame, qi_cols: list[str],
                     F.col("class_size").cast("bigint").alias("class_size"),
                     (F.col("class_size") < k).cast("int")
                     .alias("violates_k"),
-                    F.round(F.lit(1.0) / F.col("class_size").cast("double"),
-                            6).alias("reident_risk")))
+                    # raw single division of an exact integer — bit-
+                    # identical in any engine; round() would flip at
+                    # class sizes whose 1e6/n is a half-integer (e.g.
+                    # 128, 640, 3200 — the r10 driver-red class)
+                    (F.lit(1.0) / F.col("class_size").cast("double"))
+                    .alias("reident_risk")))
 
 
 def benford_audit(df: DataFrame, value_col: str,

@@ -3598,14 +3598,25 @@ hit AS (
                      + 5.0 * (q * total - (cum - n_rows)) / n_rows END,
            0.0), 100.0) AS e
   FROM hit WHERE rn = 1
-), ex AS (
-  SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q,
-         unnest(quantile_cont(v, [0.5, 0.9, 0.99])) AS exact
-  FROM v
+), sv AS (SELECT list_sort(list(v)) AS gl FROM v),
+ex AS (
+  -- exact harness via engine-stable hundredth-unit interpolation
+  -- (never quantile_cont's implementation-ordered FP): r = h mod 100,
+  -- i = h div 100, h = q100*(n-1); ((100-r)*v[i] + r*v[i+1]) / 100
+  SELECT q100 / 100.0 AS q,
+    CASE WHEN (CAST(q100 AS BIGINT) * (len(gl) - 1)) % 100 = 0
+         THEN gl[(CAST(q100 AS BIGINT) * (len(gl) - 1)) // 100 + 1]
+         ELSE ((100 - (CAST(q100 AS BIGINT) * (len(gl) - 1)) % 100)
+               * gl[(CAST(q100 AS BIGINT) * (len(gl) - 1)) // 100 + 1]
+               + ((CAST(q100 AS BIGINT) * (len(gl) - 1)) % 100)
+               * gl[(CAST(q100 AS BIGINT) * (len(gl) - 1)) // 100 + 2])
+              / 100.0
+    END AS exact
+  FROM sv, (SELECT unnest([50, 90, 99]) AS q100)
 )
 SELECT est.q, CAST(total AS BIGINT) AS n_rows,
-       round(e, 6) AS estimate, round(exact, 6) AS exact,
-       round(abs(round(e, 6) - exact), 6) AS abs_err
+       e AS estimate, exact,
+       abs(e - exact) AS abs_err
 FROM est JOIN ex ON est.q = ex.q
 ORDER BY est.q
 """)
@@ -3615,7 +3626,8 @@ def _agg_hist_quant(spark, sf_dir):
     # closed-form linear interpolation — error bounded by the bin width,
     # measured in-query against the exact percentile (abs_err column),
     # the same measured-not-asserted discipline as sim_ivf_recall.
-    from .operators.quantiles import histogram_sketch, histogram_quantiles
+    from .operators.quantiles import (exact_quantiles, histogram_sketch,
+                                      histogram_quantiles)
     qs = [0.5, 0.9, 0.99]
     ev = (_t(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull())
@@ -3623,19 +3635,15 @@ def _agg_hist_quant(spark, sf_dir):
                   F.col("ts").cast("date").alias("epoch")))
     cells = histogram_sketch(ev, "v", 0.0, 100.0, 20, epoch_col="epoch")
     est = histogram_quantiles(cells, qs, 0.0, 100.0, 20)
-    exact = (ev.agg(F.percentile(F.col("v"),
-                                 F.array(*[F.lit(q) for q in qs]))
-                    .alias("ex"))
-             .select(F.posexplode("ex").alias("i", "exact"))
-             .select(F.element_at(F.array(*[F.lit(q) for q in qs]),
-                                  F.col("i") + 1).alias("q"), "exact"))
+    # exact harness via engine-stable hundredth-unit interpolation and
+    # every column published UNROUNDED: each is a fixed-shape IEEE
+    # chain of exact integers, bit-identical in any engine (the r10
+    # driver-red lesson: round(double) is the fragile part)
+    exact = exact_quantiles(ev, "v", qs)
     return (est.join(F.broadcast(exact), "q")
-            .select("q", "n_rows",
-                    F.col("estimate"),
-                    F.round(F.col("exact"), 6).alias("exact"),
-                    F.round(F.abs(
-                        F.col("estimate").cast("double") - F.col("exact")),
-                        6).alias("abs_err"))
+            .select("q", "n_rows", F.col("estimate"), F.col("exact"),
+                    F.abs(F.col("estimate").cast("double")
+                          - F.col("exact")).alias("abs_err"))
             .orderBy("q"))
 
 
@@ -5958,18 +5966,12 @@ def _stream_quantiles(spark, sf_dir):
     ev = (_t(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull())
           .select(F.col("value").cast("double").alias("v")))
-    exact = (ev.agg(F.percentile(F.col("v"),
-                                 F.array(*[F.lit(x) for x in qs]))
-                    .alias("ex"))
-             .select(F.posexplode("ex").alias("i", "exact"))
-             .select(F.element_at(F.array(*[F.lit(x) for x in qs]),
-                                  F.col("i") + 1).alias("q"), "exact"))
+    from .operators.quantiles import exact_quantiles
+    exact = exact_quantiles(ev, "v", qs)
     return (est.join(F.broadcast(exact), "q")
-            .select("q", "n_rows", F.col("estimate"),
-                    F.round(F.col("exact"), 6).alias("exact"),
-                    F.round(F.abs(
-                        F.col("estimate").cast("double") - F.col("exact")),
-                        6).alias("abs_err"))
+            .select("q", "n_rows", F.col("estimate"), F.col("exact"),
+                    F.abs(F.col("estimate").cast("double")
+                          - F.col("exact")).alias("abs_err"))
             .orderBy("q"))
 
 
@@ -7076,9 +7078,8 @@ WITH pairs AS (
   FROM pairs GROUP BY 1, 2
 )
 SELECT from_step, to_step, n_transitions,
-       round(CAST(n_transitions AS DOUBLE)
-             / sum(n_transitions) OVER (PARTITION BY from_step), 6)
-         AS prob
+       CAST(n_transitions AS DOUBLE)
+         / sum(n_transitions) OVER (PARTITION BY from_step) AS prob
 FROM c
 """)
 def _evt_markov(spark, sf_dir):
@@ -8127,7 +8128,7 @@ WITH c AS (
 SELECT c_nationkey, c_mktsegment, acctbal_band,
        CAST(class_size AS BIGINT) AS class_size,
        CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS violates_k,
-       round(1.0 / class_size, 6) AS reident_risk
+       1.0 / class_size AS reident_risk
 FROM c
 """)
 def _dq_kanon(spark, sf_dir):
@@ -8201,13 +8202,13 @@ WITH base AS (
          sum(length(text)) AS total_chars,
          sum(len(list_filter(string_split(lower(text), ' '),
                              x -> x <> ''))) AS total_tokens,
-         round(avg(length(text)), 6) AS avg_chars
+         CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
   FROM documents GROUP BY ROLLUP (lang, source)
 )
 SELECT lang, source, n_docs, total_chars, total_tokens, avg_chars,
-       round(n_docs / max(CASE WHEN lang IS NULL AND source IS NULL
-                               THEN n_docs END) OVER ()::DOUBLE, 6)
-         AS doc_share
+       CAST(n_docs AS DOUBLE)
+         / max(CASE WHEN lang IS NULL AND source IS NULL
+                    THEN n_docs END) OVER () AS doc_share
 FROM base
 """)
 def _cur_card(spark, sf_dir):
