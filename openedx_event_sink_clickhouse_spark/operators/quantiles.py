@@ -203,7 +203,9 @@ def grouped_histogram_quantiles(cells: DataFrame, group_cols: list[str],
             .filter(F.col("_rn") == 1)
             .select(*group_cols, "q",
                     F.col("total").cast("bigint").alias("n_rows"),
-                    F.round(clamped, 6).alias("estimate"))
+                    # raw fixed-shape chain, same de-round policy as
+                    # histogram_quantiles (VERDICT r10 half-boundary class)
+                    clamped.alias("estimate"))
             .orderBy(*group_cols, "q"))
 
 

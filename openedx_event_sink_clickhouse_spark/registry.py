@@ -3720,12 +3720,12 @@ hit AS (
   FROM cum JOIN qs ON cum >= q * total
 )
 SELECT key, q, CAST(total AS BIGINT) AS n_rows,
-       round(least(greatest(
+       least(greatest(
          CASE WHEN bucket = -1 THEN 0.0
               WHEN bucket = 20 THEN 100.0
               ELSE bucket * 5.0
                    + 5.0 * (q * total - (cum - n_rows)) / n_rows END,
-         0.0), 100.0), 6) AS estimate
+         0.0), 100.0) AS estimate
 FROM hit WHERE rn = 1
 ORDER BY key, q
 """)
@@ -10413,7 +10413,7 @@ _PRIORITY = [
     "s1_full_scan", "s2_range_scan", "s3_in_list_filter",
     "s5_limit_after_filter", "s6_point_lookup", "s7_dim_enrich_join",
     "s9_parent_child_expand", "p1_projection_rename",
-    "p2_p3_dump_metadata", "p5_casts_flags", "t2_last_wins_dedup",
+    "p2_p3_dump_metadata", "p5_casts_flags", "agg_grouped_quantiles",
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
