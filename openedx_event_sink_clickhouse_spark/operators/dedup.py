@@ -728,14 +728,75 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id",
             .filter(F.col("hamming") <= max_hamming))
 
 
+def _driver_union_find(spark, pairs: DataFrame, rows, id_a: str
+                       ) -> DataFrame:
+    """Driver-side union–find over an already-collected small edge
+    list — the small-graph regime of :func:`connected_components`.
+    Produces the identical (doc_id, cluster_id, is_survivor) frame the
+    BSP fixpoint would: every node labeled with the MINIMUM id in its
+    component (union–find roots are path-dependent, so the min is
+    extracted per component afterward — determinism does not ride on
+    collect order). Output id type mirrors the input pair column."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    id_type = pairs.schema[id_a].dataType
+    schema = StructType([StructField("doc_id", id_type),
+                         StructField("cluster_id", id_type),
+                         StructField("is_survivor", BooleanType())])
+    data = sorted((node, comp_min[find(node)]) for node in parent)
+    return spark.createDataFrame(
+        [(n, c, n == c) for n, c in data], schema)
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 20,
                          checkpoint_every: int = 5,
-                         checkpoint_dir: str | None = None) -> DataFrame:
+                         checkpoint_dir: str | None = None,
+                         small_graph_edges: int = 500_000) -> DataFrame:
     """Cluster near-dup pairs into duplicate groups: every node labeled
     with the smallest reachable id (= cluster id). Returns
     (doc_id, cluster_id, is_survivor) for every node that appears in a
     pair; the survivor is the cluster's minimum id.
+
+    TWO REGIMES, one result (the broadcast-vs-shuffle-join pattern
+    applied to clustering):
+
+    - **Small graphs** (≤ ``small_graph_edges`` pairs): ONE
+      ``limit(K+1).collect()`` evaluates the upstream pair-mining chain
+      exactly once and runs union–find on the driver — microseconds of
+      CPU and a single Spark job, versus O(diameter) BSP rounds that
+      each cost a scheduled job (the r11 profile: a ~90-edge contracted
+      delta spent 32 jobs / 3 s in the fixpoint; the maintainer's
+      per-epoch cost was job-scheduling floor, not data). Near-dup pair
+      sets and incremental contracted deltas are overwhelmingly in this
+      regime — pairs are O(duplicates), not O(corpus).
+    - **Large graphs**: min-label BSP to fixpoint, as below — the
+      collect would not fit a driver, and at that size the per-round
+      shuffles dominate scheduling anyway.
 
     Min-label propagation to fixpoint: each round joins labels to the
     (symmetrized) edge list and takes the elementwise min — O(diameter)
@@ -754,9 +815,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     long-diameter convergence should survive executor churn, and a
     reliable checkpoint also frees the executor storage the local
     variant pins. Same results either mode (``tests/test_dedup.py``
-    pins both on a long-chain fixture).
+    pins both on a long-chain fixture; the small-graph path is pinned
+    equal to the BSP path there too).
     """
     spark = pairs.sparkSession
+    if small_graph_edges:
+        rows = (pairs.select(id_a, id_b)
+                .limit(small_graph_edges + 1).collect())
+        if len(rows) <= small_graph_edges:
+            return _driver_union_find(spark, pairs, rows, id_a)
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
     else:

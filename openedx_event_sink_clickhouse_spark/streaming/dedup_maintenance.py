@@ -100,6 +100,14 @@ class DedupStreamMaintainer:
         if os.path.isfile(marker) and int(open(marker).read()) == epoch_id:
             return                       # fully-committed epoch replay
         spark = batch_df.sparkSession
+        # A micro-batch is typically ONE source file -> ONE scan
+        # partition, which would run the 64-hash MinHash signature
+        # chain on a single core while the rest of the executor idles.
+        # Spread the batch first: one tiny shuffle of the increment buys
+        # full-width signature/shingle compute for every downstream
+        # consumer (mining, survivors, index append).
+        batch_df = batch_df.repartition(
+            max(2, spark.sparkContext.defaultParallelism // 4))
         bootstrapped = os.path.isfile(
             os.path.join(self.labels_path, "_SUCCESS"))
         if bootstrapped:

@@ -107,7 +107,11 @@ def test_connected_components_long_chain_bounded_lineage(spark):
     n = 31
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
-    out = connected_components(pairs, max_iter=40, checkpoint_every=5)
+    # small_graph_edges=0 forces the BSP regime — this test pins the
+    # fixpoint machinery (the driver union-find path is pinned equal in
+    # test_connected_components_small_graph_regime_matches_bsp)
+    out = connected_components(pairs, max_iter=40, checkpoint_every=5,
+                               small_graph_edges=0)
     rows = out.collect()
     assert len(rows) == n
     assert {r.cluster_id for r in rows} == {0}
@@ -134,7 +138,7 @@ def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
     ckdir = str(tmp_path / "cc_ck")
     out = connected_components(pairs, max_iter=40, checkpoint_every=5,
-                               checkpoint_dir=ckdir)
+                               checkpoint_dir=ckdir, small_graph_edges=0)
     rows = out.collect()
     assert len(rows) == n
     assert {r.cluster_id for r in rows} == {0}
@@ -144,6 +148,26 @@ def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
     assert found, "reliable checkpoint wrote no files"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Join") <= 28, plan
+
+
+def test_connected_components_small_graph_regime_matches_bsp(spark):
+    # The driver union-find regime must return EXACTLY the frame the
+    # BSP fixpoint returns — same rows, same min-id labels, same
+    # survivor flags, same schema — on an irregular multi-component
+    # graph with chains, merges, and self-contained doubles.
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+    edges = ([(i, i + 1) for i in range(0, 9)]          # chain 0..9
+             + [(20, 25), (25, 21), (21, 20)]           # cycle
+             + [(40, 41), (42, 41), (43, 40)]           # star-ish merge
+             + [(100, 200)])                            # isolated pair
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    small = connected_components(pairs)
+    big = connected_components(pairs, small_graph_edges=0)
+    assert small.schema == big.schema
+    assert sorted(map(tuple, small.collect())) == \
+        sorted(map(tuple, big.collect()))
 
 
 def test_connected_components_random_graph_matches_union_find(spark):

@@ -52,7 +52,8 @@ EMB_QUERIES = {"sim_neardup_pairs", "sim_ivf_partitioned", "sim_cosine_topk",
                "sim_quantized_topk", "dedup_semantic_survivors",
                "graph_triangle_count", "graph_pagerank",
                "sim_random_projection", "sim_ivfpq_topk",
-               "graph_edge_jaccard"}
+               "graph_edge_jaccard", "graph_personalized_pagerank",
+               "graph_seed_distance"}
 RUNS = 2
 
 
