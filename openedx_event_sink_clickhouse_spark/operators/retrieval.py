@@ -214,13 +214,17 @@ def keyword_extraction(docs: DataFrame, k: int = 3,
     with term tie-breaks so both engines order identically. Plan: one
     postings explode + the term-df aggregate + a (doc)-partitioned rank
     window — at rest the weights are one more column of the postings
-    index, and the window rides the doc-keyed layout."""
+    index, and the window rides the doc-keyed layout. The
+    vocabulary-sized df table broadcasts (a shuffle join of postings
+    against vocab was the one avoidable exchange; pinning the postings
+    was ALSO tried and measured a wash — the checkpoint write/read of
+    the exploded frame costs what the second tokenize pass saves)."""
     terms = _doc_terms(docs, text_col, id_col)
     dfs = terms.groupBy("term").agg(F.count("*").alias("df"))
     consts = docs.agg(F.count("*").alias("n_docs"))
     idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) \
         + F.lit(1.0)
-    weighted = (terms.join(dfs, "term")
+    weighted = (terms.join(F.broadcast(dfs), "term")
                 .crossJoin(F.broadcast(consts))
                 .select("doc_id", "term",
                         F.round(F.col("tf") * idf, 6)

