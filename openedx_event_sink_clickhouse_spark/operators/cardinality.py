@@ -214,14 +214,14 @@ def kmv_set_ops(df_a, df_b, key_col: str, k: int = 64):
     return (th.crossJoin(F.broadcast(nu)).crossJoin(F.broadcast(ni))
             .crossJoin(F.broadcast(ex_u)).crossJoin(F.broadcast(ex_i))
             .select("n_a_kept", "n_b_kept",
-                    F.round(tn, 9).alias("theta_norm"),
-                    F.round(F.col("_nu").cast("double") / tn, 6)
+                    tn.alias("theta_norm"),
+                    (F.col("_nu").cast("double") / tn)
                     .alias("union_est"),
-                    F.round(F.col("_ni").cast("double") / tn, 6)
+                    (F.col("_ni").cast("double") / tn)
                     .alias("inter_est"),
-                    F.round(F.when(F.col("_nu") > 0,
-                                   F.col("_ni").cast("double")
-                                   / F.col("_nu").cast("double")), 6)
+                    F.when(F.col("_nu") > 0,
+                           F.col("_ni").cast("double")
+                           / F.col("_nu").cast("double"))
                     .alias("jaccard_est"),
                     "exact_union", "exact_inter"))
 

@@ -460,16 +460,16 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     return docs.select(
         F.col(id_col),
         F.size(ws).alias("n_words"),
-        F.round(F.lit(1.0) - F.size(F.array_distinct(ws)) / F.size(ws), 6)
-         .alias("dup_word_frac"),
-        F.round(F.when(n_bigrams > 0,
-                       F.lit(1.0) - F.size(F.array_distinct(grams))
-                       / n_bigrams)
-                 .otherwise(F.lit(0.0)), 6).alias("dup_bigram_frac"),
+        (F.lit(1.0) - F.size(F.array_distinct(ws)) / F.size(ws))
+        .alias("dup_word_frac"),
+        F.when(n_bigrams > 0,
+               F.lit(1.0) - F.size(F.array_distinct(grams))
+               / n_bigrams)
+         .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
         F.when(n_bigrams > 0, stats["bestg"]).alias("top_bigram"),
-        F.round(F.when(n_bigrams > 0,
-                       stats["bestc"] / n_bigrams)
-                 .otherwise(F.lit(0.0)), 6).alias("top_bigram_frac"))
+        F.when(n_bigrams > 0,
+               stats["bestc"] / n_bigrams)
+         .otherwise(F.lit(0.0)).alias("top_bigram_frac"))
 
 
 def negative_samples(docs: DataFrame, k: int = 4,
@@ -510,8 +510,8 @@ def corpus_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
     total = Window.partitionBy()
     return agg.select(
         "lang", "source", "n_docs", "n_tokens",
-        F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6)
-         .alias("token_share"))
+        (F.col("n_tokens") / F.sum("n_tokens").over(total))
+        .alias("token_share"))
 
 
 def mix_plan(docs: DataFrame, alpha: float = 0.5,

@@ -1166,9 +1166,9 @@ def duplicate_spans(docs: DataFrame, text_col: str = "text",
                      .alias("n_dup_spans"),
                     F.coalesce("dup_tokens", F.lit(0)).cast("long")
                      .alias("dup_tokens"),
-                    F.round(F.coalesce("dup_tokens", F.lit(0)).cast("double")
-                            / F.col("n_tokens"), 6)
-                     .alias("dup_token_frac")))
+                    (F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                     / F.col("n_tokens"))
+                    .alias("dup_token_frac")))
 
 
 def edit_distance_verify(pairs: DataFrame, docs: DataFrame,

@@ -91,9 +91,10 @@ def srm_check(events: DataFrame, *, unit_col: str = "user_id",
             - n * n) / n
     return (pv.crossJoin(F.broadcast(tot))
             .select("variant", "n_units",
-                    F.round(n / F.lit(float(n_variants)), 6)
-                    .alias("expected"),
-                    F.round(chi2, 6).alias("chi2"),
+                    # raw fixed-shape chains of exact integers — no
+                    # round(double): the r10 half-boundary class
+                    (n / F.lit(float(n_variants))).alias("expected"),
+                    chi2.alias("chi2"),
                     (chi2 > chi2_crit).cast("int").alias("srm_detected")))
 
 
@@ -146,7 +147,7 @@ def conversion_ztest(events: DataFrame, *, conversion_type: str = "purchase",
                (x1 / n1 - x0 / n0) / se)
     return (pv.crossJoin(F.broadcast(ctrl))
             .select("variant", "n_units", "n_converted",
-                    F.round(x1 / n1, 6).alias("conv_rate"),
+                    (x1 / n1).alias("conv_rate"),
                     F.round(z, 6).alias("z_score"),
                     F.when(z.isNull(), F.lit(None).cast("int"))
                      .otherwise((F.abs(z) > z_crit).cast("int"))

@@ -74,8 +74,8 @@ def funnel(events: DataFrame, steps: list[str],
         F.col("n_users").alias("_base"))
     return (counts.crossJoin(F.broadcast(base))
             .select("step_idx", "step", "n_users",
-                    F.round(F.col("n_users").cast("double") / F.col("_base"),
-                            6).alias("conversion")))
+                    (F.col("n_users").cast("double") / F.col("_base"))
+                    .alias("conversion")))
 
 
 def cohort_retention(events: DataFrame, user_col: str = "user_id",
@@ -112,8 +112,8 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
             .agg(F.count("*").alias("n_active"))
             .join(F.broadcast(sizes), "cohort_week")
             .select("cohort_week", "week_offset", "n_active",
-                    F.round(F.col("n_active").cast("double")
-                            / F.col("_cohort_size"), 6).alias("retention")))
+                    (F.col("n_active").cast("double")
+                     / F.col("_cohort_size")).alias("retention")))
 
 
 def top_paths(events: DataFrame, n: int = 3, k: int = 20,

@@ -86,7 +86,7 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 100,
              .agg(F.count("*").alias("exact_count")))
     return (exact.filter(F.col("exact_count") > F.lit(thr))
             .select(key_col, "exact_count",
-                    F.round(F.col("exact_count") / F.lit(float(n)), 6)
+                    (F.col("exact_count") / F.lit(float(n)))
                     .alias("freq_share")))
 
 
@@ -149,8 +149,8 @@ def heavy_hitters_from_counts(spark, table: str, key_col: str,
     return (folded.crossJoin(F.broadcast(tot))
             .filter(F.col("exact_count") > F.col("_n") / kcol)
             .select(key_col, "exact_count",
-                    F.round(F.col("exact_count").cast("double")
-                            / F.col("_n"), 6).alias("freq_share")))
+                    (F.col("exact_count").cast("double")
+                     / F.col("_n")).alias("freq_share")))
 
 
 def retract_keys(spark, table: str, keys: DataFrame, key_col: str,

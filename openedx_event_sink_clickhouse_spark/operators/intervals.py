@@ -50,6 +50,6 @@ def interval_union(intervals: DataFrame, key_col: str,
     return (islands.groupBy(F.col("key"))
             .agg(F.sum("_n").cast("long").alias("n_intervals"),
                  F.count("*").cast("long").alias("n_islands"),
-                 F.round((F.sum(F.col("_hi") - F.col("_lo"))
-                          .cast("double") / F.lit(1e6)), 6)
+                 (F.sum(F.col("_hi") - F.col("_lo"))
+                  .cast("double") / F.lit(1e6))
                  .alias("covered_seconds")))

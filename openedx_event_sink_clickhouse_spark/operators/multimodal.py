@@ -182,12 +182,14 @@ def byte_histogram_features(media: DataFrame,
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "features": feats})
 
-    out = _map_in_pandas(media, fn, FEATURES_SCHEMA, ["media_id", "content"])
-    # Round JVM-side: numpy rounds half-to-even, SQL engines round
-    # half-up — F.round keeps the result oracle-comparable.
-    return out.select("media_id",
-                      F.transform("features",
-                                  lambda x: F.round(x, 6)).alias("features"))
+    # No rounding anywhere: numpy's hist/size is the same correctly-
+    # rounded IEEE division of the same exact integers the oracle
+    # computes, so the features are bit-identical raw — while a 6-dp
+    # round() is the engine/version-sensitive step (the r10 driver-red
+    # class; the old numpy-half-even-vs-SQL-half-up note described the
+    # round we no longer perform).
+    return _map_in_pandas(media, fn, FEATURES_SCHEMA,
+                          ["media_id", "content"])
 
 
 # ---------------------------------------------------------------------------

@@ -61,7 +61,7 @@ def referential_audit(edges: list[tuple[str, DataFrame, str, DataFrame, str]]
                 F.lit(edges[i][0]).alias("edge"),
                 F.col(f"_o{i}").alias("n_orphans"),
                 F.col("_n").alias("n_child_rows"),
-                F.round(F.col(f"_o{i}").cast("double") / F.col("_n"), 6)
+                (F.col(f"_o{i}").cast("double") / F.col("_n"))
                 .alias("orphan_share"))
             for i in idxs]))))
     out = parts[0]
@@ -188,8 +188,10 @@ def schema_drift(df: DataFrame, slice_pred, columns: list[str],
     # deployment case) must report NULL shares/ratios, not divide by
     # zero (an ANSI-mode runtime error).
     def _share(num: str, den: str):
+        # raw single division of exact counts (no round(double) — the
+        # r10 half-boundary class)
         return F.when(F.col(den) > 0,
-                      F.round(F.col(num).cast("double") / F.col(den), 6))
+                      F.col(num).cast("double") / F.col(den))
 
     structs = [F.struct(
         F.lit(c).alias("column"),
@@ -324,7 +326,7 @@ def benford_audit(df: DataFrame, value_col: str,
                  / exp_n).over(w)
     return (j.select(
         "digit", F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.round(F.col("n_rows").cast("double") / total, 6)
+        (F.col("n_rows").cast("double") / total)
         .alias("observed_share"),
         F.round("expected_share", 6).alias("expected_share"),
         F.round(chi2, 6).alias("chi2"),
@@ -486,8 +488,8 @@ def l_diversity_audit(df: DataFrame, qi_cols: list[str],
             .select(*qi_cols, "class_size", "n_sensitive",
                     F.when(F.col("n_sensitive") < l, 1).otherwise(0)
                     .cast("int").alias("violates_l"),
-                    F.round(F.col("_mx").cast("double")
-                            / F.col("class_size"), 6)
+                    (F.col("_mx").cast("double")
+                     / F.col("class_size"))
                     .alias("majority_share")))
 
 

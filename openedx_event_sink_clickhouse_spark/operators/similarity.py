@@ -1563,7 +1563,7 @@ def quantized_shortlist_recall(emb: DataFrame, n_probes: int = 8,
             .groupBy("probe_id")
             .agg(F.count("_hit").alias("n_hits"))
             .select("probe_id", "n_hits",
-                    F.round(F.col("n_hits").cast("double") / k, 6)
+                    (F.col("n_hits").cast("double") / k)
                     .alias("recall_at_k")))
 
 
@@ -1595,7 +1595,7 @@ def ivf_recall_curve(emb: DataFrame, nprobes: tuple[int, ...] = (1, 2, 4),
             .agg((F.count("_hit").cast("double") / F.lit(denom))
                  .alias("_r"))
             .select(F.lit(np_).cast("int").alias("nprobe"),
-                    F.round("_r", 6).alias("mean_recall")))
+                    F.col("_r").alias("mean_recall")))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
@@ -1624,7 +1624,7 @@ def ivf_recall(emb: DataFrame, n_probes: int = 10, k: int = 10,
             .groupBy("probe_id")
             .agg(F.count("_hit").alias("n_hits"))
             .select("probe_id", "n_hits",
-                    F.round(F.col("n_hits").cast("double") / k, 6)
+                    (F.col("n_hits").cast("double") / k)
                     .alias("recall_at_k")))
 
 
@@ -1728,7 +1728,7 @@ def matryoshka_recall(emb: DataFrame, dims: tuple[int, ...] = (8, 16, 32),
             .agg((F.count("_hit").cast("double")
                   / F.count("*").cast("double")).alias("_r"))
             .select(F.lit(d).cast("int").alias("dims_kept"),
-                    F.round("_r", 6).alias("mean_recall")))
+                    F.col("_r").alias("mean_recall")))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)

@@ -104,7 +104,7 @@ def gopher_repetition_signals(docs: DataFrame, text_col: str = "text",
     # the honest value (no characters, no repetition).
     frac = lambda num: F.when(
         n_chars > 0,
-        F.round(num.cast("double") / n_chars, 6)).otherwise(F.lit(0.0))
+        num.cast("double") / n_chars).otherwise(F.lit(0.0))
     # Same guard for the word-denominator division: a NULL text yields
     # NULL n_words, and an unguarded NULL dup_word_frac sails through
     # every `> threshold` filter rule (repetition_filter would emit
@@ -114,8 +114,8 @@ def gopher_repetition_signals(docs: DataFrame, text_col: str = "text",
     return docs.select(
         "doc_id",
         F.when(n_words > 0,
-               F.round((n_words - F.size(F.array_distinct(w))).cast("double")
-                       / n_words, 6)).otherwise(F.lit(0.0))
+               (n_words - F.size(F.array_distinct(w))).cast("double")
+               / n_words).otherwise(F.lit(0.0))
          .alias("dup_word_frac"),
         frac(top_stats["bestc"] * F.length(top_stats["bestg"]))
         .alias("top_ngram_char_frac"),
@@ -486,8 +486,8 @@ def vocab_growth(docs: DataFrame, deciles: int = 10,
             .agg(F.sum("_nt").cast("long").alias("n_tokens")))
     return (toks.join(vocab, ["decile", "threshold_doc"])
             .select("decile", "threshold_doc", "n_tokens", "vocab_size",
-                    F.round(F.col("vocab_size").cast("double")
-                            / F.col("n_tokens"), 6)
+                    (F.col("vocab_size").cast("double")
+                     / F.col("n_tokens"))
                     .alias("type_token_ratio")))
 
 

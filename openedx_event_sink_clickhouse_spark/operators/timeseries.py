@@ -341,9 +341,11 @@ def seasonal_profile(series: DataFrame, key_col: str, bucket_col: str,
     tot_s = F.sum("_s").over(wk).cast("double")
     tot_n = F.sum("n_buckets").over(wk).cast("double")
     mean = F.col("_s").cast("double") / F.col("n_buckets").cast("double")
+    # raw fixed-shape chains of exact integer sums (no round(double)
+    # — the r10 half-boundary class); the maintainer serve mirrors
     return (g.select(key_col, "hour_of_day", "n_buckets",
-                     F.round(mean, 6).alias("mean_events"),
-                     F.round(F.when(tot_s > 0, mean / (tot_s / tot_n)), 6)
+                     mean.alias("mean_events"),
+                     F.when(tot_s > 0, mean / (tot_s / tot_n))
                      .alias("seasonal_index")))
 
 

@@ -2127,13 +2127,13 @@ d3 AS (SELECT doc_id, sum(c * length(gram)) AS dupchars
        FROM c3 WHERE c > 1 GROUP BY doc_id)
 SELECT d.doc_id,
   CASE WHEN len(w) > 0
-       THEN round((len(w) - len(list_distinct(w)))::DOUBLE / len(w), 6)
+       THEN (len(w) - len(list_distinct(w)))::DOUBLE / len(w)
        ELSE 0.0 END AS dup_word_frac,
   CASE WHEN nc > 0
-       THEN round(coalesce(t.chars, 0)::DOUBLE / nc, 6)
+       THEN coalesce(t.chars, 0)::DOUBLE / nc
        ELSE 0.0 END AS top_ngram_char_frac,
   CASE WHEN nc > 0
-       THEN round(coalesce(d3.dupchars, 0)::DOUBLE / nc, 6)
+       THEN coalesce(d3.dupchars, 0)::DOUBLE / nc
        ELSE 0.0 END AS dup_ngram_char_frac
 FROM d LEFT JOIN (SELECT doc_id, chars FROM t2 WHERE rn = 1) t USING (doc_id)
        LEFT JOIN d3 USING (doc_id)
@@ -2967,7 +2967,7 @@ def _mm1(spark, sf_dir):
 
 
 _HIST_BINS_SQL = ",\n       ".join(
-    f"round(len(list_filter(chars, c -> ord(c) // 16 = {b}))::DOUBLE / n, 6)"
+    f"len(list_filter(chars, c -> ord(c) // 16 = {b}))::DOUBLE / n"
     f" AS b{b:02d}" for b in range(16))
 
 
@@ -4663,7 +4663,7 @@ WITH a AS (
   FROM documents GROUP BY lang, source
 )
 SELECT lang, source, n_docs, n_tokens,
-       round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6)
+       n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE)
          AS token_share
 FROM a
 """)
@@ -4831,7 +4831,7 @@ WITH w AS (
 ), sp AS (
   SELECT doc_id,
          len(w) AS n_words,
-         round(1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6)
+         1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE)
            AS dup_word_frac,
          list_transform(generate_series(1, len(w) - 1),
                         i -> w[i] || ' ' || w[i + 1]) AS g
@@ -4847,11 +4847,11 @@ WITH w AS (
   FROM c
 )
 SELECT sp.doc_id, sp.n_words, sp.dup_word_frac,
-       round(CASE WHEN len(g) > 0
-                  THEN 1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE)
-                  ELSE 0.0 END, 6) AS dup_bigram_frac,
+       CASE WHEN len(g) > 0
+            THEN 1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE)
+            ELSE 0.0 END AS dup_bigram_frac,
        r.gram AS top_bigram,
-       round(coalesce(r.cnt / CAST(len(g) AS DOUBLE), 0.0), 6)
+       coalesce(r.cnt / CAST(len(g) AS DOUBLE), 0.0)
          AS top_bigram_frac
 FROM sp LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (doc_id)
 """)
@@ -5145,7 +5145,7 @@ perdoc AS (
 SELECT t.doc_id, t.n_tokens,
        coalesce(p.n_dup_spans, 0) AS n_dup_spans,
        coalesce(p.dup_tokens, 0) AS dup_tokens,
-       round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / t.n_tokens, 6)
+       CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / t.n_tokens
          AS dup_token_frac
 FROM toks t LEFT JOIN perdoc p USING (doc_id)
 """
@@ -5254,7 +5254,7 @@ exact AS (
   WHERE rn <= {_RECALL_K}
 )
 SELECT x.pid AS probe_id, CAST(count(a.id) AS BIGINT) AS n_hits,
-       round(CAST(count(a.id) AS DOUBLE) / {_RECALL_K}, 6) AS recall_at_k
+       CAST(count(a.id) AS DOUBLE) / {_RECALL_K} AS recall_at_k
 FROM exact x LEFT JOIN approx a ON x.pid = a.pid AND x.id = a.id
 GROUP BY x.pid
 """)
@@ -5300,7 +5300,7 @@ exact AS (
   WHERE rn <= {_QREC_K}
 )
 SELECT x.pid AS probe_id, CAST(count(sl.id) AS BIGINT) AS n_hits,
-       round(CAST(count(sl.id) AS DOUBLE) / {_QREC_K}, 6) AS recall_at_k
+       CAST(count(sl.id) AS DOUBLE) / {_QREC_K} AS recall_at_k
 FROM exact x LEFT JOIN shortlist sl ON x.pid = sl.pid AND x.id = sl.id
 GROUP BY x.pid
 """)
@@ -5335,9 +5335,9 @@ a{np_val} AS (
 )""")
         selects.append(f"""
 SELECT CAST({np_val} AS INT) AS nprobe,
-       round(CAST((SELECT count(*) FROM exact x
-                   JOIN a{np_val} a ON x.pid = a.pid AND x.id = a.id)
-             AS DOUBLE) / {np_ * k}, 6) AS mean_recall""")
+       CAST((SELECT count(*) FROM exact x
+             JOIN a{np_val} a ON x.pid = a.pid AND x.id = a.id)
+            AS DOUBLE) / {np_ * k} AS mean_recall""")
     return f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT id AS cid, v AS cv FROM e WHERE id < {nc}),
@@ -6188,10 +6188,10 @@ WITH pv AS (
   FROM agg
 )
 SELECT variant, n_units,
-       round(CAST(n AS DOUBLE) / 2.0, 6) AS expected,
-       round((2.0 * CAST(sq AS DOUBLE)
-              - CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
-             / CAST(n AS DOUBLE), 6) AS chi2,
+       CAST(n AS DOUBLE) / 2.0 AS expected,
+       (2.0 * CAST(sq AS DOUBLE)
+        - CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       / CAST(n AS DOUBLE) AS chi2,
        CASE WHEN (2.0 * CAST(sq AS DOUBLE)
                   - CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
                  / CAST(n AS DOUBLE) > 3.841
@@ -6251,7 +6251,7 @@ WITH pu AS (
   FROM agg CROSS JOIN ctrl
 )
 SELECT variant, n_units, n_converted,
-       round(CAST(n_converted AS DOUBLE) / CAST(n_units AS DOUBLE), 6)
+       CAST(n_converted AS DOUBLE) / CAST(n_units AS DOUBLE)
          AS conv_rate,
        round(zval, 6) AS z_score,
        CASE WHEN zval IS NULL THEN CAST(NULL AS INT)
@@ -6863,7 +6863,7 @@ c AS (
   UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3),
 b AS (SELECT n_users AS base FROM c WHERE step_idx = 1)
 SELECT step_idx, step, n_users,
-       round(CAST(n_users AS DOUBLE) / base, 6) AS conversion
+       CAST(n_users AS DOUBLE) / base AS conversion
 FROM c, b
 """)
 def _fun1(spark, sf_dir):
@@ -6925,7 +6925,7 @@ c AS (
   UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3),
 b AS (SELECT n_users AS base FROM c WHERE step_idx = 1)
 SELECT step_idx, step, n_users,
-       round(CAST(n_users AS DOUBLE) / base, 6) AS conversion
+       CAST(n_users AS DOUBLE) / base AS conversion
 FROM c, b
 """)
 def _fun1w(spark, sf_dir):
@@ -6954,7 +6954,7 @@ g AS (SELECT cohort_week, week_offset,
              CAST(count(*) AS BIGINT) AS n_active
       FROM o GROUP BY 1, 2)
 SELECT g.cohort_week, g.week_offset, g.n_active,
-       round(CAST(n_active AS DOUBLE) / sz.n, 6) AS retention
+       CAST(n_active AS DOUBLE) / sz.n AS retention
 FROM g JOIN sz USING (cohort_week)
 """)
 def _fun2(spark, sf_dir):
@@ -7397,7 +7397,7 @@ def _cur_wsample(spark, sf_dir):
 WITH t AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
 n AS (SELECT count(*) AS n, count(DISTINCT user_id) AS k FROM t)
 SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count,
-       round(count(*) / CAST((SELECT n FROM n) AS DOUBLE), 6) AS freq_share
+       count(*) / CAST((SELECT n FROM n) AS DOUBLE) AS freq_share
 FROM t GROUP BY user_id
 HAVING count(*) > (SELECT n FROM n) / CAST((SELECT k FROM n) AS DOUBLE)
 """)
@@ -7540,7 +7540,7 @@ def _hh_count_table(spark, sf_dir) -> str:
 WITH t AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
 n AS (SELECT count(*) AS n, count(DISTINCT user_id) AS k FROM t)
 SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count,
-       round(count(*) / CAST((SELECT n FROM n) AS DOUBLE), 6) AS freq_share
+       count(*) / CAST((SELECT n FROM n) AS DOUBLE) AS freq_share
 FROM t GROUP BY user_id
 HAVING count(*) > (SELECT n FROM n) / CAST((SELECT k FROM n) AS DOUBLE)
 """)
@@ -7563,7 +7563,7 @@ WITH t AS (SELECT user_id FROM events
            WHERE user_id IS NOT NULL AND user_id % 40 <> 0),
 n AS (SELECT count(*) AS n, count(DISTINCT user_id) AS k FROM t)
 SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count,
-       round(count(*) / CAST((SELECT n FROM n) AS DOUBLE), 6) AS freq_share
+       count(*) / CAST((SELECT n FROM n) AS DOUBLE) AS freq_share
 FROM t GROUP BY user_id
 HAVING count(*) > (SELECT n FROM n) / CAST((SELECT k FROM n) AS DOUBLE)
 """)
@@ -7757,7 +7757,7 @@ WITH e AS (
 )
 SELECT edge, CAST(n_orphans AS BIGINT) AS n_orphans,
        CAST(n_child_rows AS BIGINT) AS n_child_rows,
-       round(n_orphans / CAST(n_child_rows AS DOUBLE), 6) AS orphan_share
+       n_orphans / CAST(n_child_rows AS DOUBLE) AS orphan_share
 FROM e
 """)
 def _dq_ref(spark, sf_dir):
@@ -7899,20 +7899,20 @@ WITH a AS (
 )
 SELECT t.* FROM a, LATERAL (
   SELECT 'event_type' AS "column", npre AS pre_rows, npost AS post_rows,
-         CASE WHEN npre > 0 THEN round(pn_et / CAST(npre AS DOUBLE), 6) END AS pre_null_share,
-         CASE WHEN npost > 0 THEN round(qn_et / CAST(npost AS DOUBLE), 6) END AS post_null_share,
+         CASE WHEN npre > 0 THEN pn_et / CAST(npre AS DOUBLE) END AS pre_null_share,
+         CASE WHEN npost > 0 THEN qn_et / CAST(npost AS DOUBLE) END AS post_null_share,
          pd_et AS pre_distinct, qd_et AS post_distinct,
-         CASE WHEN pd_et > 0 THEN round(qd_et / CAST(pd_et AS DOUBLE), 6) END AS distinct_ratio
+         CASE WHEN pd_et > 0 THEN qd_et / CAST(pd_et AS DOUBLE) END AS distinct_ratio
   UNION ALL
   SELECT 'user_id', npre, npost,
-         CASE WHEN npre > 0 THEN round(pn_u / CAST(npre AS DOUBLE), 6) END,
-         CASE WHEN npost > 0 THEN round(qn_u / CAST(npost AS DOUBLE), 6) END,
-         pd_u, qd_u, CASE WHEN pd_u > 0 THEN round(qd_u / CAST(pd_u AS DOUBLE), 6) END
+         CASE WHEN npre > 0 THEN pn_u / CAST(npre AS DOUBLE) END,
+         CASE WHEN npost > 0 THEN qn_u / CAST(npost AS DOUBLE) END,
+         pd_u, qd_u, CASE WHEN pd_u > 0 THEN qd_u / CAST(pd_u AS DOUBLE) END
   UNION ALL
   SELECT 'value', npre, npost,
-         CASE WHEN npre > 0 THEN round(pn_v / CAST(npre AS DOUBLE), 6) END,
-         CASE WHEN npost > 0 THEN round(qn_v / CAST(npost AS DOUBLE), 6) END,
-         pd_v, qd_v, CASE WHEN pd_v > 0 THEN round(qd_v / CAST(pd_v AS DOUBLE), 6) END
+         CASE WHEN npre > 0 THEN pn_v / CAST(npre AS DOUBLE) END,
+         CASE WHEN npost > 0 THEN qn_v / CAST(npost AS DOUBLE) END,
+         pd_v, qd_v, CASE WHEN pd_v > 0 THEN qd_v / CAST(pd_v AS DOUBLE) END
 ) t
 """)
 def _dq_drift(spark, sf_dir):
@@ -8102,7 +8102,7 @@ j AS (
   FROM t
 )
 SELECT digit, CAST(n_rows AS BIGINT) AS n_rows,
-       round(n_rows / CAST(total AS DOUBLE), 6) AS observed_share,
+       n_rows / CAST(total AS DOUBLE) AS observed_share,
        round(expected_share, 6) AS expected_share,
        round(chi2, 6) AS chi2,
        CASE WHEN chi2 > 15.507 THEN 1 ELSE 0 END AS benford_flag
@@ -8376,12 +8376,12 @@ def _ts_trend(spark, sf_dir):
   FROM filled GROUP BY 1, 2
 )
 SELECT event_type, hour_of_day, n_buckets,
-       round(CAST(s AS DOUBLE) / n_buckets, 6) AS mean_events,
-       round(CASE WHEN sum(s) OVER (PARTITION BY event_type) > 0
-             THEN (CAST(s AS DOUBLE) / n_buckets)
-                  / (CAST(sum(s) OVER (PARTITION BY event_type) AS DOUBLE)
-                     / CAST(sum(n_buckets) OVER (PARTITION BY event_type)
-                            AS DOUBLE)) END, 6) AS seasonal_index
+       CAST(s AS DOUBLE) / n_buckets AS mean_events,
+       CASE WHEN sum(s) OVER (PARTITION BY event_type) > 0
+            THEN (CAST(s AS DOUBLE) / n_buckets)
+                 / (CAST(sum(s) OVER (PARTITION BY event_type) AS DOUBLE)
+                    / CAST(sum(n_buckets) OVER (PARTITION BY event_type)
+                           AS DOUBLE)) END AS seasonal_index
 FROM g
 """)
 def _ts_season(spark, sf_dir):
@@ -8471,7 +8471,7 @@ WITH iv AS (
 )
 SELECT user_id AS key, CAST(sum(n) AS BIGINT) AS n_intervals,
        CAST(count(*) AS BIGINT) AS n_islands,
-       round(CAST(sum(hi - lo) AS DOUBLE) / 1e6, 6) AS covered_seconds
+       CAST(sum(hi - lo) AS DOUBLE) / 1e6 AS covered_seconds
 FROM isl GROUP BY user_id
 """)
 def _iv_union(spark, sf_dir):
@@ -8580,7 +8580,7 @@ tk AS (
   FROM toks CROSS JOIN th WHERE doc_id <= threshold_doc GROUP BY 1, 2
 )
 SELECT decile, threshold_doc, n_tokens, vocab_size,
-       round(CAST(vocab_size AS DOUBLE) / n_tokens, 6)
+       CAST(vocab_size AS DOUBLE) / n_tokens
          AS type_token_ratio
 FROM tk JOIN vocab USING (decile, threshold_doc)
 """)
@@ -8657,11 +8657,11 @@ pairs AS (
   GROUP BY 1, 2
 )
 SELECT item_a, item_b, pair_count,
-       round(CAST(pair_count AS DOUBLE) / tot.n, 6) AS support,
-       round(CAST(pair_count AS DOUBLE) / CAST(na.n_i AS DOUBLE), 6)
+       CAST(pair_count AS DOUBLE) / tot.n AS support,
+       CAST(pair_count AS DOUBLE) / CAST(na.n_i AS DOUBLE)
          AS confidence,
-       round(CAST(pair_count AS DOUBLE) * tot.n
-             / (CAST(na.n_i AS DOUBLE) * CAST(nb.n_i AS DOUBLE)), 6)
+       CAST(pair_count AS DOUBLE) * tot.n
+         / (CAST(na.n_i AS DOUBLE) * CAST(nb.n_i AS DOUBLE))
          AS lift
 FROM pairs
 JOIN item_n na ON na.i = item_a
@@ -8782,7 +8782,7 @@ SELECT c_nationkey, acctbal_band,
        CAST(count(*) AS BIGINT) AS n_sensitive,
        CAST(CASE WHEN count(*) < 3 THEN 1 ELSE 0 END AS INT)
          AS violates_l,
-       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS majority_share
+       CAST(max(c) AS DOUBLE) / sum(c) AS majority_share
 FROM pv GROUP BY 1, 2
 """)
 def _dq_ldiv(spark, sf_dir):
@@ -8862,16 +8862,13 @@ exi AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter
         FROM ha JOIN hb USING (key))
 SELECT CAST(n_a_kept AS BIGINT) AS n_a_kept,
        CAST(n_b_kept AS BIGINT) AS n_b_kept,
-       round(CAST(theta AS DOUBLE) / 1152921504606846976.0, 9)
-         AS theta_norm,
-       round(CAST(nu AS DOUBLE)
-             / (CAST(theta AS DOUBLE) / 1152921504606846976.0), 6)
-         AS union_est,
-       round(CAST(ni AS DOUBLE)
-             / (CAST(theta AS DOUBLE) / 1152921504606846976.0), 6)
-         AS inter_est,
-       round(CASE WHEN nu > 0 THEN CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE)
-             END, 6) AS jaccard_est,
+       CAST(theta AS DOUBLE) / 1152921504606846976.0 AS theta_norm,
+       CAST(nu AS DOUBLE)
+         / (CAST(theta AS DOUBLE) / 1152921504606846976.0) AS union_est,
+       CAST(ni AS DOUBLE)
+         / (CAST(theta AS DOUBLE) / 1152921504606846976.0) AS inter_est,
+       CASE WHEN nu > 0 THEN CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE)
+       END AS jaccard_est,
        exact_union, exact_inter
 FROM th, nu, ni, exu, exi
 """)
@@ -10053,7 +10050,7 @@ ap{d} AS (
   WHERE rn <= {k})""" for d in dims)
     branches = "\nUNION ALL\n".join(f"""
 SELECT CAST({d} AS INT) AS dims_kept,
-       round(CAST(count(a.id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       CAST(count(a.id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          AS mean_recall
 FROM ex LEFT JOIN ap{d} a ON ex.pid = a.pid AND ex.id = a.id"""
                                     for d in dims)

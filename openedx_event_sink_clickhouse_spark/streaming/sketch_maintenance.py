@@ -457,9 +457,8 @@ class SeasonalProfileMaintainer:
         mean = F.col("_s").cast("double") / F.col("n_buckets").cast("double")
         return (j.select(F.col("key").alias(self.key_col),
                          F.col("hod").alias("hour_of_day"), "n_buckets",
-                         F.round(mean, 6).alias("mean_events"),
-                         F.round(F.when(tot_s > 0,
-                                        mean / (tot_s / tot_n)), 6)
+                         mean.alias("mean_events"),
+                         F.when(tot_s > 0, mean / (tot_s / tot_n))
                          .alias("seasonal_index")))
 
 
