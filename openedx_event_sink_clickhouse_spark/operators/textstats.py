@@ -393,7 +393,12 @@ def dsir_importance(docs: DataFrame, target: DataFrame,
               .select("id", lr.alias("lr")))
     return (scored.groupBy("id")
             .agg(F.count("*").alias("n_tokens"),
-                 F.round(F.avg("lr"), 6).alias("avg_log_ratio"),
+                 # + 0.0 canonicalizes signed zero: round() of a tiny
+                 # negative average yields -0.0 in DuckDB vs +0.0 in
+                 # Spark (sf0.1 bitwise-audit catch) — IEEE x+0.0 maps
+                 # -0.0 to +0.0 and is the identity for everything else
+                 (F.round(F.avg("lr"), 6) + F.lit(0.0))
+                 .alias("avg_log_ratio"),
                  F.round(F.exp(F.avg("lr")), 6).alias("importance_weight"))
             .select(F.col("id").alias(id_col), "n_tokens",
                     "avg_log_ratio", "importance_weight"))

@@ -3812,7 +3812,8 @@ def _setops(spark, sf_dir):
 
 @register("agg_cube_orders", """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice), 6) AS total_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """)
@@ -3820,7 +3821,11 @@ def _cube1(spark, sf_dir):
     return (_t(spark, sf_dir, "orders")
             .cube("o_orderstatus", "o_orderpriority")
             .agg(F.count("*").alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 6).alias("total_price")))
+                 # money sums ride DECIMAL (order-free; a double sum's
+                 # merge order diverged cross-engine at sf0.1 — bitwise
+                 # audit catch), published as one exact cast
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total_price")))
 
 
 # --- TPC-H round 3: nation-pair volume, market share, profit-proxy,
@@ -5644,7 +5649,7 @@ vocab AS (
   FROM ct JOIN vocab v2 USING (word) CROSS JOIN consts c
 )
 SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(lr), 6) AS avg_log_ratio,
+       round(avg(lr), 6) + 0.0 AS avg_log_ratio,
        round(exp(avg(lr)), 6) AS importance_weight
 FROM scored GROUP BY id
 """)
