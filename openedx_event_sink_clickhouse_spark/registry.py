@@ -5892,7 +5892,11 @@ WITH m AS (
                     FALSE) THEN 0 ELSE 1 END) AS v3
   FROM events
 )
-SELECT x.expectation, x.n_violations, m.n AS n_rows,
+-- CAST to BIGINT: the LATERAL values are HUGEINT sums, whose
+-- pandas/Arrow conversion is duckdb-version-dependent (the r9+
+-- driver hash-red mechanism); BIGINT converts identically everywhere
+SELECT x.expectation, CAST(x.n_violations AS BIGINT) AS n_violations,
+       m.n AS n_rows,
        CAST(x.n_violations AS DOUBLE) / m.n AS violation_share,
        CASE WHEN x.n_violations = 0 THEN 1 ELSE 0 END AS passed
 FROM m, LATERAL (VALUES
@@ -6125,18 +6129,25 @@ def _ts_resample(spark, sf_dir):
 @register("profile_orders", """
 WITH a AS (
   SELECT count(*) AS n_rows,
-         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_ck,
+         -- CAST: DuckDB sum(int) is HUGEINT, whose pandas/Arrow
+         -- conversion is duckdb-version-dependent (the r9+ driver
+         -- hash-red mechanism) — BIGINT converts identically everywhere
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nn_ck,
          count(DISTINCT o_custkey) AS nd_ck,
          CAST(min(o_custkey) AS DOUBLE) AS mn_ck,
          CAST(max(o_custkey) AS DOUBLE) AS mx_ck,
-         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_tp,
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nn_tp,
          count(DISTINCT o_totalprice) AS nd_tp,
          CAST(min(o_totalprice) AS DOUBLE) AS mn_tp,
          CAST(max(o_totalprice) AS DOUBLE) AS mx_tp,
-         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_os,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nn_os,
          count(DISTINCT o_orderstatus) AS nd_os,
          min(o_orderstatus) AS mn_os, max(o_orderstatus) AS mx_os,
-         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_op,
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nn_op,
          count(DISTINCT o_orderpriority) AS nd_op,
          min(o_orderpriority) AS mn_op, max(o_orderpriority) AS mx_op
   FROM orders
@@ -6400,7 +6411,11 @@ WITH pu AS (
          sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nu1
   FROM u
 )
-SELECT nu0 AS n_units_0, nu1 AS n_units_1,
+-- CAST to BIGINT: nu0/nu1 are HUGEINT sums, whose pandas/Arrow
+-- conversion is duckdb-version-dependent (the r9+ driver hash-red
+-- mechanism); BIGINT converts identically everywhere
+SELECT CAST(nu0 AS BIGINT) AS n_units_0,
+       CAST(nu1 AS BIGINT) AS n_units_1,
        CAST(o0 AS BIGINT) AS observed_0,
        e0s AS expected_0, vs AS variance,
        CASE WHEN vs > 0.0
@@ -6449,7 +6464,11 @@ WITH pu AS (
                   THEN 1 ELSE 0 END) AS active_in_label
   FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 )
-SELECT unit, n_events, n_conversions,
+-- CAST to BIGINT: the count sums are HUGEINT, whose pandas/Arrow
+-- conversion is duckdb-version-dependent (the r9+ driver hash-red
+-- mechanism); BIGINT converts identically everywhere
+SELECT unit, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_conversions AS BIGINT) AS n_conversions,
        -- BIGINT micro-units / 1e6: one correctly-rounded IEEE division
        -- of exact integers — bit-identical in any engine (no DECIMAL
        -- cast, no round(): both are engine/version-dependent at half
@@ -6610,7 +6629,11 @@ j AS (
          CAST(2.2414 AS DOUBLE) / sqrt(t) AS bound
   FROM x
 )
-SELECT look_day, n_0, n_1, conv_0, conv_1,
+-- CAST to BIGINT: the cumulative window sums are HUGEINT, whose
+-- pandas/Arrow conversion is duckdb-version-dependent (the r9+
+-- driver hash-red mechanism); BIGINT converts identically everywhere
+SELECT look_day, CAST(n_0 AS BIGINT) AS n_0, CAST(n_1 AS BIGINT) AS n_1,
+       CAST(conv_0 AS BIGINT) AS conv_0, CAST(conv_1 AS BIGINT) AS conv_1,
        round(t, 6) AS info_frac, round(z, 6) AS z,
        round(bound, 6) AS boundary,
        CASE WHEN z IS NOT NULL AND abs(z) > bound
@@ -8013,7 +8036,11 @@ WITH m AS (
                   THEN 0 ELSE 1 END) AS v4
   FROM orders
 )
-SELECT x.expectation, x.n_violations, m.n AS n_rows,
+-- CAST to BIGINT: the LATERAL values are HUGEINT sums, whose
+-- pandas/Arrow conversion is duckdb-version-dependent (the r9+
+-- driver hash-red mechanism); BIGINT converts identically everywhere
+SELECT x.expectation, CAST(x.n_violations AS BIGINT) AS n_violations,
+       m.n AS n_rows,
        CAST(x.n_violations AS DOUBLE) / m.n AS violation_share,
        CASE WHEN x.n_violations = 0 THEN 1 ELSE 0 END AS passed
 FROM m, LATERAL (VALUES
@@ -8224,7 +8251,12 @@ WITH base AS (
          CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
   FROM documents GROUP BY ROLLUP (lang, source)
 )
-SELECT lang, source, n_docs, total_chars, total_tokens, avg_chars,
+-- CAST to BIGINT: sum() is HUGEINT in DuckDB, whose pandas/Arrow
+-- conversion is duckdb-version-dependent (the r9+ driver hash-red
+-- mechanism); BIGINT converts identically everywhere
+SELECT lang, source, n_docs,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       CAST(total_tokens AS BIGINT) AS total_tokens, avg_chars,
        CAST(n_docs AS DOUBLE)
          / max(CASE WHEN lang IS NULL AND source IS NULL
                     THEN n_docs END) OVER () AS doc_share
