@@ -163,13 +163,11 @@ def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
              cut_every: int = 2) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list, dangling mass
     redistributed along the teleport vector. Returns (id, pagerank) for
-    every node in ``nodes``; the published ranks ARE the per-iteration
-    ``quantize``-decimal values — deliberately not re-rounded coarser,
-    because a second rounding of already-quantized decimals lands on
-    EXACT .5 ties ~1-in-10 per value, the one place Java's HALF_UP,
-    Python's half-even, and a multiply-based round systematically
-    split. Ties at the per-iteration rounding itself have measure zero
-    (the input is a continuous float sum).
+    every node in ``nodes``; the published ranks are the loop's exact
+    BIGINT ``10^-quantize``-unit values divided once by
+    ``10^quantize`` — no ``round()`` anywhere (rounding already-
+    quantized decimals lands on EXACT .5 ties where Java's HALF_UP,
+    Python's half-even, and multiply-based rounds split).
 
     ``teleport`` selects the variant: ``None`` is classic PageRank
     (uniform teleport over all nodes); a frame of node ids makes it
@@ -200,13 +198,24 @@ def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
     convergence-tested): at 100 TB the iteration count is a budget
     decision, and a fixed count is also what makes the run replayable.
 
-    Determinism: after every round the rank vector is rounded to
-    ``quantize`` decimals. Each engine's per-node contribution sum can
-    differ in float addition ORDER (error ~1e-16 relative); quantizing
-    at 1e-7 granularity absorbs that difference every round, so the two
-    engines carry IDENTICAL vectors into the next round and drift can
-    never compound. The result is exactly reproducible arithmetic over a
-    quantization spec — the property the hash-oracle gate needs.
+    Determinism: the recurrence is INTEGER-UNIT — ranks live in BIGINT
+    ``10^-quantize`` units, every per-edge contribution is a floor
+    division ``r div deg``, the damping factor applies as the rational
+    ``round(d*1000)/1000`` in integer multiply-then-floor-divide, and
+    the teleport weight is ``SCALE div s`` units. There is NO floating
+    point anywhere in the loop, so no engine's float-sum order,
+    ``round()`` half-boundary rule, or libm version can perturb a
+    single unit — strictly stronger than the previous per-round
+    ``round(x, 7)`` contract, whose quantized-rank-over-small-degree
+    values landed near 1e-8 midpoints where the engines' float-sum
+    orders rounded apart at sf0.1 (the r11 bitwise-audit hazard).
+    Floor division sheds mass: at most one unit per edge, per teleport
+    share, and per damping term per round — bounded by
+    ``iters*(|E|+2|V|)*10^-q``, ~1e-3 at sf0.01's graph, a bias far
+    below ranking granularity. The published ranks are the exact
+    integer units divided once by ``10^quantize`` — a single
+    correctly-rounded IEEE division of exact integers, bit-identical
+    in any engine.
     """
     spark = edges.sparkSession
     if checkpoint_dir is not None:
@@ -233,6 +242,10 @@ def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
              .join(outdeg.select(F.col(src).alias("_s"), "_d"), "_s"))
     has_out = e.select(F.col("_s").alias("id")).distinct() \
                .withColumn("_has", F.lit(True))
+    # Integer-unit spec: SCALE units of rank mass, damping as the
+    # rational dnum/dden, teleport weight SCALE div s units.
+    scale = 10 ** quantize
+    dnum, dden = round(damping * 1000), 1000
     # (id, _dang, _w, r): the dangling flag and teleport weight ride the
     # rank frame — node, edge, and seed sets are loop invariants, so
     # both are derived once.
@@ -242,27 +255,32 @@ def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
                  .select("id",
                          F.coalesce(~F.col("_has"), F.lit(True))
                          .alias("_dang"),
-                         F.when(F.col("_seed"), F.lit(1.0 / s))
-                         .otherwise(F.lit(0.0)).alias("_w"))
-                 .withColumn("r", F.round(F.col("_w"), quantize)))
+                         F.when(F.col("_seed"), F.lit(scale // s))
+                         .otherwise(F.lit(0)).cast("long").alias("_w"))
+                 .withColumn("r", F.col("_w")))
     pinned = ranks
+    # r' = ((dden-dnum)·w) div dden + (dnum·(c + (dm·w) div SCALE)) div
+    # dden — pure BIGINT multiply/floor-divide; `div` truncates toward
+    # zero in Spark and `//` floors in DuckDB, identical on the
+    # non-negative units here. Headroom: dm·w ≤ SCALE² = 1e14,
+    # dnum·(c + …) ≤ 1000·2·SCALE = 2e10 — far inside BIGINT.
+    upd = F.expr(
+        f"(({dden - dnum}) * _w) div {dden}"
+        f" + ({dnum} * (coalesce(c, CAST(0 AS BIGINT))"
+        f"              + (_dm * _w) div {scale})) div {dden}")
     for i in range(num_iters):
         dang = (ranks.filter("_dang")
-                .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dm")))
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long")
+                     .alias("_dm")))
         rr = ranks.select(F.col("id").alias("_rid"), "r")
         contribs = (e.join(rr, e["_s"] == rr["_rid"])
                     .groupBy("_t")
-                    .agg(F.sum(F.col("r") / F.col("_d")).alias("c"))
+                    .agg(F.sum(F.expr("r div _d")).alias("c"))
                     .withColumnRenamed("_t", "id"))
         ranks = (ranks.select("id", "_dang", "_w")
                  .join(contribs, "id", "left")
                  .crossJoin(F.broadcast(dang))
-                 .select("id", "_dang", "_w",
-                         F.round(F.lit(1.0 - damping) * F.col("_w")
-                                 + damping
-                                 * (F.coalesce("c", F.lit(0.0))
-                                    + F.col("_dm") * F.col("_w")),
-                                 quantize).alias("r")))
+                 .select("id", "_dang", "_w", upd.alias("r")))
         # Lineage cut every ``cut_every`` rounds (and at the end), the
         # CC hop-batching move: on small graphs a round costs its
         # driver action, not its joins. An UNCUT round is referenced 3×
@@ -281,7 +299,11 @@ def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
                 # stays pinned until the caller materializes it (the
                 # same documented handle the in-memory CC mode carries).
                 prev.unpersist()
-    return ranks.select("id", F.col("r").alias("pagerank"))
+    # One correctly-rounded IEEE division of exact integers — the only
+    # float in the operator, bit-identical in any engine.
+    return ranks.select(
+        "id", (F.col("r").cast("double") / F.lit(float(scale)))
+        .alias("pagerank"))
 
 
 def clustering_coefficient(edges: DataFrame, id_a: str = "id_a",

@@ -1516,13 +1516,18 @@ def _pagerank_oracle_sql(num_iters: int = 10, damping: float = 0.85,
                          seed_pred: str | None = None) -> str:
     """Unrolled fixed-iteration PageRank twin of operators/graph.pagerank
     — one CTE pair (dangling scalar, next rank vector) per iteration,
-    generated programmatically so the SQL replays the EXACT quantization
-    spec (per-round round() at the same decimals, same float literals
-    via repr round-trip, same (1-d)·w + d·(c + dm·w) expression shape
-    over the per-node teleport weight w) the Spark loop implements.
-    ``seed_pred`` personalizes: restart mass concentrates uniformly on
-    nodes matching the predicate (None = classic uniform teleport)."""
-    base = repr(1.0 - damping)
+    generated programmatically so the SQL replays the EXACT integer-unit
+    spec the Spark loop implements: BIGINT 10^-quantize rank units,
+    per-edge floor division r // deg, damping as the rational
+    dnum/1000 in multiply-then-floor-divide, teleport weight
+    SCALE // s units — zero floating point until the final publish
+    division, so no engine/version float behavior can touch the
+    recurrence (DuckDB ``//`` floors, Spark ``div`` truncates: identical
+    on these non-negative units). ``seed_pred`` personalizes: restart
+    mass concentrates uniformly on nodes matching the predicate
+    (None = classic uniform teleport)."""
+    scale = 10 ** quantize
+    dnum, dden = round(damping * 1000), 1000
     # Every CTE here is MATERIALIZED: DuckDB's default is to INLINE CTE
     # references, and each iteration references the previous rank vector
     # twice (dangling scalar + contribution join) — inlined, the plan
@@ -1538,58 +1543,49 @@ def _pagerank_oracle_sql(num_iters: int = 10, damping: float = 0.85,
            "seeds AS MATERIALIZED (SELECT id FROM nodes"
            + (f" WHERE {seed_pred}" if seed_pred else "") + "),",
            "sn AS MATERIALIZED "
-           "(SELECT CAST(count(*) AS DOUBLE) AS s FROM seeds),",
+           "(SELECT CAST(count(*) AS BIGINT) AS s FROM seeds),",
            "w AS MATERIALIZED (SELECT nodes.id, CASE WHEN seeds.id IS "
-           "NOT NULL THEN 1.0/(SELECT s FROM sn) ELSE 0.0 END AS w "
+           f"NOT NULL THEN CAST({scale} AS BIGINT) // (SELECT s FROM sn) "
+           "ELSE CAST(0 AS BIGINT) END AS w "
            "FROM nodes LEFT JOIN seeds ON nodes.id = seeds.id),",
-           f"r0 AS MATERIALIZED "
-           f"(SELECT id, round(w, {quantize}) AS r FROM w),"]
+           "r0 AS MATERIALIZED (SELECT id, w AS r FROM w),"]
     for i in range(num_iters):
         cte.append(
             f"d{i} AS MATERIALIZED "
-            f"(SELECT coalesce(sum(r), 0) AS dm FROM r{i} "
+            f"(SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm FROM r{i} "
             "WHERE id NOT IN (SELECT src FROM outdeg)),")
         cte.append(f"""r{i + 1} AS MATERIALIZED (
   SELECT w.id,
-         round({base}*w.w
-               + {damping!r}*(coalesce(c.c, 0)
-                              + (SELECT dm FROM d{i})*w.w),
-               {quantize}) AS r
+         CAST((({dden - dnum}) * w.w) // {dden}
+              + ({dnum} * (coalesce(c.c, 0)
+                           + ((SELECT dm FROM d{i}) * w.w) // {scale}))
+                // {dden} AS BIGINT) AS r
   FROM w LEFT JOIN (
-    SELECT e.dst AS id, sum(rr.r/outdeg.d) AS c
+    SELECT e.dst AS id, CAST(sum(rr.r // outdeg.d) AS BIGINT) AS c
     FROM e JOIN r{i} rr ON e.src = rr.id
     JOIN outdeg ON e.src = outdeg.src
     GROUP BY e.dst) c ON w.id = c.id),""")
     body = "\n".join(cte).rstrip(",\n").rstrip(",")
-    # The published ranks ARE the quantized per-iteration values — no
-    # second rounding (a re-round of 7dp decimals lands on exact .5
-    # ties ~1-in-10 per value; see operators/graph.pagerank).
+    # Publish = the only float op: one correctly-rounded IEEE division
+    # of exact integer units, bit-identical in any engine.
     return (f"{body}\n"
-            f"SELECT id AS vec_id, r AS pagerank "
-            f"FROM r{num_iters} ORDER BY vec_id")
+            f"SELECT id AS vec_id, CAST(r AS DOUBLE) / {float(scale)!r} "
+            f"AS pagerank FROM r{num_iters} ORDER BY vec_id")
 
 
 @register("graph_pagerank", _pagerank_oracle_sql())
 def _graph_pr(spark, sf_dir):
     # PageRank centrality over the symmetrized at-rest similarity graph,
     # isolated embeddings included as dangling nodes (their mass
-    # redistributes uniformly) — 10 fixed BSP iterations, rank vector
-    # quantized to 7 decimals per round so both engines carry identical
-    # vectors; see operators/graph.pagerank for the determinism
-    # contract.
-    #
-    # Accepted residual FP risk, quantified: quantized ranks divided by
-    # small out-degrees concentrate near 8dp decimals, so values near
-    # exact .5e-7 midpoints are COMMON (a plain half-even replica
-    # diverges ~1 node in 30; tests/test_graph._round7). Spark
-    # (shortest-repr + HALF_UP) and DuckDB (x*1e7 multiply + half-away)
-    # both resolve the dominant midpoint class — a double that IS the
-    # nearest to an exact ...5 decimal — upward: the true product
-    # exceeds the representable midpoint by ~1e-8 (>> half-ulp 1.2e-10
-    # at 1e6 magnitude), so std::round sees >.5. A split needs the true
-    # product within ~1 ulp of the midpoint, a ~2e-17-wide window in
-    # value space (~1-2 doubles per midpoint); empirically 0 of 1000
-    # pagerank+personalized values across sf0.001/sf0.01 disagree.
+    # redistributes uniformly) — 10 fixed BSP iterations over BIGINT
+    # 1e-7 rank units (integer multiply/floor-divide recurrence, zero
+    # FP until the single publish division); see
+    # operators/graph.pagerank for the determinism contract. The r11
+    # per-round round(x,7) contract left a data-dependent hazard — at
+    # sf0.1 one contribution sum landed on a 1e-8 midpoint where the
+    # engines' float-sum orders rounded apart and the divergence
+    # compounded through later rounds — which integer units close by
+    # construction.
     from .operators.graph import pagerank
     pairs = _semantic_pairs(spark, sf_dir)
     edges = (pairs.select(F.col("id_a").alias("src"),

@@ -64,44 +64,33 @@ def test_triangles_skewed_hub(spark):
     assert got == _brute_triangles(edges)
 
 
-def _round7(x):
-    """Spark F.round semantics: HALF_UP over the SHORTEST decimal repr
-    of the double (BigDecimal.valueOf path), not Python's half-even
-    over the exact binary value. The distinction matters here and not
-    elsewhere: quantized 7dp ranks divided by small out-degrees land
-    near 8dp decimals constantly, so exact .5 midpoints at the next
-    round's quantization are COMMON, not measure-zero — a plain Python
-    round() replica diverges ~1 node in 30."""
-    import decimal
-    return float(decimal.Decimal(repr(x)).quantize(
-        decimal.Decimal(1).scaleb(-7), rounding=decimal.ROUND_HALF_UP))
-
-
 def _brute_pagerank(edges, nodes, iters=10, damping=0.85, q=7, seeds=None):
-    """Python replica of the quantized BSP spec in operators/graph:
-    r' = (1-d)·w + d·(contribs + dangling·w) over the per-node teleport
-    weight w (uniform over seeds, or over all nodes when seeds=None)."""
-    assert q == 7, "replica hardwires Spark's HALF_UP at 7 decimals"
+    """Python replica of the INTEGER-UNIT BSP spec in operators/graph:
+    BIGINT 10^-q rank units, per-edge floor division, damping as the
+    rational round(d·1000)/1000 in multiply-then-floor-divide, teleport
+    weight SCALE // s units; the only float is the final publish
+    division. Python's // floors like DuckDB's // and agrees with
+    Spark's `div` on these non-negative units."""
+    scale = 10 ** q
+    dnum, dden = round(damping * 1000), 1000
     out = {}
     for s, t in edges:
         out.setdefault(s, []).append(t)
     seed_set = set(seeds) if seeds is not None else set(nodes)
-    w = {v: (1.0 / len(seed_set) if v in seed_set else 0.0)
+    w = {v: (scale // len(seed_set) if v in seed_set else 0)
          for v in nodes}
-    r = {v: _round7(w[v]) for v in nodes}
+    r = dict(w)
     for _ in range(iters):
         dangling = sum(r[v] for v in nodes if v not in out)
-        contrib = {v: 0.0 for v in nodes}
+        contrib = {v: 0 for v in nodes}
         for s, ts in out.items():
+            c = r[s] // len(ts)
             for t in ts:
-                contrib[t] += r[s] / len(ts)
-        r = {v: _round7((1.0 - damping) * w[v]
-                        + damping * (contrib[v] + dangling * w[v]))
+                contrib[t] += c
+        r = {v: ((dden - dnum) * w[v]) // dden
+             + (dnum * (contrib[v] + (dangling * w[v]) // scale)) // dden
              for v in nodes}
-    # The published ranks ARE the quantized values — no coarser
-    # re-round (it would land on exact .5 ties where Python's
-    # half-even and the engines' half-up split; see operators/graph).
-    return r
+    return {v: r[v] / scale for v in nodes}
 
 
 def test_pagerank_cycle_is_uniform(spark):
@@ -130,7 +119,9 @@ def test_pagerank_matches_quantized_replica(spark, tmp_path):
                              checkpoint_dir=str(tmp_path / "ck")).collect()}
     want = _brute_pagerank(edges, nodes)
     assert got == want
-    assert abs(sum(got.values()) - 1.0) < 1e-4  # mass conserved
+    # Mass conserved up to the integer-unit floor losses (≤ one 1e-7
+    # unit per edge / teleport share / damping term per round).
+    assert abs(sum(got.values()) - 1.0) < 5e-4
 
 
 def test_personalized_pagerank_matches_replica_and_favors_seeds(spark,
