@@ -736,7 +736,12 @@ def _driver_union_find(spark, pairs: DataFrame, rows, id_a: str
     BSP fixpoint would: every node labeled with the MINIMUM id in its
     component (union–find roots are path-dependent, so the min is
     extracted per component afterward — determinism does not ride on
-    collect order). Output id type mirrors the input pair column."""
+    collect order). Output id type mirrors the input pair column.
+    NULL-keyed pairs are dropped here exactly as the BSP path's
+    equi-joins drop them — the two regimes must agree on malformed
+    input (a NULL id would otherwise TypeError inside the min
+    comparisons)."""
+    rows = [(a, b) for a, b in rows if a is not None and b is not None]
     parent: dict = {}
 
     def find(x):
@@ -776,7 +781,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 20,
                          checkpoint_every: int = 5,
                          checkpoint_dir: str | None = None,
-                         small_graph_edges: int = 500_000) -> DataFrame:
+                         small_graph_edges: int = 50_000) -> DataFrame:
     """Cluster near-dup pairs into duplicate groups: every node labeled
     with the smallest reachable id (= cluster id). Returns
     (doc_id, cluster_id, is_survivor) for every node that appears in a
@@ -793,7 +798,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
       delta spent 32 jobs / 3 s in the fixpoint; the maintainer's
       per-epoch cost was job-scheduling floor, not data). Near-dup pair
       sets and incremental contracted deltas are overwhelmingly in this
-      regime — pairs are O(duplicates), not O(corpus).
+      regime — pairs are O(duplicates), not O(corpus). The default cap
+      is deliberately modest (50k edges ≈ a few MB of driver tuples
+      even with wide string ids, and the ``limit(K+1)`` probe collects
+      at most that plus one): the regime exists for the ~100-edge
+      contracted-delta / per-epoch cases where BSP pays 30+ scheduled
+      jobs for microseconds of CPU, not to drag six-figure edge lists
+      (and the ~2× node frame round-tripped through
+      ``createDataFrame``) onto the driver — callers with measured
+      headroom opt INTO a larger threshold explicitly.
     - **Large graphs**: min-label BSP to fixpoint, as below — the
       collect would not fit a driver, and at that size the per-round
       shuffles dominate scheduling anyway.

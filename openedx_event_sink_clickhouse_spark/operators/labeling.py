@@ -40,13 +40,15 @@ def churn_labels(events: DataFrame, cutoff, horizon_days: int = 7,
     recency_days, churned).
 
     Money features accumulate as BIGINT micro-units
-    (``floor(value·1e6)`` — floor of a correctly-rounded IEEE product
-    is exact and engine-identical, unlike a double→DECIMAL cast whose
-    half-boundary rounding is engine/version-dependent) and publish as
-    one integer-by-constant division — so ``total_value`` is
-    bit-deterministic under ANY engine pair and ANY aggregation merge
-    order; recency is whole days from the unit's last pre-cutoff event
-    to the cutoff."""
+    (``floor(value·1e6 + 0.5)`` — nearest-microunit: floor of a
+    correctly-rounded IEEE chain is exact and engine-identical, unlike
+    a double→DECIMAL cast whose half-boundary rounding is
+    engine/version-dependent, and the +0.5 keeps values whose double
+    form sits a hair under the exact micro-grid from truncating a unit
+    low) and publish as one integer-by-constant division — so
+    ``total_value`` is bit-deterministic under ANY engine pair and ANY
+    aggregation merge order; recency is whole days from the unit's last
+    pre-cutoff event to the cutoff."""
     ts, cut = F.col(ts_col), F.lit(cutoff).cast("timestamp")
     feat_lo = F.date_sub(cut, feature_days)
     lab_hi = F.date_add(cut, horizon_days)
@@ -59,7 +61,8 @@ def churn_labels(events: DataFrame, cutoff, horizon_days: int = 7,
         F.sum(in_feat.cast("long")).alias("n_events"),
         F.sum((in_feat & (F.col(type_col) == conversion_type))
               .cast("long")).alias("n_conversions"),
-        F.sum(F.when(in_feat, F.floor(F.col(value_col) * F.lit(1e6)))
+        F.sum(F.when(in_feat, F.floor(F.col(value_col) * F.lit(1e6)
+                                      + F.lit(0.5)))
               .otherwise(F.lit(0).cast("long")))
         .alias("_val_u"),
         F.count_distinct(F.when(in_feat, day)).alias("days_active"),

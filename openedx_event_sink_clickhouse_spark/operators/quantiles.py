@@ -88,8 +88,12 @@ def exact_quantiles(df: DataFrame, value_col: str,
     qdf = sv.sparkSession.createDataFrame([(x,) for x in q100s],
                                           "q100 int")
     h = "(CAST(q100 AS BIGINT) * (size(_gl) - 1))"
+    # The size(_gl) = 0 arm guards the empty input: without it the
+    # interpolation index goes negative and element_at ERRORS under
+    # ANSI mode (the pyspark 4.x default) instead of yielding NULL.
     expr = (
-        f"CASE WHEN {h} % 100 = 0 "
+        f"CASE WHEN size(_gl) = 0 THEN CAST(NULL AS DOUBLE) "
+        f"WHEN {h} % 100 = 0 "
         f"THEN element_at(_gl, CAST({h} DIV 100 AS INT) + 1) "
         f"ELSE ((100 - {h} % 100) "
         f"      * element_at(_gl, CAST({h} DIV 100 AS INT) + 1) "

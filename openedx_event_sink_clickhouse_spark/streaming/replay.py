@@ -85,7 +85,7 @@ class EpochRecorder:
         return self.file_epochs[basename]
 
     def replay(self, spark, split_dir: str, basename: str,
-               n_expected: int) -> int:
+               n_expected: int, schema=None) -> int:
         """Re-deliver the FULL epoch that consumed ``basename`` — every
         file the stream actually assigned to that epoch, unioned, under
         the recorded epoch id — exactly what foreachBatch's
@@ -98,10 +98,19 @@ class EpochRecorder:
         partition with a subset of its original content and silently
         undercounts (the r9/r10 ``stream_expectations_maintenance``
         driver-red mechanism). Replaying the recorded file SET is
-        overwrite-idempotent no matter how the stream batched."""
+        overwrite-idempotent no matter how the stream batched.
+
+        Pass the stream's declared ``schema`` (the one given to
+        ``readStream.schema(...)``) so the re-delivered batch has the
+        SAME column order/types the maintainer originally saw — a bare
+        footer-inferred read could hand it a differently-shaped frame
+        (extra columns, different order) than the declared-schema
+        stream did."""
         e = self.epoch_of(basename, n_expected)
         files = sorted(b for b, ep in self.file_epochs.items() if ep == e)
-        df = spark.read.parquet(
-            *[os.path.join(split_dir, f) for f in files])
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*[os.path.join(split_dir, f) for f in files])
         self.inner(df, e)
         return e
