@@ -4,30 +4,24 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` twin on DuckDB at the given scale factor, then compares
 row count, column names/types, and an order-insensitive value hash.
 
+Cells normalize via ``tools/strictcmp.strict_cell`` — BITWISE IEEE-754
+floats, strictly harsher than any driver normalization. The previous
+``%.9g`` float format MASKED last-ulp cross-engine differences (the
+r9/r10 lesson: queries passed every local re-run and still hash-red
+under the driver); it is retired, per the r11 verdict.
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import hashlib
-import math
 import sys
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
-
-def norm_cell(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
+from strictcmp import strict_cell as norm_cell  # noqa: E402
 
 
 def table_hash(rows, colnames):
