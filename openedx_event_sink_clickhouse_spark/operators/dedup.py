@@ -737,10 +737,10 @@ def _driver_union_find(spark, pairs: DataFrame, rows, id_a: str
     component (union–find roots are path-dependent, so the min is
     extracted per component afterward — determinism does not ride on
     collect order). Output id type mirrors the input pair column.
-    NULL-keyed pairs are dropped here exactly as the BSP path's
-    equi-joins drop them — the two regimes must agree on malformed
-    input (a NULL id would otherwise TypeError inside the min
-    comparisons)."""
+    NULL-keyed pairs are filtered by :func:`connected_components`
+    before the regime split (both regimes must see the same edge set);
+    the filter here is defense-in-depth for direct callers — a NULL id
+    would otherwise TypeError inside the min comparisons."""
     rows = [(a, b) for a, b in rows if a is not None and b is not None]
     parent: dict = {}
 
@@ -830,8 +830,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     variant pins. Same results either mode (``tests/test_dedup.py``
     pins both on a long-chain fixture; the small-graph path is pinned
     equal to the BSP path there too).
+
+    NULL-keyed pairs are dropped up front, BEFORE the regime split, so
+    both regimes see the identical edge set — previously the BSP path's
+    label derivation kept a NULL pair's non-NULL endpoint as a
+    singleton while the driver path dropped the whole pair, a
+    regime-dependent result on malformed input.
     """
     spark = pairs.sparkSession
+    pairs = pairs.filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
     if small_graph_edges:
         rows = (pairs.select(id_a, id_b)
                 .limit(small_graph_edges + 1).collect())

@@ -245,6 +245,12 @@ def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
     # Integer-unit spec: SCALE units of rank mass, damping as the
     # rational dnum/dden, teleport weight SCALE div s units.
     scale = 10 ** quantize
+    if s >= scale:
+        raise ValueError(
+            f"pagerank: {s} seed nodes >= 10^quantize ({scale}) — the "
+            "integer teleport weight SCALE div s would underflow to 0 "
+            "and every rank with it; raise `quantize` so each seed "
+            "holds at least one rank unit")
     dnum, dden = round(damping * 1000), 1000
     # (id, _dang, _w, r): the dangling flag and teleport weight ride the
     # rank frame — node, edge, and seed sets are loop invariants, so

@@ -1606,8 +1606,9 @@ def _graph_ppr(spark, sf_dir):
     # Personalized PageRank: restart mass pinned to a 1-in-50 seed set,
     # ranking the corpus by proximity to the seeds' similarity
     # neighborhood — the seed-based corpus-expansion primitive ("more
-    # documents like this curated handful"). Same quantized BSP loop as
-    # graph_pagerank; only the static teleport-weight column differs.
+    # documents like this curated handful"). Same integer-unit BSP loop
+    # as graph_pagerank (BIGINT 1e-7 ranks, zero FP in the recurrence);
+    # only the static teleport-weight column differs.
     from .operators.graph import pagerank
     pairs = _semantic_pairs(spark, sf_dir)
     edges = (pairs.select(F.col("id_a").alias("src"),

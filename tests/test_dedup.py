@@ -170,6 +170,38 @@ def test_connected_components_small_graph_regime_matches_bsp(spark):
         sorted(map(tuple, big.collect()))
 
 
+def test_connected_components_null_pairs_agree_across_regimes(spark):
+    # NULL-keyed pairs drop BEFORE the regime split, so both regimes
+    # return the same frame on malformed input (previously the BSP path
+    # kept a NULL pair's non-NULL endpoint as a singleton while the
+    # driver path dropped the whole pair — regime-dependent results).
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+    pairs = spark.createDataFrame(
+        [(None, 5), (1, 2), (7, None), (None, None), (2, 3)],
+        "id_a long, id_b long")
+    small = connected_components(pairs)
+    big = connected_components(pairs, small_graph_edges=0)
+    rows = sorted(map(tuple, small.collect()))
+    assert rows == sorted(map(tuple, big.collect()))
+    assert rows == [(1, 1, True), (2, 1, False), (3, 1, False)]
+
+
+def test_pagerank_seed_count_underflow_raises(spark):
+    # s >= 10^quantize would underflow the integer teleport weight
+    # SCALE div s to 0 and return an all-zero rank vector; the guard
+    # must refuse instead.
+    import pytest
+
+    from openedx_event_sink_clickhouse_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    with pytest.raises(ValueError, match="underflow"):
+        pagerank(e, v, quantize=1)
+
+
 def test_connected_components_random_graph_matches_union_find(spark):
     # Property check against a Python union-find oracle on an irregular
     # graph (chains + stars + cross links, fixed seed): min-label

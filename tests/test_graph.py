@@ -104,7 +104,7 @@ def test_pagerank_cycle_is_uniform(spark):
     assert got == {i: round(1.0 / n, 7) for i in range(n)}
 
 
-def test_pagerank_matches_quantized_replica(spark, tmp_path):
+def test_pagerank_matches_integer_unit_replica(spark, tmp_path):
     rng = random.Random(7)
     nodes = list(range(25))
     edges = sorted({(rng.randrange(25), rng.randrange(25))

@@ -52,15 +52,11 @@ def test_fixed_queries_pandas_ints_are_int64():
     # the representation that converts identically on every duckdb
     # wheel (HUGEINT became float64 on 1.0-era wheels and object on
     # newer ones, splitting the driver's value hash from Spark's).
-    import duckdb
+    from version_audit import connect_views
 
     from openedx_event_sink_clickhouse_spark import registry
 
-    con = duckdb.connect()
-    for t in ("region nation customer supplier part orders lineitem "
-              "events documents embeddings").split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{SF}/{t}.parquet')")
+    con = connect_views(SF)
     oracles = registry.oracle_sql()
     for name, int_cols in FIXED_IN_R12.items():
         df = con.sql(oracles[name]).df()

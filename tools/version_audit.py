@@ -18,8 +18,11 @@ Checks, in declarative order:
 
 1. **HUGEINT/UHUGEINT output columns** (the proven mechanism) — run
    every oracle against DuckDB at ``--sf`` and inspect result types.
-2. **DECIMAL wider than 38,18 / BIT / INTERVAL outputs** — exotic types
-   with no stable Arrow mapping (defense; none expected).
+2. **DECIMAL / BIT / INTERVAL outputs** — DECIMAL's pandas conversion
+   is the same wheel-sensitive territory as HUGEINT (float64 vs object
+   Decimal across duckdb-python versions); the corpus deliberately has
+   ZERO decimal outputs (decimal math is internal, published as BIGINT
+   units or one exact-int DOUBLE division), and this keeps it so.
 3. **-0.0 / NaN / ±inf double cells** — signed-zero and non-finite
    production is division-semantics-version-territory in DuckDB
    (``x/0`` flipped NULL→inf across 1.x). Corpus is clean today; keep
@@ -27,7 +30,8 @@ Checks, in declarative order:
    carry them, both engines' Arrow paths agree.)
 
 Usage: ``python tools/version_audit.py [--sf /root/testdata/sf0.001]``
-Exits non-zero on any hit; prints a JSON report line per query.
+Exits non-zero on any hit (or on an unknown query name); prints a JSON
+report line per query.
 """
 
 from __future__ import annotations
@@ -46,17 +50,33 @@ TABLES = ("region nation customer supplier part orders lineitem "
 BAD_TYPES = {"HUGEINT", "UHUGEINT", "BIT", "INTERVAL"}
 
 
-def audit(sf_dir: str, names=None) -> int:
+def connect_views(sf_dir: str):
+    """A DuckDB connection with the testdata tables registered as
+    views — shared with tests/test_version_invariance.py so the fence
+    and the tool audit the identical corpus."""
     import duckdb
-
-    from openedx_event_sink_clickhouse_spark import registry
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def audit(sf_dir: str, names=None) -> int:
+    from openedx_event_sink_clickhouse_spark import registry
+
+    oracles = registry.oracle_sql()
+    if names:
+        unknown = set(names) - set(oracles)
+        if unknown:
+            raise SystemExit(
+                f"version_audit: unknown query name(s) {sorted(unknown)} "
+                "— a typo here would silently audit nothing and report "
+                "clean")
+    con = connect_views(sf_dir)
     hits = 0
-    for name, sql in registry.oracle_sql().items():
+    for name, sql in oracles.items():
         if names and name not in names:
             continue
         try:
@@ -68,7 +88,7 @@ def audit(sf_dir: str, names=None) -> int:
             hits += 1
             continue
         bad_t = [(c, t) for c, t in zip(cols, types)
-                 if t in BAD_TYPES or t.startswith("DECIMAL(39")]
+                 if t in BAD_TYPES or t.startswith("DECIMAL")]
         dbl = [i for i, t in enumerate(types) if t == "DOUBLE"]
         neg0 = naninf = 0
         for r in rows:
