@@ -258,6 +258,8 @@ HEADLINE = [
     "dq_dp_release",               # Laplace release over bounded counts
     "graph_adamic_adar",           # weighted common-neighbor scores
     "text_term_burstiness",        # Church-Gale Fano-factor forensics
+    # Round-12 tail.
+    "dedup_lsh_recall",            # LSH pair-recall vs exact AllPairs truth
 ]
 
 

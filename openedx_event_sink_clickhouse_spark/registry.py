@@ -10349,6 +10349,88 @@ def _dd_allpairs(spark, sf_dir):
     return allpairs_jaccard(_t(spark, sf_dir, "documents"), threshold=0.7)
 
 
+def _lsh_recall_sql() -> str:
+    # Candidate CTEs replicate dedup_minhash_lsh's banding INCLUDING the
+    # skew cap (buckets sized 2..1000 — the Spark side's max_bucket
+    # guard, which the verified-pairs oracle could leave implicit but a
+    # candidate COUNT cannot); truth is the deliberately brute-force
+    # AllPairs twin at 3/5. Membership on both sides is the identical
+    # integer predicate isz*5 >= 3*union, so found ⊆ truth and every
+    # published ratio is one division of exact BIGINTs.
+    from .functions.text import shingles_sql
+    sh = shingles_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {sh} AS sh FROM documents
+), nonempty AS (
+  SELECT * FROM base WHERE len(sh) > 0
+), hashed AS (
+  SELECT id, sh,
+         list_transform(sh, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT))
+           AS hv
+  FROM nonempty
+), sigs AS (
+  SELECT id, [{_MINS}] AS sig FROM hashed
+), banded AS (
+  SELECT id, unnest([{_BANDS}]) AS band_hash,
+         unnest(generate_series(0, 7)) AS band_idx
+  FROM sigs
+), okb AS (
+  SELECT band_idx, band_hash FROM banded
+  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a
+  JOIN okb USING (band_idx, band_hash)
+  JOIN banded b ON a.band_idx = b.band_idx
+   AND a.band_hash = b.band_hash AND a.id < b.id
+), tok AS (
+  SELECT id AS doc_id, unnest(sh) AS token FROM nonempty
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM tok GROUP BY 1
+), i AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS isz
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT id_a, id_b
+  FROM i JOIN sz sa ON i.id_a = sa.doc_id JOIN sz sb ON i.id_b = sb.doc_id
+  WHERE isz * 5 >= 3 * (sa.s + sb.s - isz)
+), found AS (
+  SELECT t.id_a FROM truth t JOIN cand c USING (id_a, id_b)
+), m AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+         (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found_pairs
+)
+SELECT n_true_pairs, n_candidate_pairs, n_found_pairs,
+       n_true_pairs - n_found_pairs AS n_missed_pairs,
+       CASE WHEN n_true_pairs > 0
+            THEN CAST(n_found_pairs AS DOUBLE)
+                 / CAST(n_true_pairs AS DOUBLE)
+            ELSE CAST(1.0 AS DOUBLE) END AS recall,
+       CASE WHEN n_candidate_pairs > 0
+            THEN CAST(n_found_pairs AS DOUBLE)
+                 / CAST(n_candidate_pairs AS DOUBLE)
+            ELSE CAST(1.0 AS DOUBLE) END AS candidate_precision
+FROM m
+"""
+
+
+@register("dedup_lsh_recall", _lsh_recall_sql())
+def _dd_lsh_recall(spark, sf_dir):
+    # Pair-recall certification of the banded-LSH candidate stage
+    # against the exact AllPairs truth at the LSH family's own 0.6
+    # operating threshold — the dedup twin of sim_ivf_recall: the
+    # number a 100 TB deployment reads before trusting the approximate
+    # path. Same integer membership predicate on both sides, so recall
+    # and candidate_precision are single divisions of exact counts.
+    from .operators.dedup import lsh_recall_report
+    return lsh_recall_report(_t(spark, sf_dir, "documents"),
+                             threshold=0.6)
+
+
 def _weighted_jaccard_sql() -> str:
     from .functions.text import ngrams_sql
     g3 = ngrams_sql("text", 3)
@@ -10447,9 +10529,10 @@ _PRIORITY = [
     #    units, floor division, zero FP in the loop): re-grade both
     #    variants; bitwise-identical at sf0.01 AND sf0.1 --
     "graph_pagerank", "graph_personalized_pagerank",
-    # -- connected-components driver-regime threshold lowered (ADVICE):
-    #    result-identical by construction, one representative regrade --
-    "dedup_clusters",
+    # -- new this round: LSH pair-recall certification (first grade);
+    #    the CC threshold change it displaced from this window is
+    #    result-identical by construction and regression-test-pinned --
+    "dedup_lsh_recall",
     # -- rotation: every query whose latest grade predates r6, oldest
     #    first (r4 pair, then the full r5 set) — after this window the
     #    registry-wide oldest grade is r6 --

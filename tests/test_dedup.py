@@ -170,6 +170,42 @@ def test_connected_components_small_graph_regime_matches_bsp(spark):
         sorted(map(tuple, big.collect()))
 
 
+def test_lsh_recall_report_counts_and_bounds(spark):
+    # Near-identical pair (one word changed out of 40) must be in the
+    # exact truth AND surface through the bands (j >> 0.6 makes the
+    # 8x2 collision probability ~1); the unrelated doc contributes
+    # nothing. found <= truth <= candidates-verified by construction.
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        lsh_recall_report,
+    )
+    a = " ".join(f"w{i}" for i in range(40))
+    b = " ".join(("zz" if i == 7 else f"w{i}") for i in range(40))
+    c = " ".join(f"q{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string")
+    row = lsh_recall_report(docs, threshold=0.6).collect()[0]
+    assert row.n_true_pairs == 1
+    assert row.n_found_pairs == 1 and row.n_missed_pairs == 0
+    assert row.recall == 1.0
+    assert 0 < row.candidate_precision <= 1.0
+    assert row.n_candidate_pairs >= row.n_found_pairs
+
+
+def test_lsh_recall_report_vacuous_corpus_scores_one(spark):
+    # No qualifying pair at all: recall/precision are defined as the
+    # vacuous 1.0, not NULL/div-by-zero.
+    from openedx_event_sink_clickhouse_spark.operators.dedup import (
+        lsh_recall_report,
+    )
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(20))),
+         (2, " ".join(f"b{i}" for i in range(20)))],
+        "doc_id long, text string")
+    row = lsh_recall_report(docs, threshold=0.6).collect()[0]
+    assert row.n_true_pairs == 0 and row.n_found_pairs == 0
+    assert row.recall == 1.0
+
+
 def test_connected_components_null_pairs_agree_across_regimes(spark):
     # NULL-keyed pairs drop BEFORE the regime split, so both regimes
     # return the same frame on malformed input (previously the BSP path
