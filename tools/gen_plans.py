@@ -28,6 +28,7 @@ SHOW = [
     "tpch_q21",
     "dedup_duplicate_spans",
     "sim_ivf_recall",
+    "dedup_lsh_recall",
     "text_unigram_logprob",
     "cur_clean_lines",
     "evt_funnel",
