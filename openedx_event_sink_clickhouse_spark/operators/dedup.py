@@ -1459,9 +1459,9 @@ def lsh_recall_report(docs: DataFrame, threshold: float = 0.6,
     are 1-row aggregates cross-joined broadcast. Nothing corpus-scale
     materializes beyond what the two certified operators already pay.
     """
-    from fractions import Fraction
-    frac = Fraction(str(threshold))
-    num, den = frac.numerator, frac.denominator
+    # Threshold arithmetic happens INSIDE allpairs_jaccard (the truth
+    # side); this wrapper only forwards `threshold` — no local
+    # numerator/denominator exists to drift from it.
     base = (with_shingles(docs, text_col, n)
             .select(F.col(id_col).alias("id"), "shingles"))
     sigs = (base

@@ -251,6 +251,13 @@ def pagerank(edges: DataFrame, nodes: DataFrame, num_iters: int = 10,
             "integer teleport weight SCALE div s would underflow to 0 "
             "and every rank with it; raise `quantize` so each seed "
             "holds at least one rank unit")
+    if not 0.0 < damping < 1.0:
+        # dden-dnum < 0 would flip the first recurrence term negative,
+        # where Spark `div` (truncate toward zero) and DuckDB `//`
+        # (floor) disagree — the cross-engine determinism contract
+        # below holds only on non-negative units.
+        raise ValueError(
+            f"pagerank: damping must be in (0, 1), got {damping!r}")
     dnum, dden = round(damping * 1000), 1000
     # (id, _dang, _w, r): the dangling flag and teleport weight ride the
     # rank frame — node, edge, and seed sets are loop invariants, so

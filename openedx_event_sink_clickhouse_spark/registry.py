@@ -730,7 +730,14 @@ def _dd1i(spark, sf_dir):
                                    seen)
 
 
-_MINS, _BANDS = _minhash_sql_exprs(num_hashes=16, bands=8, rows=2)
+# Banding geometry is DERIVED from the Spark side's constants — a
+# future change to NUM_BANDS/ROWS_PER_BAND re-generates every oracle
+# that replays the signature, so the twins cannot desynchronize.
+from .operators.dedup import NUM_BANDS as _LSH_BANDS
+from .operators.dedup import ROWS_PER_BAND as _LSH_ROWS
+
+_MINS, _BANDS = _minhash_sql_exprs(num_hashes=_LSH_BANDS * _LSH_ROWS,
+                                   bands=_LSH_BANDS, rows=_LSH_ROWS)
 
 @register("dedup_minhash_lsh", f"""
 WITH base AS (
@@ -747,7 +754,7 @@ WITH base AS (
   SELECT id, sh, [{_MINS}] AS sig FROM hashed
 ), banded AS (
   SELECT id, sh, unnest([{_BANDS}]) AS band_hash,
-         unnest(generate_series(0, 7)) AS band_idx
+         unnest(generate_series(0, {_LSH_BANDS - 1})) AS band_idx
   FROM sigs
 ), pairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -784,7 +791,7 @@ WITH base AS (
   SELECT id, sh, [{_MINS}] AS sig FROM hashed
 ), banded AS (
   SELECT id, sh, unnest([{_BANDS}]) AS band_hash,
-         unnest(generate_series(0, 7)) AS band_idx
+         unnest(generate_series(0, {_LSH_BANDS - 1})) AS band_idx
   FROM sigs
 ), pairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -1527,6 +1534,10 @@ def _pagerank_oracle_sql(num_iters: int = 10, damping: float = 0.85,
     mass concentrates uniformly on nodes matching the predicate
     (None = classic uniform teleport)."""
     scale = 10 ** quantize
+    # Generation-time mirror of the Spark loop's damping guard
+    # (operators/graph.py): outside (0,1) the floor-division identity
+    # between DuckDB `//` and Spark `div` breaks on negative units.
+    assert 0.0 < damping < 1.0, f"damping must be in (0, 1): {damping!r}"
     dnum, dden = round(damping * 1000), 1000
     # Every CTE here is MATERIALIZED: DuckDB's default is to INLINE CTE
     # references, and each iteration references the previous rank vector
@@ -1544,8 +1555,21 @@ def _pagerank_oracle_sql(num_iters: int = 10, damping: float = 0.85,
            + (f" WHERE {seed_pred}" if seed_pred else "") + "),",
            "sn AS MATERIALIZED "
            "(SELECT CAST(count(*) AS BIGINT) AS s FROM seeds),",
+           # Guard CTE mirroring the Spark loop's ValueErrors
+           # (operators/graph.py): s = 0 (1/s undefined) and
+           # s >= SCALE (teleport weight SCALE // s underflows to 0)
+           # must fail HERE too, not silently publish 0/NULL ranks —
+           # the two engines fail identically. `w` reads s through the
+           # guard, so it always evaluates.
+           "sg AS MATERIALIZED (SELECT CASE "
+           "WHEN s = 0 THEN CAST(error('pagerank: empty seed set "
+           "(1/s undefined)') AS BIGINT) "
+           f"WHEN s >= {scale} THEN CAST(error('pagerank: seed count "
+           f">= 10^quantize ({scale}) underflows the integer teleport "
+           "weight') AS BIGINT) "
+           "ELSE s END AS s FROM sn),",
            "w AS MATERIALIZED (SELECT nodes.id, CASE WHEN seeds.id IS "
-           f"NOT NULL THEN CAST({scale} AS BIGINT) // (SELECT s FROM sn) "
+           f"NOT NULL THEN CAST({scale} AS BIGINT) // (SELECT s FROM sg) "
            "ELSE CAST(0 AS BIGINT) END AS w "
            "FROM nodes LEFT JOIN seeds ON nodes.id = seeds.id),",
            "r0 AS MATERIALIZED (SELECT id, w AS r FROM w),"]
@@ -1585,7 +1609,11 @@ def _graph_pr(spark, sf_dir):
     # sf0.1 one contribution sum landed on a 1e-8 midpoint where the
     # engines' float-sum orders rounded apart and the divergence
     # compounded through later rounds — which integer units close by
-    # construction.
+    # construction. Capacity note: quantize=7 supports < 10^7 seed
+    # nodes (every embeddings row here; ~540k at sf=1) — both engines
+    # RAISE past that, by design; a larger corpus re-pins quantize on
+    # BOTH twins together (units change with it, so it is a spec bump,
+    # never a silent drift).
     from .operators.graph import pagerank
     pairs = _semantic_pairs(spark, sf_dir)
     edges = (pairs.select(F.col("id_a").alias("src"),
@@ -1608,7 +1636,9 @@ def _graph_ppr(spark, sf_dir):
     # neighborhood — the seed-based corpus-expansion primitive ("more
     # documents like this curated handful"). Same integer-unit BSP loop
     # as graph_pagerank (BIGINT 1e-7 ranks, zero FP in the recurrence);
-    # only the static teleport-weight column differs.
+    # only the static teleport-weight column differs. Same quantize=7
+    # capacity contract as graph_pagerank: < 10^7 seeds or both twins
+    # raise — a 1-in-50 seed set clears that up to a 500M-row corpus.
     from .operators.graph import pagerank
     pairs = _semantic_pairs(spark, sf_dir)
     edges = (pairs.select(F.col("id_a").alias("src"),
@@ -10351,13 +10381,25 @@ def _dd_allpairs(spark, sf_dir):
 
 def _lsh_recall_sql() -> str:
     # Candidate CTEs replicate dedup_minhash_lsh's banding INCLUDING the
-    # skew cap (buckets sized 2..1000 — the Spark side's max_bucket
-    # guard, which the verified-pairs oracle could leave implicit but a
-    # candidate COUNT cannot); truth is the deliberately brute-force
-    # AllPairs twin at 3/5. Membership on both sides is the identical
-    # integer predicate isz*5 >= 3*union, so found ⊆ truth and every
-    # published ratio is one division of exact BIGINTs.
+    # skew cap (the Spark side's max_bucket guard, which the
+    # verified-pairs oracle could leave implicit but a candidate COUNT
+    # cannot); truth is the deliberately brute-force AllPairs twin.
+    # Membership on both sides is the identical integer predicate
+    # isz*den >= num*union, so found ⊆ truth and every published ratio
+    # is one division of exact BIGINTs. Band count, bucket cap, and
+    # num/den are all DERIVED from the Spark operator's own constants /
+    # signature defaults (_LSH_BANDS above; lsh_recall_report's
+    # threshold and max_bucket) — the registry call below passes no
+    # overrides, so a default change re-generates this SQL in lockstep
+    # instead of silently desynchronizing the twins.
+    import inspect
+    from fractions import Fraction
     from .functions.text import shingles_sql
+    from .operators.dedup import lsh_recall_report
+    params = inspect.signature(lsh_recall_report).parameters
+    frac = Fraction(str(params["threshold"].default))
+    num, den = frac.numerator, frac.denominator
+    max_bucket = params["max_bucket"].default
     sh = shingles_sql("text")
     return f"""
 WITH base AS (
@@ -10373,11 +10415,11 @@ WITH base AS (
   SELECT id, [{_MINS}] AS sig FROM hashed
 ), banded AS (
   SELECT id, unnest([{_BANDS}]) AS band_hash,
-         unnest(generate_series(0, 7)) AS band_idx
+         unnest(generate_series(0, {_LSH_BANDS - 1})) AS band_idx
   FROM sigs
 ), okb AS (
   SELECT band_idx, band_hash FROM banded
-  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000
+  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {max_bucket}
 ), cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM banded a
@@ -10396,7 +10438,7 @@ WITH base AS (
 ), truth AS (
   SELECT id_a, id_b
   FROM i JOIN sz sa ON i.id_a = sa.doc_id JOIN sz sb ON i.id_b = sb.doc_id
-  WHERE isz * 5 >= 3 * (sa.s + sb.s - isz)
+  WHERE isz * {den} >= {num} * (sa.s + sb.s - isz)
 ), found AS (
   SELECT t.id_a FROM truth t JOIN cand c USING (id_a, id_b)
 ), m AS (
@@ -10426,9 +10468,11 @@ def _dd_lsh_recall(spark, sf_dir):
     # number a 100 TB deployment reads before trusting the approximate
     # path. Same integer membership predicate on both sides, so recall
     # and candidate_precision are single divisions of exact counts.
+    # No overrides: the operator's signature defaults (threshold 0.6,
+    # max_bucket 1000) are the single source of truth that
+    # _lsh_recall_sql derives its num/den and cap from.
     from .operators.dedup import lsh_recall_report
-    return lsh_recall_report(_t(spark, sf_dir, "documents"),
-                             threshold=0.6)
+    return lsh_recall_report(_t(spark, sf_dir, "documents"))
 
 
 def _weighted_jaccard_sql() -> str:
