@@ -692,6 +692,21 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id",
     self-join on (band_idx, band_value) is exact, not approximate —
     and it is again the only shuffle.
     """
+    return simhash_band_candidates(sigs, id_col, sig_col, num_bands,
+                                   bits).filter(
+        F.col("hamming") <= max_hamming)
+
+
+def simhash_band_candidates(sigs: DataFrame, id_col: str = "doc_id",
+                            sig_col: str = "simhash", num_bands: int = 4,
+                            bits: int = 32) -> DataFrame:
+    """The banded candidate stage of :func:`simhash_near_pairs` WITHOUT
+    the hamming verify — each band-colliding pair exactly once, with
+    its hamming distance. Split out so recall/precision certification
+    (``mm_phash_recall``) can count the candidate stream the verify
+    normally consumes in place; serving callers want the filtered
+    wrapper above.
+    """
     width = bits // num_bands
     mask = (1 << width) - 1
 
@@ -724,8 +739,7 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id",
             .filter(F.col("a.id") < F.col("b.id"))
             .filter(first_match)
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.bit_count(F.expr("a.sig ^ b.sig")).alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+                    F.bit_count(F.expr("a.sig ^ b.sig")).alias("hamming")))
 
 
 def _driver_union_find(spark, pairs: DataFrame, rows, id_a: str

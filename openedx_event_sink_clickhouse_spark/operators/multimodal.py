@@ -535,6 +535,60 @@ def phash_near_pairs(sigs: DataFrame, max_hamming: int = 7) -> DataFrame:
                               bits=PHASH_BITS)
 
 
+def phash_recall_report(sigs: DataFrame, max_hamming: int = 7,
+                        num_bands: int = 8, id_col: str = "media_id",
+                        sig_col: str = "phash") -> DataFrame:
+    """Pair-recall certification of the banded phash candidate stage
+    against the brute-force hamming truth — the multimodal twin of
+    ``dedup_lsh_recall``. One row: (n_true_pairs, n_candidate_pairs,
+    n_found_pairs, n_missed_pairs, recall, candidate_precision).
+
+    The banding is pigeonhole-EXACT for hamming ≤ num_bands−1 (8 bands
+    of 7 bits over the 56-bit dHash: ≤ 7 differing bits leave ≥ 1 band
+    identical), so recall here must be exactly 1.0 — but a deployment
+    reads the MEASURED number (a banding-width bug, a signature wider
+    than bits, or a max_hamming raised past num_bands−1 all break the
+    pigeonhole silently, and this query is what catches them).
+    candidate_precision prices the verify work the band join wastes.
+
+    Plan: candidates are the serving path's own band-join stream
+    (:func:`simhash_band_candidates` — each colliding pair once via
+    first-matching-band emission, no dedup exchange); the truth side is
+    the deliberate brute force over SIGNATURES (8 bytes/row, ids ×
+    phash broadcast against the stream — never payloads), quadratic by
+    design because the banding itself is the only sub-quadratic exact
+    path and a certification must be independent of what it certifies.
+    At 100 TB the truth runs on a bounded certification sample, the
+    same regime as ``exact_quantiles``; candidates and verify stay
+    corpus-scale."""
+    from .dedup import simhash_band_candidates
+
+    cand = simhash_band_candidates(sigs, id_col=id_col, sig_col=sig_col,
+                                   num_bands=num_bands, bits=PHASH_BITS)
+    left = sigs.select(F.col(id_col).alias("id_a"),
+                       F.col(sig_col).alias("_sa"))
+    right = sigs.select(F.col(id_col).alias("id_b"),
+                        F.col(sig_col).alias("_sb"))
+    truth = (left.join(F.broadcast(right), F.col("id_a") < F.col("id_b"))
+             .filter(F.bit_count(F.expr("_sa ^ _sb")) <= max_hamming)
+             .select("id_a", "id_b"))
+    found = truth.join(cand.select("id_a", "id_b"),
+                       ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count("*").cast("long").alias("n_true_pairs"))
+    c = cand.agg(F.count("*").cast("long").alias("n_candidate_pairs"))
+    f = found.agg(F.count("*").cast("long").alias("n_found_pairs"))
+    nt, nc, nf = (F.col("n_true_pairs"), F.col("n_candidate_pairs"),
+                  F.col("n_found_pairs"))
+    return (t.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(f))
+            .select(
+        "n_true_pairs", "n_candidate_pairs", "n_found_pairs",
+        (nt - nf).alias("n_missed_pairs"),
+        F.when(nt > 0, nf.cast("double") / nt.cast("double"))
+         .otherwise(F.lit(1.0)).alias("recall"),
+        F.when(nc > 0, nf.cast("double") / nc.cast("double"))
+         .otherwise(F.lit(1.0)).alias("candidate_precision")))
+
+
 def payload_exact_dedup(media: DataFrame, content_col: str = "content",
                         id_col: str = "media_id") -> DataFrame:
     """Content-addressed exact dedup over the BINARY payload — the

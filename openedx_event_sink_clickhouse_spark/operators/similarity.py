@@ -1397,6 +1397,71 @@ def ivfpq_topk_at_rest(spark, path: str, probe_vec: list[float],
                                        id_col, vec_col)
 
 
+def ivfpq_recall(spark, path: str, centroids: list[list[float]],
+                 codebooks: list[list[list[float]]], emb: DataFrame,
+                 n_probes: int = 8, k: int = 10, nprobe: int = 4,
+                 rescore_factor: int = 5, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Measured recall@k of the at-rest IVF-PQ index against the exact
+    scan, per probe — the certification number a deployment reads
+    before trusting the doubly-compressed path, completing the
+    recall-probe family (:func:`ivf_recall` for IVF alone,
+    :func:`quantized_shortlist_recall` for scalar quantization,
+    ``dedup_lsh_recall`` for banded LSH). Probes are ids <
+    ``n_probes``; the corpus is everything else. Returns
+    (probe_id, n_hits, recall_at_k).
+
+    The approximate side replays :func:`ivfpq_topk_at_rest` EXACTLY,
+    once per probe — coordinator cell ranking, partition-pruned code
+    read, literal-LUT ADC shortlist, exact re-rank — because a recall
+    probe that simplifies the serving path certifies the wrong plan.
+    ``n_probes`` is a bounded certification panel (one pruned-index
+    subplan each, unioned); the exact side is ONE
+    :func:`multi_probe_topk` pass, and the compare join is
+    (n_probes × k) rows broadcast, so total cost is n_probes pruned
+    searches + one exact scan at any corpus size."""
+    import math
+    from functools import reduce
+
+    id_type = emb.schema[id_col].dataType
+    probe_rows = (emb.filter(F.col(id_col) < n_probes)
+                  .select(id_col, vec_col).orderBy(id_col).collect())
+    parts = []
+    for row in probe_rows:
+        pid, pv = row[0], [float(x) for x in row[1]]
+        pn = math.sqrt(sum(x * x for x in pv))
+
+        def cos(c, pv=pv, pn=pn):
+            cn = math.sqrt(sum(x * x for x in c))
+            d = sum(a * b for a, b in zip(pv, c))
+            return d / (cn * pn) if cn and pn else 0.0
+
+        ranked = sorted(enumerate(centroids), key=lambda t: (-cos(t[1]), t[0]))
+        cells = [cid for cid, _ in ranked[:nprobe]]
+        qcos, qn = _adc_score_expr(pv, codebooks)
+        codes = (spark.read.parquet(path)
+                 .filter(F.col("cell").isin(cells))
+                 .filter(F.col("id") >= n_probes))
+        shortlist = (codes.select("id", F.expr(qcos).alias("_qcos"))
+                     .orderBy(F.desc("_qcos"), "id")
+                     .limit(rescore_factor * k)
+                     .select(F.col("id").alias(id_col)))
+        topk = _rescore_with_literal_probe(emb, shortlist, pv, qn, k,
+                                           id_col, vec_col)
+        parts.append(topk.select(
+            F.lit(pid).cast(id_type).alias("probe_id"), F.col(id_col)))
+    approx = reduce(DataFrame.unionByName, parts)
+    exact = multi_probe_topk(emb, n_probes, k, id_col, vec_col)
+    hit = approx.withColumn("_hit", F.lit(1))
+    return (exact.select("probe_id", id_col)
+            .join(F.broadcast(hit), ["probe_id", id_col], "left")
+            .groupBy("probe_id")
+            .agg(F.count("_hit").alias("n_hits"))
+            .select("probe_id", "n_hits",
+                    (F.col("n_hits").cast("double") / k)
+                    .alias("recall_at_k")))
+
+
 def hard_negative_mining(emb: DataFrame, n_probes: int = 10, k: int = 5,
                          max_sim: float = 0.9, id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:

@@ -2031,6 +2031,148 @@ def _sim_ivfpq(spark, sf_dir):
                               exclude_id=0)
 
 
+_IVFPQ_NP, _IVFPQ_K, _IVFPQ_NPROBE, _IVFPQ_RF = 8, 10, 4, 5
+
+def _ivfpq_recall_sql() -> str:
+    # Per-probe replay of the sim_ivfpq_topk oracle (same assign/codes/
+    # ADC/rescore CTE shapes — code assignment is probe-independent and
+    # computed once; the LUT parts gain a pid key) joined against the
+    # exact per-probe top-k, the sim_ivf_recall compare. Probes are
+    # ids < NP, corpus ids >= NP, centroids/codebooks the first-16
+    # deterministic models the topk twin certifies.
+    np_, k, nprobe, rf = _IVFPQ_NP, _IVFPQ_K, _IVFPQ_NPROBE, _IVFPQ_RF
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),
+corpus AS (SELECT id, v FROM e WHERE id >= {np_}),
+probes AS (SELECT id AS pid, v AS pv FROM e WHERE id < {np_}),
+assign AS (
+  SELECT id, cid AS cell FROM (
+    SELECT c0.id, c.cid,
+           row_number() OVER (PARTITION BY c0.id
+                              ORDER BY {_cos_sql('c0.v', 'c.cv')} DESC, c.cid)
+             AS rn
+    FROM corpus c0 CROSS JOIN cents c) t
+  WHERE rn = 1
+),
+pcells AS (
+  SELECT pid, cid FROM (
+    SELECT p.pid, c.cid,
+           row_number() OVER (PARTITION BY p.pid
+                              ORDER BY {_cos_sql('c.cv', 'p.pv')} DESC, c.cid)
+             AS rn
+    FROM cents c CROSS JOIN probes p) t
+  WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.pid, a.id FROM assign a JOIN pcells p ON a.cell = p.cid
+),
+subq AS (SELECT unnest(generate_series(0, 7)) AS s),
+dists AS (
+  SELECT c0.id, sq.s, c.cid,
+     list_sum(list_transform(generate_series(1, 8),
+        i -> (c0.v[sq.s * 8 + i] - c.cv[sq.s * 8 + i]) ^ 2)) AS d
+  FROM corpus c0 JOIN (SELECT DISTINCT id FROM cand) ci USING (id),
+       subq sq, cents c
+),
+codes AS (
+  SELECT id, s, cid AS code FROM (
+    SELECT id, s, cid,
+           row_number() OVER (PARTITION BY id, s
+                              ORDER BY d ASC, cid ASC) AS rn
+    FROM dists) t
+  WHERE rn = 1
+),
+parts AS (
+  SELECT ca.pid, cd.id,
+     list_sum(list_transform(generate_series(1, 8),
+        i -> p.pv[cd.s * 8 + i] * c.cv[cd.s * 8 + i])) AS lut,
+     list_sum(list_transform(generate_series(1, 8),
+        i -> c.cv[cd.s * 8 + i] ^ 2)) AS n2
+  FROM codes cd JOIN cents c ON c.cid = cd.code
+  JOIN cand ca ON ca.id = cd.id
+  JOIN probes p ON p.pid = ca.pid
+),
+score AS (
+  SELECT pid, id, sum(lut) AS num, sqrt(sum(n2)) AS dvn
+  FROM parts GROUP BY pid, id
+),
+qn AS (
+  SELECT pid, sqrt(list_sum(list_transform(pv, x -> x * x))) AS n
+  FROM probes
+),
+coarse AS (
+  SELECT pid, id FROM (
+    SELECT s.pid, s.id,
+           row_number() OVER (PARTITION BY s.pid ORDER BY
+             (CASE WHEN s.dvn * q.n > 0 THEN s.num / (s.dvn * q.n)
+                   ELSE 0 END) DESC, s.id) AS rn
+    FROM score s JOIN qn q USING (pid)) t
+  WHERE rn <= {rf * k}
+),
+approx AS (
+  SELECT pid, id FROM (
+    SELECT co.pid, co.id,
+           row_number() OVER (PARTITION BY co.pid
+                              ORDER BY {_cos_sql('c0.v', 'p.pv')} DESC, co.id)
+             AS rn
+    FROM coarse co JOIN corpus c0 ON c0.id = co.id
+    JOIN probes p USING (pid)) t
+  WHERE rn <= {k}
+),
+exact AS (
+  SELECT pid, id FROM (
+    SELECT p.pid, x.id,
+           row_number() OVER (PARTITION BY p.pid
+                              ORDER BY {_cos_sql('x.v', 'p.pv')} DESC, x.id)
+             AS rn
+    FROM corpus x CROSS JOIN probes p) t
+  WHERE rn <= {k}
+)
+SELECT x.pid AS probe_id, CAST(count(a.id) AS BIGINT) AS n_hits,
+       CAST(count(a.id) AS DOUBLE) / {k} AS recall_at_k
+FROM exact x LEFT JOIN approx a ON x.pid = a.pid AND x.id = a.id
+GROUP BY x.pid
+"""
+
+
+@register("sim_ivfpq_recall", _ivfpq_recall_sql())
+def _sim_ivfpq_recall(spark, sf_dir):
+    # Recall@10 certification of the at-rest IVF-PQ path over an
+    # 8-probe panel — the number that closes the loop on the
+    # sim_ivfpq_topk architecture: IVF recall and scalar-quantized
+    # recall each have their probe (sim_ivf_recall,
+    # sim_quantized_recall); this certifies the COMPOSED
+    # coarse-prune × code-compress pipeline end to end, index read
+    # through exact re-rank. Shares the memoized codebooks/centroids
+    # and the cached index directory with sim_ivfpq_topk, so the
+    # marginal cost is the 8 pruned searches + one exact scan.
+    from .operators.similarity import (ivfpq_recall,
+                                       pq_codebooks_from_first_k,
+                                       write_ivfpq_codes)
+    emb = _t(spark, sf_dir, "embeddings")
+    cb_key = (spark.sparkContext.applicationId, "pqcb", sf_dir)
+    cb = _QTOPK_MEMO.get(cb_key)
+    if cb is None:
+        cb = pq_codebooks_from_first_k(emb, m=8, n_centroids=16,
+                                       dim=EMB_DIM)
+        _QTOPK_MEMO[cb_key] = cb
+    model_key = (spark.sparkContext.applicationId, "ivfmodel", sf_dir)
+    model = _QTOPK_MEMO.get(model_key)
+    if model is None:
+        model = [r.embedding for r in
+                 emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+                 .collect()]
+        _QTOPK_MEMO[model_key] = model
+    tag = _sf_tag(sf_dir, "embeddings")
+    path = _cached_parquet(
+        f"/tmp/spark_graft_ivfpq_v1_{tag}",
+        lambda p: write_ivfpq_codes(emb, p, cb, n_centroids=16))
+    return ivfpq_recall(spark, path, model, cb, emb,
+                        n_probes=_IVFPQ_NP, k=_IVFPQ_K,
+                        nprobe=_IVFPQ_NPROBE, rescore_factor=_IVFPQ_RF)
+
+
 def _srp_oracle_sql(num_planes: int = 6, num_tables: int = 2) -> str:
     bks = _srp_bucket_exprs(num_planes, EMB_DIM, num_tables)
     sig_cols = ", ".join(f"{b} AS b{t}" for t, b in enumerate(bks))
@@ -2861,7 +3003,11 @@ def _mm_dedup(spark, sf_dir):
     return payload_exact_dedup(_media(spark, sf_dir))
 
 
-def _phash_sql() -> str:
+def _phash_base_ctes() -> str:
+    # Shared CTE prefix for the phash twins: the noise-corrupted twin
+    # corpus, the 56-bit dHash replay from text chars (ord(char) ==
+    # byte on this ASCII corpus — the mm_decode_stats equivalence),
+    # and the 8x7-bit banding.
     from .operators.multimodal import PHASH_BITS, PHASH_CELLS
     c = PHASH_CELLS
 
@@ -2892,7 +3038,11 @@ WITH {_MEDIA_CTE}, twin AS (
          unnest(generate_series(0, 7)) AS band_idx,
          unnest([{bands}]) AS band_val
   FROM sigs
-)
+)"""
+
+
+def _phash_sql() -> str:
+    return f"""{_phash_base_ctes()}
 SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
 FROM banded a JOIN banded b
@@ -2928,6 +3078,72 @@ def _mm_phash(spark, sf_dir):
         .cast("binary").alias("content"))
     both = media.select("media_id", "content").unionByName(corrupted)
     return phash_near_pairs(perceptual_hash(both), max_hamming=7)
+
+
+def _phash_recall_sql() -> str:
+    # Candidate pairs = the band join WITHOUT the hamming verify (each
+    # pair once via DISTINCT — the count twin of the Spark side's
+    # first-matching-band emission); truth = brute-force hamming over
+    # the signatures. max_hamming derives from the Spark operator's
+    # signature default, the dedup_lsh_recall single-source pattern.
+    import inspect
+    from .operators.multimodal import phash_recall_report
+    mh = inspect.signature(phash_recall_report).parameters[
+        "max_hamming"].default
+    return f"""{_phash_base_ctes()},
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.media_id < b.media_id
+), truth AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {mh}
+), found AS (
+  SELECT t.id_a FROM truth t JOIN cand c USING (id_a, id_b)
+), rep AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+         (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found_pairs
+)
+SELECT n_true_pairs, n_candidate_pairs, n_found_pairs,
+       n_true_pairs - n_found_pairs AS n_missed_pairs,
+       CASE WHEN n_true_pairs > 0
+            THEN CAST(n_found_pairs AS DOUBLE)
+                 / CAST(n_true_pairs AS DOUBLE)
+            ELSE CAST(1.0 AS DOUBLE) END AS recall,
+       CASE WHEN n_candidate_pairs > 0
+            THEN CAST(n_found_pairs AS DOUBLE)
+                 / CAST(n_candidate_pairs AS DOUBLE)
+            ELSE CAST(1.0 AS DOUBLE) END AS candidate_precision
+FROM rep
+"""
+
+
+@register("mm_phash_recall", _phash_recall_sql())
+def _mm_phash_recall(spark, sf_dir):
+    # Pair-recall certification of the phash byte-banding against the
+    # brute-force hamming truth over the SAME planted-twin corpus
+    # mm_phash_neardup mines — the multimodal member of the recall
+    # family (dedup_lsh_recall, sim_ivf_recall, sim_ivfpq_recall). The
+    # banding is pigeonhole-exact at hamming <= 7, so the expected
+    # recall is exactly 1.0; the query MEASURES it (a banding-width or
+    # signature-width bug breaks the pigeonhole silently) and prices
+    # the candidate stream's verify waste (candidate_precision).
+    from .operators.multimodal import perceptual_hash, phash_recall_report
+    media = _media(spark, sf_dir)
+    n = F.length("content")
+    corrupted = media.select(
+        (F.col("media_id") + 100000).alias("media_id"),
+        F.concat(F.substring(F.col("content").cast("string"), 1,
+                             (n / 2).cast("int") - 1),
+                 F.lit("Q"),
+                 F.substring(F.col("content").cast("string"),
+                             (n / 2).cast("int") + 1, n))
+        .cast("binary").alias("content"))
+    both = media.select("media_id", "content").unionByName(corrupted)
+    return phash_recall_report(perceptual_hash(both))
 
 
 def _phash_pair_table(spark, sf_dir) -> DataFrame:

@@ -416,3 +416,27 @@ def test_decode_image_jpeg_via_pil_when_available():
     # and the pure fallback honestly refuses what it cannot decode
     with pytest.raises(ValueError):
         png_decode(data)
+
+def test_phash_recall_report_pigeonhole_exact_and_vacuous(spark):
+    # The 8x7-bit banding is pigeonhole-exact at hamming <= 7, so the
+    # MEASURED recall must be exactly 1.0 with zero missed pairs on a
+    # corpus with planted near-dups; an all-distant corpus scores the
+    # vacuous 1.0 without div-by-zero.
+    from openedx_event_sink_clickhouse_spark.operators.multimodal import (
+        perceptual_hash, phash_recall_report)
+    base = bytes(range(40, 240)) * 3
+    noisy = bytearray(base); noisy[300] = 0
+    other = bytes(reversed(base))
+    media = spark.createDataFrame(
+        [(0, base), (1, bytes(noisy)), (2, other)],
+        "media_id long, content binary")
+    row = phash_recall_report(perceptual_hash(media)).collect()[0]
+    assert row.n_true_pairs >= 1
+    assert row.n_missed_pairs == 0 and row.recall == 1.0
+    assert row.n_candidate_pairs >= row.n_found_pairs
+    assert 0 < row.candidate_precision <= 1.0
+
+    far = spark.createDataFrame(
+        [(0, base), (1, other)], "media_id long, content binary")
+    vac = phash_recall_report(perceptual_hash(far)).collect()[0]
+    assert vac.n_true_pairs == 0 and vac.recall == 1.0

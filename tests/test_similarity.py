@@ -815,3 +815,33 @@ def test_matryoshka_full_dim_recall_is_one_even_on_tiny_corpus(spark):
            for r in matryoshka_recall(emb, dims=(16,), n_probes=3,
                                       k=10).collect()}
     assert out[16] == 1.0
+
+def test_ivfpq_recall_full_probe_full_shortlist_is_one(spark, sf_dir,
+                                                       tmp_path):
+    # With every cell probed AND a shortlist wider than the corpus the
+    # IVF-PQ path degenerates to the exact scan, so measured recall@k
+    # must be exactly 1.0 for every probe; pruning (nprobe=1) can only
+    # lose candidates, never gain them.
+    from openedx_event_sink_clickhouse_spark.operators.similarity import (
+        ivfpq_recall, pq_codebooks_from_first_k, write_ivfpq_codes)
+    from openedx_event_sink_clickhouse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    emb = load_table(spark, "embeddings", sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    cb = pq_codebooks_from_first_k(emb, m=8, n_centroids=16, dim=dim)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_codes(emb, path, cb, n_centroids=16)
+    model = [r.embedding for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()]
+    n = emb.count()
+    full = ivfpq_recall(spark, path, model, cb, emb, n_probes=4, k=10,
+                        nprobe=16, rescore_factor=(n // 10) + 1).collect()
+    assert len(full) == 4
+    assert all(r["recall_at_k"] == 1.0 and r["n_hits"] == 10 for r in full)
+    pruned = ivfpq_recall(spark, path, model, cb, emb, n_probes=4, k=10,
+                          nprobe=1, rescore_factor=5).collect()
+    by_probe = {r["probe_id"]: r["recall_at_k"] for r in pruned}
+    assert all(0.0 <= v <= 1.0 for v in by_probe.values())
+    avg_full = sum(r["recall_at_k"] for r in full) / 4
+    avg_pruned = sum(by_probe.values()) / 4
+    assert avg_pruned <= avg_full + 1e-9
