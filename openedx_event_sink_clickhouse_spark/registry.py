@@ -10776,40 +10776,42 @@ WHERE NOT (id_a < {_ND_SPLIT_SQL} AND id_b < {_ND_SPLIT_SQL})
 
 _PRIORITY = [
     "flagship_incremental_dump",
-    # -- the six r11 driver-reds + one latent (profile_orders, HUGEINT
-    #    output, last graded r6): root-caused to DuckDB HUGEINT output
-    #    columns (version-dependent pandas/Arrow conversion in the
-    #    driver's oracle path), fixed by final-select CAST AS BIGINT;
-    #    tools/version_audit.py now sweeps the corpus. All bitwise-
-    #    identical at sf0.01 per AUDIT_BITWISE.json --
-    "stream_expectations_maintenance", "dq_expectations",
-    "cur_data_card", "evt_logrank_test", "evt_churn_labels",
-    "evt_sequential_monitoring", "profile_orders",
-    # -- integer-unit rank recurrence landed this round (BIGINT 1e-7
-    #    units, floor division, zero FP in the loop): re-grade both
-    #    variants; bitwise-identical at sf0.01 AND sf0.1 --
+    # -- new this round: the two recall certifications closing the
+    #    approximate-path family (first grade) --
+    "sim_ivfpq_recall", "mm_phash_recall",
+    # -- oracle TEXT changed this round (guard CTE mirroring the Spark
+    #    loop's empty-seed / seed>=scale ValueErrors): re-grade both
+    #    variants; outputs are construction-identical on valid input
+    #    and bitwise-audited at both scales --
     "graph_pagerank", "graph_personalized_pagerank",
-    # -- new this round: LSH pair-recall certification (first grade);
-    #    the CC threshold change it displaced from this window is
-    #    result-identical by construction and regression-test-pinned --
-    "dedup_lsh_recall",
-    # -- rotation: every query whose latest grade predates r6, oldest
-    #    first (r4 pair, then the full r5 set) — after this window the
-    #    registry-wide oldest grade is r6 --
-    "text_dsir_importance", "text_top_ngrams",
-    "a1_watermarks", "agg_rollup_events", "cur_chunk_documents",
-    "cur_decontaminate", "cur_mix_interleave", "dedup_remove_spans",
-    "dedup_simhash", "llm_bpe_packing", "mm_byte_histogram",
-    "mm_dedup_exact", "p1_projection_rename", "p2_p3_dump_metadata",
-    "p5_casts_flags", "range_join_post_purchase", "ret_bm25_topk",
-    "ret_hybrid_rrf", "s1_full_scan", "s2_range_scan",
-    "s3_in_list_filter", "s5_limit_after_filter", "s6_point_lookup",
-    "s7_dim_enrich_join", "s9_parent_child_expand", "scd2_state_as_of",
-    "scd2_user_event_history", "serialize_external_id", "sim_pq_topk",
-    "stream_debounce_dedup", "stream_sliding_counts",
-    "t2_last_wins_dedup", "t3_fan_out_metadata", "text_bpe_stats",
-    "text_fingerprints", "text_token_counts", "topk_events_per_user",
-    "tpch_q3", "tpch_q6",
+    # -- Spark plan changed this round (_doc_terms spreads the corpus
+    #    across cores before tokenize — 2.2s -> 1.0s at sf0.1): every
+    #    live consumer re-grades; all 10 retrieval queries are
+    #    bitwise-identical to their oracles at sf0.01 AND sf0.1 --
+    "ret_tfidf_cosine", "text_keywords", "ret_bm25_topk",
+    "ret_hybrid_rrf", "ret_query_likelihood", "ret_inverted_index",
+    # -- rotation: the ENTIRE r6-graded cohort (35 — the registry's
+    #    oldest grades; the HUGEINT episode showed only the driver's
+    #    own wheel is authoritative, so staleness is the last
+    #    unverified surface) --
+    "a3_distinct_sorted_ids", "agg_value_histogram",
+    "approx_distinct_users", "asof_recent_purchase",
+    "cur_cell_balanced_sample", "cur_clean_lines", "cur_corpus_mix",
+    "cur_negative_samples", "cur_pack_sequences",
+    "cur_sample_stratified", "cur_scrub_pii", "dedup_cluster_sizes",
+    "dedup_containment", "dedup_survivors", "evt_anomaly_zscore",
+    "evt_funnel", "evt_resample_hourly", "evt_top_paths",
+    "graph_seed_distance", "graph_triangle_count",
+    "json_extract_props", "mm_meta_summary", "p4_json_pack",
+    "p6_string_normalize", "p7_strip_branch_version", "p8_member_flag",
+    "ret_bm25_at_rest", "s4_not_in_filter", "s8_double_dim_join",
+    "sim_knn_graph", "text_keywords_at_rest", "text_language_id",
+    "tpch_q1", "window_ntile_spend", "window_running_total",
+    # -- rotation continues into the r7 cohort (oldest-first; the
+    #    at-rest tf-idf twin rides with its changed live sibling; the
+    #    remaining r7 set is r14's window) --
+    "ret_tfidf_at_rest", "agg_cube_orders", "agg_heavy_hitters",
+    "agg_heavy_hitters_incremental",
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
