@@ -41,7 +41,9 @@ FIXED_IN_R12 = {
 
 def test_version_audit_is_clean_corpus_wide():
     # Every oracle, run against DuckDB: zero HUGEINT/UHUGEINT/BIT/
-    # INTERVAL output columns, zero -0.0 / non-finite double cells.
+    # INTERVAL/DECIMAL output columns, zero LIST/STRUCT/MAP/UNION
+    # (nested pandas-conversion surface) output columns, zero -0.0 /
+    # non-finite double cells.
     from version_audit import audit
 
     assert audit(SF) == 0

@@ -28,6 +28,14 @@ Checks, in declarative order:
    (``x/0`` flipped NULL→inf across 1.x). Corpus is clean today; keep
    it that way. (Plain NULL doubles are allowed: green-graded queries
    carry them, both engines' Arrow paths agree.)
+4. **LIST / STRUCT / MAP / UNION outputs** — nested types are the last
+   pandas-conversion surface ``tools/pandas_fidelity.py`` normalizes
+   rather than proves invariant (duckdb wheels have shifted between
+   numpy arrays and Python lists for LIST columns, and struct dicts'
+   key order is representation territory). The corpus publishes nested
+   data as deterministic strings (JSON-packed or ``array_to_string``),
+   never raw nested columns; this keeps it so, so a future driver-wheel
+   change has zero candidate queries.
 
 Usage: ``python tools/version_audit.py [--sf /root/testdata/sf0.001]``
 Exits non-zero on any hit (or on an unknown query name); prints a JSON
@@ -88,7 +96,9 @@ def audit(sf_dir: str, names=None) -> int:
             hits += 1
             continue
         bad_t = [(c, t) for c, t in zip(cols, types)
-                 if t in BAD_TYPES or t.startswith("DECIMAL")]
+                 if t in BAD_TYPES or t.startswith("DECIMAL")
+                 or "[]" in t
+                 or t.startswith(("STRUCT", "MAP", "UNION", "LIST"))]
         dbl = [i for i, t in enumerate(types) if t == "DOUBLE"]
         neg0 = naninf = 0
         for r in rows:
