@@ -260,6 +260,9 @@ HEADLINE = [
     "text_term_burstiness",        # Church-Gale Fano-factor forensics
     # Round-12 tail.
     "dedup_lsh_recall",            # LSH pair-recall vs exact AllPairs truth
+    # Round-13 tail.
+    "sim_ivfpq_recall",            # at-rest IVF-PQ recall@k vs exact truth
+    "mm_phash_recall",             # phash near-dup pair recall vs exact bytes
 ]
 
 

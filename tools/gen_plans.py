@@ -29,6 +29,8 @@ SHOW = [
     "dedup_duplicate_spans",
     "sim_ivf_recall",
     "dedup_lsh_recall",
+    "sim_ivfpq_recall",
+    "mm_phash_recall",
     "text_unigram_logprob",
     "cur_clean_lines",
     "evt_funnel",
