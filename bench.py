@@ -263,6 +263,7 @@ HEADLINE = [
     # Round-13 tail.
     "sim_ivfpq_recall",            # at-rest IVF-PQ recall@k vs exact truth
     "mm_phash_recall",             # phash near-dup pair recall vs exact bytes
+    "dedup_semantic_recall",       # cell-blocking pair recall vs all-pairs truth
 ]
 
 

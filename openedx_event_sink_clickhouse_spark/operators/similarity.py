@@ -432,6 +432,68 @@ def cell_semantic_dedup(emb: DataFrame, threshold: float = 0.35,
                     F.col("centroid").alias("cell")))
 
 
+def cell_recall_report(emb: DataFrame, threshold: float = 0.35,
+                       n_cells: int = 16, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       centroids: list[list[float]] | None = None
+                       ) -> DataFrame:
+    """Pair-recall certification of CELL blocking against the EXACT
+    all-pairs cosine ground truth — the SemDeDup twin of
+    ``dedup.lsh_recall_report``: before a 100 TB deployment trusts
+    :func:`cell_semantic_dedup` (which can only drop a duplicate its
+    cell partitioning lets it SEE), measure what fraction of the true
+    cos ≥ ``threshold`` pairs land in the same coarse cell, and how
+    much verify work the within-cell candidate set wastes. One row:
+    (n_true_pairs, n_candidate_pairs, n_found_pairs, n_missed_pairs,
+    recall, candidate_precision).
+
+    Membership is the SAME cosine expression (``cosine_with_norms``,
+    bit-identical to the per-pair form) and the same threshold literal
+    on both the truth and the blocked side, so found ⊆ truth by
+    construction and recall is one correctly-rounded IEEE division of
+    exact BIGINT counts. A pair missed here is a boundary straddler —
+    two near-identical vectors argmax-assigned to different centroids —
+    which is exactly the failure mode SemDeDup's ε-ball-per-cluster
+    approximation accepts; this query prices it.
+
+    Plan: the truth side is DELIBERATELY brute-force all-pairs (one
+    broadcast nested-loop self-join) — certification harness only, run
+    on a bounded audit sample in production, same honesty note as
+    ``exact_quantiles``; the candidate side is the identical
+    broadcast-assign + cell-keyed self-join the certified operator
+    pays; the three counts are 1-row aggregates cross-joined broadcast.
+    """
+    base = _vec_base(emb, id_col, vec_col)
+    sim = cosine_with_norms(F.col("a.v"), F.col("b.v"),
+                            F.col("a.nv"), F.col("b.nv"))
+    a, b = base.alias("a"), base.alias("b")
+    truth = (a.join(b, F.col("a.id") < F.col("b.id"))
+             .filter(sim >= threshold)
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b")))
+    assigned = ivf_assign(emb, n_cells, id_col, vec_col, centroids)
+    ca, cb = assigned.alias("a"), assigned.alias("b")
+    cand = (ca.join(cb, (F.col("a.centroid") == F.col("b.centroid"))
+                        & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b")))
+    found = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count("*").cast("long").alias("n_true_pairs"))
+    c = cand.agg(F.count("*").cast("long").alias("n_candidate_pairs"))
+    f = found.agg(F.count("*").cast("long").alias("n_found_pairs"))
+    nt, nc, nf = (F.col("n_true_pairs"), F.col("n_candidate_pairs"),
+                  F.col("n_found_pairs"))
+    return (t.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(f))
+            .select(
+        "n_true_pairs", "n_candidate_pairs", "n_found_pairs",
+        (nt - nf).alias("n_missed_pairs"),
+        # single divisions of exact integers; vacuous sets score 1.0
+        F.when(nt > 0, nf.cast("double") / nt.cast("double"))
+         .otherwise(F.lit(1.0)).alias("recall"),
+        F.when(nc > 0, nf.cast("double") / nc.cast("double"))
+         .otherwise(F.lit(1.0)).alias("candidate_precision")))
+
+
 def kmeans_centroids(emb: DataFrame, k: int = 16, n_iter: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      dim: int | None = None,

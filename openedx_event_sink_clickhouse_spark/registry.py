@@ -1248,6 +1248,78 @@ def _sim_semdedup(spark, sf_dir):
                                threshold=0.35, n_cells=16)
 
 
+def _sem_cell_recall_sql() -> str:
+    # Threshold and cell count are DERIVED from cell_recall_report's
+    # own signature defaults (the registry call below passes no
+    # overrides) — the same one-source pattern as _lsh_recall_sql: a
+    # default change re-generates this SQL in lockstep instead of
+    # silently desynchronizing the twins. The assign CTE replicates
+    # dedup_semantic_survivors' first-n deterministic centroid model;
+    # the truth CTE is the deliberately brute-force all-pairs scan
+    # (certification harness, like the exact side of sim_ivf_recall).
+    import inspect
+    from .operators.similarity import cell_recall_report
+    params = inspect.signature(cell_recall_report).parameters
+    tau = repr(params["threshold"].default)
+    n_cells = params["n_cells"].default
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT id AS cid, v AS cv FROM e WHERE id < {n_cells}),
+assign AS (
+  SELECT id, cell FROM (
+    SELECT e.id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY {_cos_sql('e.v', 'c.cv')} DESC,
+                                       c.cid) AS rn
+    FROM e CROSS JOIN c) t
+  WHERE rn = 1),
+truth AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM e a JOIN e b ON a.id < b.id
+  WHERE {_cos_sql('a.v', 'b.v')} >= {tau}),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id),
+found AS (SELECT t.id_a FROM truth t JOIN cand c USING (id_a, id_b)),
+m AS (SELECT (SELECT count(*) FROM truth) AS nt,
+             (SELECT count(*) FROM cand) AS nc,
+             (SELECT count(*) FROM found) AS nf)
+SELECT CAST(nt AS BIGINT) AS n_true_pairs,
+       CAST(nc AS BIGINT) AS n_candidate_pairs,
+       CAST(nf AS BIGINT) AS n_found_pairs,
+       CAST(nt - nf AS BIGINT) AS n_missed_pairs,
+       CASE WHEN nt > 0 THEN CAST(nf AS DOUBLE) / CAST(nt AS DOUBLE)
+            ELSE 1.0 END AS recall,
+       CASE WHEN nc > 0 THEN CAST(nf AS DOUBLE) / CAST(nc AS DOUBLE)
+            ELSE 1.0 END AS candidate_precision
+FROM m
+"""
+
+
+@register("dedup_semantic_recall", _sem_cell_recall_sql())
+def _dd_sem_recall(spark, sf_dir):
+    # Pair-recall certification of SemDeDup's cell blocking vs the
+    # exact all-pairs cosine truth — the last approximate family to get
+    # the dedup_lsh_recall / sim_ivfpq_recall treatment: a miss is a
+    # true near-dup pair argmax-assigned across a cell boundary, the
+    # exact leakage the ε-ball-per-cluster approximation accepts and a
+    # deployment should read a number for before trusting
+    # dedup_semantic_survivors at 100 TB. Same cosine expression and
+    # threshold literal on both sides, so found ⊆ truth and every
+    # published ratio is one division of exact BIGINT counts.
+    #
+    # Measured (r13): recall 0.244 at sf0.01, 0.187 at sf0.1 with the
+    # oracle-replicable first-16 model; the production kmeans_centroids
+    # fit reads 0.280 (k=16) / 0.262 (k=64) at sf0.01 — this corpus's
+    # τ=0.35 pairs are mostly CROSS-cell (no pairs exist above τ=0.6),
+    # so cell blocking is the wrong recall tool here and the SRP-bucket
+    # path (sim_semantic_dedup, OR-amplified tables) is the one a
+    # deployment should prefer — which is precisely the comparison this
+    # certification makes readable instead of assumed.
+    from .operators.similarity import cell_recall_report
+    return cell_recall_report(_t(spark, sf_dir, "embeddings"))
+
+
 @register("sim_knn_graph", f"""
 WITH pairs AS ({_srp_neardup_oracle_sql(threshold=-1.0)}),
 edges AS (
@@ -10776,9 +10848,9 @@ WHERE NOT (id_a < {_ND_SPLIT_SQL} AND id_b < {_ND_SPLIT_SQL})
 
 _PRIORITY = [
     "flagship_incremental_dump",
-    # -- new this round: the two recall certifications closing the
+    # -- new this round: the three recall certifications closing the
     #    approximate-path family (first grade) --
-    "sim_ivfpq_recall", "mm_phash_recall",
+    "sim_ivfpq_recall", "mm_phash_recall", "dedup_semantic_recall",
     # -- oracle TEXT changed this round (guard CTE mirroring the Spark
     #    loop's empty-seed / seed>=scale ValueErrors): re-grade both
     #    variants; outputs are construction-identical on valid input
@@ -10811,7 +10883,6 @@ _PRIORITY = [
     #    at-rest tf-idf twin rides with its changed live sibling; the
     #    remaining r7 set is r14's window) --
     "ret_tfidf_at_rest", "agg_cube_orders", "agg_heavy_hitters",
-    "agg_heavy_hitters_incremental",
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

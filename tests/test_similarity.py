@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from openedx_event_sink_clickhouse_spark.operators.similarity import (
     brute_force_topk,
+    cell_recall_report,
     cosine_neardup_pairs,
     ivf_assign,
     ivf_topk,
@@ -110,6 +111,42 @@ def test_neardup_pair_recall_rises_with_tables(spark, sf_dir):
     r1, r4, r16 = caught(1), caught(4), caught(16)
     assert r1 <= r4 <= r16
     assert r16 >= 0.9
+
+
+def test_cell_recall_report_counts_are_exact(spark, sf_dir):
+    # The certification's counts must equal an independent recompute:
+    # truth = exhaustive pairs at the threshold (one shared label =
+    # exhaustive blocking), candidates = same-cell pairs via the same
+    # ivf_assign the certified operator uses, found = their overlap.
+    emb = _emb(spark, sf_dir).filter("vec_id < 200")
+    tau = 0.3
+    truth = {(r["id_a"], r["id_b"]) for r in
+             cosine_neardup_pairs(emb.withColumn("label", F.lit(1)),
+                                  threshold=tau,
+                                  block_col="label").collect()}
+    assert truth
+    cells = {r["id"]: r["centroid"]
+             for r in ivf_assign(emb, 16).collect()}
+    found = {(a, b) for a, b in truth if cells[a] == cells[b]}
+    n_cand = sum(1 for a in cells for b in cells
+                 if a < b and cells[a] == cells[b])
+    row = cell_recall_report(emb, threshold=tau).collect()[0]
+    assert row["n_true_pairs"] == len(truth)
+    assert row["n_candidate_pairs"] == n_cand
+    assert row["n_found_pairs"] == len(found)
+    assert row["n_missed_pairs"] == len(truth) - len(found)
+    assert row["recall"] == len(found) / len(truth)
+    assert row["candidate_precision"] == len(found) / n_cand
+
+
+def test_cell_recall_report_vacuous_truth_scores_one(spark, sf_dir):
+    # No pair clears an impossible threshold -> recall is vacuously 1.0
+    # (the same convention as lsh_recall_report), precision 0.0.
+    emb = _emb(spark, sf_dir).filter("vec_id < 100")
+    row = cell_recall_report(emb, threshold=1.5).collect()[0]
+    assert row["n_true_pairs"] == 0 and row["n_found_pairs"] == 0
+    assert row["recall"] == 1.0
+    assert row["candidate_precision"] == 0.0
 
 
 def _recall_at_k(emb, probes, fn, k=10):

@@ -31,6 +31,7 @@ SHOW = [
     "dedup_lsh_recall",
     "sim_ivfpq_recall",
     "mm_phash_recall",
+    "dedup_semantic_recall",
     "text_unigram_logprob",
     "cur_clean_lines",
     "evt_funnel",
