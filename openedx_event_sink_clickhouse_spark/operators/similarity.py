@@ -463,7 +463,13 @@ def cell_recall_report(emb: DataFrame, threshold: float = 0.35,
     broadcast-assign + cell-keyed self-join the certified operator
     pays; the three counts are 1-row aggregates cross-joined broadcast.
     """
-    base = _vec_base(emb, id_col, vec_col)
+    # The certification corpus arrives as one small parquet split; the
+    # nested-loop truth join parallelizes over LEFT partitions, so an
+    # unspread left side would run every interpreted-HOF cosine on one
+    # core (measured 30s -> ~2s at sf0.1). Per-pair cosines and integer
+    # counts are partitioning-invariant, so the spread is bit-free.
+    from .dedup import ensure_min_parallelism
+    base = ensure_min_parallelism(_vec_base(emb, id_col, vec_col))
     sim = cosine_with_norms(F.col("a.v"), F.col("b.v"),
                             F.col("a.nv"), F.col("b.nv"))
     a, b = base.alias("a"), base.alias("b")
