@@ -317,6 +317,23 @@ def _base32(x: Column) -> Column:
     return F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
 
 
+_HV_BANDS_EXPR: list[Column] = []
+
+
+def _bands_of_hv() -> Column:
+    """Memoized ``lsh_bands(minhash_signature(F.col("hv")))`` under the
+    default family/band parameters. Building the 64-family signature +
+    8-band digest tree costs ~0.3 s of driver-side py4j expression
+    construction (guide §7.3: planning cost is single-threaded driver
+    work), and every LSH consumer builds the IDENTICAL unresolved tree
+    over the ``hv`` column — the streaming maintainer paid it twice per
+    epoch. Column objects are immutable expression trees; sharing one
+    across plans is safe (it re-resolves against each plan's ``hv``)."""
+    if not _HV_BANDS_EXPR:
+        _HV_BANDS_EXPR.append(lsh_bands(minhash_signature(F.col("hv"))))
+    return _HV_BANDS_EXPR[0]
+
+
 def lsh_bands(sig_col: Column, num_bands: int = NUM_BANDS,
               rows_per_band: int = ROWS_PER_BAND) -> Column:
     """Band digests: md5 of each r-row slice of the signature. Docs share
@@ -377,7 +394,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     sigs = (base
             .withColumn("hv", shingle_hashes(F.col("shingles")))
             .select("id",
-                    lsh_bands(minhash_signature(F.col("hv"))).alias("bands")))
+                    _bands_of_hv().alias("bands")))
     # posexplode_OUTER, deliberately: for a plain (inner) generate,
     # Catalyst's InferFiltersFromGenerate adds `size(bands) > 0` — and
     # because the let-binding below blocks constant-folding of size(),
@@ -424,7 +441,7 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     sigs = (base
             .withColumn("hv", shingle_hashes(F.col("shingles")))
             .select("id",
-                    lsh_bands(minhash_signature(F.col("hv"))).alias("bands")))
+                    _bands_of_hv().alias("bands")))
     buckets = sigs.select(
         "id", F.posexplode_outer("bands").alias("band_idx", "band_hash"))
     pairs = _band_bucket_pairs(buckets, max_bucket)
@@ -505,7 +522,7 @@ def write_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
         F.col(id_col).alias("id"), "shingles")
     sigs = (base.withColumn("hv", shingle_hashes(F.col("shingles")))
             .select("id",
-                    lsh_bands(minhash_signature(F.col("hv"))).alias("bands")))
+                    _bands_of_hv().alias("bands")))
     bands = sigs.select(
         "id", F.posexplode_outer("bands").alias("band_idx", "band_hash"))
     # band_counts sidecar: per-bucket corpus counts over ALL bands,
@@ -542,7 +559,7 @@ def append_minhash_index(batch: DataFrame, path: str,
         F.col(id_col).alias("id"), "shingles")
     sigs = (base.withColumn("hv", shingle_hashes(F.col("shingles")))
             .select("id",
-                    lsh_bands(minhash_signature(F.col("hv"))).alias("bands")))
+                    _bands_of_hv().alias("bands")))
     bands = sigs.select("id", F.posexplode_outer("bands")
                         .alias("band_idx", "band_hash"))
     counts = (bands.groupBy("band_idx", "band_hash")
@@ -557,10 +574,25 @@ def append_minhash_index(batch: DataFrame, path: str,
         # the data columns, so the extra column is inert. NOTE: an index
         # must be all-flat or all-epoch-partitioned — Spark's partition
         # discovery rejects mixed layouts.
-        for df, sub in ((bands, "bands"), (counts, "band_counts"),
-                        (base, "shingles")):
+        # The three epoch-partition writes are independent jobs over a
+        # tiny batch (per-job launch cost dominates the data): submit
+        # them concurrently so the scheduler overlaps them (guide §2.6)
+        # instead of paying three sequential job-launch floors.
+        # Overwrite-idempotence per sub-layout is unaffected — each
+        # write still lands atomically in its own epoch dir.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w(df, sub):
             df.write.mode("overwrite").parquet(
                 f"{path}/{sub}/epoch={epoch}")
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [pool.submit(_w, df, sub)
+                    for df, sub in ((bands, "bands"),
+                                    (counts, "band_counts"),
+                                    (base, "shingles"))]
+            for f in futs:
+                f.result()
         return
     bands.write.mode("append").parquet(f"{path}/bands")
     counts.write.mode("append").parquet(f"{path}/band_counts")
@@ -603,7 +635,7 @@ def incremental_neardup_pairs(batch: DataFrame, spark, index_path: str,
         F.col(id_col).alias("id"), "shingles")
     sigs = (b.withColumn("hv", shingle_hashes(F.col("shingles")))
             .select("id",
-                    lsh_bands(minhash_signature(F.col("hv"))).alias("bands")))
+                    _bands_of_hv().alias("bands")))
     bx = sigs.select(
         "id", F.posexplode_outer("bands").alias("band_idx", "band_hash"))
     if checkpoint_dir is not None:
@@ -852,15 +884,24 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     regime-dependent result on malformed input.
     """
     spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
     pairs = pairs.filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
     if small_graph_edges:
         rows = (pairs.select(id_a, id_b)
                 .limit(small_graph_edges + 1).collect())
         if len(rows) <= small_graph_edges:
             return _driver_union_find(spark, pairs, rows, id_a)
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
-    else:
+        # Big regime reached THROUGH the probe: the probe already paid
+        # one evaluation of the upstream pair-mining chain, and the
+        # self-union symmetrize below would evaluate it twice more —
+        # materialize the pair set once here instead. Callers no longer
+        # need to pre-checkpoint their pair input (update_cluster_labels
+        # used to; in the overwhelmingly-common small regime that spent
+        # a whole scheduled job to protect a fixpoint that never runs).
+        pairs = pairs.checkpoint(eager=True) if checkpoint_dir is not None \
+            else pairs.localCheckpoint(eager=True)
+    if checkpoint_dir is None:
         import warnings
 
         warnings.warn(
@@ -978,15 +1019,15 @@ def update_cluster_labels(labels: DataFrame, new_pairs: DataFrame,
                           F.coalesce("_lb", "id_b").alias("id_b"))
                   .filter(F.col("id_a") != F.col("id_b"))
                   .distinct())
-    if checkpoint_dir is not None:
-        # Materialize the (tiny) contracted delta ONCE before the CC
-        # fixpoint: connected_components symmetrizes its input with a
-        # self-union, which would otherwise evaluate the whole upstream
-        # pair-mining chain twice (measured ~1.8 s of a 5 s update at
-        # sf0.1). Reliable checkpoint → files, zero pinned blocks, same
-        # contract as the fixpoint's own lineage cuts.
-        new_pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        contracted = contracted.checkpoint(eager=True)
+    # The contracted delta is NOT pre-materialized here: in the common
+    # small-graph regime connected_components' limit-probe collect is
+    # the one and only evaluation of the mining chain, and an up-front
+    # reliable checkpoint spent a whole scheduled job per epoch to
+    # protect a BSP fixpoint that never runs (r13 A/B). In the big
+    # regime connected_components now materializes its input itself
+    # before the self-union symmetrize — the double-evaluation this
+    # checkpoint used to prevent (measured ~1.8 s of a 5 s update at
+    # sf0.1) is still prevented, one layer down.
     delta = connected_components(contracted, max_iter=max_iter,
                                  checkpoint_dir=checkpoint_dir) \
         .select(F.col("doc_id").alias("_node"),
@@ -1481,9 +1522,15 @@ def lsh_recall_report(docs: DataFrame, threshold: float = 0.6,
     sigs = (base
             .withColumn("hv", shingle_hashes(F.col("shingles")))
             .select("id",
-                    lsh_bands(minhash_signature(F.col("hv"))).alias("bands")))
+                    _bands_of_hv().alias("bands")))
     buckets = sigs.select(
         "id", F.posexplode_outer("bands").alias("band_idx", "band_hash"))
+    # Both pair sets are referenced twice (the found semi-join and
+    # their own 1-row counts), but pinning them was MEASURED SLOWER
+    # (r13 A/B: 3.9 s unpinned vs 5.0 s with localCheckpoint pins at
+    # sf0.1): AQE's runtime stage reuse already deduplicates the
+    # identical shuffle subtrees across the references, while an
+    # explicit pin forces an extra serial materialization barrier.
     cand = _band_bucket_pairs(buckets, max_bucket)
     truth = allpairs_jaccard(docs, threshold=threshold, text_col=text_col,
                              id_col=id_col, n=n).select("id_a", "id_b")

@@ -1566,6 +1566,30 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
     return "\n".join(lines)
 
 
+def _copurchase_pairs(li) -> DataFrame:
+    """Distinct co-purchase part pairs (id_a < id_b) from
+    (l_orderkey, l_partkey) rows, mined by per-order SET AGGREGATION +
+    in-basket pair expansion instead of the lineitem self-join: one
+    exchange (groupBy orderkey) replaces the join's shuffle, and the
+    C(basket,2) expansion is a narrow array transform — the
+    ``_band_bucket_pairs`` shape applied to baskets (guide §2.4, remove
+    shuffles outright; r13 A/B at sf0.1: 2.05 s → 1.34 s for the
+    bit-identical pair set). ``collect_set`` dedupes re-ordered lines
+    exactly like the join-then-distinct did; the trailing ``distinct``
+    collapses pairs co-occurring in several orders."""
+    grouped = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ids"))
+               .filter(F.size("ids") >= 2))
+    pair_structs = F.flatten(F.transform(
+        "ids",
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2),
+                    F.greatest(F.size("ids") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (grouped.select(F.explode_outer(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b").distinct())
+
+
 @register("graph_kcore", _kcore_oracle_sql(k=75))
 def _graph_kcore(spark, sf_dir):
     # 75-core of the part CO-PURCHASE graph (parts sharing an order —
@@ -1578,12 +1602,7 @@ def _graph_kcore(spark, sf_dir):
     # nontrivial core — both failure directions are live in the hash.
     from .operators.graph import kcore
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-             .select(F.col("a.l_partkey").alias("id_a"),
-                     F.col("b.l_partkey").alias("id_b"))
-             .distinct())
+    pairs = _copurchase_pairs(li)
     return (kcore(pairs, k=75, rounds=8,
                   checkpoint_dir=_cc_ckpt_dir())
             .select(F.col("id").alias("vec_id"), "degree")
@@ -9303,6 +9322,13 @@ def _graph_lpa(spark, sf_dir):
           .select(F.col("l_orderkey").alias("o"),
                   F.col("l_partkey").alias("p")).distinct())
     a, b = li.alias("a"), li.alias("b")
+    # The symmetric edge set stays a SINGLE self-join subtree here (NOT
+    # _copurchase_pairs + a two-branch orientation union): the 2-round
+    # unroll references `edges` once per round, and runtime stage reuse
+    # dedupes one repeated subtree — but a canonical-pairs frame
+    # referenced through TWO different orientation projections defeats
+    # that reuse and re-mines per branch (r13 A/B: 3.3 s self-join vs
+    # 6.0 s canonical-pairs-union at sf0.1).
     edges = (a.join(b, (F.col("a.o") == F.col("b.o"))
                     & (F.col("a.p") != F.col("b.p")))
              .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))

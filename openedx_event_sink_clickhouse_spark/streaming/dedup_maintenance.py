@@ -93,12 +93,16 @@ class DedupStreamMaintainer:
                                        minhash_lsh_pairs,
                                        update_cluster_labels)
 
-        if batch_df.isEmpty():
-            return
+        # Marker check FIRST (two file reads, zero Spark jobs): a
+        # replayed fully-committed epoch short-circuits before paying
+        # the isEmpty action — the at-least-once replay path becomes
+        # job-free on the driver.
         self._recover_stranded()
         marker = os.path.join(self.labels_path, "_epoch")
         if os.path.isfile(marker) and int(open(marker).read()) == epoch_id:
             return                       # fully-committed epoch replay
+        if batch_df.isEmpty():
+            return
         spark = batch_df.sparkSession
         # A micro-batch is typically ONE source file -> ONE scan
         # partition, which would run the 64-hash MinHash signature
@@ -111,10 +115,16 @@ class DedupStreamMaintainer:
         bootstrapped = os.path.isfile(
             os.path.join(self.labels_path, "_SUCCESS"))
         if bootstrapped:
+            # checkpoint_dir deliberately NOT forwarded to the mining:
+            # its band-stream checkpoint spends a scheduled job per
+            # epoch to avoid re-running the batch's signature chain per
+            # consumer, but all consumers land in ONE evaluation here
+            # (the label probe) and the chain is a narrow map over the
+            # micro-batch — recomputing it is microseconds, the job is
+            # not (the connected_components small-regime argument).
             pairs = incremental_neardup_pairs(
                 batch_df, spark, self.index_path, self.text_col,
-                self.id_col, self.n, self.threshold,
-                checkpoint_dir=self.checkpoint_dir)
+                self.id_col, self.n, self.threshold)
             labels = update_cluster_labels(
                 spark.read.parquet(self.labels_path)
                 .select("doc_id", "cluster_id", "is_survivor"),
@@ -131,16 +141,36 @@ class DedupStreamMaintainer:
         labels.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, "_epoch"), "w") as fh:
             fh.write(str(epoch_id))
-        # 2. survivors from the WRITTEN labels (no recompute), into
-        #    their overwrite-idempotent epoch partition
-        losers = (spark.read.parquet(tmp).filter(~F.col("is_survivor"))
-                  .select(F.col("doc_id").alias(self.id_col)))
-        (batch_df.join(F.broadcast(losers), self.id_col, "left_anti")
-         .write.mode("overwrite")
-         .parquet(os.path.join(self.survivors_path, f"epoch={epoch_id}")))
-        # 3. the batch joins the index (overwrite-idempotent epoch dirs)
-        append_minhash_index(batch_df, self.index_path, self.text_col,
-                             self.id_col, self.n, epoch=epoch_id)
+        # 2+3. survivors from the WRITTEN labels (no recompute) and the
+        #    batch's index append (overwrite-idempotent epoch dirs) are
+        #    INDEPENDENT writes on a tiny batch whose cost is Spark's
+        #    job-launch floor, not data — submit them from a small
+        #    thread pool so the scheduler overlaps the jobs (guide
+        #    §2.6: actions are only sequential because driver code
+        #    calls them sequentially). All four land before the commit
+        #    rename in step 4, so the crash/replay protocol is
+        #    unchanged — a crash mid-pool replays the whole epoch
+        #    against the pre-epoch label table, exactly as before.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_survivors():
+            losers = (spark.read.parquet(tmp)
+                      .filter(~F.col("is_survivor"))
+                      .select(F.col("doc_id").alias(self.id_col)))
+            (batch_df.join(F.broadcast(losers), self.id_col, "left_anti")
+             .write.mode("overwrite")
+             .parquet(os.path.join(self.survivors_path,
+                                   f"epoch={epoch_id}")))
+
+        def _append_index():
+            append_minhash_index(batch_df, self.index_path, self.text_col,
+                                 self.id_col, self.n, epoch=epoch_id)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(_write_survivors),
+                    pool.submit(_append_index)]
+            for f in futs:
+                f.result()
         # 4. commit: swap labels, marker rides inside the new generation
         old = f"{self.labels_path}.old{epoch_id}"
         if os.path.isdir(self.labels_path):
