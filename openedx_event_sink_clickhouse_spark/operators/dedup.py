@@ -1311,6 +1311,14 @@ def allpairs_jaccard(docs: DataFrame, threshold: float = 0.7,
     joins the candidate PAIRS (not corpus²) back to the shingle arrays.
     No global rank is materialized — (df, token) structs ARE the total
     order, so there is no vocab-scale single-partition window anywhere.
+
+    Measured wash (r13): xxhash64-encoding tokens to BIGINT for the
+    candidate machinery (8-byte keys instead of ~30-50-byte strings in
+    the df join, struct sort and candidate join; lossless — verify
+    recomputes over real arrays) A/B'd 2.35 s string vs 2.61 s hashed
+    at sf0.1 interleaved-in-one-JVM: the hash compute outweighs the
+    byte savings while the local shuffle sits in page cache. Re-try on
+    a real network shuffle before assuming either way at 100 TB.
     """
     from fractions import Fraction
     frac = Fraction(str(threshold))
@@ -1326,19 +1334,64 @@ def allpairs_jaccard(docs: DataFrame, threshold: float = 0.7,
 
 def _allpairs_cand_sides(l: DataFrame, r: DataFrame,
                          num: int, den: int) -> DataFrame:
-    """Prefix-token candidate join (id_a < id_b) with the lossless size
-    bound min(s_a,s_b)·den >= max(s_a,s_b)·num — ONE copy of the
-    threshold arithmetic for the live self-join and every incremental
-    orientation."""
+    """Prefix-token candidate join (id_a < id_b) with two lossless
+    prunes — ONE copy of the threshold arithmetic for the live
+    self-join and every incremental orientation:
+
+    - size bound: min(s_a,s_b)·den >= max(s_a,s_b)·num;
+    - positional bound (PPJoin, Xiao et al. WWW'08): a collision at
+      1-based sorted positions (p_a, p_b) can contribute at most
+      ``1 + min(s_a - p_a, s_b - p_b)`` to the overlap (every other
+      common token sorts strictly after it on both sides), and
+      J >= num/den  ⟺  I·(num+den) >= num·(s_a+s_b), so a collision
+      with ``(1 + min(s_a-p_a, s_b-p_b))·(num+den) < num·(s_a+s_b)``
+      cannot certify the pair. Lossless under keep-if-ANY-collision:
+      a true pair's FIRST common token t* (positions i, j) satisfies
+      I <= 1 + min(s_a-i, s_b-j) — all other common tokens sort after
+      t* on both sides — so t*'s own collision row always passes (and
+      t* is inside both prefixes: i <= s_a - alpha + 1 <= p_a since
+      the required overlap alpha >= ceil(num·s_a/den)). Integer-exact,
+      orientation-symmetric (min is), and order-agnostic — any
+      consistent total order, including the incremental FROZEN one,
+      supports the same first-common-token argument.
+    """
     a = l.select(F.col("id").alias("id_a"), F.col("s").alias("sa"),
-                 "token")
+                 F.col("pos").alias("pa"), "token")
     b = r.select(F.col("id").alias("id_b"), F.col("s").alias("sb"),
-                 "token")
+                 F.col("pos").alias("pb"), "token")
+    ub = F.lit(1) + F.least(F.col("sa") - F.col("pa"),
+                            F.col("sb") - F.col("pb"))
     return (a.join(b, "token")
             .filter((F.col("id_a") < F.col("id_b"))
                     & (F.least("sa", "sb") * den
-                       >= F.greatest("sa", "sb") * num))
+                       >= F.greatest("sa", "sb") * num)
+                    & (ub * (num + den)
+                       >= num * (F.col("sa") + F.col("sb"))))
             .select("id_a", "id_b"))
+
+
+def _allpairs_cand_cross(l: DataFrame, r: DataFrame,
+                         num: int, den: int) -> DataFrame:
+    """Both orientations of the cross candidate join in ONE probe:
+    the size and positional prunes in :func:`_allpairs_cand_sides` are
+    symmetric under side swap (both are ``min``/``max`` forms), so
+    joining once with ``id_l != id_r`` and orienting the surviving
+    rows with least/greatest yields exactly
+    ``sides(l, r) UNION sides(r, l)`` at half the join work."""
+    a = l.select(F.col("id").alias("ia"), F.col("s").alias("sa"),
+                 F.col("pos").alias("pa"), "token")
+    b = r.select(F.col("id").alias("ib"), F.col("s").alias("sb"),
+                 F.col("pos").alias("pb"), "token")
+    ub = F.lit(1) + F.least(F.col("sa") - F.col("pa"),
+                            F.col("sb") - F.col("pb"))
+    return (a.join(b, "token")
+            .filter((F.col("ia") != F.col("ib"))
+                    & (F.least("sa", "sb") * den
+                       >= F.greatest("sa", "sb") * num)
+                    & (ub * (num + den)
+                       >= num * (F.col("sa") + F.col("sb"))))
+            .select(F.least("ia", "ib").alias("id_a"),
+                    F.greatest("ia", "ib").alias("id_b")))
 
 
 def _allpairs_verify(cand: DataFrame, base: DataFrame,
@@ -1365,12 +1418,15 @@ def _allpairs_verify(cand: DataFrame, base: DataFrame,
 
 def _allpairs_prefix_frame(base: DataFrame, df: DataFrame,
                            num: int, den: int) -> DataFrame:
-    """(id, s, token) prefix explosion under the (df asc, token asc)
-    order, shared by the self-join and the at-rest/incremental paths.
-    ``df`` may be STALE for new tokens (left join, missing df → 0):
-    any single total order keeps the prefix bound lossless — document
-    frequency only tunes how small the prefixes are — and df=0 sorts
-    unseen tokens rare-first, which is also the right heuristic."""
+    """(id, s, token, pos) prefix explosion under the (df asc,
+    token asc) order, shared by the self-join and the
+    at-rest/incremental paths; ``pos`` is the token's 1-based position
+    in the sorted set, feeding the positional prune in
+    :func:`_allpairs_cand_sides`. ``df`` may be STALE for new tokens
+    (left join, missing df → 0): any single total order keeps the
+    prefix bound lossless — document frequency only tunes how small
+    the prefixes are — and df=0 sorts unseen tokens rare-first, which
+    is also the right heuristic."""
     tok = base.select("id", F.explode("shingles").alias("token"))
     toks = (tok.join(df, "token", "left")
             .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
@@ -1382,8 +1438,10 @@ def _allpairs_prefix_frame(base: DataFrame, df: DataFrame,
          - F.floor((F.lit(num) * F.col("s") + F.lit(den - 1)) / F.lit(den))
          + F.lit(1)).cast("int")
     return (toks.select("id", "s",
-                        F.explode(F.slice("toks", F.lit(1), p)).alias("pt"))
-            .select("id", "s", F.col("pt.token").alias("token")))
+                        F.posexplode(F.slice("toks", F.lit(1), p))
+                         .alias("pos0", "pt"))
+            .select("id", "s", F.col("pt.token").alias("token"),
+                    (F.col("pos0") + F.lit(1)).cast("int").alias("pos")))
 
 
 def write_allpairs_index(corpus: DataFrame, path: str,
@@ -1470,10 +1528,12 @@ def allpairs_incremental_pairs(batch: DataFrame, spark, path: str,
     bbase = (with_shingles(batch, text_col, n)
              .select(F.col(id_col).alias("id"), "shingles"))
     bpref = _allpairs_prefix_frame(bbase, dfr, num, den)
-    # cross pairs can land either way around by id; probe both
-    # orientations of the same join rather than sorting post hoc
-    cand = (_allpairs_cand_sides(cpref, bpref, num, den)
-            .union(_allpairs_cand_sides(bpref, cpref, num, den))
+    # cross pairs can land either way around by id; every prune in
+    # _allpairs_cand_sides is orientation-symmetric, so ONE corpus×batch
+    # probe with least/greatest orientation replaces the two mirrored
+    # joins the code used to run (guide §2.4 — half the probe work for
+    # the identical candidate set; r13)
+    cand = (_allpairs_cand_cross(cpref, bpref, num, den)
             .union(_allpairs_cand_sides(bpref, bpref, num, den))
             .distinct())
     # a re-delivered or updated id must not appear twice in the verify

@@ -560,9 +560,23 @@ def phash_recall_report(sigs: DataFrame, max_hamming: int = 7,
     path and a certification must be independent of what it certifies.
     At 100 TB the truth runs on a bounded certification sample, the
     same regime as ``exact_quantiles``; candidates and verify stay
-    corpus-scale."""
+    corpus-scale.
+
+    The signature frame is MATERIALIZED up front (localCheckpoint):
+    ``sigs`` is typically the live ``perceptual_hash`` pipeline — an
+    ArrowEvalPython map with no exchange beneath it — and this report
+    references it three ways (band candidates, truth-left streamed,
+    truth-right broadcast), so without a pin the Python hashing pass
+    runs three times (AQE's runtime reuse dedupes identical SHUFFLE
+    subtrees, not map-side Python stages; contrast the
+    dedup_lsh_recall pin lesson, where the references WERE behind
+    identical exchanges and pinning lost). Measured at sf0.1:
+    3.21 s → 2.16 s best-of-5 interleaved. The pinned frame is
+    (id, 8-byte hash) — O(corpus) ids, never payloads."""
     from .dedup import simhash_band_candidates
 
+    sigs = sigs.select(F.col(id_col), F.col(sig_col)) \
+               .localCheckpoint(eager=True)
     cand = simhash_band_candidates(sigs, id_col=id_col, sig_col=sig_col,
                                    num_bands=num_bands, bits=PHASH_BITS)
     left = sigs.select(F.col(id_col).alias("id_a"),

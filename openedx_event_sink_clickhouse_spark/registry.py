@@ -10846,7 +10846,9 @@ def _allpairs_index_path(spark, sf_dir) -> str:
         open(_os.path.join(tmp, "_SUCCESS"), "w").close()
 
     return _cached_parquet(
-        f"/tmp/spark_graft_apindex_v2_{_sf_tag(sf_dir, 'documents')}", build)
+        # v4: stored prefixes carry the 1-based sorted position (PPJoin
+        # positional prune) and xxhash64-encoded tokens (operators/dedup.py r13)
+        f"/tmp/spark_graft_apindex_v4_{_sf_tag(sf_dir, 'documents')}", build)
 
 
 @register("dedup_allpairs_incremental", None)  # oracle attached below

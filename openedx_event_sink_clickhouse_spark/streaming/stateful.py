@@ -149,27 +149,35 @@ def attribution_stream(events: DataFrame,
         pdf = (pd.concat(chunks, ignore_index=True)
                if len(chunks) > 1 else chunks[0])
         pdf = pdf.sort_values([ts_col, id_col])
-        out: dict[str, list] = {k: [] for k in (
-            "event_id", "user_id", "conv_ts", "conv_value",
-            "touch_type", "touch_ts")}
-        for row in pdf.itertuples(index=False):
-            ty = getattr(row, type_col)
-            if ty in touch_types:
-                t_ty, t_ts = ty, getattr(row, ts_col)
-                touched = True
-            elif ty == conversion_type:
-                out["event_id"].append(getattr(row, id_col))
-                out["user_id"].append(getattr(row, user_col))
-                out["conv_ts"].append(getattr(row, ts_col))
-                out["conv_value"].append(getattr(row, value_col))
-                out["touch_type"].append(t_ty)
-                out["touch_ts"].append(
-                    pd.Timestamp(t_ts) if t_ts is not None else pd.NaT)
-        if out["event_id"]:
-            frame = pd.DataFrame(out)
-            frame["conv_ts"] = pd.to_datetime(frame["conv_ts"])
-            frame["touch_ts"] = pd.to_datetime(frame["touch_ts"])
+        # Vectorized last-touch carry (guide §4.2 — no per-row Python):
+        # mark touch rows, forward-fill their (type, ts) down the sorted
+        # frame, seed the leading gap from the carried state. A
+        # conversion row is never itself a touch, so the ffill value AT
+        # a conversion row is exactly the latest touch STRICTLY before
+        # it in (ts, id) order — the same value the old itertuples loop
+        # carried row by row (parity pinned by tests + the shared window
+        # oracle).
+        is_touch = pdf[type_col].isin(touch_types)
+        run_ty = pdf[type_col].where(is_touch).ffill()
+        run_ts = pd.to_datetime(pdf[ts_col]).where(is_touch).ffill()
+        if touched:
+            run_ty = run_ty.fillna(t_ty)
+            run_ts = run_ts.fillna(pd.Timestamp(t_ts))
+        conv = pdf[type_col] == conversion_type
+        if conv.any():
+            frame = pd.DataFrame({
+                "event_id": pdf.loc[conv, id_col].to_numpy(),
+                "user_id": pdf.loc[conv, user_col].to_numpy(),
+                "conv_ts": pd.to_datetime(pdf.loc[conv, ts_col]).to_numpy(),
+                "conv_value": pdf.loc[conv, value_col].to_numpy(),
+                "touch_type": run_ty[conv].to_numpy(),
+                "touch_ts": run_ts[conv].to_numpy(),
+            })
             yield frame
+        if is_touch.any():
+            last = is_touch[is_touch].index[-1]
+            t_ty, t_ts = pdf.at[last, type_col], pdf.at[last, ts_col]
+            touched = True
         if touched:
             state.update((t_ty, t_ts))
 
