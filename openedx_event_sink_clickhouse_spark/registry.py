@@ -1603,8 +1603,14 @@ def _graph_kcore(spark, sf_dir):
     from .operators.graph import kcore
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = _copurchase_pairs(li)
-    return (kcore(pairs, k=75, rounds=8,
-                  checkpoint_dir=_cc_ckpt_dir())
+    # localCheckpoint cuts (no checkpoint_dir) + per-round early-exit
+    # probes: the r13 A/B measured reliable-checkpoint cuts 7.6 s,
+    # localCheckpoint 6.2 s, localCheckpoint + cut_every=1 4.4 s at
+    # sf0.1, bit-identical results — the peel converges by round ~3,
+    # so probing each round exits sooner, and local[32] has no executor
+    # churn for a reliable checkpoint to insure against (a long-lived
+    # cluster run passes checkpoint_dir back).
+    return (kcore(pairs, k=75, rounds=8, cut_every=1)
             .select(F.col("id").alias("vec_id"), "degree")
             .orderBy("vec_id"))
 
@@ -1713,8 +1719,10 @@ def _graph_pr(spark, sf_dir):
                                  F.col("id_a").alias("dst"))))
     nodes = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"))
-    return (pagerank(edges, nodes, num_iters=10, damping=0.85,
-                     checkpoint_dir=_cc_ckpt_dir())
+    # localCheckpoint cuts (r13 A/B: 4.7 s reliable → 3.3 s local at
+    # sf0.1, bit-identical; cut_every=5 measured 6.5 s — the 3×
+    # re-reference compounds past ReuseExchange, keep the cadence at 2).
+    return (pagerank(edges, nodes, num_iters=10, damping=0.85)
             .select(F.col("id").alias("vec_id"), "pagerank")
             .orderBy("vec_id"))
 
@@ -1739,8 +1747,9 @@ def _graph_ppr(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     nodes = emb.select(F.col("vec_id").alias("id"))
     seeds = nodes.filter(F.col("id") % 50 == 0)
+    # same localCheckpoint-cut rationale as graph_pagerank (r13 A/B)
     return (pagerank(edges, nodes, num_iters=10, damping=0.85,
-                     teleport=seeds, checkpoint_dir=_cc_ckpt_dir())
+                     teleport=seeds)
             .select(F.col("id").alias("vec_id"), "pagerank")
             .orderBy("vec_id"))
 
@@ -9328,7 +9337,13 @@ def _graph_lpa(spark, sf_dir):
     # dedupes one repeated subtree — but a canonical-pairs frame
     # referenced through TWO different orientation projections defeats
     # that reuse and re-mines per branch (r13 A/B: 3.3 s self-join vs
-    # 6.0 s canonical-pairs-union at sf0.1).
+    # 6.0 s canonical-pairs-union at sf0.1). A SINGLE-subtree
+    # aggregate-explode emitting both orientations inline (collect_set
+    # per order + per-item filter/transform expansion, no union) also
+    # measured slower — 9.6 s vs 6.4 s noop-sink interleaved A/B: the
+    # 2-round unroll references edges 3×, and the C(basket,2)·2 array
+    # expansion re-runs map-side per reference while the join's
+    # shuffle subtree is runtime-reused.
     edges = (a.join(b, (F.col("a.o") == F.col("b.o"))
                     & (F.col("a.p") != F.col("b.p")))
              .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
