@@ -483,6 +483,16 @@ def cell_recall_report(emb: DataFrame, threshold: float = 0.35,
                         & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b")))
+    # Pin both pair sets (lazy localCheckpoint): each is referenced
+    # twice (found semi-join + its own count), and NEITHER sits behind
+    # a shuffle exchange the runtime could reuse — the truth side is a
+    # broadcast nested-loop and the cell join broadcasts too, so
+    # without the pin the 2M-pair HOF cosine scan runs twice (contrast
+    # dedup.lsh_recall_report, where the references ARE behind
+    # identical exchanges and pinning measured slower). A/B at sf0.1:
+    # 3.25 s → 2.68 s best-of-5 interleaved, identical row.
+    truth = truth.localCheckpoint(eager=False)
+    cand = cand.localCheckpoint(eager=False)
     found = truth.join(cand, ["id_a", "id_b"], "left_semi")
     t = truth.agg(F.count("*").cast("long").alias("n_true_pairs"))
     c = cand.agg(F.count("*").cast("long").alias("n_candidate_pairs"))
