@@ -50,6 +50,25 @@ def test_simhash_near_pairs_and_distance(spark):
     assert (0, 3) not in pairs and (1, 3) not in pairs
 
 
+def test_simhash_engines_bit_identical(spark):
+    # The Arrow kernel (hashlib md5 + numpy tally) must reproduce the
+    # JVM HOF bit-for-bit — same tokenization (JVM-side lower/split),
+    # same md5-prefix hash, same ±1 vote — including the NULL-text →
+    # NULL-simhash propagation.
+    from pyspark.sql import Row, types as T
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    docs = _docs(spark).unionByName(spark.createDataFrame(
+        [Row(doc_id=99, text=None), Row(doc_id=98, text="")], schema))
+    jvm = {r["doc_id"]: r["simhash"]
+           for r in simhash(docs, engine="jvm").collect()}
+    arrow = {r["doc_id"]: r["simhash"]
+             for r in simhash(docs, engine="arrow").collect()}
+    assert jvm == arrow
+    assert arrow[99] is None
+
+
 def test_ngram_jaccard_vs_probe_ranks_near_dup_first(spark):
     sims = {r["doc_id"]: r["jaccard_sim"]
             for r in ngram_jaccard_vs_probe(_docs(spark), probe_id=0).collect()}
