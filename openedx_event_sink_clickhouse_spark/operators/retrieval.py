@@ -34,20 +34,33 @@ K1 = 1.2
 B = 0.75
 
 
-def _doc_terms(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Exploded (doc, term, tf) with per-doc length alongside."""
+def _doc_terms(docs: DataFrame, text_col: str, id_col: str,
+               spread: bool = True) -> DataFrame:
+    """Exploded (doc, term, tf) with per-doc length alongside.
+
+    ``spread``: repartition the corpus across cores BEFORE tokenizing —
+    tokenize+explode+partial-agg is a CPU-heavy narrow stage, and a
+    single small parquet file would otherwise serialize it onto one
+    task (measured at sf0.1: the whole _doc_terms pass drops
+    1.69s -> 0.45s for the tf-idf/keywords heavies; at real scale the
+    scan already has more splits than cores and this no-ops). Callers
+    whose downstream is many SMALL stages over the query-term postings
+    (bm25/query-likelihood/inverted-index) pass ``spread=False``: the
+    r13 isolated A/B measured the repartition + 32-task scheduling
+    overhead costing MORE than the tokenize win there
+    (ret_query_likelihood 2.21 s -> 1.16 s, ret_bm25_topk
+    1.54 s -> 1.02 s, ret_inverted_index 0.85 s -> 0.57 s), while the
+    tokenize-bound consumers keep it (ret_tfidf_cosine 2.63 s -> 1.47 s
+    WITH the spread, text_keywords 2.38 s -> 1.61 s). Both forms
+    compute identical rows; the flag only moves the parallelize
+    crutch that real-scale inputs never need."""
     from .dedup import ensure_min_parallelism
 
     toks = words(F.col(text_col))
     # outer + null-drop: empty docs tokenize to an empty array (inner
     # explode drops them; outer emits a null row we filter cheaply) —
     # and the inferred size()>0 filter would re-tokenize every doc.
-    # Spread the corpus across cores FIRST: tokenize+explode+partial-agg
-    # is a CPU-heavy narrow stage, and a single small parquet file would
-    # otherwise serialize it onto one task (measured at sf0.1: the
-    # whole _doc_terms pass drops 1.69s -> 0.45s; at real scale the scan
-    # already has more splits than cores and this no-ops).
-    return (ensure_min_parallelism(docs)
+    return ((ensure_min_parallelism(docs) if spread else docs)
             .select(F.col(id_col).alias("doc_id"),
                     F.size(toks).alias("dl"),
                     F.explode_outer(toks).alias("term"))
@@ -62,7 +75,7 @@ def inverted_index(docs: DataFrame, text_col: str = "text",
     Returns (term, doc_freq, postings_csv). The posting list is emitted
     as a comma-joined string — scalar columns survive any downstream
     comparator, and index consumers parse postings anyway."""
-    terms = _doc_terms(docs, text_col, id_col)
+    terms = _doc_terms(docs, text_col, id_col, spread=False)
     return (terms.groupBy("term")
             .agg(F.count("*").alias("doc_freq"),
                  F.concat_ws(",", F.transform(
@@ -140,7 +153,7 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     (O(query postings)); df per term and the corpus constants (N, avgdl)
     are tiny aggregates broadcast back in; final ranking is
     TakeOrderedAndProject."""
-    terms = _doc_terms(docs, text_col, id_col)
+    terms = _doc_terms(docs, text_col, id_col, spread=False)
     hits = terms.filter(F.col("term").isin(query_terms))
     consts = docs.select(
         F.count("*").alias("n_docs"),
@@ -510,7 +523,7 @@ def query_likelihood_topk(docs: DataFrame, query_terms: list[str],
     TakeOrderedAndProject. Query terms absent from the corpus drop out
     of the constants frame identically in both engines (their smoothed
     contribution would be -inf for every candidate equally)."""
-    terms = _doc_terms(docs, text_col, id_col)
+    terms = _doc_terms(docs, text_col, id_col, spread=False)
     hits = terms.filter(F.col("term").isin(query_terms))
     total = docs.select(
         F.sum(F.size(words(F.col(text_col)))).cast("double").alias("c"))
