@@ -10925,6 +10925,15 @@ _PRIORITY = [
     #    (the standalone dedup_simhash call pins engine="jvm", plan
     #    unchanged, grade r12 stands) --
     "dedup_simhash_pairs", "mm_phash_neardup",
+    # -- Spark plan changed (session 1): the aggregate-explode
+    #    _pair_counts basket core (rec_*, evt_basket_lift), the
+    #    maintainer epoch-floor cuts + memoized band expression
+    #    (stream_dedup_maintenance, dedup_incremental_* chain), and
+    #    the CC-internal materialization move (dedup_clusters) --
+    "evt_basket_lift", "rec_item_neighbors", "rec_user_items",
+    "stream_dedup_maintenance", "dedup_incremental_neardup",
+    "dedup_incremental_clusters", "dedup_incremental_survivors",
+    "dedup_clusters",
     # -- new in r13: the three recall certifications closing the
     #    approximate-path family (first grade) --
     "sim_ivfpq_recall", "mm_phash_recall", "dedup_semantic_recall",
@@ -10943,26 +10952,30 @@ _PRIORITY = [
     #    oldest grades; the HUGEINT episode showed only the driver's
     #    own wheel is authoritative, so staleness is the last
     #    unverified surface) --
-    "a3_distinct_sorted_ids", "cur_clean_lines",
+    "cur_clean_lines",
     "cur_pack_sequences",
     "cur_sample_stratified", "cur_scrub_pii", "dedup_cluster_sizes",
     "dedup_containment", "dedup_survivors", "evt_anomaly_zscore",
     "evt_funnel", "evt_resample_hourly", "evt_top_paths",
     "graph_seed_distance", "graph_triangle_count",
-    "json_extract_props", "mm_meta_summary", "p4_json_pack",
-    "p6_string_normalize", "p7_strip_branch_version", "p8_member_flag",
-    "ret_bm25_at_rest", "s4_not_in_filter", "s8_double_dim_join",
+    "json_extract_props", "mm_meta_summary",
+    "ret_bm25_at_rest",
     "sim_knn_graph", "text_keywords_at_rest", "text_language_id",
-    "tpch_q1",
     # -- rotation continues into the r7 cohort (the at-rest tf-idf
-    #    twin rides with its changed live sibling). The 10 changed
+    #    twin rides with its changed live sibling). The changed
     #    queries above displaced agg_value_histogram,
     #    approx_distinct_users, asof_recent_purchase,
     #    cur_cell_balanced_sample, cur_corpus_mix,
     #    cur_negative_samples, agg_cube_orders, agg_heavy_hitters,
-    #    and (session 3, for dedup_simhash_pairs + mm_phash_neardup)
-    #    window_running_total and window_ntile_spend to the r14 window
-    #    (all 287 remain strict-green locally). --
+    #    (session 3, for dedup_simhash_pairs + mm_phash_neardup)
+    #    window_running_total and window_ntile_spend, and (session 4,
+    #    for the 8 session-1-changed queries the changed-first
+    #    discipline requires) a3_distinct_sorted_ids, p4_json_pack,
+    #    p6_string_normalize, p7_strip_branch_version, p8_member_flag,
+    #    s4_not_in_filter, s8_double_dim_join, tpch_q1 — all eight
+    #    judge-strict-re-checked green in r12 or trivially
+    #    version-safe, the lowest-risk slots to defer to r14 (all 287
+    #    remain strict-green + dual-scale bitwise-audited locally). --
     "ret_tfidf_at_rest",
 ]
 
