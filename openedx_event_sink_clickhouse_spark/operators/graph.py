@@ -491,7 +491,8 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 8,
 
 
 def label_propagation(edges: DataFrame, rounds: int = 2,
-                      checkpoint_dir: str | None = None) -> DataFrame:
+                      checkpoint_dir: str | None = None,
+                      symmetric_distinct: bool = False) -> DataFrame:
     """Synchronous label propagation for community detection, run for a
     FIXED number of rounds (pagerank's fixed-iteration discipline — LPA
     famously oscillates under free-running synchronous updates, so a
@@ -501,11 +502,31 @@ def label_propagation(edges: DataFrame, rounds: int = 2,
     SMALLEST label id. Returns (node, label) after ``rounds`` rounds.
 
     Each round is one edge-scale join (labels onto edges) + one
-    (node, label) count + one per-node argmax window — the BSP shape;
-    nothing driver-side. ``edges`` must be symmetric (src, dst);
-    isolated nodes keep their own label (left join back onto the node
-    set). The argmax window orders by (count DESC, label ASC), a total
-    order, so both engines pick identical labels.
+    (node, label) count + one per-node argmax — the BSP shape; nothing
+    driver-side. ``edges`` must be symmetric (src, dst); isolated nodes
+    keep their own label (left join back onto the node set). The argmax
+    is ``min_by(label, struct(-count, label))`` — a full aggregate with
+    map-side partial aggregation instead of the r13 row_number window
+    (guide §2.3, aggregate before you shuffle: the window form shipped
+    every (node, label) row into a node-partitioned sort; min_by's
+    ordering key (count DESC, label ASC) is the identical total order,
+    so the picked labels are bit-identical while map tasks combine down
+    to one row per node before the exchange).
+
+    ``symmetric_distinct=True`` is the caller's assertion that the edge
+    set is BOTH symmetric and duplicate-free, which licenses two exact
+    algebraic shortcuts (outputs provably identical, pinned by tests):
+
+    - Round 1 degenerates to ``min(src) per dst``: initial labels are
+      the identity, so the joined label of every neighbor row is its
+      ``src``, and with distinct edges every (dst, label) count is
+      EXACTLY 1 — the argmax under (count DESC, label ASC) is simply
+      the smallest neighbor id. One groupBy replaces the round's
+      join + count + argmax.
+    - Every node appears as ``dst`` (symmetry), so each round's argmax
+      emits exactly one row per node and the per-round
+      ``nodes LEFT JOIN picked`` coalesce is the identity — dropped,
+      along with the ``nodes`` frame itself.
 
     Unlike :func:`kcore` — whose per-round MATERIALIZING actions force
     the edge frame to be checkpointed up front — this unroll is ONE
@@ -516,12 +537,37 @@ def label_propagation(edges: DataFrame, rounds: int = 2,
     it saves). ``checkpoint_dir`` therefore defaults OFF; pass it only
     for deep unrolls where plan size itself becomes the problem (many
     rounds), where it bounds the plan like kcore's cut_every."""
-    from pyspark.sql import Window
-
     if checkpoint_dir is not None:
         spark = edges.sparkSession
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
         edges = edges.checkpoint(eager=True)
+
+    # argmax under the (count DESC, label ASC) total order; label is
+    # unique within each node's rows, so the ordering key has no ties
+    # and the pick is deterministic in any engine.
+    def _argmax(nbr: DataFrame) -> DataFrame:
+        return (nbr.groupBy("node")
+                .agg(F.min_by("label",
+                              F.struct((-F.col("_c")).alias("_nc"),
+                                       F.col("label"))).alias("label")))
+
+    if symmetric_distinct:
+        labels = None
+        for r in range(rounds):
+            if r == 0:
+                labels = (edges.groupBy(F.col("dst").alias("node"))
+                          .agg(F.min("src").alias("label")))
+            else:
+                nbr = (edges.join(labels.withColumnRenamed("node", "src"),
+                                  "src")
+                       .groupBy(F.col("dst").alias("node"), "label")
+                       .agg(F.count("*").alias("_c")))
+                labels = _argmax(nbr)
+        if labels is None:  # rounds == 0: identity labels
+            labels = (edges.select(F.col("src").alias("node")).distinct()
+                      .select("node", F.col("node").alias("label")))
+        return labels
+
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct())
@@ -530,11 +576,7 @@ def label_propagation(edges: DataFrame, rounds: int = 2,
         nbr = (edges.join(labels.withColumnRenamed("node", "src"), "src")
                .groupBy(F.col("dst").alias("node"), "label")
                .agg(F.count("*").alias("_c")))
-        w = Window.partitionBy("node").orderBy(
-            F.col("_c").desc(), F.col("label").asc())
-        picked = (nbr.withColumn("_rk", F.row_number().over(w))
-                  .filter(F.col("_rk") == 1)
-                  .select("node", "label"))
+        picked = _argmax(nbr)
         labels = (nodes.join(picked, "node", "left")
                   .select("node",
                           F.coalesce(picked["label"],

@@ -9362,14 +9362,24 @@ def _graph_lpa(spark, sf_dir):
     # measured slower — 9.6 s vs 6.4 s noop-sink interleaved A/B: the
     # 2-round unroll references edges 3×, and the C(basket,2)·2 array
     # expansion re-runs map-side per reference while the join's
-    # shuffle subtree is runtime-reused.
+    # shuffle subtree is runtime-reused. r14 third probe (after the
+    # symmetric_distinct operator rewrite cut the references to 2):
+    # _copurchase_pairs + a both-orientation struct-array explode ABOVE
+    # the canonical distinct exchange (so the heavy expansion IS
+    # reused) still measured slower — 2.51 s self-join vs 3.03 s
+    # best-of-3 interleaved noop A/B at sf0.1; the collect_set
+    # aggregate + 2×-pair distinct costs more than the join here.
     edges = (a.join(b, (F.col("a.o") == F.col("b.o"))
                     & (F.col("a.p") != F.col("b.p")))
              .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
              .distinct())
     # no checkpoint: the 2-round unroll is one lazy plan, so exchange
     # reuse already dedupes the mine (A/B in the operator docstring).
-    return label_propagation(edges, rounds=2)
+    # symmetric_distinct: the mine is .distinct() and emits both
+    # orientations of every pair (the join condition is symmetric in
+    # a/b), licensing the operator's exact round-1 min-neighbor
+    # shortcut and the dropped per-round identity left-joins.
+    return label_propagation(edges, rounds=2, symmetric_distinct=True)
 
 
 @register("evt_deseasonalized_anomaly", _FILLED_HOURLY + """, prof AS (

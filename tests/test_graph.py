@@ -288,6 +288,29 @@ def test_label_propagation_deterministic_tiebreak(spark):
     assert out[9] == 5  # ties between labels 5 and 7 break low
 
 
+def test_label_propagation_symmetric_distinct_equals_generic(spark):
+    # The symmetric_distinct fast path (round-1 min-neighbor shortcut,
+    # dropped identity left-joins, min_by argmax) must be BIT-IDENTICAL
+    # to the generic unroll on random symmetric duplicate-free graphs —
+    # this pin is what licenses the registry call site's flag.
+    from openedx_event_sink_clickhouse_spark.operators.graph import (
+        label_propagation)
+    rng = random.Random(20260818)
+    for trial in range(3):
+        und = {(a, b) for a, b in
+               ((rng.randrange(40), rng.randrange(40)) for _ in range(120))
+               if a != b}
+        edges = sorted(und | {(b, a) for a, b in und})
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        for rounds in (1, 2, 3):
+            slow = {(r.node, r.label) for r in
+                    label_propagation(df, rounds=rounds).collect()}
+            fast = {(r.node, r.label) for r in
+                    label_propagation(df, rounds=rounds,
+                                      symmetric_distinct=True).collect()}
+            assert fast == slow, (trial, rounds)
+
+
 def test_adamic_adar_hand_computed(spark):
     import math
     from openedx_event_sink_clickhouse_spark.operators.graph import (
