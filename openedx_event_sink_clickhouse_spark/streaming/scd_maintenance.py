@@ -193,13 +193,18 @@ class Scd2BucketedMaintainer:
 
         from ..operators.scd import scd2_history, scd2_merge_batch
 
-        if batch_df.isEmpty():
-            return
         self._recover_stranded_buckets()
         spark = batch_df.sparkSession
         batch = batch_df.withColumn("_b", self._bucket(F.col(self.key_col)))
+        # The touched-bucket collect doubles as the empty-batch probe:
+        # an idle trigger yields no buckets and returns below, so the
+        # old up-front isEmpty() was a second scheduled job per epoch
+        # answering a question this tiny collect already answers
+        # (guide §5 — the driver should not pay actions it can subsume).
         touched = sorted(r["_b"] for r in
                          batch.select("_b").distinct().collect())
+        if not touched:
+            return
         # at-least-once replay: skip buckets already committed this
         # EXACT epoch. Exact match, not <: foreachBatch only ever
         # re-fires the last uncommitted epoch, and an ordering guard
