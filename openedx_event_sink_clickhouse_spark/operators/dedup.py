@@ -318,7 +318,7 @@ def _base32(x: Column) -> Column:
     return F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
 
 
-_HV_BANDS_EXPR: list[Column] = []
+_HV_BANDS_EXPR: list = []   # [(SparkContext, Column)]
 
 
 def _bands_of_hv() -> Column:
@@ -329,10 +329,22 @@ def _bands_of_hv() -> Column:
     work), and every LSH consumer builds the IDENTICAL unresolved tree
     over the ``hv`` column — the streaming maintainer paid it twice per
     epoch. Column objects are immutable expression trees; sharing one
-    across plans is safe (it re-resolves against each plan's ``hv``)."""
-    if not _HV_BANDS_EXPR:
-        _HV_BANDS_EXPR.append(lsh_bands(minhash_signature(F.col("hv"))))
-    return _HV_BANDS_EXPR[0]
+    across plans is safe (it re-resolves against each plan's ``hv``).
+
+    The memo is KEYED ON THE ACTIVE SparkContext (identity): a Column
+    holds py4j handles into the gateway that created it, so a cached
+    expression must not outlive its session — a second SparkSession in
+    the same process after the first gateway stopped would otherwise be
+    handed a stale JVM reference (r13 verdict's latent-hazard note).
+    Holding the old context in the memo pins it from GC, so the
+    identity compare can never alias two different contexts."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if not _HV_BANDS_EXPR or _HV_BANDS_EXPR[0][0] is not sc:
+        _HV_BANDS_EXPR[:] = [
+            (sc, lsh_bands(minhash_signature(F.col("hv"))))]
+    return _HV_BANDS_EXPR[0][1]
 
 
 def lsh_bands(sig_col: Column, num_bands: int = NUM_BANDS,

@@ -905,3 +905,22 @@ def test_allpairs_index_refuses_lossy_probe_threshold(spark, tmp_path):
                                       threshold=0.9).count() >= 0
     with pytest.raises(ValueError, match="n="):
         allpairs_incremental_pairs(batch, spark, idx, threshold=0.7, n=2)
+
+
+def test_bands_of_hv_memo_rekeys_on_context_change(spark):
+    # The shared LSH band expression is memoized per SparkContext: a
+    # cached Column holds py4j handles into the gateway that built it,
+    # so a session recycled in the same process must get a FRESH tree,
+    # while repeat calls under one context share the same object (the
+    # r13 driver-side construction win).
+    from openedx_event_sink_clickhouse_spark.operators import dedup as dd
+
+    first = dd._bands_of_hv()
+    assert dd._bands_of_hv() is first          # same context -> memo hit
+    live_key = dd._HV_BANDS_EXPR[0][0]
+    # simulate a recycled session: stale context identity in the memo
+    dd._HV_BANDS_EXPR[0] = (object(), first)
+    rebuilt = dd._bands_of_hv()
+    assert rebuilt is not first                # stale key -> rebuilt
+    assert dd._HV_BANDS_EXPR[0][0] is live_key  # rekeyed to active sc
+    assert dd._bands_of_hv() is rebuilt        # and memoized again
