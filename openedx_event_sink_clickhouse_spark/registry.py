@@ -10920,73 +10920,40 @@ WHERE NOT (id_a < {_ND_SPLIT_SQL} AND id_b < {_ND_SPLIT_SQL})
 
 _PRIORITY = [
     "flagship_incremental_dump",
-    # -- Spark plan changed in the r13 OPTIMIZATION session (PPJoin
-    #    positional prune + window-df prefix frame + merged cross
-    #    probe; vectorized attribution carry; localCheckpoint lineage
-    #    cuts; kcore per-round early exit): every changed query
-    #    re-grades first. All strict-checked + dual-scale
+    # -- Spark plan changed in the r14 OPTIMIZATION session
+    #    (label_propagation symmetric_distinct rewrite: round-1
+    #    min-neighbor shortcut + min_by argmax; scd2 maintainer
+    #    empty-probe fold into the bucket collect): changed queries
+    #    re-grade first. Both strict-checked + dual-scale
     #    bitwise-audited locally before shipping. --
-    "dedup_allpairs_jaccard", "dedup_allpairs_incremental",
-    "dedup_lsh_recall", "dedup_weighted_jaccard",
-    "dedup_survivors_by_quality", "stream_attribution",
-    "stream_stateful_incremental_gate", "graph_kcore",
-    # -- Spark plan changed (session 3): Arrow simhash kernel +
-    #    signature localCheckpoint pins in the banded-pairs pipelines
-    #    (the standalone dedup_simhash call pins engine="jvm", plan
-    #    unchanged, grade r12 stands) --
-    "dedup_simhash_pairs", "mm_phash_neardup",
-    # -- Spark plan changed (session 1): the aggregate-explode
-    #    _pair_counts basket core (rec_*, evt_basket_lift), the
-    #    maintainer epoch-floor cuts + memoized band expression
-    #    (stream_dedup_maintenance, dedup_incremental_* chain), and
-    #    the CC-internal materialization move (dedup_clusters) --
-    "evt_basket_lift", "rec_item_neighbors", "rec_user_items",
-    "stream_dedup_maintenance", "dedup_incremental_neardup",
-    "dedup_incremental_clusters", "dedup_incremental_survivors",
-    "dedup_clusters",
-    # -- new in r13: the three recall certifications closing the
-    #    approximate-path family (first grade) --
-    "sim_ivfpq_recall", "mm_phash_recall", "dedup_semantic_recall",
-    # -- oracle TEXT changed this round (guard CTE mirroring the Spark
-    #    loop's empty-seed / seed>=scale ValueErrors): re-grade both
-    #    variants; outputs are construction-identical on valid input
-    #    and bitwise-audited at both scales --
-    "graph_pagerank", "graph_personalized_pagerank",
-    # -- Spark plan changed this round (_doc_terms spreads the corpus
-    #    across cores before tokenize — 2.2s -> 1.0s at sf0.1): every
-    #    live consumer re-grades; all 10 retrieval queries are
-    #    bitwise-identical to their oracles at sf0.01 AND sf0.1 --
-    "ret_tfidf_cosine", "text_keywords", "ret_bm25_topk",
-    "ret_hybrid_rrf", "ret_query_likelihood", "ret_inverted_index",
-    # -- rotation: the ENTIRE r6-graded cohort (35 — the registry's
-    #    oldest grades; the HUGEINT episode showed only the driver's
-    #    own wheel is authoritative, so staleness is the last
-    #    unverified surface) --
-    "cur_clean_lines",
-    "cur_pack_sequences",
-    "cur_sample_stratified", "cur_scrub_pii", "dedup_cluster_sizes",
-    "dedup_containment", "dedup_survivors", "evt_anomaly_zscore",
-    "evt_funnel", "evt_resample_hourly", "evt_top_paths",
-    "graph_seed_distance", "graph_triangle_count",
-    "json_extract_props", "mm_meta_summary",
-    "ret_bm25_at_rest",
-    "sim_knn_graph", "text_keywords_at_rest", "text_language_id",
-    # -- rotation continues into the r7 cohort (the at-rest tf-idf
-    #    twin rides with its changed live sibling). The changed
-    #    queries above displaced agg_value_histogram,
-    #    approx_distinct_users, asof_recent_purchase,
-    #    cur_cell_balanced_sample, cur_corpus_mix,
-    #    cur_negative_samples, agg_cube_orders, agg_heavy_hitters,
-    #    (session 3, for dedup_simhash_pairs + mm_phash_neardup)
-    #    window_running_total and window_ntile_spend, and (session 4,
-    #    for the 8 session-1-changed queries the changed-first
-    #    discipline requires) a3_distinct_sorted_ids, p4_json_pack,
-    #    p6_string_normalize, p7_strip_branch_version, p8_member_flag,
-    #    s4_not_in_filter, s8_double_dim_join, tpch_q1 — all eight
-    #    judge-strict-re-checked green in r12 or trivially
-    #    version-safe, the lowest-risk slots to defer to r14 (all 287
-    #    remain strict-green + dual-scale bitwise-audited locally). --
-    "ret_tfidf_at_rest",
+    "graph_label_propagation", "stream_scd2_maintenance",
+    # -- rotation: the ENTIRE remaining r6-graded cohort (16 — the
+    #    registry's oldest grades, deferred from the r13 window; the
+    #    HUGEINT episode showed only the driver's own wheel is
+    #    authoritative, so staleness is the last unverified surface) --
+    "s4_not_in_filter", "s8_double_dim_join", "p4_json_pack",
+    "p6_string_normalize", "p7_strip_branch_version", "p8_member_flag",
+    "a3_distinct_sorted_ids", "approx_distinct_users", "tpch_q1",
+    "window_running_total", "cur_corpus_mix", "cur_negative_samples",
+    "cur_cell_balanced_sample", "asof_recent_purchase",
+    "window_ntile_spend", "agg_value_histogram",
+    # -- rotation continues into the r7 cohort (39 entries; 31 fit —
+    #    the 8 deferred to r15 are tpch_q13..q20, static engine-SQL
+    #    probes judged the lowest-risk slots to age one more round).
+    #    Non-TPCH r7 entries first: --
+    "text_tokenize_ids", "mm_resize", "mm_frame_sample",
+    "window_lag_gap_days", "setops_building_finished",
+    "agg_cube_orders", "agg_percentiles_lineitem",
+    "pivot_status_by_priority", "sim_mmr_diversify",
+    "cur_weighted_sample", "agg_heavy_hitters", "evt_attribution",
+    "evt_rolling_actives", "dq_referential_audit",
+    "dq_reconcile_orders", "agg_heavy_hitters_incremental",
+    "agg_heavy_hitters_retracted", "evt_funnel_windowed",
+    "evt_attribution_linear", "dedup_edit_distance",
+    "dq_schema_drift", "scd2_incremental_merge",
+    # -- and the oldest 9 of the 17 r7-graded TPC-H probes --
+    "tpch_q2", "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
 ]
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
